@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.{Det, QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregations and window functions (SURVEY.md §2.4, §2.5).
+  *
+  * The flagship derivation is the reference's cumulative→daily delta
+  * (groupby("country")["confirmed"].diff(), ETL_OMS.py:70-74) expressed as
+  * a per-partition window lag — one shuffle on the partition key, then
+  * sort-within-partition; scales linearly with data per key.
+  *
+  * Determinism: the reference relies on input file order (latent bug noted
+  * in SURVEY.md §7.4.2); here every window has an explicit total order with
+  * `event_id` tiebreak, and double aggregates are rounded.
+  */
+object Aggregates {
+
+  val defs: Seq[QDef] = Seq(
+
+    // W1: per-group lag-difference, null→0 on each group's first row
+    // (ETL_OMS.py:70-74). Flagship query (SparkEntry.entry).
+    QDef("q_delta",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          coalesce(col("value") - lag("value", 1).over(w), lit(0.0))
+            .as("delta"))
+      },
+      Some("SELECT event_id, user_id, ts, value, " +
+        "coalesce(value - lag(value) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id), 0) AS delta " +
+        "FROM events")),
+
+    // A1: group-agg with mixed functions (ETL_OMS_OPERATIONNEL.py:160-166);
+    // hash agg with partial+final (map-side combine) for free.
+    QDef("q_groupagg",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus").agg(
+          sum("l_quantity").as("sum_qty"), // integral doubles: exact
+          Det.exactSum(col("l_extendedprice"), 2).as("sum_base"),
+          Det.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("sum_disc"),
+          (Det.exactSum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+          max("l_shipdate").as("last_ship"),
+          count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "sum(l_quantity) AS sum_qty, " +
+        s"${Det.exactSumSql("l_extendedprice", 2)} AS sum_base, " +
+        s"${Det.exactSumSql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc, " +
+        s"${Det.exactSumSql("l_discount", 2)} / count(*) AS avg_disc, " +
+        "max(l_shipdate) AS last_ship, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")),
+
+    // exact count-distinct per group.
+    QDef("q_count_distinct",
+      (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+        "count(DISTINCT l_suppkey) AS n_supps, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag")),
+
+    // approximate count-distinct (HLL++). No oracle: approx result has no
+    // ANSI-SQL equivalent — driver records rows-only.
+    QDef("q_approx_distinct",
+      (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None),
+
+    // grouping sets: ROLLUP.
+    QDef("q_rollup",
+      (s, d) => Tables(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus")).agg(
+          sum("l_quantity").as("sum_qty"), // integral doubles: exact
+          count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "sum(l_quantity) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")),
+
+    // grouping sets: CUBE.
+    QDef("q_cube",
+      (s, d) => Tables(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority")).agg(
+          Det.exactSum(col("o_totalprice"), 2).as("total"),
+          count(lit(1)).as("n")),
+      Some("SELECT o_orderstatus, o_orderpriority, " +
+        s"${Det.exactSumSql("o_totalprice", 2)} AS total, count(*) AS n " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)")),
+
+    // ranking window functions; rank ties are well-defined on both engines.
+    QDef("q_rank",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc)
+        Tables(s, d, "customer").select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+          .filter(col("rnk") <= 5)
+      },
+      Some("SELECT * FROM (SELECT c_mktsegment, c_custkey, c_acctbal, " +
+        "CAST(rank() OVER w AS INT) AS rnk, " +
+        "CAST(dense_rank() OVER w AS INT) AS drnk FROM customer " +
+        "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)) " +
+        "WHERE rnk <= 5")),
+
+    // lead/lag/ntile with explicit tiebreak order.
+    QDef("q_lead_lag",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("SELECT event_id, user_id, " +
+        "lag(value) OVER w AS prev_value, " +
+        "lead(value) OVER w AS next_value, " +
+        "CAST(ntile(4) OVER w AS INT) AS quartile FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)")),
+
+    // frame-spec aggregates: 7-row moving sum (mirrors the reference's
+    // *_smoothed input columns) + running cumulative total.
+    QDef("q_running_sum",
+      (s, d) => {
+        // integer-cents frame sums: engines disagree on frame-sum
+        // association (Spark re-sums the frame, DuckDB uses a segment
+        // tree) so sum exact integers instead — order-independent.
+        val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("double")
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          (sum(cents).over(ord.rowsBetween(-6, 0)) / lit(100.0)).as("mv7"),
+          (sum(cents).over(
+            ord.rowsBetween(Window.unboundedPreceding, 0)) / lit(100.0))
+            .as("cum"))
+      },
+      Some("SELECT event_id, user_id, ts, " +
+        "sum(floor(value * 100 + 0.5)) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "/ 100 AS mv7, " +
+        "sum(floor(value * 100 + 0.5)) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) / 100 AS cum FROM events")),
+
+    // A3/W2: dedup keep-last by key. pandas keep="last" is file order
+    // (ETL_OMS_FINAL_Upgraded.py:102); here the order is explicit
+    // (ts desc, event_id desc) so the result is well-defined.
+    QDef("q_dedup_keeplast",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "ts", "value")
+      },
+      Some("SELECT user_id, event_type, event_id, ts, value FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1")),
+
+    // A6: surrogate-key assignment (id_pays = index+1,
+    // ETL_OMS_FINAL.py:76). pandas index order is nondeterministic across
+    // inputs; ids are defined by sort order instead. The unpartitioned
+    // window is fine for dimension-sized data; at 100 TB scale assign ids
+    // via zipWithIndex or hashing, never a single-partition window.
+    QDef("q_surrogate_ids",
+      (s, d) => Tables(s, d, "nation")
+        .select(col("n_name").as("nom_pays")).distinct()
+        .withColumn("id_pays", row_number().over(Window.orderBy("nom_pays"))),
+      Some("SELECT nom_pays, CAST(row_number() OVER (ORDER BY nom_pays) " +
+        "AS INT) AS id_pays FROM " +
+        "(SELECT DISTINCT n_name AS nom_pays FROM nation)"))
+  )
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.{Det, QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Relational basics: scans, projections, filters, sorts, set ops, scalar
+  * functions (SURVEY.md §2.1, §2.2, §2.7, §2.8).
+  *
+  * Reference semantics come from /root/reference ETL_OMS*.py — e.g. the
+  * fixed projection (ETL_OMS_FINAL.py:71), null-drop after lenient parse
+  * (ETL_OMS.py:61-62), date range predicate (ETL_OMS_OPERATIONNEL.py:108),
+  * keyword classification (ETL_OMS_OPERATIONNEL.py:76-81), dict-map lookup
+  * with default (ETL_OMS.py:23-30,83) — re-expressed as declarative Column
+  * plans so Catalyst pushes filters/projections into the parquet scan.
+  */
+object Relational {
+
+  val defs: Seq[QDef] = Seq(
+
+    // S1/P3: scan with projection + predicate; both reach the parquet
+    // reader (PushedFilters / ReadSchema in .explain).
+    QDef("q_scan",
+      (s, d) => Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(col("l_quantity") > 25),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_quantity > 25")),
+
+    // P3/P4: fixed projection + computed + literal column
+    // (ETL_OMS_FINAL.py:58,71).
+    QDef("q_project",
+      (s, d) => Tables(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        Det.rnd(col("o_totalprice") * lit(0.9), 2).as("discounted"),
+        lit("graft").as("tag")),
+      Some("SELECT o_orderkey, o_orderstatus, " +
+        s"${Det.rndSql("o_totalprice * 0.9", 2)} AS discounted, " +
+        "'graft' AS tag FROM orders")),
+
+    // P6/P8/P9: materialize nulls (coerce-style) then drop them
+    // (ETL_OMS.py:61-62 dropna after to_datetime coerce).
+    QDef("q_filter_null",
+      (s, d) => Tables(s, d, "lineitem")
+        .withColumn("disc_nz",
+          when(col("l_discount") =!= 0.0, col("l_discount")))
+        .na.drop(Seq("disc_nz"))
+        .select("l_orderkey", "l_linenumber", "disc_nz"),
+      Some("SELECT l_orderkey, l_linenumber, l_discount AS disc_nz " +
+        "FROM lineitem WHERE l_discount IS NOT NULL AND l_discount <> 0.0")),
+
+    // P7: range predicate on date (ETL_OMS_OPERATIONNEL.py:108).
+    QDef("q_filter_range",
+      (s, d) => Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      Some("SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01'")),
+
+    // O1: multi-key sort (ETL_OMS.py:69).
+    QDef("q_sort",
+      (s, d) => Tables(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc,
+          col("c_custkey").asc),
+      Some("SELECT c_custkey, c_mktsegment, c_acctbal FROM customer " +
+        "ORDER BY c_mktsegment, c_acctbal DESC, c_custkey")),
+
+    // O2+: top-k — Spark plans TakeOrderedAndProject (no global sort).
+    QDef("q_topk",
+      (s, d) => Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    // O3: union accumulation (ETL_OMS_OPERATIONNEL.py:236,331).
+    QDef("q_union",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val a = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit("finished").as("src"))
+        val b = o.filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit("big").as("src"))
+        a.unionByName(b)
+      },
+      Some("SELECT o_orderkey, o_totalprice, 'finished' AS src FROM orders " +
+        "WHERE o_orderstatus = 'F' UNION ALL " +
+        "SELECT o_orderkey, o_totalprice, 'big' AS src FROM orders " +
+        "WHERE o_totalprice > 400000")),
+
+    // set op: INTERSECT (distinct semantics on both engines).
+    QDef("q_intersect",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+          .intersect(
+            o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+      },
+      Some("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "INTERSECT " +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996")),
+
+    // set op: EXCEPT — customers who ordered in 1995 but not in 1996.
+    QDef("q_except",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+          .except(
+            o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+      },
+      Some("SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995 " +
+        "EXCEPT " +
+        "SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996")),
+
+    // A2: distinct (ETL_OMS_FINAL.py:75 drop_duplicates).
+    QDef("q_distinct",
+      (s, d) => Tables(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // A7: count reporting (ETL_OMS_OPERATIONNEL.py:220-221).
+    QDef("q_count",
+      (s, d) => Tables(s, d, "orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n")),
+      Some("SELECT o_orderstatus, count(*) AS n FROM orders " +
+        "GROUP BY o_orderstatus")),
+
+    // F5/F9: numeric coerce-to-null + NA→0 (ETL_OMS_OPERATIONNEL.py:123,
+    // 326-329). try_cast so semantics hold even under ANSI sessions.
+    QDef("q_cast",
+      (s, d) => Tables(s, d, "customer").select(
+        col("c_custkey"),
+        coalesce(expr("try_cast(c_mktsegment AS int)"), lit(0)).as("seg_num"),
+        col("c_acctbal").cast("long").as("bal_trunc"),
+        expr("try_cast(substring(c_name, 10, 9) AS bigint)").as("name_num")),
+      Some("SELECT c_custkey, " +
+        "coalesce(TRY_CAST(c_mktsegment AS INTEGER), 0) AS seg_num, " +
+        "CAST(trunc(c_acctbal) AS BIGINT) AS bal_trunc, " +
+        "TRY_CAST(substr(c_name, 10, 9) AS BIGINT) AS name_num " +
+        "FROM customer")),
+
+    // F6/F7: arithmetic + rounding (ETL_OMS_OPERATIONNEL.py:121-148
+    // per-capita conversion / 6dp rounding). Same op order on both sides
+    // ⇒ bit-identical doubles before the round.
+    QDef("q_math",
+      (s, d) => Tables(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Det.rnd(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 2).as("charge"),
+        Det.rnd(col("l_discount") * lit(100), 6).as("disc_pct"),
+        Det.rnd(sqrt(col("l_quantity")), 6).as("qty_sqrt")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        s"${Det.rndSql("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)", 2)} AS charge, " +
+        s"${Det.rndSql("l_discount * 100", 6)} AS disc_pct, " +
+        s"${Det.rndSql("sqrt(l_quantity)", 6)} AS qty_sqrt FROM lineitem")),
+
+    // F10: lower/trim/regexp_replace (ETL_OMS.py:38-39 canonicalization,
+    // applied as data functions). DuckDB regexp_replace needs the 'g' flag
+    // to match Spark's replace-all.
+    QDef("q_strings",
+      (s, d) => Tables(s, d, "part").select(
+        col("p_partkey"),
+        lower(trim(col("p_type"))).as("type_lc"),
+        regexp_replace(lower(col("p_brand")), "[^a-z0-9]+", "_")
+          .as("brand_canon"),
+        concat_ws("|", col("p_type"), col("p_brand")).as("joined"),
+        length(col("p_name")).as("name_len"),
+        upper(substring(col("p_name"), 1, 3)).as("prefix")),
+      Some("SELECT p_partkey, lower(trim(p_type)) AS type_lc, " +
+        "regexp_replace(lower(p_brand), '[^a-z0-9]+', '_', 'g') AS brand_canon, " +
+        "concat_ws('|', p_type, p_brand) AS joined, " +
+        "CAST(length(p_name) AS INTEGER) AS name_len, " +
+        "upper(substr(p_name, 1, 3)) AS prefix FROM part")),
+
+    // F1-F3: date functions — truncation, parts, diff, parse round-trip
+    // (ETL_OMS.py:61, ETL_OMS_OPERATIONNEL.py:100-106,331).
+    QDef("q_dates",
+      (s, d) => Tables(s, d, "orders").select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+          .as("days_to_2002"),
+        to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+          .as("roundtrip")),
+      Some("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, " +
+        "CAST(year(o_orderdate) AS INT) AS yr, " +
+        "CAST(month(o_orderdate) AS INT) AS mo, " +
+        "CAST(day(o_orderdate) AS INT) AS dom, " +
+        "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, " +
+        "CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS INT) " +
+        "AS days_to_2002, " +
+        "CAST(o_orderdate AS DATE) AS roundtrip FROM orders")),
+
+    // F12: dict-map lookup with default (ETL_OMS.py:23-30,83 indicator →
+    // unit map). typedLit map + element_at stays in codegen; a 4-row
+    // broadcast-join dim would also work but is overkill for a constant map.
+    QDef("q_maplookup",
+      (s, d) => {
+        val m = typedLit(Map(
+          "click" -> "ui", "view" -> "ui",
+          "purchase" -> "commerce", "signup" -> "account"))
+        Tables(s, d, "events").select(
+          col("event_id"), col("event_type"),
+          coalesce(element_at(m, col("event_type")), lit("unknown"))
+            .as("unit"))
+      },
+      Some("SELECT event_id, event_type, CASE event_type " +
+        "WHEN 'click' THEN 'ui' WHEN 'view' THEN 'ui' " +
+        "WHEN 'purchase' THEN 'commerce' WHEN 'signup' THEN 'account' " +
+        "ELSE 'unknown' END AS unit FROM events")),
+
+    // F11: keyword classification contains-chain, first match wins
+    // (detect_maladie, ETL_OMS_OPERATIONNEL.py:76-81; 'Inconnue' fallback).
+    QDef("q_classify",
+      (s, d) => Tables(s, d, "part").select(
+        col("p_partkey"), col("p_type"),
+        when(lower(col("p_type")).contains("promo"), "promotional")
+          .when(lower(col("p_type")).contains("econo"), "economy")
+          .when(lower(col("p_type")).contains("standard"), "standard")
+          .otherwise("other").as("category")),
+      Some("SELECT p_partkey, p_type, CASE " +
+        "WHEN lower(p_type) LIKE '%promo%' THEN 'promotional' " +
+        "WHEN lower(p_type) LIKE '%econo%' THEN 'economy' " +
+        "WHEN lower(p_type) LIKE '%standard%' THEN 'standard' " +
+        "ELSE 'other' END AS category FROM part"))
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must run and return rows at sf0.001, plus
+  * semantic spot checks lifted from the reference (SURVEY.md §5.2).
+  */
+class QueriesSpec extends AnyFunSuite with SparkSuite {
+
+  test("all registered queries run and return rows") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { if (fn(spark, sf).count() > 0) None else Some(s"$name: 0 rows") }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("every oracle key has a query") {
+    val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphan.isEmpty, s"oracles without queries: $orphan")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_delta: first row per user has delta 0 (ETL_OMS.py:71 fillna)") {
+    val df = SparkEntry.queries("q_delta")(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val firsts = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(firsts.filter(col("delta") =!= 0.0).count() === 0)
+  }
+
+  test("q_dedup_keeplast: one row per (user_id, event_type)") {
+    val df = SparkEntry.queries("q_dedup_keeplast")(spark, sf)
+    assert(df.count() ===
+      df.select("user_id", "event_type").distinct().count())
+  }
+
+  test("q_surrogate_ids: dense ids starting at 1, ordered by name") {
+    val rows = SparkEntry.queries("q_surrogate_ids")(spark, sf)
+      .orderBy("id_pays").collect()
+    assert(rows.map(_.getInt(1)).toSeq === (1 to rows.length))
+    val names = rows.map(_.getString(0)).toSeq
+    assert(names === names.sorted)
+  }
+
+  test("q_classify falls back to 'other' (Inconnue semantics)") {
+    val df = SparkEntry.queries("q_classify")(spark, sf)
+    val cats = df.select("category").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(cats.subsetOf(
+      Set("promotional", "economy", "standard", "other")))
+  }
+}
