@@ -12,7 +12,7 @@ import graft.operators._
 object SparkEntry {
 
   private def all: Seq[QDef] =
-    Relational.defs ++ Aggregates.defs
+    Relational.defs ++ Aggregates.defs ++ Joins.defs ++ Reshape.defs
 
   /** Flagship query (SURVEY.md §7.1): daily deltas from cumulative-style
     * per-entity series — the reference pipeline's core derivation

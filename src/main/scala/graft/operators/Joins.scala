@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{Det, QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY.md §2.3).
+  *
+  * The reference's two declarative joins (ETL_OMS_FINAL.py:88-89) plus its
+  * three lookup patterns (preloaded dict probe = broadcast hash join,
+  * ETL_OMS_OPERATIONNEL.py:229-234; per-row SELECT = nested-loop index
+  * join, ETL_OMS_FINAL_Upgraded.py:165-181) — all expressed as set-based
+  * joins. Dimension sides are `broadcast()` so the fact side never
+  * shuffles for them; at 1000 executors the same hint holds as long as the
+  * dim fits in memory (otherwise Catalyst/AQE falls back to shuffle join).
+  */
+object Joins {
+
+  val defs: Seq[QDef] = Seq(
+
+    // J1/J3: inner equi join on a single key, dimension broadcast
+    // (df.merge(countries, on="country"), ETL_OMS_FINAL.py:88).
+    QDef("q_join_inner",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+          .select(o("o_orderkey"), c("c_custkey"), c("c_name"),
+            c("c_mktsegment"), o("o_totalprice"))
+      },
+      Some("SELECT o_orderkey, c_custkey, c_name, c_mktsegment, " +
+        "o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey")),
+
+    // J2: inner equi join on a composite key
+    // (left_on=[id_pays, country], ETL_OMS_FINAL.py:89).
+    QDef("q_join_multikey",
+      (s, d) => {
+        val base = Tables(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+        val agg = base.groupBy("o_custkey", "yr")
+          .agg(Det.exactSum(col("o_totalprice"), 2).as("cust_yr_total"))
+        base.join(agg, Seq("o_custkey", "yr"))
+          .select("o_orderkey", "o_custkey", "yr", "cust_yr_total")
+      },
+      Some("WITH base AS (SELECT o_orderkey, o_custkey, " +
+        "CAST(year(o_orderdate) AS INT) AS yr, o_totalprice FROM orders), " +
+        "agg AS (SELECT o_custkey, yr, " +
+        s"${Det.exactSumSql("o_totalprice", 2)} AS cust_yr_total " +
+        "FROM base GROUP BY o_custkey, yr) " +
+        "SELECT b.o_orderkey, b.o_custkey, b.yr, a.cust_yr_total " +
+        "FROM base b JOIN agg a ON b.o_custkey = a.o_custkey " +
+        "AND b.yr = a.yr")),
+
+    // left outer join against a pre-aggregated side (aggregate-then-join:
+    // the scalable shape — the join input is one row per key, not one row
+    // per order).
+    QDef("q_join_outer",
+      (s, d) => {
+        val agg = Tables(s, d, "orders").groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          Det.exactSum(col("o_totalprice"), 2).as("total_spent"))
+        Tables(s, d, "customer")
+          .join(agg, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+      },
+      Some("SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders, " +
+        "coalesce(total_spent, 0.0) AS total_spent FROM customer " +
+        "LEFT JOIN (SELECT o_custkey, count(*) AS n_orders, " +
+        s"${Det.exactSumSql("o_totalprice", 2)} AS total_spent " +
+        "FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey")),
+
+    // P10/J6: semi join — membership without duplication
+    // (id_region ∈ region_dict, ETL_OMS_OPERATIONNEL.py:354).
+    QDef("q_semi_join",
+      (s, d) => {
+        val big = Tables(s, d, "orders")
+          .filter(col("o_totalprice") > 300000)
+        Tables(s, d, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_acctbal")
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_totalprice > 300000)")),
+
+    // J4: anti join — the insert-if-absent probe
+    // (unknown country detection, ETL_OMS_OPERATIONNEL.py:276-284).
+    QDef("q_anti_join",
+      (s, d) => {
+        val o95 = Tables(s, d, "orders")
+          .filter(year(col("o_orderdate")) === 1995)
+        Tables(s, d, "customer")
+          .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND year(o_orderdate) = 1995)")),
+
+    // theta/range join against a tiny literal band dim — broadcast nested
+    // loop, the right physical plan when one side is a handful of rows.
+    QDef("q_join_range",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val bands = Seq(
+          (0.0, 50000.0, "low"),
+          (50000.0, 200000.0, "mid"),
+          (200000.0, 1.0e9, "high")).toDF("lo", "hi", "band")
+        val o = Tables(s, d, "orders")
+        o.join(broadcast(bands),
+            o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+          .groupBy("band").agg(
+            count(lit(1)).as("n"),
+            Det.exactSum(col("o_totalprice"), 2).as("total"))
+      },
+      Some("SELECT band, count(*) AS n, " +
+        s"${Det.exactSumSql("o_totalprice", 2)} AS total FROM orders " +
+        "JOIN (VALUES (0.0, 50000.0, 'low'), (50000.0, 200000.0, 'mid'), " +
+        "(200000.0, 1000000000.0, 'high')) AS b(lo, hi, band) " +
+        "ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band")),
+
+    // as-of join: each purchase ↔ latest strictly-prior click of the same
+    // user. Implemented as union + one window pass (last ignoreNulls over
+    // an unbounded-to-(-1) frame) — a single shuffle on user_id, no
+    // range-join row explosion; this is the shape that survives 100 TB,
+    // unlike time-condition joins whose intermediate is |purchases|×|clicks|
+    // per user.
+    QDef("q_asof",
+      (s, d) => {
+        val tagged = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select("user_id", "ts", "event_id", "event_type", "value")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isClick = col("event_type") === "click"
+        tagged
+          .withColumn("prev_click_id",
+            last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("prev_click_ts",
+            last(when(isClick, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"),
+            col("prev_click_id"), col("prev_click_ts"))
+      },
+      Some("SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, " +
+        "prev_click_id, prev_click_ts FROM (" +
+        "SELECT event_id, user_id, ts, event_type, " +
+        "last_value(CASE WHEN event_type = 'click' THEN event_id END " +
+        "IGNORE NULLS) OVER w AS prev_click_id, " +
+        "last_value(CASE WHEN event_type = 'click' THEN ts END " +
+        "IGNORE NULLS) OVER w AS prev_click_ts " +
+        "FROM events WHERE event_type IN ('click', 'purchase') " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "WHERE event_type = 'purchase'"))
+  )
+}
