@@ -12,7 +12,8 @@ import graft.operators._
 object SparkEntry {
 
   private def all: Seq[QDef] =
-    Relational.defs ++ Aggregates.defs ++ Joins.defs ++ Reshape.defs
+    Relational.defs ++ Aggregates.defs ++ Joins.defs ++ Reshape.defs ++
+      TextOps.defs ++ Similarity.defs
 
   /** Flagship query (SURVEY.md §7.1): daily deltas from cumulative-style
     * per-entity series — the reference pipeline's core derivation

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{Det, QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2.11 X3).
+  *
+  * Dot products / norms are higher-order-function folds over
+  * `array<double>` — sequential left folds, bit-identical to DuckDB's
+  * list_dot_product loop, and they stay inside whole-stage codegen
+  * (no UDF). Similarities are floor-rounded (Det) before ranking so the
+  * top-k cut is stable across engines.
+  *
+  * Scale: the brute-force query side is a broadcast of k query vectors —
+  * fine for point lookups against any corpus size (scan stays
+  * partition-parallel, one TakeOrdered per query). The label-blocked pair
+  * search is the IVF-style path: pairs only form inside a block, so cost
+  * is Σ|block|², not |corpus|². For open-ended 100 TB ANN, add
+  * random-hyperplane LSH bucketing as the blocking key (same join shape).
+  */
+object Similarity {
+
+  private val dotAB =
+    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val norm = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+
+  val defs: Seq[QDef] = Seq(
+
+    // X3: brute-force top-5 cosine neighbors for query vectors vec_id<10.
+    QDef("q_simsearch",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", expr(norm))
+        val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn")).filter(col("q_id") < 10)
+        val sim = Det.rnd(expr(dotAB) / (col("nrm") * col("qn")), 6)
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", sim)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("q_id", "vec_id", "sim")
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings), " +
+        "p AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, " +
+        s"${Det.rndSql("list_dot_product(c.v, q.v) / " +
+          "(sqrt(list_dot_product(c.v, c.v)) * " +
+          "sqrt(list_dot_product(q.v, q.v)))", 6)} AS sim " +
+        "FROM e c, e q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
+        "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p) " +
+        "WHERE rn <= 5")),
+
+    // X3/X4: embedding near-dup pairs, blocked by label (IVF-style coarse
+    // partition) — pair cost is per-block, not corpus². May legitimately
+    // return few/no rows when no near-dups exist.
+    QDef("q_embed_dedup",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", expr(norm))
+        val a = e.select(col("vec_id").as("a_id"), col("label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+        val b = e.select(col("vec_id").as("b_id"),
+          col("label").as("b_label"), col("v"), col("nrm"))
+        val sim = Det.rnd(expr(dotAB) / (col("nrm") * col("qn")), 6)
+        b.join(a, col("label") === col("b_label") &&
+            col("a_id") < col("b_id"))
+          .withColumn("sim", sim)
+          .filter(col("sim") > 0.4)
+          .select("a_id", "b_id", "label", "sim")
+      },
+      Some("WITH e AS (SELECT vec_id, label, " +
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+        "SELECT a_id, b_id, label, sim FROM (" +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label, " +
+        s"${Det.rndSql("list_dot_product(b.v, a.v) / " +
+          "(sqrt(list_dot_product(b.v, b.v)) * " +
+          "sqrt(list_dot_product(a.v, a.v)))", 6)} AS sim " +
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+        "WHERE sim > 0.4"))
+  )
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import graft.functions.LlmOps
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / dedup / JSON operators for the LLM-data-pipeline
+  * extension surface (SURVEY.md §2.11 X1, X4-X6): language-ID heuristic,
+  * quality scoring, token counting, fingerprinting, exact + MinHash-LSH
+  * near dedup, JSON extraction, and the LLMClient stub hook.
+  *
+  * Everything stays in Column expressions / higher-order functions (no
+  * UDFs) except the LLM hook, which is deliberately `mapPartitions` to
+  * model per-partition client amortization.
+  *
+  * Scale notes: per-doc ops are embarrassingly parallel (no shuffle);
+  * dedup shuffles once on the hash/band key; the LSH candidate join is the
+  * 100 TB path (candidates ≈ band collisions, never the n² cross join).
+  */
+object TextOps {
+
+  /** Distinct whitespace tokens of `text`. */
+  private val toksExpr = "array_distinct(split(trim(text), '\\\\s+'))"
+  private val toksSql = "list_distinct(string_split_regex(trim(text), '\\s+'))"
+
+  /** Word 3-gram shingles (raw token order, 1-based windows). */
+  private val shExpr = "transform(sequence(1, size(split(trim(text), " +
+    "'\\\\s+')) - 2), i -> concat_ws(' ', slice(split(trim(text), " +
+    "'\\\\s+'), i, 3)))"
+  private val shSql = "[array_to_string(rawtoks[i:i+2], ' ') " +
+    "for i in generate_series(1, len(rawtoks) - 2)]"
+
+  /** MinHash of a shingle list for a given seed: min over md5(sh || '#i').
+    * md5 is the one hash both engines implement identically on UTF-8.
+    */
+  private def mhExpr(i: Int) =
+    s"array_min(transform(sh, t -> md5(concat(t, '#$i'))))"
+  private def mhSql(i: Int) =
+    s"list_min(list_transform(sh, x -> md5(x || '#$i')))"
+
+  private val sigSql =
+    s"WITH t AS (SELECT doc_id, $toksSql AS toks, " +
+      "string_split_regex(trim(text), '\\s+') AS rawtoks FROM documents), " +
+      s"s AS (SELECT doc_id, toks, $shSql AS sh FROM t), " +
+      "g AS (SELECT doc_id, toks, " +
+      s"md5(${mhSql(1)} || ${mhSql(2)}) AS band1, " +
+      s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM s)"
+
+  val defs: Seq[QDef] = Seq(
+
+    // X6: JSON extraction from the events.props payload column.
+    QDef("q_json_extract",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k")),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') " +
+        "AS INTEGER) AS k FROM events")),
+
+    // X5: corpus stats per language — integer sums (exact in any order)
+    // with averages derived by one deterministic division.
+    QDef("q_text_stats",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("n_toks").as("sum_toks"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars")),
+      Some("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) " +
+        "AS sum_toks, " +
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars " +
+        "FROM documents GROUP BY lang")),
+
+    // X5: per-doc token counting — whitespace tokens plus a BPE-ish
+    // regex token count and a chars/4 subword estimate.
+    QDef("q_token_count",
+      (s, d) => Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("n_re"),
+        expr("(n_chars + 3) div 4").as("n_bpe_est")),
+      Some("SELECT doc_id, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) " +
+        "AS INT) AS n_re, (n_chars + 3) // 4 AS n_bpe_est FROM documents")),
+
+    // X5: language-ID heuristic — presence-count of per-language stopword
+    // markers, first-match-wins tie order (en > fr > es > de, else 'und').
+    QDef("q_lang_id",
+      (s, d) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        def score(ws: Seq[String]) = ws.map(w =>
+          when(padded.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+        val en = score(Seq("the", "a", "of"))
+        val fr = score(Seq("le", "la", "et"))
+        val es = score(Seq("el", "y", "de"))
+        val de = score(Seq("der", "und", "das"))
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          en.as("s_en"), fr.as("s_fr"), es.as("s_es"), de.as("s_de"),
+          when(en >= fr && en >= es && en >= de && en > 0, "en")
+            .when(fr >= es && fr >= de && fr > 0, "fr")
+            .when(es >= de && es > 0, "es")
+            .when(de > 0, "de")
+            .otherwise("und").as("pred_lang"))
+      },
+      Some {
+        def sc(ws: Seq[String]) = ws.map(w =>
+          s"(CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val (en, fr, es, de) = (sc(Seq("the", "a", "of")),
+          sc(Seq("le", "la", "et")), sc(Seq("el", "y", "de")),
+          sc(Seq("der", "und", "das")))
+        s"SELECT doc_id, s_en, s_fr, s_es, s_de, CASE " +
+          "WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en > 0 " +
+          "THEN 'en' " +
+          "WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr > 0 THEN 'fr' " +
+          "WHEN s_es >= s_de AND s_es > 0 THEN 'es' " +
+          "WHEN s_de > 0 THEN 'de' ELSE 'und' END AS pred_lang FROM " +
+          s"(SELECT doc_id, $en AS s_en, $fr AS s_fr, $es AS s_es, " +
+          s"$de AS s_de FROM documents)"
+      }),
+
+    // X5: quality scoring — length, vocabulary diversity, chars/token.
+    QDef("q_quality",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("n_tok", size(split(trim(col("text")), "\\s+")))
+        .withColumn("n_uniq", size(expr(toksExpr)))
+        .select(
+          col("doc_id"), col("n_tok"), col("n_uniq"),
+          (col("n_uniq").cast("double") / col("n_tok")).as("uniq_ratio"),
+          (col("n_chars").cast("double") / col("n_tok")).as("chars_per_tok"),
+          when(col("n_tok") >= 30 &&
+            col("n_uniq").cast("double") / col("n_tok") > 0.25, "good")
+            .otherwise("low").as("quality")),
+      Some("SELECT doc_id, CAST(n_tok AS INT) AS n_tok, " +
+        "CAST(n_uniq AS INT) AS n_uniq, " +
+        "CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio, " +
+        "CAST(n_chars AS DOUBLE) / n_tok AS chars_per_tok, " +
+        "CASE WHEN n_tok >= 30 AND CAST(n_uniq AS DOUBLE) / n_tok > 0.25 " +
+        "THEN 'good' ELSE 'low' END AS quality FROM " +
+        "(SELECT doc_id, n_chars, " +
+        "len(string_split_regex(trim(text), '\\s+')) AS n_tok, " +
+        s"len($toksSql) AS n_uniq FROM documents)")),
+
+    // X5: document fingerprint — md5 over whitespace-normalized text plus
+    // a short prefix band usable as a blocking key.
+    QDef("q_fingerprint",
+      (s, d) => Tables(s, d, "documents").select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+        substring(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")),
+          1, 8).as("band")),
+      Some("SELECT doc_id, " +
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+        "substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), " +
+        "1, 8) AS band FROM documents")),
+
+    // X4: exact dedup — group by content hash, keep lowest doc_id
+    // (the 100 TB shape: one shuffle on a 32-byte key, no text compare).
+    QDef("q_dedup_exact",
+      (s, d) => Tables(s, d, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +
+        "count(*) AS n_copies FROM documents GROUP BY md5(text)")),
+
+    // X4: MinHash signatures over word-3-gram shingles (4 seeds, 2 bands).
+    QDef("q_minhash",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("sh", expr(shExpr))
+        .select(
+          col("doc_id"),
+          expr(mhExpr(1)).as("mh1"), expr(mhExpr(2)).as("mh2"),
+          expr(mhExpr(3)).as("mh3"), expr(mhExpr(4)).as("mh4"),
+          md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
+          md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2")),
+      Some("WITH t AS (SELECT doc_id, " +
+        "string_split_regex(trim(text), '\\s+') AS rawtoks FROM documents), " +
+        s"s AS (SELECT doc_id, $shSql AS sh FROM t) " +
+        s"SELECT doc_id, ${mhSql(1)} AS mh1, ${mhSql(2)} AS mh2, " +
+        s"${mhSql(3)} AS mh3, ${mhSql(4)} AS mh4, " +
+        s"md5(${mhSql(1)} || ${mhSql(2)}) AS band1, " +
+        s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM s")),
+
+    // X4: near-dedup via banded MinHash-LSH — candidates are band
+    // collisions (two equi-joins + distinct, never an n² cross join),
+    // then exact token-Jaccard verification on candidates only.
+    // May legitimately return 0 rows when the corpus has no near-dups.
+    QDef("q_dedup_near",
+      (s, d) => {
+        val sig = Tables(s, d, "documents")
+          .withColumn("sh", expr(shExpr))
+          .select(col("doc_id"), expr(toksExpr).as("toks"),
+            md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
+            md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
+        val a = sig.toDF("a_id", "a_toks", "a_b1", "a_b2")
+        val b = sig.toDF("b_id", "b_toks", "b_b1", "b_b2")
+        val pairCols = Seq("a_id", "b_id", "a_toks", "b_toks").map(col)
+        val c1 = a.join(b, col("a_b1") === col("b_b1") &&
+          col("a_id") < col("b_id")).select(pairCols: _*)
+        val c2 = a.join(b, col("a_b2") === col("b_b2") &&
+          col("a_id") < col("b_id")).select(pairCols: _*)
+        val inter = size(array_intersect(col("a_toks"), col("b_toks")))
+        val jac = inter.cast("double") /
+          (size(col("a_toks")) + size(col("b_toks")) - inter)
+        c1.union(c2).dropDuplicates("a_id", "b_id")
+          .select(col("a_id"), col("b_id"), inter.as("n_inter"),
+            jac.as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+      },
+      Some(sigSql +
+        ", c AS (" +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.toks AS atoks, " +
+        "b.toks AS btoks FROM g a JOIN g b " +
+        "ON a.band1 = b.band1 AND a.doc_id < b.doc_id " +
+        "UNION " +
+        "SELECT a.doc_id, b.doc_id, a.toks, b.toks FROM g a JOIN g b " +
+        "ON a.band2 = b.band2 AND a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, " +
+        "CAST(len(list_intersect(atoks, btoks)) AS INT) AS n_inter, " +
+        "CAST(len(list_intersect(atoks, btoks)) AS DOUBLE) / " +
+        "(len(atoks) + len(btoks) - len(list_intersect(atoks, btoks))) " +
+        "AS jaccard FROM c WHERE CAST(len(list_intersect(atoks, btoks)) " +
+        "AS DOUBLE) / (len(atoks) + len(btoks) - " +
+        "len(list_intersect(atoks, btoks))) >= 0.5")),
+
+    // X1: LLM hook through the per-partition client (stub: first 8
+    // tokens), exercised as a real mapPartitions pipeline stage.
+    QDef("q_llm_summary",
+      (s, d) => LlmOps.withCompletion(
+        Tables(s, d, "documents").select("doc_id", "text"),
+        "text", "summary").select("doc_id", "summary"),
+      Some("SELECT doc_id, array_to_string(" +
+        "(string_split_regex(trim(text), '\\s+'))[1:8], ' ') AS summary " +
+        "FROM documents"))
+  )
+}

@@ -8,11 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class QueriesSpec extends AnyFunSuite with SparkSuite {
 
+  // near-dup searches legitimately return 0 rows on a corpus without
+  // planted near-duplicates; they must still run without error.
+  private val mayBeEmpty = Set("q_dedup_near", "q_embed_dedup")
+
   test("all registered queries run and return rows") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { if (fn(spark, sf).count() > 0) None else Some(s"$name: 0 rows") }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+        try {
+          val n = fn(spark, sf).count()
+          if (n > 0 || mayBeEmpty(name)) None else Some(s"$name: 0 rows")
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(bad.isEmpty, bad.mkString("; "))
   }
