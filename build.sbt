@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// forked JVMs must decode non-ASCII filenames (reference golden dirs) as
+// UTF-8; sun.jnu.encoding alone is ignored without a UTF-8 locale
+Test / envVars += "LANG" -> "C.UTF-8"
+run / envVars += "LANG" -> "C.UTF-8"

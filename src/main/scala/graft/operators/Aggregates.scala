@@ -164,6 +164,37 @@ object Aggregates {
         "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type " +
         "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1")),
 
+    // sessionization: 30-min-gap session ids via two chained windows on
+    // one user_id shuffle, then per-session rollup — the batch shape of
+    // stateful stream sessionization (flatMapGroupsWithState's batch twin).
+    QDef("q_sessionize",
+      (s, d) => {
+        val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val us = unix_micros(col("ts"))
+        val gap = us - lag(us, 1).over(ord)
+        Tables.events(s, d)
+          .withColumn("new_sess",
+            when(gap.isNull || gap > 1800000000L, 1).otherwise(0))
+          .withColumn("session_id", sum("new_sess")
+            .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("session_start"),
+            max("ts").as("session_end"))
+      },
+      Some("SELECT user_id, session_id, count(*) AS n_events, " +
+        "min(ts) AS session_start, max(ts) AS session_end FROM (" +
+        "SELECT user_id, ts, CAST(sum(new_sess) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS session_id FROM (" +
+        "SELECT user_id, ts, event_id, CASE WHEN " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, " +
+        "event_id) IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events)) " +
+        "GROUP BY user_id, session_id")),
+
     // A6: surrogate-key assignment (id_pays = index+1,
     // ETL_OMS_FINAL.py:76). pandas index order is nondeterministic across
     // inputs; ids are defined by sort order instead. The unpartitioned

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (SURVEY.md §2.11): media as opaque `binary` payloads
+  * with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The container has no image/audio codecs, so `decode` is a STUB — a
+  * deterministic fake that reads real bytes and emits a features struct.
+  * Everything around it is real Spark plumbing: binary column handling,
+  * struct schemas, mapPartitions batch shape (decoder state initialized
+  * once per partition, like a codec context), and byte-slice frame
+  * sampling. Swap `StubDecoder` for a JNI/codec call and nothing else
+  * changes.
+  *
+  * Scale: payloads travel with the row (no driver collection); decode is
+  * narrow (no shuffle); real deployments would store payloads in parquet
+  * binary columns or object-store refs exactly like this.
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for an image/audio decoder. */
+  class StubDecoder {
+    def decode(bytes: Array[Byte]): (Int, String, Double) = {
+      val magic = bytes.take(2).map("%02X".format(_)).mkString
+      val brightness = if (bytes.isEmpty) 0.0
+        else bytes.map(b => (b & 0xff).toDouble).sum / (bytes.length * 255.0)
+      (bytes.length, magic, brightness)
+    }
+  }
+
+  /** Attach a fake 16-byte payload derived from text (md5 bytes) — the
+    * documents table standing in for a media corpus.
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", unhex(md5(col("text"))))
+      .withColumn("media_type", lit("application/x-fake"))
+
+  /** Per-partition decode: one decoder per partition, features appended
+    * as a struct column.
+    */
+  def decodeFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val featSchema = StructType(Seq(
+      StructField("n_bytes", IntegerType, false),
+      StructField("magic", StringType, false),
+      StructField("brightness", DoubleType, false)))
+    val schema = df.schema.add("features", featSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      val dec = new StubDecoder
+      it.map { r =>
+        val (n, magic, bright) = dec.decode(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ Row(n, magic, bright))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Frame sampling: every `step`-th byte window as a "frame". */
+  def sampleFrames(df: DataFrame, payloadCol: String, frameLen: Int,
+      step: Int): DataFrame =
+    df.withColumn("frames", expr(
+      s"transform(sequence(1, greatest(octet_length($payloadCol) - " +
+        s"$frameLen + 1, 0), $step), i -> substring($payloadCol, i, " +
+        s"$frameLen))"))
+
+  val defs: Seq[QDef] = Seq(
+    // binary payload plumbing end-to-end: attach → mapPartitions decode →
+    // typed feature projection. Oracle checks the byte-level outputs that
+    // ANSI SQL can reach (length + magic); brightness is covered by
+    // MultimodalSpec.
+    QDef("q_multimodal",
+      (s, d) => decodeFeatures(
+        withPayload(Tables(s, d, "documents").select("doc_id", "text")),
+        "payload")
+        .select(col("doc_id"), col("features.n_bytes").as("n_bytes"),
+          col("features.magic").as("magic")),
+      Some("SELECT doc_id, 16 AS n_bytes, " +
+        "upper(substr(md5(text), 1, 4)) AS magic FROM documents"))
+  )
+}

@@ -1,0 +1,282 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Full-pipeline parity with the reference ETL (SURVEY.md §3): ingest
+  * heterogeneous epidemic CSV/JSON, normalize schemas, derive daily deltas
+  * from cumulative counters, reshape long/wide, build the star schema, and
+  * merge with last-write-wins semantics.
+  *
+  * Where the reference is row-at-a-time pandas (iterrows dim lookups,
+  * two-pass re-extraction), this is declarative: broadcast joins for dim
+  * lookups, one cached standardized frame, window functions for deltas.
+  * All per-country derivations shuffle once on `country`; dims are
+  * dimension-sized and broadcast.
+  *
+  * Order-dependence fixes (SURVEY.md §7.4.2): the reference's diff-without-
+  * sort and index+1 ids rely on input file order; here deltas order by
+  * (date) explicitly and surrogate ids are assigned by name sort order —
+  * the golden-parity test compares under id remapping.
+  */
+object OmsPipeline {
+
+  /** Standard synonym table (reference ETL_OMS.py:12-21 =
+    * ETL_OMS_FINAL.py:12-21). Order matters: first match wins.
+    */
+  val standardColumnMap: Seq[(String, Seq[String])] = Seq(
+    "country" -> Seq("location", "country", "Country/Region", "Country",
+      "nation", "region"),
+    "date" -> Seq("date", "Date", "date_reported", "date_of_observation",
+      "report_date", "observation_date"),
+    "confirmed" -> Seq("confirmed", "total_cases", "ConfirmedCases",
+      "TotalCases", "case_count", "cases", "cases_total"),
+    "deaths" -> Seq("deaths", "total_deaths", "Deaths", "Fatalities",
+      "TotalDeaths", "dead", "deathcount"),
+    "recovered" -> Seq("recovered", "Recoveries", "Recovered",
+      "total_recovered"),
+    "active" -> Seq("active", "ActiveCases", "currently_active", "Active",
+      "ongoing_cases"),
+    "new_cases" -> Seq("new_cases", "Daily confirmed", "NewCases",
+      "daily_confirmed", "cases_new", "confirmed_today"),
+    "new_deaths" -> Seq("new_deaths", "Daily deaths", "NewDeaths",
+      "daily_deaths", "new_deaths_smoothed", "deaths_today")
+  ).map { case (k, v) => k -> v.map(SchemaMapper.normalize) }
+
+  /** v5 synonym table with geo columns
+    * (reference ETL_OMS_OPERATIONNEL.py:36-47).
+    */
+  val v5ColumnSynonyms: Seq[(String, Seq[String])] = Seq(
+    "country" -> Seq("country", "location", "region", "country_region",
+      "province_state", "country/region", "countries", "country name",
+      "nation"),
+    "date" -> Seq("date", "observation_date", "report_date"),
+    "confirmed" -> Seq("confirmed", "total_cases", "cases"),
+    "deaths" -> Seq("deaths", "total_deaths", "fatalities"),
+    "recovered" -> Seq("recovered", "total_recoveries", "recoveries"),
+    "active" -> Seq("active", "active_cases"),
+    "new_cases" -> Seq("new_cases", "daily_confirmed", "cases_new",
+      "new_cases_smoothed"),
+    "new_deaths" -> Seq("new_deaths", "daily_deaths", "new_deaths_smoothed"),
+    "latitude" -> Seq("lat", "latitude"),
+    "longitude" -> Seq("long", "longitude")
+  ).map { case (k, v) => k -> v.map(SchemaMapper.normalize) }
+
+  val measureCols: Seq[String] =
+    Seq("confirmed", "deaths", "recovered", "active", "new_cases",
+      "new_deaths")
+
+  /** Filename → disease, first keyword match, else "Inconnue"
+    * (reference ETL_OMS_OPERATIONNEL.py:19-23,76-81).
+    */
+  val maladiesMapping: Seq[(String, String)] = Seq(
+    "covid" -> "COVID-19", "coronavirus" -> "COVID-19",
+    "covid19" -> "COVID-19", "monkeypox" -> "Monkeypox",
+    "mpox" -> "Monkeypox", "ebola" -> "Ebola Virus Disease")
+
+  def detectMaladie(fileName: String): String = {
+    val n = fileName.toLowerCase
+    maladiesMapping.collectFirst { case (k, v) if n.contains(k) => v }
+      .getOrElse("Inconnue")
+  }
+
+  /** Extension-dispatch source (reference ETL_OMS.py:32-36). */
+  def extract(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".json"))
+      spark.read.option("multiLine", true).json(path)
+    else
+      spark.read.option("header", true).option("inferSchema", true).csv(path)
+
+  /** EP1/EP2 transform (reference ETL_OMS_FINAL.py:50-71): synonym
+    * mapping, lenient date coerce + null-drop, pandemic literal, measure
+    * completion, conditional delta derivation, fixed projection.
+    * `requireCountry=true` raises like ETL_OMS_FINAL.py:53-54.
+    */
+  def standardize(raw: DataFrame, pandemicName: String,
+      requireCountry: Boolean = true): DataFrame = {
+    val mapped = SchemaMapper.applyMapping(raw, standardColumnMap)
+    if (requireCountry && !mapped.columns.contains("country"))
+      throw new IllegalArgumentException(
+        "column 'country' missing after mapping")
+    // lenient multi-format parse, null on failure — pandas
+    // to_datetime(errors="coerce") accepts ISO and US-style dates
+    // (covid_global_3.csv uses M/d/yy); the coalesce chain mirrors the
+    // v5 strict-then-lenient fallback (ETL_OMS_OPERATIONNEL.py:100-106).
+    val parseDate = expr("coalesce(" +
+      "try_to_timestamp(string(date)), " +
+      "try_to_timestamp(string(date), 'M/d/yy'), " +
+      "try_to_timestamp(string(date), 'M/d/yyyy'))")
+    val withDate =
+      (if (mapped.columns.contains("date"))
+        mapped.withColumn("date", parseDate)
+      else mapped.withColumn("date", lit(null).cast("timestamp")))
+        .na.drop(Seq("date"))
+        .withColumn("pandemic", lit(pandemicName))
+    val complete = measureCols.foldLeft(withDate) { (df, c) =>
+      if (df.columns.contains(c)) df.withColumn(c, col(c).cast(DoubleType))
+      else df.withColumn(c, lit(null).cast(DoubleType))
+    }
+    val derived = deriveDeltas(complete.cache())
+    derived.select(("country" +: "date" +: measureCols :+ "pandemic")
+      .map(col): _*)
+  }
+
+  /** Conditional per-country delta derivation (reference
+    * ETL_OMS_FINAL.py:64-68): only when the delta column is entirely
+    * null does the cumulative diff kick in. The all-null test is a cheap
+    * driver-side aggregate; the diff is a window lag ordered by date
+    * (the reference relies on file order — a latent bug SURVEY.md
+    * §7.4.2 resolves with the explicit sort).
+    */
+  def deriveDeltas(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("country").orderBy("date")
+    def allNull(c: String): Boolean =
+      df.agg(count(col(c))).first().getLong(0) == 0L
+    def diffed(cum: String): org.apache.spark.sql.Column =
+      coalesce(col(cum) - lag(cum, 1).over(w), lit(0.0))
+    val step1 =
+      if (allNull("new_cases")) df.withColumn("new_cases", diffed("confirmed"))
+      else df
+    if (allNull("new_deaths")) step1.withColumn("new_deaths", diffed("deaths"))
+    else step1
+  }
+
+  /** Indicator → unit map (reference ETL_OMS.py:23-30). */
+  val indicatorUnits: Map[String, String] = Map(
+    "confirmed" -> "cases", "deaths" -> "deaths", "recovered" -> "patients",
+    "active" -> "patients", "new_cases" -> "cases", "new_deaths" -> "deaths")
+
+  /** EP1 long format (reference ETL_OMS.py:76-85): melt + unit lookup +
+    * null-value drop.
+    */
+  def toLongFormat(standardized: DataFrame): DataFrame = {
+    val unitMap = typedLit(indicatorUnits)
+    standardized
+      .unpivot(Array(col("country"), col("date"), col("pandemic")),
+        measureCols.map(col).toArray, "indicator", "value")
+      .withColumn("unit",
+        coalesce(element_at(unitMap, col("indicator")), lit("unknown")))
+      .na.drop(Seq("value", "date"))
+  }
+
+  /** EP4/V2 wide pivot for visualization (reference ETL_OMS_V2.py:25-36).
+    * `min` stands in for pandas' order-sensitive `first` (deterministic;
+    * values are unique per group here anyway).
+    */
+  def toWideFormat(longDf: DataFrame): DataFrame =
+    longDf.groupBy("date", "country", "pandemic")
+      .pivot("indicator", measureCols)
+      .agg(min("value"))
+      .na.fill(0.0, measureCols)
+
+  final case class StarSchema(pays: DataFrame, region: DataFrame,
+      maladie: DataFrame, statistique: DataFrame)
+
+  /** EP2 star schema (reference ETL_OMS_FINAL.py:74-100). Surrogate ids
+    * are ordinal over name sort order (the reference uses first-appearance
+    * index+1, which depends on input order); region mirrors pays 1:1 as in
+    * the reference.
+    */
+  def starSchema(standardized: DataFrame, pandemicName: String,
+      spark: SparkSession): StarSchema = {
+    val sp = spark
+    import sp.implicits._
+    val pays = standardized.select("country").distinct()
+      .withColumn("id_pays", row_number().over(Window.orderBy("country")))
+    // region mirrors pays 1:1 (ETL_OMS_FINAL.py:78-81) but is computed as
+    // its own frame (fresh attribute ids) so the composite-key join below
+    // is not a self join on shared attributes.
+    val region = standardized.select(col("country").as("nom_region"))
+      .distinct()
+      .withColumn("id_region", row_number().over(Window.orderBy("nom_region")))
+      .withColumn("id_pays", col("id_region"))
+      .select("id_region", "nom_region", "id_pays")
+    val maladie = Seq((1, pandemicName)).toDF("id_maladie", "nom_maladie")
+    val withPays = standardized.join(broadcast(pays), Seq("country"))
+    val fact = withPays
+      .join(broadcast(region),
+        withPays("id_pays") === region("id_pays") &&
+          withPays("country") === region("nom_region"))
+      .withColumn("id_maladie", lit(1))
+      .select(col("id_maladie"), region("id_region"), col("date"),
+        col("new_deaths").as("nouveau_mort"),
+        col("new_cases").as("nouveau_cas"),
+        col("deaths").as("total_mort"))
+    StarSchema(pays.select("country", "id_pays"), region, maladie, fact)
+  }
+
+  /** v5 pre-load dedup-agg (reference ETL_OMS_OPERATIONNEL.py:160-166):
+    * collapse duplicate (id_region, date) rows. `min` replaces the
+    * order-sensitive `first` on id_maladie (single disease per run makes
+    * them equivalent).
+    */
+  def dedupAgg(fact: DataFrame): DataFrame =
+    fact.groupBy("id_region", "date").agg(
+      min("id_maladie").as("id_maladie"),
+      sum("nouveau_mort").as("nouveau_mort"),
+      sum("nouveau_cas").as("nouveau_cas"),
+      max("total_mort").as("total_mort"))
+
+  /** U2 fact upsert: last-write-wins on (id_region, date), incoming beats
+    * existing (reference ON CONFLICT DO UPDATE,
+    * ETL_OMS_OPERATIONNEL.py:202-211).
+    */
+  def upsertFact(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id_region", "date")
+      .orderBy(col("src_priority").desc)
+    existing.withColumn("src_priority", lit(0))
+      .unionByName(incoming.withColumn("src_priority", lit(1)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("src_priority", "rn")
+  }
+
+  /** U1 dim upsert: insert-if-absent with stable ids for existing rows
+    * (reference get-or-insert, ETL_OMS_OPERATIONNEL.py:263-284). New names
+    * get ids after the current max, ordered by name.
+    */
+  def upsertDim(dim: DataFrame, names: DataFrame, nameCol: String,
+      idCol: String): DataFrame = {
+    val newNames = names.select(nameCol).distinct()
+      .join(dim, Seq(nameCol), "left_anti")
+    val maxId = dim.agg(coalesce(max(col(idCol)), lit(0))).first()
+      .getAs[Number](0).intValue()
+    val fresh = newNames.withColumn(idCol,
+      (row_number().over(Window.orderBy(nameCol)) + maxId))
+    dim.select(nameCol, idCol).unionByName(fresh.select(nameCol, idCol))
+  }
+
+  /** EP3/v5 whole-directory run (reference ETL_OMS_OPERATIONNEL.py:218-369)
+    * in one pass: per-file standardize (heterogeneous headers force
+    * per-file plans; the frames then union), skip-and-count for unmappable
+    * files (ETL_OMS_OPERATIONNEL.py:250-253), single cached frame instead
+    * of the reference's two-pass re-extraction.
+    */
+  final case class OperationalResult(processed: Seq[String],
+      skipped: Seq[String], star: StarSchema)
+
+  def runOperational(spark: SparkSession, dir: String): OperationalResult = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".csv") || f.getName.endsWith(".json"))
+      .map(_.getPath).sorted.toSeq
+    val results = files.map { path =>
+      val raw = extract(spark, path)
+      val mapped = SchemaMapper.applyMapping(raw, v5ColumnSynonyms)
+      val ok = mapped.columns.contains("country") &&
+        mapped.columns.contains("date")
+      (path, ok,
+        if (ok) Some(standardize(raw, detectMaladie(path))) else None)
+    }
+    val processed = results.collect { case (p, true, _) => p }
+    val skipped = results.collect { case (p, false, _) => p }
+    val frames = results.flatMap(_._3)
+    val all = frames.reduceOption(_.unionByName(_))
+      .getOrElse(throw new IllegalStateException("no mappable files"))
+      .cache()
+    // disease dimension spans all diseases seen this run
+    val star = starSchema(all, "multi", spark)
+    OperationalResult(processed, skipped, star)
+  }
+}

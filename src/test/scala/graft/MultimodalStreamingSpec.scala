@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
+
+  test("multimodal: payload bytes decode to bounded features") {
+    val df = Multimodal.decodeFeatures(
+      Multimodal.withPayload(
+        Tables(spark, sf, "documents").select("doc_id", "text")), "payload")
+    val bad = df.filter(col("features.brightness") < 0.0 ||
+      col("features.brightness") > 1.0 ||
+      col("features.n_bytes") =!= 16).count()
+    assert(bad === 0)
+  }
+
+  test("multimodal: frame sampling slices payload windows") {
+    val df = Multimodal.sampleFrames(
+      Multimodal.withPayload(
+        Tables(spark, sf, "documents").select("doc_id", "text")),
+      "payload", frameLen = 4, step = 4)
+    // 16-byte payload, 4-byte frames, stride 4 → starts 1,5,9,13
+    val counts = df.select(size(col("frames")).as("n"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(counts === Seq(4))
+  }
+
+  test("streaming tumbling window equals its batch twin") {
+    val streamed = StreamingOps.tumblingCounts(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.pipeline.{OmsPipeline, SchemaMapper}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-file parity (SURVEY.md §5.3): run the EP2 star-schema pipeline
+  * on the reference's own committed input and compare against its
+  * committed output (Résultat de l'ETL/Monkeypox). Ids are assigned in a
+  * different (deterministic) order than pandas' first-appearance index, so
+  * the comparison joins through names (id-remapped set equality).
+  */
+class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
+
+  private val refData = "/root/reference/DATASETS"
+  // the results dir name contains a U+2019 apostrophe — resolve it by
+  // listing instead of hardcoding the exact codepoints
+  private val golden = new java.io.File("/root/reference").listFiles()
+    .find(_.getName.contains("sultat")).get.getPath + "/Monkeypox"
+
+  private lazy val standardized = OmsPipeline.standardize(
+    OmsPipeline.extract(spark, s"$refData/monkeypox_report.csv"), "Monkeypox")
+  private lazy val star =
+    OmsPipeline.starSchema(standardized, "Monkeypox", spark)
+
+  test("synonym mapping: first match wins, unmatched pass through") {
+    val m = SchemaMapper.renameMap(
+      Seq("Country/Region", "Date", "TotalCases", "weird_col"),
+      OmsPipeline.standardColumnMap)
+    assert(m === Map("Country/Region" -> "country", "Date" -> "date",
+      "TotalCases" -> "confirmed"))
+  }
+
+  test("detect_maladie keyword chain with Inconnue fallback") {
+    assert(OmsPipeline.detectMaladie("covid_global_3.csv") === "COVID-19")
+    assert(OmsPipeline.detectMaladie("monkeypox_report.csv") === "Monkeypox")
+    assert(OmsPipeline.detectMaladie("weird.csv") === "Inconnue")
+  }
+
+  test("golden: Pays has the same countries") {
+    val goldenPays = spark.read.option("header", true)
+      .csv(s"$golden/Pays.csv")
+    val ours = star.pays
+    assert(ours.count() === goldenPays.count())
+    assert(ours.select("country")
+      .except(goldenPays.select("country")).count() === 0)
+  }
+
+  test("golden: Statistique matches row-for-row through region names") {
+    val goldenStat = spark.read.option("header", true)
+      .option("inferSchema", true).csv(s"$golden/Statistique.csv")
+    val goldenRegion = spark.read.option("header", true)
+      .option("inferSchema", true).csv(s"$golden/Region.csv")
+    val goldenByName = goldenStat
+      .join(goldenRegion, Seq("id_region"))
+      .select(col("nom_region"), to_date(col("date")).as("d"),
+        col("nouveau_mort").cast("double").as("nm"),
+        col("nouveau_cas").cast("double").as("nc"),
+        col("total_mort").cast("double").as("tm"))
+    val oursByName = star.statistique
+      .join(star.region, Seq("id_region"))
+      .select(col("nom_region"), to_date(col("date")).as("d"),
+        col("nouveau_mort").cast("double").as("nm"),
+        col("nouveau_cas").cast("double").as("nc"),
+        col("total_mort").cast("double").as("tm"))
+    assert(oursByName.count() === 33666L)
+    assert(oursByName.count() === goldenByName.count())
+    assert(oursByName.exceptAll(goldenByName).count() === 0)
+    assert(goldenByName.exceptAll(oursByName).count() === 0)
+  }
+
+  test("EP1 long format: indicators melt with unit lookup") {
+    val long = OmsPipeline.toLongFormat(standardized)
+    val units = long.select("indicator", "unit").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // all-null measures (recovered/active here) are dropped by the
+    // null-value filter, so only observed indicators appear
+    assert(units.nonEmpty)
+    units.foreach { case (k, v) =>
+      assert(OmsPipeline.indicatorUnits(k) === v)
+    }
+    // null measures are dropped, never zero-filled (ETL_OMS.py:84)
+    assert(long.filter(col("value").isNull).count() === 0)
+  }
+
+  test("melt then pivot round-trips the standardized measures") {
+    val wide = OmsPipeline.toWideFormat(OmsPipeline.toLongFormat(standardized))
+    // monkeypox report has all six measures? recovered/active are absent
+    // → dropped in long form → zero-filled in wide form
+    assert(wide.columns.toSet ===
+      Set("date", "country", "pandemic") ++ OmsPipeline.measureCols)
+    val n = standardized.select("country", "date").distinct().count()
+    assert(wide.count() === n)
+  }
+
+  test("upsertFact: incoming wins on conflict, others preserved") {
+    val sp = spark
+    import sp.implicits._
+    val existing = Seq((1, 1, "2024-01-01", 5.0), (1, 2, "2024-01-01", 7.0))
+      .toDF("id_maladie", "id_region", "date", "nouveau_cas")
+    val incoming = Seq((1, 1, "2024-01-01", 9.0))
+      .toDF("id_maladie", "id_region", "date", "nouveau_cas")
+    val merged = OmsPipeline.upsertFact(existing, incoming)
+    assert(merged.count() === 2)
+    assert(merged.filter($"id_region" === 1).select("nouveau_cas")
+      .first().getDouble(0) === 9.0)
+    // idempotence: applying the same batch twice changes nothing
+    val again = OmsPipeline.upsertFact(merged, incoming)
+    assert(again.exceptAll(merged).count() === 0)
+  }
+
+  test("upsertDim: existing ids stable, new names appended after max id") {
+    val sp = spark
+    import sp.implicits._
+    val dim = Seq(("France", 1), ("Peru", 2)).toDF("nom_pays", "id_pays")
+    val names = Seq("Peru", "Chad", "Benin").toDF("nom_pays")
+    val out = OmsPipeline.upsertDim(dim, names, "nom_pays", "id_pays")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out === Map("France" -> 1, "Peru" -> 2, "Benin" -> 3, "Chad" -> 4))
+  }
+
+  test("operational run: unmappable files skipped, diseases detected") {
+    val res = OmsPipeline.runOperational(spark, refData)
+    // monkeypox_report_2.csv (Entity,Day,Daily cases) matches no synonym
+    // and must be skipped (ETL_OMS_OPERATIONNEL.py:250-253); covid_day_wise
+    // has no country column.
+    assert(res.skipped.exists(_.contains("monkeypox_report_2")))
+    assert(res.skipped.exists(_.contains("covid_day_wise")))
+    assert(res.processed.nonEmpty)
+    assert(res.star.statistique.count() > 0)
+  }
+}
