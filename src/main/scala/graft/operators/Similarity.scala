@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QDef, Tables}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,18 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val dotAB =
-    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-  private val norm = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+  // graft_dot is the custom codegen DotProduct expression
+  // (graft.functions.DotProduct) — same left-to-right accumulation as the
+  // aggregate/zip_with fold and DuckDB's loop, minus the per-row zipped
+  // array allocation.
+  private val dotAB = "graft_dot(v, qv)"
+  private val norm = "sqrt(graft_dot(v, v))"
 
   val defs: Seq[QDef] = Seq(
 
     // X3: brute-force top-5 cosine neighbors for query vectors vec_id<10.
     QDef("q_simsearch",
       (s, d) => {
+        VectorFunctions.register(s)
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("nrm", expr(norm))
+          .persist() // norms computed once, reused by query + candidate side
         val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn")).filter(col("q_id") < 10)
         val sim = Det.rnd(expr(dotAB) / (col("nrm") * col("qn")), 6)
@@ -61,10 +67,12 @@ object Similarity {
     // return few/no rows when no near-dups exist.
     QDef("q_embed_dedup",
       (s, d) => {
+        VectorFunctions.register(s)
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v"))
           .withColumn("nrm", expr(norm))
+          .persist() // norms computed once, reused by both pair sides
         val a = e.select(col("vec_id").as("a_id"), col("label"),
           col("v").as("qv"), col("nrm").as("qn"))
         val b = e.select(col("vec_id").as("b_id"),

@@ -30,21 +30,26 @@ object TextOps {
   private val shSql = "[array_to_string(rawtoks[i:i+2], ' ') " +
     "for i in generate_series(1, len(rawtoks) - 2)]"
 
-  /** MinHash of a shingle list for a given seed: min over md5(sh || '#i').
-    * md5 is the one hash both engines implement identically on UTF-8.
+  /** MinHash lane i over pre-hashed shingles: one md5 per shingle, the
+    * 128-bit digest sliced into four 32-bit lanes (min per lane). md5 is
+    * the one hash both engines implement identically on UTF-8; slicing
+    * gives 4 hashes for the price of 1.
     */
+  private val hsExpr = "transform(sh, t -> md5(t))"
+  private val hsSql = "list_transform(sh, x -> md5(x))"
   private def mhExpr(i: Int) =
-    s"array_min(transform(sh, t -> md5(concat(t, '#$i'))))"
+    s"array_min(transform(hs, h -> substring(h, ${(i - 1) * 8 + 1}, 8)))"
   private def mhSql(i: Int) =
-    s"list_min(list_transform(sh, x -> md5(x || '#$i')))"
+    s"list_min(list_transform(hs, h -> substr(h, ${(i - 1) * 8 + 1}, 8)))"
 
   private val sigSql =
     s"WITH t AS (SELECT doc_id, $toksSql AS toks, " +
       "string_split_regex(trim(text), '\\s+') AS rawtoks FROM documents), " +
       s"s AS (SELECT doc_id, toks, $shSql AS sh FROM t), " +
+      s"h AS (SELECT doc_id, toks, $hsSql AS hs FROM s), " +
       "g AS (SELECT doc_id, toks, " +
       s"md5(${mhSql(1)} || ${mhSql(2)}) AS band1, " +
-      s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM s)"
+      s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM h)"
 
   val defs: Seq[QDef] = Seq(
 
@@ -172,6 +177,7 @@ object TextOps {
     QDef("q_minhash",
       (s, d) => Tables(s, d, "documents")
         .withColumn("sh", expr(shExpr))
+        .withColumn("hs", expr(hsExpr))
         .select(
           col("doc_id"),
           expr(mhExpr(1)).as("mh1"), expr(mhExpr(2)).as("mh2"),
@@ -180,11 +186,12 @@ object TextOps {
           md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2")),
       Some("WITH t AS (SELECT doc_id, " +
         "string_split_regex(trim(text), '\\s+') AS rawtoks FROM documents), " +
-        s"s AS (SELECT doc_id, $shSql AS sh FROM t) " +
+        s"s AS (SELECT doc_id, $shSql AS sh FROM t), " +
+        s"h AS (SELECT doc_id, $hsSql AS hs FROM s) " +
         s"SELECT doc_id, ${mhSql(1)} AS mh1, ${mhSql(2)} AS mh2, " +
         s"${mhSql(3)} AS mh3, ${mhSql(4)} AS mh4, " +
         s"md5(${mhSql(1)} || ${mhSql(2)}) AS band1, " +
-        s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM s")),
+        s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM h")),
 
     // X4: near-dedup via banded MinHash-LSH — candidates are band
     // collisions (two equi-joins + distinct, never an n² cross join),
@@ -192,22 +199,39 @@ object TextOps {
     // May legitimately return 0 rows when the corpus has no near-dups.
     QDef("q_dedup_near",
       (s, d) => {
+        // persist the signature: the shingle+minhash subtree otherwise
+        // re-evaluates once per band per join side. The repartition
+        // spreads the per-doc hashing across cores — the single-file
+        // source otherwise yields one partition and serializes the
+        // (interpreted, non-codegen) higher-order lambdas.
         val sig = Tables(s, d, "documents")
+          .repartition(col("doc_id"))
           .withColumn("sh", expr(shExpr))
+          .withColumn("hs", expr(hsExpr))
           .select(col("doc_id"), expr(toksExpr).as("toks"),
             md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
             md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
-        val a = sig.toDF("a_id", "a_toks", "a_b1", "a_b2")
-        val b = sig.toDF("b_id", "b_toks", "b_b1", "b_b2")
-        val pairCols = Seq("a_id", "b_id", "a_toks", "b_toks").map(col)
-        val c1 = a.join(b, col("a_b1") === col("b_b1") &&
-          col("a_id") < col("b_id")).select(pairCols: _*)
-        val c2 = a.join(b, col("a_b2") === col("b_b2") &&
-          col("a_id") < col("b_id")).select(pairCols: _*)
+          .persist()
+        // candidate ids only through the band joins (narrow rows), token
+        // lists joined back afterwards — at scale the candidate set is
+        // tiny next to the corpus, so the heavy arrays never fan out.
+        val a = sig.select(col("doc_id").as("a_id"), col("band1"),
+          col("band2"))
+        val b = sig.select(col("doc_id").as("b_id"),
+          col("band1").as("bb1"), col("band2").as("bb2"))
+        val c1 = a.join(b, col("band1") === col("bb1") &&
+          col("a_id") < col("b_id")).select("a_id", "b_id")
+        val c2 = a.join(b, col("band2") === col("bb2") &&
+          col("a_id") < col("b_id")).select("a_id", "b_id")
+        val cand = c1.union(c2).distinct()
         val inter = size(array_intersect(col("a_toks"), col("b_toks")))
         val jac = inter.cast("double") /
           (size(col("a_toks")) + size(col("b_toks")) - inter)
-        c1.union(c2).dropDuplicates("a_id", "b_id")
+        cand
+          .join(sig.select(col("doc_id").as("a_id"),
+            col("toks").as("a_toks")), "a_id")
+          .join(sig.select(col("doc_id").as("b_id"),
+            col("toks").as("b_toks")), "b_id")
           .select(col("a_id"), col("b_id"), inter.as("n_inter"),
             jac.as("jaccard"))
           .filter(col("jaccard") >= 0.5)
