@@ -218,6 +218,25 @@ object Relational {
         "WHEN 'purchase' THEN 'commerce' WHEN 'signup' THEN 'account' " +
         "ELSE 'unknown' END AS unit FROM events")),
 
+    // SQL front end: the same engine through spark.sql over temp views —
+    // Catalyst's parser/analyzer on the user-facing path (the reference
+    // has no SQL surface at all; this is table stakes for a query engine).
+    QDef("q_sql_report",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("v_orders")
+        Tables(s, d, "customer").createOrReplaceTempView("v_customer")
+        s.sql("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, " +
+          "count(*) AS n, " +
+          "sum(floor(o_totalprice * 100 + 0.5)) / 100 AS revenue " +
+          "FROM v_orders JOIN v_customer ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment, year(o_orderdate)")
+      },
+      Some("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, " +
+        "count(*) AS n, " +
+        "sum(floor(o_totalprice * 100 + 0.5)) / 100 AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment, year(o_orderdate)")),
+
     // F11: keyword classification contains-chain, first match wins
     // (detect_maladie, ETL_OMS_OPERATIONNEL.py:76-81; 'Inconnue' fallback).
     QDef("q_classify",

@@ -252,6 +252,32 @@ object TextOps {
         "AS DOUBLE) / (len(atoks) + len(btoks) - " +
         "len(list_intersect(atoks, btoks))) >= 0.5")),
 
+    // X4: SimHash — 16-bit signature by per-bit majority vote over token
+    // md5s (bit j = high bit of hex nibble j; single-char '>=' compare is
+    // plain ASCII order in both engines). The hi-byte prefix doubles as a
+    // blocking key: hamming-close docs land in the same block.
+    QDef("q_simhash",
+      (s, d) => {
+        val hs = s"transform($toksExpr, t -> md5(t))"
+        def bit(j: Int) =
+          s"IF(size(filter(hsx, h -> substring(h, ${j + 1}, 1) >= '8')) " +
+            s"* 2 >= size(hsx), '1', '0')"
+        val sh = (0 until 16).map(bit).mkString("concat(", ", ", ")")
+        Tables(s, d, "documents")
+          .withColumn("hsx", expr(hs))
+          .select(col("doc_id"), expr(sh).as("simhash"))
+          .withColumn("band_hi", substring(col("simhash"), 1, 8))
+      },
+      Some {
+        def bit(j: Int) =
+          s"CASE WHEN len(list_filter(hsx, h -> substr(h, ${j + 1}, 1) " +
+            s">= '8')) * 2 >= len(hsx) THEN '1' ELSE '0' END"
+        val sh = (0 until 16).map(bit).mkString(" || ")
+        s"SELECT doc_id, $sh AS simhash, substr($sh, 1, 8) AS band_hi " +
+          s"FROM (SELECT doc_id, list_transform($toksSql, t -> md5(t)) " +
+          "AS hsx FROM documents)"
+      }),
+
     // X1: LLM hook through the per-partition client (stub: first 8
     // tokens), exercised as a real mapPartitions pipeline stage.
     QDef("q_llm_summary",

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the optimizations SURVEY.md §4 promises
+  * must actually appear in the executed plan — filters/projections pushed
+  * into the parquet scan, dimension joins broadcast, top-k planned as
+  * TakeOrdered, exactly one shuffle for the flagship window query.
+  */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_scan pushes filter and prunes columns at the parquet scan") {
+    val p = plan("q_scan")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThan(l_quantity"), p)
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"), p)
+  }
+
+  test("q_join_inner broadcasts the customer dimension") {
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("q_semi_join and q_anti_join use hash join variants") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_delta shuffles exactly once (window partition key)") {
+    val p = plan("q_delta")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q_groupagg uses partial aggregation (map-side combine)") {
+    val p = plan("q_groupagg")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q_simsearch: custom dot product in plan, top-k pushed into window") {
+    val p = plan("q_simsearch")
+    assert(p.contains("dotproduct("), p)
+    // whole-stage codegen stages print as "*(n)"
+    assert(p.contains("*("), p)
+    // rank<=k is pushed down as a partial+final WindowGroupLimit, so only
+    // k rows per group survive each partition before the shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}
