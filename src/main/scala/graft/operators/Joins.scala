@@ -123,6 +123,41 @@ object Joins {
         "(200000.0, 1000000000.0, 'high')) AS b(lo, hi, band) " +
         "ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band")),
 
+    // star join: fact ⋈ three dimension hops, every dim broadcast — the
+    // canonical warehouse shape (orders → customer → nation → region).
+    // At 100 TB only the fact side scans big; zero fact shuffles before
+    // the final aggregate.
+    QDef("q_star_join",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        val n = Tables(s, d, "nation")
+        val r = Tables(s, d, "region")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name").as("region"), n("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_orders"),
+            Det.exactSum(o("o_totalprice"), 2).as("revenue"))
+      },
+      Some("SELECT r_name AS region, n_name AS nation, " +
+        "count(*) AS n_orders, " +
+        s"${Det.exactSumSql("o_totalprice", 2)} AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name")),
+
+    // salted two-phase aggregation (Skew.saltedAgg): hot grouping keys
+    // spread over 8 salt buckets, partials recombined — result equals the
+    // plain aggregate, which is exactly what the oracle checks.
+    QDef("q_salted_agg",
+      (s, d) => Skew.saltedAgg(
+        Tables(s, d, "lineitem"), Seq("l_returnflag"), salts = 8,
+        Seq("sum_qty" -> col("l_quantity"))),
+      Some("SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY l_returnflag")),
+
     // as-of join: each purchase ↔ latest strictly-prior click of the same
     // user. Implemented as union + one window pass (last ignoreNulls over
     // an unbounded-to-(-1) frame) — a single shuffle on user_id, no

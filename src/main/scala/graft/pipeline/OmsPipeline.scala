@@ -248,6 +248,25 @@ object OmsPipeline {
     dim.select(nameCol, idCol).unionByName(fresh.select(nameCol, idCol))
   }
 
+  /** S5/S6 sinks (reference ETL_OMS_FINAL.py:103-108): CSV with header +
+    * JSON records per table. Spark emits JSON-lines where pandas emits one
+    * array (SURVEY.md §2.1 S6) — a non-goal for byte compatibility.
+    * coalesce(1) mirrors the reference's single-file output; drop it for
+    * parallel many-file writes at scale.
+    */
+  def saveTable(df: DataFrame, outDir: String, name: String): Unit = {
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", true).csv(s"$outDir/$name.csv")
+    df.coalesce(1).write.mode("overwrite").json(s"$outDir/$name.json")
+  }
+
+  def saveStar(star: StarSchema, outDir: String): Unit = {
+    saveTable(star.pays, outDir, "Pays")
+    saveTable(star.region, outDir, "Region")
+    saveTable(star.maladie, outDir, "Maladie")
+    saveTable(star.statistique, outDir, "Statistique")
+  }
+
   /** EP3/v5 whole-directory run (reference ETL_OMS_OPERATIONNEL.py:218-369)
     * in one pass: per-file standardize (heterogeneous headers force
     * per-file plans; the frames then union), skip-and-count for unmappable
