@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY.md §2.10). The reference has no
   * streaming — its "incremental" mode is a directory re-scan + upsert — so
@@ -44,6 +44,64 @@ object StreamingOps {
         col("n"))
     val q = stream.writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  case class SessState(sessionIdx: Long, start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Custom streaming state: gap-based sessionization via
+    * flatMapGroupsWithState (KeyValueGroupedDataset — SURVEY.md §2.10
+    * extension surface). Completed sessions emit when a gap closes them;
+    * the open tail session stays in state (it would emit on timeout in a
+    * live stream), so a bounded replay yields exactly the batch sessions
+    * minus each user's last.
+    */
+  def streamingSessionize(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30,
+      queryName: String = "stream_sessions"): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema
+      .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
+        (st, f) => if (f.name == "ts")
+          st.add("ts", org.apache.spark.sql.types.LongType)
+        else st.add(f)
+      }
+    val gapUs = gapMinutes * 60L * 1000000L
+    val fn = (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) => {
+      // events within a micro-batch arrive unordered per group
+      val evs = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = scala.collection.mutable.ListBuffer[SessionOut]()
+      var st = state.getOption.getOrElse(SessState(0, -1L, -1L, 0L))
+      evs.foreach { e =>
+        if (st.start < 0) st = SessState(st.sessionIdx + 1, e.ts_us, e.ts_us, 1)
+        else if (e.ts_us - st.end > gapUs) {
+          out += SessionOut(userId, st.sessionIdx, st.n, st.start, st.end)
+          st = SessState(st.sessionIdx + 1, e.ts_us, e.ts_us, 1)
+        } else st = st.copy(end = e.ts_us, n = st.n + 1)
+      }
+      state.update(st)
+      out.iterator
+    }
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())

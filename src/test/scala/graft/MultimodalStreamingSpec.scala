@@ -28,6 +28,23 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(counts === Seq(4))
   }
 
+  test("stateful streaming sessionize matches batch minus open sessions") {
+    val streamed = StreamingOps.streamingSessionize(spark, sf)
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+    // the stream's open tail session per user never closes in a bounded
+    // replay → streamed = batch minus each user's last session
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_id").as("last_id"))
+    val batchClosed = batch.join(lastPerUser, Seq("user_id"))
+      .filter(col("session_id") =!= col("last_id"))
+    assert(streamed.count() === batchClosed.count())
+    val joined = streamed.join(batchClosed,
+      streamed("user_id") === batchClosed("user_id") &&
+        streamed("session_id") === batchClosed("session_id") &&
+        streamed("n_events") === batchClosed("n_events"))
+    assert(joined.count() === batchClosed.count())
+  }
+
   test("streaming tumbling window equals its batch twin") {
     val streamed = StreamingOps.tumblingCounts(spark, sf)
     val batch = Tables.events(spark, sf)
