@@ -130,18 +130,77 @@ object OmsPipeline {
     * (the reference relies on file order — a latent bug SURVEY.md
     * §7.4.2 resolves with the explicit sort).
     */
-  def deriveDeltas(df: DataFrame): DataFrame = {
+  def deriveDeltas(df: DataFrame,
+      treatZeroAsMissing: Boolean = false): DataFrame = {
     val w = Window.partitionBy("country").orderBy("date")
-    def allNull(c: String): Boolean =
-      df.agg(count(col(c))).first().getLong(0) == 0L
+    // v3/v4 gate: column entirely null (ETL_OMS_FINAL.py:64); v5 gate:
+    // entirely zero (ETL_OMS_OPERATIONNEL.py:141) — unified as "no
+    // meaningful value present"
+    def missing(c: String): Boolean = {
+      val meaningful =
+        if (treatZeroAsMissing) count(when(col(c) =!= 0.0, 1))
+        else count(col(c))
+      df.agg(meaningful).first().getLong(0) == 0L
+    }
     def diffed(cum: String): org.apache.spark.sql.Column =
       coalesce(col(cum) - lag(cum, 1).over(w), lit(0.0))
     val step1 =
-      if (allNull("new_cases")) df.withColumn("new_cases", diffed("confirmed"))
+      if (missing("new_cases")) df.withColumn("new_cases", diffed("confirmed"))
       else df
-    if (allNull("new_deaths")) step1.withColumn("new_deaths", diffed("deaths"))
+    if (missing("new_deaths")) step1.withColumn("new_deaths", diffed("deaths"))
     else step1
   }
+
+  /** v4 typed-default completion (reference
+    * ETL_OMS_FINAL_Upgraded.py:71-80): absent country → "Unknown", absent
+    * date → now(), absent measures → 0.
+    */
+  def completeWithDefaults(df: DataFrame): DataFrame = {
+    val wanted = Seq("country", "date") ++ measureCols
+    wanted.foldLeft(df) { (acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else c match {
+        case "country" => acc.withColumn(c, lit("Unknown"))
+        case "date"    => acc.withColumn(c, current_timestamp())
+        case _         => acc.withColumn(c, lit(0).cast(DoubleType))
+      }
+    }
+  }
+
+  /** v5 per-capita → absolute conversion (reference
+    * ETL_OMS_OPERATIONNEL.py:121-138): columns selected by name substring,
+    * rate * population / unit, rounded to int; excess_deaths/deaths-named
+    * rates update `deaths`, everything else `confirmed`. `population` is
+    * injectable — the reference's lookup returns None in practice (dead
+    * code preserved as a no-op default).
+    */
+  def convertPerCapita(df: DataFrame,
+      population: Option[Double] = None): DataFrame =
+    population.fold(df) { pop =>
+      df.columns.foldLeft(df) { (acc, c) =>
+        val per100k = c.contains("per_100_000") || c.contains("per_100k")
+        val perMillion = c.contains("per_million")
+        if (!per100k && !perMillion) acc
+        else {
+          val unit = if (per100k) 100000.0 else 1000000.0
+          val target =
+            if (per100k && c.contains("excess_deaths")) "deaths"
+            else if (perMillion && c.contains("deaths")) "deaths"
+            else "confirmed"
+          acc.withColumn(target,
+            round(col(c).cast(DoubleType) * pop / unit).cast("int"))
+        }
+      }
+    }
+
+  /** v5 geo cleanup (reference ETL_OMS_OPERATIONNEL.py:147-148):
+    * coerce-to-null numeric + 6dp rounding on coordinates.
+    */
+  def cleanCoordinates(df: DataFrame): DataFrame =
+    Seq("latitude", "longitude").foldLeft(df) { (acc, c) =>
+      if (!acc.columns.contains(c)) acc
+      else acc.withColumn(c, round(col(c).cast(DoubleType), 6))
+    }
 
   /** Indicator → unit map (reference ETL_OMS.py:23-30). */
   val indicatorUnits: Map[String, String] = Map(
@@ -267,14 +326,45 @@ object OmsPipeline {
     saveTable(star.statistique, outDir, "Statistique")
   }
 
+  /** v5 per-file standardization (reference
+    * ETL_OMS_OPERATIONNEL.py:95-150): v5 synonym map, null completion,
+    * strict-then-lenient dates, >=2019 filter, per-capita hook, all-zero
+    * delta gate, 6dp coordinate cleanup.
+    */
+  def standardizeOperational(raw: DataFrame, disease: String,
+      population: Option[Double] = None): DataFrame = {
+    val mapped = SchemaMapper.applyMapping(raw, v5ColumnSynonyms)
+    val complete = (measureCols ++ Seq("latitude", "longitude"))
+      .foldLeft(mapped) { (df, c) =>
+        if (df.columns.contains(c)) df.withColumn(c, col(c).cast(DoubleType))
+        else df.withColumn(c, lit(null).cast(DoubleType))
+      }
+    val parseDate = expr("coalesce(" +
+      "try_to_timestamp(string(date), 'yyyy-MM-dd'), " +
+      "try_to_timestamp(string(date)), " +
+      "try_to_timestamp(string(date), 'M/d/yy'), " +
+      "try_to_timestamp(string(date), 'M/d/yyyy'))")
+    val dated = complete.withColumn("date", parseDate)
+      .na.drop(Seq("date"))
+      .filter(col("date") >= lit("2019-01-01").cast("timestamp"))
+    val converted = cleanCoordinates(convertPerCapita(dated, population))
+      .withColumn("pandemic", lit(disease))
+    deriveDeltas(converted.cache(), treatZeroAsMissing = true)
+      .select(("country" +: "date" +: measureCols :+ "latitude" :+
+        "longitude" :+ "pandemic").map(col): _*)
+  }
+
   /** EP3/v5 whole-directory run (reference ETL_OMS_OPERATIONNEL.py:218-369)
     * in one pass: per-file standardize (heterogeneous headers force
     * per-file plans; the frames then union), skip-and-count for unmappable
     * files (ETL_OMS_OPERATIONNEL.py:250-253), single cached frame instead
-    * of the reference's two-pass re-extraction.
+    * of the reference's two-pass re-extraction. `regionGeo` carries the
+    * U3 first-observation-wins lat/long enrichment
+    * (ETL_OMS_OPERATIONNEL.py:320-352) as a broadcast join instead of a
+    * generated CASE-WHEN UPDATE.
     */
   final case class OperationalResult(processed: Seq[String],
-      skipped: Seq[String], star: StarSchema)
+      skipped: Seq[String], star: StarSchema, regionGeo: DataFrame)
 
   def runOperational(spark: SparkSession, dir: String): OperationalResult = {
     val files = new java.io.File(dir).listFiles()
@@ -286,7 +376,8 @@ object OmsPipeline {
       val ok = mapped.columns.contains("country") &&
         mapped.columns.contains("date")
       (path, ok,
-        if (ok) Some(standardize(raw, detectMaladie(path))) else None)
+        if (ok) Some(standardizeOperational(raw, detectMaladie(path)))
+        else None)
     }
     val processed = results.collect { case (p, true, _) => p }
     val skipped = results.collect { case (p, false, _) => p }
@@ -296,6 +387,17 @@ object OmsPipeline {
       .cache()
     // disease dimension spans all diseases seen this run
     val star = starSchema(all, "multi", spark)
-    OperationalResult(processed, skipped, star)
+    // U3: first observation (earliest date) with both coordinates wins
+    val w = Window.partitionBy("country").orderBy("date")
+    val firstObs = all
+      .filter(col("latitude").isNotNull && col("longitude").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("country").as("nom_region"),
+        col("latitude").as("obs_lat"), col("longitude").as("obs_long"))
+    val regionGeo = star.region
+      .join(broadcast(firstObs), Seq("nom_region"), "left")
+      .select(col("id_region"), col("nom_region"), col("id_pays"),
+        col("obs_lat").as("latitude"), col("obs_long").as("longitude"))
+    OperationalResult(processed, skipped, star, regionGeo)
   }
 }

@@ -128,5 +128,52 @@ class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(res.skipped.exists(_.contains("covid_day_wise")))
     assert(res.processed.nonEmpty)
     assert(res.star.statistique.count() > 0)
+    // U3: covid_global_3.csv carries Lat/Long → some regions enriched,
+    // 6dp-rounded; regions never observed with coords stay null
+    val geo = res.regionGeo
+    assert(geo.filter(col("latitude").isNotNull).count() > 0)
+    assert(geo.filter(col("latitude").isNull).count() > 0)
+    val unrounded = geo.filter(col("latitude").isNotNull &&
+      col("latitude") =!= round(col("latitude"), 6)).count()
+    assert(unrounded === 0)
+  }
+
+  test("v4 typed defaults: Unknown country, now() date, zero measures") {
+    val sp = spark
+    import sp.implicits._
+    val df = OmsPipeline.completeWithDefaults(
+      Seq((1.0, 2.0)).toDF("confirmed", "deaths"))
+    val r = df.select("country", "new_cases", "recovered").first()
+    assert(r.getString(0) === "Unknown")
+    assert(r.getDouble(1) === 0.0)
+    assert(df.columns.contains("date"))
+  }
+
+  test("v5 per-capita conversion: name-substring dispatch, pop-gated") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("FR", 150.0, 20.0))
+      .toDF("country", "cases_per_million", "deaths_per_million")
+    val converted = OmsPipeline.convertPerCapita(df, Some(2000000.0))
+    val r = converted.select("confirmed", "deaths").first()
+    assert(r.getInt(0) === 300) // 150 * 2e6 / 1e6
+    assert(r.getInt(1) === 40)
+    // reference behavior: without a population the conversion is a no-op
+    assert(OmsPipeline.convertPerCapita(df, None).columns.toSet ===
+      df.columns.toSet)
+  }
+
+  test("v5 delta gate: all-zero new_cases triggers derivation") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("X", "2024-01-01", 10.0, 0.0), ("X", "2024-01-02", 25.0, 0.0))
+      .toDF("country", "date_s", "confirmed", "new_cases")
+      .withColumn("date", to_timestamp(col("date_s")))
+      .withColumn("deaths", lit(null).cast("double"))
+      .withColumn("new_deaths", lit(null).cast("double"))
+    val out = OmsPipeline.deriveDeltas(df, treatZeroAsMissing = true)
+      .orderBy("date").select("new_cases").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(0.0, 15.0))
   }
 }
