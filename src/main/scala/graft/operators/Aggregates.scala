@@ -71,6 +71,19 @@ object Aggregates {
         approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None),
 
+    // exact interpolated percentiles (both engines use the (n-1)p linear
+    // interpolation definition). Exact sorts per group — fine here; at
+    // 100 TB switch to approx_percentile (t-digest) and drop the oracle.
+    QDef("q_percentile",
+      (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+        Det.rnd(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50"),
+        Det.rnd(expr("percentile(l_extendedprice, 0.9D)"), 4).as("p90"),
+        count(lit(1)).as("n")),
+      Some("SELECT l_returnflag, " +
+        s"${Det.rndSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50, " +
+        s"${Det.rndSql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90, " +
+        "count(*) AS n FROM lineitem GROUP BY l_returnflag")),
+
     // grouping sets: ROLLUP.
     QDef("q_rollup",
       (s, d) => Tables(s, d, "lineitem")

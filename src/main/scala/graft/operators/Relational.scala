@@ -237,6 +237,20 @@ object Relational {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment, year(o_orderdate)")),
 
+    // correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (DecorrelateInnerQuery; the reference has no
+    // subquery machinery at all).
+    QDef("q_subquery_corr",
+      (s, d) => {
+        Tables(s, d, "customer").createOrReplaceTempView("v_customer")
+        s.sql("SELECT c_custkey, c_name, c_acctbal FROM v_customer c1 " +
+          "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer c2 " +
+          "WHERE c2.c_mktsegment = c1.c_mktsegment)")
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer c1 " +
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2 " +
+        "WHERE c2.c_mktsegment = c1.c_mktsegment)")),
+
     // F11: keyword classification contains-chain, first match wins
     // (detect_maladie, ETL_OMS_OPERATIONNEL.py:76-81; 'Inconnue' fallback).
     QDef("q_classify",

@@ -252,6 +252,19 @@ object TextOps {
         "AS DOUBLE) / (len(atoks) + len(btoks) - " +
         "len(list_intersect(atoks, btoks))) >= 0.5")),
 
+    // explode + aggregate: the inverted-index building block (token →
+    // postings) behind scaled near-dedup; top-20 corpus tokens with a
+    // deterministic (count desc, token) cut.
+    QDef("q_explode",
+      (s, d) => Tables(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20),
+      Some("SELECT tok AS token, count(*) AS n FROM (" +
+        "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok " +
+        "FROM documents) GROUP BY tok ORDER BY n DESC, token LIMIT 20")),
+
     // X4: SimHash — 16-bit signature by per-bit majority vote over token
     // md5s (bit j = high bit of hex nibble j; single-char '>=' compare is
     // plain ASCII order in both engines). The hi-byte prefix doubles as a
