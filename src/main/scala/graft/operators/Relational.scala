@@ -208,9 +208,11 @@ object Relational {
         val m = typedLit(Map(
           "click" -> "ui", "view" -> "ui",
           "purchase" -> "commerce", "signup" -> "account"))
+        // try_element_at: missing keys yield null (not an ANSI error), so
+        // the coalesce default works under any session mode
         Tables(s, d, "events").select(
           col("event_id"), col("event_type"),
-          coalesce(element_at(m, col("event_type")), lit("unknown"))
+          coalesce(try_element_at(m, col("event_type")), lit("unknown"))
             .as("unit"))
       },
       Some("SELECT event_id, event_type, CASE event_type " +
