@@ -161,6 +161,26 @@ object Aggregates {
         "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
         "CURRENT ROW) / 100 AS cum FROM events")),
 
+    // RANGE frame: trailing 1-hour event-time sum per user — value-based
+    // frames complement the row-based ones above (mv7/cum). Ordering by
+    // epoch micros keeps the range arithmetic integer-exact.
+    QDef("q_window_range",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0)
+        val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("double")
+        Tables.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          (sum(cents).over(w) / lit(100.0)).as("sum_1h"),
+          count(lit(1)).over(w).as("n_1h"))
+      },
+      Some("SELECT event_id, user_id, ts, " +
+        "sum(floor(value * 100 + 0.5)) OVER w / 100 AS sum_1h, " +
+        "count(*) OVER w AS n_1h FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)")),
+
     // A3/W2: dedup keep-last by key. pandas keep="last" is file order
     // (ETL_OMS_FINAL_Upgraded.py:102); here the order is explicit
     // (ts desc, event_id desc) so the result is well-defined.

@@ -45,6 +45,31 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(joined.count() === batchClosed.count())
   }
 
+  test("streaming incremental upsert converges to batch keep-last dedup") {
+    val base = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val src = s"$base/src"
+    val tgt = s"$base/target"
+    // two source files → two candidate micro-batches; second updates keys
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.filter(col("event_id") < 500)
+      .write.parquet(s"$src/p1")
+    ev.filter(col("event_id") >= 300)
+      .withColumn("value", col("value") + 1000.0)
+      .write.parquet(s"$src/p2")
+    val one = spark.read.parquet(s"$src/p1", s"$src/p2")
+    StreamingOps.incrementalUpsert(spark, s"$src/*", tgt,
+      Seq("event_id"), "value")
+    val target = spark.read.parquet(tgt)
+    // every key exactly once, and the max-value (updated) row won
+    assert(target.count() === one.select("event_id").distinct().count())
+    val expected = one.groupBy("event_id")
+      .agg(max("value").as("value"))
+    val mismatch = target.join(expected, Seq("event_id"))
+      .filter(target("value") =!= expected("value")).count()
+    assert(mismatch === 0)
+  }
+
   test("streaming tumbling window equals its batch twin") {
     val streamed = StreamingOps.tumblingCounts(spark, sf)
     val batch = Tables.events(spark, sf)
