@@ -1,0 +1,74 @@
+package graft.extensions
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Rewrite the composable higher-order dot product
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+  *
+  * into the native codegen [[graft.functions.DotProduct]]. The HOF form is
+  * what users naturally write; it is interpreted (CodegenFallback) and
+  * materializes the zipped array per row. The rewrite is semantics-
+  * preserving: same left-to-right double accumulation, null if either
+  * array is null.
+  */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** merge lambda must be (acc, v) -> acc + v over its own two params. */
+  private def isSumLambda(f: Expression): Boolean = f match {
+    case LambdaFunction(Add(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+        Seq(p1: NamedLambdaVariable, p2: NamedLambdaVariable), _) =>
+      Set(l.exprId, r.exprId) == Set(p1.exprId, p2.exprId)
+    case _ => false
+  }
+
+  /** zip lambda must be (x, y) -> x * y over its own two params. */
+  private def isMulLambda(f: Expression): Boolean = f match {
+    case LambdaFunction(
+        Multiply(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+        Seq(p1: NamedLambdaVariable, p2: NamedLambdaVariable), _) =>
+      Set(l.exprId, r.exprId) == Set(p1.exprId, p2.exprId)
+    case _ => false
+  }
+
+  /** finish lambda must be the identity. */
+  private def isIdentity(f: Expression): Boolean = f match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(p: NamedLambdaVariable), _) =>
+      v.exprId == p.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+          ZipWith(a, b, zipF), Literal(0.0, DoubleType), mergeF, finishF)
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            isMulLambda(zipF) && isSumLambda(mergeF) && isIdentity(finishF) =>
+        DotProduct(a, b)
+    }
+}
+
+/** Session extension wiring: `--conf spark.sql.extensions=
+  * graft.extensions.GraftExtensions` gives any session the `graft_dot`
+  * function and the HOF-dot rewrite without code changes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
+}
