@@ -71,6 +71,60 @@ object Aggregates {
         approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None),
 
+    // HAVING: post-aggregation filter (frequent buyers).
+    QDef("q_having",
+      (s, d) => Tables(s, d, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15),
+      Some("SELECT o_custkey, count(*) AS n_orders FROM orders " +
+        "GROUP BY o_custkey HAVING count(*) >= 15")),
+
+    // conditional aggregation (TPC-H Q14 shape): promo revenue share —
+    // both engines compute the identical cents-sums then one division.
+    QDef("q_promo_share",
+      (s, d) => {
+        val li = Tables(s, d, "part")
+        val promoRev = sum(when(col("p_type") === "PROMO",
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            lit(10000.0) + lit(0.5))).otherwise(lit(0.0)))
+        val allRev = sum(floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * lit(10000.0) + lit(0.5)))
+        Tables(s, d, "lineitem")
+          .join(broadcast(li), col("l_partkey") === col("p_partkey"))
+          .groupBy(year(col("l_shipdate")).as("yr"))
+          .agg((promoRev * 100.0 / allRev).as("promo_share_pct"),
+            count(lit(1)).as("n"))
+      },
+      Some("SELECT CAST(year(l_shipdate) AS INT) AS yr, " +
+        "sum(CASE WHEN p_type = 'PROMO' THEN " +
+        "floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) " +
+        "ELSE 0.0 END) * 100.0 / " +
+        "sum(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5)) " +
+        "AS promo_share_pct, count(*) AS n " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY year(l_shipdate)")),
+
+    // rank distributions: percent_rank/cume_dist/nth_value share the
+    // (rank-1)/(n-1)-style exact definitions in both engines.
+    QDef("q_distribution",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        Tables(s, d, "customer").select(
+          col("c_mktsegment"), col("c_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("c_custkey"), 2).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).as("second_key"))
+      },
+      Some("SELECT c_mktsegment, c_custkey, " +
+        "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd, " +
+        "nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY c_acctbal, c_custkey ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS second_key FROM customer " +
+        "WINDOW w AS (PARTITION BY c_mktsegment " +
+        "ORDER BY c_acctbal, c_custkey)")),
+
     // exact interpolated percentiles (both engines use the (n-1)p linear
     // interpolation definition). Exact sorts per group — fine here; at
     // 100 TB switch to approx_percentile (t-digest) and drop the oracle.

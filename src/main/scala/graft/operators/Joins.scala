@@ -123,6 +123,34 @@ object Joins {
         "(200000.0, 1000000000.0, 'high')) AS b(lo, hi, band) " +
         "ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band")),
 
+    // TPC-H Q3 shape: selective filters on both join sides, then
+    // aggregate + top-k — the composite the optimizer must get right
+    // (pushdown below the joins, broadcast dims, TakeOrdered at the top).
+    QDef("q_tpch_q3",
+      (s, d) => {
+        val c = Tables(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = Tables(s, d, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+          .agg(Det.exactSum(
+            l("l_extendedprice") * (lit(1) - l("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        s"${Det.exactSumSql("l_extendedprice * (1 - l_discount)", 4)} " +
+        "AS revenue FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10")),
+
     // star join: fact ⋈ three dimension hops, every dim broadcast — the
     // canonical warehouse shape (orders → customer → nation → region).
     // At 100 TB only the fact side scans big; zero fact shuffles before
