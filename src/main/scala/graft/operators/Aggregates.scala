@@ -71,6 +71,18 @@ object Aggregates {
         approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None),
 
+    // custom sketch aggregate: KMV distinct estimator as a typed
+    // Aggregator[IN, BUF, OUT] (graft.functions.KmvDistinct) — bounded
+    // k-min-hash buffer, associative/commutative merge, so partial
+    // aggregation and shuffle order cannot change the estimate. No
+    // oracle (approximate); accuracy asserted in KmvSpec.
+    QDef("q_kmv_distinct",
+      (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+        graft.functions.KmvDistinct
+          .kmvDistinct(col("l_partkey").cast("string"))
+          .as("kmv_parts")),
+      None),
+
     // HAVING: post-aggregation filter (frequent buyers).
     QDef("q_having",
       (s, d) => Tables(s, d, "orders")
