@@ -291,6 +291,45 @@ object TextOps {
           "AS hsx FROM documents)"
       }),
 
+    // X4: n-gram Jaccard near-dup without LSH — blocking on
+    // (lang, length-bucket): near-identical docs share both, so the pair
+    // space is per-block, never corpus². Trigram-set Jaccard ≥ 0.3 on
+    // candidate pairs. (Boundary-crossing pairs are missed by design —
+    // that is the blocking trade-off; the MinHash-LSH variant above
+    // catches them probabilistically.) May return 0 rows on a corpus
+    // without near-dups.
+    QDef("q_ngram_jaccard",
+      (s, d) => {
+        val sig = Tables(s, d, "documents")
+          .repartition(col("doc_id"))
+          .withColumn("sh", expr(shExpr))
+          .select(col("doc_id"), col("lang"),
+            expr("n_chars div 20").as("lenb"),
+            array_distinct(col("sh")).as("shs"))
+          .persist()
+        val a = sig.toDF("a_id", "a_lang", "a_lenb", "a_shs")
+        val b = sig.toDF("b_id", "b_lang", "b_lenb", "b_shs")
+        val inter = size(array_intersect(col("a_shs"), col("b_shs")))
+        val jac = inter.cast("double") /
+          (size(col("a_shs")) + size(col("b_shs")) - inter)
+        a.join(b, col("a_lang") === col("b_lang") &&
+            col("a_lenb") === col("b_lenb") && col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+      },
+      Some("WITH t AS (SELECT doc_id, lang, n_chars // 20 AS lenb, " +
+        "string_split_regex(trim(text), '\\s+') AS rawtoks FROM documents), " +
+        s"s AS (SELECT doc_id, lang, lenb, $shSql AS sh FROM t), " +
+        "g AS (SELECT doc_id, lang, lenb, list_distinct(sh) AS shs FROM s) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) / " +
+        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) " +
+        "AS jaccard FROM g a JOIN g b ON a.lang = b.lang " +
+        "AND a.lenb = b.lenb AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) / " +
+        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) " +
+        ">= 0.3")),
+
     // X1: LLM hook through the per-partition client (stub: first 8
     // tokens), exercised as a real mapPartitions pipeline stage.
     QDef("q_llm_summary",

@@ -51,4 +51,23 @@ class HeterogeneousInputsSpec extends AnyFunSuite with SparkSuite {
     val cols = mappedCols("covid_day_wise.csv", OmsPipeline.v5ColumnSynonyms)
     assert(cols.contains("date") && !cols.contains("country"))
   }
+
+  test("JSON array source: extension dispatch reads pandas-style files") {
+    // pd.read_json consumes one JSON array (FIXTURES.md S2 ≙ Spark
+    // multiLine) — write one and run it through the standard pipeline
+    val p = java.nio.file.Files.createTempDirectory("graft_json")
+      .resolve("mpox_sample.json")
+    java.nio.file.Files.writeString(p,
+      """[{"location": "France", "date": "2022-05-01", "total_cases": 3,
+        |  "new_cases": 1},
+        | {"location": "France", "date": "2022-05-02", "total_cases": 7,
+        |  "new_cases": 4}]""".stripMargin)
+    val raw = OmsPipeline.extract(spark, p.toString)
+    val std = OmsPipeline.standardize(raw, "Monkeypox")
+    assert(std.count() === 2)
+    assert(std.columns.contains("confirmed"))
+    val conf = std.orderBy("date").select("confirmed").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(conf === Seq(3.0, 7.0))
+  }
 }
