@@ -28,10 +28,23 @@ class KmvDistinct(k: Int) extends Aggregator[String, Array[Long], Double] {
 
   private def insert(buf: Array[Long], h: Long): Array[Long] = {
     if (buf.length >= k && h >= buf.last) buf
-    else if (java.util.Arrays.binarySearch(buf, h) >= 0) buf
     else {
-      val merged = (buf :+ h).sorted
-      if (merged.length > k) merged.take(k) else merged
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already present
+      else {
+        // single O(k) arraycopy insert at the search's insertion point —
+        // no full re-sort per accepted hash
+        val ins = -pos - 1
+        val outLen = math.min(buf.length + 1, k)
+        val out = new Array[Long](outLen)
+        System.arraycopy(buf, 0, out, 0, ins)
+        if (ins < outLen) {
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1,
+            outLen - ins - 1)
+        }
+        out
+      }
     }
   }
 

@@ -33,9 +33,14 @@ object LlmOps {
   def withCompletion(df: DataFrame, textCol: String, outCol: String,
       mkClient: () => LLMClient = () => new StubLLMClient): DataFrame = {
     val schema = df.schema.add(outCol, StringType)
+    val idx = df.schema.fieldIndex(textCol)
     df.mapPartitions { it =>
       val client = mkClient()
-      it.map(r => Row.fromSeq(r.toSeq :+ client.ask(r.getAs[String](textCol))))
+      it.map { r =>
+        val text = if (r.isNullAt(idx)) null else r.getString(idx)
+        val out = if (text == null) null else client.ask(text)
+        Row.fromSeq(r.toSeq :+ out)
+      }
     }(Encoders.row(schema))
   }
 }

@@ -58,13 +58,18 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** Frame sampling: every `step`-th byte window as a "frame". */
+  /** Frame sampling: every `step`-th byte window as a "frame". Payloads
+    * shorter than one frame yield an empty list (sequence(1, 0, step)
+    * would throw on illegal boundaries).
+    */
   def sampleFrames(df: DataFrame, payloadCol: String, frameLen: Int,
       step: Int): DataFrame =
     df.withColumn("frames", expr(
-      s"transform(sequence(1, greatest(octet_length($payloadCol) - " +
-        s"$frameLen + 1, 0), $step), i -> substring($payloadCol, i, " +
-        s"$frameLen))"))
+      s"IF(octet_length($payloadCol) < $frameLen, " +
+        "cast(array() as array<binary>), " +
+        s"transform(sequence(1, octet_length($payloadCol) - " +
+        s"$frameLen + 1, $step), i -> substring($payloadCol, i, " +
+        s"$frameLen)))"))
 
   val defs: Seq[QDef] = Seq(
     // binary payload plumbing end-to-end: attach → mapPartitions decode →

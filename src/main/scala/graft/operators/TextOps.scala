@@ -23,10 +23,17 @@ object TextOps {
   private val toksExpr = "array_distinct(split(trim(text), '\\\\s+'))"
   private val toksSql = "list_distinct(string_split_regex(trim(text), '\\s+'))"
 
-  /** Word 3-gram shingles (raw token order, 1-based windows). */
-  private val shExpr = "transform(sequence(1, size(split(trim(text), " +
+  /** Word 3-gram shingles (raw token order, 1-based windows). Docs with
+    * fewer than 3 tokens yield an empty list: Spark's sequence(1, n-2)
+    * would otherwise run DESCENDING for n<3 (and slice at index 0
+    * throws), while DuckDB's generate_series is empty — the guard keeps
+    * both engines at [].
+    */
+  private val shExpr = "IF(size(split(trim(text), '\\\\s+')) < 3, " +
+    "cast(array() as array<string>), " +
+    "transform(sequence(1, size(split(trim(text), " +
     "'\\\\s+')) - 2), i -> concat_ws(' ', slice(split(trim(text), " +
-    "'\\\\s+'), i, 3)))"
+    "'\\\\s+'), i, 3))))"
   private val shSql = "[array_to_string(rawtoks[i:i+2], ' ') " +
     "for i in generate_series(1, len(rawtoks) - 2)]"
 

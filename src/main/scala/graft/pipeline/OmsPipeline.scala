@@ -132,7 +132,12 @@ object OmsPipeline {
     */
   def deriveDeltas(df: DataFrame,
       treatZeroAsMissing: Boolean = false): DataFrame = {
-    val w = Window.partitionBy("country").orderBy("date")
+    // duplicate (country, date) rows (multi-file or province-level
+    // inputs) need a value tiebreak or lag() is partition-order
+    // dependent; cumulative columns give a deterministic total order up
+    // to fully-identical rows (whose lag is then identical anyway)
+    val wTie = Window.partitionBy("country")
+      .orderBy(col("date"), col("confirmed"), col("deaths"))
     // v3/v4 gate: column entirely null (ETL_OMS_FINAL.py:64); v5 gate:
     // entirely zero (ETL_OMS_OPERATIONNEL.py:141) — unified as "no
     // meaningful value present"
@@ -143,7 +148,7 @@ object OmsPipeline {
       df.agg(meaningful).first().getLong(0) == 0L
     }
     def diffed(cum: String): org.apache.spark.sql.Column =
-      coalesce(col(cum) - lag(cum, 1).over(w), lit(0.0))
+      coalesce(col(cum) - lag(cum, 1).over(wTie), lit(0.0))
     val step1 =
       if (missing("new_cases")) df.withColumn("new_cases", diffed("confirmed"))
       else df
@@ -326,6 +331,39 @@ object OmsPipeline {
     saveTable(star.statistique, outDir, "Statistique")
   }
 
+  /** Multi-disease star schema for directory runs: like [[starSchema]]
+    * but the maladie dim spans every disease observed (ids by name order)
+    * and each fact row is keyed to its own disease through a broadcast
+    * lookup — the set-based form of the reference's dim-cache probes.
+    */
+  def starSchemaMulti(standardized: DataFrame,
+      spark: SparkSession): StarSchema = {
+    val pays = standardized.select("country").distinct()
+      .withColumn("id_pays", row_number().over(Window.orderBy("country")))
+    val region = standardized.select(col("country").as("nom_region"))
+      .distinct()
+      .withColumn("id_region", row_number().over(Window.orderBy("nom_region")))
+      .withColumn("id_pays", col("id_region"))
+      .select("id_region", "nom_region", "id_pays")
+    val maladie = standardized.select(col("pandemic").as("nom_maladie"))
+      .distinct()
+      .withColumn("id_maladie",
+        row_number().over(Window.orderBy("nom_maladie")))
+    val withPays = standardized.join(broadcast(pays), Seq("country"))
+    val fact = withPays
+      .join(broadcast(region),
+        withPays("id_pays") === region("id_pays") &&
+          withPays("country") === region("nom_region"))
+      .join(broadcast(maladie),
+        withPays("pandemic") === maladie("nom_maladie"))
+      .select(maladie("id_maladie"), region("id_region"), col("date"),
+        col("new_deaths").as("nouveau_mort"),
+        col("new_cases").as("nouveau_cas"),
+        col("deaths").as("total_mort"))
+    StarSchema(pays.select("country", "id_pays"), region,
+      maladie.select("id_maladie", "nom_maladie"), fact)
+  }
+
   /** v5 per-file standardization (reference
     * ETL_OMS_OPERATIONNEL.py:95-150): v5 synonym map, null completion,
     * strict-then-lenient dates, >=2019 filter, per-capita hook, all-zero
@@ -385,10 +423,14 @@ object OmsPipeline {
     val all = frames.reduceOption(_.unionByName(_))
       .getOrElse(throw new IllegalStateException("no mappable files"))
       .cache()
-    // disease dimension spans all diseases seen this run
-    val star = starSchema(all, "multi", spark)
-    // U3: first observation (earliest date) with both coordinates wins
-    val w = Window.partitionBy("country").orderBy("date")
+    // disease dimension spans all diseases seen this run, facts keyed to
+    // their own disease (reference dim-cache lookups,
+    // ETL_OMS_OPERATIONNEL.py:229-234)
+    val star = starSchemaMulti(all, spark)
+    // U3: first observation (earliest date; coordinate tiebreak for
+    // duplicate dates) with both coordinates wins
+    val w = Window.partitionBy("country")
+      .orderBy(col("date"), col("latitude"), col("longitude"))
     val firstObs = all
       .filter(col("latitude").isNotNull && col("longitude").isNotNull)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -21,22 +21,39 @@ object SchemaMapper {
       .stripPrefix("_").stripSuffix("_")
 
   /** First-matching-synonym-wins rename (apply_flexible_mapping,
-    * reference ETL_OMS.py:41-57): for each input column in order, the
-    * first standard column whose synonym list contains the normalized
-    * header claims it; a standard column is claimed at most once (later
-    * duplicates pass through unchanged instead of colliding).
+    * reference ETL_OMS.py:41-57). The reference iterates the synonym
+    * table: for each standard column, the FIRST candidate (in
+    * candidate-list order) present among the normalized headers claims
+    * that input column, then `break` — so candidate priority, not header
+    * order, decides (e.g. `country_region` beats `province_state` for
+    * `country`). Each input column is claimed at most once, and a rename
+    * is dropped if it would collide with a distinct surviving column of
+    * the same (case-insensitive) name.
     */
   def renameMap(cols: Seq[String],
       synonyms: Seq[(String, Seq[String])]): Map[String, String] = {
+    // like the reference's dict comprehension, a later duplicate
+    // normalized header wins the slot
+    val normalizedCols: Map[String, String] =
+      cols.map(c => normalize(c) -> c).toMap
     val claimed = scala.collection.mutable.Set[String]()
-    cols.flatMap { c =>
-      val n = normalize(c)
-      synonyms.collectFirst {
-        case (std, syns) if !claimed(std) && (syns.contains(n) || std == n) =>
-          claimed += std
-          c -> std
-      }
-    }.toMap
+    val mapping = scala.collection.mutable.LinkedHashMap[String, String]()
+    synonyms.foreach { case (std, syns) =>
+      val candidates = if (syns.contains(std)) syns else syns :+ std
+      candidates.iterator
+        .flatMap(normalizedCols.get)
+        .find(c => !claimed(c))
+        .foreach { c =>
+          claimed += c
+          if (c != std) mapping(c) = std
+        }
+    }
+    mapping.toMap.filter { case (c, std) =>
+      // hardening beyond the reference (which would emit duplicate
+      // columns): never rename onto a name another surviving column holds
+      !cols.exists(other => other != c && !mapping.contains(other) &&
+        other.equalsIgnoreCase(std))
+    }
   }
 
   /** Apply the synonym mapping as metadata-only renames. */

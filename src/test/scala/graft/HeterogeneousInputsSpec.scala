@@ -22,6 +22,16 @@ class HeterogeneousInputsSpec extends AnyFunSuite with SparkSuite {
     val cols = mappedCols("covid_global_3.csv", OmsPipeline.v5ColumnSynonyms)
     assert(Set("country", "date", "confirmed", "deaths", "recovered",
       "active", "latitude", "longitude").subsetOf(cols))
+    // candidate-list priority: country_region claims `country` (the
+    // reference breaks on the first candidate present), so the
+    // lower-priority Province/State synonym passes through untouched
+    assert(cols.contains("Province/State"))
+  }
+
+  test("synonym priority follows candidate-list order, not header order") {
+    val m = SchemaMapper.renameMap(
+      Seq("Province/State", "Country/Region"), OmsPipeline.v5ColumnSynonyms)
+    assert(m === Map("Country/Region" -> "country"))
   }
 
   test("covid_worldometer: TotalCases/quoted-comma headers map (EP2 map)") {

@@ -128,6 +128,12 @@ class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(res.skipped.exists(_.contains("covid_day_wise")))
     assert(res.processed.nonEmpty)
     assert(res.star.statistique.count() > 0)
+    // the maladie dim spans every disease seen, and facts key to their
+    // own disease (not a collapsed single id)
+    val diseases = res.star.maladie.select("nom_maladie").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("COVID-19", "Monkeypox").subsetOf(diseases))
+    assert(res.star.statistique.select("id_maladie").distinct().count() >= 2)
     // U3: covid_global_3.csv carries Lat/Long → some regions enriched,
     // 6dp-rounded; regions never observed with coords stay null
     val geo = res.regionGeo
