@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fast single-pass text expressions for the dedup pipeline.
+  *
+  * The composable forms — `transform(sequence(...), i -> concat_ws(' ',
+  * slice(split(...), i, 3)))` and a second `transform(..., md5)` pass —
+  * are interpreted (higher-order functions are CodegenFallback) and
+  * allocate a sliced array per shingle. These expressions do the same
+  * work in one tight JVM loop. Outputs are bit-identical to the
+  * composable forms and to the DuckDB oracle SQL:
+  *   - shingles: split on \s+ after trim, 3 consecutive tokens joined by
+  *     one space, empty list below 3 tokens.
+  *   - minhash lanes: lowercase-hex md5 per shingle, the 32-hex digest
+  *     sliced into four 8-char lanes, lexicographic min per lane; all
+  *     lanes null when there are no shingles (array_min of empty = null).
+  */
+object TextHashing {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def tokens(s: String): Array[String] = {
+    val t = s.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = hexDigits((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
+/** `graft_shingles(text)`: word 3-grams as array<string>. */
+case class Shingles(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHashing.tokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < 3) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - 2)
+      var i = 0
+      while (i < toks.length - 2) {
+        out(i) = UTF8String.fromString(
+          toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+/** `graft_minhash_lanes(text)`: the four 8-hex-char lane minima over all
+  * shingle md5s, fused into one pass (no intermediate shingle or hash
+  * arrays).
+  */
+case class MinHashLanes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHashing.tokens(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < 3)
+      new GenericArrayData(Array[Any](null, null, null, null))
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = new Array[String](4)
+      var i = 0
+      while (i < toks.length - 2) {
+        val h = TextHashing.md5Hex(md,
+          toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        var lane = 0
+        while (lane < 4) {
+          val sub = h.substring(lane * 8, lane * 8 + 8)
+          if (mins(lane) == null || sub.compareTo(mins(lane)) < 0)
+            mins(lane) = sub
+          lane += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(
+        mins.map(s => UTF8String.fromString(s): Any))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}

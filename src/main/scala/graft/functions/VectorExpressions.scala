@@ -82,8 +82,17 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Register `graft_dot(a, b)` for SQL/expr use in this session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register graft's custom expressions for SQL/expr use in this
+    * session: `graft_dot(a, b)`, `graft_shingles(text)`,
+    * `graft_minhash_lanes(text)`.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles", exprs => Shingles(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_lanes", exprs => MinHashLanes(exprs.head), "built-in")
+  }
 }

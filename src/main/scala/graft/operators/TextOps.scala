@@ -23,31 +23,25 @@ object TextOps {
   private val toksExpr = "array_distinct(split(trim(text), '\\\\s+'))"
   private val toksSql = "list_distinct(string_split_regex(trim(text), '\\s+'))"
 
-  /** Word 3-gram shingles (raw token order, 1-based windows). Docs with
-    * fewer than 3 tokens yield an empty list: Spark's sequence(1, n-2)
-    * would otherwise run DESCENDING for n<3 (and slice at index 0
-    * throws), while DuckDB's generate_series is empty — the guard keeps
-    * both engines at [].
+  /** Word 3-gram shingles. Spark side: the custom single-pass
+    * graft_shingles expression (graft.functions.Shingles) — the HOF
+    * transform/slice/concat_ws chain is interpreted and allocation-heavy.
+    * DuckDB oracle keeps the declarative list comprehension; both yield
+    * [] below 3 tokens.
     */
-  private val shExpr = "IF(size(split(trim(text), '\\\\s+')) < 3, " +
-    "cast(array() as array<string>), " +
-    "transform(sequence(1, size(split(trim(text), " +
-    "'\\\\s+')) - 2), i -> concat_ws(' ', slice(split(trim(text), " +
-    "'\\\\s+'), i, 3))))"
   private val shSql = "[array_to_string(rawtoks[i:i+2], ' ') " +
     "for i in generate_series(1, len(rawtoks) - 2)]"
 
-  /** MinHash lane i over pre-hashed shingles: one md5 per shingle, the
-    * 128-bit digest sliced into four 32-bit lanes (min per lane). md5 is
-    * the one hash both engines implement identically on UTF-8; slicing
-    * gives 4 hashes for the price of 1.
+  /** MinHash lanes: one md5 per shingle, the 128-bit digest sliced into
+    * four 8-hex-char lanes, min per lane — fused into the custom
+    * graft_minhash_lanes expression on the Spark side (4 hashes for the
+    * price of 1, no intermediate arrays). md5 is the one hash both
+    * engines implement identically on UTF-8.
     */
-  private val hsExpr = "transform(sh, t -> md5(t))"
-  private val hsSql = "list_transform(sh, x -> md5(x))"
-  private def mhExpr(i: Int) =
-    s"array_min(transform(hs, h -> substring(h, ${(i - 1) * 8 + 1}, 8)))"
+  private def mhExpr(i: Int) = s"element_at(lanes, $i)"
   private def mhSql(i: Int) =
     s"list_min(list_transform(hs, h -> substr(h, ${(i - 1) * 8 + 1}, 8)))"
+  private val hsSql = "list_transform(sh, x -> md5(x))"
 
   private val sigSql =
     s"WITH t AS (SELECT doc_id, $toksSql AS toks, " +
@@ -182,15 +176,17 @@ object TextOps {
 
     // X4: MinHash signatures over word-3-gram shingles (4 seeds, 2 bands).
     QDef("q_minhash",
-      (s, d) => Tables(s, d, "documents")
-        .withColumn("sh", expr(shExpr))
-        .withColumn("hs", expr(hsExpr))
-        .select(
-          col("doc_id"),
-          expr(mhExpr(1)).as("mh1"), expr(mhExpr(2)).as("mh2"),
-          expr(mhExpr(3)).as("mh3"), expr(mhExpr(4)).as("mh4"),
-          md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
-          md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2")),
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        Tables(s, d, "documents")
+          .withColumn("lanes", expr("graft_minhash_lanes(text)"))
+          .select(
+            col("doc_id"),
+            expr(mhExpr(1)).as("mh1"), expr(mhExpr(2)).as("mh2"),
+            expr(mhExpr(3)).as("mh3"), expr(mhExpr(4)).as("mh4"),
+            md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
+            md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
+      },
       Some("WITH t AS (SELECT doc_id, " +
         "string_split_regex(trim(text), '\\s+') AS rawtoks FROM documents), " +
         s"s AS (SELECT doc_id, $shSql AS sh FROM t), " +
@@ -206,15 +202,14 @@ object TextOps {
     // May legitimately return 0 rows when the corpus has no near-dups.
     QDef("q_dedup_near",
       (s, d) => {
-        // persist the signature: the shingle+minhash subtree otherwise
+        graft.functions.VectorFunctions.register(s)
+        // persist the signature: the minhash subtree otherwise
         // re-evaluates once per band per join side. The repartition
         // spreads the per-doc hashing across cores — the single-file
-        // source otherwise yields one partition and serializes the
-        // (interpreted, non-codegen) higher-order lambdas.
+        // source otherwise yields one partition.
         val sig = Tables(s, d, "documents")
           .repartition(col("doc_id"))
-          .withColumn("sh", expr(shExpr))
-          .withColumn("hs", expr(hsExpr))
+          .withColumn("lanes", expr("graft_minhash_lanes(text)"))
           .select(col("doc_id"), expr(toksExpr).as("toks"),
             md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
             md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
@@ -307,12 +302,12 @@ object TextOps {
     // without near-dups.
     QDef("q_ngram_jaccard",
       (s, d) => {
+        graft.functions.VectorFunctions.register(s)
         val sig = Tables(s, d, "documents")
           .repartition(col("doc_id"))
-          .withColumn("sh", expr(shExpr))
           .select(col("doc_id"), col("lang"),
             expr("n_chars div 20").as("lenb"),
-            array_distinct(col("sh")).as("shs"))
+            array_distinct(expr("graft_shingles(text)")).as("shs"))
           .persist()
         val a = sig.toDF("a_id", "a_lang", "a_lenb", "a_shs")
         val b = sig.toDF("b_id", "b_lang", "b_lenb", "b_shs")
