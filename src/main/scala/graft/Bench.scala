@@ -13,8 +13,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // a failed query must report the -1 sentinel, not its
+        // time-to-failure masquerading as a fast success
+        val dt =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
         // release per-query persisted intermediates (outside the timing)
         spark.catalog.clearCache()
         name -> dt

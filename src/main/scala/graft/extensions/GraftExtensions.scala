@@ -65,10 +65,12 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    graft.functions.VectorFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -22,10 +22,23 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashing {
   private val hexDigits = "0123456789abcdef".toCharArray
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
+  /** Spark-SQL-exact tokenization: `trim` strips ASCII space ONLY
+    * (SPARK-17299 — Java trim would also strip tabs/controls), and
+    * `split(regex)` uses limit -1 (trailing empty strings kept) — both
+    * must match the `split(trim(text), '\s+')` the oracle computes.
+    */
   def tokens(s: String): Array[String] = {
-    val t = s.trim
-    if (t.isEmpty) Array.empty else t.split("\\s+")
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val t = s.substring(b, e)
+    if (t.isEmpty) Array.empty else ws.split(t, -1)
   }
 
   def md5Hex(md: java.security.MessageDigest, s: String): String = {
@@ -81,7 +94,7 @@ case class MinHashLanes(child: Expression)
     if (toks.length < 3)
       new GenericArrayData(Array[Any](null, null, null, null))
     else {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = TextHashing.mdLocal.get()
       val mins = new Array[String](4)
       var i = 0
       while (i < toks.length - 2) {

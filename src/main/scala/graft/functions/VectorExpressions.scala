@@ -82,17 +82,22 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
+  /** Single source of truth for graft's custom functions — consumed by
+    * both per-session `register` and the GraftExtensions injection path
+    * so the two can't drift.
+    */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
+    "graft_shingles" -> (exprs => Shingles(exprs.head)),
+    "graft_minhash_lanes" -> (exprs => MinHashLanes(exprs.head)))
+
   /** Register graft's custom expressions for SQL/expr use in this
-    * session: `graft_dot(a, b)`, `graft_shingles(text)`,
-    * `graft_minhash_lanes(text)`.
+    * session.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_shingles", exprs => Shingles(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_minhash_lanes", exprs => MinHashLanes(exprs.head), "built-in")
+    all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

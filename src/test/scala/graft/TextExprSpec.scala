@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fused text expressions must be bit-identical to the composable
+  * SQL forms they replace — including edge whitespace, where Java
+  * trim/split semantics differ from Spark SQL's (space-only trim,
+  * trailing empties kept).
+  */
+class TextExprSpec extends AnyFunSuite with SparkSuite {
+
+  private val hofShingles = "IF(size(split(trim(text), '\\\\s+')) < 3, " +
+    "cast(array() as array<string>), " +
+    "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2), " +
+    "i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 3))))"
+
+  private def lanesFromHof(i: Int) =
+    s"array_min(transform(transform($hofShingles, t -> md5(t)), " +
+      s"h -> substring(h, ${(i - 1) * 8 + 1}, 8)))"
+
+  test("graft_shingles == SQL trim+split shingles, incl. edge whitespace") {
+    val sp = spark
+    import sp.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq("\ta b c", "a  b\tc d ", "  x y  ", "", "one two",
+      "a b c d e f").toDF("text")
+    val cmp = df.select(
+      expr("graft_shingles(text)").as("fused"),
+      expr(hofShingles).as("hof"))
+    val bad = cmp.filter(not(col("fused") <=> col("hof"))).count()
+    assert(bad === 0, cmp.collect().mkString("; "))
+  }
+
+  test("graft_minhash_lanes == SQL minhash lanes on real documents") {
+    VectorFunctions.register(spark)
+    val df = Tables(spark, sf, "documents")
+    val cmp = df.select(
+      expr("graft_minhash_lanes(text)").as("fused"),
+      array((1 to 4).map(i => expr(lanesFromHof(i))): _*).as("hof"))
+    assert(cmp.filter(not(col("fused") <=> col("hof"))).count() === 0)
+  }
+}
