@@ -220,6 +220,37 @@ object Relational {
         "WHEN 'purchase' THEN 'commerce' WHEN 'signup' THEN 'account' " +
         "ELSE 'unknown' END AS unit FROM events")),
 
+    // ordered string aggregation (listagg / string_agg).
+    QDef("q_string_agg",
+      (s, d) => {
+        Tables(s, d, "nation").createOrReplaceTempView("v_nation")
+        s.sql("SELECT n_regionkey, " +
+          "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations " +
+          "FROM v_nation GROUP BY n_regionkey")
+      },
+      Some("SELECT n_regionkey, " +
+        "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
+        "FROM nation GROUP BY n_regionkey")),
+
+    // 3-valued logic: null-safe equality, NULLIF/IFNULL, null ordering.
+    QDef("q_null_semantics",
+      (s, d) => Tables(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_nz"),
+        (nullif(col("l_discount"), lit(0.0)) <=> lit(null))
+          .as("disc_is_zeroish"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0))
+          .as("disc_or_sentinel"),
+        (col("l_discount") > 0.05).and(lit(null).cast("boolean"))
+          .as("and_with_null")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "nullif(l_discount, 0.0) AS disc_nz, " +
+        "nullif(l_discount, 0.0) IS NOT DISTINCT FROM NULL " +
+        "AS disc_is_zeroish, " +
+        "coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_sentinel, " +
+        "(l_discount > 0.05) AND CAST(NULL AS BOOLEAN) AS and_with_null " +
+        "FROM lineitem")),
+
     // SQL front end: the same engine through spark.sql over temp views —
     // Catalyst's parser/analyzer on the user-facing path (the reference
     // has no SQL surface at all; this is table stakes for a query engine).
