@@ -58,6 +58,28 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** "Resize": deterministic payload downsample — keep every `factor`-th
+    * byte (the media-codec resize is a STUB like decode; the Spark-side
+    * shape — binary in, smaller binary out, narrow op — is the real
+    * plumbing a codec would slot into).
+    */
+  def resize(df: DataFrame, payloadCol: String, factor: Int): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val schema = df.schema.add("resized",
+      org.apache.spark.sql.types.BinaryType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out =
+          if (bytes == null) null
+          else bytes.zipWithIndex.collect {
+            case (b, i) if i % factor == 0 => b
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Frame sampling: every `step`-th byte window as a "frame". Payloads
     * shorter than one frame yield an empty list (sequence(1, 0, step)
     * would throw on illegal boundaries).

@@ -28,6 +28,23 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(counts === Seq(4))
   }
 
+  test("multimodal: resize decimates payload bytes deterministically") {
+    val df = Multimodal.resize(
+      Multimodal.withPayload(
+        Tables(spark, sf, "documents").select("doc_id", "text")),
+      "payload", factor = 4)
+    // 16-byte payload, keep every 4th byte → 4 bytes
+    val lens = df.select(length(col("resized")).as("n"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(lens === Seq(4))
+    // deterministic: resized bytes are a subsequence of the payload
+    val r = df.select(col("payload"), col("resized")).first()
+    val (p, z) = (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1))
+    assert(z.toSeq === p.zipWithIndex.collect {
+      case (b, i) if i % 4 == 0 => b
+    }.toSeq)
+  }
+
   test("stateful streaming sessionize matches batch minus open sessions") {
     val streamed = StreamingOps.streamingSessionize(spark, sf)
     val batch = SparkEntry.queries("q_sessionize")(spark, sf)
