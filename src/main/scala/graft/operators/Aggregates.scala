@@ -294,6 +294,36 @@ object Aggregates {
         "THEN 1 ELSE 0 END AS new_sess FROM events)) " +
         "GROUP BY user_id, session_id")),
 
+    // histogram: explicit-arithmetic bucketing (identical double ops on
+    // both engines) + count per bucket — the data-profiling building
+    // block.
+    QDef("q_histogram",
+      (s, d) => Tables(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / lit(50000.0)).cast("int")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          Det.exactSum(col("o_totalprice"), 2).as("total")),
+      Some("SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket, " +
+        "count(*) AS n, " +
+        s"${Det.exactSumSql("o_totalprice", 2)} AS total " +
+        "FROM orders GROUP BY CAST(floor(o_totalprice / 50000.0) AS INT)")),
+
+    // column profiling: count/nulls/distinct/min/max/avg per group — the
+    // data-quality summary every ingest pipeline runs first.
+    QDef("q_profile",
+      (s, d) => Tables(s, d, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_nonnull"),
+        countDistinct(col("source")).as("n_sources"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars")),
+      Some("SELECT lang, count(*) AS n_rows, count(text) AS n_nonnull, " +
+        "count(DISTINCT source) AS n_sources, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars " +
+        "FROM documents GROUP BY lang")),
+
     // A6: surrogate-key assignment (id_pays = index+1,
     // ETL_OMS_FINAL.py:76). pandas index order is nondeterministic across
     // inputs; ids are defined by sort order instead. The unpartitioned
