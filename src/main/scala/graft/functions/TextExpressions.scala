@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -12,8 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * slice(split(...), i, 3)))` and a second `transform(..., md5)` pass —
   * are interpreted (higher-order functions are CodegenFallback) and
   * allocate a sliced array per shingle. These expressions do the same
-  * work in one tight JVM loop. Outputs are bit-identical to the
-  * composable forms and to the DuckDB oracle SQL:
+  * work in one tight JVM loop, and generate code (a static call into
+  * [[TextHashing]]) so they stay inside whole-stage codegen instead of
+  * forcing the surrounding span into interpreted fallback. Outputs are
+  * bit-identical to the composable forms and to the DuckDB oracle SQL:
   *   - shingles: split on \s+ after trim, 3 consecutive tokens joined by
   *     one space, empty list below 3 tokens.
   *   - minhash lanes: lowercase-hex md5 per shingle, the 32-hex digest
@@ -53,16 +55,13 @@ object TextHashing {
     }
     new String(out)
   }
-}
 
-/** `graft_shingles(text)`: word 3-grams as array<string>. */
-case class Shingles(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = TextHashing.tokens(input.asInstanceOf[UTF8String].toString)
+  /** Word 3-gram shingles of `text` — the single runtime entry point used
+    * by both the interpreted eval and the generated code (a plain static
+    * call keeps whole-stage codegen alive around the expression).
+    */
+  def shingles(input: UTF8String): ArrayData = {
+    val toks = tokens(input.toString)
     if (toks.length < 3) new GenericArrayData(Array.empty[Any])
     else {
       val out = new Array[Any](toks.length - 2)
@@ -76,30 +75,41 @@ case class Shingles(child: Expression)
     }
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(c)
-}
+  /** Distinct word 3-gram shingles in first-occurrence order — fuses
+    * `array_distinct(graft_shingles(text))` into the same pass (the
+    * near-dup queries only ever use the distinct set).
+    */
+  def shingleSet(input: UTF8String): ArrayData = {
+    val toks = tokens(input.toString)
+    if (toks.length < 3) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+      var i = 0
+      while (i < toks.length - 2) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
 
-/** `graft_minhash_lanes(text)`: the four 8-hex-char lane minima over all
-  * shingle md5s, fused into one pass (no intermediate shingle or hash
-  * arrays).
-  */
-case class MinHashLanes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = TextHashing.tokens(input.asInstanceOf[UTF8String].toString)
+  /** Four 8-hex-char minhash lane minima over all shingle md5s, fused into
+    * one pass (no intermediate shingle or hash arrays).
+    */
+  def minhashLanes(input: UTF8String): ArrayData = {
+    val toks = tokens(input.toString)
     if (toks.length < 3)
       new GenericArrayData(Array[Any](null, null, null, null))
     else {
-      val md = TextHashing.mdLocal.get()
+      val md = mdLocal.get()
       val mins = new Array[String](4)
       var i = 0
       while (i < toks.length - 2) {
-        val h = TextHashing.md5Hex(md,
-          toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        val h = md5Hex(md, toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
         var lane = 0
         while (lane < 4) {
           val sub = h.substring(lane * 8, lane * 8 + 8)
@@ -113,6 +123,59 @@ case class MinHashLanes(child: Expression)
         mins.map(s => UTF8String.fromString(s): Any))
     }
   }
+}
+
+/** `graft_shingles(text)`: word 3-grams as array<string>. */
+case class Shingles(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.shingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashing.shingles($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+/** `graft_shingle_set(text)`: distinct word 3-grams in first-occurrence
+  * order — `array_distinct(graft_shingles(text))` in one pass.
+  */
+case class ShingleSet(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.shingleSet(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashing.shingleSet($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+/** `graft_minhash_lanes(text)`: the four 8-hex-char lane minima over all
+  * shingle md5s, fused into one pass (no intermediate shingle or hash
+  * arrays).
+  */
+case class MinHashLanes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.minhashLanes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashing.minhashLanes($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(c)

@@ -89,6 +89,7 @@ object VectorFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
     "graft_shingles" -> (exprs => Shingles(exprs.head)),
+    "graft_shingle_set" -> (exprs => ShingleSet(exprs.head)),
     "graft_minhash_lanes" -> (exprs => MinHashLanes(exprs.head)))
 
   /** Register graft's custom expressions for SQL/expr use in this

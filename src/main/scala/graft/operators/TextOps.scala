@@ -203,23 +203,26 @@ object TextOps {
     QDef("q_dedup_near",
       (s, d) => {
         graft.functions.VectorFunctions.register(s)
-        // persist the signature: the minhash subtree otherwise
-        // re-evaluates once per band per join side. The repartition
-        // spreads the per-doc hashing across cores — the single-file
-        // source otherwise yields one partition.
-        val sig = Tables(s, d, "documents")
-          .repartition(col("doc_id"))
+        // persist ONLY the narrow (id, band, band) signature: the minhash
+        // subtree otherwise re-evaluates once per band per join side, and
+        // caching the heavy token arrays costs more in columnar encoding
+        // than recomputing them for the (tiny) candidate fetch. The
+        // repartition spreads per-doc hashing across cores — the
+        // single-file source otherwise yields one partition.
+        val docs = Tables(s, d, "documents").repartition(col("doc_id"))
+        val bands = docs
           .withColumn("lanes", expr("graft_minhash_lanes(text)"))
-          .select(col("doc_id"), expr(toksExpr).as("toks"),
+          .select(col("doc_id"),
             md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
             md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
           .persist()
+        val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
         // candidate ids only through the band joins (narrow rows), token
         // lists joined back afterwards — at scale the candidate set is
         // tiny next to the corpus, so the heavy arrays never fan out.
-        val a = sig.select(col("doc_id").as("a_id"), col("band1"),
+        val a = bands.select(col("doc_id").as("a_id"), col("band1"),
           col("band2"))
-        val b = sig.select(col("doc_id").as("b_id"),
+        val b = bands.select(col("doc_id").as("b_id"),
           col("band1").as("bb1"), col("band2").as("bb2"))
         val c1 = a.join(b, col("band1") === col("bb1") &&
           col("a_id") < col("b_id")).select("a_id", "b_id")
@@ -230,9 +233,9 @@ object TextOps {
         val jac = inter.cast("double") /
           (size(col("a_toks")) + size(col("b_toks")) - inter)
         cand
-          .join(sig.select(col("doc_id").as("a_id"),
+          .join(toks.select(col("doc_id").as("a_id"),
             col("toks").as("a_toks")), "a_id")
-          .join(sig.select(col("doc_id").as("b_id"),
+          .join(toks.select(col("doc_id").as("b_id"),
             col("toks").as("b_toks")), "b_id")
           .select(col("a_id"), col("b_id"), inter.as("n_inter"),
             jac.as("jaccard"))
@@ -293,43 +296,74 @@ object TextOps {
           "AS hsx FROM documents)"
       }),
 
-    // X4: n-gram Jaccard near-dup without LSH — blocking on
-    // (lang, length-bucket): near-identical docs share both, so the pair
-    // space is per-block, never corpus². Trigram-set Jaccard ≥ 0.3 on
-    // candidate pairs. (Boundary-crossing pairs are missed by design —
-    // that is the blocking trade-off; the MinHash-LSH variant above
-    // catches them probabilistically.) May return 0 rows on a corpus
-    // without near-dups.
+    // X4: n-gram Jaccard near-dup — MinHash-band blocking (band keys are
+    // corpus-size-invariant: a band collision needs the same lane minima,
+    // so block sizes don't grow with the corpus, unlike a (lang,
+    // length-bucket) key whose per-block O(n²) explodes at scale).
+    // Candidates travel as id pairs only; the trigram-shingle sets are
+    // joined back AFTER the candidate cut, so the heavy arrays never fan
+    // out through the pair join. Verification is trigram-set Jaccard
+    // ≥ 0.3 (vs q_dedup_near's token-set Jaccard ≥ 0.5 — different
+    // similarity measure, same scale-safe plan shape). May return 0 rows
+    // on a corpus without near-dups.
     QDef("q_ngram_jaccard",
       (s, d) => {
         graft.functions.VectorFunctions.register(s)
-        val sig = Tables(s, d, "documents")
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), col("lang"),
-            expr("n_chars div 20").as("lenb"),
-            array_distinct(expr("graft_shingles(text)")).as("shs"))
+        // repartition: the single-file source otherwise yields ONE
+        // partition for the per-doc hashing; persist ONLY the narrow
+        // (id, band, band) signature — caching the shingle arrays costs
+        // more in columnar encoding than recomputing them for the (tiny)
+        // candidate fetch.
+        val docs = Tables(s, d, "documents").repartition(col("doc_id"))
+        val bands = docs
+          .withColumn("lanes", expr("graft_minhash_lanes(text)"))
+          .select(col("doc_id"),
+            md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
+            md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
           .persist()
-        val a = sig.toDF("a_id", "a_lang", "a_lenb", "a_shs")
-        val b = sig.toDF("b_id", "b_lang", "b_lenb", "b_shs")
+        val shs = docs.select(col("doc_id"),
+          expr("graft_shingle_set(text)").as("shs"))
+        val a = bands.select(col("doc_id").as("a_id"), col("band1"),
+          col("band2"))
+        val b = bands.select(col("doc_id").as("b_id"),
+          col("band1").as("bb1"), col("band2").as("bb2"))
+        val c1 = a.join(b, col("band1") === col("bb1") &&
+          col("a_id") < col("b_id")).select("a_id", "b_id")
+        val c2 = a.join(b, col("band2") === col("bb2") &&
+          col("a_id") < col("b_id")).select("a_id", "b_id")
+        val cand = c1.union(c2).distinct()
         val inter = size(array_intersect(col("a_shs"), col("b_shs")))
         val jac = inter.cast("double") /
           (size(col("a_shs")) + size(col("b_shs")) - inter)
-        a.join(b, col("a_lang") === col("b_lang") &&
-            col("a_lenb") === col("b_lenb") && col("a_id") < col("b_id"))
+        cand
+          .join(shs.select(col("doc_id").as("a_id"),
+            col("shs").as("a_shs")), "a_id")
+          .join(shs.select(col("doc_id").as("b_id"),
+            col("shs").as("b_shs")), "b_id")
           .select(col("a_id"), col("b_id"), jac.as("jaccard"))
           .filter(col("jaccard") >= 0.3)
       },
-      Some("WITH t AS (SELECT doc_id, lang, n_chars // 20 AS lenb, " +
+      Some("WITH t AS (SELECT doc_id, " +
         "string_split_regex(trim(text), '\\s+') AS rawtoks FROM documents), " +
-        s"s AS (SELECT doc_id, lang, lenb, $shSql AS sh FROM t), " +
-        "g AS (SELECT doc_id, lang, lenb, list_distinct(sh) AS shs FROM s) " +
-        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
-        "CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) / " +
-        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) " +
-        "AS jaccard FROM g a JOIN g b ON a.lang = b.lang " +
-        "AND a.lenb = b.lenb AND a.doc_id < b.doc_id " +
-        "WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) / " +
-        "(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) " +
+        s"s AS (SELECT doc_id, $shSql AS sh FROM t), " +
+        s"h AS (SELECT doc_id, list_distinct(sh) AS shs, $hsSql AS hs " +
+        "FROM s), " +
+        "g AS (SELECT doc_id, shs, " +
+        s"md5(${mhSql(1)} || ${mhSql(2)}) AS band1, " +
+        s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM h), " +
+        "c AS (" +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.shs AS ashs, " +
+        "b.shs AS bshs FROM g a JOIN g b " +
+        "ON a.band1 = b.band1 AND a.doc_id < b.doc_id " +
+        "UNION " +
+        "SELECT a.doc_id, b.doc_id, a.shs, b.shs FROM g a JOIN g b " +
+        "ON a.band2 = b.band2 AND a.doc_id < b.doc_id) " +
+        "SELECT a_id, b_id, " +
+        "CAST(len(list_intersect(ashs, bshs)) AS DOUBLE) / " +
+        "(len(ashs) + len(bshs) - len(list_intersect(ashs, bshs))) " +
+        "AS jaccard FROM c " +
+        "WHERE CAST(len(list_intersect(ashs, bshs)) AS DOUBLE) / " +
+        "(len(ashs) + len(bshs) - len(list_intersect(ashs, bshs))) " +
         ">= 0.3")),
 
     // X1: LLM hook through the per-partition client (stub: first 8

@@ -33,6 +33,26 @@ class TextExprSpec extends AnyFunSuite with SparkSuite {
     assert(bad === 0, cmp.collect().mkString("; "))
   }
 
+  test("graft_shingle_set == array_distinct(graft_shingles) on documents") {
+    VectorFunctions.register(spark)
+    val df = Tables(spark, sf, "documents")
+    val cmp = df.select(
+      expr("graft_shingle_set(text)").as("fused"),
+      array_distinct(expr("graft_shingles(text)")).as("hof"))
+    assert(cmp.filter(not(col("fused") <=> col("hof"))).count() === 0)
+  }
+
+  test("text expressions support whole-stage codegen (not CodegenFallback)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val l = Literal("a b c d")
+    val exprs = Seq(
+      graft.functions.Shingles(l),
+      graft.functions.ShingleSet(l),
+      graft.functions.MinHashLanes(l))
+    exprs.foreach(e => assert(!e.isInstanceOf[CodegenFallback], e.getClass))
+  }
+
   test("graft_minhash_lanes == SQL minhash lanes on real documents") {
     VectorFunctions.register(spark)
     val df = Tables(spark, sf, "documents")
