@@ -65,8 +65,11 @@ class KmvDistinct(k: Int) extends Aggregator[String, Array[Long], Double] {
       (k - 1) / kth
     }
 
+  // native array<bigint> encoder: Kryo round-tripped the buffer through
+  // generic java serialization per update, which made a trivial 256-long
+  // sketch cost ~10x an exact countDistinct
   override def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.kryo[Array[Long]] // opaque buffer; only the engine sees it
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 

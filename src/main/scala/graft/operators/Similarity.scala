@@ -20,6 +20,81 @@ import org.apache.spark.sql.functions._
   * is Σ|block|², not |corpus|². For open-ended 100 TB ANN, add
   * random-hyperplane LSH bucketing as the blocking key (same join shape).
   */
+/** Parameterized random-hyperplane LSH with AND-OR banding: `nBands`
+  * bands of `bits` sign-bits each; a candidate pair is any pair agreeing
+  * on ALL bits of AT LEAST ONE band (AND within a band, OR across bands).
+  * More bands → higher recall; more bits per band → stronger pruning.
+  *
+  * Planes are deterministic integer-weight vectors so the DuckDB oracle
+  * and a recall test can reproduce them exactly:
+  * w(p, i) = ((1 + 37p + 61i + 11pi) mod 13) - 6. The mixed p·i term
+  * gives the family full diversity in p — the simpler (31p + 17i) mod 7
+  * family repeats every 7 planes, capping the useful band count.
+  */
+object Ann {
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  def planeSql(p: Int, dim: Int): String =
+    s"transform(sequence(0, ${dim - 1}), " +
+      s"i -> double(((1 + $p * 37 + i * 61 + $p * i * 11) % 13) - 6))"
+
+  private def bitSql(v: String, p: Int, dim: Int): String =
+    s"IF(graft_dot($v, ${planeSql(p, dim)}) >= 0D, '1', '0')"
+
+  /** Band `band` (1-based) = concat of its `bits` sign bits. */
+  def bandSql(v: String, band: Int, bits: Int, dim: Int): String =
+    (1 to bits).map(j => bitSql(v, (band - 1) * bits + j, dim))
+      .mkString("concat(", ", ", ")")
+
+  /** All band keys as array<string> (index = band - 1). */
+  def bandsSql(v: String, nBands: Int, bits: Int, dim: Int): String =
+    (1 to nBands).map(b => bandSql(v, b, bits, dim))
+      .mkString("array(", ", ", ")")
+
+  /** Normalized view of the embeddings table: (vec_id, v, nrm). */
+  def prep(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+
+  /** Distinct candidate pairs (q_id, vec_id) colliding on ≥1 band.
+    * Ids only — vectors are fetched back after the candidate cut, so the
+    * heavy arrays never travel through the band join. The (tiny) query
+    * side is broadcast; the corpus side streams partition-parallel.
+    */
+  def candidates(e: DataFrame, isQuery: Column => Column, nBands: Int,
+      bits: Int, dim: Int = 64): DataFrame = {
+    val banded = e.withColumn("bands", expr(bandsSql("v", nBands, bits, dim)))
+    val c = banded.select(col("vec_id"), posexplode(col("bands")))
+      .toDF("vec_id", "band_idx", "band_key")
+    val q = banded.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), posexplode(col("bands")))
+      .toDF("q_id", "q_band_idx", "q_band_key")
+    c.join(broadcast(q), col("band_idx") === col("q_band_idx") &&
+        col("band_key") === col("q_band_key") &&
+        col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+  }
+
+  /** Banded ANN top-k: exact cosine rescoring of the candidate set only. */
+  def topK(emb: DataFrame, isQuery: Column => Column, k: Int, nBands: Int,
+      bits: Int, dim: Int = 64): DataFrame = {
+    val e = prep(emb)
+    val cand = candidates(e, isQuery, nBands, bits, dim)
+    val q = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val sim = Det.rnd(expr("graft_dot(v, qv)") / (col("nrm") * col("qn")), 6)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(e, "vec_id").join(broadcast(q), "q_id")
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "sim")
+  }
+}
+
 object Similarity {
 
   // graft_dot is the custom codegen DotProduct expression
@@ -113,6 +188,46 @@ object Similarity {
           "SELECT q_id, vec_id, bucket, sim FROM (SELECT *, " +
           "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) " +
           "AS rn FROM p) WHERE rn <= 3"
+      }),
+
+    // X3: AND-OR banded LSH ANN through the parameterized Ann machinery —
+    // 8 bands × 2 bits, candidates = OR-of-band collisions (ids only),
+    // exact cosine rescoring on candidates, top-3 per query. The recall
+    // properties of this config are asserted against brute force in
+    // AnnRecallSpec.
+    QDef("q_simsearch_banded",
+      (s, d) => {
+        VectorFunctions.register(s)
+        Ann.topK(Tables(s, d, "embeddings"), _ < 10, k = 3,
+          nBands = 8, bits = 2)
+      },
+      Some {
+        def plane(p: Int) =
+          s"[CAST(((1 + $p * 37 + i * 61 + $p * i * 11) % 13) - 6 " +
+            "AS DOUBLE) for i in generate_series(0, 63)]"
+        def bit(p: Int) =
+          s"CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 " +
+            "THEN '1' ELSE '0' END"
+        def band(b: Int) =
+          (1 to 2).map(j => bit((b - 1) * 2 + j)).mkString(" || ")
+        val bandCols = (1 to 8).map(b => s"(${band(b)}) AS band$b")
+          .mkString(", ")
+        val unions = (1 to 8).map(b =>
+          s"SELECT q.vec_id AS q_id, c.vec_id AS vec_id FROM e c JOIN e q " +
+            s"ON c.band$b = q.band$b AND q.vec_id < 10 " +
+            "AND c.vec_id <> q.vec_id").mkString(" UNION ")
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+          s"$bandCols FROM embeddings), " +
+          s"cand AS ($unions), " +
+          "p AS (SELECT cand.q_id, cand.vec_id, " +
+          s"${Det.rndSql("list_dot_product(c.v, q.v) / " +
+            "(sqrt(list_dot_product(c.v, c.v)) * " +
+            "sqrt(list_dot_product(q.v, q.v)))", 6)} AS sim " +
+          "FROM cand JOIN e c ON cand.vec_id = c.vec_id " +
+          "JOIN e q ON cand.q_id = q.vec_id) " +
+          "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
+          "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p) " +
+          "WHERE rn <= 3"
       }),
 
     // X3/X4: embedding near-dup pairs, blocked by label (IVF-style coarse

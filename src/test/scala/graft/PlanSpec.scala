@@ -44,6 +44,18 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
 
+  test("q_sql_report: SQL path broadcasts the customer side") {
+    val p = plan("q_sql_report")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sessionize: one shuffle, both windows share one sort") {
+    val p = plan("q_sessionize")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert("Sort ".r.findAllIn(p).size === 1, p)
+  }
+
   test("q_simsearch: custom dot product in plan, top-k pushed into window") {
     val p = plan("q_simsearch")
     assert(p.contains("dotproduct("), p)
