@@ -19,11 +19,14 @@ trait LLMClient extends Serializable {
 }
 
 /** Deterministic stand-in: "summarize" = first 8 whitespace tokens.
-  * Mirrors llm_client.py:36-37 shape (prompt in, text out).
+  * Mirrors llm_client.py:36-37 shape (prompt in, text out). Tokenizes via
+  * TextHashing.tokens (Spark-SQL-exact space-only trim) so the DuckDB
+  * oracle's `trim` + regex split sees identical tokens — Java String.trim
+  * would also strip tabs/controls and diverge on edge whitespace.
   */
 class StubLLMClient extends LLMClient {
   override def ask(prompt: String): String =
-    prompt.trim.split("\\s+").take(8).mkString(" ")
+    TextHashing.tokens(prompt).take(8).mkString(" ")
 }
 
 object LlmOps {

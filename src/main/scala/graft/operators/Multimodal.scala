@@ -40,20 +40,27 @@ object Multimodal {
       .withColumn("media_type", lit("application/x-fake"))
 
   /** Per-partition decode: one decoder per partition, features appended
-    * as a struct column.
+    * as a struct column. A null payload (e.g. null text upstream of
+    * unhex(md5(...))) yields a null features struct instead of an NPE.
     */
   def decodeFeatures(df: DataFrame, payloadCol: String): DataFrame = {
     val featSchema = StructType(Seq(
       StructField("n_bytes", IntegerType, false),
       StructField("magic", StringType, false),
       StructField("brightness", DoubleType, false)))
-    val schema = df.schema.add("features", featSchema)
+    val schema = df.schema.add("features", featSchema, nullable = true)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       val dec = new StubDecoder
       it.map { r =>
-        val (n, magic, bright) = dec.decode(r.getAs[Array[Byte]](idx))
-        Row.fromSeq(r.toSeq :+ Row(n, magic, bright))
+        val bytes = r.getAs[Array[Byte]](idx)
+        val feats =
+          if (bytes == null) null
+          else {
+            val (n, magic, bright) = dec.decode(bytes)
+            Row(n, magic, bright)
+          }
+        Row.fromSeq(r.toSeq :+ feats)
       }
     }(Encoders.row(schema))
   }

@@ -118,17 +118,20 @@ object OmsPipeline {
       if (df.columns.contains(c)) df.withColumn(c, col(c).cast(DoubleType))
       else df.withColumn(c, lit(null).cast(DoubleType))
     }
-    val derived = deriveDeltas(complete.cache())
+    val derived = deriveDeltas(complete)
     derived.select(("country" +: "date" +: measureCols :+ "pandemic")
       .map(col): _*)
   }
 
   /** Conditional per-country delta derivation (reference
     * ETL_OMS_FINAL.py:64-68): only when the delta column is entirely
-    * null does the cumulative diff kick in. The all-null test is a cheap
-    * driver-side aggregate; the diff is a window lag ordered by date
-    * (the reference relies on file order — a latent bug SURVEY.md
-    * §7.4.2 resolves with the explicit sort).
+    * null does the cumulative diff kick in. The gate is branch-free: a
+    * 1-row global aggregate broadcast-cross-joined onto the frame, so the
+    * whole derivation stays one lazy plan — no driver actions, nothing to
+    * cache, and at 100× file counts no serialized job launches. The diff
+    * is a window lag ordered by date (the reference relies on file
+    * order — a latent bug SURVEY.md §7.4.2 resolves with the explicit
+    * sort).
     */
   def deriveDeltas(df: DataFrame,
       treatZeroAsMissing: Boolean = false): DataFrame = {
@@ -141,19 +144,19 @@ object OmsPipeline {
     // v3/v4 gate: column entirely null (ETL_OMS_FINAL.py:64); v5 gate:
     // entirely zero (ETL_OMS_OPERATIONNEL.py:141) — unified as "no
     // meaningful value present"
-    def missing(c: String): Boolean = {
-      val meaningful =
-        if (treatZeroAsMissing) count(when(col(c) =!= 0.0, 1))
-        else count(col(c))
-      df.agg(meaningful).first().getLong(0) == 0L
-    }
+    def meaningful(c: String): org.apache.spark.sql.Column =
+      if (treatZeroAsMissing) count(when(col(c) =!= 0.0, 1))
+      else count(col(c))
+    val gates = df.agg(meaningful("new_cases").as("__nc_present"),
+      meaningful("new_deaths").as("__nd_present"))
     def diffed(cum: String): org.apache.spark.sql.Column =
       coalesce(col(cum) - lag(cum, 1).over(wTie), lit(0.0))
-    val step1 =
-      if (missing("new_cases")) df.withColumn("new_cases", diffed("confirmed"))
-      else df
-    if (missing("new_deaths")) step1.withColumn("new_deaths", diffed("deaths"))
-    else step1
+    df.crossJoin(broadcast(gates))
+      .withColumn("new_cases", when(col("__nc_present") === 0L,
+        diffed("confirmed")).otherwise(col("new_cases")))
+      .withColumn("new_deaths", when(col("__nd_present") === 0L,
+        diffed("deaths")).otherwise(col("new_deaths")))
+      .drop("__nc_present", "__nd_present")
   }
 
   /** v4 typed-default completion (reference
@@ -387,7 +390,7 @@ object OmsPipeline {
       .filter(col("date") >= lit("2019-01-01").cast("timestamp"))
     val converted = cleanCoordinates(convertPerCapita(dated, population))
       .withColumn("pandemic", lit(disease))
-    deriveDeltas(converted.cache(), treatZeroAsMissing = true)
+    deriveDeltas(converted, treatZeroAsMissing = true)
       .select(("country" +: "date" +: measureCols :+ "latitude" :+
         "longitude" :+ "pandemic").map(col): _*)
   }
@@ -402,10 +405,18 @@ object OmsPipeline {
     * generated CASE-WHEN UPDATE.
     */
   final case class OperationalResult(processed: Seq[String],
-      skipped: Seq[String], star: StarSchema, regionGeo: DataFrame)
+      skipped: Seq[String], star: StarSchema, regionGeo: DataFrame,
+      private val cached: DataFrame) {
+    /** Release the run's cached union frame once the star/geo outputs
+      * have been written — long-lived sessions otherwise accumulate dead
+      * cache blocks.
+      */
+    def release(): Unit = { cached.unpersist(); () }
+  }
 
   def runOperational(spark: SparkSession, dir: String): OperationalResult = {
-    val files = new java.io.File(dir).listFiles()
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(throw new IllegalArgumentException(s"not a directory: $dir"))
       .filter(f => f.getName.endsWith(".csv") || f.getName.endsWith(".json"))
       .map(_.getPath).sorted.toSeq
     val results = files.map { path =>
@@ -440,6 +451,6 @@ object OmsPipeline {
       .join(broadcast(firstObs), Seq("nom_region"), "left")
       .select(col("id_region"), col("nom_region"), col("id_pays"),
         col("obs_lat").as("latitude"), col("obs_long").as("longitude"))
-    OperationalResult(processed, skipped, star, regionGeo)
+    OperationalResult(processed, skipped, star, regionGeo, all)
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.sinks.JdbcUpsertSink
+import graft.sinks.JdbcUpsertSink.{FileConnector, MergeSpec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S7 gate: the generated staging/COPY/merge SQL must match the shape of
+  * the reference's production load path (ETL_OMS_OPERATIONNEL.py:180-211),
+  * and the load orchestration must run DDL → stage → merge in order.
+  */
+class JdbcUpsertSinkSpec extends AnyFunSuite with SparkSuite {
+
+  private val spec = JdbcUpsertSink.statistiqueSpec
+
+  test("staging DDL matches the reference temp-table shape") {
+    val ddl = JdbcUpsertSink.createStagingSql(spec)
+    assert(ddl.startsWith("DROP TABLE IF EXISTS temp_statistique;"))
+    assert(ddl.contains("CREATE TEMP TABLE temp_statistique"))
+    assert(ddl.contains("id_region INTEGER"))
+    assert(ddl.contains("date DATE"))
+  }
+
+  test("COPY statement matches the reference copy_expert shape") {
+    assert(JdbcUpsertSink.copySql(spec) ===
+      "COPY temp_statistique(id_maladie, id_region, date, nouveau_mort, " +
+        "nouveau_cas, total_mort, total_cas) FROM STDIN WITH CSV")
+  }
+
+  test("merge statement matches the reference ON CONFLICT upsert") {
+    val sql = JdbcUpsertSink.insertOnConflictSql(spec)
+    assert(sql.contains("INSERT INTO statistique (id_maladie, id_region, " +
+      "date, nouveau_mort, nouveau_cas, total_mort, total_cas)"))
+    assert(sql.contains("FROM temp_statistique"))
+    assert(sql.contains("ON CONFLICT (id_region, date) DO UPDATE SET"))
+    assert(sql.contains("nouveau_mort = EXCLUDED.nouveau_mort"))
+    assert(sql.contains("total_cas = EXCLUDED.total_cas"))
+    // conflict keys are matched, not clobbered
+    assert(!sql.contains("id_region = EXCLUDED"))
+  }
+
+  test("load runs DDL, stages the frame, then merges — in that order") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jdbc").toString
+    val conn = new FileConnector(dir)
+    val df = Seq((1, 7, "2024-01-01", 2, 5, 10, 20))
+      .toDF("id_maladie", "id_region", "date", "nouveau_mort",
+        "nouveau_cas", "total_mort", "total_cas")
+    JdbcUpsertSink.load(df, spec, conn)
+    assert(conn.executed.size === 2)
+    assert(conn.executed.head.contains("CREATE TEMP TABLE"))
+    assert(conn.executed.last.contains("ON CONFLICT"))
+    // the staged CSV exists and carries the spec's column order
+    val staged = spark.read.option("header", true)
+      .csv(s"$dir/temp_statistique")
+    assert(staged.columns.toSeq === spec.columns)
+    assert(staged.count() === 1)
+  }
+
+  test("spec validation rejects unknown conflict/update columns") {
+    intercept[IllegalArgumentException] {
+      MergeSpec("t", "tmp", Seq("a"), Map.empty, Seq("b"), Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      MergeSpec("t", "tmp", Seq("a"), Map.empty, Seq("a"), Seq("b"))
+    }
+  }
+}

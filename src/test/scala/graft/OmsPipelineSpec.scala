@@ -120,6 +120,8 @@ class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("operational run: unmappable files skipped, diseases detected") {
+    // session is shared across suites: measure cache growth relatively
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val res = OmsPipeline.runOperational(spark, refData)
     // monkeypox_report_2.csv (Entity,Day,Daily cases) matches no synonym
     // and must be skipped (ETL_OMS_OPERATIONNEL.py:250-253); covid_day_wise
@@ -142,6 +144,14 @@ class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
     val unrounded = geo.filter(col("latitude").isNotNull &&
       col("latitude") =!= round(col("latitude"), 6)).count()
     assert(unrounded === 0)
+    // cache hygiene: release() drops the run's cached union frame
+    res.release()
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+      "cache blocks leaked after release()")
+    // a missing directory is a clear error, not an opaque NPE
+    intercept[IllegalArgumentException] {
+      OmsPipeline.runOperational(spark, "/nonexistent/dir")
+    }
   }
 
   test("v4 typed defaults: Unknown country, now() date, zero measures") {
