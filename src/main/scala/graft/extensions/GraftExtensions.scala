@@ -59,9 +59,33 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     }
 }
 
+/** Rewrite `size(array_intersect(a, b))` over string arrays into the
+  * fused no-allocation [[graft.functions.IntersectSize]] — the inner loop
+  * of every set-Jaccard verification. IntersectSize is null-on-null-input;
+  * under `legacySizeOfNull = true` (the non-ANSI default, size(null) = -1)
+  * the rewrite wraps it in coalesce(-1) so semantics are preserved
+  * exactly in both modes.
+  */
+object RewriteIntersectSize extends Rule[LogicalPlan] {
+
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayIntersect(a, b), legacy)
+          if isStringArray(a) && isStringArray(b) =>
+        val fused = graft.functions.IntersectSize(a, b)
+        if (legacy) Coalesce(Seq(fused, Literal(-1))) else fused
+    }
+}
+
 /** Session extension wiring: `--conf spark.sql.extensions=
-  * graft.extensions.GraftExtensions` gives any session the `graft_dot`
-  * function and the HOF-dot rewrite without code changes.
+  * graft.extensions.GraftExtensions` gives any session the graft
+  * functions and the HOF-dot / intersect-size rewrites without code
+  * changes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -72,5 +96,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => builder(exprs)))
     }
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectOptimizerRule(_ => RewriteIntersectSize)
   }
 }

@@ -90,7 +90,13 @@ object VectorFunctions {
     "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
     "graft_shingles" -> (exprs => Shingles(exprs.head)),
     "graft_shingle_set" -> (exprs => ShingleSet(exprs.head)),
-    "graft_minhash_lanes" -> (exprs => MinHashLanes(exprs.head)))
+    "graft_minhash_lanes" -> (exprs => MinHashLanes(exprs.head)),
+    "graft_intersect_size" -> (exprs =>
+      IntersectSize(exprs.head, exprs(1))),
+    "graft_heavy_hitters" -> (exprs => {
+      require(exprs(1).foldable, "graft_heavy_hitters k must be a literal")
+      MisraGries(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+    }))
 
   /** Register graft's custom expressions for SQL/expr use in this
     * session.

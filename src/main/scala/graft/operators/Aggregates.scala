@@ -54,6 +54,39 @@ object Aggregates {
         "max(l_shipdate) AS last_ship, count(*) AS n " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus")),
 
+    // TPC-H Q1 shape: the pricing-summary scan-heavy aggregate — one
+    // pushed filter, one shuffle, partial+final aggregation over six
+    // measures (cents-exact sums; averages derived by one deterministic
+    // division). The canonical "aggregate 100 TB down to 6 rows" query.
+    QDef("q_tpch_q1",
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          Det.exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Det.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+            4).as("sum_disc_price"),
+          Det.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")), 4).as("sum_charge"),
+          (Det.exactSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+          (Det.exactSum(col("l_discount"), 4) / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        s"${Det.exactSumSql("l_quantity", 2)} AS sum_qty, " +
+        s"${Det.exactSumSql("l_extendedprice", 2)} AS sum_base_price, " +
+        s"${Det.exactSumSql("l_extendedprice * (1 - l_discount)", 4)} " +
+        "AS sum_disc_price, " +
+        s"${Det.exactSumSql(
+          "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)} " +
+        "AS sum_charge, " +
+        s"${Det.exactSumSql("l_quantity", 2)} / count(*) AS avg_qty, " +
+        s"${Det.exactSumSql("l_discount", 4)} / count(*) AS avg_disc, " +
+        "count(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus")),
+
     // exact count-distinct per group.
     QDef("q_count_distinct",
       (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
@@ -82,6 +115,24 @@ object Aggregates {
           .kmvDistinct(col("l_partkey").cast("string"))
           .as("kmv_parts")),
       None),
+
+    // custom TypedImperativeAggregate sketch: Misra-Gries heavy hitters
+    // over event_type per user-bucket. The sketch is EXACT when distinct
+    // values per group <= k (here: a handful of event types vs k=16), so
+    // a plain GROUP BY oracle hash-checks it — while the same operator
+    // handles million-cardinality columns with bounded memory at 100 TB.
+    QDef("q_heavy_hitters",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        Tables.events(s, d)
+          .groupBy(expr("user_id % 4").as("bucket"))
+          .agg(expr("graft_heavy_hitters(event_type, 16)").as("hh"))
+          .select(col("bucket"), explode(col("hh")).as("h"))
+          .select(col("bucket"), col("h.item").as("item"),
+            col("h.cnt").as("cnt"))
+      },
+      Some("SELECT user_id % 4 AS bucket, event_type AS item, " +
+        "count(*) AS cnt FROM events GROUP BY 1, 2")),
 
     // HAVING: post-aggregation filter (frequent buyers).
     QDef("q_having",

@@ -151,6 +151,41 @@ object Joins {
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
         "ORDER BY revenue DESC, l_orderkey LIMIT 10")),
 
+    // TPC-H Q5 shape: local-supplier volume — the one big-big shuffle
+    // (lineitem ⋈ orders) plus broadcast dims, with the extra
+    // c_nationkey = s_nationkey locality condition that makes it a join
+    // graph rather than a pure star. Revenue cents-exact per nation.
+    QDef("q_tpch_q5",
+      (s, d) => {
+        val l = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        val sup = Tables(s, d, "supplier")
+        val n = Tables(s, d, "nation")
+        val r = Tables(s, d, "region").filter(col("r_name") === "ASIA")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(n("n_name").as("nation"))
+          .agg(Det.exactSum(
+            l("l_extendedprice") * (lit(1) - l("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("SELECT n_name AS nation, " +
+        s"${Det.exactSumSql("l_extendedprice * (1 - l_discount)", 4)} " +
+        "AS revenue, count(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name")),
+
     // star join: fact ⋈ three dimension hops, every dim broadcast — the
     // canonical warehouse shape (orders → customer → nation → region).
     // At 100 TB only the fact side scans big; zero fact shuffles before

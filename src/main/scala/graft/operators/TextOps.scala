@@ -229,7 +229,7 @@ object TextOps {
         val c2 = a.join(b, col("band2") === col("bb2") &&
           col("a_id") < col("b_id")).select("a_id", "b_id")
         val cand = c1.union(c2).distinct()
-        val inter = size(array_intersect(col("a_toks"), col("b_toks")))
+        val inter = expr("graft_intersect_size(a_toks, b_toks)")
         val jac = inter.cast("double") /
           (size(col("a_toks")) + size(col("b_toks")) - inter)
         cand
@@ -332,7 +332,7 @@ object TextOps {
         val c2 = a.join(b, col("band2") === col("bb2") &&
           col("a_id") < col("b_id")).select("a_id", "b_id")
         val cand = c1.union(c2).distinct()
-        val inter = size(array_intersect(col("a_shs"), col("b_shs")))
+        val inter = expr("graft_intersect_size(a_shs, b_shs)")
         val jac = inter.cast("double") /
           (size(col("a_shs")) + size(col("b_shs")) - inter)
         cand

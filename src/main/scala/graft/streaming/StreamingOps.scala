@@ -23,20 +23,10 @@ object StreamingOps {
   def tumblingCounts(spark: SparkSession, sfDir: String,
       queryName: String = "stream_tumbling"): DataFrame = {
     // schema must be known up front for streaming reads; ts arrives as
-    // raw nanos (see Tables.events) and is truncated identically.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, sfDir).schema
-      .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
-        (st, f) => if (f.name == "ts")
-          st.add("ts", org.apache.spark.sql.types.LongType)
-        else st.add(f)
-      }
-    // the file-stream source requires a directory; select the single
-    // events file out of the sf dir with a glob filter
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // raw nanos (see Tables.events) and is truncated identically. The
+    // file-stream source requires a directory; eventsStream selects the
+    // single events file out of the sf dir with a glob filter.
+    val stream = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -87,16 +77,22 @@ object StreamingOps {
               .filter(col("_rn") === 1).drop("_rn", "_src")
           }
         // write-then-swap: the merge plan reads targetDir, so write the
-        // new version beside it and atomically promote — stays fully
-        // distributed (a lakehouse table format does this with
-        // transaction logs instead of directory swaps)
+        // new version beside it and promote via two renames — at every
+        // instant a complete copy exists on disk (crash between renames
+        // leaves _old restorable), unlike delete-then-rename which has a
+        // window with no target at all. A lakehouse table format replaces
+        // this with transaction logs; directory renames are the
+        // file-system stand-in and are NOT multi-writer safe.
         val tmp = targetDir + "_next"
         merged.write.mode("overwrite").parquet(tmp)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val tgt = new org.apache.hadoop.fs.Path(targetDir)
-        fs.delete(tgt, true)
+        val old = new org.apache.hadoop.fs.Path(targetDir + "_old")
+        fs.delete(old, true)
+        if (fs.exists(tgt)) fs.rename(tgt, old)
         fs.rename(new org.apache.hadoop.fs.Path(tmp), tgt)
+        fs.delete(old, true)
         ()
       }
       .option("checkpointLocation",
@@ -104,6 +100,94 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  private def eventsSchema(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(spark, sfDir).schema
+      .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
+        (st, f) => if (f.name == "ts")
+          st.add("ts", org.apache.spark.sql.types.LongType)
+        else st.add(f)
+      }
+  }
+
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(eventsSchema(spark, sfDir))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Stream-stream interval join: each purchase matched to same-user
+    * clicks at most one hour earlier. Both sides watermarked so the join
+    * state is bounded (clicks can be dropped once no purchase within the
+    * interval + watermark can still arrive) — the canonical attribution
+    * join at 100 TB/day event rates.
+    */
+  def clickAttribution(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_attrib"): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("c_user = p_user AND " +
+        "click_ts >= purchase_ts - INTERVAL 1 HOUR AND " +
+        "click_ts <= purchase_ts"))
+      .select("purchase_id", "p_user", "purchase_ts", "click_id",
+        "click_ts")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Batch twin of [[clickAttribution]] for equivalence testing. */
+  def clickAttributionBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    purchases.join(clicks,
+      expr("c_user = p_user AND " +
+        "click_ts >= purchase_ts - INTERVAL 1 HOUR AND " +
+        "click_ts <= purchase_ts"))
+      .select("purchase_id", "p_user", "purchase_ts", "click_id",
+        "click_ts")
+  }
+
+  /** Watermarked streaming dedup on the event id: state is bounded by the
+    * watermark instead of growing with the whole stream history — the
+    * at-least-once-source dedup shape.
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_dedup"): DataFrame = {
+    val q = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type", "ts")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
   }
 
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
@@ -123,13 +207,7 @@ object StreamingOps {
       queryName: String = "stream_sessions"): DataFrame = {
     val sp = spark
     import sp.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, sfDir).schema
-      .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
-        (st, f) => if (f.name == "ts")
-          st.add("ts", org.apache.spark.sql.types.LongType)
-        else st.add(f)
-      }
+    val schema = eventsSchema(spark, sfDir)
     val gapUs = gapMinutes * 60L * 1000000L
     val fn = (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) => {
       // events within a micro-batch arrive unordered per group

@@ -47,6 +47,47 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("optimizer rule rewrites size(array_intersect) to IntersectSize") {
+    import graft.extensions.RewriteIntersectSize
+    val sp = spark
+    import sp.implicits._
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ RewriteIntersectSize
+      // parquet-backed source: local Seq relations constant-fold to a
+      // LocalRelation before the rule is observable
+      val docs = Tables(spark, sf, "documents")
+        .select(split(trim($"text"), "\\s+").as("a"),
+          split(lower(trim($"text")), "\\s+").as("b"))
+      val composed = docs.select(size(array_intersect($"a", $"b")).as("n"))
+      val optimized = composed.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("intersectsize("), optimized)
+      // non-string arrays are left alone
+      val ints = Tables(spark, sf, "documents")
+        .select(array($"doc_id").as("a"), array($"doc_id").as("b"))
+        .select(size(array_intersect($"a", $"b")).as("n"))
+      assert(!ints.queryExecution.optimizedPlan.toString
+        .contains("intersectsize("))
+    } finally spark.experimental.extraOptimizations = prev
+    // value parity incl. null arrays, null elements, duplicates — fused
+    // function vs the composable form on the same rows. With ANSI off,
+    // legacySizeOfNull=true makes size(null)=-1, which the rewrite
+    // preserves via coalesce(fused, -1).
+    graft.functions.VectorFunctions.register(spark)
+    val edge = Seq(
+      (Seq("a", "b", "b", null), Seq("b", "c", null, null)),
+      (Seq("x"), Seq[String]()),
+      (null, Seq("a")))
+      .toDF("a", "b")
+      .select(size(array_intersect($"a", $"b")).as("composed"),
+        expr("coalesce(graft_intersect_size(a, b), -1)").as("legacy_fused"),
+        expr("graft_intersect_size(a, b)").as("fused"))
+    assert(edge.filter(not($"composed" <=> $"legacy_fused")).count() === 0)
+    val vals = edge.collect().map(r =>
+      if (r.isNullAt(2)) null else r.getInt(2)).toSeq
+    assert(vals === Seq(2, 0, null))
+  }
+
   test("GraftExtensions wires function + rule into a session builder") {
     // constructing the extensions object and applying it must register
     // both injections without error (full-session wiring is exercised via

@@ -98,4 +98,21 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("stream-stream interval join equals its batch twin") {
+    val streamed = StreamingOps.clickAttribution(spark, sf)
+    val batch = StreamingOps.clickAttributionBatch(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("watermarked streaming dedup: unique event ids, none lost") {
+    val streamed = StreamingOps.streamingDedup(spark, sf)
+    val n = streamed.count()
+    // the fixture's event_ids are already unique, so the watermarked
+    // dedup must pass everything through exactly once
+    assert(n === Tables.events(spark, sf).count())
+    assert(streamed.select("event_id").distinct().count() === n)
+  }
 }
