@@ -116,6 +116,22 @@ object Aggregates {
           .as("kmv_parts")),
       None),
 
+    // explicit GROUPING SETS (beyond rollup/cube): mixed granularities in
+    // one shuffle, grouping_id disambiguating real nulls from
+    // grouping-placeholder nulls in both engines.
+    QDef("q_grouping_sets",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("v_orders_gs")
+        s.sql("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+          "CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) " +
+          "AS gid FROM v_orders_gs GROUP BY GROUPING SETS (" +
+          "(o_orderstatus, o_orderpriority), (o_orderstatus), ())")
+      },
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid " +
+        "FROM orders GROUP BY GROUPING SETS (" +
+        "(o_orderstatus, o_orderpriority), (o_orderstatus), ())")),
+
     // custom TypedImperativeAggregate sketch: Misra-Gries heavy hitters
     // over event_type per user-bucket. The sketch is EXACT when distinct
     // values per group <= k (here: a handful of event types vs k=16), so

@@ -79,6 +79,9 @@ object Ann {
   /** Banded ANN top-k: exact cosine rescoring of the candidate set only. */
   def topK(emb: DataFrame, isQuery: Column => Column, k: Int, nBands: Int,
       bits: Int, dim: Int = 64): DataFrame = {
+    // prep feeds band generation plus both rescoring joins and is
+    // deliberately NOT persisted: recomputing the scan + norms is cheaper
+    // than columnar cache encoding at this width (measured at sf0.1)
     val e = prep(emb)
     val cand = candidates(e, isQuery, nBands, bits, dim)
     val q = e.filter(isQuery(col("vec_id")))
