@@ -233,6 +233,81 @@ object Similarity {
           "WHERE rn <= 3"
       }),
 
+    // X3: IVF ANN — the third leg of the similarity triad (brute force /
+    // LSH / IVF). Coarse quantizer = per-label centroids (element-wise
+    // means over integer-scaled values: floor(x*1e6+0.5) sums are exact
+    // integers in any order, so the centroids are bit-identical across
+    // engines and partitionings — a real k-means would only change how
+    // `cents` is produced). Every vector is assigned to its nearest
+    // centroid (its "cell"); a query probes ONLY its own cell, so scan
+    // cost is corpus/cells per query — the inverted-file scale path.
+    QDef("q_simsearch_ivf",
+      (s, d) => {
+        VectorFunctions.register(s)
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", expr(norm))
+        // deterministic element-wise centroid means
+        val cents = e.select(col("label"), posexplode(col("v")))
+          .toDF("clabel", "i", "x")
+          .groupBy("clabel", "i")
+          .agg((sum(floor(col("x") * lit(1000000.0) + lit(0.5))) /
+            (lit(1000000.0) * count(lit(1)))).as("cx"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), " +
+            "p -> p.cx)").as("c"))
+          .withColumn("cn", expr("sqrt(graft_dot(c, c))"))
+        // cell assignment: nearest centroid by rounded cosine, label tiebreak
+        val simToCent = Det.rnd(expr("graft_dot(v, c)") /
+          (col("nrm") * col("cn")), 6)
+        val wCell = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("clabel").asc)
+        val cells = e.crossJoin(broadcast(cents))
+          .withColumn("csim", simToCent)
+          .withColumn("crn", row_number().over(wCell))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("clabel").as("cell"))
+        val q = cells.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"), col("cell").as("q_cell"))
+        val sim = Det.rnd(expr(dotAB) / (col("nrm") * col("qn")), 6)
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        cells.join(broadcast(q), col("cell") === col("q_cell") &&
+            col("vec_id") =!= col("q_id"))
+          .withColumn("sim", sim)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id"), col("cell"), col("sim"))
+      },
+      Some {
+        val csim = Det.rndSql("list_dot_product(v, c) / " +
+          "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)))", 6)
+        val sim = Det.rndSql("list_dot_product(c2.v, q.v) / " +
+          "(sqrt(list_dot_product(c2.v, c2.v)) * " +
+          "sqrt(list_dot_product(q.v, q.v)))", 6)
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
+          "FROM embeddings), " +
+          "cent AS (SELECT clabel, list(cx ORDER BY i) AS c FROM (" +
+          "SELECT label AS clabel, i, " +
+          "sum(floor(v[i] * 1000000 + 0.5)) / (1000000.0 * count(*)) AS cx " +
+          "FROM e, generate_series(1, 64) t(i) GROUP BY label, i) " +
+          "GROUP BY clabel), " +
+          "cells AS (SELECT vec_id, v, cell FROM (" +
+          s"SELECT e.vec_id, e.v, cent.clabel AS cell, " +
+          s"row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, " +
+          "cent.clabel) AS crn FROM e, cent) WHERE crn = 1), " +
+          "p AS (SELECT q.vec_id AS q_id, c2.vec_id AS vec_id, " +
+          s"c2.cell, $sim AS sim FROM cells c2 " +
+          "JOIN cells q ON c2.cell = q.cell AND q.vec_id < 10 " +
+          "AND c2.vec_id <> q.vec_id) " +
+          "SELECT q_id, vec_id, cell, sim FROM (SELECT *, row_number() " +
+          "OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn " +
+          "FROM p) WHERE rn <= 3"
+      }),
+
     // X3/X4: embedding near-dup pairs, blocked by label (IVF-style coarse
     // partition) — pair cost is per-block, not corpus². May legitimately
     // return few/no rows when no near-dups exist.
