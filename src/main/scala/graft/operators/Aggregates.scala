@@ -361,6 +361,34 @@ object Aggregates {
         "THEN 1 ELSE 0 END AS new_sess FROM events)) " +
         "GROUP BY user_id, session_id")),
 
+    // native session_window (SessionWindowing operator — distinct from
+    // the two-window q_sessionize formulation): sessions merge while the
+    // next event lands strictly inside [start, last + gap); an event at
+    // exactly last + 30min starts a NEW session (window end exclusive),
+    // which the oracle mirrors with gap >= 30min → new session.
+    QDef("q_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .select(col("user_id"),
+          col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("n_events"), col("first_ts"), col("last_ts")),
+      Some("SELECT user_id, min(ts) AS w_start, " +
+        "max(ts) + INTERVAL 30 MINUTE AS w_end, " +
+        "count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts " +
+        "FROM (SELECT user_id, ts, CAST(sum(new_sess) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS session_id FROM (" +
+        "SELECT user_id, ts, event_id, CASE WHEN " +
+        "lag(epoch_us(ts)) OVER w IS NULL OR " +
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))) " +
+        "GROUP BY user_id, session_id")),
+
     // histogram: explicit-arithmetic bucketing (identical double ops on
     // both engines) + count per bucket — the data-profiling building
     // block.

@@ -284,6 +284,42 @@ object Relational {
         "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2 " +
         "WHERE c2.c_mktsegment = c1.c_mktsegment)")),
 
+    // error-tolerant arithmetic/casts: try_divide nulls on zero divisors,
+    // try_cast nulls on malformed input — the pandas errors="coerce"
+    // posture as first-class SQL functions (both engines side-step the
+    // ANSI error path identically).
+    QDef("q_try_arith",
+      (s, d) => Tables(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_quantity, l_linenumber - 1)").as("qd"),
+        expr("try_cast(l_returnflag AS INT)").as("rf_int"),
+        expr("try_cast(l_orderkey AS INT)").as("ok_int")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_linenumber - 1 = 0 THEN NULL " +
+        "ELSE l_quantity / (l_linenumber - 1) END AS qd, " +
+        "TRY_CAST(l_returnflag AS INT) AS rf_int, " +
+        "TRY_CAST(l_orderkey AS INT) AS ok_int FROM lineitem")),
+
+    // array-function surface over tokenized text: slice, sort, membership,
+    // position (joined back to strings so the compare stays scalar).
+    // array_position is 1-based with 0-absent in Spark; DuckDB
+    // list_position is NULL-absent → coalesce to align.
+    QDef("q_array_ops",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          array_join(slice(col("toks"), 1, 3), ",").as("first3"),
+          array_join(array_sort(col("toks")), ",").as("sorted_toks"),
+          array_contains(col("toks"), "the").as("has_the"),
+          array_position(col("toks"), "the").as("pos_the")),
+      Some("SELECT doc_id, " +
+        "array_to_string(toks[1:3], ',') AS first3, " +
+        "array_to_string(list_sort(toks), ',') AS sorted_toks, " +
+        "list_contains(toks, 'the') AS has_the, " +
+        "CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) " +
+        "AS pos_the FROM (SELECT doc_id, " +
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents)")),
+
     // F11: keyword classification contains-chain, first match wins
     // (detect_maladie, ETL_OMS_OPERATIONNEL.py:76-81; 'Inconnue' fallback).
     QDef("q_classify",

@@ -92,6 +92,41 @@ class PropertiesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("property: graft_intersect_size equals reference set intersection") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val tok = Gen.oneOf("a", "b", "cc", "dd", "e", "", " x", "zz")
+    val arrGen = Gen.listOf(tok)
+    samples(Gen.nonEmptyListOf(Gen.zip(arrGen, arrGen)), 3).foreach { rows =>
+      val df = rows.toDF("a", "b")
+        .withColumn("fused", expr("graft_intersect_size(a, b)"))
+        .collect()
+      rows.zip(df).foreach { case ((a, b), r) =>
+        val expected = a.toSet.intersect(b.toSet).size
+        assert(r.getInt(2) === expected, s"a=$a b=$b")
+      }
+    }
+  }
+
+  test("property: heavy hitters exact under any grouping when distinct <= k") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("p", "q", "r", "s"))
+    samples(gen, 3).foreach { values =>
+      val truth = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      Seq(1, 3, 7).foreach { nPart =>
+        val got = sp.sparkContext.parallelize(values, nPart).toDF("x")
+          .agg(expr("graft_heavy_hitters(x, 8)").as("hh"))
+          .select(explode(col("hh")).as("h"))
+          .select(col("h.item"), col("h.cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got === truth, s"partitions=$nPart")
+      }
+    }
+  }
+
   test("property: keep-last dedup is idempotent") {
     val sp = spark
     import sp.implicits._
