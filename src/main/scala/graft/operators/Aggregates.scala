@@ -147,8 +147,11 @@ object Aggregates {
           .select(col("bucket"), col("h.item").as("item"),
             col("h.cnt").as("cnt"))
       },
+      // WHERE pins null semantics: the sketch skips nulls (count(col)
+      // posture), so the oracle must not emit a NULL-item group
       Some("SELECT user_id % 4 AS bucket, event_type AS item, " +
-        "count(*) AS cnt FROM events GROUP BY 1, 2")),
+        "count(*) AS cnt FROM events WHERE event_type IS NOT NULL " +
+        "GROUP BY 1, 2")),
 
     // HAVING: post-aggregation filter (frequent buyers).
     QDef("q_having",

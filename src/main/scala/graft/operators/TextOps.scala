@@ -52,6 +52,37 @@ object TextOps {
       s"md5(${mhSql(1)} || ${mhSql(2)}) AS band1, " +
       s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM h)"
 
+  /** Shared MinHash band-blocking machinery for the near-dup queries:
+    * returns the repartitioned documents frame (the single-file source
+    * otherwise yields ONE partition for the per-doc hashing) and the
+    * distinct band-collision candidate id pairs (a_id < b_id). Only the
+    * narrow (id, band, band) signature is persisted — caching the heavy
+    * token/shingle arrays costs more in columnar encoding than
+    * recomputing them for the (tiny) candidate fetch — and candidates
+    * travel as ids only, so the arrays never fan out through the joins.
+    */
+  private def bandCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    graft.functions.VectorFunctions.register(s)
+    val docs = Tables(s, d, "documents").repartition(col("doc_id"))
+    val bands = docs
+      .withColumn("lanes", expr("graft_minhash_lanes(text)"))
+      .select(col("doc_id"),
+        md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
+        md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
+      .persist()
+    val a = bands.select(col("doc_id").as("a_id"), col("band1"),
+      col("band2"))
+    val b = bands.select(col("doc_id").as("b_id"),
+      col("band1").as("bb1"), col("band2").as("bb2"))
+    val c1 = a.join(b, col("band1") === col("bb1") &&
+      col("a_id") < col("b_id")).select("a_id", "b_id")
+    val c2 = a.join(b, col("band2") === col("bb2") &&
+      col("a_id") < col("b_id")).select("a_id", "b_id")
+    (docs, c1.union(c2).distinct())
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // X6: JSON extraction from the events.props payload column.
@@ -202,33 +233,8 @@ object TextOps {
     // May legitimately return 0 rows when the corpus has no near-dups.
     QDef("q_dedup_near",
       (s, d) => {
-        graft.functions.VectorFunctions.register(s)
-        // persist ONLY the narrow (id, band, band) signature: the minhash
-        // subtree otherwise re-evaluates once per band per join side, and
-        // caching the heavy token arrays costs more in columnar encoding
-        // than recomputing them for the (tiny) candidate fetch. The
-        // repartition spreads per-doc hashing across cores — the
-        // single-file source otherwise yields one partition.
-        val docs = Tables(s, d, "documents").repartition(col("doc_id"))
-        val bands = docs
-          .withColumn("lanes", expr("graft_minhash_lanes(text)"))
-          .select(col("doc_id"),
-            md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
-            md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
-          .persist()
+        val (docs, cand) = bandCandidates(s, d)
         val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
-        // candidate ids only through the band joins (narrow rows), token
-        // lists joined back afterwards — at scale the candidate set is
-        // tiny next to the corpus, so the heavy arrays never fan out.
-        val a = bands.select(col("doc_id").as("a_id"), col("band1"),
-          col("band2"))
-        val b = bands.select(col("doc_id").as("b_id"),
-          col("band1").as("bb1"), col("band2").as("bb2"))
-        val c1 = a.join(b, col("band1") === col("bb1") &&
-          col("a_id") < col("b_id")).select("a_id", "b_id")
-        val c2 = a.join(b, col("band2") === col("bb2") &&
-          col("a_id") < col("b_id")).select("a_id", "b_id")
-        val cand = c1.union(c2).distinct()
         val inter = expr("graft_intersect_size(a_toks, b_toks)")
         val jac = inter.cast("double") /
           (size(col("a_toks")) + size(col("b_toks")) - inter)
@@ -308,30 +314,9 @@ object TextOps {
     // on a corpus without near-dups.
     QDef("q_ngram_jaccard",
       (s, d) => {
-        graft.functions.VectorFunctions.register(s)
-        // repartition: the single-file source otherwise yields ONE
-        // partition for the per-doc hashing; persist ONLY the narrow
-        // (id, band, band) signature — caching the shingle arrays costs
-        // more in columnar encoding than recomputing them for the (tiny)
-        // candidate fetch.
-        val docs = Tables(s, d, "documents").repartition(col("doc_id"))
-        val bands = docs
-          .withColumn("lanes", expr("graft_minhash_lanes(text)"))
-          .select(col("doc_id"),
-            md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
-            md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
-          .persist()
+        val (docs, cand) = bandCandidates(s, d)
         val shs = docs.select(col("doc_id"),
           expr("graft_shingle_set(text)").as("shs"))
-        val a = bands.select(col("doc_id").as("a_id"), col("band1"),
-          col("band2"))
-        val b = bands.select(col("doc_id").as("b_id"),
-          col("band1").as("bb1"), col("band2").as("bb2"))
-        val c1 = a.join(b, col("band1") === col("bb1") &&
-          col("a_id") < col("b_id")).select("a_id", "b_id")
-        val c2 = a.join(b, col("band2") === col("bb2") &&
-          col("a_id") < col("b_id")).select("a_id", "b_id")
-        val cand = c1.union(c2).distinct()
         val inter = expr("graft_intersect_size(a_shs, b_shs)")
         val jac = inter.cast("double") /
           (size(col("a_shs")) + size(col("b_shs")) - inter)

@@ -37,15 +37,25 @@ object JdbcUpsertSink {
   }
 
   /** Staging DDL (reference's CREATE TEMP TABLE temp_statistique,
-    * ETL_OMS_OPERATIONNEL.py:180-190).
+    * ETL_OMS_OPERATIONNEL.py:180-190). `temp = true` reproduces the
+    * reference's single-connection TEMP table; the distributed [[load]]
+    * path MUST use `temp = false` — a TEMP table is session-scoped, and
+    * both Spark's executor-side jdbc writers and any later driver
+    * statement connect on their own sessions, so a TEMP staging table
+    * would have vanished before the data or the merge arrive.
     */
-  def createStagingSql(spec: MergeSpec): String = {
+  def createStagingSql(spec: MergeSpec, temp: Boolean = true): String = {
     val cols = spec.columns
       .map(c => s"$c ${spec.columnTypes.getOrElse(c, "TEXT")}")
       .mkString(", ")
+    val kind = if (temp) "TEMP TABLE" else "TABLE"
     s"DROP TABLE IF EXISTS ${spec.stagingTable}; " +
-      s"CREATE TEMP TABLE ${spec.stagingTable} ($cols);"
+      s"CREATE $kind ${spec.stagingTable} ($cols);"
   }
+
+  /** Post-merge staging cleanup for the permanent-staging [[load]] path. */
+  def dropStagingSql(spec: MergeSpec): String =
+    s"DROP TABLE IF EXISTS ${spec.stagingTable};"
 
   /** Postgres bulk-copy form (reference's copy_expert,
     * ETL_OMS_OPERATIONNEL.py:194-197). Spark's `write.jdbc` replaces this
@@ -106,11 +116,19 @@ object JdbcUpsertSink {
         .csv(s"$dir/${spec.stagingTable}")
   }
 
-  /** The full reference load sequence: staging DDL → bulk stage → merge. */
+  /** The full reference load sequence: staging DDL → bulk stage → merge →
+    * drop staging. The staging table is PERMANENT (not TEMP): every
+    * `execute` and every executor-side jdbc write runs on its own
+    * connection/session, so a session-scoped table would be gone between
+    * steps; instead the typed table is created up front (fixing the
+    * column types Spark's append-mode jdbc write would otherwise infer)
+    * and dropped after the merge.
+    */
   def load(df: DataFrame, spec: MergeSpec, connector: Connector): Unit = {
-    connector.execute(createStagingSql(spec))
+    connector.execute(createStagingSql(spec, temp = false))
     connector.stage(df, spec)
     connector.execute(insertOnConflictSql(spec))
+    connector.execute(dropStagingSql(spec))
   }
 
   /** The reference's own statistique contract

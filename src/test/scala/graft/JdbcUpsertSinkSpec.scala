@@ -18,6 +18,11 @@ class JdbcUpsertSinkSpec extends AnyFunSuite with SparkSuite {
     assert(ddl.contains("CREATE TEMP TABLE temp_statistique"))
     assert(ddl.contains("id_region INTEGER"))
     assert(ddl.contains("date DATE"))
+    // the distributed load path must NOT use a session-scoped TEMP table:
+    // executor jdbc writers and the merge run on separate connections
+    val perm = JdbcUpsertSink.createStagingSql(spec, temp = false)
+    assert(perm.contains("CREATE TABLE temp_statistique"))
+    assert(!perm.contains("TEMP TABLE"))
   }
 
   test("COPY statement matches the reference copy_expert shape") {
@@ -48,9 +53,13 @@ class JdbcUpsertSinkSpec extends AnyFunSuite with SparkSuite {
       .toDF("id_maladie", "id_region", "date", "nouveau_mort",
         "nouveau_cas", "total_mort", "total_cas")
     JdbcUpsertSink.load(df, spec, conn)
-    assert(conn.executed.size === 2)
-    assert(conn.executed.head.contains("CREATE TEMP TABLE"))
-    assert(conn.executed.last.contains("ON CONFLICT"))
+    assert(conn.executed.size === 3)
+    // permanent staging (cross-connection visible), merged, then dropped
+    assert(conn.executed.head.contains("CREATE TABLE temp_statistique"))
+    assert(!conn.executed.head.contains("TEMP TABLE"))
+    assert(conn.executed(1).contains("ON CONFLICT"))
+    assert(conn.executed.last ===
+      "DROP TABLE IF EXISTS temp_statistique;")
     // the staged CSV exists and carries the spec's column order
     val staged = spark.read.option("header", true)
       .csv(s"$dir/temp_statistique")
