@@ -364,6 +364,61 @@ object Aggregates {
         "THEN 1 ELSE 0 END AS new_sess FROM events)) " +
         "GROUP BY user_id, session_id")),
 
+    // ordered funnel (view → click-after-view → purchase-after-click):
+    // three chained conditional-min windows over ONE user_id shuffle,
+    // then a global stage-count rollup — the event-analytics composite
+    // that a row-at-a-time engine does with per-user loops.
+    QDef("q_funnel",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+        val per = Tables.events(s, d)
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2", min(when(col("event_type") === "click" &&
+            col("ts") >= col("t1"), col("ts"))).over(w))
+          .withColumn("t3", min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("t2"), col("ts"))).over(w))
+          .select("user_id", "t1", "t2", "t3").distinct()
+        per.agg(count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_click_after_view"),
+          count(col("t3")).as("n_purchase_after_click"),
+          count(lit(1)).as("n_users"))
+      },
+      Some("SELECT count(t1) AS n_view, " +
+        "count(t2) AS n_click_after_view, " +
+        "count(t3) AS n_purchase_after_click, count(*) AS n_users FROM (" +
+        "SELECT DISTINCT user_id, t1, t2, t3 FROM (" +
+        "SELECT user_id, t1, t2, min(CASE WHEN event_type = 'purchase' " +
+        "AND ts >= t2 THEN ts END) OVER (PARTITION BY user_id) AS t3 " +
+        "FROM (SELECT user_id, ts, event_type, t1, " +
+        "min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END) " +
+        "OVER (PARTITION BY user_id) AS t2 " +
+        "FROM (SELECT user_id, ts, event_type, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) " +
+        "OVER (PARTITION BY user_id) AS t1 FROM events))))")),
+
+    // cohort retention: users bucketed by first-seen month, activity
+    // counted per week offset — one user_id window to stamp the cohort,
+    // one shuffle to aggregate (cohort_month, offset).
+    QDef("q_cohort",
+      (s, d) => Tables.events(s, d)
+        .withColumn("cohort_day",
+          min(to_date(col("ts"))).over(Window.partitionBy("user_id")))
+        .withColumn("offset_wk",
+          expr("CAST(datediff(to_date(ts), cohort_day) div 7 AS INT)"))
+        .groupBy(trunc(col("cohort_day"), "month").as("cohort_month"),
+          col("offset_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")),
+      Some("SELECT date_trunc('month', cohort_day) AS cohort_month, " +
+        "offset_wk, count(DISTINCT user_id) AS n_users, " +
+        "count(*) AS n_events FROM (" +
+        "SELECT user_id, CAST(datediff('day', cohort_day, " +
+        "CAST(ts AS DATE)) // 7 AS INT) AS offset_wk, cohort_day FROM (" +
+        "SELECT user_id, ts, min(CAST(ts AS DATE)) " +
+        "OVER (PARTITION BY user_id) AS cohort_day FROM events)) " +
+        "GROUP BY 1, 2")),
+
     // native session_window (SessionWindowing operator — distinct from
     // the two-window q_sessionize formulation): sessions merge while the
     // next event lands strictly inside [start, last + gap); an event at

@@ -288,16 +288,22 @@ object Relational {
     // try_cast nulls on malformed input — the pandas errors="coerce"
     // posture as first-class SQL functions (both engines side-step the
     // ANSI error path identically).
+    // the failing-cast branch is deliberately SPARSE (l_linenumber = 7,
+    // a few % of rows): Spark's try_cast failure path throws-and-catches
+    // per row, so an always-failing column would burn seconds of pure
+    // exception overhead on a single-file (single-partition) scan.
     QDef("q_try_arith",
       (s, d) => Tables(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         expr("try_divide(l_quantity, l_linenumber - 1)").as("qd"),
-        expr("try_cast(l_returnflag AS INT)").as("rf_int"),
+        expr("try_cast(CASE WHEN l_linenumber = 7 THEN l_returnflag " +
+          "ELSE CAST(l_linenumber AS STRING) END AS INT)").as("mixed_int"),
         expr("try_cast(l_orderkey AS INT)").as("ok_int")),
       Some("SELECT l_orderkey, l_linenumber, " +
         "CASE WHEN l_linenumber - 1 = 0 THEN NULL " +
         "ELSE l_quantity / (l_linenumber - 1) END AS qd, " +
-        "TRY_CAST(l_returnflag AS INT) AS rf_int, " +
+        "TRY_CAST(CASE WHEN l_linenumber = 7 THEN l_returnflag " +
+        "ELSE CAST(l_linenumber AS VARCHAR) END AS INT) AS mixed_int, " +
         "TRY_CAST(l_orderkey AS INT) AS ok_int FROM lineitem")),
 
     // array-function surface over tokenized text: slice, sort, membership,

@@ -107,6 +107,39 @@ object Similarity {
   private val dotAB = "graft_dot(v, qv)"
   private val norm = "sqrt(graft_dot(v, v))"
 
+  /** DuckDB mirror of Ann.topK(8 bands × 2 bits): reproduces the
+    * deterministic planes and the 8-way band-collision union. Shared by
+    * the banded-ANN and RAG-retrieval oracles.
+    */
+  private def bandedOracleSql(maxQueryId: Int, k: Int): String = {
+    def plane(p: Int) =
+      s"[CAST(((1 + $p * 37 + i * 61 + $p * i * 11) % 13) - 6 " +
+        "AS DOUBLE) for i in generate_series(0, 63)]"
+    def bit(p: Int) =
+      s"CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 " +
+        "THEN '1' ELSE '0' END"
+    def band(b: Int) =
+      (1 to 2).map(j => bit((b - 1) * 2 + j)).mkString(" || ")
+    val bandCols = (1 to 8).map(b => s"(${band(b)}) AS band$b")
+      .mkString(", ")
+    val unions = (1 to 8).map(b =>
+      s"SELECT q.vec_id AS q_id, c.vec_id AS vec_id FROM e c JOIN e q " +
+        s"ON c.band$b = q.band$b AND q.vec_id < $maxQueryId " +
+        "AND c.vec_id <> q.vec_id").mkString(" UNION ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      s"$bandCols FROM embeddings), " +
+      s"cand AS ($unions), " +
+      "p AS (SELECT cand.q_id, cand.vec_id, " +
+      s"${Det.rndSql("list_dot_product(c.v, q.v) / " +
+        "(sqrt(list_dot_product(c.v, c.v)) * " +
+        "sqrt(list_dot_product(q.v, q.v)))", 6)} AS sim " +
+      "FROM cand JOIN e c ON cand.vec_id = c.vec_id " +
+      "JOIN e q ON cand.q_id = q.vec_id) " +
+      "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
+      "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p) " +
+      s"WHERE rn <= $k"
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // X3: brute-force top-5 cosine neighbors for query vectors vec_id<10.
@@ -204,34 +237,27 @@ object Similarity {
         Ann.topK(Tables(s, d, "embeddings"), _ < 10, k = 3,
           nBands = 8, bits = 2)
       },
-      Some {
-        def plane(p: Int) =
-          s"[CAST(((1 + $p * 37 + i * 61 + $p * i * 11) % 13) - 6 " +
-            "AS DOUBLE) for i in generate_series(0, 63)]"
-        def bit(p: Int) =
-          s"CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 " +
-            "THEN '1' ELSE '0' END"
-        def band(b: Int) =
-          (1 to 2).map(j => bit((b - 1) * 2 + j)).mkString(" || ")
-        val bandCols = (1 to 8).map(b => s"(${band(b)}) AS band$b")
-          .mkString(", ")
-        val unions = (1 to 8).map(b =>
-          s"SELECT q.vec_id AS q_id, c.vec_id AS vec_id FROM e c JOIN e q " +
-            s"ON c.band$b = q.band$b AND q.vec_id < 10 " +
-            "AND c.vec_id <> q.vec_id").mkString(" UNION ")
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
-          s"$bandCols FROM embeddings), " +
-          s"cand AS ($unions), " +
-          "p AS (SELECT cand.q_id, cand.vec_id, " +
-          s"${Det.rndSql("list_dot_product(c.v, q.v) / " +
-            "(sqrt(list_dot_product(c.v, c.v)) * " +
-            "sqrt(list_dot_product(q.v, q.v)))", 6)} AS sim " +
-          "FROM cand JOIN e c ON cand.vec_id = c.vec_id " +
-          "JOIN e q ON cand.q_id = q.vec_id) " +
-          "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
-          "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p) " +
-          "WHERE rn <= 3"
-      }),
+      Some(bandedOracleSql(maxQueryId = 10, k = 3))),
+
+    // X3 + RAG retrieval: the banded ANN feeding a document fetch — the
+    // retrieve step of a retrieval-augmented pipeline (neighbor ids from
+    // the index, text joined back only for the k results per query, so
+    // document payloads never travel through the similarity machinery).
+    QDef("q_rag_retrieve",
+      (s, d) => {
+        VectorFunctions.register(s)
+        val nn = Ann.topK(Tables(s, d, "embeddings"), _ < 5, k = 3,
+          nBands = 8, bits = 2)
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id").as("vec_id"),
+            substring(col("text"), 1, 40).as("snippet"))
+        nn.join(docs, "vec_id")
+          .select("q_id", "vec_id", "sim", "snippet")
+      },
+      Some("SELECT b.q_id, b.vec_id, b.sim, " +
+        "substr(d.text, 1, 40) AS snippet FROM (" +
+        bandedOracleSql(maxQueryId = 5, k = 3) +
+        ") b JOIN documents d ON b.vec_id = d.doc_id")),
 
     // X3: IVF ANN — the third leg of the similarity triad (brute force /
     // LSH / IVF). Coarse quantizer = per-label centroids (element-wise
