@@ -211,10 +211,16 @@ object Aggregates {
     // interpolation definition). Exact sorts per group — fine here; at
     // 100 TB switch to approx_percentile (t-digest) and drop the oracle.
     QDef("q_percentile",
+      // one array-percentile call: separate percentile(p) aggregates each
+      // buffer the whole column per group; the array form sorts once for
+      // both quantiles
       (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
-        Det.rnd(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50"),
-        Det.rnd(expr("percentile(l_extendedprice, 0.9D)"), 4).as("p90"),
-        count(lit(1)).as("n")),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"),
+        count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          Det.rnd(element_at(col("ps"), 1), 4).as("p50"),
+          Det.rnd(element_at(col("ps"), 2), 4).as("p90"),
+          col("n")),
       Some("SELECT l_returnflag, " +
         s"${Det.rndSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50, " +
         s"${Det.rndSql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90, " +

@@ -316,15 +316,56 @@ object OmsPipeline {
   }
 
   /** S5/S6 sinks (reference ETL_OMS_FINAL.py:103-108): CSV with header +
-    * JSON records per table. Spark emits JSON-lines where pandas emits one
-    * array (SURVEY.md §2.1 S6) — a non-goal for byte compatibility.
-    * coalesce(1) mirrors the reference's single-file output; drop it for
-    * parallel many-file writes at scale.
+    * JSON records per table. coalesce(1) mirrors the reference's
+    * single-file output; drop it for parallel many-file writes at scale.
+    * The JSON table is the pandas `orient="records"` single-array shape
+    * (see [[saveTableJsonArray]]), not Spark's JSON-lines.
     */
   def saveTable(df: DataFrame, outDir: String, name: String): Unit = {
     df.coalesce(1).write.mode("overwrite")
       .option("header", true).csv(s"$outDir/$name.csv")
-    df.coalesce(1).write.mode("overwrite").json(s"$outDir/$name.json")
+    saveTableJsonArray(df, outDir, name)
+  }
+
+  /** S6 shape parity: pandas `to_json(orient="records")` emits ONE JSON
+    * array per table (golden `Résultat de l'ETL/Monkeypox/Pays.json`),
+    * where Spark's native sink emits JSON-lines. The rows are written
+    * distributed (Spark JSON-lines), then stream-concatenated into the
+    * array file on the driver — line at a time, constant memory. Reads
+    * back with `spark.read.option("multiLine", true).json(...)`.
+    */
+  def saveTableJsonArray(df: DataFrame, outDir: String,
+      name: String): Unit = {
+    val tmpDir = new java.io.File(outDir, s".${name}_jsonl_tmp")
+    df.coalesce(1).write.mode("overwrite").json(tmpDir.getPath)
+    val parts = Option(tmpDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    new java.io.File(outDir).mkdirs()
+    val target = new java.io.File(outDir, s"$name.json")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(target,
+      java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      w.write("[")
+      var first = true
+      parts.foreach { p =>
+        val src = scala.io.Source.fromFile(p,
+          java.nio.charset.StandardCharsets.UTF_8.name())
+        try src.getLines().foreach { line =>
+          if (line.nonEmpty) {
+            if (!first) w.write(",")
+            w.write(line)
+            first = false
+          }
+        } finally src.close()
+      }
+      w.write("]")
+    } finally w.close()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+      ()
+    }
+    rm(tmpDir)
   }
 
   def saveStar(star: StarSchema, outDir: String): Unit = {

@@ -56,6 +56,34 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Sort ".r.findAllIn(p).size === 1, p)
   }
 
+  test("q_tpch_q1: filter pushed to scan, partial+final aggregation") {
+    val p = plan("q_tpch_q1")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert("HashAggregate".r.findAllIn(p).size === 2, p)
+  }
+
+  test("q_tpch_q5: all dimension sides broadcast, no fact-side sort-merge") {
+    val p = plan("q_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_funnel: three chained windows share one user_id exchange") {
+    val p = plan("q_funnel")
+    assert("Window".r.findAllIn(p).size === 3, p)
+    // one exchange for the windows, one for the distinct/global rollup
+    assert("Exchange".r.findAllIn(p).size === 2, p)
+  }
+
+  test("q_dedup_near: fused codegen expressions on the hot path") {
+    val p = plan("q_dedup_near")
+    assert(p.contains("minhashlanes("), p)
+    assert(p.contains("intersectsize("), p)
+    // (codegen support itself is gated in TextExprSpec: none of the fused
+    // expressions are CodegenFallback)
+  }
+
   test("q_simsearch: custom dot product in plan, top-k pushed into window") {
     val p = plan("q_simsearch")
     assert(p.contains("dotproduct("), p)

@@ -25,9 +25,42 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
     val star = OmsPipeline.starSchema(source, "COVID-19", spark)
     OmsPipeline.saveStar(star, out)
     val paysBack = spark.read.option("header", true).csv(s"$out/Pays.csv")
-    val statBack = spark.read.json(s"$out/Statistique.json")
+    // JSON tables are the pandas records-array shape: ONE file holding a
+    // single JSON array (multiLine read), not a JSON-lines directory
+    assert(new java.io.File(s"$out/Statistique.json").isFile)
+    val statBack = spark.read.option("multiLine", true)
+      .json(s"$out/Statistique.json")
     assert(paysBack.count() === star.pays.count())
     assert(statBack.count() === star.statistique.count())
     assert(paysBack.columns.toSet === Set("country", "id_pays"))
+  }
+
+  test("records-array JSON parses like the reference's golden Pays.json") {
+    val golden = new java.io.File("/root/reference").listFiles()
+      .find(_.getName.contains("sultat")).get.getPath + "/Monkeypox"
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonarr")
+      .toString
+    val std = OmsPipeline.standardize(OmsPipeline.extract(spark,
+      "/root/reference/DATASETS/monkeypox_report.csv"), "Monkeypox")
+    val star = OmsPipeline.starSchema(std, "Monkeypox", spark)
+    OmsPipeline.saveTableJsonArray(star.pays, out, "Pays")
+    val ours = spark.read.option("multiLine", true).json(s"$out/Pays.json")
+    val goldenPays = spark.read.option("multiLine", true)
+      .json(s"$golden/Pays.json")
+    assert(ours.count() === goldenPays.count())
+    assert(ours.select("country")
+      .except(goldenPays.select("country")).count() === 0)
+  }
+
+  test("empty frame writes a valid empty JSON array") {
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonarr0")
+      .toString
+    val sp = spark
+    import sp.implicits._
+    OmsPipeline.saveTableJsonArray(
+      Seq.empty[(Int, String)].toDF("a", "b"), out, "Empty")
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/Empty.json")))
+    assert(content === "[]")
   }
 }
