@@ -26,6 +26,18 @@ object Relational {
       Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "WHERE l_quantity > 25")),
 
+    // custom DataSource V2 source (graft.sources.SyntheticDocsProvider):
+    // partition-planned deterministic generation with column pruning and
+    // doc_id range pushdown. No DuckDB oracle (the source is not a file);
+    // determinism + pruning + pushdown are gated in DataSourceV2Spec.
+    QDef("q_synth_source",
+      (s, _) => s.read.format("graft_docs")
+        .option("rows", 10000).option("numPartitions", 8).load()
+        .filter(col("doc_id") >= 1000)
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars")),
+      None),
+
     // P3/P4: fixed projection + computed + literal column
     // (ETL_OMS_FINAL.py:58,71).
     QDef("q_project",
