@@ -289,12 +289,17 @@ object Similarity {
           (col("nrm") * col("cn")), 6)
         val wCell = Window.partitionBy("vec_id")
           .orderBy(col("csim").desc, col("clabel").asc)
+        // persist: cells feeds both sides of the cell-probe self-join —
+        // without it the whole centroid aggregation + assignment subtree
+        // runs twice (fixed-width doubles encode cheaply, unlike the
+        // dedup queries' token arrays)
         val cells = e.crossJoin(broadcast(cents))
           .withColumn("csim", simToCent)
           .withColumn("crn", row_number().over(wCell))
           .filter(col("crn") === 1)
           .select(col("vec_id"), col("v"), col("nrm"),
             col("clabel").as("cell"))
+          .persist()
         val q = cells.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("cell").as("q_cell"))

@@ -337,7 +337,10 @@ object OmsPipeline {
   def saveTableJsonArray(df: DataFrame, outDir: String,
       name: String): Unit = {
     val tmpDir = new java.io.File(outDir, s".${name}_jsonl_tmp")
-    df.coalesce(1).write.mode("overwrite").json(tmpDir.getPath)
+    // pandas emits explicit nulls; Spark's writer drops null fields by
+    // default, which would change record shapes vs the golden output
+    df.coalesce(1).write.mode("overwrite")
+      .option("ignoreNullFields", false).json(tmpDir.getPath)
     val parts = Option(tmpDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
     new java.io.File(outDir).mkdirs()

@@ -120,15 +120,21 @@ object JdbcUpsertSink {
     * drop staging. The staging table is PERMANENT (not TEMP): every
     * `execute` and every executor-side jdbc write runs on its own
     * connection/session, so a session-scoped table would be gone between
-    * steps; instead the typed table is created up front (fixing the
-    * column types Spark's append-mode jdbc write would otherwise infer)
-    * and dropped after the merge.
+    * steps; instead a typed table is created up front (fixing the column
+    * types Spark's append-mode jdbc write would otherwise infer). The
+    * name gets a per-run unique suffix — concurrent loads must not
+    * clobber each other's staged rows — and the drop runs in `finally`
+    * so a failed merge does not leak the table.
     */
   def load(df: DataFrame, spec: MergeSpec, connector: Connector): Unit = {
-    connector.execute(createStagingSql(spec, temp = false))
-    connector.stage(df, spec)
-    connector.execute(insertOnConflictSql(spec))
-    connector.execute(dropStagingSql(spec))
+    val suffix = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    val run = spec.copy(stagingTable = s"${spec.stagingTable}_$suffix")
+    try {
+      connector.execute(createStagingSql(run, temp = false))
+      connector.stage(df, run)
+      connector.execute(insertOnConflictSql(run))
+    } finally connector.execute(dropStagingSql(run))
   }
 
   /** The reference's own statistique contract

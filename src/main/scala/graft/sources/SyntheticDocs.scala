@@ -59,16 +59,33 @@ object SyntheticDocs {
     z ^ (z >>> 31)
   }
 
+  private def word(docId: Long, i: Int): String =
+    words((mix(docId * 131 + i) & 0x7fffffff).toInt % words.length)
+
+  private def nTokens(docId: Long): Int =
+    8 + (mix(docId) & 0x1f).toInt // 8..39 tokens
+
   def text(docId: Long): String = {
-    val n = 8 + (mix(docId) & 0x1f).toInt // 8..39 tokens
+    val n = nTokens(docId)
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
-      sb.append(words((mix(docId * 131 + i) & 0x7fffffff).toInt % words.length))
+      sb.append(word(docId, i))
       i += 1
     }
     sb.toString
+  }
+
+  /** Length of [[text]] WITHOUT materializing the string — so a
+    * projection of n_chars alone really skips text generation.
+    */
+  def nChars(docId: Long): Long = {
+    val n = nTokens(docId)
+    var len = n - 1L // separators
+    var i = 0
+    while (i < n) { len += word(docId, i).length; i += 1 }
+    len
   }
 
   def lang(docId: Long): String =
@@ -170,19 +187,26 @@ private[sources] class SyntheticDocsReaderFactory(fields: Array[String])
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SyntheticDocsPartition]
+    // per-scan column extractors, resolved ONCE: only the pruned columns
+    // are ever generated (n_chars is computed without building the text),
+    // and the per-row path does no name matching or Seq allocation
+    val extractors: Array[Long => Any] = fields.map {
+      case "doc_id" => (id: Long) => id
+      case "text" =>
+        (id: Long) => UTF8String.fromString(SyntheticDocs.text(id))
+      case "lang" =>
+        (id: Long) => UTF8String.fromString(SyntheticDocs.lang(id))
+      case "n_chars" => (id: Long) => SyntheticDocs.nChars(id)
+    }
     new PartitionReader[InternalRow] {
       private var id = p.start - 1
       override def next(): Boolean = { id += 1; id < p.end }
-      // only the pruned columns are ever generated — `text` is never
-      // built for a projection that does not ask for it
       override def get(): InternalRow = {
-        lazy val txt = SyntheticDocs.text(id)
-        InternalRow.fromSeq(fields.toIndexedSeq.map {
-          case "doc_id" => id
-          case "text" => UTF8String.fromString(txt)
-          case "lang" => UTF8String.fromString(SyntheticDocs.lang(id))
-          case "n_chars" => txt.length.toLong
-        })
+        val values = new Array[Any](extractors.length)
+        var i = 0
+        while (i < extractors.length) { values(i) = extractors(i)(id); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          values)
       }
       override def close(): Unit = ()
     }

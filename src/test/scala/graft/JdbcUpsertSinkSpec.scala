@@ -54,15 +54,19 @@ class JdbcUpsertSinkSpec extends AnyFunSuite with SparkSuite {
         "nouveau_cas", "total_mort", "total_cas")
     JdbcUpsertSink.load(df, spec, conn)
     assert(conn.executed.size === 3)
-    // permanent staging (cross-connection visible), merged, then dropped
-    assert(conn.executed.head.contains("CREATE TABLE temp_statistique"))
+    // permanent staging with a per-run unique name (concurrent loads must
+    // not clobber each other), merged, then dropped
+    assert(conn.executed.head.contains("CREATE TABLE temp_statistique_"))
     assert(!conn.executed.head.contains("TEMP TABLE"))
     assert(conn.executed(1).contains("ON CONFLICT"))
-    assert(conn.executed.last ===
-      "DROP TABLE IF EXISTS temp_statistique;")
-    // the staged CSV exists and carries the spec's column order
-    val staged = spark.read.option("header", true)
-      .csv(s"$dir/temp_statistique")
+    assert(conn.executed(1).contains("FROM temp_statistique_"))
+    assert(conn.executed.last.startsWith(
+      "DROP TABLE IF EXISTS temp_statistique_"))
+    // the staged CSV exists (under the run-unique name) and carries the
+    // spec's column order
+    val stagedDir = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("temp_statistique_")).get
+    val staged = spark.read.option("header", true).csv(stagedDir.getPath)
     assert(staged.columns.toSeq === spec.columns)
     assert(staged.count() === 1)
   }
