@@ -34,22 +34,26 @@ import org.apache.spark.sql.functions._
 object Ann {
   import org.apache.spark.sql.{Column, DataFrame}
 
-  def planeSql(p: Int, dim: Int): String =
-    s"transform(sequence(0, ${dim - 1}), " +
-      s"i -> double(((1 + $p * 37 + i * 61 + $p * i * 11) % 13) - 6))"
+  /** Plane p's integer weights, computed ONCE on the driver and shipped
+    * as a literal array — the equivalent `transform(sequence(...), ...)`
+    * expression is a higher-order function that would rebuild the plane
+    * per ROW per BIT (interpreted), dominating the banding cost.
+    */
+  def planeVec(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i =>
+      (((1 + p * 37 + i * 61 + p * i * 11) % 13) - 6).toDouble)
 
-  private def bitSql(v: String, p: Int, dim: Int): String =
-    s"IF(graft_dot($v, ${planeSql(p, dim)}) >= 0D, '1', '0')"
+  private def bit(v: Column, p: Int, dim: Int): Column =
+    when(call_function("graft_dot", v, typedlit(planeVec(p, dim))) >= 0d,
+      "1").otherwise("0")
 
   /** Band `band` (1-based) = concat of its `bits` sign bits. */
-  def bandSql(v: String, band: Int, bits: Int, dim: Int): String =
-    (1 to bits).map(j => bitSql(v, (band - 1) * bits + j, dim))
-      .mkString("concat(", ", ", ")")
+  def bandKey(v: Column, band: Int, bits: Int, dim: Int): Column =
+    concat((1 to bits).map(j => bit(v, (band - 1) * bits + j, dim)): _*)
 
   /** All band keys as array<string> (index = band - 1). */
-  def bandsSql(v: String, nBands: Int, bits: Int, dim: Int): String =
-    (1 to nBands).map(b => bandSql(v, b, bits, dim))
-      .mkString("array(", ", ", ")")
+  def bandKeys(v: Column, nBands: Int, bits: Int, dim: Int): Column =
+    array((1 to nBands).map(b => bandKey(v, b, bits, dim)): _*)
 
   /** Normalized view of the embeddings table: (vec_id, v, nrm). */
   def prep(emb: DataFrame): DataFrame =
@@ -64,7 +68,8 @@ object Ann {
     */
   def candidates(e: DataFrame, isQuery: Column => Column, nBands: Int,
       bits: Int, dim: Int = 64): DataFrame = {
-    val banded = e.withColumn("bands", expr(bandsSql("v", nBands, bits, dim)))
+    val banded = e.withColumn("bands",
+      bandKeys(col("v"), nBands, bits, dim))
     val c = banded.select(col("vec_id"), posexplode(col("bands")))
       .toDF("vec_id", "band_idx", "band_key")
     val q = banded.filter(isQuery(col("vec_id")))
@@ -182,15 +187,18 @@ object Similarity {
     QDef("q_simsearch_lsh",
       (s, d) => {
         VectorFunctions.register(s)
-        def plane(p: Int) =
-          s"transform(sequence(0, 63), i -> double((31 * $p + 17 * i) % 7 - 3))"
+        // driver-computed literal planes — the transform(sequence(...))
+        // form would rebuild each plane per row, interpreted
+        def planeVec(p: Int) =
+          (0 until 64).map(i => ((31 * p + 17 * i) % 7 - 3).toDouble)
         def bit(p: Int) =
-          s"IF(graft_dot(v, ${plane(p)}) >= 0D, '1', '0')"
-        val bucket = (1 to 4).map(bit).mkString("concat(", ", ", ")")
+          when(call_function("graft_dot", col("v"),
+            typedlit(planeVec(p))) >= 0d, "1").otherwise("0")
+        val bucket = concat((1 to 4).map(bit): _*)
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("nrm", expr(norm))
-          .withColumn("bucket", expr(bucket))
+          .withColumn("bucket", bucket)
           .persist()
         val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("bucket").as("q_bucket"))
