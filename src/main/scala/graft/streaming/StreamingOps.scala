@@ -191,6 +191,80 @@ object StreamingOps {
   }
 
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  case class UserStats(n: Long, min_us: Long, max_us: Long)
+  case class UserStatsOut(user_id: Long, n_events: Long, first_us: Long,
+      last_us: Long)
+
+  /** Spark 4 `transformWithState` (the arbitrary-state successor to
+    * flatMapGroupsWithState): per-user lifetime event stats held in a
+    * typed ValueState, merged batch over batch. Emits each key's updated
+    * stats per micro-batch; on a bounded replay the LAST row per key
+    * equals the batch aggregate.
+    */
+  class UserStatsProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, Ev, UserStatsOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[UserStats] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserStats]("stats",
+        org.apache.spark.sql.Encoders.product[UserStats], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserStatsOut] = {
+      var n = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      rows.foreach { e =>
+        n += 1
+        if (e.ts_us < mn) mn = e.ts_us
+        if (e.ts_us > mx) mx = e.ts_us
+      }
+      val merged =
+        if (st.exists()) {
+          val p = st.get()
+          UserStats(p.n + n, math.min(p.min_us, mn), math.max(p.max_us, mx))
+        } else UserStats(n, mn, mx)
+      st.update(merged)
+      Iterator.single(
+        UserStatsOut(key, merged.n, merged.min_us, merged.max_us))
+    }
+  }
+
+  /** Run the transformWithState processor over the events file stream
+    * (RocksDB state store — required by the transformWithState operator).
+    */
+  def userStatsTws(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_tws"): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(eventsSchema(spark, sfDir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new UserStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
   case class SessState(sessionIdx: Long, start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)

@@ -107,6 +107,24 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("transformWithState per-user stats equal the batch aggregate") {
+    val streamed = StreamingOps.userStatsTws(spark, sf)
+    // bounded replay, Append mode: keep each user's LAST emitted row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val last = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("us").as("first_us"),
+        max("us").as("last_us"))
+    assert(last.count() > 0)
+    assert(last.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(last).count() === 0)
+  }
+
   test("watermarked streaming dedup: unique event ids, none lost") {
     val streamed = StreamingOps.streamingDedup(spark, sf)
     val n = streamed.count()
