@@ -97,6 +97,40 @@ object TextHashing {
     }
   }
 
+  /** 16-bit SimHash signature, fused into one pass: distinct whitespace
+    * tokens, md5 per token, bit j = majority vote of hex digit j ≥ '8'
+    * (the digit's high bit). The composable form is a transform plus 16
+    * separate `filter(hsx, ...)` scans of the hash array per row — all
+    * interpreted.
+    */
+  def simhash16(input: UTF8String): UTF8String = {
+    val toks = tokens(input.toString)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val counts = new Array[Int](16)
+    var total = 0
+    val md = mdLocal.get()
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        total += 1
+        val h = md5Hex(md, toks(i))
+        var j = 0
+        while (j < 16) {
+          if (h.charAt(j) >= '8') counts(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Char](16)
+    var j = 0
+    while (j < 16) {
+      out(j) = if (counts(j) * 2 >= total) '1' else '0'
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
   /** Four 8-hex-char minhash lane minima over all shingle md5s, fused into
     * one pass (no intermediate shingle or hash arrays).
     */
@@ -156,6 +190,25 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHashing.shingleSet($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+/** `graft_simhash16(text)`: 16-bit SimHash signature as a '0'/'1'
+  * string — distinct-token md5 majority vote, one pass.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.simhash16(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashing.simhash16($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(c)

@@ -93,6 +93,7 @@ object VectorFunctions {
     "graft_minhash_lanes" -> (exprs => MinHashLanes(exprs.head)),
     "graft_intersect_size" -> (exprs =>
       IntersectSize(exprs.head, exprs(1))),
+    "graft_simhash16" -> (exprs => SimHash16(exprs.head)),
     "graft_heavy_hitters" -> (exprs => {
       require(exprs(1).foldable, "graft_heavy_hitters k must be a literal")
       MisraGries(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)

@@ -279,17 +279,15 @@ object TextOps {
     // X4: SimHash — 16-bit signature by per-bit majority vote over token
     // md5s (bit j = high bit of hex nibble j; single-char '>=' compare is
     // plain ASCII order in both engines). The hi-byte prefix doubles as a
-    // blocking key: hamming-close docs land in the same block.
+    // blocking key: hamming-close docs land in the same block. Spark side
+    // is the fused one-pass graft_simhash16 (the composable form is a
+    // transform + 16 separate interpreted filter() scans per row);
+    // TextExprSpec proves bit-equality to that form.
     QDef("q_simhash",
       (s, d) => {
-        val hs = s"transform($toksExpr, t -> md5(t))"
-        def bit(j: Int) =
-          s"IF(size(filter(hsx, h -> substring(h, ${j + 1}, 1) >= '8')) " +
-            s"* 2 >= size(hsx), '1', '0')"
-        val sh = (0 until 16).map(bit).mkString("concat(", ", ", ")")
+        graft.functions.VectorFunctions.register(s)
         Tables(s, d, "documents")
-          .withColumn("hsx", expr(hs))
-          .select(col("doc_id"), expr(sh).as("simhash"))
+          .select(col("doc_id"), expr("graft_simhash16(text)").as("simhash"))
           .withColumn("band_hi", substring(col("simhash"), 1, 8))
       },
       Some {

@@ -42,6 +42,21 @@ class TextExprSpec extends AnyFunSuite with SparkSuite {
     assert(cmp.filter(not(col("fused") <=> col("hof"))).count() === 0)
   }
 
+  test("graft_simhash16 == composable transform+filter SimHash") {
+    VectorFunctions.register(spark)
+    val toks = "array_distinct(split(trim(text), '\\\\s+'))"
+    val hs = s"transform($toks, t -> md5(t))"
+    def bit(j: Int) =
+      s"IF(size(filter(hsx, h -> substring(h, ${j + 1}, 1) >= '8')) " +
+        s"* 2 >= size(hsx), '1', '0')"
+    val sh = (0 until 16).map(bit).mkString("concat(", ", ", ")")
+    val cmp = Tables(spark, sf, "documents")
+      .withColumn("hsx", expr(hs))
+      .select(expr("graft_simhash16(text)").as("fused"),
+        expr(sh).as("hof"))
+    assert(cmp.filter(not(col("fused") <=> col("hof"))).count() === 0)
+  }
+
   test("text expressions support whole-stage codegen (not CodegenFallback)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -49,7 +64,8 @@ class TextExprSpec extends AnyFunSuite with SparkSuite {
     val exprs = Seq(
       graft.functions.Shingles(l),
       graft.functions.ShingleSet(l),
-      graft.functions.MinHashLanes(l))
+      graft.functions.MinHashLanes(l),
+      graft.functions.SimHash16(l))
     exprs.foreach(e => assert(!e.isInstanceOf[CodegenFallback], e.getClass))
   }
 
