@@ -47,8 +47,13 @@ object Tables {
   * are fixed by doing the arithmetic identically on both sides:
   *   - rnd: floor(x*10^n + 0.5)/10^n — same double ops in both engines.
   *   - exactSum: sum integer "cents" floor(x*10^n + 0.5) — integers sum
-  *     exactly in ANY order (until 2^53), so partial-aggregation order,
-  *     partitioning, and engine differences cannot change the result.
+  *     exactly in ANY order, so partial-aggregation order, partitioning,
+  *     and engine differences cannot change the result. The cents are
+  *     summed as decimal(38,0) (DuckDB: HUGEINT), NOT double: a double
+  *     accumulator is only exact below 2^53, which a 100 TB
+  *     sum(l_extendedprice * 10^4) would cross. The single
+  *     decimal→double cast after the sum rounds to nearest-even in both
+  *     engines (Java BigDecimal.doubleValue / C++ int128→double).
   * Each helper has a *Sql twin that emits the same shape for the DuckDB
   * oracle; keep them in sync.
   */
@@ -66,11 +71,12 @@ object Det {
 
   def exactSum(c: Column, n: Int): Column = {
     val p = math.pow(10, n)
-    sum(floor(c * lit(p) + lit(0.5)).cast("double")) / lit(p)
+    sum(floor(c * lit(p) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
+      lit(p)
   }
   def exactSumSql(e: String, n: Int): String = {
     val p = BigInt(10).pow(n)
-    s"sum(floor(($e) * $p + 0.5)) / $p"
+    s"CAST(sum(CAST(floor(($e) * $p + 0.5) AS HUGEINT)) AS DOUBLE) / $p"
   }
 }
 

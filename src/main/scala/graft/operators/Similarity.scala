@@ -103,6 +103,122 @@ object Ann {
   }
 }
 
+/** IVF coarse quantizer via deterministic Lloyd's k-means (VERDICT r02 #2/#3).
+  *
+  * The quantizer is tiny (k centroids × dim doubles) and lives on the
+  * DRIVER — the classic distributed k-means shape (MLlib KMeans does the
+  * same): data never shuffles for assignment, each Lloyd update is one
+  * map-side-combined aggregation collecting k×dim sums, and the final
+  * cell assignment is a per-row argmax over literal centroids that stays
+  * inside whole-stage codegen. No |corpus|×|centroids| row inflation
+  * anywhere (r02's crossJoin + row_number argmin is gone), no posexplode
+  * (centroid means are dim parallel long-sums over `v[i]`).
+  *
+  * Determinism across engines (so the DuckDB oracle can mirror it):
+  * fixed seed init (the k lowest vec_ids, cell id = seed vec_id), a fixed
+  * number of Lloyd updates, integer-scaled means (floor(x*1e6+0.5) summed
+  * as longs — exact in any order), and rounded cosine with
+  * csim-desc/cell-asc tiebreak on every assignment.
+  */
+object Ivf {
+  import org.apache.spark.sql.{Column, DataFrame}
+
+  private val scale = 1000000.0
+
+  /** Left-to-right norm, same accumulation order as graft_dot and
+    * DuckDB's list_dot_product loop. */
+  def norm(c: Seq[Double]): Double =
+    math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+
+  /** Rounded cosine of row vector `v` (with precomputed `nrm`) against a
+    * driver-literal centroid. */
+  private def csim(c: Seq[Double]): Column =
+    Det.rnd(call_function("graft_dot", col("v"), typedlit(c)) /
+      (col("nrm") * lit(norm(c))), 6)
+
+  /** Single-pass nearest-centroid argmax: the k rounded cosines land in
+    * one array and the cell is read at the first-max position —
+    * linear-size expression, k dot products per row, no join, no row
+    * inflation. (A when/otherwise fold would reference its accumulator
+    * twice per step → 2^k expression-tree blowup; measured 8s vs <2s at
+    * k=8.) array_position takes the FIRST occurrence of the max, i.e.
+    * the smallest cell id on ties — matching the oracle's
+    * ORDER BY csim DESC, cell ASC. */
+  def assign(cents: Seq[(Int, Seq[Double])]): Column = {
+    val sims = array(cents.map { case (_, c) => csim(c) }: _*)
+    val cellIds = typedlit(cents.map(_._1))
+    element_at(cellIds, array_position(sims, array_max(sims)).cast("int"))
+  }
+
+  /** One Lloyd update: element-wise integer-scaled means per cell. One
+    * distributed aggregation (dim long-sums + a count per cell,
+    * map-side combined); only k×dim values reach the driver. */
+  def meanCentroids(assigned: DataFrame, dim: Int): Seq[(Int, Seq[Double])] = {
+    val sums = (0 until dim).map(i =>
+      sum(floor(col("v")(i) * lit(scale) + lit(0.5)).cast("long")).as(s"s$i"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .collect()
+      .map { r =>
+        val n = r.getAs[Long]("n")
+        (r.getAs[Int]("cell"),
+          (0 until dim).map(i => r.getAs[Long](s"s$i") / (scale * n)))
+      }
+      .sortBy(_._1).toSeq
+  }
+
+  /** e must have (vec_id, v, nrm). Returns e + `cell` after `iters`
+    * assignment passes (iters-1 Lloyd mean updates in between). */
+  def kmeansCells(e: DataFrame, k: Int, dim: Int, iters: Int): DataFrame = {
+    // seed centroids: the k lowest vec_ids, cell id = seed vec_id
+    var cents: Seq[(Int, Seq[Double])] =
+      e.filter(col("vec_id") < k).select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getAs[Number]("vec_id").intValue,
+          r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+    for (_ <- 1 until iters)
+      cents = meanCentroids(e.withColumn("cell", assign(cents)), dim)
+    e.withColumn("cell", assign(cents))
+  }
+
+  /** DuckDB mirror of kmeansCells(k, 64, iters=2) + cell-probe top-k for
+    * queries vec_id < maxQueryId: c0 = seed vectors, a1 = argmax vs c0,
+    * c1 = integer-scaled means, cells = argmax vs c1, then rescoring
+    * inside the query's own cell only. */
+  def oracleSql(k: Int, maxQueryId: Int, topK: Int): String = {
+    def csim(vAlias: String, cAlias: String) =
+      Det.rndSql(s"list_dot_product($vAlias.v, $cAlias.c) / " +
+        s"(sqrt(list_dot_product($vAlias.v, $vAlias.v)) * " +
+        s"sqrt(list_dot_product($cAlias.c, $cAlias.c)))", 6)
+    val sim = Det.rndSql("list_dot_product(c2.v, q.v) / " +
+      "(sqrt(list_dot_product(c2.v, c2.v)) * " +
+      "sqrt(list_dot_product(q.v, q.v)))", 6)
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings), " +
+      s"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e " +
+      s"WHERE vec_id < $k), " +
+      "a1 AS (SELECT vec_id, v, cell FROM (" +
+      "SELECT e.vec_id, e.v, c0.cell, row_number() OVER (" +
+      s"PARTITION BY e.vec_id ORDER BY ${csim("e", "c0")} DESC, c0.cell) " +
+      "AS rn FROM e, c0) WHERE rn = 1), " +
+      "c1 AS (SELECT cell, list(cx ORDER BY i) AS c FROM (" +
+      "SELECT cell, i, CAST(sum(CAST(floor(v[i] * 1000000 + 0.5) " +
+      "AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*)) AS cx " +
+      "FROM a1, generate_series(1, 64) t(i) GROUP BY cell, i) " +
+      "GROUP BY cell), " +
+      "cells AS (SELECT vec_id, v, cell FROM (" +
+      "SELECT e.vec_id, e.v, c1.cell, row_number() OVER (" +
+      s"PARTITION BY e.vec_id ORDER BY ${csim("e", "c1")} DESC, c1.cell) " +
+      "AS rn FROM e, c1) WHERE rn = 1), " +
+      "p AS (SELECT q.vec_id AS q_id, c2.vec_id AS vec_id, c2.cell, " +
+      s"$sim AS sim FROM cells c2 JOIN cells q ON c2.cell = q.cell " +
+      s"AND q.vec_id < $maxQueryId AND c2.vec_id <> q.vec_id) " +
+      "SELECT q_id, vec_id, cell, sim FROM (SELECT *, row_number() " +
+      "OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn " +
+      s"FROM p) WHERE rn <= $topK"
+  }
+}
+
 object Similarity {
 
   // graft_dot is the custom codegen DotProduct expression
@@ -268,46 +384,25 @@ object Similarity {
         ") b JOIN documents d ON b.vec_id = d.doc_id")),
 
     // X3: IVF ANN — the third leg of the similarity triad (brute force /
-    // LSH / IVF). Coarse quantizer = per-label centroids (element-wise
-    // means over integer-scaled values: floor(x*1e6+0.5) sums are exact
-    // integers in any order, so the centroids are bit-identical across
-    // engines and partitionings — a real k-means would only change how
-    // `cents` is produced). Every vector is assigned to its nearest
-    // centroid (its "cell"); a query probes ONLY its own cell, so scan
-    // cost is corpus/cells per query — the inverted-file scale path.
+    // LSH / IVF). Coarse quantizer = LABEL-FREE deterministic Lloyd's
+    // k-means (see Ivf): seed init from the k lowest vec_ids, one Lloyd
+    // mean update, per-row argmax assignment over driver-literal
+    // centroids. Every vector lands in its nearest centroid's "cell"; a
+    // query probes ONLY its own cell, so scan cost is corpus/cells per
+    // query — the inverted-file scale path (at 100 TB, k grows toward
+    // √n and the quantizer still fits on the driver).
     QDef("q_simsearch_ivf",
       (s, d) => {
         VectorFunctions.register(s)
         val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
+          .select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
           .withColumn("nrm", expr(norm))
-        // deterministic element-wise centroid means
-        val cents = e.select(col("label"), posexplode(col("v")))
-          .toDF("clabel", "i", "x")
-          .groupBy("clabel", "i")
-          .agg((sum(floor(col("x") * lit(1000000.0) + lit(0.5))) /
-            (lit(1000000.0) * count(lit(1)))).as("cx"))
-          .groupBy("clabel")
-          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), " +
-            "p -> p.cx)").as("c"))
-          .withColumn("cn", expr("sqrt(graft_dot(c, c))"))
-        // cell assignment: nearest centroid by rounded cosine, label tiebreak
-        val simToCent = Det.rnd(expr("graft_dot(v, c)") /
-          (col("nrm") * col("cn")), 6)
-        val wCell = Window.partitionBy("vec_id")
-          .orderBy(col("csim").desc, col("clabel").asc)
-        // persist: cells feeds both sides of the cell-probe self-join —
-        // without it the whole centroid aggregation + assignment subtree
-        // runs twice (fixed-width doubles encode cheaply, unlike the
-        // dedup queries' token arrays)
-        val cells = e.crossJoin(broadcast(cents))
-          .withColumn("csim", simToCent)
-          .withColumn("crn", row_number().over(wCell))
-          .filter(col("crn") === 1)
-          .select(col("vec_id"), col("v"), col("nrm"),
-            col("clabel").as("cell"))
+          // persist: scanned by the seed collect, the Lloyd mean job,
+          // and both sides of the cell-probe join (fixed-width doubles
+          // encode cheaply, unlike the dedup queries' token arrays)
           .persist()
+        val cells = Ivf.kmeansCells(e, k = 8, dim = 64, iters = 2)
         val q = cells.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("cell").as("q_cell"))
@@ -321,31 +416,7 @@ object Similarity {
           .filter(col("rn") <= 3)
           .select(col("q_id"), col("vec_id"), col("cell"), col("sim"))
       },
-      Some {
-        val csim = Det.rndSql("list_dot_product(v, c) / " +
-          "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)))", 6)
-        val sim = Det.rndSql("list_dot_product(c2.v, q.v) / " +
-          "(sqrt(list_dot_product(c2.v, c2.v)) * " +
-          "sqrt(list_dot_product(q.v, q.v)))", 6)
-        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
-          "FROM embeddings), " +
-          "cent AS (SELECT clabel, list(cx ORDER BY i) AS c FROM (" +
-          "SELECT label AS clabel, i, " +
-          "sum(floor(v[i] * 1000000 + 0.5)) / (1000000.0 * count(*)) AS cx " +
-          "FROM e, generate_series(1, 64) t(i) GROUP BY label, i) " +
-          "GROUP BY clabel), " +
-          "cells AS (SELECT vec_id, v, cell FROM (" +
-          s"SELECT e.vec_id, e.v, cent.clabel AS cell, " +
-          s"row_number() OVER (PARTITION BY e.vec_id ORDER BY $csim DESC, " +
-          "cent.clabel) AS crn FROM e, cent) WHERE crn = 1), " +
-          "p AS (SELECT q.vec_id AS q_id, c2.vec_id AS vec_id, " +
-          s"c2.cell, $sim AS sim FROM cells c2 " +
-          "JOIN cells q ON c2.cell = q.cell AND q.vec_id < 10 " +
-          "AND c2.vec_id <> q.vec_id) " +
-          "SELECT q_id, vec_id, cell, sim FROM (SELECT *, row_number() " +
-          "OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn " +
-          "FROM p) WHERE rn <= 3"
-      }),
+      Some(Ivf.oracleSql(k = 8, maxQueryId = 10, topK = 3))),
 
     // X3/X4: embedding near-dup pairs, blocked by label (IVF-style coarse
     // partition) — pair cost is per-block, not corpus². May legitimately
