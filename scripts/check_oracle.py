@@ -18,7 +18,13 @@ con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-oracle = json.load(open(f"{out}/oracle_sql.json"))
+# subset Verify runs write oracle_sql_subset.json so they can't clobber a
+# full run's oracle_sql.json; prefer the subset file when present (it is
+# the newest intent of a local iteration loop)
+import os
+_subset = f"{out}/oracle_sql_subset.json"
+oracle = json.load(open(_subset if os.path.exists(_subset)
+                        else f"{out}/oracle_sql.json"))
 fails = []
 for name in sorted(oracle):
     sql = oracle[name]

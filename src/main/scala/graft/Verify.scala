@@ -40,7 +40,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a subset run must not masquerade as full verification output: if
+    // outDir already holds results for queries OUTSIDE the subset, a
+    // full-coverage oracle_sql.json there would silently lose them in a
+    // later driver compare — subset runs therefore write to
+    // oracle_sql_subset.json (check_oracle.py falls back to it)
+    val oracleFile =
+      if (only.isEmpty) "oracle_sql.json" else "oracle_sql_subset.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

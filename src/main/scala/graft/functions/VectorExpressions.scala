@@ -95,8 +95,26 @@ object VectorFunctions {
       IntersectSize(exprs.head, exprs(1))),
     "graft_simhash16" -> (exprs => SimHash16(exprs.head)),
     "graft_heavy_hitters" -> (exprs => {
-      require(exprs(1).foldable, "graft_heavy_hitters k must be a literal")
-      MisraGries(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+      // validate k up front with a clear analysis-time error — a null or
+      // non-integral foldable would otherwise surface as an unhelpful
+      // NPE/ClassCastException from the cast below
+      if (!exprs(1).foldable)
+        throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_1332",
+          Map("errorMessage" ->
+            "graft_heavy_hitters k must be a foldable literal"))
+      exprs(1).eval() match {
+        case n: java.lang.Integer => MisraGries(exprs.head, n.intValue)
+        case n: java.lang.Long if n.longValue == n.intValue.toLong =>
+          MisraGries(exprs.head, n.intValue)
+        case n: java.lang.Short => MisraGries(exprs.head, n.intValue)
+        case n: java.lang.Byte => MisraGries(exprs.head, n.intValue)
+        case other =>
+          throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_TEMP_1332",
+            Map("errorMessage" -> ("graft_heavy_hitters k must be a " +
+              s"non-null integral literal, got: $other")))
+      }
     }))
 
   /** Register graft's custom expressions for SQL/expr use in this

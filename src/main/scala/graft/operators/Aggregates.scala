@@ -97,24 +97,40 @@ object Aggregates {
         "count(DISTINCT l_suppkey) AS n_supps, count(*) AS n " +
         "FROM lineitem GROUP BY l_returnflag")),
 
-    // approximate count-distinct (HLL++). No oracle: approx result has no
-    // ANSI-SQL equivalent — driver records rows-only.
+    // approximate count-distinct (HLL++). The estimate itself has no
+    // ANSI-SQL equivalent, but its ACCURACY does: emit the exact count
+    // and a within-5% boolean (HLL++ default rsd = 5%), both of which
+    // the DuckDB oracle reproduces — exact count directly, the boolean
+    // as literal true. Turns the approximate aggregate into a
+    // hash-checked query instead of rows-only (VERDICT r02 #7).
     QDef("q_approx_distinct",
       (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts")),
-      None),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) /
+            col("exact_parts") < 0.05).as("within_tol")),
+      Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, " +
+        "true AS within_tol FROM lineitem GROUP BY l_returnflag")),
 
     // custom sketch aggregate: KMV distinct estimator as a typed
     // Aggregator[IN, BUF, OUT] (graft.functions.KmvDistinct) — bounded
     // k-min-hash buffer, associative/commutative merge, so partial
-    // aggregation and shuffle order cannot change the estimate. No
-    // oracle (approximate); accuracy asserted in KmvSpec.
+    // aggregation and shuffle order cannot change the estimate. Oracle
+    // checks the exact count plus a within-15% boolean (KmvSpec's
+    // tested bound for k=256, ~1/sqrt(k) typical error); tighter
+    // accuracy is asserted in KmvSpec.
     QDef("q_kmv_distinct",
       (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
         graft.functions.KmvDistinct
           .kmvDistinct(col("l_partkey").cast("string"))
-          .as("kmv_parts")),
-      None),
+          .as("kmv_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("kmv_parts") - col("exact_parts")) /
+            col("exact_parts") < 0.15).as("within_tol")),
+      Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, " +
+        "true AS within_tol FROM lineitem GROUP BY l_returnflag")),
 
     // explicit GROUPING SETS (beyond rollup/cube): mixed granularities in
     // one shuffle, grouping_id disambiguating real nulls from

@@ -336,39 +336,48 @@ object OmsPipeline {
     */
   def saveTableJsonArray(df: DataFrame, outDir: String,
       name: String): Unit = {
-    val tmpDir = new java.io.File(outDir, s".${name}_jsonl_tmp")
+    import org.apache.hadoop.fs.Path
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val tmpPath = new Path(outDir, s".${name}_jsonl_tmp")
+    // Hadoop FS, not java.io.File: the out dir may be hdfs://, s3a://
+    // etc., where a local listFiles() would return null and this sink
+    // would silently emit an empty array
+    val fs = tmpPath.getFileSystem(hconf)
     // pandas emits explicit nulls; Spark's writer drops null fields by
     // default, which would change record shapes vs the golden output
     df.coalesce(1).write.mode("overwrite")
-      .option("ignoreNullFields", false).json(tmpDir.getPath)
-    val parts = Option(tmpDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-    new java.io.File(outDir).mkdirs()
-    val target = new java.io.File(outDir, s"$name.json")
-    val w = new java.io.BufferedWriter(new java.io.FileWriter(target,
-      java.nio.charset.StandardCharsets.UTF_8))
+      .option("ignoreNullFields", false).json(tmpPath.toString)
+    // listStatus THROWS if the temp dir is missing/unlistable — a failed
+    // write must surface, never degrade to "[]" (an empty frame still
+    // legitimately yields zero part lines)
+    val parts = fs.listStatus(tmpPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val target = new Path(outDir, s"$name.json")
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(target, true), java.nio.charset.StandardCharsets.UTF_8))
     try {
       w.write("[")
       var first = true
       parts.foreach { p =>
-        val src = scala.io.Source.fromFile(p,
-          java.nio.charset.StandardCharsets.UTF_8.name())
-        try src.getLines().foreach { line =>
-          if (line.nonEmpty) {
-            if (!first) w.write(",")
-            w.write(line)
-            first = false
+        val src = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(p.getPath), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = src.readLine()
+          while (line != null) {
+            if (line.nonEmpty) {
+              if (!first) w.write(",")
+              w.write(line)
+              first = false
+            }
+            line = src.readLine()
           }
         } finally src.close()
       }
       w.write("]")
     } finally w.close()
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-      ()
-    }
-    rm(tmpDir)
+    fs.delete(tmpPath, true)
+    ()
   }
 
   def saveStar(star: StarSchema, outDir: String): Unit = {

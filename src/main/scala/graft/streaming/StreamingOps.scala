@@ -89,10 +89,18 @@ object StreamingOps {
           spark.sparkContext.hadoopConfiguration)
         val tgt = new org.apache.hadoop.fs.Path(targetDir)
         val old = new org.apache.hadoop.fs.Path(targetDir + "_old")
-        fs.delete(old, true)
-        if (fs.exists(tgt)) fs.rename(tgt, old)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), tgt)
-        fs.delete(old, true)
+        // rename/delete return false instead of throwing (e.g. dest
+        // exists, cross-filesystem move) — a silently failed promotion
+        // would mark the batch committed while the target is stale or
+        // missing, so every step must be checked
+        def must(ok: Boolean, step: String): Unit =
+          if (!ok) throw new java.io.IOException(
+            s"incrementalUpsert swap failed at: $step")
+        must(fs.delete(old, true) || !fs.exists(old), s"delete $old")
+        if (fs.exists(tgt)) must(fs.rename(tgt, old), s"rename $tgt -> $old")
+        must(fs.rename(new org.apache.hadoop.fs.Path(tmp), tgt),
+          s"rename $tmp -> $tgt")
+        must(fs.delete(old, true) || !fs.exists(old), s"delete $old")
         ()
       }
       .option("checkpointLocation",

@@ -48,6 +48,21 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
     assert(got.size <= k)
   }
 
+  test("invalid k raises a clear AnalysisException, not an NPE") {
+    val sp = spark
+    import sp.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq("a", "b").toDF("x")
+    val eNull = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(expr("graft_heavy_hitters(x, NULL)")).first()
+    }
+    assert(eNull.getMessage.contains("integral literal"), eNull.getMessage)
+    val eStr = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(expr("graft_heavy_hitters(x, 'ten')")).first()
+    }
+    assert(eStr.getMessage.contains("integral literal"), eStr.getMessage)
+  }
+
   test("nulls ignored; empty input yields empty array") {
     val sp = spark
     import sp.implicits._
