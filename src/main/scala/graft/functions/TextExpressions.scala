@@ -29,6 +29,90 @@ object TextHashing {
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
 
+  // ---- inlined MD5 (RFC 1321) ----------------------------------------
+  // MessageDigest.digest costs ~3-5x a bare compression for the short
+  // (~20-30 byte, single-block) shingle inputs that dominate the dedup
+  // queries: per-call reset, defensive copies, and a fresh 16-byte
+  // result array. This implementation writes the digest as FOUR UNSIGNED
+  // INTS — one per 8-hex-char lane, byte order matching the hex string —
+  // so lane minima can be tracked with Integer.compareUnsigned and no
+  // per-shingle string/substring allocations. Output is bit-identical to
+  // java.security MD5 / DuckDB md5() (property-tested in TextExprSpec).
+  private val MD5_K: Array[Int] = Array.tabulate(64)(i =>
+    ((math.abs(math.sin(i + 1.0)) * 4294967296.0).toLong & 0xffffffffL).toInt)
+  private val MD5_S: Array[Int] = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+  private val padBufLocal: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](1024))
+
+  /** MD5 of `msg`, digest written into `out(0..3)` as the four
+    * big-endian-per-4-bytes lane ints (hex lane j = f"%08x" of out(j);
+    * lexicographic hex order == unsigned int order).
+    */
+  def md5Lanes(msg: Array[Byte], out: Array[Int]): Unit = {
+    val len = msg.length
+    val nBlocks = ((len + 8) >> 6) + 1
+    val total = nBlocks << 6
+    val buf =
+      if (total <= 1024) padBufLocal.get() else new Array[Byte](total)
+    System.arraycopy(msg, 0, buf, 0, len)
+    buf(len) = 0x80.toByte
+    java.util.Arrays.fill(buf, len + 1, total - 8, 0.toByte)
+    val bits = len.toLong << 3
+    var i = 0
+    while (i < 8) { buf(total - 8 + i) = (bits >>> (8 * i)).toByte; i += 1 }
+    var a0 = 0x67452301; var b0 = 0xefcdab89
+    var c0 = 0x98badcfe; var d0 = 0x10325476
+    val m = new Array[Int](16)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk << 6
+      var w = 0
+      while (w < 16) {
+        val p = base + (w << 2)
+        m(w) = (buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8) |
+          ((buf(p + 2) & 0xff) << 16) | ((buf(p + 3) & 0xff) << 24)
+        w += 1
+      }
+      var a = a0; var b = b0; var c = c0; var d = d0
+      var r = 0
+      while (r < 64) {
+        var f = 0
+        var g = 0
+        if (r < 16) { f = (b & c) | (~b & d); g = r }
+        else if (r < 32) { f = (d & b) | (~d & c); g = (5 * r + 1) & 15 }
+        else if (r < 48) { f = b ^ c ^ d; g = (3 * r + 5) & 15 }
+        else { f = c ^ (b | ~d); g = (7 * r) & 15 }
+        f = f + a + MD5_K(r) + m(g)
+        a = d; d = c; c = b
+        b = b + Integer.rotateLeft(f, MD5_S(r))
+        r += 1
+      }
+      a0 += a; b0 += b; c0 += c; d0 += d
+      blk += 1
+    }
+    // hex prints each word's bytes little-endian; reversing the word
+    // gives the big-endian int whose unsigned order == hex lane order
+    out(0) = Integer.reverseBytes(a0)
+    out(1) = Integer.reverseBytes(b0)
+    out(2) = Integer.reverseBytes(c0)
+    out(3) = Integer.reverseBytes(d0)
+  }
+
+  /** Lowercase-hex rendering of one md5Lanes word (8 chars, zero-padded). */
+  def laneHex(lane: Int): String = {
+    val out = new Array[Char](8)
+    var i = 0
+    while (i < 8) {
+      out(i) = hexDigits((lane >>> (28 - 4 * i)) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Spark-SQL-exact tokenization: `trim` strips ASCII space ONLY
     * (SPARK-17299 — Java trim would also strip tabs/controls), and
     * `split(regex)` uses limit -1 (trailing empty strings kept) — both
@@ -108,15 +192,18 @@ object TextHashing {
     val seen = new java.util.HashSet[String](toks.length * 2)
     val counts = new Array[Int](16)
     var total = 0
-    val md = mdLocal.get()
+    val lanes = new Array[Int](4)
     var i = 0
     while (i < toks.length) {
       if (seen.add(toks(i))) {
         total += 1
-        val h = md5Hex(md, toks(i))
+        md5Lanes(toks(i).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8), lanes)
+        // hex digit j >= '8' == high bit of nibble j; the first 16 hex
+        // digits are nibbles 0..7 of lanes 0 and 1
         var j = 0
         while (j < 16) {
-          if (h.charAt(j) >= '8') counts(j) += 1
+          counts(j) += (lanes(j >> 3) >>> (31 - 4 * (j & 7))) & 1
           j += 1
         }
       }
@@ -139,22 +226,29 @@ object TextHashing {
     if (toks.length < 3)
       new GenericArrayData(Array[Any](null, null, null, null))
     else {
-      val md = mdLocal.get()
-      val mins = new Array[String](4)
+      // lane minima are duplicate-invariant, so only DISTINCT shingles
+      // are hashed; minima tracked as unsigned ints (hex order ==
+      // unsigned order), rendered to hex once at the end
+      val seen = new java.util.HashSet[String](toks.length * 2)
+      val mins = Array(-1, -1, -1, -1) // 0xffffffff = unsigned max
+      val lanes = new Array[Int](4)
       var i = 0
       while (i < toks.length - 2) {
-        val h = md5Hex(md, toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-        var lane = 0
-        while (lane < 4) {
-          val sub = h.substring(lane * 8, lane * 8 + 8)
-          if (mins(lane) == null || sub.compareTo(mins(lane)) < 0)
-            mins(lane) = sub
-          lane += 1
+        val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        if (seen.add(sh)) {
+          md5Lanes(sh.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8), lanes)
+          var lane = 0
+          while (lane < 4) {
+            if (Integer.compareUnsigned(lanes(lane), mins(lane)) < 0)
+              mins(lane) = lanes(lane)
+            lane += 1
+          }
         }
         i += 1
       }
       new GenericArrayData(
-        mins.map(s => UTF8String.fromString(s): Any))
+        mins.map(m => UTF8String.fromString(laneHex(m)): Any))
     }
   }
 }

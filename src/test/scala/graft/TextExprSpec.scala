@@ -77,4 +77,23 @@ class TextExprSpec extends AnyFunSuite with SparkSuite {
       array((1 to 4).map(i => expr(lanesFromHof(i))): _*).as("hof"))
     assert(cmp.filter(not(col("fused") <=> col("hof"))).count() === 0)
   }
+
+  test("inlined md5Lanes is bit-identical to java.security MD5") {
+    import graft.functions.TextHashing
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rnd = new scala.util.Random(42)
+    val lanes = new Array[Int](4)
+    // empty, boundary lengths around the 55/56-byte single-block limit
+    // and the 64-byte block size, plus random multi-block strings
+    val cases = Seq("", "a", "word one two", "x" * 55, "x" * 56, "x" * 63,
+      "x" * 64, "x" * 65, "x" * 119, "x" * 120, "héllo wörld ☃") ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(200)).mkString)
+    cases.foreach { s =>
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      TextHashing.md5Lanes(bytes, lanes)
+      val got = lanes.map(TextHashing.laneHex).mkString
+      val want = TextHashing.md5Hex(md, s)
+      assert(got === want, s"md5 mismatch for len=${bytes.length}")
+    }
+  }
 }
