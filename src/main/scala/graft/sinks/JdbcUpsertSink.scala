@@ -77,6 +77,55 @@ object JdbcUpsertSink {
       s"DO UPDATE SET $sets;"
   }
 
+  /** Statement dialect for [[load]]. [[PostgresDialect]] emits the
+    * reference's exact statement shapes (compound DROP IF EXISTS + CREATE,
+    * `ON CONFLICT DO UPDATE`); [[AnsiMergeDialect]] targets engines
+    * without ON CONFLICT (Derby, Oracle, DB2) via the standard SQL:2003
+    * `MERGE` — exercised end-to-end against embedded Derby in
+    * JdbcDerbyIntegrationSpec.
+    */
+  trait Dialect {
+    def createStaging(spec: MergeSpec): Seq[String]
+    def merge(spec: MergeSpec): String
+    def dropStaging(spec: MergeSpec): Seq[String]
+  }
+
+  object PostgresDialect extends Dialect {
+    override def createStaging(spec: MergeSpec): Seq[String] =
+      Seq(createStagingSql(spec, temp = false))
+    override def merge(spec: MergeSpec): String = insertOnConflictSql(spec)
+    override def dropStaging(spec: MergeSpec): Seq[String] =
+      Seq(dropStagingSql(spec))
+  }
+
+  /** Identifiers are double-quoted in their given (lowercase) case:
+    * Spark's jdbc writer quotes every COLUMN name in its INSERTs, so the
+    * staging DDL must create case-exact columns or the executor inserts
+    * would miss them on case-folding engines. Table names stay unquoted —
+    * Spark passes the user's table string through raw, so both sides
+    * case-fold identically.
+    */
+  object AnsiMergeDialect extends Dialect {
+    private def q(id: String) = "\"" + id + "\""
+    override def createStaging(spec: MergeSpec): Seq[String] = Seq(
+      s"CREATE TABLE ${spec.stagingTable} (" + spec.columns
+        .map(c => s"${q(c)} ${spec.columnTypes.getOrElse(c, "VARCHAR(4000)")}")
+        .mkString(", ") + ")")
+    override def merge(spec: MergeSpec): String = {
+      val on = spec.conflictKeys
+        .map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val sets = spec.updateColumns
+        .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val cols = spec.columns.map(q).mkString(", ")
+      val vals = spec.columns.map(c => s"s.${q(c)}").mkString(", ")
+      s"MERGE INTO ${spec.table} t USING ${spec.stagingTable} s ON $on " +
+        s"WHEN MATCHED THEN UPDATE SET $sets " +
+        s"WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)"
+    }
+    override def dropStaging(spec: MergeSpec): Seq[String] =
+      Seq(s"DROP TABLE ${spec.stagingTable}")
+  }
+
   /** Where the statements run. `stage` bulk-loads the frame into the
     * staging table; `execute` runs one driver-side statement.
     */
@@ -126,15 +175,22 @@ object JdbcUpsertSink {
     * clobber each other's staged rows — and the drop runs in `finally`
     * so a failed merge does not leak the table.
     */
-  def load(df: DataFrame, spec: MergeSpec, connector: Connector): Unit = {
+  def load(df: DataFrame, spec: MergeSpec, connector: Connector,
+      dialect: Dialect = PostgresDialect): Unit = {
     val suffix = java.util.UUID.randomUUID().toString
       .replace("-", "").take(12)
     val run = spec.copy(stagingTable = s"${spec.stagingTable}_$suffix")
     try {
-      connector.execute(createStagingSql(run, temp = false))
+      dialect.createStaging(run).foreach(connector.execute)
       connector.stage(df, run)
-      connector.execute(insertOnConflictSql(run))
-    } finally connector.execute(dropStagingSql(run))
+      connector.execute(dialect.merge(run))
+    } finally {
+      // best-effort: not every engine has DROP IF EXISTS, and the staging
+      // table may not exist when creation itself failed — a drop failure
+      // must not mask the original error from the try block
+      try dialect.dropStaging(run).foreach(connector.execute)
+      catch { case _: Exception => () }
+    }
   }
 
   /** The reference's own statistique contract
