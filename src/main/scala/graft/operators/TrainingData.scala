@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity (SURVEY.md
+  * §2.11 extension surface): the dataset-preparation steps a 100 TB
+  * pretraining corpus goes through after cleaning — deterministic
+  * train/val/test splitting, token-budget sequence packing, PII
+  * redaction, benchmark decontamination, and weighted source mixing.
+  *
+  * Everything is hash-deterministic (md5 — the one hash both engines
+  * share) rather than rand()-based: a split/mixture decision must be
+  * reproducible across reruns, engines, and partitionings, or the
+  * training set silently changes under resume. All ops are per-row or
+  * one-shuffle shapes that scale linearly.
+  */
+object TrainingData {
+
+  /** First `n` lowercase-hex chars of md5(doc_id) — the deterministic
+    * sampling key. Lexicographic comparison on hex == numeric comparison
+    * on the underlying bits, identically in Spark and DuckDB.
+    */
+  private def hashPrefix(n: Int) =
+    substring(md5(col("doc_id").cast("string")), 1, n)
+  private def hashPrefixSql(n: Int) =
+    s"substr(md5(CAST(doc_id AS VARCHAR)), 1, $n)"
+
+  val defs: Seq[QDef] = Seq(
+
+    // Deterministic train/val/test split: 2-hex-char bucket (256 buckets)
+    // of md5(doc_id), thresholds 'cd'/'e6' ≈ 80/10/10. Hash-based (not
+    // rand()) so the assignment is stable across reruns, engines and
+    // partitionings — the property a resumable 100 TB ingest needs.
+    // Embarrassingly parallel: no shuffle at all.
+    QDef("q_sample_split",
+      (s, d) => {
+        val b = hashPrefix(2)
+        Tables(s, d, "documents").select(
+          col("doc_id"), b.as("bucket"),
+          when(b < "cd", "train").when(b < "e6", "val")
+            .otherwise("test").as("split"))
+      },
+      Some("SELECT doc_id, " + hashPrefixSql(2) + " AS bucket, " +
+        "CASE WHEN " + hashPrefixSql(2) + " < 'cd' THEN 'train' " +
+        "WHEN " + hashPrefixSql(2) + " < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents")),
+
+    // Token-budget sequence packing (concat-and-chunk pretraining
+    // batches): docs are sharded by a hash key, ordered within shard, and
+    // a running token count assigns each doc to pack floor(offset/2048).
+    // The window partitions by shard — 16-way parallel here, shard count
+    // grows with the corpus at scale (a global ORDER BY would serialize
+    // the world). One shuffle on the shard key.
+    QDef("q_pack",
+      (s, d) => {
+        val t = Tables(s, d, "documents").select(
+          col("doc_id"), hashPrefix(1).as("shard"),
+          size(split(trim(col("text")), "\\s+")).as("n_toks"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.withColumn("cum", sum(col("n_toks")).over(w))
+          .withColumn("pack_id",
+            expr("CAST((cum - n_toks) DIV 2048 AS INT)"))
+          .groupBy("shard", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"))
+      },
+      Some("WITH t AS (SELECT doc_id, " + hashPrefixSql(1) +
+        " AS shard, CAST(len(string_split_regex(trim(text), '\\s+')) " +
+        "AS INT) AS n_toks FROM documents), " +
+        "c AS (SELECT shard, n_toks, CAST(sum(n_toks) OVER (" +
+        "PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t) " +
+        "SELECT shard, CAST((cum - n_toks) // 2048 AS INT) AS pack_id, " +
+        "count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens " +
+        "FROM c GROUP BY shard, pack_id")),
+
+    // PII redaction: scrub emails and long digit runs with replace-all
+    // regexes. The corpus text is synthetic (no PII), so a deterministic
+    // PII-bearing line is composed from doc_id on BOTH engines and then
+    // redacted — exercising the real thing: cross-engine replace-all
+    // regex semantics. Per-row, no shuffle.
+    QDef("q_redact",
+      (s, d) => {
+        val raw = concat(lit("contact user"),
+          col("doc_id").cast("string"), lit("@example.com or call "),
+          (col("doc_id") * 7919).cast("string"), lit(" re: "),
+          substring(col("text"), 1, 40))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(raw, emailRe, "<EMAIL>"),
+            "\\d{4,}", "<NUM>").as("clean"))
+      },
+      Some("SELECT doc_id, regexp_replace(regexp_replace(" +
+        "'contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or call ' || CAST(doc_id * 7919 AS VARCHAR) || " +
+        "' re: ' || substr(text, 1, 40), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', " +
+        "'g'), '\\d{4,}', '<NUM>', 'g') AS clean FROM documents")),
+
+    // Benchmark decontamination: flag corpus docs sharing any trigram
+    // shingle with a benchmark set (stand-in: docs 0-4). The benchmark
+    // side is tiny → broadcast; the corpus side explodes shingles and
+    // equi-joins — at 100 TB the same shape with the benchmark shingles
+    // in a Bloom filter before the join. Reports overlap size per
+    // contaminated doc.
+    QDef("q_contamination",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val sh = Tables(s, d, "documents").select(col("doc_id"),
+          explode(expr("graft_shingle_set(text)")).as("sh"))
+        val bench = sh.filter(col("doc_id") < 5).select("sh").distinct()
+        sh.filter(col("doc_id") >= 5)
+          .join(broadcast(bench), "sh")
+          .groupBy("doc_id")
+          // shingle sets are distinct per doc, so plain count == the
+          // number of distinct shared shingles
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "string_split_regex(trim(text), '\\s+') AS rawtoks " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, list_distinct(" +
+        "[array_to_string(rawtoks[i:i+2], ' ') " +
+        "for i in generate_series(1, len(rawtoks) - 2)]) AS shs FROM t), " +
+        "e AS (SELECT doc_id, unnest(shs) AS sh FROM s), " +
+        "b AS (SELECT DISTINCT sh FROM e WHERE doc_id < 5) " +
+        "SELECT e.doc_id, count(*) AS n_shared FROM e " +
+        "JOIN b USING (sh) WHERE e.doc_id >= 5 GROUP BY e.doc_id")),
+
+    // Weighted dataset mixture: per-source keep rates (even sources 25%,
+    // odd 75% — 0x40/0xc0 of 256 hash buckets) applied via the same
+    // deterministic hash key as the split. Reports kept/total per
+    // source; the filtered frame itself is what a sampler would emit.
+    // One partial-aggregated shuffle on source.
+    QDef("q_mixture",
+      (s, d) => {
+        val srcNum = regexp_replace(col("source"), "[^0-9]", "")
+          .cast("int")
+        val thresh = when(srcNum % 2 === 0, "40").otherwise("c0")
+        val kept = hashPrefix(2) < thresh
+        Tables(s, d, "documents").groupBy("source").agg(
+          count(lit(1)).as("n_total"),
+          count(when(kept, 1)).as("n_kept"))
+      },
+      Some("SELECT source, count(*) AS n_total, " +
+        "count(CASE WHEN " + hashPrefixSql(2) + " < (CASE WHEN " +
+        "CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 2 = 0 " +
+        "THEN '40' ELSE 'c0' END) THEN 1 END) AS n_kept " +
+        "FROM documents GROUP BY source"))
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the training-data pipeline operators — the
+  * properties a dataset-prep user relies on, beyond the oracle's
+  * value-equality check.
+  */
+class TrainingDataSpec extends AnyFunSuite with SparkSuite {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q_sample_split: ~80/10/10, deterministic across runs") {
+    val run = SparkEntry.queries("q_sample_split")(spark, sf01)
+    val counts = run.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9,
+      counts)
+    assert(counts("val") / total > 0.04 && counts("val") / total < 0.16,
+      counts)
+    assert(counts("test") / total > 0.04 && counts("test") / total < 0.16,
+      counts)
+    // hash-determinism: a second evaluation assigns identically
+    val again = SparkEntry.queries("q_sample_split")(spark, sf01)
+    assert(run.exceptAll(again).isEmpty && again.exceptAll(run).isEmpty)
+  }
+
+  test("q_pack: packs partition the corpus tokens, ids contiguous from 0") {
+    val packs = SparkEntry.queries("q_pack")(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    val docs = Tables(spark, sf01, "documents")
+      .select(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy("shard").agg(sum("n").as("total"), count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    packs.groupBy(_._1).foreach { case (shard, ps) =>
+      // token + doc conservation per shard
+      assert(ps.map(_._4).sum === docs(shard)._1, shard)
+      assert(ps.map(_._3).sum === docs(shard)._2, shard)
+      // pack ids are 0..n-1 with no holes (cumsum assignment is dense)
+      assert(ps.map(_._2).sorted.toSeq === (0 until ps.size).toSeq, shard)
+    }
+  }
+
+  test("q_redact: no emails or 4+ digit runs survive") {
+    val clean = SparkEntry.queries("q_redact")(spark, sf01)
+    assert(clean.filter(col("clean").rlike("@")).count() === 0)
+    assert(clean.filter(col("clean").rlike("[0-9]{4,}")).count() === 0)
+    // the synthesized PII really was there and really was replaced
+    assert(clean.filter(col("clean").contains("<EMAIL>")).count() ===
+      clean.count())
+  }
+
+  test("q_contamination: only non-benchmark docs, with real overlap") {
+    val c = SparkEntry.queries("q_contamination")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.nonEmpty)
+    assert(c.forall(_._1 >= 5), c.take(5).toSeq)
+    assert(c.forall(_._2 >= 1), c.take(5).toSeq)
+  }
+
+  test("q_mixture: kept <= total, even sources thinner than odd") {
+    val m = SparkEntry.queries("q_mixture")(spark, sf01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(m.forall { case (_, total, kept) => kept <= total })
+    val (even, odd) = m.partition(t =>
+      t._1.replaceAll("[^0-9]", "").toInt % 2 == 0)
+    val evenRate = even.map(_._3).sum.toDouble / even.map(_._2).sum
+    val oddRate = odd.map(_._3).sum.toDouble / odd.map(_._2).sum
+    assert(evenRate < oddRate, s"even=$evenRate odd=$oddRate")
+    // thresholds 0x40/0xc0 of 256: expect ~25% / ~75%
+    assert(evenRate > 0.1 && evenRate < 0.4, evenRate)
+    assert(oddRate > 0.6 && oddRate < 0.9, oddRate)
+  }
+}
