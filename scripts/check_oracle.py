@@ -19,12 +19,15 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 # subset Verify runs write oracle_sql_subset.json so they can't clobber a
-# full run's oracle_sql.json; prefer the subset file when present (it is
-# the newest intent of a local iteration loop)
+# full run's oracle_sql.json; a FULL Verify deletes any stale subset file
+# in its outDir, so when both exist the subset one is newer. Say which
+# file is in use so a narrowed check can't pass silently.
 import os
 _subset = f"{out}/oracle_sql_subset.json"
-oracle = json.load(open(_subset if os.path.exists(_subset)
-                        else f"{out}/oracle_sql.json"))
+_src = _subset if os.path.exists(_subset) else f"{out}/oracle_sql.json"
+if _src == _subset:
+    print(f"NOTE: subset oracle file in use: {_src}")
+oracle = json.load(open(_src))
 fails = []
 for name in sorted(oracle):
     sql = oracle[name]

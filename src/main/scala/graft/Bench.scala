@@ -52,10 +52,16 @@ object Bench {
         (name, best, runs)
       }
     val loadAfter = loadavg()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.4f" }
+    // Locale.ROOT: the f interpolator uses the JVM default locale, which
+    // on comma-decimal locales would emit 0,1234 and break the JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val raw = results
-      .map { case (k, _, rs) => s"\"" + k + "\":" + rs.map(r => f"$r%.4f").mkString("[", ",", "]") }
+      .map { case (k, _, rs) =>
+        s"\"" + k + "\":" + rs.map(fmt).mkString("[", ",", "]")
+      }
       .mkString("{", ",", "}")
     // failures (-1 sentinels) are excluded from the total instead of
     // subtracting a second each; they stay visible per-query

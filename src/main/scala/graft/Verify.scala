@@ -47,6 +47,10 @@ object Verify {
     // oracle_sql_subset.json (check_oracle.py falls back to it)
     val oracleFile =
       if (only.isEmpty) "oracle_sql.json" else "oracle_sql_subset.json"
+    // a FULL run must also remove any stale subset file, or a later
+    // compare against this directory would prefer the narrow (old) one
+    if (only.isEmpty)
+      Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql_subset.json"))
     Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }

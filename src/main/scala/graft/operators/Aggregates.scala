@@ -99,17 +99,21 @@ object Aggregates {
 
     // approximate count-distinct (HLL++). The estimate itself has no
     // ANSI-SQL equivalent, but its ACCURACY does: emit the exact count
-    // and a within-5% boolean (HLL++ default rsd = 5%), both of which
-    // the DuckDB oracle reproduces — exact count directly, the boolean
-    // as literal true. Turns the approximate aggregate into a
-    // hash-checked query instead of rows-only (VERDICT r02 #7).
+    // and a within-15% boolean, both of which the DuckDB oracle
+    // reproduces — exact count directly, the boolean as literal true.
+    // Tolerance is 3x the default rsd (5% is a STANDARD DEVIATION, not a
+    // bound — a 5% assertion would fail on ~1/3 of groups by data luck
+    // alone); 15% makes the check robust across seeds and scale factors
+    // while still catching a broken sketch. Turns the approximate
+    // aggregate into a hash-checked query instead of rows-only
+    // (VERDICT r02 #7).
     QDef("q_approx_distinct",
       (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")) /
-            col("exact_parts") < 0.05).as("within_tol")),
+            col("exact_parts") < 0.15).as("within_tol")),
       Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, " +
         "true AS within_tol FROM lineitem GROUP BY l_returnflag")),
 

@@ -139,9 +139,14 @@ object TrainingData {
     // One partial-aggregated shuffle on source.
     QDef("q_mixture",
       (s, d) => {
+        // TRY-cast semantics on BOTH sides: a digit-free source yields
+        // null (Spark cast under ANSI-off; DuckDB TRY_CAST) and falls
+        // explicitly to the odd/'c0' branch in both engines — a plain
+        // DuckDB CAST would instead error the whole oracle query
         val srcNum = regexp_replace(col("source"), "[^0-9]", "")
           .cast("int")
-        val thresh = when(srcNum % 2 === 0, "40").otherwise("c0")
+        val thresh = when(srcNum.isNotNull && srcNum % 2 === 0, "40")
+          .otherwise("c0")
         val kept = hashPrefix(2) < thresh
         Tables(s, d, "documents").groupBy("source").agg(
           count(lit(1)).as("n_total"),
@@ -149,8 +154,8 @@ object TrainingData {
       },
       Some("SELECT source, count(*) AS n_total, " +
         "count(CASE WHEN " + hashPrefixSql(2) + " < (CASE WHEN " +
-        "CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 2 = 0 " +
-        "THEN '40' ELSE 'c0' END) THEN 1 END) AS n_kept " +
+        "TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) " +
+        "% 2 = 0 THEN '40' ELSE 'c0' END) THEN 1 END) AS n_kept " +
         "FROM documents GROUP BY source"))
   )
 }

@@ -180,16 +180,22 @@ object JdbcUpsertSink {
     val suffix = java.util.UUID.randomUUID().toString
       .replace("-", "").take(12)
     val run = spec.copy(stagingTable = s"${spec.stagingTable}_$suffix")
+    var primary: Throwable = null
     try {
       dialect.createStaging(run).foreach(connector.execute)
       connector.stage(df, run)
       connector.execute(dialect.merge(run))
-    } finally {
-      // best-effort: not every engine has DROP IF EXISTS, and the staging
-      // table may not exist when creation itself failed — a drop failure
-      // must not mask the original error from the try block
+    } catch { case t: Throwable => primary = t; throw t }
+    finally {
+      // the drop must not MASK a failure from the body (the staging
+      // table may not even exist when creation itself failed) — but a
+      // drop failure after a successful load is a real leak (the
+      // uniquely-named staging table accumulates) and must surface
       try dialect.dropStaging(run).foreach(connector.execute)
-      catch { case _: Exception => () }
+      catch {
+        case e: Exception =>
+          if (primary == null) throw e else primary.addSuppressed(e)
+      }
     }
   }
 
