@@ -94,28 +94,30 @@ object VectorFunctions {
     "graft_intersect_size" -> (exprs =>
       IntersectSize(exprs.head, exprs(1))),
     "graft_simhash16" -> (exprs => SimHash16(exprs.head)),
-    "graft_heavy_hitters" -> (exprs => {
-      // validate k up front with a clear analysis-time error — a null or
-      // non-integral foldable would otherwise surface as an unhelpful
-      // NPE/ClassCastException from the cast below
-      if (!exprs(1).foldable)
-        throw new org.apache.spark.sql.AnalysisException(
-          "_LEGACY_ERROR_TEMP_1332",
-          Map("errorMessage" ->
-            "graft_heavy_hitters k must be a foldable literal"))
-      exprs(1).eval() match {
-        case n: java.lang.Integer => MisraGries(exprs.head, n.intValue)
-        case n: java.lang.Long if n.longValue == n.intValue.toLong =>
-          MisraGries(exprs.head, n.intValue)
-        case n: java.lang.Short => MisraGries(exprs.head, n.intValue)
-        case n: java.lang.Byte => MisraGries(exprs.head, n.intValue)
-        case other =>
-          throw new org.apache.spark.sql.AnalysisException(
-            "_LEGACY_ERROR_TEMP_1332",
-            Map("errorMessage" -> ("graft_heavy_hitters k must be a " +
-              s"non-null integral literal, got: $other")))
-      }
-    }))
+    "graft_heavy_hitters" -> (exprs =>
+      MisraGries(exprs.head, intLiteral(exprs(1), "graft_heavy_hitters"))),
+    "graft_kmv_distinct" -> (exprs =>
+      KmvSketchAgg(exprs.head, intLiteral(exprs(1), "graft_kmv_distinct"))))
+
+  /** Validate a sketch-size argument up front with a clear analysis-time
+    * error — a null or non-integral foldable would otherwise surface as
+    * an unhelpful NPE/ClassCastException from a blind cast.
+    */
+  private def intLiteral(e: Expression, fn: String): Int = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> s"$fn $msg"))
+    if (!e.foldable) fail("k must be a foldable literal")
+    e.eval() match {
+      case n: java.lang.Integer => n.intValue
+      case n: java.lang.Long if n.longValue == n.intValue.toLong =>
+        n.intValue
+      case n: java.lang.Short => n.intValue
+      case n: java.lang.Byte => n.intValue
+      case other =>
+        fail(s"k must be a non-null integral literal, got: $other")
+    }
+  }
 
   /** Register graft's custom expressions for SQL/expr use in this
     * session.

@@ -125,14 +125,16 @@ object Aggregates {
     // tested bound for k=256, ~1/sqrt(k) typical error); tighter
     // accuracy is asserted in KmvSpec.
     QDef("q_kmv_distinct",
-      (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
-        graft.functions.KmvDistinct
-          .kmvDistinct(col("l_partkey").cast("string"))
-          .as("kmv_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-        .select(col("l_returnflag"), col("exact_parts"),
-          (abs(col("kmv_parts") - col("exact_parts")) /
-            col("exact_parts") < 0.15).as("within_tol")),
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+          expr("graft_kmv_distinct(CAST(l_partkey AS STRING), 256)")
+            .as("kmv_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("kmv_parts") - col("exact_parts")) /
+              col("exact_parts") < 0.15).as("within_tol"))
+      },
       Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, " +
         "true AS within_tol FROM lineitem GROUP BY l_returnflag")),
 

@@ -29,4 +29,15 @@ class KmvSpec extends AnyFunSuite with SparkSuite {
     val est = df.agg(KmvDistinct.kmvDistinct($"x")).first().getDouble(0)
     assert(est === 37.0)
   }
+
+  test("TypedImperativeAggregate form == Aggregator form, incl. merges") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Tables(spark, sf, "lineitem").repartition(8)
+    val rows = df.groupBy("l_returnflag").agg(
+      KmvDistinct.kmvDistinct(col("l_partkey").cast("string")).as("agg"),
+      expr("graft_kmv_distinct(CAST(l_partkey AS STRING), 256)")
+        .as("imp")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) === r.getDouble(2), r))
+  }
 }
