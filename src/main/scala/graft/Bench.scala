@@ -52,10 +52,22 @@ object Bench {
         (name, best, runs)
       }
     val loadAfter = loadavg()
-    // Locale.ROOT: the f interpolator uses the JVM default locale, which
-    // on comma-decimal locales would emit 0,1234 and break the JSON
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    println(render(results, reps, loadBefore, loadAfter, sfDir))
+    spark.stop()
+  }
+
+  /** Locale.ROOT: the f interpolator uses the JVM default locale, which
+    * on comma-decimal locales would emit 0,1234 and break the JSON.
+    */
+  def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+  /** The one JSON line the driver parses — kept as a pure function so a
+    * spec can assert it stays machine-readable (locale-proof numbers,
+    * escaped nothing: names and loadavg are shell-safe by construction).
+    */
+  def render(results: Seq[(String, Double, Seq[Double])], reps: Int,
+      loadBefore: String, loadAfter: String, sfDir: String): String = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val raw = results
@@ -67,8 +79,9 @@ object Bench {
     // subtracting a second each; they stay visible per-query
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"reps":$reps,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","failed":$nFail,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"runs":$raw,"reps":$reps,""" +
+      s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+      s""""failed":$nFail,"sf":"$sfDir"}"""
   }
 }
