@@ -97,5 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
     e.injectOptimizerRule(_ => RewriteIntersectSize)
+    // plans graft.plans.AsOfJoinPlan into its sort-merge SparkPlan
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -263,6 +263,39 @@ object Joins {
         "FROM events WHERE event_type IN ('click', 'purchase') " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
-        "WHERE event_type = 'purchase'"))
+        "WHERE event_type = 'purchase'")),
+
+    // native as-of join: the custom whole-operator path (logical node +
+    // SparkStrategy + sort-merge SparkPlan, graft.plans.AsOfJoin) vs
+    // q_asof's union+window composition. Inclusive (<=) match, mirrored
+    // by DuckDB's native ASOF LEFT JOIN (ON l.ts >= r.ts). The right
+    // side is pre-deduped to one row per (user, ts) — as-of tie order
+    // among equal times is undefined in BOTH engines, so uniqueness is
+    // what makes the query deterministic.
+    QDef("q_asof_native",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+            col("click_id"))
+        graft.plans.AsOfJoin.join(purchases, clicks,
+            leftKeyCol = "user_id", rightKeyCol = "c_user",
+            leftTimeCol = "purchase_ts", rightTimeCol = "click_ts")
+          .select("purchase_id", "user_id", "purchase_ts", "click_id",
+            "click_ts")
+      },
+      Some("WITH p AS (SELECT event_id AS purchase_id, user_id, " +
+        "ts AS purchase_ts FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id AS c_user, ts AS click_ts, " +
+        "max(event_id) AS click_id FROM events " +
+        "WHERE event_type = 'click' GROUP BY 1, 2) " +
+        "SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, " +
+        "c.click_ts FROM p ASOF LEFT JOIN c " +
+        "ON p.user_id = c.c_user AND p.purchase_ts >= c.click_ts"))
   )
 }

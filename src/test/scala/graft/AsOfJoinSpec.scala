@@ -1,0 +1,119 @@
+package graft
+
+import graft.plans.{AsOfJoin, AsOfJoinExec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the native as-of join (logical node + strategy + sort-merge
+  * SparkPlan): result parity with the composable union+window form, the
+  * physical shape (one exchange + one sort per side, AsOfJoinExec in the
+  * executed plan), and edge semantics (no-match nulls, inclusive match,
+  * key isolation).
+  */
+class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
+
+  test("small case: inclusive match, no-match nulls, key isolation") {
+    val sp = spark
+    import sp.implicits._
+    val trades = Seq((1, 10L), (1, 20L), (1, 5L), (2, 7L), (3, 1L))
+      .toDF("k", "t")
+    val quotes = Seq((1, 10L, "a"), (1, 15L, "b"), (2, 99L, "c"))
+      .toDF("qk", "qt", "v")
+    val got = AsOfJoin.join(trades, quotes, "k", "qk", "t", "qt")
+      .select("k", "t", "qt", "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) "" else r.getString(3))).sortBy(x => (x._1, x._2))
+    assert(got === Seq(
+      (1, 5L, -1L, ""), // before any quote
+      (1, 10L, 10L, "a"), // inclusive: equal time matches
+      (1, 20L, 15L, "b"), // latest prior
+      (2, 7L, -1L, ""), // key 2's only quote is in the future
+      (3, 1L, -1L, ""))) // key absent on right entirely
+  }
+
+  test("parity with the union+window composable form on real events") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("click_id"))
+    val native = AsOfJoin.join(purchases, clicks,
+      "user_id", "c_user", "purchase_ts", "click_ts")
+      .select("purchase_id", "click_id", "click_ts")
+    // composable twin: union click/purchase rows, last-ignoreNulls over
+    // an unbounded-to-current frame (inclusive, like the native <=)
+    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+    val dedupClicks = tagged.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("event_id"))
+      .withColumn("event_type", lit("click"))
+    val u = dedupClicks.select("user_id", "ts", "event_id", "event_type")
+      .unionByName(tagged.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "event_type"))
+    // clicks sort before purchases at equal ts so inclusive <= holds
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), when(col("event_type") === "click", 0)
+        .otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isClick = col("event_type") === "click"
+    val expected = u
+      .withColumn("click_id",
+        last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(isClick, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("click_id"),
+        col("click_ts"))
+    assert(native.exceptAll(expected).isEmpty &&
+      expected.exceptAll(native).isEmpty)
+  }
+
+  test("plan: AsOfJoinExec with one exchange and one sort per side") {
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("u2"), col("ts").as("t2"))
+      .agg(max("event_id").as("cid"))
+    val df = AsOfJoin.join(l, r, "user_id", "u2", "ts", "t2")
+    // force execution so the adaptive plan is final; look only at the
+    // final section (the AQE string repeats the initial plan below it)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("AsOfJoin"), p)
+    // left side: one exchange + sort; right side: the groupBy already
+    // exchanges on (u2, t2), so EnsureRequirements adds one more for the
+    // key-only clustering — bounded, never more than 3 total
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges >= 2 && exchanges <= 3, p)
+    assert("Sort \\[".r.findAllIn(p).size === 2, p)
+  }
+
+  test("works via spark.sql.extensions injection (no explicit register)") {
+    // a FRESH session wired only through GraftExtensions must plan the
+    // node without AsOfJoin.join's experimental-strategies fallback
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .appName("asof-ext").getOrCreate()
+    try {
+      val sp = s2
+      import sp.implicits._
+      val l = Seq((1, 10L)).toDF("k", "t")
+      val r = Seq((1, 9L, "x")).toDF("qk", "qt", "v")
+      // bypass the API's self-registration by checking the session's
+      // planner accepts the node that the API constructs
+      val got = AsOfJoin.join(l, r, "k", "qk", "t", "qt")
+        .select("v").collect().map(_.getString(0))
+      assert(got === Array("x"))
+    } finally s2.stop()
+  }
+}
