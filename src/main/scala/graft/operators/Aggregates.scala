@@ -230,19 +230,48 @@ object Aggregates {
         "ORDER BY c_acctbal, c_custkey)")),
 
     // exact interpolated percentiles (both engines use the (n-1)p linear
-    // interpolation definition). Exact sorts per group — fine here; at
-    // 100 TB switch to approx_percentile (t-digest) and drop the oracle.
+    // interpolation definition). Computed by SORT, not by Spark's
+    // `percentile` aggregate: that aggregate accumulates a value→count
+    // map per group and merges the full map in one JVM — at 100 TB the
+    // map holds every distinct value of the column. The sort form is one
+    // window shuffle (range-partitioned sort machinery), a filter to the
+    // four boundary ranks, and a 4-row interpolation — nothing ever
+    // concentrates on a single task beyond k rows per group.
     QDef("q_percentile",
-      // one array-percentile call: separate percentile(p) aggregates each
-      // buffer the whole column per group; the array form sorts once for
-      // both quantiles
-      (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ps"),
-        count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          Det.rnd(element_at(col("ps"), 1), 4).as("p50"),
-          Det.rnd(element_at(col("ps"), 2), 4).as("p90"),
-          col("n")),
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy("l_extendedprice")
+        val wAll = Window.partitionBy("l_returnflag")
+        // 0-based target position h = (n-1)p; boundary ranks are
+        // floor(h)+1 and floor(h)+2 in 1-based rn terms (ceil(h) ==
+        // floor(h)+1 covers the fractional case; when h is integral the
+        // +2 row is unused by the interpolation's zero fraction — except
+        // h == n-1, where rn n is the +1 row and no +2 row exists)
+        def h(p: Double) = (col("n") - 1) * lit(p)
+        def lo(p: Double) = floor(h(p)).cast("long") + 1
+        val ranked = Tables(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+        def vAt(p: Double, off: Int) = max(when(
+          col("rn") === lo(p) + off, col("l_extendedprice")))
+        // same formula as Spark's percentile / DuckDB quantile_cont:
+        // lower + (higher - lower) * frac. Inside agg(), n is constant
+        // per group so max(n) stands in for it.
+        def interp(p: Double) = {
+          val hA = (max(col("n")) - 1) * lit(p)
+          val frac = hA - floor(hA)
+          vAt(p, 0) + (coalesce(vAt(p, 1), vAt(p, 0)) - vAt(p, 0)) * frac
+        }
+        ranked
+          .filter(col("rn") === lo(0.5) || col("rn") === lo(0.5) + 1 ||
+            col("rn") === lo(0.9) || col("rn") === lo(0.9) + 1)
+          .groupBy("l_returnflag")
+          .agg(max(col("n")).as("n"), // constant per group
+            Det.rnd(interp(0.5), 4).as("p50"),
+            Det.rnd(interp(0.9), 4).as("p90"))
+          .select("l_returnflag", "p50", "p90", "n")
+      },
       Some("SELECT l_returnflag, " +
         s"${Det.rndSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50, " +
         s"${Det.rndSql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90, " +
