@@ -95,6 +95,43 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert("Sort \\[".r.findAllIn(p).size === 2, p)
   }
 
+  test("randomized parity vs a driver-side reference implementation") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    // left: duplicates allowed (incl. duplicate (key, time)); right:
+    // unique (key, time) per the operator's determinism contract
+    val leftRows = (1 to 400).map { i =>
+      (rnd.nextInt(20), rnd.nextInt(50).toLong, i)
+    }
+    val rightRows = rnd.shuffle(
+      (for (k <- 0 until 25; t <- 0 until 50) yield (k, t.toLong))
+        .toList).take(300).map { case (k, t) => (k, t, s"v$k-$t") }
+    val l = leftRows.toDF("k", "t", "id").repartition(5)
+    val r = rightRows.toDF("rk", "rt", "v").repartition(3)
+    val got = AsOfJoin.join(l, r, "k", "rk", "t", "rt")
+      .select("id", "v").collect()
+      .map(row => row.getInt(0) ->
+        (if (row.isNullAt(1)) null else row.getString(1))).toMap
+    val rightByKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (k, t, id) =>
+      val m = rightByKey.getOrElse(k, Nil).filter(_._2 <= t)
+      id -> (if (m.isEmpty) null else m.maxBy(_._2)._3)
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("unknown column name raises a clear error") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1, 10L)).toDF("k", "t")
+    val r = Seq((1, 9L)).toDF("qk", "qt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.join(l, r, "k", "nope", "t", "qt")
+    }
+    assert(e.getMessage.contains("'nope' not in"), e.getMessage)
+  }
+
   test("works via spark.sql.extensions injection (no explicit register)") {
     // a FRESH session wired only through GraftExtensions must plan the
     // node without AsOfJoin.join's experimental-strategies fallback
