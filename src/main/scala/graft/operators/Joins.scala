@@ -296,6 +296,45 @@ object Joins {
         "WHERE event_type = 'click' GROUP BY 1, 2) " +
         "SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, " +
         "c.click_ts FROM p ASOF LEFT JOIN c " +
-        "ON p.user_id = c.c_user AND p.purchase_ts >= c.click_ts"))
+        "ON p.user_id = c.c_user AND p.purchase_ts >= c.click_ts")),
+
+    // big-big interval join via time-bucketing: clicks in the hour
+    // before each purchase. A plain (user, time-range) join is a per-key
+    // cross product; bucketing both sides into hour buckets and
+    // exploding the PROBE side to its two candidate buckets makes it an
+    // equi-join on (user, bucket) — each click falls in exactly one
+    // bucket so nothing double-counts, the build side never inflates,
+    // and a [t-1h, t) window spans at most the two probed buckets. This
+    // is THE shape for time-window joins at 100 TB; the oracle states
+    // the naive inequality join and must agree exactly.
+    QDef("q_interval_bucket",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val hourUs = 3600L * 1000000L
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"))
+          .withColumn("b0", expr(s"unix_micros(purchase_ts) div $hourUs"))
+          .withColumn("b", explode(array(col("b0"), col("b0") - 1)))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .withColumn("cb", expr(s"unix_micros(c_ts) div $hourUs"))
+        val inWindow = col("c_ts") >=
+          expr("purchase_ts - INTERVAL 1 HOUR") &&
+          col("c_ts") < col("purchase_ts")
+        p.join(c, col("user_id") === col("c_user") &&
+            col("b") === col("cb"), "left")
+          .groupBy("purchase_id", "user_id", "purchase_ts")
+          .agg(count(when(inWindow, 1)).as("n_clicks"))
+      },
+      Some("WITH p AS (SELECT event_id AS purchase_id, user_id, " +
+        "ts AS purchase_ts FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id AS c_user, ts AS c_ts FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT p.purchase_id, p.user_id, p.purchase_ts, " +
+        "count(CASE WHEN c.c_ts >= p.purchase_ts - INTERVAL 1 HOUR " +
+        "AND c.c_ts < p.purchase_ts THEN 1 END) AS n_clicks " +
+        "FROM p LEFT JOIN c ON p.user_id = c.c_user " +
+        "GROUP BY 1, 2, 3"))
   )
 }
