@@ -99,6 +99,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // expressions are CodegenFallback)
   }
 
+  test("q_asof_native plans the custom AsOfJoinExec operator") {
+    val p = plan("q_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_interval_bucket: equi-join on bucket, never a nested loop") {
+    val p = plan("q_interval_bucket")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the bucketed join is a hash-joinable equi condition
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
   test("q_simsearch: custom dot product in plan, top-k pushed into window") {
     val p = plan("q_simsearch")
     assert(p.contains("dotproduct("), p)
