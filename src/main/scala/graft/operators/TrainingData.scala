@@ -156,6 +156,60 @@ object TrainingData {
         "count(CASE WHEN " + hashPrefixSql(2) + " < (CASE WHEN " +
         "TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) " +
         "% 2 = 0 THEN '40' ELSE 'c0' END) THEN 1 END) AS n_kept " +
-        "FROM documents GROUP BY source"))
+        "FROM documents GROUP BY source")),
+
+    // Repetition filtering (Gopher-style quality rule): fraction of
+    // repeated word trigrams per doc — boilerplate and looping text
+    // score high. One fused pass computes both shingle counts
+    // (graft_shingles keeps duplicates, graft_shingle_set doesn't);
+    // per-row, zero shuffle.
+    QDef("q_repetition",
+      (s, d) => {
+        graft.functions.VectorFunctions.register(s)
+        val nSh = size(expr("graft_shingles(text)"))
+        val nUniq = size(expr("graft_shingle_set(text)"))
+        Tables(s, d, "documents").select(
+          col("doc_id"), nSh.as("n_sh"),
+          graft.Det.rnd(
+            when(nSh > 0, (nSh - nUniq).cast("double") / nSh)
+              .otherwise(0.0), 6).as("rep_ratio"))
+          .withColumn("repetitive", col("rep_ratio") > 0.2)
+      },
+      Some {
+        val sh = "[array_to_string(rawtoks[i:i+2], ' ') " +
+          "for i in generate_series(1, len(rawtoks) - 2)]"
+        "WITH t AS (SELECT doc_id, " +
+          "string_split_regex(trim(text), '\\s+') AS rawtoks " +
+          "FROM documents), " +
+          s"s AS (SELECT doc_id, $sh AS sh FROM t), " +
+          "m AS (SELECT doc_id, CAST(len(sh) AS INT) AS n_sh, " +
+          "CAST(len(list_distinct(sh)) AS INT) AS n_uniq FROM s) " +
+          "SELECT doc_id, n_sh, " +
+          graft.Det.rndSql("CASE WHEN n_sh > 0 THEN " +
+            "CAST(n_sh - n_uniq AS DOUBLE) / n_sh ELSE 0.0 END", 6) +
+          " AS rep_ratio, " +
+          graft.Det.rndSql("CASE WHEN n_sh > 0 THEN " +
+            "CAST(n_sh - n_uniq AS DOUBLE) / n_sh ELSE 0.0 END", 6) +
+          " > 0.2 AS repetitive FROM m"
+      }),
+
+    // Deterministic stratified sampling: exactly k docs per language,
+    // chosen by md5 order (not rand()) — how a reproducible eval set is
+    // carved from a corpus. One shuffle on the stratum key; at scale
+    // WindowGroupLimit keeps only k rows per stratum per partition
+    // before the exchange.
+    QDef("q_stratified",
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables(s, d, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("doc_id"), col("rn"))
+      },
+      Some("SELECT lang, doc_id, rn FROM (SELECT lang, doc_id, " +
+        "CAST(row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn " +
+        "FROM documents) WHERE rn <= 5"))
   )
 }
