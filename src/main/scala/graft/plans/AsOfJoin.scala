@@ -102,6 +102,7 @@ case class AsOfJoinExec(
         private val proj = UnsafeProjection.create(allOut, allOut)
         private var curR: InternalRow = null // head of right, unconsumed
         private var lastMatch: InternalRow = null // last rt<=lt, same key
+        private var lastMatchKey: Any = null // its key, cached once
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -115,7 +116,7 @@ case class AsOfJoinExec(
             proj(joined(l, nullRight))
           } else {
             if (lastMatch != null &&
-              keyOrd.compare(rKeyB.eval(lastMatch), lk) != 0)
+              keyOrd.compare(lastMatchKey, lk) != 0)
               lastMatch = null
             var advance = true
             while (advance) {
@@ -133,8 +134,11 @@ case class AsOfJoinExec(
                     if (rt == null) curR = null
                     else if (timeOrd.compare(rt, lt) <= 0) {
                       // better (later) candidate; copy: the underlying
-                      // row object is reused by the child iterator
+                      // row object is reused by the child iterator. Key
+                      // re-evaluated ONCE against the copy (rk may point
+                      // into the reused row's buffers) and cached
                       lastMatch = curR.copy()
+                      lastMatchKey = rKeyB.eval(lastMatch)
                       curR = null
                     } else advance = false // strictly future, park
                   }
@@ -176,13 +180,28 @@ object AsOfJoin {
       .map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, right.queryExecution.analyzed)
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(throw new
-          IllegalArgumentException(
-        s"asof: column '$name' not in [${plan.output.map(_.name)
-          .mkString(", ")}]"))
+      plan.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"asof: column '$name' not in [${plan.output.map(_.name)
+            .mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"asof: column '$name' is ambiguous (${many.size} matches) — " +
+            "rename upstream")
+      }
+    val (lk, rk) = (attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol))
+    val (ltc, rtc) = (attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+    // analysis-time type check: the exec compares with the LEFT side's
+    // interpreted ordering and co-partitions by hash — a type mismatch
+    // would otherwise surface as an executor ClassCastException (or,
+    // worse, silently mis-partitioned data: hash(1) != hash(1L))
+    def sameType(a: Attribute, b: Attribute, what: String): Unit =
+      if (a.dataType != b.dataType) throw new IllegalArgumentException(
+        s"asof: $what types differ: ${a.name}: ${a.dataType.simpleString}" +
+          s" vs ${b.name}: ${b.dataType.simpleString} — cast upstream")
+    sameType(lk, rk, "key")
+    sameType(ltc, rtc, "time")
     org.apache.spark.sql.graftbridge.GraftDatasetBridge.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan,
-        attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
-        attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, ltc, rtc))
   }
 }

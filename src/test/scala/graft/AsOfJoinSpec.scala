@@ -121,36 +121,80 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
     assert(got === expected)
   }
 
-  test("unknown column name raises a clear error") {
+  test("unknown, ambiguous, and type-mismatched columns raise clearly") {
     val sp = spark
     import sp.implicits._
     val l = Seq((1, 10L)).toDF("k", "t")
     val r = Seq((1, 9L)).toDF("qk", "qt")
-    val e = intercept[IllegalArgumentException] {
+    val eName = intercept[IllegalArgumentException] {
       AsOfJoin.join(l, r, "k", "nope", "t", "qt")
     }
-    assert(e.getMessage.contains("'nope' not in"), e.getMessage)
+    assert(eName.getMessage.contains("'nope' not in"), eName.getMessage)
+    // Int key vs Long key: must fail at the API, not with an executor
+    // ClassCastException / silent hash mis-partitioning
+    val rLong = Seq((1L, 9L)).toDF("qk", "qt")
+    val eType = intercept[IllegalArgumentException] {
+      AsOfJoin.join(l, rLong, "k", "qk", "t", "qt")
+    }
+    assert(eType.getMessage.contains("key types differ"), eType.getMessage)
+    // duplicate name on one side: ambiguity must error, not first-match
+    val rDup = Seq((1, 9L, 8L)).toDF("qk", "qt", "qt")
+    val eDup = intercept[IllegalArgumentException] {
+      AsOfJoin.join(l, rDup, "k", "qk", "t", "qt")
+    }
+    assert(eDup.getMessage.contains("ambiguous"), eDup.getMessage)
   }
 
-  test("works via spark.sql.extensions injection (no explicit register)") {
-    // a FRESH session wired only through GraftExtensions must plan the
-    // node without AsOfJoin.join's experimental-strategies fallback
-    val s2 = org.apache.spark.sql.SparkSession.builder()
+  test("works via GraftExtensions injection (no explicit register)") {
+    import org.apache.spark.sql.SparkSession
+    // a FRESH session wired only through the GraftExtensions class must
+    // plan the node without AsOfJoin.join's experimental-strategies
+    // fallback. `spark.sql.extensions` is a STATIC conf (read from the
+    // SparkContext conf, unavailable to a second in-JVM session), so the
+    // in-process equivalent is builder().withExtensions — it runs the
+    // exact same GraftExtensions.apply, including injectPlannerStrategy.
+    // getOrCreate returns the suite's shared session unless the default
+    // is cleared first (which would silently void this whole test); the
+    // new session shares the SparkContext, so it must NOT be stopped.
+    spark.sparkContext // force the shared context up first
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
       .master("local[2]")
-      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+      .withExtensions(new graft.extensions.GraftExtensions())
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .appName("asof-ext").getOrCreate()
+    assert(s2 ne spark)
     try {
       val sp = s2
       import sp.implicits._
       val l = Seq((1, 10L)).toDF("k", "t")
       val r = Seq((1, 9L, "x")).toDF("qk", "qt", "v")
-      // bypass the API's self-registration by checking the session's
-      // planner accepts the node that the API constructs
-      val got = AsOfJoin.join(l, r, "k", "qk", "t", "qt")
-        .select("v").collect().map(_.getString(0))
+      // build the logical node DIRECTLY (not via AsOfJoin.join, which
+      // self-registers the strategy on experimental.extraStrategies and
+      // would mask a broken injectPlannerStrategy line) — planning must
+      // succeed purely through the GraftExtensions-injected strategy
+      assert(s2.experimental.extraStrategies.isEmpty)
+      val lPlan = l.queryExecution.analyzed
+      val rPlan = r.queryExecution.analyzed
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          n: String) = p.output.find(_.name == n).get
+      val df = org.apache.spark.sql.graftbridge.GraftDatasetBridge.ofRows(
+        s2.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        graft.plans.AsOfJoinPlan(lPlan, rPlan,
+          a(lPlan, "k"), a(rPlan, "qk"), a(lPlan, "t"), a(rPlan, "qt")))
+      val got = df.select("v").collect().map(_.getString(0))
       assert(got === Array("x"))
-    } finally s2.stop()
+      assert(s2.experimental.extraStrategies.isEmpty)
+    } finally {
+      // restore the suite's shared session as default/active (s2 shares
+      // its SparkContext — stopping it would kill every later suite)
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prev.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
   }
 }
