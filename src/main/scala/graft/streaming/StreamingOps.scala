@@ -198,6 +198,52 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming corpus ingest: the training-data prep ops composed as ONE
+    * continuous pipeline — token-count quality floor, exact dedup on the
+    * content hash, deterministic md5 train/val/test split — over a
+    * file-streamed document corpus. Dedup keeps the first-seen copy
+    * (arrival-order state); the split is hash-deterministic, so the
+    * OUTPUT SET equals the batch twin whenever the corpus has no exact
+    * duplicates (and equals it up to dup-group representative choice
+    * otherwise). Append mode, one stateful operator; in production the
+    * memory sink becomes parquet/kafka and the dedup switches to
+    * dropDuplicatesWithinWatermark to bound state by ingest time.
+    */
+  def corpusIngest(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_corpus"): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val q = corpusPrep(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Batch twin of [[corpusIngest]] — identical transforms on a static
+    * read, for the parity gate.
+    */
+  def corpusIngestBatch(spark: SparkSession, sfDir: String): DataFrame =
+    corpusPrep(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  private def corpusPrep(docs: DataFrame): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    docs
+      .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))
+      .filter(col("n_toks") >= 5)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .withColumn("split",
+        when(bucket < "cd", "train").when(bucket < "e6", "val")
+          .otherwise("test"))
+      .select("doc_id", "split", "n_toks", "content_hash")
+  }
+
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   case class UserStats(n: Long, min_us: Long, max_us: Long)
   case class UserStatsOut(user_id: Long, n_events: Long, first_us: Long,
