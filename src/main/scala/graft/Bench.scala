@@ -15,7 +15,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // 3 reps: the min-of-3 estimate agreed within ~10% median across
+    // repeated full runs on this (noisy) box; 2 left ~10% of sub-second
+    // queries outside 25%
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // local-iteration filter: comma-separated query names (unset → all)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
