@@ -277,6 +277,59 @@ object Aggregates {
         s"${Det.rndSql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90, " +
         "count(*) AS n FROM lineitem GROUP BY l_returnflag")),
 
+    // second-moment statistics (variance / correlation) from EXACT
+    // integer-cents power sums: built-in var_samp/corr accumulate
+    // doubles whose result depends on partition order — useless for a
+    // cross-engine hash gate and drift-prone at scale. Sx/Sxx/Sy/Syy/Sxy
+    // as decimal(38,0) are exact in any order; the closed-form moments
+    // are then a handful of identical double ops on both engines.
+    QDef("q_stats_moments",
+      (s, d) => {
+        val px = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("decimal(38,0)")
+        val qy = floor(col("l_quantity") + lit(0.5)).cast("decimal(38,0)")
+        val g = Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(px).as("sx"), sum(px * px).as("sxx"),
+          sum(qy).as("sy"), sum(qy * qy).as("syy"),
+          sum(px * qy).as("sxy"))
+        def dbl(c: String) = col(c).cast("double")
+        val n = col("n")
+        val varPrice = (dbl("sxx") - dbl("sx") * dbl("sx") / n) /
+          (n - 1) / lit(10000.0)
+        val corr = (n * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          sqrt((n * dbl("sxx") - dbl("sx") * dbl("sx")) *
+            (n * dbl("syy") - dbl("sy") * dbl("sy")))
+        g.select(col("l_returnflag"), n,
+          Det.rnd(dbl("sx") / n / lit(100.0), 4).as("mean_price"),
+          Det.rnd(varPrice, 4).as("var_price"),
+          Det.rnd(corr, 6).as("corr_qty_price"))
+      },
+      Some {
+        def dbl(c: String) = s"CAST($c AS DOUBLE)"
+        val varPrice = s"(${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")} " +
+          "/ n) / (n - 1) / 10000.0"
+        val corr = s"(n * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")}) " +
+          s"/ sqrt((n * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")}) * " +
+          s"(n * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")}))"
+        "WITH g AS (SELECT l_returnflag, count(*) AS n, " +
+          "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)) " +
+          "AS sx, " +
+          "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT) * " +
+          "CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)) " +
+          "AS sxx, " +
+          "sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS sy, " +
+          "sum(CAST(floor(l_quantity + 0.5) AS HUGEINT) * " +
+          "CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS syy, " +
+          "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT) * " +
+          "CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS sxy " +
+          "FROM lineitem GROUP BY l_returnflag) " +
+          "SELECT l_returnflag, n, " +
+          s"${Det.rndSql(s"${dbl("sx")} / n / 100.0", 4)} AS mean_price, " +
+          s"${Det.rndSql(varPrice, 4)} AS var_price, " +
+          s"${Det.rndSql(corr, 6)} AS corr_qty_price FROM g"
+      }),
+
     // grouping sets: ROLLUP.
     QDef("q_rollup",
       (s, d) => Tables(s, d, "lineitem")

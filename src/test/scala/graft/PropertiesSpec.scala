@@ -127,6 +127,29 @@ class PropertiesSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("property: exact-sum moments match Spark's var_samp/corr") {
+    // the closed-form integer-cents moments must agree with the
+    // built-in (order-dependent) estimators to floating precision —
+    // determinism alone could hide a wrong formula
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_stats_moments")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ref = Tables(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+      avg("l_extendedprice").as("m"),
+      var_samp("l_extendedprice").as("v"),
+      corr("l_quantity", "l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    ref.foreach { case (k, (m, v, c)) =>
+      val (gm, gv, gc) = got(k)
+      // cents quantization bounds: mean to 1 cent, var to ~cents*mean
+      assert(math.abs(gm - m) <= 0.01, s"$k mean $gm vs $m")
+      assert(math.abs(gv - v) / v <= 1e-4, s"$k var $gv vs $v")
+      assert(math.abs(gc - c) <= 1e-4, s"$k corr $gc vs $c")
+    }
+  }
+
   test("property: keep-last dedup is idempotent") {
     val sp = spark
     import sp.implicits._
