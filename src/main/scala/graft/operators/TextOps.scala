@@ -263,6 +263,70 @@ object TextOps {
         "AS DOUBLE) / (len(atoks) + len(btoks) - " +
         "len(list_intersect(atoks, btoks))) >= 0.5")),
 
+    // X4: near-dup CLUSTER consolidation — pairs alone don't dedupe a
+    // corpus; the pipeline needs connected components over the pair
+    // graph to pick one canonical doc per cluster. Implemented as
+    // iterative min-label propagation (the standard distributed CC
+    // shape — each round is one join + one min-aggregate, label count
+    // shrinks monotonically, rounds ≈ graph diameter which is tiny for
+    // near-dup clusters). Canonical id = min doc_id in the component —
+    // deterministic. Oracle: DuckDB recursive CTE computing min
+    // reachable id over the same edge set.
+    QDef("q_dedup_clusters",
+      (s, d) => {
+        val (docs, cand) = bandCandidates(s, d)
+        val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
+        val inter = expr("graft_intersect_size(a_toks, b_toks)")
+        val jac = inter.cast("double") /
+          (size(col("a_toks")) + size(col("b_toks")) - inter)
+        val edges = cand
+          .join(toks.select(col("doc_id").as("a_id"),
+            col("toks").as("a_toks")), "a_id")
+          .join(toks.select(col("doc_id").as("b_id"),
+            col("toks").as("b_toks")), "b_id")
+          .filter(jac >= 0.5)
+          .select("a_id", "b_id")
+          .persist()
+        var labels = edges.select(col("a_id").as("id"))
+          .union(edges.select(col("b_id"))).distinct()
+          .withColumn("lbl", col("id"))
+        var changed = 1L
+        while (changed > 0) {
+          val viaA = edges.join(labels, col("a_id") === col("id"))
+            .select(col("b_id").as("id"), col("lbl"))
+          val viaB = edges.join(labels, col("b_id") === col("id"))
+            .select(col("a_id").as("id"), col("lbl"))
+          val next = labels.select("id", "lbl").union(viaA).union(viaB)
+            .groupBy("id").agg(min("lbl").as("lbl")).persist()
+          changed = next
+            .join(labels.withColumnRenamed("lbl", "old"), "id")
+            .filter(col("lbl") < col("old")).count()
+          labels = next
+        }
+        labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
+      },
+      Some(sigSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", c AS (" +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.toks AS atoks, " +
+        "b.toks AS btoks FROM g a JOIN g b " +
+        "ON a.band1 = b.band1 AND a.doc_id < b.doc_id " +
+        "UNION " +
+        "SELECT a.doc_id, b.doc_id, a.toks, b.toks FROM g a JOIN g b " +
+        "ON a.band2 = b.band2 AND a.doc_id < b.doc_id), " +
+        "e AS (SELECT a_id, b_id FROM c " +
+        "WHERE CAST(len(list_intersect(atoks, btoks)) AS DOUBLE) / " +
+        "(len(atoks) + len(btoks) - len(list_intersect(atoks, btoks))) " +
+        ">= 0.5), " +
+        // symmetric edge list: a recursive CTE gets ONE self-reference
+        "es AS (SELECT a_id AS u, b_id AS v FROM e " +
+        "UNION ALL SELECT b_id, a_id FROM e), " +
+        "nodes AS (SELECT a_id AS id FROM e UNION SELECT b_id FROM e), " +
+        "reach AS (SELECT id, id AS lbl FROM nodes " +
+        "UNION " +
+        "SELECT es.v AS id, r.lbl FROM reach r JOIN es ON es.u = r.id) " +
+        "SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach " +
+        "GROUP BY id")),
+
     // explode + aggregate: the inverted-index building block (token →
     // postings) behind scaled near-dedup; top-20 corpus tokens with a
     // deterministic (count desc, token) cut.

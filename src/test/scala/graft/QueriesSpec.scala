@@ -11,7 +11,8 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
   // near-dup searches legitimately return 0 rows on a corpus without
   // planted near-duplicates; they must still run without error.
   private val mayBeEmpty =
-    Set("q_dedup_near", "q_embed_dedup", "q_ngram_jaccard")
+    Set("q_dedup_near", "q_embed_dedup", "q_ngram_jaccard",
+      "q_dedup_clusters")
 
   test("all registered queries run and return rows") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
