@@ -279,6 +279,18 @@ object TextOps {
         val inter = expr("graft_intersect_size(a_toks, b_toks)")
         val jac = inter.cast("double") /
           (size(col("a_toks")) + size(col("b_toks")) - inter)
+        // the clustered subgraph is a small fraction of the corpus (its
+        // nodes are near-DUPLICATES); repartition(1) — NOT coalesce(1),
+        // which would collapse the whole upstream hash/verify pipeline
+        // into one task — drops the tiny edge list to a single partition
+        // behind a shuffle boundary so each propagation round is a
+        // single-task job locally. At real scale raise the partition
+        // count — every step below is plain joins/aggregates.
+        // symmetric edge list, once: each propagation round is then ONE
+        // join + ONE min-aggregate. repartition(1) — NOT coalesce(1),
+        // which would collapse the whole upstream hash/verify pipeline
+        // into a single task — drops the tiny near-dup subgraph to one
+        // partition behind a shuffle boundary (raise at real scale).
         val edges = cand
           .join(toks.select(col("doc_id").as("a_id"),
             col("toks").as("a_toks")), "a_id")
@@ -286,21 +298,35 @@ object TextOps {
             col("toks").as("b_toks")), "b_id")
           .filter(jac >= 0.5)
           .select("a_id", "b_id")
+          .repartition(1)
           .persist()
-        var labels = edges.select(col("a_id").as("id"))
-          .union(edges.select(col("b_id"))).distinct()
-          .withColumn("lbl", col("id"))
-        var changed = 1L
-        while (changed > 0) {
-          val viaA = edges.join(labels, col("a_id") === col("id"))
-            .select(col("b_id").as("id"), col("lbl"))
-          val viaB = edges.join(labels, col("b_id") === col("id"))
-            .select(col("a_id").as("id"), col("lbl"))
-          val next = labels.select("id", "lbl").union(viaA).union(viaB)
+        val sym = edges
+          .select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+        // round 0 folded into the init: min(self, direct neighbors) in
+        // one aggregation, no join — for cliquish dup clusters this is
+        // already the fixpoint and the loop only confirms it
+        var labels = sym.select(col("u").as("id"), col("v").as("lbl"))
+          .union(sym.select(col("u").as("id"), col("u").as("lbl")))
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .persist()
+        // labels only ever decrease, so the label SUM is a convergence
+        // witness (strictly smaller until fixpoint) — one aggregate per
+        // round instead of a change-detection join. Exact: long sums.
+        def lblSum(df: org.apache.spark.sql.DataFrame): Long = {
+          val v = df.agg(sum("lbl")).first()
+          if (v.isNullAt(0)) 0L else v.getLong(0)
+        }
+        var prevSum = Long.MaxValue
+        var curSum = lblSum(labels)
+        while (curSum < prevSum) {
+          val via = sym.join(labels, col("u") === col("id"))
+            .select(col("v").as("id"), col("lbl"))
+          val next = labels.select("id", "lbl").union(via)
             .groupBy("id").agg(min("lbl").as("lbl")).persist()
-          changed = next
-            .join(labels.withColumnRenamed("lbl", "old"), "id")
-            .filter(col("lbl") < col("old")).count()
+          prevSum = curSum
+          curSum = lblSum(next)
+          labels.unpersist()
           labels = next
         }
         labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
