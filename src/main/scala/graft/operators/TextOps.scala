@@ -1,7 +1,8 @@
 package graft.operators
 
-import graft.{QDef, Tables}
+import graft.{Det, QDef, Tables}
 import graft.functions.LlmOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis / dedup / JSON operators for the LLM-data-pipeline
@@ -352,6 +353,51 @@ object TextOps {
         "SELECT es.v AS id, r.lbl FROM reach r JOIN es ON es.u = r.id) " +
         "SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach " +
         "GROUP BY id")),
+
+    // X5: TF-IDF keyword extraction — term frequency per doc × inverse
+    // document frequency over the corpus, top-3 terms per doc. The idf
+    // is the log-FREE rational n_docs/df: tf·n/df is a single double
+    // division of exact integers, bit-identical across engines, where
+    // ln() could drift by an ulp between libm implementations. Shape:
+    // one explode + two aggregations + a WindowGroupLimit-capped
+    // row_number — the inverted-index scoring pass at any scale.
+    QDef("q_tfidf",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("token"))
+        val tf = toks.groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("token")
+          .agg(count(lit(1)).as("df"))
+        val nDocs = Tables(s, d, "documents").select("doc_id").distinct()
+          .count()
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token").asc)
+        tf.join(df, "token")
+          .withColumn("score",
+            (col("tf") * lit(nDocs)) / col("df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"),
+            Det.rnd(col("score"), 6).as("score"),
+            col("rn").cast("int").as("rn"))
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(" +
+        "string_split_regex(trim(text), '\\s+')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
+        "GROUP BY doc_id, token), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "scored AS (SELECT tf.doc_id, tf.token, tf.tf, " +
+        "(tf.tf * n.n_docs) / df.df AS score " +
+        "FROM tf JOIN df USING (token) CROSS JOIN n) " +
+        "SELECT doc_id, token, tf, " +
+        s"${Det.rndSql("score", 6)} AS score, rn FROM (" +
+        "SELECT *, CAST(row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, token) AS INT) AS rn FROM scored) " +
+        "WHERE rn <= 3")),
 
     // explode + aggregate: the inverted-index building block (token →
     // postings) behind scaled near-dedup; top-20 corpus tokens with a
