@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise hardening (VERDICT r02 #3): the sandbox has background-load bursts
   * that can inflate a single timing 3-7x. Each query therefore runs
-  * SPARK_GRAFT_REPS times (default 2) and the headline per-query number is
+  * SPARK_GRAFT_REPS times (default 3) and the headline per-query number is
   * the MINIMUM across runs — the min is the best estimator of the true cost
   * under asymmetric noise (noise only ever adds time). The raw runs and
   * /proc/loadavg before/after are emitted alongside so a reviewer can see

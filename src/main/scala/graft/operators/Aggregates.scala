@@ -297,9 +297,13 @@ object Aggregates {
         val n = col("n")
         val varPrice = (dbl("sxx") - dbl("sx") * dbl("sx") / n) /
           (n - 1) / lit(10000.0)
+        // each variance factor is mathematically >= 0 but can round to a
+        // tiny negative once the power sums pass 2^53 — clamp at 0 on
+        // BOTH engines (DuckDB sqrt(<0) ABORTS the query, Spark NaNs)
         val corr = (n * dbl("sxy") - dbl("sx") * dbl("sy")) /
-          sqrt((n * dbl("sxx") - dbl("sx") * dbl("sx")) *
-            (n * dbl("syy") - dbl("sy") * dbl("sy")))
+          sqrt(greatest(lit(0.0),
+            n * dbl("sxx") - dbl("sx") * dbl("sx")) *
+            greatest(lit(0.0), n * dbl("syy") - dbl("sy") * dbl("sy")))
         g.select(col("l_returnflag"), n,
           Det.rnd(dbl("sx") / n / lit(100.0), 4).as("mean_price"),
           Det.rnd(varPrice, 4).as("var_price"),
@@ -310,8 +314,9 @@ object Aggregates {
         val varPrice = s"(${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")} " +
           "/ n) / (n - 1) / 10000.0"
         val corr = s"(n * ${dbl("sxy")} - ${dbl("sx")} * ${dbl("sy")}) " +
-          s"/ sqrt((n * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")}) * " +
-          s"(n * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")}))"
+          "/ sqrt(greatest(0.0, " +
+          s"n * ${dbl("sxx")} - ${dbl("sx")} * ${dbl("sx")}) * " +
+          s"greatest(0.0, n * ${dbl("syy")} - ${dbl("sy")} * ${dbl("sy")}))"
         "WITH g AS (SELECT l_returnflag, count(*) AS n, " +
           "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)) " +
           "AS sx, " +

@@ -280,18 +280,13 @@ object TextOps {
         val inter = expr("graft_intersect_size(a_toks, b_toks)")
         val jac = inter.cast("double") /
           (size(col("a_toks")) + size(col("b_toks")) - inter)
-        // the clustered subgraph is a small fraction of the corpus (its
-        // nodes are near-DUPLICATES); repartition(1) — NOT coalesce(1),
-        // which would collapse the whole upstream hash/verify pipeline
-        // into one task — drops the tiny edge list to a single partition
-        // behind a shuffle boundary so each propagation round is a
-        // single-task job locally. At real scale raise the partition
-        // count — every step below is plain joins/aggregates.
         // symmetric edge list, once: each propagation round is then ONE
         // join + ONE min-aggregate. repartition(1) — NOT coalesce(1),
         // which would collapse the whole upstream hash/verify pipeline
         // into a single task — drops the tiny near-dup subgraph to one
-        // partition behind a shuffle boundary (raise at real scale).
+        // partition behind a shuffle boundary (raise at real scale;
+        // every step below is plain joins/aggregates and partitions
+        // freely).
         val edges = cand
           .join(toks.select(col("doc_id").as("a_id"),
             col("toks").as("a_toks")), "a_id")
@@ -313,14 +308,16 @@ object TextOps {
           .persist()
         // labels only ever decrease, so the label SUM is a convergence
         // witness (strictly smaller until fixpoint) — one aggregate per
-        // round instead of a change-detection join. Exact: long sums.
-        def lblSum(df: org.apache.spark.sql.DataFrame): Long = {
-          val v = df.agg(sum("lbl")).first()
-          if (v.isNullAt(0)) 0L else v.getLong(0)
+        // round instead of a change-detection join. Summed as
+        // decimal(38,0): a long would wrap past 2^63 on billions of
+        // large doc_ids and could fake convergence mid-propagation.
+        def lblSum(df: org.apache.spark.sql.DataFrame): BigDecimal = {
+          val v = df.agg(sum(col("lbl").cast("decimal(38,0)"))).first()
+          if (v.isNullAt(0)) BigDecimal(0) else BigDecimal(v.getDecimal(0))
         }
-        var prevSum = Long.MaxValue
+        var prevSum: BigDecimal = null
         var curSum = lblSum(labels)
-        while (curSum < prevSum) {
+        while (prevSum == null || curSum < prevSum) {
           val via = sym.join(labels, col("u") === col("id"))
             .select(col("v").as("id"), col("lbl"))
           val next = labels.select("id", "lbl").union(via)
@@ -370,13 +367,17 @@ object TextOps {
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("token")
           .agg(count(lit(1)).as("df"))
-        val nDocs = Tables(s, d, "documents").select("doc_id").distinct()
-          .count()
+        // lazy 1-row broadcast cross join, mirroring the oracle's
+        // CROSS JOIN n — an eager .count() here would run two extra
+        // jobs at every plan construction (Explain, each Bench rep)
+        val nDocs = Tables(s, d, "documents")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("token").asc)
         tf.join(df, "token")
+          .crossJoin(broadcast(nDocs))
           .withColumn("score",
-            (col("tf") * lit(nDocs)) / col("df"))
+            (col("tf") * col("n_docs")) / col("df"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("doc_id"), col("token"), col("tf"),

@@ -18,14 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object TrainingData {
 
-  /** First `n` lowercase-hex chars of md5(doc_id) — the deterministic
+  import org.apache.spark.sql.Column
+
+  /** First `n` lowercase-hex chars of md5(id) — the deterministic
     * sampling key. Lexicographic comparison on hex == numeric comparison
     * on the underlying bits, identically in Spark and DuckDB.
     */
-  private def hashPrefix(n: Int) =
-    substring(md5(col("doc_id").cast("string")), 1, n)
+  def hashPrefixOf(id: Column, n: Int): Column =
+    substring(md5(id.cast("string")), 1, n)
+  private def hashPrefix(n: Int) = hashPrefixOf(col("doc_id"), n)
   private def hashPrefixSql(n: Int) =
     s"substr(md5(CAST(doc_id AS VARCHAR)), 1, $n)"
+
+  /** The 80/10/10 train/val/test assignment off the 2-hex bucket — THE
+    * single definition, shared by q_sample_split and the streaming
+    * corpus ingest so batch and streaming splits can never drift.
+    */
+  def splitCol(id: Column): Column = {
+    val b = hashPrefixOf(id, 2)
+    when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -35,13 +47,9 @@ object TrainingData {
     // partitionings — the property a resumable 100 TB ingest needs.
     // Embarrassingly parallel: no shuffle at all.
     QDef("q_sample_split",
-      (s, d) => {
-        val b = hashPrefix(2)
-        Tables(s, d, "documents").select(
-          col("doc_id"), b.as("bucket"),
-          when(b < "cd", "train").when(b < "e6", "val")
-            .otherwise("test").as("split"))
-      },
+      (s, d) => Tables(s, d, "documents").select(
+        col("doc_id"), hashPrefix(2).as("bucket"),
+        splitCol(col("doc_id")).as("split")),
       Some("SELECT doc_id, " + hashPrefixSql(2) + " AS bucket, " +
         "CASE WHEN " + hashPrefixSql(2) + " < 'cd' THEN 'train' " +
         "WHEN " + hashPrefixSql(2) + " < 'e6' THEN 'val' " +

@@ -231,18 +231,17 @@ object StreamingOps {
   def corpusIngestBatch(spark: SparkSession, sfDir: String): DataFrame =
     corpusPrep(spark.read.parquet(s"$sfDir/documents.parquet"))
 
-  private def corpusPrep(docs: DataFrame): DataFrame = {
-    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+  private def corpusPrep(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))
       .filter(col("n_toks") >= 5)
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
+      // the one shared split definition — batch and streaming must
+      // assign identically or resume/backfill mixes training sets
       .withColumn("split",
-        when(bucket < "cd", "train").when(bucket < "e6", "val")
-          .otherwise("test"))
+        graft.operators.TrainingData.splitCol(col("doc_id")))
       .select("doc_id", "split", "n_toks", "content_hash")
-  }
 
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   case class UserStats(n: Long, min_us: Long, max_us: Long)
