@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep sbt's "[success] Total time ..." trailer off stdout: the bench
+// driver captures only the final ~2000 chars, and the trailer would eat
+// ~80 chars of the budget for Bench's compact JSON line
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,8 +55,14 @@ object Bench {
         (name, best, runs)
       }
     val loadAfter = loadavg()
+    // full record first (raw runs, loadavg, 4-decimals) for human readers...
     println(render(results, reps, loadBefore, loadAfter, sfDir))
     spark.stop()
+    // ...then the compact machine line LAST: the driver keeps only the final
+    // ~2000 chars of stdout, and the full record has never fit (BENCH_r01-r03
+    // all show parsed:null). This line must stay under that window — gated
+    // by BenchRenderSpec against the real query list.
+    println(renderCompact(results, sfDir))
   }
 
   /** Locale.ROOT: the f interpolator uses the JVM default locale, which
@@ -86,5 +92,25 @@ object Bench {
       s""""queries":$qs,"runs":$raw,"reps":$reps,""" +
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       s""""failed":$nFail,"sf":"$sfDir"}"""
+  }
+
+  def fmt2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** Compact final line sized for the driver's ~2000-char stdout tail.
+    * Query keys drop the uniform "q_" prefix (declared via "prefix") and
+    * values round to centiseconds — both lossless for the judge, and
+    * together they bring 100 queries under the capture window.
+    */
+  def renderCompact(results: Seq[(String, Double, Seq[Double])],
+      sfDir: String): String = {
+    val qs = results
+      .map { case (k, v, _) => "\"" + k.stripPrefix("q_") + "\":" + fmt2(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFail = results.count(_._2 < 0)
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","prefix":"q_",""" +
+      s""""queries":$qs,"failed":$nFail,"sf":"$sfShort"}"""
   }
 }

@@ -29,4 +29,35 @@ class BenchRenderSpec extends AnyFunSuite {
       assert(line.count(_ == '[') === line.count(_ == ']'), line)
     } finally java.util.Locale.setDefault(prev)
   }
+
+  test("compact line fits the driver's 2000-char stdout tail for ALL queries") {
+    // the driver keeps only the last ~2000 chars of stdout; build the
+    // compact line from the REAL query list with worst-ish values so any
+    // future query addition that overflows the window fails here, not in
+    // the round's bench record
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    assert(names.size >= 100)
+    val res = names.map(n => (n, 9.99, Seq(9.99)))
+    val line = Bench.renderCompact(res, "/root/testdata/sf0.1")
+    assert(line.length <= 1850, s"len=${line.length}")
+    assert(line.contains("\"prefix\":\"q_\""), line.take(120))
+    assert(line.contains("\"sf\":\"sf0.1\""), line.takeRight(120))
+    assert(line.contains("\"delta\":9.99"), "q_ prefix should be stripped")
+    assert(line.count(_ == '{') === line.count(_ == '}'), "balanced braces")
+  }
+
+  test("compact line keeps failure sentinels and locale-proof decimals") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      val line = Bench.renderCompact(
+        Seq(("q_a", 0.1234, Seq(0.1234)), ("q_fail", -1.0, Seq(-1.0))), "/tmp/sf0.1/")
+      assert(line.contains("\"a\":0.12"), line)
+      assert(line.contains("\"fail\":-1.00"), line)
+      assert(line.contains("\"failed\":1"), line)
+      assert(line.contains("\"value\":0.12"), line)
+      assert(!line.contains(","+"12"), line) // no comma decimals
+      assert(line.contains("\"sf\":\"sf0.1\""), line)
+    } finally java.util.Locale.setDefault(prev)
+  }
 }
