@@ -15,6 +15,9 @@ run / fork := true
 // driver captures only the final ~2000 chars, and the trailer would eat
 // ~80 chars of the budget for Bench's compact JSON line
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

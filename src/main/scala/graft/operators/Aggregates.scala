@@ -335,6 +335,55 @@ object Aggregates {
           s"${Det.rndSql(corr, 6)} AS corr_qty_price FROM g"
       }),
 
+    // approximate percentile (GK/QuantileSummaries sketch — mergeable
+    // partials, bounded memory per group; THE percentile to run at
+    // 100 TB, where any exact form must shuffle or sort the full
+    // column). Oracle-ized like q_approx_distinct: the exact twin is
+    // computed in-query only to bound the sketch (rank accuracy 1000
+    // over these group sizes keeps relative value error well under 5%)
+    // and the emitted columns are the group key, the exact row count,
+    // and the within-tolerance verdict — all engine-stable.
+    QDef("q_approx_percentile",
+      (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("p50_approx") - col("p50_exact")) /
+            col("p50_exact") < 0.05).as("within_tol")),
+      Some("SELECT l_returnflag, count(*) AS n, true AS within_tol " +
+        "FROM lineitem GROUP BY l_returnflag")),
+
+    // quantile bucketing: ntile(10) deciles per group — the stratified
+    // binning step a training pipeline uses for balanced sampling and
+    // skew diagnosis. ntile's uneven-division rule (first n%k buckets
+    // take the extra row) is identical in both engines; the ORDER BY
+    // carries unique tiebreak keys so the row→bucket assignment is a
+    // total order and thus deterministic. One window shuffle on the
+    // group key, then a map-side-combinable count — scale-safe.
+    QDef("q_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))
+          // Spark ntile is INT, DuckDB's BIGINT — align the schema
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("l_returnflag", "decile")
+          .agg(count(lit(1)).as("n"),
+            min("l_extendedprice").as("lo"),
+            max("l_extendedprice").as("hi"))
+      },
+      Some("SELECT l_returnflag, decile, count(*) AS n, " +
+        "min(l_extendedprice) AS lo, max(l_extendedprice) AS hi " +
+        "FROM (SELECT l_returnflag, l_extendedprice, " +
+        "ntile(10) OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile " +
+        "FROM lineitem) GROUP BY l_returnflag, decile")),
+
     // grouping sets: ROLLUP.
     QDef("q_rollup",
       (s, d) => Tables(s, d, "lineitem")

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+
+/** Z-order layout: the Morton code arithmetic and the write-side
+  * clustering (range partition + within-partition sort) it feeds.
+  */
+class LayoutSpec extends AnyFunSuite with SparkSuite {
+
+  test("morton code interleaves bits (known values)") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 3L),
+      (65535L, 0L), (0L, 65535L), (65535L, 65535L), (21845L, 0L))
+      .toDF("x", "y")
+      .select(Layout.zorder2(col("x"), col("y")).as("z"))
+    // z(x,y): x on even bits, y on odd bits
+    assert(df.as[Long].collect().toSeq === Seq(
+      0L, 1L, 2L, 3L, 15L,
+      0x55555555L, 0xAAAAAAAAL, 0xFFFFFFFFL, 0x11111111L))
+  }
+
+  test("quadrant locality: z-ranges of small tiles stay compact") {
+    import spark.implicits._
+    // all 16x16 points of the (x<16, y<16) tile fall below every point
+    // of the (x>=16 or y>=16) region's interleaved high bits
+    val pts = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.zorder2(col("x"), col("y")).as("z"))
+    val loTileMax = pts.filter(col("x") < 16 && col("y") < 16)
+      .agg(max("z")).head.getLong(0)
+    val hiMin = pts.filter(col("x") >= 16 && col("y") >= 16)
+      .agg(min("z")).head.getLong(0)
+    assert(loTileMax < hiMin)
+    assert(loTileMax === 255L) // 16x16 tile occupies exactly [0, 255]
+  }
+
+  test("clusterByZ: range partitioning, sorted partitions, disjoint ranges") {
+    val ev = Tables.events(spark, sf)
+    val z = Layout.zorder2(
+      col("user_id").bitwiseAND(lit(0xFFFFL)),
+      datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").bitwiseAND(lit(0xFFFFL)))
+    val clustered = Layout.clusterByZ(ev, z, 8)
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning") || plan.contains("RANGE"), plan)
+    // each partition's [min,max] z-range must not overlap any other's,
+    // and rows inside a partition must already be in z order
+    val ranges = clustered.select("zval").rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val zs = it.map(_.getLong(0)).toArray
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((i, zs.head, zs.last, zs.sameElements(zs.sorted)))
+      }.collect().sortBy(_._2)
+    assert(ranges.nonEmpty)
+    assert(ranges.forall(_._4), "rows not sorted within a partition")
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+}
