@@ -344,14 +344,35 @@ object Aggregates {
     // and the emitted columns are the group key, the exact row count,
     // and the within-tolerance verdict — all engine-stable.
     QDef("q_approx_percentile",
-      (s, d) => Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("p50_approx"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-        count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("n"),
-          (abs(col("p50_approx") - col("p50_exact")) /
-            col("p50_exact") < 0.05).as("within_tol")),
+      (s, d) => {
+        // exact twin via the q_percentile boundary-rank interpolation —
+        // NOT the built-in `percentile` aggregate, whose per-group
+        // value→count map is exactly the shape q_percentile avoids.
+        // One window sort per group, then a single aggregate computes
+        // the sketch AND picks the two boundary values, so sketch and
+        // twin share the one shuffle.
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy("l_extendedprice")
+        val wAll = Window.partitionBy("l_returnflag")
+        val ranked = Tables(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nn", count(lit(1)).over(wAll))
+        val lo = floor((col("nn") - 1) * lit(0.5)).cast("long") + 1
+        def vAt(off: Int) =
+          max(when(col("rn") === lo + off, col("l_extendedprice")))
+        val hA = (max(col("nn")) - 1) * lit(0.5)
+        val exact = vAt(0) +
+          (coalesce(vAt(1), vAt(0)) - vAt(0)) * (hA - floor(hA))
+        ranked.groupBy("l_returnflag").agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          exact.as("p50_exact"),
+          count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("n"),
+            (abs(col("p50_approx") - col("p50_exact")) /
+              col("p50_exact") < 0.05).as("within_tol"))
+      },
       Some("SELECT l_returnflag, count(*) AS n, true AS within_tol " +
         "FROM lineitem GROUP BY l_returnflag")),
 

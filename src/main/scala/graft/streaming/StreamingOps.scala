@@ -318,6 +318,82 @@ object StreamingOps {
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+  case class EvT(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  case class ClickSt(ts_us: Long, event_id: Long)
+  case class AsOfOut(purchase_id: Long, user_id: Long, purchase_ts_us: Long,
+      prev_click_id: Option[Long], prev_click_ts_us: Option[Long])
+
+  /** Streaming as-of enrichment: each purchase carries the latest prior
+    * click of the same user — the streaming twin of q_asof / the native
+    * AsOfJoin. State per user is ONE row (the most recent click), not a
+    * buffer, so memory is O(keys) regardless of stream length. Rows are
+    * event-time-sorted within each micro-batch; across batches the
+    * file-replay source preserves order, while a genuinely out-of-order
+    * production source would need a small watermark-bounded reorder
+    * buffer in front (the usual as-of stream caveat).
+    */
+  class AsOfProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, EvT, AsOfOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+    @transient private var lastClick: ValueState[ClickSt] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      lastClick = getHandle.getValueState[ClickSt]("lastClick",
+        org.apache.spark.sql.Encoders.product[ClickSt], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvT],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AsOfOut] = {
+      val out = scala.collection.mutable.ListBuffer[AsOfOut]()
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (e.event_type == "click") lastClick.update(ClickSt(e.ts_us, e.event_id))
+        else if (e.event_type == "purchase") {
+          val p = if (lastClick.exists()) Some(lastClick.get()) else None
+          out += AsOfOut(e.event_id, key, e.ts_us,
+            p.map(_.event_id), p.map(_.ts_us))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Run the streaming as-of over the events file stream (RocksDB store,
+    * required by transformWithState).
+    */
+  def streamingAsOf(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_asof"): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(eventsSchema(spark, sfDir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id",
+          "event_type")
+        .as[EvT]
+        .groupByKey(_.user_id)
+        .transformWithState(new AsOfProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   case class SessState(sessionIdx: Long, start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)

@@ -125,6 +125,18 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(last).count() === 0)
   }
 
+  test("streaming as-of enrichment equals the batch q_asof result") {
+    val streamed = StreamingOps.streamingAsOf(spark, sf)
+      .selectExpr("purchase_id", "user_id",
+        "timestamp_micros(purchase_ts_us) AS purchase_ts",
+        "prev_click_id", "timestamp_micros(prev_click_ts_us) AS prev_click_ts")
+    val batch = SparkEntry.queries("q_asof")(spark, sf)
+    val s = streamed.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = batch.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(s.length === b.length)
+    assert(s.toSeq === b.toSeq)
+  }
+
   test("watermarked streaming dedup: unique event ids, none lost") {
     val streamed = StreamingOps.streamingDedup(spark, sf)
     val n = streamed.count()

@@ -35,6 +35,25 @@ class SinksSpec extends AnyFunSuite with SparkSuite {
     assert(paysBack.columns.toSet === Set("country", "id_pays"))
   }
 
+  test("ORC round-trip preserves schema and values (columnar alt to parquet)") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Tables(spark, sf, "orders")
+    src.write.mode("overwrite").orc(s"$out/orders_orc")
+    val back = spark.read.orc(s"$out/orders_orc")
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    // value-level: exact total over a deterministic integer-cents sum
+    val s1 = src.agg(Det.exactSum(col("o_totalprice"), 2)).head.getDouble(0)
+    val s2 = back.agg(Det.exactSum(col("o_totalprice"), 2)).head.getDouble(0)
+    assert(s1 === s2)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("o_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"),
+      plan)
+  }
+
   test("records-array JSON parses like the reference's golden Pays.json") {
     val golden = new java.io.File("/root/reference").listFiles()
       .find(_.getName.contains("sultat")).get.getPath + "/Monkeypox"
