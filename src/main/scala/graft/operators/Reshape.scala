@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Reshape {
 
-  /** Integer-cents sum (see graft.Det): order-independent, engine-exact. */
+  /** Integer-cents sum (see graft.Det): order-independent, engine-exact,
+    * and decimal(38,0)-accumulated — a double accumulator is only exact
+    * below 2^53, which a 100 TB revenue sum crosses.
+    */
   private def centsSum(c: org.apache.spark.sql.Column) =
-    sum(floor(c * lit(100.0) + lit(0.5)).cast("double")) / lit(100.0)
+    graft.Det.exactSum(c, 2)
 
   val defs: Seq[QDef] = Seq(
 
@@ -54,8 +57,9 @@ object Reshape {
       },
       Some {
         val cols = Seq("click", "error", "purchase", "signup", "view")
-          .map(t => "coalesce(sum(CASE WHEN event_type = '" + t +
-            "' THEN floor(value * 100 + 0.5) END) / 100, 0) AS " + t)
+          .map(t => "coalesce(CAST(sum(CASE WHEN event_type = '" + t +
+            "' THEN CAST(floor(value * 100 + 0.5) AS HUGEINT) END) " +
+            "AS DOUBLE) / 100, 0) AS " + t)
           .mkString(", ")
         s"SELECT CAST(ts AS DATE) AS day, $cols FROM events " +
           "GROUP BY CAST(ts AS DATE)"
@@ -134,8 +138,49 @@ object Reshape {
         .select(col("window.start").as("hour_start"), col("event_type"),
           col("n"), col("sumv")),
       Some("SELECT date_trunc('hour', ts) AS hour_start, event_type, " +
-        "count(*) AS n, sum(floor(value * 100 + 0.5)) / 100 AS sumv " +
+        s"count(*) AS n, ${graft.Det.exactSumSql("value", 2)} AS sumv " +
         "FROM events GROUP BY date_trunc('hour', ts), event_type")),
+
+    // Time-series gap fill + forward fill (pandas reindex(date_range)
+    // + ffill — the daily-epidemic-series densification the reference's
+    // cumulative→delta derivation implicitly assumes): per-user daily
+    // sums, the missing days of each user's [min_day, max_day] span
+    // materialized via sequence+explode, value carried forward with
+    // last(ignoreNulls). Scale shape: the calendar explode is bounded
+    // by span length (not |events|), the daily rollup is one
+    // partial-aggregated shuffle, and the fill is one window pass on
+    // the same user key — two shuffles total, nothing quadratic.
+    QDef("q_gapfill",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(centsSum(col("value")).as("v"))
+        val cal = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cal.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
+            col("v").isNull.as("is_gap"))
+      },
+      Some("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        s"${graft.Det.exactSumSql("value", 2)} AS v " +
+        "FROM events GROUP BY user_id, CAST(ts AS DATE)), " +
+        "cal AS (SELECT user_id, CAST(unnest(generate_series(" +
+        "CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), " +
+        "INTERVAL 1 DAY)) AS DATE) AS day FROM (" +
+        "SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily " +
+        "GROUP BY user_id)) " +
+        "SELECT cal.user_id, cal.day, " +
+        "last_value(daily.v IGNORE NULLS) OVER (" +
+        "PARTITION BY cal.user_id ORDER BY cal.day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill, " +
+        "(daily.v IS NULL) AS is_gap " +
+        "FROM cal LEFT JOIN daily " +
+        "ON cal.user_id = daily.user_id AND cal.day = daily.day")),
 
     // P1/P2: synonym-driven schema normalization front-end
     // (apply_flexible_mapping, ETL_OMS.py:41-57) — messy headers mapped

@@ -43,6 +43,20 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
     assert(firsts.filter(col("delta") =!= 0.0).count() === 0)
   }
 
+  test("q_gapfill: contiguous per-user days, no null fills, gaps flagged") {
+    val df = SparkEntry.queries("q_gapfill")(spark, sf)
+    // every user's calendar is dense: row count == span days
+    val spans = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        (datediff(max("day"), min("day")) + 1).as("span"))
+    assert(spans.filter(col("n") =!= col("span")).count() === 0)
+    // the first day per user is observed (span starts at an observation),
+    // so forward fill leaves no nulls
+    assert(df.filter(col("v_fill").isNull).count() === 0)
+    // gap rows exist at sf0.001 and carry the previous day's value
+    assert(df.filter(col("is_gap")).count() > 0)
+  }
+
   test("q_dedup_keeplast: one row per (user_id, event_type)") {
     val df = SparkEntry.queries("q_dedup_keeplast")(spark, sf)
     assert(df.count() ===
