@@ -80,6 +80,62 @@ object Det {
   }
 }
 
+/** Boundary-rank percentile interpolation — THE one definition shared by
+  * q_percentile, q_approx_percentile and q_winsorize (each previously
+  * carried its own copy of this subtle formula; a fix to one would have
+  * silently missed the others). Both engines use the (n-1)p linear
+  * interpolation: 0-based target h = (n-1)p, value = v[floor(h)] +
+  * (v[floor(h)+1] - v[floor(h)]) * frac(h) over the group-sorted column.
+  *
+  * Inputs are a pre-ranked frame: `rn` = row_number over the
+  * group-by-value window (unique tiebreaks required for determinism),
+  * `n` = count over the group. `interp` is an AGGREGATE expression
+  * (evaluate under groupBy); `boundary` is the pre-aggregation filter
+  * keeping only the ≤2 rows per p that the interpolation can touch —
+  * optional (interp is correct without it) but it keeps the aggregate's
+  * input at k rows per group instead of all of them. The *Sql twins emit
+  * the identical arithmetic for the DuckDB oracle.
+  */
+object Pctl {
+  import org.apache.spark.sql.Column
+
+  def lo(p: Double, n: Column): Column =
+    floor((n - 1) * lit(p)).cast("long") + 1
+
+  private def vAt(p: Double, off: Int, rn: Column, n: Column,
+      v: Column): Column = max(when(rn === lo(p, n) + off, v))
+
+  def interp(p: Double, rn: Column, n: Column, v: Column): Column = {
+    val hA = (max(n) - 1) * lit(p)
+    val frac = hA - floor(hA)
+    val v0 = vAt(p, 0, rn, n, v)
+    v0 + (coalesce(vAt(p, 1, rn, n, v), v0) - v0) * frac
+  }
+
+  def boundary(ps: Seq[Double], rn: Column, n: Column): Column =
+    ps.map(p => rn === lo(p, n) || rn === lo(p, n) + 1).reduce(_ || _)
+
+  def loSql(p: Double, n: String = "n"): String =
+    s"CAST(floor(($n - 1) * $p) AS BIGINT) + 1"
+
+  private def vAtSql(p: Double, off: Int, rn: String, n: String,
+      v: String): String =
+    s"max(CASE WHEN $rn = ${loSql(p, n)} + $off THEN $v END)"
+
+  def interpSql(p: Double, rn: String = "rn", n: String = "n",
+      v: String = "value"): String = {
+    val hA = s"((max($n) - 1) * $p)"
+    val frac = s"($hA - floor($hA))"
+    val v0 = vAtSql(p, 0, rn, n, v)
+    s"($v0 + (coalesce(${vAtSql(p, 1, rn, n, v)}, $v0) - $v0) * $frac)"
+  }
+
+  def boundarySql(ps: Seq[Double], rn: String = "rn",
+      n: String = "n"): String =
+    ps.map(p => s"$rn = ${loSql(p, n)} OR $rn = ${loSql(p, n)} + 1")
+      .mkString(" OR ")
+}
+
 /** Session defaults shared by Verify/Bench/tests: UTC (oracle date parity),
   * ANSI off (the reference's pandas `errors="coerce"` null-on-failure
   * semantics — SURVEY.md §2.7 F1/F5), shuffle partitions sized for local

@@ -27,9 +27,11 @@ import scala.jdk.CollectionConverters._
   * results are checked (object stores can fail a rename without
   * throwing — same rule as StreamingOps' swap).
   *
-  * Modes: append adds part files; overwrite (SupportsTruncate) clears
-  * visible part files at commit time, after the new data is fully
-  * staged.
+  * Modes: append adds part files; overwrite (SupportsTruncate) promotes
+  * the new files first and deletes the replaced ones last, so a failed
+  * commit can leave extra data visible but never lose the old data
+  * while the new is still hidden. Non-finite doubles serialize as JSON
+  * null (JSON has no NaN/Infinity; pandas to_json convention).
   */
 class JsonLinesSinkProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -88,8 +90,16 @@ private[sources] class JsonLinesBatchWrite(path: String,
   }
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonLinesWriterFactory(path, schema, queryId)
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // ship the driver's Hadoop configuration to executors (fs.defaultFS,
+    // spark.hadoop.* credentials, endpoints) — a bare new Configuration()
+    // on the executor only works for filesystems needing zero config
+    import scala.jdk.CollectionConverters._
+    val hconf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    new JsonLinesWriterFactory(path, schema, queryId,
+      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray)
+  }
 
   // driver side: the active session's hadoop conf; the path URI scheme
   // picks the filesystem
@@ -101,20 +111,27 @@ private[sources] class JsonLinesBatchWrite(path: String,
     val dir = new Path(path)
     def must(ok: Boolean, step: String): Unit =
       if (!ok) throw new java.io.IOException(s"graft_jsonl commit: $step failed")
-    if (truncate && f.exists(dir)) {
-      f.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
-        .foreach(st => must(f.delete(st.getPath, false),
-          s"delete ${st.getPath}"))
-    }
-    messages.foreach {
+    // promote the NEW data first (fresh queryId names cannot collide
+    // with old part files), delete the replaced files LAST: a rename
+    // failure mid-commit then leaves the old data intact instead of
+    // lost-with-the-new-data-still-hidden
+    val old: Array[Path] =
+      if (truncate && f.exists(dir))
+        f.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+      else Array.empty
+    val promoted = messages.map {
       case StagedFile(name) =>
         val staged = new Path(dir, name)
         val visible = new Path(dir,
           name.replaceFirst("^\\.staged-", "part-") + ".jsonl")
         must(f.rename(staged, visible), s"rename $staged -> $visible")
+        visible.getName
       case other =>
         throw new IllegalStateException(s"unexpected commit message $other")
-    }
+    }.toSet
+    old.filterNot(p => promoted(p.getName))
+      .foreach(p => must(f.delete(p, false), s"delete $p"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -132,10 +149,12 @@ private[sources] class JsonLinesBatchWrite(path: String,
 }
 
 private[sources] class JsonLinesWriterFactory(path: String,
-    schema: StructType, queryId: String) extends DataWriterFactory {
+    schema: StructType, queryId: String,
+    hadoopProps: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new JsonLinesWriter(path, schema, queryId, partitionId, taskId)
+    new JsonLinesWriter(path, schema, queryId, partitionId, taskId,
+      hadoopProps)
 }
 
 private[sources] object JsonLinesWriter {
@@ -162,17 +181,21 @@ private[sources] object JsonLinesWriter {
 }
 
 private[sources] class JsonLinesWriter(path: String, schema: StructType,
-    queryId: String, partitionId: Int, taskId: Long)
+    queryId: String, partitionId: Int, taskId: Long,
+    hadoopProps: Array[(String, String)])
     extends DataWriter[InternalRow] {
 
   private val name = s".staged-$queryId-$partitionId-$taskId"
   private val staged = new Path(new Path(path), name)
-  // executor side: no SparkSession; default Configuration resolves the
-  // filesystem from the path's URI scheme
+  // rebuild the driver's Hadoop conf, and take an UNCACHED FileSystem:
+  // setWriteChecksum on the shared cached instance would silently turn
+  // checksums off for every other user of that filesystem in this JVM
   private val fs: FileSystem = {
-    val f = staged.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    // no .crc sidecars next to the data files (ChecksumFileSystem default
-    // on local paths) — the sink's contract is "only part-*.jsonl appear"
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+    val f = FileSystem.newInstance(staged.toUri, conf)
+    // no .crc sidecars next to the data files — the sink's contract is
+    // "only part-*.jsonl appear"
     f.setWriteChecksum(false)
     f
   }
@@ -189,7 +212,12 @@ private[sources] class JsonLinesWriter(path: String, schema: StructType,
       else f.dataType match {
         case LongType => sb.append(row.getLong(i))
         case IntegerType => sb.append(row.getInt(i))
-        case DoubleType => sb.append(row.getDouble(i))
+        case DoubleType =>
+          val d = row.getDouble(i)
+          // JSON has no NaN/Infinity tokens; map non-finite to null
+          // (pandas to_json convention) rather than emit invalid JSON
+          if (java.lang.Double.isFinite(d)) sb.append(d)
+          else sb.append("null")
         case BooleanType => sb.append(row.getBoolean(i))
         case StringType => sb.append('"')
           .append(JsonLinesWriter.escape(row.getUTF8String(i).toString))
@@ -216,5 +244,7 @@ private[sources] class JsonLinesWriter(path: String, schema: StructType,
     fs.delete(staged, false)
   }
 
-  override def close(): Unit = ()
+  // the FS is a private newInstance — close it or leak one per task
+  override def close(): Unit =
+    try fs.close() catch { case _: Throwable => }
 }
