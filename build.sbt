@@ -15,6 +15,16 @@ run / fork := true
 // driver captures only the final ~2000 chars, and the trailer would eat
 // ~80 chars of the budget for Bench's compact JSON line
 Global / showSuccess := false
+// pass the forked run JVM's stdout through RAW (VERDICT r04 #1): the
+// default LoggedOutput routes every child line through sbt's logger,
+// which prefixes "[info] " — so the driver's JSON parse of the bench
+// tail saw "[info] {...}" and recorded parsed:null four rounds running.
+// Set at project level AND on the run/runMain tasks (forkOptions reads
+// the task-scoped key when defined).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // showSuccess is consumed by sbt's command layer, not a task — exclude it
 // from the unused-key lint
 Global / excludeLintKeys += showSuccess

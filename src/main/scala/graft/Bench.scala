@@ -15,12 +15,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // 3 reps: the min-of-3 estimate agreed within ~10% median across
-    // repeated full runs on this (noisy) box; 2 left ~10% of sub-second
-    // queries outside 25%
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // local-iteration filter: comma-separated query names (unset → all)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // 3 reps: the min-of-3 estimate agreed within ~10% median across
+    // repeated full runs on this (noisy) box; 2 left ~10% of sub-second
+    // queries outside 25%. FULL runs floor the env override at 3 — the
+    // graded record silently dropped to 2 reps in round 4 (VERDICT r04
+    // #8) and read ~10% high; explicit subsets (local iteration) may
+    // still run fewer
+    val repsEnv = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = (if (only.isEmpty) repsEnv.max(3) else repsEnv).max(1)
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def loadavg(): String =
@@ -62,7 +66,7 @@ object Bench {
     // ~2000 chars of stdout, and the full record has never fit (BENCH_r01-r03
     // all show parsed:null). This line must stay under that window — gated
     // by BenchRenderSpec against the real query list.
-    println(renderCompact(results, sfDir))
+    println(renderCompact(results, reps, sfDir))
   }
 
   /** Locale.ROOT: the f interpolator uses the JVM default locale, which
@@ -110,7 +114,7 @@ object Bench {
     * together they bring 100 queries under the capture window.
     */
   def renderCompact(results: Seq[(String, Double, Seq[Double])],
-      sfDir: String): String = {
+      reps: Int, sfDir: String): String = {
     val qs = results
       .map { case (k, v, _) => "\"" + k.stripPrefix("q_") + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
@@ -118,6 +122,6 @@ object Bench {
     val nFail = results.count(_._2 < 0)
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","prefix":"q_",""" +
-      s""""queries":$qs,"failed":$nFail,"sf":"$sfShort"}"""
+      s""""queries":$qs,"reps":$reps,"failed":$nFail,"sf":"$sfShort"}"""
   }
 }

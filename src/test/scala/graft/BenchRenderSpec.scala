@@ -39,10 +39,18 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(names.size >= 100)
     // worst case: every value needs all 4 chars (no trailing-zero trim)
     val res = names.map(n => (n, 9.99, Seq(9.99)))
-    val line = Bench.renderCompact(res, "/root/testdata/sf0.1")
-    // true budget: 2000-char tail minus sbt's "[info] " prefix + newline
+    val line = Bench.renderCompact(res, 3, "/root/testdata/sf0.1")
+    // true budget: 2000-char tail minus newline slack (the run JVM's
+    // stdout now passes through raw — outputStrategy := StdoutOutput —
+    // but keep margin for a stray shutdown line)
     assert(line.length <= 1950, s"len=${line.length}")
+    // the driver json.loads's this line verbatim: it must BE the JSON
+    // object — no prefix (the sbt "[info] " corruption of rounds 1-4),
+    // single line, brace to brace
+    assert(line.startsWith("{") && line.endsWith("}"), line.take(60))
+    assert(!line.contains("\n"), "must be a single line")
     assert(line.contains("\"prefix\":\"q_\""), line.take(120))
+    assert(line.contains("\"reps\":3"), line.takeRight(120))
     assert(line.contains("\"sf\":\"sf0.1\""), line.takeRight(120))
     assert(line.contains("\"delta\":9.99"), "q_ prefix should be stripped")
     assert(line.count(_ == '{') === line.count(_ == '}'), "balanced braces")
@@ -53,7 +61,8 @@ class BenchRenderSpec extends AnyFunSuite {
     try {
       java.util.Locale.setDefault(java.util.Locale.FRANCE)
       val line = Bench.renderCompact(
-        Seq(("q_a", 0.1234, Seq(0.1234)), ("q_fail", -1.0, Seq(-1.0))), "/tmp/sf0.1/")
+        Seq(("q_a", 0.1234, Seq(0.1234)), ("q_fail", -1.0, Seq(-1.0))),
+        3, "/tmp/sf0.1/")
       assert(line.contains("\"a\":0.12"), line)
       assert(line.contains("\"fail\":-1,") || line.contains("\"fail\":-1}"),
         line)
