@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, QDef, Tables}
+import graft.{Det, Pctl, QDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -242,34 +242,19 @@ object Aggregates {
         val w = Window.partitionBy("l_returnflag")
           .orderBy("l_extendedprice")
         val wAll = Window.partitionBy("l_returnflag")
-        // 0-based target position h = (n-1)p; boundary ranks are
-        // floor(h)+1 and floor(h)+2 in 1-based rn terms (ceil(h) ==
-        // floor(h)+1 covers the fractional case; when h is integral the
-        // +2 row is unused by the interpolation's zero fraction — except
-        // h == n-1, where rn n is the +1 row and no +2 row exists)
-        def h(p: Double) = (col("n") - 1) * lit(p)
-        def lo(p: Double) = floor(h(p)).cast("long") + 1
+        // boundary-rank interpolation: Pctl (Core.scala) — the one shared
+        // definition, also used by q_approx_percentile and q_winsorize
         val ranked = Tables(s, d, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice"))
           .withColumn("rn", row_number().over(w))
           .withColumn("n", count(lit(1)).over(wAll))
-        def vAt(p: Double, off: Int) = max(when(
-          col("rn") === lo(p) + off, col("l_extendedprice")))
-        // same formula as Spark's percentile / DuckDB quantile_cont:
-        // lower + (higher - lower) * frac. Inside agg(), n is constant
-        // per group so max(n) stands in for it.
-        def interp(p: Double) = {
-          val hA = (max(col("n")) - 1) * lit(p)
-          val frac = hA - floor(hA)
-          vAt(p, 0) + (coalesce(vAt(p, 1), vAt(p, 0)) - vAt(p, 0)) * frac
-        }
+        val v = col("l_extendedprice")
         ranked
-          .filter(col("rn") === lo(0.5) || col("rn") === lo(0.5) + 1 ||
-            col("rn") === lo(0.9) || col("rn") === lo(0.9) + 1)
+          .filter(Pctl.boundary(Seq(0.5, 0.9), col("rn"), col("n")))
           .groupBy("l_returnflag")
           .agg(max(col("n")).as("n"), // constant per group
-            Det.rnd(interp(0.5), 4).as("p50"),
-            Det.rnd(interp(0.9), 4).as("p90"))
+            Det.rnd(Pctl.interp(0.5, col("rn"), col("n"), v), 4).as("p50"),
+            Det.rnd(Pctl.interp(0.9, col("rn"), col("n"), v), 4).as("p90"))
           .select("l_returnflag", "p50", "p90", "n")
       },
       Some("SELECT l_returnflag, " +
@@ -345,12 +330,13 @@ object Aggregates {
     // and the within-tolerance verdict — all engine-stable.
     QDef("q_approx_percentile",
       (s, d) => {
-        // exact twin via the q_percentile boundary-rank interpolation —
-        // NOT the built-in `percentile` aggregate, whose per-group
-        // value→count map is exactly the shape q_percentile avoids.
-        // One window sort per group, then a single aggregate computes
-        // the sketch AND picks the two boundary values, so sketch and
-        // twin share the one shuffle.
+        // exact twin via Pctl (Core.scala), the shared boundary-rank
+        // interpolation — NOT the built-in `percentile` aggregate, whose
+        // per-group value→count map is exactly the shape q_percentile
+        // avoids. One window sort per group, then a single aggregate
+        // computes the sketch AND picks the two boundary values, so
+        // sketch and twin share the one shuffle. No Pctl.boundary
+        // pre-filter here: the sketch aggregate needs every row.
         val w = Window.partitionBy("l_returnflag")
           .orderBy("l_extendedprice")
         val wAll = Window.partitionBy("l_returnflag")
@@ -358,12 +344,8 @@ object Aggregates {
           .select(col("l_returnflag"), col("l_extendedprice"))
           .withColumn("rn", row_number().over(w))
           .withColumn("nn", count(lit(1)).over(wAll))
-        val lo = floor((col("nn") - 1) * lit(0.5)).cast("long") + 1
-        def vAt(off: Int) =
-          max(when(col("rn") === lo + off, col("l_extendedprice")))
-        val hA = (max(col("nn")) - 1) * lit(0.5)
-        val exact = vAt(0) +
-          (coalesce(vAt(1), vAt(0)) - vAt(0)) * (hA - floor(hA))
+        val exact = Pctl.interp(0.5, col("rn"), col("nn"),
+          col("l_extendedprice"))
         ranked.groupBy("l_returnflag").agg(
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
             .as("p50_approx"),

@@ -222,10 +222,11 @@ object TrainingData {
 
     // Winsorization: clamp numeric features to the per-group
     // [p05, p95] band — the outlier-taming step before a feature
-    // lands in a training set. The percentile boundaries use the SAME
-    // boundary-rank interpolation as q_percentile (sort + 4 rows per
-    // group — never a per-group value map), written formula-for-formula
-    // in the oracle SQL so both engines do identical double ops; the
+    // lands in a training set. The percentile boundaries use the shared
+    // Pctl boundary-rank interpolation (Core.scala; sort + 4 rows per
+    // group — never a per-group value map), whose *Sql twins emit the
+    // identical arithmetic for the oracle, so both engines do the same
+    // double ops; the
     // clamp compares raw values against the ROUNDED bounds so an
     // engine ulp in the interpolation cannot flip a comparison. One
     // window shuffle + a broadcast join of the tiny bounds table.
@@ -239,21 +240,12 @@ object TrainingData {
         val ranked = ev
           .withColumn("rn", row_number().over(w))
           .withColumn("n", count(lit(1)).over(wAll))
-        def lo(p: Double) =
-          floor((col("n") - 1) * lit(p)).cast("long") + 1
-        def vAt(p: Double, off: Int) =
-          max(when(col("rn") === lo(p) + off, col("value")))
-        def interp(p: Double) = {
-          val hA = (max(col("n")) - 1) * lit(p)
-          val frac = hA - floor(hA)
-          vAt(p, 0) + (coalesce(vAt(p, 1), vAt(p, 0)) - vAt(p, 0)) * frac
-        }
+        val (rn, n, v) = (col("rn"), col("n"), col("value"))
         val bounds = ranked
-          .filter(col("rn") === lo(0.05) || col("rn") === lo(0.05) + 1 ||
-            col("rn") === lo(0.95) || col("rn") === lo(0.95) + 1)
+          .filter(graft.Pctl.boundary(Seq(0.05, 0.95), rn, n))
           .groupBy("event_type")
-          .agg(graft.Det.rnd(interp(0.05), 4).as("q05"),
-            graft.Det.rnd(interp(0.95), 4).as("q95"))
+          .agg(graft.Det.rnd(graft.Pctl.interp(0.05, rn, n, v), 4).as("q05"),
+            graft.Det.rnd(graft.Pctl.interp(0.95, rn, n, v), 4).as("q95"))
         ev.join(broadcast(bounds), Seq("event_type"))
           .select(col("event_id"), col("event_type"),
             graft.Det.rnd(
@@ -261,27 +253,16 @@ object TrainingData {
               .as("value_w"))
       },
       Some {
-        def loSql(p: Double) =
-          s"CAST(floor((n - 1) * $p) AS BIGINT) + 1"
-        def vAtSql(p: Double, off: Int) =
-          s"max(CASE WHEN rn = ${loSql(p)} + $off THEN value END)"
-        def interpSql(p: Double) = {
-          val hA = s"((max(n) - 1) * $p)"
-          val frac = s"($hA - floor($hA))"
-          s"(${vAtSql(p, 0)} + (coalesce(${vAtSql(p, 1)}, " +
-            s"${vAtSql(p, 0)}) - ${vAtSql(p, 0)}) * $frac)"
-        }
         "WITH ev AS (SELECT event_id, event_type, value FROM events), " +
           "ranked AS (SELECT event_type, value, " +
           "row_number() OVER (PARTITION BY event_type " +
           "ORDER BY value, event_id) AS rn, " +
           "count(*) OVER (PARTITION BY event_type) AS n FROM ev), " +
           "b AS (SELECT event_type, " +
-          s"${graft.Det.rndSql(interpSql(0.05), 4)} AS q05, " +
-          s"${graft.Det.rndSql(interpSql(0.95), 4)} AS q95 " +
-          s"FROM ranked WHERE rn = ${loSql(0.05)} OR " +
-          s"rn = ${loSql(0.05)} + 1 OR rn = ${loSql(0.95)} OR " +
-          s"rn = ${loSql(0.95)} + 1 GROUP BY event_type) " +
+          s"${graft.Det.rndSql(graft.Pctl.interpSql(0.05), 4)} AS q05, " +
+          s"${graft.Det.rndSql(graft.Pctl.interpSql(0.95), 4)} AS q95 " +
+          s"FROM ranked WHERE ${graft.Pctl.boundarySql(Seq(0.05, 0.95))} " +
+          "GROUP BY event_type) " +
           "SELECT ev.event_id, ev.event_type, " +
           graft.Det.rndSql("least(greatest(ev.value, b.q05), b.q95)", 4) +
           " AS value_w FROM ev JOIN b USING (event_type)"
