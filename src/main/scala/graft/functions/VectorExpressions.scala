@@ -97,7 +97,25 @@ object VectorFunctions {
     "graft_heavy_hitters" -> (exprs =>
       MisraGries(exprs.head, intLiteral(exprs(1), "graft_heavy_hitters"))),
     "graft_kmv_distinct" -> (exprs =>
-      KmvSketchAgg(exprs.head, intLiteral(exprs(1), "graft_kmv_distinct"))))
+      KmvSketchAgg(exprs.head, intLiteral(exprs(1), "graft_kmv_distinct"))),
+    // Spark's OWN runtime-filter bloom expressions, surfaced under graft
+    // names: the optimizer only injects them into shuffle joins
+    // (InjectRuntimeFilter), but an explicit semi-join gate — e.g.
+    // q_contamination's "skip non-contaminated docs before the join" —
+    // wants them hand-placed. graft_bloom_agg(xxhash64(x)[, n_items])
+    // builds the filter; graft_might_contain(bf, xxhash64(x)) probes it
+    // (bf must be a constant or scalar subquery, per the expression's
+    // own input check).
+    "graft_bloom_agg" -> (exprs =>
+      if (exprs.size >= 2)
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head, exprs(1))
+      else
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head)),
+    "graft_might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs.head, exprs(1))))
 
   /** Validate a sketch-size argument up front with a clear analysis-time
     * error — a null or non-integral foldable would otherwise surface as

@@ -113,21 +113,35 @@ object TrainingData {
     // Benchmark decontamination: flag corpus docs sharing any trigram
     // shingle with a benchmark set (stand-in: docs 0-4). The benchmark
     // side is tiny → broadcast; the corpus side explodes shingles and
-    // equi-joins — at 100 TB the same shape with the benchmark shingles
-    // in a Bloom filter before the join. Reports overlap size per
-    // contaminated doc.
+    // equi-joins — gated by a Bloom filter of the benchmark shingles
+    // (built once in a scalar subquery, probed per corpus shingle BELOW
+    // the join) so at 100 TB non-contaminated docs drop at the scan
+    // instead of reaching the join. Bloom false positives are harmless:
+    // the exact equi-join behind the gate re-verifies every survivor, so
+    // the result set is identical with or without the filter. Reports
+    // overlap size per contaminated doc.
     QDef("q_contamination",
       (s, d) => {
         graft.functions.VectorFunctions.register(s)
-        val sh = Tables(s, d, "documents").select(col("doc_id"),
-          explode(expr("graft_shingle_set(text)")).as("sh"))
-        val bench = sh.filter(col("doc_id") < 5).select("sh").distinct()
-        sh.filter(col("doc_id") >= 5)
-          .join(broadcast(bench), "sh")
-          .groupBy("doc_id")
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(expr("graft_shingle_set(text)")).as("sh"))
+          .createOrReplaceTempView("graft_contam_sh")
+        // graft_bloom_agg/graft_might_contain are Spark's own
+        // runtime-filter expressions (registered in VectorFunctions);
+        // the filter must arrive as a scalar subquery — the expression
+        // rejects a non-constant column input by design.
+        s.sql("WITH b AS (SELECT DISTINCT sh FROM graft_contam_sh " +
+          "WHERE doc_id < 5) " +
+          "SELECT /*+ BROADCAST(b) */ c.doc_id, " +
           // shingle sets are distinct per doc, so plain count == the
           // number of distinct shared shingles
-          .agg(count(lit(1)).as("n_shared"))
+          "count(1) AS n_shared " +
+          "FROM graft_contam_sh c JOIN b USING (sh) " +
+          "WHERE c.doc_id >= 5 AND graft_might_contain(" +
+          "(SELECT graft_bloom_agg(xxhash64(sh), 65536L) FROM b), " +
+          "xxhash64(c.sh)) " +
+          "GROUP BY c.doc_id")
       },
       Some("WITH t AS (SELECT doc_id, " +
         "string_split_regex(trim(text), '\\s+') AS rawtoks " +
