@@ -113,6 +113,31 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("Join") || p.contains("join"), p)
   }
 
+  test("q_gapfill: two shuffles — daily rollup (reused by the window) + " +
+      "calendar join side") {
+    val p = plan("q_gapfill")
+    // one hash exchange on user_id (min/max span agg, whose partitioning
+    // the forward-fill window reuses — the Sort below Window is local),
+    // one on (user_id, day) for the daily-sum join side; the join itself
+    // rides a broadcast at test SF
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert("Window".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q_contamination: bloom gate probes the corpus scan below the join") {
+    val p = plan("q_contamination")
+    // the filter is built once as a scalar subquery over the benchmark
+    // shingles...
+    assert(p.contains("bloom_filter_agg"), p)
+    // ...and the might_contain probe sits BELOW the join (tree text
+    // prints parents first), so non-candidate shingles die at the scan
+    val join = p.indexOf("HashJoin")
+    val probe = p.indexOf("might_contain")
+    assert(join >= 0, p)
+    assert(probe > join, p)
+  }
+
   test("q_simsearch: custom dot product in plan, top-k pushed into window") {
     val p = plan("q_simsearch")
     assert(p.contains("dotproduct("), p)
