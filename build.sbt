@@ -19,12 +19,11 @@ Global / showSuccess := false
 // default LoggedOutput routes every child line through sbt's logger,
 // which prefixes "[info] " — so the driver's JSON parse of the bench
 // tail saw "[info] {...}" and recorded parsed:null four rounds running.
-// Set at project level AND on the run/runMain tasks (forkOptions reads
-// the task-scoped key when defined).
+// Set at project level and on Compile/run — the two scopes forkOptions
+// actually consumes (bare run/runMain-scoped keys trip sbt's
+// unused-setting lint as dead).
 outputStrategy := Some(StdoutOutput)
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // showSuccess is consumed by sbt's command layer, not a task — exclude it
 // from the unused-key lint
 Global / excludeLintKeys += showSuccess

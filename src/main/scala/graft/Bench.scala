@@ -15,8 +15,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // local-iteration filter: comma-separated query names (unset → all)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // local-iteration filter: comma-separated query names (unset → all).
+    // A blank/whitespace value counts as unset — Some(Set("")) would both
+    // bypass the full-run reps floor and filter out every query, emitting
+    // an empty-but-valid-looking record.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     // 3 reps: the min-of-3 estimate agreed within ~10% median across
     // repeated full runs on this (noisy) box; 2 left ~10% of sub-second
     // queries outside 25%. FULL runs floor the env override at 3 — the
@@ -66,7 +71,7 @@ object Bench {
     // ~2000 chars of stdout, and the full record has never fit (BENCH_r01-r03
     // all show parsed:null). This line must stay under that window — gated
     // by BenchRenderSpec against the real query list.
-    println(renderCompact(results, reps, sfDir))
+    println(renderCompact(results, reps, sfDir, loadBefore, loadAfter))
   }
 
   /** Locale.ROOT: the f interpolator uses the JVM default locale, which
@@ -111,17 +116,27 @@ object Bench {
   /** Compact final line sized for the driver's ~2000-char stdout tail.
     * Query keys drop the uniform "q_" prefix (declared via "prefix") and
     * values round to centiseconds — both lossless for the judge, and
-    * together they bring 100 queries under the capture window.
+    * together they bring 100 queries under the capture window. The 1-min
+    * loadavg before/after rides along (~20 chars) so the PARSED record is
+    * noise-qualifiable — the graded number has twice published a loaded-box
+    * artifact that only the unparsed detail line could explain.
     */
   def renderCompact(results: Seq[(String, Double, Seq[Double])],
-      reps: Int, sfDir: String): String = {
+      reps: Int, sfDir: String, loadBefore: String = "",
+      loadAfter: String = ""): String = {
     val qs = results
       .map { case (k, v, _) => "\"" + k.stripPrefix("q_") + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // first /proc/loadavg field; non-numeric ("unknown") → -1 sentinel
+    def load1(s: String): String = {
+      val f = s.split("\\s+").headOption.getOrElse("")
+      if (f.matches("[0-9.]+")) f else "-1"
+    }
     s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","prefix":"q_",""" +
-      s""""queries":$qs,"reps":$reps,"failed":$nFail,"sf":"$sfShort"}"""
+      s""""queries":$qs,"reps":$reps,"failed":$nFail,""" +
+      s""""load1":[${load1(loadBefore)},${load1(loadAfter)}],"sf":"$sfShort"}"""
   }
 }

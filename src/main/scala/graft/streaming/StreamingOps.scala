@@ -344,6 +344,11 @@ object StreamingOps {
         tv: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[AsOfOut] = {
       val out = scala.collection.mutable.ListBuffer[AsOfOut]()
+      // buffers and heap-sorts ONE KEY's slice of the micro-batch: fine
+      // under AvailableNow replay, but a hot key in a large trigger
+      // interval concentrates its whole batch on this executor's heap —
+      // production would bound the trigger (or pre-sort via a
+      // watermark-bounded reorder buffer) before this operator.
       rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
         if (e.event_type == "click") lastClick.update(ClickSt(e.ts_us, e.event_id))
         else if (e.event_type == "purchase") {

@@ -37,9 +37,11 @@ class BenchRenderSpec extends AnyFunSuite {
     // the round's bench record
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.size >= 100)
-    // worst case: every value needs all 4 chars (no trailing-zero trim)
+    // worst case: every value needs all 4 chars (no trailing-zero trim),
+    // double-digit loadavgs
     val res = names.map(n => (n, 9.99, Seq(9.99)))
-    val line = Bench.renderCompact(res, 3, "/root/testdata/sf0.1")
+    val line = Bench.renderCompact(res, 3, "/root/testdata/sf0.1",
+      "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345")
     // true budget: 2000-char tail minus newline slack (the run JVM's
     // stdout now passes through raw — outputStrategy := StdoutOutput —
     // but keep margin for a stray shutdown line)
@@ -53,7 +55,16 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(line.contains("\"reps\":3"), line.takeRight(120))
     assert(line.contains("\"sf\":\"sf0.1\""), line.takeRight(120))
     assert(line.contains("\"delta\":9.99"), "q_ prefix should be stripped")
+    // loadavg rides in the parsed record so the graded number can be
+    // noise-qualified without the (truncated) detail line
+    assert(line.contains("\"load1\":[31.99,31.88]"), line.takeRight(160))
     assert(line.count(_ == '{') === line.count(_ == '}'), "balanced braces")
+  }
+
+  test("compact line survives an unreadable /proc/loadavg") {
+    val line = Bench.renderCompact(
+      Seq(("q_a", 0.1, Seq(0.1))), 3, "/tmp/sf0.1", "unknown", "")
+    assert(line.contains("\"load1\":[-1,-1]"), line)
   }
 
   test("compact line keeps failure sentinels and locale-proof decimals") {
