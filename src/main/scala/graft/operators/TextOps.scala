@@ -84,6 +84,91 @@ object TextOps {
     (docs, c1.union(c2).distinct())
   }
 
+  /** Connected components by iterative min-label propagation over an
+    * undirected `(a_id, b_id)` edge list (pre-persisted, tiny — the
+    * near-dup subgraph of a corpus). Returns `(id, lbl)` where `lbl` is
+    * the minimum id reachable from `id` — the deterministic canonical
+    * representative. Tested directly on multi-hop graphs in
+    * ConnectedComponentsSpec; exercised end-to-end (with the DuckDB
+    * recursive-CTE oracle) by q_dedup_clusters.
+    *
+    * Shape notes (all measured at sf0.1, idle min-of-3):
+    *   - The edge list is pinned (count on the cached frame) BEFORE
+    *     iterating: the loop's first action references the labels lineage
+    *     several times (step input, neighbor join, witness scan), and
+    *     with the cache still cold each reference races to recompute the
+    *     heavy upstream pipeline concurrently — the standard
+    *     persist-then-materialize idiom any iterative-graph job needs.
+    *   - One propagation step = min over (current ∪ neighbor-hop): one
+    *     join + one aggregate. Round count is O(diameter), which for
+    *     near-dup clusters is small by construction (dup clusters are
+    *     cliquish); both O(log d) alternatives were measured and rejected
+    *     at this scale — pointer-doubling (a labels⋈labels hop per round)
+    *     planned its stat-less self-join as a sort-merge join for
+    *     +1.7s/query, and two steps per witness check recomputed the
+    *     unmaterialized inner step per reference for +1.5s. A giant
+    *     high-diameter graph flips that trade-off; both variants are a
+    *     one-line change to step().
+    *   - Convergence witness: labels only ever decrease, so the label SUM
+    *     is monotone and equal sums ⇔ fixpoint — one aggregate instead of
+    *     a change-detection join, and the before/after sums come from a
+    *     single tagged-union action, so each round costs ONE driver
+    *     barrier. Summed as decimal(38,0): a long would wrap past 2^63 on
+    *     billions of large doc_ids and could fake convergence.
+    *   - Loop-scoped conf (restored in finally): 1 shuffle partition to
+    *     match the caller's repartition(1) subgraph (the session's 32
+    *     would schedule 32 near-empty tasks per exchange), AQE off (each
+    *     exchange would become a separately materialized + re-optimized
+    *     query stage — pure latency on this fixed-shape tiny DAG). Each
+    *     knob was worth ~0.8s/query. Raise both together with the
+    *     caller's repartition(1) at real scale.
+    */
+  def connectedComponents(s: org.apache.spark.sql.SparkSession,
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    edges.count()
+    val sym = edges
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+    // round 0 folded into the init: min(self, direct neighbors) in one
+    // aggregation, no join — for cliquish dup clusters this is already
+    // the fixpoint and the loop only confirms it
+    var labels = sym.select(col("u").as("id"), col("v").as("lbl"))
+      .union(sym.select(col("u").as("id"), col("u").as("lbl")))
+      .groupBy("id").agg(min("lbl").as("lbl"))
+      .persist()
+    def step(l: org.apache.spark.sql.DataFrame) = {
+      val via = sym.join(l, col("u") === col("id"))
+        .select(col("v").as("id"), col("lbl"))
+      l.union(via).groupBy("id").agg(min("lbl").as("lbl"))
+    }
+    def sums2(prev: org.apache.spark.sql.DataFrame,
+        next: org.apache.spark.sql.DataFrame): (BigDecimal, BigDecimal) = {
+      val m = prev.select(lit(0).as("g"), col("lbl"))
+        .union(next.select(lit(1).as("g"), col("lbl")))
+        .groupBy("g").agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1))))
+        .toMap
+      (m.getOrElse(0, BigDecimal(0)), m.getOrElse(1, BigDecimal(0)))
+    }
+    val loopConf = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")
+    val prevConf = loopConf.map { case (k, _) => k -> s.conf.get(k) }
+    try {
+      loopConf.foreach { case (k, v) => s.conf.set(k, v) }
+      var converged = false
+      while (!converged) {
+        val next = step(labels).persist()
+        val (prevSum, curSum) = sums2(labels, next)
+        converged = curSum == prevSum
+        labels.unpersist()
+        labels = next
+      }
+    } finally prevConf.foreach { case (k, v) => s.conf.set(k, v) }
+    labels
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // X6: JSON extraction from the events.props payload column.
@@ -266,14 +351,12 @@ object TextOps {
 
     // X4: near-dup CLUSTER consolidation — pairs alone don't dedupe a
     // corpus; the pipeline needs connected components over the pair
-    // graph to pick one canonical doc per cluster. Implemented as
-    // iterative min-label propagation with pointer doubling (each round
-    // = neighbor-hop + label-hop joins and one min-aggregate; labels
-    // shrink monotonically and propagated distance DOUBLES per round,
-    // so rounds ≈ log2(diameter) — and diameter is already tiny for
-    // near-dup clusters). Canonical id = min doc_id in the component —
-    // deterministic and round-count-agnostic. Oracle: DuckDB recursive
-    // CTE computing min reachable id over the same edge set.
+    // graph to pick one canonical doc per cluster. Implemented by
+    // connectedComponents (above): iterative min-label propagation, one
+    // join + one min-aggregate and ONE driver barrier per round.
+    // Canonical id = min doc_id in the component — deterministic and
+    // round-count-agnostic. Oracle: DuckDB recursive CTE computing min
+    // reachable id over the same edge set.
     QDef("q_dedup_clusters",
       (s, d) => {
         val (docs, cand) = bandCandidates(s, d)
@@ -297,84 +380,8 @@ object TextOps {
           .select("a_id", "b_id")
           .repartition(1)
           .persist()
-        // pin the edge list BEFORE iterating (one count on the cached
-        // frame): the loop's first action references the labels lineage
-        // several times (step input, neighbor join, witness scan), and
-        // with the cache still cold each reference races to compute the
-        // heavy hash/verify pipeline concurrently — the standard
-        // persist-then-materialize idiom any iterative-graph job needs,
-        // at any scale
-        edges.count()
-        val sym = edges
-          .select(col("a_id").as("u"), col("b_id").as("v"))
-          .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
-        // round 0 folded into the init: min(self, direct neighbors) in
-        // one aggregation, no join — for cliquish dup clusters this is
-        // already the fixpoint and the loop only confirms it
-        var labels = sym.select(col("u").as("id"), col("v").as("lbl"))
-          .union(sym.select(col("u").as("id"), col("u").as("lbl")))
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .persist()
-        // one propagation step: min over (current ∪ neighbor-hop) — one
-        // join + one aggregate over the single-partition subgraph. Round
-        // count is O(diameter), which for near-dup clusters is small by
-        // construction (dup clusters are cliquish); both O(log d)
-        // alternatives were MEASURED here and rejected at this scale —
-        // pointer-doubling (a labels⋈labels hop per round) planned its
-        // stat-less self-join as a sort-merge join and cost +1.7s/query,
-        // and two steps per witness check recomputed the unmaterialized
-        // inner step per reference for +1.5s — while a giant skewed graph
-        // would flip that trade-off, which is a one-line change to step().
-        def step(l: org.apache.spark.sql.DataFrame) = {
-          val via = sym.join(l, col("u") === col("id"))
-            .select(col("v").as("id"), col("lbl"))
-          l.union(via).groupBy("id").agg(min("lbl").as("lbl"))
-        }
-        // labels only ever decrease, so the label SUM is a convergence
-        // witness (element-wise monotone ⇒ equal sums ⇔ fixpoint) — one
-        // aggregate instead of a change-detection join. Both the before-
-        // AND after-step sums come from a single tagged-union action, so
-        // each round costs ONE driver barrier (the old shape paid a
-        // separate init-sum job). Summed as decimal(38,0): a long would
-        // wrap past 2^63 on billions of large doc_ids and could fake
-        // convergence mid-propagation.
-        def sums2(prev: org.apache.spark.sql.DataFrame,
-            next: org.apache.spark.sql.DataFrame): (BigDecimal, BigDecimal) = {
-          val m = prev.select(lit(0).as("g"), col("lbl"))
-            .union(next.select(lit(1).as("g"), col("lbl")))
-            .groupBy("g").agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
-            .collect()
-            .map(r => r.getInt(0) ->
-              (if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1))))
-            .toMap
-          (m.getOrElse(0, BigDecimal(0)), m.getOrElse(1, BigDecimal(0)))
-        }
-        // Loop-scoped conf (restored after): the subgraph is ONE tiny
-        // partition (the repartition(1) knob above), so the loop's
-        // exchanges should be 1 shuffle partition — the session's 32
-        // would schedule 32 near-empty tasks per exchange — and AQE off,
-        // since AQE turns each exchange into a separately materialized +
-        // re-optimized query stage (pure added latency here: the shapes
-        // are fixed and the coalescing AQE would do is exactly this
-        // 1-partition setting). Both measured ~0.8s each at sf0.1. The
-        // returned frame is planned by the caller post-restore, so it
-        // keeps the session's settings. Raise the partition knob together
-        // with repartition(1) at real scale.
-        val loopConf = Seq("spark.sql.adaptive.enabled" -> "false",
-          "spark.sql.shuffle.partitions" -> "1")
-        val prevConf = loopConf.map { case (k, _) => k -> s.conf.get(k) }
-        try {
-          loopConf.foreach { case (k, v) => s.conf.set(k, v) }
-          var converged = false
-          while (!converged) {
-            val next = step(labels).persist()
-            val (prevSum, curSum) = sums2(labels, next)
-            converged = curSum == prevSum
-            labels.unpersist()
-            labels = next
-          }
-        } finally prevConf.foreach { case (k, v) => s.conf.set(k, v) }
-        labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
+        connectedComponents(s, edges)
+          .select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
       },
       Some(sigSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
         ", c AS (" +

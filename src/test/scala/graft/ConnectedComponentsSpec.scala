@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextOps
+
+/** Direct tests of the min-label-propagation CC loop behind
+  * q_dedup_clusters. The oracle-checked corpus only produces cliquish
+  * clusters (fixpoint at round 0), so the multi-round path — the
+  * paired-sum convergence witness actually iterating — needs graphs the
+  * corpus doesn't exhibit.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val edges = pairs.toDF("a_id", "b_id").repartition(1).persist()
+    try TextOps.connectedComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally edges.unpersist()
+  }
+
+  test("path graph (diameter 5) converges to the global min label") {
+    // forces several propagation rounds: init labels are each node's
+    // 1-hop min, so node 5 takes 5 rounds to learn about node 0
+    val labels = cc(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(labels === (0L to 5L).map(_ -> 0L).toMap)
+  }
+
+  test("disjoint components keep separate canonical ids") {
+    val labels = cc(Seq(
+      (10L, 11L), (11L, 12L), (10L, 12L), // clique
+      (20L, 21L),                         // pair
+      (30L, 31L), (31L, 32L)))            // path
+    assert(labels === Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("empty edge list yields an empty labeling") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("loop-scoped conf is restored on the session") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cc(Seq((1L, 2L)))
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parts)
+  }
+}
