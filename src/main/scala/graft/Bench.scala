@@ -130,10 +130,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    // first /proc/loadavg field; non-numeric ("unknown") → -1 sentinel
+    // first /proc/loadavg field; anything not a strict decimal ("unknown",
+    // a garbled "0." or "1.2.3") → -1 sentinel — a raw splice of a
+    // malformed token would corrupt the one machine-parsed line
     def load1(s: String): String = {
       val f = s.split("\\s+").headOption.getOrElse("")
-      if (f.matches("[0-9.]+")) f else "-1"
+      if (f.matches("[0-9]+(\\.[0-9]+)?")) f else "-1"
     }
     s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","prefix":"q_",""" +
       s""""queries":$qs,"reps":$reps,"failed":$nFail,""" +

@@ -102,20 +102,35 @@ object VectorFunctions {
     // names: the optimizer only injects them into shuffle joins
     // (InjectRuntimeFilter), but an explicit semi-join gate — e.g.
     // q_contamination's "skip non-contaminated docs before the join" —
-    // wants them hand-placed. graft_bloom_agg(xxhash64(x)[, n_items])
-    // builds the filter; graft_might_contain(bf, xxhash64(x)) probes it
-    // (bf must be a constant or scalar subquery, per the expression's
-    // own input check).
-    "graft_bloom_agg" -> (exprs =>
-      if (exprs.size >= 2)
-        new org.apache.spark.sql.catalyst.expressions.aggregate
+    // wants them hand-placed. graft_bloom_agg(xxhash64(x)[, n_items[,
+    // n_bits]]) builds the filter; graft_might_contain(bf, xxhash64(x))
+    // probes it (bf must be a constant or scalar subquery, per the
+    // expression's own input check). Arity-checked here so misuse fails
+    // at analysis, not with a raw IndexOutOfBounds / a silently dropped
+    // argument.
+    "graft_bloom_agg" -> (exprs => {
+      arity("graft_bloom_agg", exprs, 1, 3)
+      exprs.size match {
+        case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head)
+        case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(exprs.head, exprs(1))
-      else
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(exprs.head)),
-    "graft_might_contain" -> (exprs =>
+        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+      }
+    }),
+    "graft_might_contain" -> (exprs => {
+      arity("graft_might_contain", exprs, 2, 2)
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        exprs.head, exprs(1))))
+        exprs.head, exprs(1))
+    }))
+
+  private def arity(fn: String, exprs: Seq[Expression], lo: Int,
+      hi: Int): Unit =
+    if (exprs.size < lo || exprs.size > hi)
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" ->
+          s"$fn expects $lo to $hi arguments, got ${exprs.size}"))
 
   /** Validate a sketch-size argument up front with a clear analysis-time
     * error — a null or non-integral foldable would otherwise surface as

@@ -92,6 +92,14 @@ object TextOps {
     * ConnectedComponentsSpec; exercised end-to-end (with the DuckDB
     * recursive-CTE oracle) by q_dedup_clusters.
     *
+    * Caller contract: the returned frame is PERSISTED (the loop
+    * materialized it) — release it via unpersist()/catalog.clearCache()
+    * when done (Verify/Bench clear the cache after every query). The
+    * loop also briefly rewrites session-GLOBAL conf (restored in the
+    * finally below), so the driver must not plan unrelated queries on
+    * this session concurrently — true of every current caller
+    * (Verify/Bench/tests are single-threaded per session).
+    *
     * Shape notes (all measured at sf0.1, idle min-of-3):
     *   - The edge list is pinned (count on the cached frame) BEFORE
     *     iterating: the loop's first action references the labels lineage

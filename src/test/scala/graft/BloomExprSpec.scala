@@ -25,6 +25,14 @@ class BloomExprSpec extends AnyFunSuite with SparkSuite {
     assert(misses === 0L)
   }
 
+  test("arity misuse fails at analysis with a clear message") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_might_contain(xxhash64('a'))").collect()
+    }
+    assert(e.getMessage.contains("graft_might_contain"), e.getMessage)
+  }
+
   test("false-positive rate on disjoint probes stays far from 100%") {
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._

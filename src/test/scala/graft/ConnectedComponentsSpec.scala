@@ -15,9 +15,11 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
   private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val edges = pairs.toDF("a_id", "b_id").repartition(1).persist()
-    try TextOps.connectedComponents(spark, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    finally edges.unpersist()
+    try {
+      val labels = TextOps.connectedComponents(spark, edges)
+      try labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally labels.unpersist() // returned frame is persisted (contract)
+    } finally edges.unpersist()
   }
 
   test("path graph (diameter 5) converges to the global min label") {

@@ -68,6 +68,7 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       }.head
       (matched, scan.metrics("numOutputRows").value, scan.toString)
     }
+    try {
     val total = ev.count()
     val (nZ, scannedZ, planZ) = run(s"$dir/zorder")
     val (nS, scannedS, _) = run(s"$dir/shuffled")
@@ -83,6 +84,14 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(scannedS === total, s"control scan surfaced $scannedS/$total")
     assert(scannedZ * 5 <= scannedS * 3,
       s"z-layout scan surfaced $scannedZ vs control $scannedS")
+    } finally { // don't leak two parquet datasets per test run into /tmp
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(dir))
+    }
   }
 
   test("clusterByZ: range partitioning, sorted partitions, disjoint ranges") {
