@@ -171,4 +171,54 @@ class PropertiesSpec extends AnyFunSuite with SparkSuite {
       assert(once.count() === df.select("k").distinct().count())
     }
   }
+
+  test("property: Pctl.interp matches the plain (n-1)p reference on " +
+      "random groups") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // plain-Scala reference: 0-based h=(n-1)p linear interpolation over
+    // the sorted values — the definition Spark's percentile and DuckDB's
+    // quantile_cont share, and the formula all three Pctl call sites
+    // (q_percentile, q_approx_percentile, q_winsorize) now depend on
+    def ref(sorted: Vector[Double], p: Double): Double = {
+      val h = (sorted.size - 1) * p
+      val lo = math.floor(h).toInt
+      val v0 = sorted(lo)
+      val v1 = if (lo + 1 < sorted.size) sorted(lo + 1) else v0
+      v0 + (v1 - v0) * (h - lo)
+    }
+    val ps = Seq(0.05, 0.25, 0.5, 0.9, 0.95)
+    val groupsGen = Gen.nonEmptyMap(for {
+      k <- Gen.oneOf("a", "b", "c")
+      vs <- Gen.resize(40, Gen.nonEmptyListOf(measureGen))
+    } yield k -> vs)
+    samples(groupsGen, 4).foreach { groups =>
+      val rows = groups.toSeq.flatMap { case (k, vs) =>
+        vs.zipWithIndex.map { case (v, i) => (k, i.toLong, v) }
+      }
+      val w = Window.partitionBy("g").orderBy(col("v"), col("rid"))
+      val wAll = Window.partitionBy("g")
+      val ranked = rows.toDF("g", "rid", "v")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val aggs = ps.map(p =>
+        Pctl.interp(p, col("rn"), col("n"), col("v")).as(s"p$p"))
+      val got = ranked
+        .filter(Pctl.boundary(ps, col("rn"), col("n")))
+        .groupBy("g")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1)))
+        .toMap
+      groups.foreach { case (k, vs) =>
+        val sorted = vs.toVector.sorted
+        ps.zipWithIndex.foreach { case (p, i) =>
+          assert(math.abs(got(k)(i) - ref(sorted, p)) < 1e-9,
+            s"group $k p=$p n=${vs.size}: got ${got(k)(i)}, " +
+              s"ref ${ref(sorted, p)}")
+        }
+      }
+    }
+  }
 }
