@@ -125,21 +125,24 @@ object VectorFunctions {
         exprs.head, exprs(1))
     }))
 
+  /** Clear analysis-time error — the shared construction for arity and
+    * literal-argument misuse of graft's registered functions.
+    */
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> msg))
+
   private def arity(fn: String, exprs: Seq[Expression], lo: Int,
       hi: Int): Unit =
     if (exprs.size < lo || exprs.size > hi)
-      throw new org.apache.spark.sql.AnalysisException(
-        "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" ->
-          s"$fn expects $lo to $hi arguments, got ${exprs.size}"))
+      analysisError(s"$fn expects $lo to $hi arguments, got ${exprs.size}")
 
   /** Validate a sketch-size argument up front with a clear analysis-time
     * error — a null or non-integral foldable would otherwise surface as
     * an unhelpful NPE/ClassCastException from a blind cast.
     */
   private def intLiteral(e: Expression, fn: String): Int = {
-    def fail(msg: String): Nothing =
-      throw new org.apache.spark.sql.AnalysisException(
-        "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> s"$fn $msg"))
+    def fail(msg: String): Nothing = analysisError(s"$fn $msg")
     if (!e.foldable) fail("k must be a foldable literal")
     e.eval() match {
       case n: java.lang.Integer => n.intValue

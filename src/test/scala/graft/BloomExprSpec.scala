@@ -12,11 +12,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BloomExprSpec extends AnyFunSuite with SparkSuite {
 
-  test("no false negatives: every inserted key probes true") {
+  /** 1000-key view `bloom_keys` with the given prefix, functions
+    * registered.
+    */
+  private def keysView(name: String, prefix: String): Unit = {
     graft.functions.VectorFunctions.register(spark)
     import spark.implicits._
-    (0L until 1000L).map(i => s"key_$i").toDF("k")
-      .createOrReplaceTempView("bloom_keys")
+    (0L until 1000L).map(i => s"${prefix}_$i").toDF("k")
+      .createOrReplaceTempView(name)
+  }
+
+  test("no false negatives: every inserted key probes true") {
+    keysView("bloom_keys", "key")
     val misses = spark.sql(
       "SELECT count(*) AS n FROM bloom_keys WHERE NOT graft_might_contain(" +
         "(SELECT graft_bloom_agg(xxhash64(k), 2000L) FROM bloom_keys), " +
@@ -26,7 +33,7 @@ class BloomExprSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("arity misuse fails at analysis with a clear message") {
-    graft.functions.VectorFunctions.register(spark)
+    keysView("bloom_keys", "key")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_might_contain(xxhash64('a'))").collect()
     }
@@ -34,12 +41,8 @@ class BloomExprSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("false-positive rate on disjoint probes stays far from 100%") {
-    graft.functions.VectorFunctions.register(spark)
-    import spark.implicits._
-    (0L until 1000L).map(i => s"key_$i").toDF("k")
-      .createOrReplaceTempView("bloom_keys")
-    (0L until 1000L).map(i => s"other_$i").toDF("k")
-      .createOrReplaceTempView("bloom_probes")
+    keysView("bloom_keys", "key")
+    keysView("bloom_probes", "other")
     val fp = spark.sql(
       "SELECT count(*) AS n FROM bloom_probes WHERE graft_might_contain(" +
         "(SELECT graft_bloom_agg(xxhash64(k), 2000L) FROM bloom_keys), " +

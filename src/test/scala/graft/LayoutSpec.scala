@@ -41,49 +41,49 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       "z-range (scan-side proof of the Layout claim)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_zskip").toString
-    // `day` as a real DATE column so the predicate pushes to the parquet
-    // footer stats (a cast(ts) predicate would not)
-    val ev = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
-    val z = Layout.zorder2(
-      col("user_id").bitwiseAND(lit(0xFFFFL)),
-      datediff(col("day"), to_date(lit("1970-01-01")))
-        .cast("long").bitwiseAND(lit(0xFFFFL)))
-    Layout.clusterByZ(ev, z, 16).write.mode("overwrite")
-      .parquet(s"$dir/zorder")
-    // control: identical rows and file count, hash-scattered — every
-    // file spans the full (user_id, day) range, so min/max footers can
-    // skip nothing and the scan must surface every row
-    ev.withColumn("zval", z).repartition(16, col("event_id"))
-      .write.mode("overwrite").parquet(s"$dir/shuffled")
-
-    // rows the scan SURFACES (post row-group/page pruning, pre Filter)
-    // vs rows the query returns — the gap is what the layout skipped
-    def run(path: String): (Long, Long, String) = {
-      val df = spark.read.parquet(path)
-        .filter(col("user_id") < 4 &&
-          col("day") < lit("2024-01-09").cast("date"))
-      val matched = df.collect().length.toLong
-      val scan = df.queryExecution.executedPlan.collect {
-        case f: FileSourceScanExec => f
-      }.head
-      (matched, scan.metrics("numOutputRows").value, scan.toString)
-    }
     try {
-    val total = ev.count()
-    val (nZ, scannedZ, planZ) = run(s"$dir/zorder")
-    val (nS, scannedS, _) = run(s"$dir/shuffled")
-    // same answer from both layouts, and the predicate actually selects
-    assert(nZ === nS)
-    assert(nZ > 0 && nZ < total)
-    // both predicate dimensions reached the footer stats
-    assert(planZ.contains("LessThan(user_id,4)"), planZ)
-    assert(planZ.contains("LessThan(day,"), planZ)
-    // the scattered layout surfaces everything; the z-clustered one
-    // skips whole files (bound is deliberately loose — skip granularity
-    // is one file, so the exact ratio moves with the file count)
-    assert(scannedS === total, s"control scan surfaced $scannedS/$total")
-    assert(scannedZ * 5 <= scannedS * 3,
-      s"z-layout scan surfaced $scannedZ vs control $scannedS")
+      // `day` as a real DATE column so the predicate pushes to the parquet
+      // footer stats (a cast(ts) predicate would not)
+      val ev = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+      val z = Layout.zorder2(
+        col("user_id").bitwiseAND(lit(0xFFFFL)),
+        datediff(col("day"), to_date(lit("1970-01-01")))
+          .cast("long").bitwiseAND(lit(0xFFFFL)))
+      Layout.clusterByZ(ev, z, 16).write.mode("overwrite")
+        .parquet(s"$dir/zorder")
+      // control: identical rows and file count, hash-scattered — every
+      // file spans the full (user_id, day) range, so min/max footers can
+      // skip nothing and the scan must surface every row
+      ev.withColumn("zval", z).repartition(16, col("event_id"))
+        .write.mode("overwrite").parquet(s"$dir/shuffled")
+
+      // rows the scan SURFACES (post row-group/page pruning, pre Filter)
+      // vs rows the query returns — the gap is what the layout skipped
+      def run(path: String): (Long, Long, String) = {
+        val df = spark.read.parquet(path)
+          .filter(col("user_id") < 4 &&
+            col("day") < lit("2024-01-09").cast("date"))
+        val matched = df.collect().length.toLong
+        val scan = df.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }.head
+        (matched, scan.metrics("numOutputRows").value, scan.toString)
+      }
+      val total = ev.count()
+      val (nZ, scannedZ, planZ) = run(s"$dir/zorder")
+      val (nS, scannedS, _) = run(s"$dir/shuffled")
+      // same answer from both layouts, and the predicate actually selects
+      assert(nZ === nS)
+      assert(nZ > 0 && nZ < total)
+      // both predicate dimensions reached the footer stats
+      assert(planZ.contains("LessThan(user_id,4)"), planZ)
+      assert(planZ.contains("LessThan(day,"), planZ)
+      // the scattered layout surfaces everything; the z-clustered one
+      // skips whole files (bound is deliberately loose — skip granularity
+      // is one file, so the exact ratio moves with the file count)
+      assert(scannedS === total, s"control scan surfaced $scannedS/$total")
+      assert(scannedZ * 5 <= scannedS * 3,
+        s"z-layout scan surfaced $scannedZ vs control $scannedS")
     } finally { // don't leak two parquet datasets per test run into /tmp
       def rm(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p))
