@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** K-minimum-values distinct-count sketch as a typed
@@ -30,6 +30,19 @@ object KmvMath {
     val lo = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
     val hi = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
     (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  /** splitmix64 finalizer for native integer keys — full-avalanche
+    * 64-bit mix with zero allocation, so a long column skips the
+    * cast-to-string + per-row String the string path would pay (the
+    * sketch update was the whole cost of q_kmv_distinct; ~0.8s/query
+    * at sf0.1).
+    */
+  def hash64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
   /** (k-1) / kth-min normalized hash; exact count below k distinct. */
@@ -135,18 +148,24 @@ case class KmvSketchAgg(
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && k > 1)
+    if ((child.dataType == StringType || child.dataType == LongType) &&
+        k > 1)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_kmv_distinct expects (string, k > 1), got " +
+      s"graft_kmv_distinct expects (string|bigint, k > 1), got " +
         s"${child.dataType.simpleString}, k=$k")
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
+  // resolved once, not per row — update() is the per-row hot path
+  private lazy val isString = child.dataType == StringType
+
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
     if (v != null)
-      buf.insert(KmvMath.hash64(v.asInstanceOf[UTF8String].toString))
+      buf.insert(
+        if (isString) KmvMath.hash64(v.asInstanceOf[UTF8String].toString)
+        else KmvMath.hash64(v.asInstanceOf[Long]))
     buf
   }
 

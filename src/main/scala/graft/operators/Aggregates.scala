@@ -128,7 +128,9 @@ object Aggregates {
       (s, d) => {
         graft.functions.VectorFunctions.register(s)
         Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
-          expr("graft_kmv_distinct(CAST(l_partkey AS STRING), 256)")
+          // native bigint input: the sketch hashes the long directly
+          // (splitmix64), no per-row cast-to-string allocation
+          expr("graft_kmv_distinct(l_partkey, 256)")
             .as("kmv_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
           .select(col("l_returnflag"), col("exact_parts"),
