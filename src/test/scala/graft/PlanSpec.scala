@@ -138,6 +138,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(probe > join, p)
   }
 
+  test("sketch aggregates plan as ObjectHashAggregate, not a sort") {
+    // TypedImperativeAggregate sketches (KMV, Misra-Gries) must ride the
+    // hash-based object aggregate; a silent SortAggregate fallback would
+    // mean a per-group SORT of the full column at scale
+    for (q <- Seq("q_kmv_distinct", "q_heavy_hitters")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), s"$q: $p")
+      assert(!p.contains("SortAggregate"), s"$q: $p")
+    }
+  }
+
   test("q_simsearch: custom dot product in plan, top-k pushed into window") {
     val p = plan("q_simsearch")
     assert(p.contains("dotproduct("), p)
