@@ -168,7 +168,13 @@ object TextOps {
       var converged = false
       while (!converged) {
         val next = step(labels).persist()
-        val (prevSum, curSum) = sums2(labels, next)
+        // on a mid-loop failure, drop BOTH cached frames before
+        // rethrowing — the finally below restores conf, not cache state
+        val (prevSum, curSum) =
+          try sums2(labels, next)
+          catch { case t: Throwable =>
+            next.unpersist(); labels.unpersist(); throw t
+          }
         converged = curSum == prevSum
         labels.unpersist()
         labels = next

@@ -131,7 +131,16 @@ object TrainingData {
         // runtime-filter expressions (registered in VectorFunctions);
         // the filter must arrive as a scalar subquery — the expression
         // rejects a non-constant column input by design.
-        s.sql("WITH b AS (SELECT DISTINCT sh FROM graft_contam_sh " +
+        //
+        // CTE `b` is referenced twice (join build side + bloom scalar
+        // subquery), so Catalyst inlines it and the BENCHMARK-side
+        // explode runs twice. Accepted: that side is the tiny one by
+        // definition (the benchmark suite, not the corpus), and both
+        // copies sit behind the same pushed doc_id < 5 scan filter. The
+        // corpus-side explode — the 100 TB one — runs once, gated by
+        // might_contain below the join. If the benchmark side ever grew,
+        // persist it to a staging table instead of the CTE.
+        val out = s.sql("WITH b AS (SELECT DISTINCT sh FROM graft_contam_sh " +
           "WHERE doc_id < 5) " +
           "SELECT /*+ BROADCAST(b) */ c.doc_id, " +
           // shingle sets are distinct per doc, so plain count == the
@@ -142,6 +151,10 @@ object TrainingData {
           "(SELECT graft_bloom_agg(xxhash64(sh), 65536L) FROM b), " +
           "xxhash64(c.sh)) " +
           "GROUP BY c.doc_id")
+        // analysis has resolved the view into `out`'s plan — drop it so
+        // the name doesn't leak into the session catalog across runs
+        s.catalog.dropTempView("graft_contam_sh")
+        out
       },
       Some("WITH t AS (SELECT doc_id, " +
         "string_split_regex(trim(text), '\\s+') AS rawtoks " +

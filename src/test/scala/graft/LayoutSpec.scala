@@ -85,12 +85,16 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       assert(scannedZ * 5 <= scannedS * 3,
         s"z-layout scan surfaced $scannedZ vs control $scannedS")
     } finally { // don't leak two parquet datasets per test run into /tmp
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(java.nio.file.Paths.get(dir))
+      // deepest-first walk, materialized and stream closed before any
+      // delete happens (deleting under an open directory stream — and
+      // leaking its fd — is what the old Files.list recursion did)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val paths =
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.toList
+        finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 

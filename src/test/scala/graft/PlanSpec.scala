@@ -130,12 +130,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // the filter is built once as a scalar subquery over the benchmark
     // shingles...
     assert(p.contains("bloom_filter_agg"), p)
-    // ...and the might_contain probe sits BELOW the join (tree text
-    // prints parents first), so non-candidate shingles die at the scan
-    val join = p.indexOf("HashJoin")
-    val probe = p.indexOf("might_contain")
-    assert(join >= 0, p)
-    assert(probe > join, p)
+    // ...and the might_contain probe sits BELOW the join — asserted on
+    // the tree structure (probe inside a join CHILD subtree), not on
+    // string index order, which a second join or a plan-text format
+    // change could silently invert
+    def unwrap(sp: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = sp match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case other => other
+    }
+    val root = unwrap(SparkEntry.queries("q_contamination")(spark, sf)
+      .queryExecution.executedPlan)
+    val joins = root.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, root.toString)
+    assert(joins.exists(_.children.exists(
+      _.toString.contains("might_contain"))), root.toString)
   }
 
   test("sketch aggregates plan as ObjectHashAggregate, not a sort") {
