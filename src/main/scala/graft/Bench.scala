@@ -115,17 +115,22 @@ object Bench {
 
   /** Compact final line sized for the driver's ~2000-char stdout tail.
     * Query keys drop the uniform "q_" prefix (declared via "prefix") and
-    * values round to centiseconds — both lossless for the judge, and
-    * together they bring 100 queries under the capture window. The 1-min
-    * loadavg before/after rides along (~20 chars) so the PARSED record is
+    * values are INTEGER CENTISECONDS (declared via "q_unit":"cs"; -1 =
+    * failed) — both lossless vs the old 2-decimal seconds and together
+    * they keep 100+ queries inside the capture window with headroom for
+    * more. The top-level total stays in seconds. The 1-min loadavg
+    * before/after rides along (~20 chars) so the PARSED record is
     * noise-qualifiable — the graded number has twice published a loaded-box
     * artifact that only the unparsed detail line could explain.
     */
+  def fmtCs(v: Double): String =
+    if (v < 0) "-1" else math.round(v * 100).toString
+
   def renderCompact(results: Seq[(String, Double, Seq[Double])],
       reps: Int, sfDir: String, loadBefore: String = "",
       loadAfter: String = ""): String = {
     val qs = results
-      .map { case (k, v, _) => "\"" + k.stripPrefix("q_") + "\":" + fmt2(v) }
+      .map { case (k, v, _) => "\"" + k.stripPrefix("q_") + "\":" + fmtCs(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
@@ -138,7 +143,7 @@ object Bench {
       if (f.matches("[0-9]+(\\.[0-9]+)?")) f else "-1"
     }
     s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","prefix":"q_",""" +
-      s""""queries":$qs,"reps":$reps,"failed":$nFail,""" +
+      s""""q_unit":"cs","queries":$qs,"reps":$reps,"failed":$nFail,""" +
       s""""load1":[${load1(loadBefore)},${load1(loadAfter)}],"sf":"$sfShort"}"""
   }
 }

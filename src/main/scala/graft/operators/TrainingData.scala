@@ -247,6 +247,74 @@ object TrainingData {
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn " +
         "FROM documents) WHERE rn <= 5")),
 
+    // Sliding-window document chunking: split each doc into 32-token
+    // chunks at stride 24 (8-token overlap) — the context-window prep
+    // step between a cleaned corpus and a tokenized training set. All
+    // array arithmetic (sequence → explode → slice), no UDF; per-row
+    // fan-out only, zero shuffle, so it scales as a pure map stage. A
+    // doc shorter than one chunk still yields exactly one (short)
+    // chunk; slice() clamps the tail chunk in both engines.
+    QDef("q_chunk",
+      (s, d) => {
+        val C = 32; val S = 24
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            split(trim(col("text")), "\\s+").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("chunk_id",
+            explode(sequence(lit(0),
+              when(col("n") <= C, lit(0))
+                .otherwise(expr(s"CAST((n - $C + ${S - 1}) DIV $S AS INT)")))))
+          .select(col("doc_id"), col("chunk_id"),
+            array_join(expr(s"slice(toks, chunk_id * $S + 1, $C)"), " ")
+              .as("chunk_text"),
+            size(expr(s"slice(toks, chunk_id * $S + 1, $C)"))
+              .as("n_chunk_toks"))
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +
+        "c AS (SELECT doc_id, toks, unnest(generate_series(0, " +
+        "CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) " +
+        "AS chunk_id FROM n) " +
+        "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, " +
+        "array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') " +
+        "AS chunk_text, " +
+        "CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS INT) " +
+        "AS n_chunk_toks FROM c")),
+
+    // Deterministic global shuffle: a total training order from
+    // md5(doc_id) — reproducible across reruns, engines and
+    // partitionings (never rand()). The global rank is computed WITHOUT
+    // a global window (which would serialize the world through one
+    // partition): the classic two-phase zipWithIndex decomposition —
+    // (1) rank within each of 16 hash shards (the shard is the md5's
+    // first hex char, so shard order is consistent with full-key
+    // order), (2) add per-shard base offsets from a shard-count
+    // aggregate that is 16 rows at ANY corpus size (shard fan-out grows
+    // with the corpus; the offsets frame stays tiny and broadcasts).
+    // One shuffle on the shard key, same as any windowed rank.
+    QDef("q_shuffle_global",
+      (s, d) => {
+        val h = md5(col("doc_id").cast("string"))
+        val t = Tables(s, d, "documents")
+          .select(col("doc_id"), h.as("h"), substring(h, 1, 1).as("shard"))
+        val wIn = Window.partitionBy("shard").orderBy("h", "doc_id")
+        val ranked = t.withColumn("intra", row_number().over(wIn))
+        val wOff = Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy("shard")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+          .select("shard", "off")
+        ranked.join(broadcast(offsets), "shard")
+          .select(col("doc_id"),
+            (col("off") + col("intra")).cast("bigint").as("pos"))
+      },
+      Some("SELECT doc_id, row_number() OVER (" +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos " +
+        "FROM documents")),
+
     // Winsorization: clamp numeric features to the per-group
     // [p05, p95] band — the outlier-taming step before a feature
     // lands in a training set. The percentile boundaries use the shared

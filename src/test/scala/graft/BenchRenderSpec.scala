@@ -37,7 +37,7 @@ class BenchRenderSpec extends AnyFunSuite {
     // the round's bench record
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.size >= 100)
-    // worst case: every value needs all 4 chars (no trailing-zero trim),
+    // worst case: every centisecond value needs all 3 digits,
     // double-digit loadavgs
     val res = names.map(n => (n, 9.99, Seq(9.99)))
     val line = Bench.renderCompact(res, 3, "/root/testdata/sf0.1",
@@ -54,7 +54,10 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(line.contains("\"prefix\":\"q_\""), line.take(120))
     assert(line.contains("\"reps\":3"), line.takeRight(120))
     assert(line.contains("\"sf\":\"sf0.1\""), line.takeRight(120))
-    assert(line.contains("\"delta\":9.99"), "q_ prefix should be stripped")
+    // q_ prefix stripped; per-query values are integer centiseconds,
+    // declared by the q_unit field so the record stays self-describing
+    assert(line.contains("\"q_unit\":\"cs\""), line.take(160))
+    assert(line.contains("\"delta\":999"), "q_ prefix + centisecond value")
     // loadavg rides in the parsed record so the graded number can be
     // noise-qualified without the (truncated) detail line
     assert(line.contains("\"load1\":[31.99,31.88]"), line.takeRight(160))
@@ -74,7 +77,7 @@ class BenchRenderSpec extends AnyFunSuite {
       val line = Bench.renderCompact(
         Seq(("q_a", 0.1234, Seq(0.1234)), ("q_fail", -1.0, Seq(-1.0))),
         3, "/tmp/sf0.1/")
-      assert(line.contains("\"a\":0.12"), line)
+      assert(line.contains("\"a\":12"), line) // 0.1234s → 12 cs
       assert(line.contains("\"fail\":-1,") || line.contains("\"fail\":-1}"),
         line)
       assert(line.contains("\"failed\":1"), line)

@@ -71,6 +71,48 @@ class TrainingDataSpec extends AnyFunSuite with SparkSuite {
     assert(c.forall(_._2 >= 1), c.take(5).toSeq)
   }
 
+  test("q_chunk: chunks cover every token; overlap reconstructs the doc") {
+    val chunks = SparkEntry.queries("q_chunk")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3)))
+    val docToks = Tables(spark, sf01, "documents")
+      .select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chunks.map(_._1).toSet === docToks.keySet) // every doc chunked
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids dense from 0
+      assert(sorted.map(_._2).toSeq === (0 until cs.length), id)
+      // stitching chunks at stride 24 reconstructs the token stream:
+      // chunk i contributes tokens [i*24, i*24 + len_i)
+      val toks = docToks(id)
+      sorted.foreach { case (_, cid, text, n) =>
+        val expect = toks.slice(cid * 24, cid * 24 + 32)
+        assert(text === expect.mkString(" "), s"$id/$cid")
+        assert(n === expect.length, s"$id/$cid")
+      }
+      // coverage: the last chunk reaches the final token
+      val (_, lastId, _, lastN) = sorted.last
+      assert(lastId * 24 + lastN === toks.length, id)
+    }
+  }
+
+  test("q_shuffle_global: pos is a bijection onto 1..n, md5-ordered") {
+    val rows = SparkEntry.queries("q_shuffle_global")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length
+    assert(rows.map(_._2).sorted.toSeq === (1L to n.toLong)) // bijection
+    // the order really is the md5 order (what a global sort would give)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = md.digest(id.toString.getBytes)
+      .map("%02x".format(_)).mkString
+    val expected = rows.map(_._1).sortBy(id => (h(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, pos) => assert(pos === expected(id), id) }
+  }
+
   test("q_mixture: kept <= total, even sources thinner than odd") {
     val m = SparkEntry.queries("q_mixture")(spark, sf01)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
