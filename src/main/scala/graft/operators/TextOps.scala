@@ -305,6 +305,50 @@ object TextOps {
       Some("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM documents GROUP BY md5(text)")),
 
+    // X4: duplicated-span detection — for each doc, how many of its
+    // 13-token spans also occur elsewhere in the corpus (or again in the
+    // same doc). The relational re-expression of exact-substring train-
+    // data dedup (suffix-array dedup à la "Deduplicating Training Data
+    // Makes Language Models Better"): instead of one giant suffix array,
+    // every token position emits its 13-gram's md5 and a window count
+    // over that 32-byte key flags spans seen ≥2 times. Shape: per-row
+    // span fan-out (map-only), ONE shuffle on the span hash (the window
+    // needs no order — most groups are size 1, so per-key buffering is
+    // trivial), one shuffle for the per-doc rollup. Spans never carry
+    // text through the shuffle — only the fixed-width hash. Docs under
+    // 13 tokens have no spans and drop out on both engines.
+    QDef("q_dup_spans",
+      (s, d) => {
+        val spans = Tables(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") >= 13)
+          .select(col("doc_id"), col("toks"),
+            explode(expr("sequence(1, n - 12)")).as("i"))
+          .select(col("doc_id"),
+            md5(array_join(expr("slice(toks, i, 13)"), " ")).as("h"))
+        val wSpan = Window.partitionBy("h")
+        spans.withColumn("cnt", count(lit(1)).over(wSpan))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            count(when(col("cnt") > 1, 1)).as("n_dup_spans"))
+          .withColumn("dup_ratio", graft.Det.rnd(
+            col("n_dup_spans").cast("double") / col("n_spans"), 6))
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, unnest([md5(array_to_string(" +
+        "toks[i:i+12], ' ')) " +
+        "for i in generate_series(1, len(toks) - 12)]) AS h FROM t), " +
+        "c AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt " +
+        "FROM p) " +
+        "SELECT doc_id, count(*) AS n_spans, " +
+        "count(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_spans, " +
+        graft.Det.rndSql(
+          "CAST(count(CASE WHEN cnt > 1 THEN 1 END) AS DOUBLE) / count(*)",
+          6) +
+        " AS dup_ratio FROM c GROUP BY doc_id")),
+
     // X4: MinHash signatures over word-3-gram shingles (4 seeds, 2 bands).
     QDef("q_minhash",
       (s, d) => {

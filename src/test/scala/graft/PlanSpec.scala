@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Window".r.findAllIn(p).size === 1, p)
   }
 
+  test("q_chunk: map-only span fan-out — zero exchanges, one codegen span") {
+    val p = plan("q_chunk")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p) // the explode rides codegen Generate
+  }
+
+  test("q_shuffle_global: offsets broadcast, corpus never joins by shuffle") {
+    val p = plan("q_shuffle_global")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_dup_spans: exactly two shuffles — span hash, then per-doc rollup") {
+    val p = plan("q_dup_spans")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    // partial+final agg on the rollup; the span window needs no order-by
+    assert("HashAggregate".r.findAllIn(p).size === 2, p)
+  }
+
   test("q_contamination: bloom gate probes the corpus scan below the join") {
     val p = plan("q_contamination")
     // the filter is built once as a scalar subquery over the benchmark
