@@ -140,7 +140,10 @@ object TrainingData {
         // corpus-side explode — the 100 TB one — runs once, gated by
         // might_contain below the join. If the benchmark side ever grew,
         // persist it to a staging table instead of the CTE.
-        val out = s.sql("WITH b AS (SELECT DISTINCT sh FROM graft_contam_sh " +
+        // analysis resolves the view into the returned plan eagerly, so
+        // the finally-drop keeps the name out of the session catalog
+        // even when s.sql itself throws
+        try s.sql("WITH b AS (SELECT DISTINCT sh FROM graft_contam_sh " +
           "WHERE doc_id < 5) " +
           "SELECT /*+ BROADCAST(b) */ c.doc_id, " +
           // shingle sets are distinct per doc, so plain count == the
@@ -151,10 +154,7 @@ object TrainingData {
           "(SELECT graft_bloom_agg(xxhash64(sh), 65536L) FROM b), " +
           "xxhash64(c.sh)) " +
           "GROUP BY c.doc_id")
-        // analysis has resolved the view into `out`'s plan — drop it so
-        // the name doesn't leak into the session catalog across runs
-        s.catalog.dropTempView("graft_contam_sh")
-        out
+        finally s.catalog.dropTempView("graft_contam_sh")
       },
       Some("WITH t AS (SELECT doc_id, " +
         "string_split_regex(trim(text), '\\s+') AS rawtoks " +
@@ -293,12 +293,21 @@ object TrainingData {
     // order), (2) add per-shard base offsets from a shard-count
     // aggregate that is 16 rows at ANY corpus size (shard fan-out grows
     // with the corpus; the offsets frame stays tiny and broadcasts).
-    // One shuffle on the shard key, same as any windowed rank.
+    // One full-row shuffle on the shard key plus a key-column-only
+    // counts job — see the shape note inside.
     QDef("q_shuffle_global",
       (s, d) => {
         val h = md5(col("doc_id").cast("string"))
         val t = Tables(s, d, "documents")
           .select(col("doc_id"), h.as("h"), substring(h, 1, 1).as("shard"))
+        // Classic TWO-JOB zipWithIndex: the offsets branch is a separate
+        // counts job over t, but it reads ONLY the doc_id column (a few
+        // % of a text corpus's bytes) and partial-aggregates map-side to
+        // 16 rows per task before its exchange — strictly cheaper than
+        // the single-scan alternatives (caching the corpus, or a
+        // per-shard count window that would shuffle every row a second
+        // time). Exchange reuse can't merge the branches: column
+        // pruning and the join-key null filter make the subtrees differ.
         val wIn = Window.partitionBy("shard").orderBy("h", "doc_id")
         val ranked = t.withColumn("intra", row_number().over(wIn))
         val wOff = Window.orderBy("shard")

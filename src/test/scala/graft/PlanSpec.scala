@@ -135,6 +135,10 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val p = plan("q_shuffle_global")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the offsets counts job reads only doc_id and combines map-side
+    // (partial_count) to 16 rows per task before its exchange — never a
+    // full-row second shuffle
+    assert(p.contains("partial_count"), p)
   }
 
   test("q_dup_spans: exactly two shuffles — span hash, then per-doc rollup") {
@@ -162,11 +166,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val root = unwrap(SparkEntry.queries("q_contamination")(spark, sf)
       .queryExecution.executedPlan)
     val joins = root.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
     assert(joins.nonEmpty, root.toString)
-    assert(joins.exists(_.children.exists(
-      _.toString.contains("might_contain"))), root.toString)
+    // the probe must gate the STREAMED (corpus) side specifically — on
+    // the broadcast build side it would be useless at scale
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    assert(joins.exists { j =>
+      val streamed = j.buildSide match {
+        case BuildLeft => j.right
+        case BuildRight => j.left
+      }
+      streamed.toString.contains("might_contain")
+    }, root.toString)
   }
 
   test("sketch aggregates plan as ObjectHashAggregate, not a sort") {
