@@ -221,4 +221,23 @@ class PropertiesSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("property: q_chunk's chunk-count arithmetic covers exactly, n=1..500") {
+    // pure-Scala check of the index formula the operator and its oracle
+    // both emit: chunk ids 0..K with K = 0 for n<=C else ceil((n-C)/S);
+    // chunk i holds token indices [i*S, min(i*S+C, n))
+    val (c, s) = (32, 24)
+    (1 to 500).foreach { n =>
+      val k = if (n <= c) 0 else (n - c + s - 1) / s
+      // tail coverage: the last chunk reaches the final token...
+      assert(k * s + c >= n, s"n=$n")
+      // ...and is non-empty (its start is a real token position)
+      assert(k * s < n, s"n=$n")
+      // minimality: one fewer chunk would leave the tail uncovered
+      if (k > 0) assert((k - 1) * s + c < n, s"n=$n")
+      // every token index is inside some chunk (stride < size → overlap)
+      val covered = (0 to k).flatMap(i => i * s until math.min(i * s + c, n))
+      assert(covered.toSet === (0 until n).toSet, s"n=$n")
+    }
+  }
 }
