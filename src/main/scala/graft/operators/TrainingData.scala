@@ -39,6 +39,28 @@ object TrainingData {
     when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
   }
 
+  /** The sliding-window chunk transform — THE one definition shared by
+    * q_chunk and the streaming twin (StreamingOps.streamingChunk), so
+    * batch prep and a continuous ingest can never chunk differently.
+    * Stateless and per-row, so it streams in append mode unchanged.
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame,
+      size_ : Int = 32, stride: Int = 24): org.apache.spark.sql.DataFrame = {
+    val (c0, s0) = (size_, stride)
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          when(col("n") <= c0, lit(0))
+            .otherwise(expr(s"CAST((n - $c0 + ${s0 - 1}) DIV $s0 AS INT)")))))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(expr(s"slice(toks, chunk_id * $s0 + 1, $c0)"), " ")
+          .as("chunk_text"),
+        size(expr(s"slice(toks, chunk_id * $s0 + 1, $c0)"))
+          .as("n_chunk_toks"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Deterministic train/val/test split: 2-hex-char bucket (256 buckets)
@@ -255,22 +277,7 @@ object TrainingData {
     // doc shorter than one chunk still yields exactly one (short)
     // chunk; slice() clamps the tail chunk in both engines.
     QDef("q_chunk",
-      (s, d) => {
-        val C = 32; val S = 24
-        Tables(s, d, "documents")
-          .select(col("doc_id"),
-            split(trim(col("text")), "\\s+").as("toks"))
-          .withColumn("n", size(col("toks")))
-          .withColumn("chunk_id",
-            explode(sequence(lit(0),
-              when(col("n") <= C, lit(0))
-                .otherwise(expr(s"CAST((n - $C + ${S - 1}) DIV $S AS INT)")))))
-          .select(col("doc_id"), col("chunk_id"),
-            array_join(expr(s"slice(toks, chunk_id * $S + 1, $C)"), " ")
-              .as("chunk_text"),
-            size(expr(s"slice(toks, chunk_id * $S + 1, $C)"))
-              .as("n_chunk_toks"))
-      },
+      (s, d) => chunk(Tables(s, d, "documents")),
       Some("WITH t AS (SELECT doc_id, " +
         "string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
         "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +

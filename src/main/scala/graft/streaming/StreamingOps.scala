@@ -231,6 +231,29 @@ object StreamingOps {
   def corpusIngestBatch(spark: SparkSession, sfDir: String): DataFrame =
     corpusPrep(spark.read.parquet(s"$sfDir/documents.parquet"))
 
+  /** Context-window chunking over a file-streamed corpus — the SAME
+    * transform as batch q_chunk (TrainingData.chunk, one shared
+    * definition), which is stateless/per-row and therefore streams in
+    * append mode with no watermark and EXACT output parity with the
+    * batch result. This is the continuous-ingest form of the prep step:
+    * new corpus files land, their chunks append.
+    */
+  def streamingChunk(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_chunks"): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val q = graft.operators.TrainingData.chunk(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   private def corpusPrep(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))

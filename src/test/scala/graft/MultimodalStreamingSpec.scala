@@ -146,6 +146,19 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(streamed.select("event_id").distinct().count() === n)
   }
 
+  test("streaming chunking equals batch q_chunk exactly (stateless op)") {
+    val streamed = StreamingOps.streamingChunk(spark, sf)
+    val batch = SparkEntry.queries("q_chunk")(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_id", "chunk_text", "n_chunk_toks")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val (s1, b1) = (rows(streamed), rows(batch))
+    assert(s1.nonEmpty)
+    assert(s1 === b1)
+  }
+
   test("streaming corpus ingest (filter+dedup+split) equals batch twin") {
     val streamed = StreamingOps.corpusIngest(spark, sf)
     val batch = StreamingOps.corpusIngestBatch(spark, sf)
