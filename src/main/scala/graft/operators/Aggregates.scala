@@ -146,10 +146,12 @@ object Aggregates {
     QDef("q_grouping_sets",
       (s, d) => {
         Tables(s, d, "orders").createOrReplaceTempView("v_orders_gs")
-        s.sql("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        // analysis resolves the view eagerly; drop keeps the catalog clean
+        try s.sql("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
           "CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) " +
           "AS gid FROM v_orders_gs GROUP BY GROUPING SETS (" +
           "(o_orderstatus, o_orderpriority), (o_orderstatus), ())")
+        finally s.catalog.dropTempView("v_orders_gs")
       },
       Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
         "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid " +

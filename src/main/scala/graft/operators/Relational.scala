@@ -236,9 +236,12 @@ object Relational {
     QDef("q_string_agg",
       (s, d) => {
         Tables(s, d, "nation").createOrReplaceTempView("v_nation")
-        s.sql("SELECT n_regionkey, " +
+        // analysis resolves the view into the plan eagerly; the
+        // finally-drop keeps the name out of the session catalog
+        try s.sql("SELECT n_regionkey, " +
           "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations " +
           "FROM v_nation GROUP BY n_regionkey")
+        finally s.catalog.dropTempView("v_nation")
       },
       Some("SELECT n_regionkey, " +
         "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
@@ -270,11 +273,15 @@ object Relational {
       (s, d) => {
         Tables(s, d, "orders").createOrReplaceTempView("v_orders")
         Tables(s, d, "customer").createOrReplaceTempView("v_customer")
-        s.sql("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, " +
+        try s.sql("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, " +
           "count(*) AS n, " +
           "sum(floor(o_totalprice * 100 + 0.5)) / 100 AS revenue " +
           "FROM v_orders JOIN v_customer ON o_custkey = c_custkey " +
           "GROUP BY c_mktsegment, year(o_orderdate)")
+        finally {
+          s.catalog.dropTempView("v_orders")
+          s.catalog.dropTempView("v_customer")
+        }
       },
       Some("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, " +
         "count(*) AS n, " +
@@ -288,9 +295,10 @@ object Relational {
     QDef("q_subquery_corr",
       (s, d) => {
         Tables(s, d, "customer").createOrReplaceTempView("v_customer")
-        s.sql("SELECT c_custkey, c_name, c_acctbal FROM v_customer c1 " +
+        try s.sql("SELECT c_custkey, c_name, c_acctbal FROM v_customer c1 " +
           "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer c2 " +
           "WHERE c2.c_mktsegment = c1.c_mktsegment)")
+        finally s.catalog.dropTempView("v_customer")
       },
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer c1 " +
         "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2 " +
