@@ -271,14 +271,19 @@ object Relational {
     // has no SQL surface at all; this is table stakes for a query engine).
     QDef("q_sql_report",
       (s, d) => {
-        Tables(s, d, "orders").createOrReplaceTempView("v_orders")
-        Tables(s, d, "customer").createOrReplaceTempView("v_customer")
-        try s.sql("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, " +
-          "count(*) AS n, " +
-          "sum(floor(o_totalprice * 100 + 0.5)) / 100 AS revenue " +
-          "FROM v_orders JOIN v_customer ON o_custkey = c_custkey " +
-          "GROUP BY c_mktsegment, year(o_orderdate)")
-        finally {
+        // registrations INSIDE the try: if the customer read throws, the
+        // already-registered v_orders must still be dropped
+        // (dropTempView on a never-registered name is a no-op, not an
+        // error, so the finally is safe either way)
+        try {
+          Tables(s, d, "orders").createOrReplaceTempView("v_orders")
+          Tables(s, d, "customer").createOrReplaceTempView("v_customer")
+          s.sql("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, " +
+            "count(*) AS n, " +
+            "sum(floor(o_totalprice * 100 + 0.5)) / 100 AS revenue " +
+            "FROM v_orders JOIN v_customer ON o_custkey = c_custkey " +
+            "GROUP BY c_mktsegment, year(o_orderdate)")
+        } finally {
           s.catalog.dropTempView("v_orders")
           s.catalog.dropTempView("v_customer")
         }

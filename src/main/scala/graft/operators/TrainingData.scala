@@ -39,13 +39,20 @@ object TrainingData {
     when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
   }
 
+  /** Default chunk geometry — referenced by the PropertiesSpec formula
+    * sweep so the tested constants can't drift from the operator's.
+    */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
   /** The sliding-window chunk transform — THE one definition shared by
     * q_chunk and the streaming twin (StreamingOps.streamingChunk), so
     * batch prep and a continuous ingest can never chunk differently.
     * Stateless and per-row, so it streams in append mode unchanged.
     */
   def chunk(docs: org.apache.spark.sql.DataFrame,
-      size_ : Int = 32, stride: Int = 24): org.apache.spark.sql.DataFrame = {
+      size_ : Int = ChunkSize,
+      stride: Int = ChunkStride): org.apache.spark.sql.DataFrame = {
     val (c0, s0) = (size_, stride)
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
@@ -278,17 +285,21 @@ object TrainingData {
     // chunk; slice() clamps the tail chunk in both engines.
     QDef("q_chunk",
       (s, d) => chunk(Tables(s, d, "documents")),
-      Some("WITH t AS (SELECT doc_id, " +
-        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
-        "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +
-        "c AS (SELECT doc_id, toks, unnest(generate_series(0, " +
-        "CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) " +
-        "AS chunk_id FROM n) " +
-        "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, " +
-        "array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') " +
-        "AS chunk_text, " +
-        "CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS INT) " +
-        "AS n_chunk_toks FROM c")),
+      Some {
+        // geometry interpolated from the same constants as the operator
+        val (c0, s0) = (ChunkSize, ChunkStride)
+        "WITH t AS (SELECT doc_id, " +
+          "string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+          "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +
+          "c AS (SELECT doc_id, toks, unnest(generate_series(0, " +
+          s"CASE WHEN n <= $c0 THEN 0 ELSE (n - $c0 + ${s0 - 1}) // $s0 " +
+          "END)) AS chunk_id FROM n) " +
+          "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, " +
+          s"array_to_string(toks[chunk_id*$s0+1 : chunk_id*$s0+$c0], ' ') " +
+          "AS chunk_text, " +
+          s"CAST(len(toks[chunk_id*$s0+1 : chunk_id*$s0+$c0]) AS INT) " +
+          "AS n_chunk_toks FROM c"
+      }),
 
     // Deterministic global shuffle: a total training order from
     // md5(doc_id) — reproducible across reruns, engines and

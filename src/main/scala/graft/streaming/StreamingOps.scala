@@ -32,14 +32,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    drainToMemory(stream, queryName, mode = "complete")
   }
 
   /** Incremental merge as a stream (the reference's "incremental" mode —
@@ -127,6 +120,33 @@ object StreamingOps {
       .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** File-streamed documents corpus — the one source recipe shared by
+    * every corpus-streaming op (schema pre-read; the file-stream source
+    * needs a directory, so the single file is glob-selected).
+    */
+  private def docsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Drain a bounded stream (AvailableNow) into a memory sink and return
+    * the materialized table — the test/demo sink every op here shares;
+    * production swaps this one call site for parquet/kafka.
+    */
+  private def drainToMemory(df: DataFrame, queryName: String,
+      mode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+
   /** Stream-stream interval join: each purchase matched to same-user
     * clicks at most one hour earlier. Both sides watermarked so the join
     * state is bounded (clicks can be dropped once no purchase within the
@@ -151,14 +171,7 @@ object StreamingOps {
         "click_ts <= purchase_ts"))
       .select("purchase_id", "p_user", "purchase_ts", "click_id",
         "click_ts")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    drainToMemory(joined, queryName)
   }
 
   /** Batch twin of [[clickAttribution]] for equivalence testing. */
@@ -184,18 +197,10 @@ object StreamingOps {
     */
   def streamingDedup(spark: SparkSession, sfDir: String,
       queryName: String = "stream_dedup"): DataFrame = {
-    val q = eventsStream(spark, sfDir)
+    drainToMemory(eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-      .select("event_id", "user_id", "event_type", "ts")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+      .select("event_id", "user_id", "event_type", "ts"), queryName)
   }
 
   /** Streaming corpus ingest: the training-data prep ops composed as ONE
@@ -210,20 +215,8 @@ object StreamingOps {
     * dropDuplicatesWithinWatermark to bound state by ingest time.
     */
   def corpusIngest(spark: SparkSession, sfDir: String,
-      queryName: String = "stream_corpus"): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
-    val q = corpusPrep(stream).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "stream_corpus"): DataFrame =
+    drainToMemory(corpusPrep(docsStream(spark, sfDir)), queryName)
 
   /** Batch twin of [[corpusIngest]] — identical transforms on a static
     * read, for the parity gate.
@@ -239,20 +232,10 @@ object StreamingOps {
     * new corpus files land, their chunks append.
     */
   def streamingChunk(spark: SparkSession, sfDir: String,
-      queryName: String = "stream_chunks"): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
-    val q = graft.operators.TrainingData.chunk(stream).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "stream_chunks"): DataFrame =
+    drainToMemory(
+      graft.operators.TrainingData.chunk(docsStream(spark, sfDir)),
+      queryName)
 
   private def corpusPrep(docs: DataFrame): DataFrame =
     docs
@@ -317,7 +300,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = spark.readStream.schema(eventsSchema(spark, sfDir))
+      drainToMemory(spark.readStream.schema(eventsSchema(spark, sfDir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
         .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
@@ -326,14 +309,7 @@ object StreamingOps {
         .transformWithState(new UserStatsProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Append())
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
+        .toDF(), queryName)
     } finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -395,7 +371,7 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = spark.readStream.schema(eventsSchema(spark, sfDir))
+      drainToMemory(spark.readStream.schema(eventsSchema(spark, sfDir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
         .filter(col("event_type").isin("click", "purchase"))
@@ -406,14 +382,7 @@ object StreamingOps {
         .transformWithState(new AsOfProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Append())
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(queryName)
+        .toDF(), queryName)
     } finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -455,7 +424,7 @@ object StreamingOps {
       state.update(st)
       out.iterator
     }
-    val q = spark.readStream.schema(schema)
+    drainToMemory(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
@@ -463,13 +432,6 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(fn)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+      .toDF(), queryName)
   }
 }

@@ -226,7 +226,8 @@ class PropertiesSpec extends AnyFunSuite with SparkSuite {
     // pure-Scala check of the index formula the operator and its oracle
     // both emit: chunk ids 0..K with K = 0 for n<=C else ceil((n-C)/S);
     // chunk i holds token indices [i*S, min(i*S+C, n))
-    val (c, s) = (32, 24)
+    val (c, s) =
+      (operators.TrainingData.ChunkSize, operators.TrainingData.ChunkStride)
     (1 to 500).foreach { n =>
       val k = if (n <= c) 0 else (n - c + s - 1) / s
       // tail coverage: the last chunk reaches the final token...
