@@ -163,12 +163,14 @@ object TrainingData {
         //
         // CTE `b` is referenced twice (join build side + bloom scalar
         // subquery), so Catalyst inlines it and the BENCHMARK-side
-        // explode runs twice. Accepted: that side is the tiny one by
-        // definition (the benchmark suite, not the corpus), and both
-        // copies sit behind the same pushed doc_id < 5 scan filter. The
-        // corpus-side explode — the 100 TB one — runs once, gated by
-        // might_contain below the join. If the benchmark side ever grew,
-        // persist it to a staging table instead of the CTE.
+        // explode runs twice — measured in the executed plan: 4 Generate
+        // nodes / 4 documents scans total = corpus once + inlined b
+        // copies. Accepted: that side is the tiny one by definition (the
+        // benchmark suite, not the corpus), and every copy sits behind
+        // the pushed doc_id < 5 scan filter. The corpus-side explode —
+        // the 100 TB one — runs once, gated by might_contain below the
+        // join. If the benchmark side ever grew, persist it to a staging
+        // table instead of the CTE.
         // analysis resolves the view into the returned plan eagerly, so
         // the finally-drop keeps the name out of the session catalog
         // even when s.sql itself throws
