@@ -159,11 +159,15 @@ case class AsOfJoinExec(
 }
 
 /** DataFrame-level entry point. Column arguments are resolved BY NAME
-  * against each side; the right side's output is re-aliased to fresh
-  * exprIds first, so self-join lineage (both frames derived from one
-  * scan) cannot produce ambiguous attribute ids. Rename overlapping
-  * right-side columns upstream — the operator, like a real join, permits
-  * duplicate NAMES but downstream selects won't.
+  * against each side (honoring the session's case-sensitivity); the
+  * right side's output is re-aliased to fresh exprIds, and — the part
+  * that actually carries self-join lineage safety — the analyzer's
+  * DeduplicateRelations rule re-ids the whole right subtree whenever
+  * both children share attribute ids (it handles ANY multi-child node,
+  * this custom one included; verified by AsOfJoinSpec's same-lineage
+  * case). Rename overlapping right-side columns upstream — the
+  * operator, like a real join, permits duplicate NAMES but downstream
+  * selects won't.
   */
 object AsOfJoin {
   def join(left: DataFrame, right: DataFrame, leftKeyCol: String,
@@ -171,16 +175,21 @@ object AsOfJoin {
       rightTimeCol: String): DataFrame = {
     val spark = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // registration is read-modify-write on a session-shared Seq — guard
+    // it, or two first-use threads can lose each other's strategies
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lPlan = left.queryExecution.analyzed
     // fresh exprIds for every right-side attribute (see scaladoc)
     val rAliases = right.queryExecution.analyzed.output
       .map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, right.queryExecution.analyzed)
+    val resolver = spark.sessionState.conf.resolver
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.filter(_.name == name) match {
+      plan.output.filter(a => resolver(a.name, name)) match {
         case Seq(a) => a
         case Seq() => throw new IllegalArgumentException(
           s"asof: column '$name' not in [${plan.output.map(_.name)

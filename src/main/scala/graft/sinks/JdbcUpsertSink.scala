@@ -34,6 +34,13 @@ object JdbcUpsertSink {
       "conflict keys must be loaded columns")
     require(updateColumns.forall(columns.contains),
       "update columns must be loaded columns")
+    // a silent TEXT/VARCHAR fallback for an untyped column would create a
+    // staging column Spark's typed jdbc INSERT then can't bind (e.g. int
+    // into text errors on Postgres and Derby alike) — fail at
+    // construction, not mid-load on an executor
+    require(columns.forall(columnTypes.contains),
+      s"missing staging types for ${columns.filterNot(columnTypes.contains)
+        .mkString(", ")}")
   }
 
   /** Staging DDL (reference's CREATE TEMP TABLE temp_statistique,
@@ -46,7 +53,7 @@ object JdbcUpsertSink {
     */
   def createStagingSql(spec: MergeSpec, temp: Boolean = true): String = {
     val cols = spec.columns
-      .map(c => s"$c ${spec.columnTypes.getOrElse(c, "TEXT")}")
+      .map(c => s"$c ${spec.columnTypes(c)}")
       .mkString(", ")
     val kind = if (temp) "TEMP TABLE" else "TABLE"
     s"DROP TABLE IF EXISTS ${spec.stagingTable}; " +
@@ -98,25 +105,35 @@ object JdbcUpsertSink {
       Seq(dropStagingSql(spec))
   }
 
-  /** Identifiers are double-quoted in their given (lowercase) case:
-    * Spark's jdbc writer quotes every COLUMN name in its INSERTs, so the
-    * staging DDL must create case-exact columns or the executor inserts
-    * would miss them on case-folding engines. Table names stay unquoted —
-    * Spark passes the user's table string through raw, so both sides
-    * case-fold identically.
+  /** Identifier quoting differs BY SIDE, because the two tables have
+    * different provenance:
+    *   - STAGING columns are quoted in their given (lowercase) case —
+    *     this dialect creates that table itself, and Spark's jdbc writer
+    *     quotes every column name in its INSERTs, so the DDL must create
+    *     case-exact columns or the executor inserts would miss them.
+    *   - TARGET columns are quoted in UPPERCASE — the target is a
+    *     PRE-EXISTING table the user created with ordinary unquoted DDL,
+    *     which Derby/Oracle/DB2 case-fold to uppercase. Quoting the
+    *     folded form references exactly those columns while still
+    *     surviving reserved-word names (the reference schema's `date`
+    *     cannot even be written unquoted in Derby DDL or MERGE).
+    *   Table names stay unquoted — Spark passes the user's table string
+    *   through raw, so both sides case-fold identically.
     */
   object AnsiMergeDialect extends Dialect {
     private def q(id: String) = "\"" + id + "\""
+    private def qt(id: String) =
+      "\"" + id.toUpperCase(java.util.Locale.ROOT) + "\""
     override def createStaging(spec: MergeSpec): Seq[String] = Seq(
       s"CREATE TABLE ${spec.stagingTable} (" + spec.columns
-        .map(c => s"${q(c)} ${spec.columnTypes.getOrElse(c, "VARCHAR(4000)")}")
+        .map(c => s"${q(c)} ${spec.columnTypes(c)}")
         .mkString(", ") + ")")
     override def merge(spec: MergeSpec): String = {
       val on = spec.conflictKeys
-        .map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        .map(k => s"t.${qt(k)} = s.${q(k)}").mkString(" AND ")
       val sets = spec.updateColumns
-        .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
-      val cols = spec.columns.map(q).mkString(", ")
+        .map(c => s"${qt(c)} = s.${q(c)}").mkString(", ")
+      val cols = spec.columns.map(qt).mkString(", ")
       val vals = spec.columns.map(c => s"s.${q(c)}").mkString(", ")
       s"MERGE INTO ${spec.table} t USING ${spec.stagingTable} s ON $on " +
         s"WHEN MATCHED THEN UPDATE SET $sets " +

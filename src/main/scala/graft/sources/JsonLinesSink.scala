@@ -132,6 +132,13 @@ private[sources] class JsonLinesBatchWrite(path: String,
     }.toSet
     old.filterNot(p => promoted(p.getName))
       .foreach(p => must(f.delete(p, false), s"delete $p"))
+    // sweep orphan staged files from crashed/zombie attempts of THIS
+    // query (a killed executor never runs DataWriter.abort; only the
+    // winning attempt's file is in a commit message) — without this,
+    // successful jobs leak .staged-* clutter forever
+    f.listStatus(dir)
+      .filter(_.getPath.getName.startsWith(s".staged-$queryId"))
+      .foreach(st => f.delete(st.getPath, false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -201,13 +208,17 @@ private[sources] class JsonLinesWriter(path: String, schema: StructType,
   }
   private val out = fs.create(staged, true)
 
+  // the `"name":` prefixes are schema constants — escaped once here, not
+  // re-walked per row per column on the write hot path
+  private val fieldPrefix: Array[String] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      (if (i == 0) "\"" else ",\"") + JsonLinesWriter.escape(f.name) + "\":"
+    }.toArray
+
   override def write(row: InternalRow): Unit = {
     val sb = new StringBuilder("{")
-    var first = true
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (!first) sb.append(',')
-      first = false
-      sb.append('"').append(JsonLinesWriter.escape(f.name)).append("\":")
+      sb.append(fieldPrefix(i))
       if (row.isNullAt(i)) sb.append("null")
       else f.dataType match {
         case LongType => sb.append(row.getLong(i))

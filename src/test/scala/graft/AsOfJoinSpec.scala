@@ -73,6 +73,48 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSuite {
       expected.exceptAll(native).isEmpty)
   }
 
+  test("same-lineage self-join with identical column names is not corrupted") {
+    // both sides derive from ONE scan and keep the SAME column names —
+    // the analyzer's DeduplicateRelations must re-id the right subtree
+    // (it handles custom binary nodes; this pins that) or the output
+    // projection would bind right columns to left ordinals
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val l = ev.filter(col("event_type") === "purchase")
+    val r = ev.filter(col("event_type") === "click")
+    val joined = AsOfJoin.join(l, r, "user_id", "user_id", "ts", "ts")
+    val rows = joined.collect()
+    assert(rows.nonEmpty)
+    // matched right halves must be CLICK rows (a corrupt binding would
+    // echo the left purchase row into the right half)
+    val matched = rows.filter(!_.isNullAt(7))
+    assert(matched.nonEmpty)
+    matched.foreach { row =>
+      assert(row.getString(7) === "click", row)
+      assert(row.getString(3) === "purchase", row)
+    }
+    // and equal an explicitly-distinct-lineage control, row for row
+    val r2 = Tables.events(spark, sf)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"), col("event_type").as("c_type"))
+      .filter(col("c_type") === "click")
+    val ctrl = AsOfJoin.join(l, r2, "user_id", "c_user", "ts", "c_ts")
+    def key(rws: Array[org.apache.spark.sql.Row]) = rws.map(rw =>
+      (rw.getLong(0), rw.getLong(2),
+        if (rw.isNullAt(6)) -1L else rw.getLong(6))).sorted.toSeq
+    assert(key(rows) === key(ctrl.collect()))
+  }
+
+  test("column names resolve case-insensitively like the rest of the engine") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id").as("User_Id"), col("ts").as("Ts"),
+        col("event_id"), col("event_type"))
+    val l = ev.filter(col("event_type") === "purchase")
+    val r = ev.filter(col("event_type") === "click")
+    val joined = AsOfJoin.join(l, r, "user_id", "USER_ID", "ts", "TS")
+    assert(joined.count() > 0)
+  }
+
   test("plan: AsOfJoinExec with one exchange and one sort per side") {
     val ev = Tables.events(spark, sf)
     val l = ev.filter(col("event_type") === "purchase")

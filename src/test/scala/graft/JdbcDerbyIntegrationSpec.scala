@@ -28,12 +28,15 @@ class JdbcDerbyIntegrationSpec extends AnyFunSuite with SparkSuite {
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val connector = new JdbcUpsertSink.JdbcConnector(url, props)
 
-    // target table: quoted lowercase columns (Spark's jdbc writer quotes
-    // column identifiers), PK on the merge conflict keys
+    // target table as a real pre-existing table would be: ordinary DDL
+    // whose unquoted identifiers Derby case-folds to UPPERCASE (the
+    // reserved word `date` must be written quoted-uppercase — Derby DDL
+    // rejects it unquoted — which is exactly the folded form), PK on the
+    // merge conflict keys
     connector.execute("CREATE TABLE statistique (" +
-      spec.columns.map(c => s""""$c" ${spec.columnTypes(c)}""")
-        .mkString(", ") +
-      """, PRIMARY KEY ("id_region", "date"))""")
+      spec.columns.map(c =>
+        s""""${c.toUpperCase}" ${spec.columnTypes(c)}""").mkString(", ") +
+      """, PRIMARY KEY ("ID_REGION", "DATE"))""")
 
     val sp = spark
     import sp.implicits._

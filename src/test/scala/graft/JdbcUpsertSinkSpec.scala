@@ -72,11 +72,33 @@ class JdbcUpsertSinkSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("spec validation rejects unknown conflict/update columns") {
+    val ty = Map("a" -> "INTEGER")
     intercept[IllegalArgumentException] {
-      MergeSpec("t", "tmp", Seq("a"), Map.empty, Seq("b"), Seq("a"))
+      MergeSpec("t", "tmp", Seq("a"), ty, Seq("b"), Seq("a"))
     }
     intercept[IllegalArgumentException] {
-      MergeSpec("t", "tmp", Seq("a"), Map.empty, Seq("a"), Seq("b"))
+      MergeSpec("t", "tmp", Seq("a"), ty, Seq("a"), Seq("b"))
     }
+  }
+
+  test("spec validation rejects columns without a staging type") {
+    // a silent TEXT fallback would stage a column Spark's typed INSERT
+    // can't bind — must fail at construction
+    val e = intercept[IllegalArgumentException] {
+      MergeSpec("t", "tmp", Seq("a", "b"), Map("a" -> "INTEGER"),
+        Seq("a"), Seq("b"))
+    }
+    assert(e.getMessage.contains("b"))
+  }
+
+  test("ANSI merge references the target in case-folded (uppercase) form") {
+    // the target is a pre-existing unquoted-DDL table → Derby/Oracle/DB2
+    // hold its columns uppercase; the staging table is ours → quoted
+    // case-exact lowercase (Spark's jdbc writer quotes its INSERT columns)
+    val sql = JdbcUpsertSink.AnsiMergeDialect.merge(spec)
+    assert(sql.contains("""t."ID_REGION" = s."id_region""""), sql)
+    assert(sql.contains(""""NOUVEAU_MORT" = s."nouveau_mort""""), sql)
+    assert(sql.contains(""""DATE""""), sql) // reserved word, quoted folded
+    assert(!sql.contains("""t."id_region""""), sql)
   }
 }
