@@ -92,7 +92,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.VectorFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotProduct].getName, name),
+        // the registry object, not one arbitrary expression class:
+        // DESCRIBE FUNCTION on any graft_* name should point at the
+        // single source of truth, not claim every function is DotProduct
+        new ExpressionInfo(
+          graft.functions.VectorFunctions.getClass.getName, name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
     e.injectOptimizerRule(_ => RewriteHofDotProduct)

@@ -56,6 +56,10 @@ object KmvMath {
 }
 
 class KmvDistinct(k: Int) extends Aggregator[String, Array[Long], Double] {
+  // mirror KmvSketchAgg's checkInputDataTypes gate: k=0 would crash
+  // insert's `buf.last` on the first row, k=1 would silently estimate
+  // 0.0 for every group ((k-1)/norm) — fail at construction instead
+  require(k > 1, s"kmv sketch size k must be > 1, got $k")
 
   private def hash64(s: String): Long = KmvMath.hash64(s)
 

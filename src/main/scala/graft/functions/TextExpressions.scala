@@ -25,9 +25,6 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHashing {
   private val hexDigits = "0123456789abcdef".toCharArray
   private val ws = java.util.regex.Pattern.compile("\\s+")
-  val mdLocal: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() =>
-      java.security.MessageDigest.getInstance("MD5"))
 
   // ---- inlined MD5 (RFC 1321) ----------------------------------------
   // MessageDigest.digest costs ~3-5x a bare compression for the short
@@ -124,7 +121,12 @@ object TextHashing {
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
     val t = s.substring(b, e)
-    if (t.isEmpty) Array.empty else ws.split(t, -1)
+    // empty trimmed input yields ONE empty token — exactly what Spark's
+    // split(trim(s), '\\s+') produces — so fused and composable forms
+    // stay bit-identical on empty/whitespace-only text (the <3-token
+    // guards below make this invisible to shingling; simhash16 is the
+    // consumer that diverged)
+    if (t.isEmpty) Array("") else ws.split(t, -1)
   }
 
   def md5Hex(md: java.security.MessageDigest, s: String): String = {

@@ -92,12 +92,14 @@ object OmsPipeline {
   /** EP1/EP2 transform (reference ETL_OMS_FINAL.py:50-71): synonym
     * mapping, lenient date coerce + null-drop, pandemic literal, measure
     * completion, conditional delta derivation, fixed projection.
-    * `requireCountry=true` raises like ETL_OMS_FINAL.py:53-54.
+    * A frame with no mappable country raises, like ETL_OMS_FINAL.py:53-54.
     */
-  def standardize(raw: DataFrame, pandemicName: String,
-      requireCountry: Boolean = true): DataFrame = {
+  def standardize(raw: DataFrame, pandemicName: String): DataFrame = {
     val mapped = SchemaMapper.applyMapping(raw, standardColumnMap)
-    if (requireCountry && !mapped.columns.contains("country"))
+    // country is load-bearing downstream (delta windows partition on it,
+    // the projection selects it), so a missing mapping always raises
+    // here with a clear message — like ETL_OMS_FINAL.py:53-54
+    if (!mapped.columns.contains("country"))
       throw new IllegalArgumentException(
         "column 'country' missing after mapping")
     // lenient multi-format parse, null on failure — pandas
@@ -177,10 +179,16 @@ object OmsPipeline {
 
   /** v5 per-capita → absolute conversion (reference
     * ETL_OMS_OPERATIONNEL.py:121-138): columns selected by name substring,
-    * rate * population / unit, rounded to int; excess_deaths/deaths-named
-    * rates update `deaths`, everything else `confirmed`. `population` is
-    * injectable — the reference's lookup returns None in practice (dead
-    * code preserved as a no-op default).
+    * rate * population / unit, rounded and cast to int — the reference's
+    * `.round().astype(int)`. The target routing reproduces the
+    * reference's own asymmetric rule verbatim
+    * (ETL_OMS_OPERATIONNEL.py:122-138): per-100k rates go to `deaths`
+    * only when named `excess_deaths` (so a `deaths_per_100k` column
+    * lands in `confirmed` — reference semantics under reproduction, not
+    * a routing bug), per-million rates go to `deaths` for any
+    * deaths-named column. `population` is injectable — the reference's
+    * lookup returns None in practice (dead code preserved as a no-op
+    * default).
     */
   def convertPerCapita(df: DataFrame,
       population: Option[Double] = None): DataFrame =
@@ -291,8 +299,17 @@ object OmsPipeline {
     * ETL_OMS_OPERATIONNEL.py:202-211).
     */
   def upsertFact(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    // tiebreak beyond src_priority: if one BATCH carries duplicate
+    // (id_region, date) rows, ordering by priority alone would let the
+    // survivor flip with partition-internal arrival order across
+    // reruns/retries — order by every payload column too, so the choice
+    // is a pure function of row content (the reference's sequential
+    // ON CONFLICT loop is order-deterministic; a set-based merge must
+    // buy determinism from the data instead)
+    val payload = existing.columns.toSeq
+      .filterNot(Set("id_region", "date").contains)
     val w = Window.partitionBy("id_region", "date")
-      .orderBy(col("src_priority").desc)
+      .orderBy(col("src_priority").desc +: payload.map(col(_).desc): _*)
     existing.withColumn("src_priority", lit(0))
       .unionByName(incoming.withColumn("src_priority", lit(1)))
       .withColumn("rn", row_number().over(w))
@@ -353,31 +370,51 @@ object OmsPipeline {
     val parts = fs.listStatus(tmpPath)
       .filter(_.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
+    // concat into a HIDDEN temp target and rename into place at the end:
+    // a mid-concat failure must never leave a truncated <name>.json that
+    // a later multiLine reader would take for valid output
     val target = new Path(outDir, s"$name.json")
-    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      fs.create(target, true), java.nio.charset.StandardCharsets.UTF_8))
+    val targetTmp = new Path(outDir, s".$name.json.tmp")
+    var ok = false
     try {
-      w.write("[")
-      var first = true
-      parts.foreach { p =>
-        val src = new java.io.BufferedReader(new java.io.InputStreamReader(
-          fs.open(p.getPath), java.nio.charset.StandardCharsets.UTF_8))
-        try {
-          var line = src.readLine()
-          while (line != null) {
-            if (line.nonEmpty) {
-              if (!first) w.write(",")
-              w.write(line)
-              first = false
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(targetTmp, true), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        w.write("[")
+        var first = true
+        parts.foreach { p =>
+          val src = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(p.getPath), java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = src.readLine()
+            while (line != null) {
+              if (line.nonEmpty) {
+                if (!first) w.write(",")
+                w.write(line)
+                first = false
+              }
+              line = src.readLine()
             }
-            line = src.readLine()
-          }
-        } finally src.close()
-      }
-      w.write("]")
-    } finally w.close()
-    fs.delete(tmpPath, true)
-    ()
+          } finally src.close()
+        }
+        w.write("]")
+      } finally w.close()
+      if (fs.exists(target) && !fs.delete(target, false))
+        throw new java.io.IOException(s"could not replace $target")
+      if (!fs.rename(targetTmp, target))
+        throw new java.io.IOException(s"rename $targetTmp -> $target failed")
+      ok = true
+    } finally {
+      // always sweep the temps (a failed run must not leak the hidden
+      // jsonl dir or a half-written tmp target); on the failure path the
+      // sweep is best-effort so the primary error propagates, on success
+      // a failed temp-dir delete surfaces as a real leak
+      try {
+        fs.delete(targetTmp, false)
+        fs.delete(tmpPath, true)
+        ()
+      } catch { case e: Exception => if (ok) throw e }
+    }
   }
 
   def saveStar(star: StarSchema, outDir: String): Unit = {
@@ -468,10 +505,15 @@ object OmsPipeline {
   }
 
   def runOperational(spark: SparkSession, dir: String): OperationalResult = {
-    val files = Option(new java.io.File(dir).listFiles())
-      .getOrElse(throw new IllegalArgumentException(s"not a directory: $dir"))
-      .filter(f => f.getName.endsWith(".csv") || f.getName.endsWith(".json"))
-      .map(_.getPath).sorted.toSeq
+    // Hadoop FS, not java.io.File — the ingest dir may be hdfs://,
+    // s3a:// etc. (same rule saveTableJsonArray follows for its out dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val hfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(dirPath) || !hfs.getFileStatus(dirPath).isDirectory)
+      throw new IllegalArgumentException(s"not a directory: $dir")
+    val files = hfs.listStatus(dirPath).map(_.getPath)
+      .filter(p => p.getName.endsWith(".csv") || p.getName.endsWith(".json"))
+      .map(_.toString).sorted.toSeq
     val results = files.map { path =>
       val raw = extract(spark, path)
       val mapped = SchemaMapper.applyMapping(raw, v5ColumnSynonyms)

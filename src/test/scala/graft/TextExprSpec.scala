@@ -43,6 +43,8 @@ class TextExprSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("graft_simhash16 == composable transform+filter SimHash") {
+    val sp = spark
+    import sp.implicits._
     VectorFunctions.register(spark)
     val toks = "array_distinct(split(trim(text), '\\\\s+'))"
     val hs = s"transform($toks, t -> md5(t))"
@@ -50,11 +52,18 @@ class TextExprSpec extends AnyFunSuite with SparkSuite {
       s"IF(size(filter(hsx, h -> substring(h, ${j + 1}, 1) >= '8')) " +
         s"* 2 >= size(hsx), '1', '0')"
     val sh = (0 until 16).map(bit).mkString("concat(", ", ", ")")
-    val cmp = Tables(spark, sf, "documents")
+    // real corpus PLUS the empty/whitespace edge, where the fused form
+    // once diverged (tokens() returned no tokens; split(trim(''))
+    // returns one empty token)
+    val edge = Seq("", "   ", "\t", "one").toDF("text")
+      .select(col("text"))
+    val cmp = Tables(spark, sf, "documents").select("text")
+      .unionByName(edge)
       .withColumn("hsx", expr(hs))
       .select(expr("graft_simhash16(text)").as("fused"),
         expr(sh).as("hof"))
-    assert(cmp.filter(not(col("fused") <=> col("hof"))).count() === 0)
+    assert(cmp.filter(not(col("fused") <=> col("hof"))).count() === 0,
+      cmp.collect().mkString("; "))
   }
 
   test("text expressions support whole-stage codegen (not CodegenFallback)") {
