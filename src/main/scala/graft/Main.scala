@@ -32,6 +32,11 @@ object Main {
       case "--dir" :: v :: t           => go(t, acc.copy(dir = Some(v)))
       case "--out" :: v :: t           => go(t, acc.copy(out = v))
       case Nil                         => acc
+      // a recognized flag with its value missing (end of argv) must not
+      // be misreported as unknown
+      case flag :: Nil if Set("--file", "--pandemic_name", "--dir",
+          "--out").contains(flag) =>
+        throw new IllegalArgumentException(s"missing value for $flag")
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
     }

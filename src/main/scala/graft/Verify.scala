@@ -14,6 +14,15 @@ object Verify {
         Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
           .filter(_.nonEmpty)
       else None
+    // a typo'd subset name must fail loudly HERE: an unmatched name
+    // would select nothing yet still write an (empty) subset oracle
+    // file, and check_oracle.py would report 0/0 pass — a green gate
+    // that verified nothing
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

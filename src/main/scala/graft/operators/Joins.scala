@@ -194,17 +194,20 @@ object Joins {
         "JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' GROUP BY n_name")),
 
-    // star join: fact ⋈ three dimension hops, every dim broadcast — the
-    // canonical warehouse shape (orders → customer → nation → region).
-    // At 100 TB only the fact side scans big; zero fact shuffles before
-    // the final aggregate.
+    // star join: fact ⋈ three dimension hops — the canonical warehouse
+    // shape (orders → customer → nation → region). nation/region are
+    // FIXED-SIZE dims and carry explicit broadcast hints; customer
+    // scales with SF, so like q_tpch_q5's customer edge (VERDICT r02 #2)
+    // it gets NO hint — nothing in the query forces a driver-side
+    // materialization of a scaling table, while AQE remains free to
+    // broadcast it whenever it actually fits.
     QDef("q_star_join",
       (s, d) => {
         val o = Tables(s, d, "orders")
         val c = Tables(s, d, "customer")
         val n = Tables(s, d, "nation")
         val r = Tables(s, d, "region")
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        o.join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(r("r_name").as("region"), n("n_name").as("nation"))
@@ -237,9 +240,12 @@ object Joins {
     // per user.
     QDef("q_asof",
       (s, d) => {
+        // no `value` here: nothing downstream reads it, and a column
+        // selected below a Window's partition shuffle cannot be pruned —
+        // it would ride the whole user_id exchange for free
         val tagged = Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
-          .select("user_id", "ts", "event_id", "event_type", "value")
+          .select("user_id", "ts", "event_id", "event_type")
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         val isClick = col("event_type") === "click"

@@ -27,9 +27,14 @@ import org.apache.spark.sql.functions._
   *
   * Planes are deterministic integer-weight vectors so the DuckDB oracle
   * and a recall test can reproduce them exactly:
-  * w(p, i) = ((1 + 37p + 61i + 11pi) mod 13) - 6. The mixed p·i term
-  * gives the family full diversity in p — the simpler (31p + 17i) mod 7
-  * family repeats every 7 planes, capping the useful band count.
+  * w(p, i) = ((1 + 37p + 61i + 11pi) mod 29) - 14. The formula is
+  * linear in p for each i, so the family's period in p equals the
+  * modulus — it must EXCEED the total plane count in use, or the last
+  * bands silently recombine the first bands' bits (the original mod-13
+  * family did exactly that at 8 bands × 2 bits: planes 14..16 ≡ 1..3,
+  * making band 8 pure recombination and costing real recall). 29 covers
+  * up to 28 planes; raise it (prime, > nBands·bits) before configuring
+  * more.
   */
 object Ann {
   import org.apache.spark.sql.{Column, DataFrame}
@@ -41,7 +46,7 @@ object Ann {
     */
   def planeVec(p: Int, dim: Int): Seq[Double] =
     (0 until dim).map(i =>
-      (((1 + p * 37 + i * 61 + p * i * 11) % 13) - 6).toDouble)
+      (((1 + p * 37 + i * 61 + p * i * 11) % 29) - 14).toDouble)
 
   private def bit(v: Column, p: Int, dim: Int): Column =
     when(call_function("graft_dot", v, typedlit(planeVec(p, dim))) >= 0d,
@@ -176,6 +181,13 @@ object Ivf {
         .map(r => (r.getAs[Number]("vec_id").intValue,
           r.getSeq[Double](1).toSeq))
         .sortBy(_._1).toSeq
+    // `vec_id < k` only selects k seeds when ids are dense from 0 — the
+    // testdata contract. Anything sparser must fail HERE: with too few
+    // (or zero) centroids, assign() would quietly produce NULL cells and
+    // meanCentroids would unbox them to a bogus cell 0
+    require(cents.length == k,
+      s"kmeansCells: expected $k seed vectors with vec_id in [0, $k), " +
+        s"found ${cents.length} — ids must be dense from 0")
     for (_ <- 1 until iters)
       cents = meanCentroids(e.withColumn("cell", assign(cents)), dim)
     e.withColumn("cell", assign(cents))
@@ -234,7 +246,8 @@ object Similarity {
     */
   private def bandedOracleSql(maxQueryId: Int, k: Int): String = {
     def plane(p: Int) =
-      s"[CAST(((1 + $p * 37 + i * 61 + $p * i * 11) % 13) - 6 " +
+      // keep in lockstep with Ann.planeVec — same integer family
+      s"[CAST(((1 + $p * 37 + i * 61 + $p * i * 11) % 29) - 14 " +
         "AS DOUBLE) for i in generate_series(0, 63)]"
     def bit(p: Int) =
       s"CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 " +

@@ -136,11 +136,17 @@ private[sources] class SyntheticDocsScanBuilder(rows: Long, parts: Int)
       case IsNotNull("doc_id") => true
       case _ => false
     }
+    // saturating successor: `Long.MaxValue + 1` would wrap negative and
+    // silently invert an absorbed bound (e.g. `> Long.MaxValue` returning
+    // every row). Saturation keeps both bounds exact here because ids
+    // live in [0, n) with n far below Long.MaxValue.
+    def inc(v: Long): Long =
+      if (v == Long.MaxValue) Long.MaxValue else v + 1
     accepted.foreach {
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, inc(v))
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, inc(v))
       case IsNotNull(_) => // non-nullable: always true
       case _ =>
     }
