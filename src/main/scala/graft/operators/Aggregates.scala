@@ -19,8 +19,12 @@ object Aggregates {
 
   val defs: Seq[QDef] = Seq(
 
-    // W1: per-group lag-difference, null→0 on each group's first row
-    // (ETL_OMS.py:70-74). Flagship query (SparkEntry.entry).
+    // W1: per-group lag-difference with diff().fillna(0) semantics
+    // (ETL_OMS.py:70-74): EVERY null delta becomes 0 — the first row of
+    // each group AND any row whose own/previous value is null (the
+    // reference's fillna runs after diff, so it fills mid-series nulls
+    // too; coalesce reproduces that exactly). Flagship query
+    // (SparkEntry.entry).
     QDef("q_delta",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -187,16 +191,20 @@ object Aggregates {
       Some("SELECT o_custkey, count(*) AS n_orders FROM orders " +
         "GROUP BY o_custkey HAVING count(*) >= 15")),
 
-    // conditional aggregation (TPC-H Q14 shape): promo revenue share —
-    // both engines compute the identical cents-sums then one division.
+    // conditional aggregation (TPC-H Q14 shape): promo revenue share.
+    // Both cents-sums accumulate as decimal(38,0)/HUGEINT — the
+    // Det.exactSum discipline — then ONE double division: a double
+    // accumulator would go partition-order-dependent past 2^53, which a
+    // 100 TB revenue sum crosses (the old otherwise(0.0) silently
+    // coerced the whole promo sum to double).
     QDef("q_promo_share",
       (s, d) => {
         val li = Tables(s, d, "part")
-        val promoRev = sum(when(col("p_type") === "PROMO",
-          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-            lit(10000.0) + lit(0.5))).otherwise(lit(0.0)))
-        val allRev = sum(floor(col("l_extendedprice") *
-          (lit(1) - col("l_discount")) * lit(10000.0) + lit(0.5)))
+        val cents = floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * lit(10000.0) + lit(0.5))
+        val promoRev = sum(when(col("p_type") === "PROMO", cents)
+          .otherwise(lit(0L)).cast("decimal(38,0)")).cast("double")
+        val allRev = sum(cents.cast("decimal(38,0)")).cast("double")
         Tables(s, d, "lineitem")
           .join(broadcast(li), col("l_partkey") === col("p_partkey"))
           .groupBy(year(col("l_shipdate")).as("yr"))
@@ -204,10 +212,11 @@ object Aggregates {
             count(lit(1)).as("n"))
       },
       Some("SELECT CAST(year(l_shipdate) AS INT) AS yr, " +
-        "sum(CASE WHEN p_type = 'PROMO' THEN " +
+        "CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN " +
         "floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) " +
-        "ELSE 0.0 END) * 100.0 / " +
-        "sum(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5)) " +
+        "ELSE 0 END AS HUGEINT)) AS DOUBLE) * 100.0 / " +
+        "CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) " +
+        "* 10000 + 0.5) AS HUGEINT)) AS DOUBLE) " +
         "AS promo_share_pct, count(*) AS n " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY year(l_shipdate)")),
@@ -591,10 +600,12 @@ object Aggregates {
         "GROUP BY 1, 2")),
 
     // native session_window (SessionWindowing operator — distinct from
-    // the two-window q_sessionize formulation): sessions merge while the
-    // next event lands strictly inside [start, last + gap); an event at
-    // exactly last + 30min starts a NEW session (window end exclusive),
-    // which the oracle mirrors with gap >= 30min → new session.
+    // the two-window q_sessionize formulation): Spark MERGES an event
+    // arriving at exactly last + gap (probed empirically on 4.1.2:
+    // events at 00:00 and 00:30 with a 30-min gap form ONE session), so
+    // the oracle starts a new session only on gap STRICTLY greater than
+    // 30min. The fixture has no exact-gap pairs, so only the boundary
+    // convention — not the fixture result — distinguishes the two.
     QDef("q_session_window",
       (s, d) => Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -613,7 +624,7 @@ object Aggregates {
         "AS session_id FROM (" +
         "SELECT user_id, ts, event_id, CASE WHEN " +
         "lag(epoch_us(ts)) OVER w IS NULL OR " +
-        "epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 " +
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
         "THEN 1 ELSE 0 END AS new_sess FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))) " +
         "GROUP BY user_id, session_id")),

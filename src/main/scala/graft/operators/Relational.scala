@@ -280,7 +280,12 @@ object Relational {
           Tables(s, d, "customer").createOrReplaceTempView("v_customer")
           s.sql("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, " +
             "count(*) AS n, " +
-            "sum(floor(o_totalprice * 100 + 0.5)) / 100 AS revenue " +
+            // decimal(38,0) cents accumulator (the Det.exactSum shape,
+            // emitted as SQL text): a bare sum(floor(...)) would sum
+            // BIGINT here but DOUBLE in DuckDB — asymmetric accumulators
+            // that diverge past 2^53
+            "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) " +
+            "AS DECIMAL(38,0))) AS DOUBLE) / 100 AS revenue " +
             "FROM v_orders JOIN v_customer ON o_custkey = c_custkey " +
             "GROUP BY c_mktsegment, year(o_orderdate)")
         } finally {
@@ -290,7 +295,7 @@ object Relational {
       },
       Some("SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr, " +
         "count(*) AS n, " +
-        "sum(floor(o_totalprice * 100 + 0.5)) / 100 AS revenue " +
+        s"${graft.Det.exactSumSql("o_totalprice", 2)} AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment, year(o_orderdate)")),
 
@@ -299,14 +304,20 @@ object Relational {
     // subquery machinery at all).
     QDef("q_subquery_corr",
       (s, d) => {
+        // the threshold is Det.rnd-rounded on BOTH sides: a raw double
+        // avg's low bits are accumulation-order-dependent, and a
+        // customer sitting between the two engines' averages would flip
+        // in and out of the result set
+        val thresh = graft.Det.rndSql("avg(c_acctbal)", 4)
         Tables(s, d, "customer").createOrReplaceTempView("v_customer")
         try s.sql("SELECT c_custkey, c_name, c_acctbal FROM v_customer c1 " +
-          "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer c2 " +
+          s"WHERE c_acctbal > (SELECT $thresh FROM v_customer c2 " +
           "WHERE c2.c_mktsegment = c1.c_mktsegment)")
         finally s.catalog.dropTempView("v_customer")
       },
       Some("SELECT c_custkey, c_name, c_acctbal FROM customer c1 " +
-        "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2 " +
+        s"WHERE c_acctbal > (SELECT ${graft.Det.rndSql("avg(c_acctbal)", 4)}" +
+        " FROM customer c2 " +
         "WHERE c2.c_mktsegment = c1.c_mktsegment)")),
 
     // error-tolerant arithmetic/casts: try_divide nulls on zero divisors,

@@ -124,8 +124,12 @@ object Reshape {
     QDef("q_multifile",
       (s, d) => Tables.events(s, d)
         .withColumn("fname", input_file_name())
-        .select(regexp_extract(col("fname"), "([a-z]+)\\.parquet", 1)
-          .as("dataset"))
+        // anchor the capture to a whole path SEGMENT named *.parquet —
+        // leftmost match picks the dataset DIRECTORY for the standard
+        // multi-file layout (events.parquet/part-...snappy.parquet),
+        // where a bare "([a-z]+)\.parquet" would capture the codec
+        .select(regexp_extract(col("fname"),
+          "([^/]+)\\.parquet(/|$)", 1).as("dataset"))
         .groupBy("dataset").agg(count(lit(1)).as("n")),
       Some("SELECT 'events' AS dataset, count(*) AS n FROM events")),
 
