@@ -111,7 +111,11 @@ object Multimodal {
         "payload")
         .select(col("doc_id"), col("features.n_bytes").as("n_bytes"),
           col("features.magic").as("magic")),
-      Some("SELECT doc_id, 16 AS n_bytes, " +
+      // null text → null payload → null features struct on the Spark
+      // side, so n_bytes must be text-conditional here too (a bare
+      // constant 16 would diverge the moment the corpus holds a null)
+      Some("SELECT doc_id, " +
+        "CASE WHEN text IS NULL THEN NULL ELSE 16 END AS n_bytes, " +
         "upper(substr(md5(text), 1, 4)) AS magic FROM documents"))
   )
 }

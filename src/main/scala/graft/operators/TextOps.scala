@@ -30,7 +30,10 @@ object TextOps {
     * DuckDB oracle keeps the declarative list comprehension; both yield
     * [] below 3 tokens.
     */
-  private val shSql = "[array_to_string(rawtoks[i:i+2], ' ') " +
+  // package-visible: TrainingData's shingle oracles (q_contamination,
+  // q_repetition) must emit the IDENTICAL comprehension — a diverging
+  // copy would silently break their parity with graft_shingle_set
+  private[operators] val shSql = "[array_to_string(rawtoks[i:i+2], ' ') " +
     "for i in generate_series(1, len(rawtoks) - 2)]"
 
   /** MinHash lanes: one md5 per shingle, the 128-bit digest sliced into
@@ -153,10 +156,21 @@ object TextOps {
         next: org.apache.spark.sql.DataFrame): (BigDecimal, BigDecimal) = {
       val m = prev.select(lit(0).as("g"), col("lbl"))
         .union(next.select(lit(1).as("g"), col("lbl")))
-        .groupBy("g").agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .groupBy("g").agg(sum(col("lbl").cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("c"))
         .collect()
-        .map(r => r.getInt(0) ->
-          (if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1))))
+        .map { r =>
+          // a NON-EMPTY group with a null sum is decimal(38,0) overflow
+          // (ANSI-off nulls instead of throwing) — mapping it to 0 would
+          // fake convergence with unpropagated labels, the exact failure
+          // the decimal accumulator exists to rule out. Empty groups
+          // (no rows at all) legitimately read as 0.
+          if (r.isNullAt(1) && r.getLong(2) > 0)
+            throw new ArithmeticException(
+              "connectedComponents: label-sum overflowed decimal(38,0)")
+          r.getInt(0) ->
+            (if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+        }
         .toMap
       (m.getOrElse(0, BigDecimal(0)), m.getOrElse(1, BigDecimal(0)))
     }
@@ -190,7 +204,10 @@ object TextOps {
       (s, d) => Tables.events(s, d).select(
         col("event_id"),
         from_json(col("props"), lit("k INT")).getField("k").as("k")),
-      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') " +
+      // TRY_CAST, not CAST: Spark's from_json is permissive (a
+      // non-integer k yields null); a plain DuckDB CAST would instead
+      // abort the whole oracle query on the first malformed value
+      Some("SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') " +
         "AS INTEGER) AS k FROM events")),
 
     // X5: corpus stats per language — integer sums (exact in any order)

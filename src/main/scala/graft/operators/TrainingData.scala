@@ -191,8 +191,7 @@ object TrainingData {
         "string_split_regex(trim(text), '\\s+') AS rawtoks " +
         "FROM documents), " +
         "s AS (SELECT doc_id, list_distinct(" +
-        "[array_to_string(rawtoks[i:i+2], ' ') " +
-        "for i in generate_series(1, len(rawtoks) - 2)]) AS shs FROM t), " +
+        s"${TextOps.shSql}) AS shs FROM t), " +
         "e AS (SELECT doc_id, unnest(shs) AS sh FROM s), " +
         "b AS (SELECT DISTINCT sh FROM e WHERE doc_id < 5) " +
         "SELECT e.doc_id, count(*) AS n_shared FROM e " +
@@ -242,8 +241,9 @@ object TrainingData {
           .withColumn("repetitive", col("rep_ratio") > 0.2)
       },
       Some {
-        val sh = "[array_to_string(rawtoks[i:i+2], ' ') " +
-          "for i in generate_series(1, len(rawtoks) - 2)]"
+        // THE shared shingle comprehension (TextOps.shSql) — must stay
+        // bit-identical to the graft_shingles/graft_shingle_set twins
+        val sh = TextOps.shSql
         "WITH t AS (SELECT doc_id, " +
           "string_split_regex(trim(text), '\\s+') AS rawtoks " +
           "FROM documents), " +

@@ -52,32 +52,6 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(orderCol).desc)
-        val dedup = batch
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
-        val target = new java.io.File(targetDir)
-        val merged =
-          if (!target.exists() || target.list().isEmpty) dedup
-          else {
-            val existing = spark.read.parquet(targetDir)
-            val union = existing.withColumn("_src", lit(0))
-              .unionByName(dedup.withColumn("_src", lit(1)))
-            val mw = Window.partitionBy(keyCols.map(col): _*)
-              .orderBy(col("_src").desc, col(orderCol).desc)
-            union.withColumn("_rn", row_number().over(mw))
-              .filter(col("_rn") === 1).drop("_rn", "_src")
-          }
-        // write-then-swap: the merge plan reads targetDir, so write the
-        // new version beside it and promote via two renames — at every
-        // instant a complete copy exists on disk (crash between renames
-        // leaves _old restorable), unlike delete-then-rename which has a
-        // window with no target at all. A lakehouse table format replaces
-        // this with transaction logs; directory renames are the
-        // file-system stand-in and are NOT multi-writer safe.
-        val tmp = targetDir + "_next"
-        merged.write.mode("overwrite").parquet(tmp)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val tgt = new org.apache.hadoop.fs.Path(targetDir)
@@ -89,6 +63,46 @@ object StreamingOps {
         def must(ok: Boolean, step: String): Unit =
           if (!ok) throw new java.io.IOException(
             s"incrementalUpsert swap failed at: $step")
+        // crash recovery FIRST: a crash between the two swap renames
+        // below leaves the target missing and _old holding the ONLY
+        // complete copy — without this restore, the batch would merge
+        // against nothing and the swap would then delete the backup
+        // (silent loss of every prior upsert)
+        if (!fs.exists(tgt) && fs.exists(old))
+          must(fs.rename(old, tgt), s"restore $old -> $tgt")
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val dedup = batch
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val hasTarget = fs.exists(tgt) && fs.listStatus(tgt).nonEmpty
+        val merged =
+          if (!hasTarget) dedup
+          else {
+            val existing = spark.read.parquet(targetDir)
+            val union = existing.withColumn("_src", lit(0))
+              .unionByName(dedup.withColumn("_src", lit(1)))
+            // cross-batch rule: the INCOMING row wins (the reference's
+            // sequential ON CONFLICT DO UPDATE — latest statement wins,
+            // regardless of orderCol). orderCol orders only WITHIN a
+            // batch (dedup above); here it is a defensive tiebreak that
+            // never fires while dedup/prior merges leave one row per
+            // key per side.
+            val mw = Window.partitionBy(keyCols.map(col): _*)
+              .orderBy(col("_src").desc, col(orderCol).desc)
+            union.withColumn("_rn", row_number().over(mw))
+              .filter(col("_rn") === 1).drop("_rn", "_src")
+          }
+        // write-then-swap: the merge plan reads targetDir, so write the
+        // new version beside it and promote via two renames — at every
+        // instant a complete copy exists on disk (a crash between the
+        // renames is healed by the restore step above), unlike
+        // delete-then-rename which has a window with no target at all.
+        // A lakehouse table format replaces this with transaction logs;
+        // directory renames are the file-system stand-in and are NOT
+        // multi-writer safe.
+        val tmp = targetDir + "_next"
+        merged.write.mode("overwrite").parquet(tmp)
         must(fs.delete(old, true) || !fs.exists(old), s"delete $old")
         if (fs.exists(tgt)) must(fs.rename(tgt, old), s"rename $tgt -> $old")
         must(fs.rename(new org.apache.hadoop.fs.Path(tmp), tgt),
