@@ -87,6 +87,34 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(mismatch === 0)
   }
 
+  test("incremental upsert heals a mid-swap crash without losing the target") {
+    val base = java.nio.file.Files.createTempDirectory("graft_inc2").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.filter(col("event_id") < 100).write.parquet(s"$base/src1/p1")
+    StreamingOps.incrementalUpsert(spark, s"$base/src1/*", s"$base/target",
+      Seq("event_id"), "value")
+    val before = spark.read.parquet(s"$base/target").count()
+    assert(before > 0)
+    // simulate a crash between the two swap renames: the target is gone
+    // and _old holds the only complete copy
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/target"),
+      new org.apache.hadoop.fs.Path(s"$base/target_old")))
+    // next run ingests a disjoint batch; recovery must restore _old
+    // BEFORE merging — without it this run would silently drop every
+    // previously upserted row
+    ev.filter(col("event_id") >= 500 && col("event_id") < 550)
+      .write.parquet(s"$base/src2/p2")
+    StreamingOps.incrementalUpsert(spark, s"$base/src2/*", s"$base/target",
+      Seq("event_id"), "value")
+    val after = spark.read.parquet(s"$base/target")
+    assert(after.filter(col("event_id") < 100).count() === before)
+    assert(after.filter(col("event_id") >= 500).count() > 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/target_old")))
+  }
+
   test("streaming tumbling window equals its batch twin") {
     val streamed = StreamingOps.tumblingCounts(spark, sf)
     val batch = Tables.events(spark, sf)
