@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Recall gate for the parameterized AND-OR banded LSH ANN: against
   * brute-force cosine top-5, the 8-band × 2-bit config must reach
-  * recall ≥ 0.8 while actually pruning (candidate fraction < 1).
+  * recall ≥ 0.9 while actually pruning (candidate fraction < 1).
+  * (Measured 0.96 after the mod-29 plane-family fix gave all 16 planes
+  * genuine independence — the old mod-13 family reused planes 1..3 as
+  * 14..16 and sat lower; the 0.9 floor locks the repaired headroom.)
   *
   * Everything is deterministic (integer-weight planes, Det-rounded sims,
   * id tiebreaks), so the asserted numbers are stable, not flaky. Note the
@@ -17,7 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class AnnRecallSpec extends AnyFunSuite with SparkSuite {
 
-  test("banded ANN (8x2) recall >= 0.8 vs brute force, with real pruning") {
+  test("banded ANN (8x2) recall >= 0.9 vs brute force, with real pruning") {
     VectorFunctions.register(spark)
     val emb = Tables(spark, sf, "embeddings")
     val nCorpus = emb.count()
@@ -35,7 +38,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkSuite {
     assert(nTruth === nQueries * k)
     val hits = brute.join(ann, Seq("q_id", "vec_id"), "left_semi").count()
     val recall = hits.toDouble / nTruth
-    assert(recall >= 0.8, s"recall $recall = $hits/$nTruth")
+    assert(recall >= 0.9, s"recall $recall = $hits/$nTruth")
 
     // the candidate set must be a real subset of the cross product —
     // banding prunes even on this weakly-clustered fixture
