@@ -22,13 +22,27 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // same rule as Verify: a typo'd name must fail loudly, not produce
+    // an empty-but-valid-looking {"value":0,"failed":0} record the
+    // driver would parse as a perfect run
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY: unknown query name(s): " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     // 3 reps: the min-of-3 estimate agreed within ~10% median across
     // repeated full runs on this (noisy) box; 2 left ~10% of sub-second
     // queries outside 25%. FULL runs floor the env override at 3 — the
     // graded record silently dropped to 2 reps in round 4 (VERDICT r04
     // #8) and read ~10% high; explicit subsets (local iteration) may
     // still run fewer
-    val repsEnv = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val repsEnv = sys.env.get("SPARK_GRAFT_REPS") match {
+      case None => 3
+      case Some(v) => v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_REPS must be an integer, got '$v'"))
+    }
     val reps = (if (only.isEmpty) repsEnv.max(3) else repsEnv).max(1)
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -134,7 +148,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
-    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // whitelist-sanitized (same treatment as load1): a quote/backslash
+    // in a caller-supplied path would corrupt the one machine-parsed line
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir).replaceAll("[^A-Za-z0-9._-]", "_")
     // first /proc/loadavg field; anything not a strict decimal ("unknown",
     // a garbled "0." or "1.2.3") → -1 sentinel — a raw splice of a
     // malformed token would corrupt the one machine-parsed line

@@ -87,17 +87,42 @@ object VectorFunctions {
     * so the two can't drift.
     */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (exprs => DotProduct(exprs.head, exprs(1))),
-    "graft_shingles" -> (exprs => Shingles(exprs.head)),
-    "graft_shingle_set" -> (exprs => ShingleSet(exprs.head)),
-    "graft_minhash_lanes" -> (exprs => MinHashLanes(exprs.head)),
-    "graft_intersect_size" -> (exprs =>
-      IntersectSize(exprs.head, exprs(1))),
-    "graft_simhash16" -> (exprs => SimHash16(exprs.head)),
-    "graft_heavy_hitters" -> (exprs =>
-      MisraGries(exprs.head, intLiteral(exprs(1), "graft_heavy_hitters"))),
-    "graft_kmv_distinct" -> (exprs =>
-      KmvSketchAgg(exprs.head, intLiteral(exprs(1), "graft_kmv_distinct"))),
+    // every entry is arity-checked: without it, extra arguments are
+    // SILENTLY dropped (graft_shingles(body, 4) would just ignore the 4
+    // the user believes sets the width) and missing ones surface as a
+    // raw IndexOutOfBounds instead of an analysis error
+    "graft_dot" -> (exprs => {
+      arity("graft_dot", exprs, 2, 2)
+      DotProduct(exprs.head, exprs(1))
+    }),
+    "graft_shingles" -> (exprs => {
+      arity("graft_shingles", exprs, 1, 1)
+      Shingles(exprs.head)
+    }),
+    "graft_shingle_set" -> (exprs => {
+      arity("graft_shingle_set", exprs, 1, 1)
+      ShingleSet(exprs.head)
+    }),
+    "graft_minhash_lanes" -> (exprs => {
+      arity("graft_minhash_lanes", exprs, 1, 1)
+      MinHashLanes(exprs.head)
+    }),
+    "graft_intersect_size" -> (exprs => {
+      arity("graft_intersect_size", exprs, 2, 2)
+      IntersectSize(exprs.head, exprs(1))
+    }),
+    "graft_simhash16" -> (exprs => {
+      arity("graft_simhash16", exprs, 1, 1)
+      SimHash16(exprs.head)
+    }),
+    "graft_heavy_hitters" -> (exprs => {
+      arity("graft_heavy_hitters", exprs, 2, 2)
+      MisraGries(exprs.head, intLiteral(exprs(1), "graft_heavy_hitters"))
+    }),
+    "graft_kmv_distinct" -> (exprs => {
+      arity("graft_kmv_distinct", exprs, 2, 2)
+      KmvSketchAgg(exprs.head, intLiteral(exprs(1), "graft_kmv_distinct"))
+    }),
     // Spark's OWN runtime-filter bloom expressions, surfaced under graft
     // names: the optimizer only injects them into shuffle joins
     // (InjectRuntimeFilter), but an explicit semi-join gate — e.g.

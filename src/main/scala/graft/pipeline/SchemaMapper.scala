@@ -1,8 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
 
 /** The reference's one distinctive front-end: synonym-driven schema
   * normalization for heterogeneous inputs (SURVEY.md §1.2).
@@ -17,7 +15,10 @@ object SchemaMapper {
     * (normalize_column_name, reference ETL_OMS.py:38-39).
     */
   def normalize(name: String): String =
-    name.trim.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    // Locale.ROOT: a Turkish-locale JVM lowercases 'I' to dotless ı,
+    // which the [^a-z0-9] class then strips — same rule as Bench.fmt
+    name.trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", "_")
       .stripPrefix("_").stripSuffix("_")
 
   /** First-matching-synonym-wins rename (apply_flexible_mapping,
@@ -48,25 +49,31 @@ object SchemaMapper {
           if (c != std) mapping(c) = std
         }
     }
-    mapping.toMap.filter { case (c, std) =>
-      // hardening beyond the reference (which would emit duplicate
-      // columns): never rename onto a name another surviving column holds
-      !cols.exists(other => other != c && !mapping.contains(other) &&
-        other.equalsIgnoreCase(std))
+    // hardening beyond the reference (which would emit duplicate
+    // columns): never rename onto a name another surviving column holds.
+    // Two passes of care: (1) two sources claiming case-equal targets
+    // keep only the first (synonym order); (2) the survivor filter runs
+    // to a FIXPOINT — dropping a rename makes its source column survive
+    // under its own name, which can invalidate a further rename
+    // targeting that name (chained synonym tables).
+    val seenStd = scala.collection.mutable.Set[String]()
+    var m: Map[String, String] = mapping.iterator.filter { case (_, std) =>
+      seenStd.add(std.toLowerCase(java.util.Locale.ROOT))
+    }.toMap
+    var changed = true
+    while (changed) {
+      val next = m.filter { case (c, std) =>
+        !cols.exists(other => other != c && !m.contains(other) &&
+          other.equalsIgnoreCase(std))
+      }
+      changed = next.size != m.size
+      m = next
     }
+    m
   }
 
   /** Apply the synonym mapping as metadata-only renames. */
   def applyMapping(df: DataFrame,
       synonyms: Seq[(String, Seq[String])]): DataFrame =
     df.withColumnsRenamed(renameMap(df.columns.toSeq, synonyms))
-
-  /** Materialize absent standard columns with typed null defaults
-    * (reference ETL_OMS.py:65-67, ETL_OMS_OPERATIONNEL.py:89-93).
-    */
-  def ensureColumns(df: DataFrame, wanted: Seq[(String, DataType)]): DataFrame =
-    wanted.foldLeft(df) { case (acc, (name, t)) =>
-      if (acc.columns.contains(name)) acc
-      else acc.withColumn(name, lit(null).cast(t))
-    }
 }
