@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * under any JVM default locale (a comma-decimal locale once broke the
   * f-interpolated numbers) and under failure sentinels.
   */
-class BenchRenderSpec extends AnyFunSuite {
+class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
 
   private val results = Seq(
     ("q_a", 0.1234, Seq(0.5678, 0.1234)),
@@ -41,7 +41,8 @@ class BenchRenderSpec extends AnyFunSuite {
     // double-digit loadavgs
     val res = names.map(n => (n, 9.99, Seq(9.99)))
     val line = Bench.renderCompact(res, 3, "/root/testdata/sf0.1",
-      "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345")
+      "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345",
+      retried = 108)
     // true budget: 2000-char tail minus newline slack (the run JVM's
     // stdout now passes through raw — outputStrategy := StdoutOutput —
     // but keep margin for a stray shutdown line)
@@ -58,10 +59,37 @@ class BenchRenderSpec extends AnyFunSuite {
     // declared by the q_unit field so the record stays self-describing
     assert(line.contains("\"q_unit\":\"cs\""), line.take(160))
     assert(line.contains("\"delta\":999"), "q_ prefix + centisecond value")
-    // loadavg rides in the parsed record so the graded number can be
-    // noise-qualified without the (truncated) detail line
+    // loadavg + retry count ride in the parsed record so the graded
+    // number can be noise-qualified without the (truncated) detail line
     assert(line.contains("\"load1\":[31.99,31.88]"), line.takeRight(160))
+    assert(line.contains("\"retried\":108"), line.take(200))
     assert(line.count(_ == '{') === line.count(_ == '}'), "balanced braces")
+  }
+
+  test("outlier threshold: 3x idle reference, floored, safe default") {
+    // known query: 3x its embedded idle reference
+    assert(Bench.outlierThreshold("q_melt") ===
+      3.0 * Bench.reference("q_melt") +- 1e-9)
+    // sub-100ms reference floors at 0.10s so scheduler jitter alone
+    // can't trigger retries (q_sample_split ref 0.07 → threshold 0.30)
+    assert(Bench.outlierThreshold("q_sample_split") === 0.30 +- 1e-9)
+    // a query with no reference yet defaults to 0.5s → 1.5s threshold
+    assert(Bench.outlierThreshold("q_brand_new_this_round") === 1.5 +- 1e-9)
+  }
+
+  test("reference table has no stale entries for removed queries") {
+    // every reference key must still be a live query — a removed/renamed
+    // query must drop its reference entry, not leave drift. New queries
+    // WITHOUT a reference are fine (the default threshold covers them).
+    val live = SparkEntry.queries.keySet
+    val stale = Bench.reference.keySet.diff(live)
+    assert(stale.isEmpty, s"stale reference entries: ${stale.toSeq.sorted}")
+  }
+
+  test("load1 parses the first loadavg field, -1 sentinel otherwise") {
+    assert(Bench.load1("2.13 1.86 1.74 2/556 30270") === 2.13 +- 1e-9)
+    assert(Bench.load1("unknown") === -1.0 +- 1e-9)
+    assert(Bench.load1("") === -1.0 +- 1e-9)
   }
 
   test("compact line survives an unreadable /proc/loadavg") {

@@ -1,0 +1,131 @@
+package graft
+
+import graft.pipeline.SchemaMapper
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit coverage for the round-7 hardening branches in
+  * SchemaMapper.renameMap (VERDICT r07 #2) — the fixpoint survivor
+  * filter, the case-equal-target dedupe, and the Locale.ROOT normalize —
+  * plus a property over random header/synonym sets: a rename must never
+  * create a (case-insensitive) column-name collision. All pure
+  * driver-side metadata logic, so no Spark session is needed.
+  */
+class SchemaMapperSpec extends AnyFunSuite {
+
+  test("normalize: lower, collapse non-alphanumerics, trim underscores") {
+    assert(SchemaMapper.normalize("  Total Deaths!! ") === "total_deaths")
+    assert(SchemaMapper.normalize("Country/Region") === "country_region")
+    assert(SchemaMapper.normalize("__x__") === "x")
+  }
+
+  test("normalize is locale-proof: Turkish default locale keeps 'I' → 'i'") {
+    // a Turkish-locale JVM lowercases 'I' to dotless ı, which the
+    // [^a-z0-9] class would then strip ("ID" → "d"); Locale.ROOT in
+    // normalize must make the default locale irrelevant
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(SchemaMapper.normalize("ID") === "id")
+      assert(SchemaMapper.normalize("Province_ID") === "province_id")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("candidate-list order decides, not header order") {
+    // reference semantics (ETL_OMS.py:41-57): the FIRST candidate present
+    // among the headers claims the slot, regardless of header position
+    val m = SchemaMapper.renameMap(
+      Seq("province_state", "country_region"),
+      Seq("country" -> Seq("country_region", "province_state")))
+    assert(m === Map("country_region" -> "country"))
+  }
+
+  test("each input column is claimed at most once") {
+    // both standards list "val" first; only the first synonym entry gets
+    // it, the second falls through to its next candidate
+    val m = SchemaMapper.renameMap(
+      Seq("val", "amount"),
+      Seq("value" -> Seq("val"), "total" -> Seq("val", "amount")))
+    assert(m === Map("val" -> "value", "amount" -> "total"))
+  }
+
+  test("case-equal targets: first rename (synonym priority) wins") {
+    // two sources mapping to case-equal standards would emit two columns
+    // that differ only by case — the dedupe keeps the earlier synonym
+    // entry and drops the later one entirely
+    val m = SchemaMapper.renameMap(
+      Seq("pays", "land"),
+      Seq("Country" -> Seq("pays"), "country" -> Seq("land")))
+    assert(m === Map("pays" -> "Country"))
+  }
+
+  test("survivor filter: rename dropped when target collides with a surviving column") {
+    // "b" survives unrenamed, so a→b would produce duplicate columns
+    val m = SchemaMapper.renameMap(
+      Seq("a", "b"),
+      Seq("b" -> Seq("a")))
+    assert(m === Map.empty[String, String])
+  }
+
+  test("fixpoint: dropping a rename revives its source, killing a chained rename") {
+    // pass 1: a→b collides with surviving "b" and is dropped — which
+    // revives "a" as a surviving name; the fixpoint pass must then also
+    // drop c→a, which a single-pass filter would have kept (when it ran,
+    // "a" still looked renamed-away)
+    val m = SchemaMapper.renameMap(
+      Seq("a", "c", "b"),
+      Seq("b" -> Seq("a"), "a" -> Seq("c")))
+    assert(m === Map.empty[String, String])
+  }
+
+  test("chained synonym tables stay intact when no collision arises") {
+    // same chain shape as above but "b" is absent, so a→b survives and
+    // c→a remains valid: the fixpoint must not over-drop
+    val m = SchemaMapper.renameMap(
+      Seq("a", "c"),
+      Seq("b" -> Seq("a"), "a" -> Seq("c")))
+    assert(m === Map("a" -> "b", "c" -> "a"))
+  }
+
+  test("property: renames never create a case-insensitive collision") {
+    // small pools with deliberate case/underscore variants so collisions
+    // are likely in the raw mapping and the hardening branches actually
+    // fire across samples
+    val colPool = Seq("a", "A", "b", "B_", "c", "val", "Val", "amount",
+      "country", "Country_Region", "d", "e")
+    val stdPool = Seq("a", "b", "c", "B", "value", "country", "total", "D")
+    val synGen: Gen[(String, Seq[String])] = for {
+      std <- Gen.oneOf(stdPool)
+      syns <- Gen.listOf(Gen.oneOf(colPool.map(SchemaMapper.normalize)))
+    } yield std -> syns
+    val caseGen = for {
+      cols <- Gen.listOf(Gen.oneOf(colPool)).map(_.distinct)
+      syns <- Gen.listOf(synGen)
+    } yield (cols, syns)
+    val samples = Iterator.continually(caseGen.sample).flatten.take(500).toSeq
+    samples.foreach { case (cols, syns) =>
+      val m = SchemaMapper.renameMap(cols, syns)
+      val ctx = s"cols=$cols syns=$syns m=$m"
+      // keys are real, distinct input columns
+      assert(m.keySet.subsetOf(cols.toSet), ctx)
+      // no two renames target case-equal names
+      val targets = m.values.toSeq.map(_.toLowerCase(java.util.Locale.ROOT))
+      assert(targets.distinct.size === targets.size, ctx)
+      // no rename target collides with a surviving (unrenamed) column
+      m.foreach { case (c, std) =>
+        assert(!cols.exists(o => o != c && !m.contains(o) &&
+          o.equalsIgnoreCase(std)), s"$std collides; $ctx")
+      }
+      // end to end: applying the mapping adds no NEW case-folded
+      // duplicate beyond those already present among the input headers
+      def dupCounts(names: Seq[String]) = names
+        .groupBy(_.toLowerCase(java.util.Locale.ROOT)).view
+        .mapValues(_.size).toMap
+      val before = dupCounts(cols)
+      val after = dupCounts(cols.map(c => m.getOrElse(c, c)))
+      after.foreach { case (k, n) =>
+        assert(n <= before.getOrElse(k, 0).max(1), s"dup '$k'; $ctx")
+      }
+    }
+  }
+}
