@@ -42,7 +42,7 @@ object Bench {
     "q_chunk" -> 0.20, "q_classify" -> 0.10, "q_cohort" -> 0.31,
     "q_contamination" -> 0.41, "q_count" -> 0.12,
     "q_count_distinct" -> 0.46, "q_cube" -> 0.29, "q_dates" -> 0.24,
-    "q_dedup_clusters" -> 2.20, "q_dedup_exact" -> 0.15,
+    "q_dedup_clusters" -> 1.36, "q_dedup_exact" -> 0.15,
     "q_dedup_keeplast" -> 0.28, "q_dedup_near" -> 0.54,
     "q_delta" -> 0.27, "q_dim_update" -> 0.32, "q_distinct" -> 0.19,
     "q_distribution" -> 0.18, "q_dup_spans" -> 0.78,

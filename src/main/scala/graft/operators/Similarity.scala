@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   * making band 8 pure recombination and costing real recall). 29 covers
   * up to 28 planes; raise it (prime, > nBands·bits) before configuring
   * more.
+  *
+  * Known residual bias: the p-coefficient (37 + 11i) ≡ 0 (mod 29) at
+  * i = 23 and i = 52, so at dim 64 those two coordinates are the same
+  * constant across ALL planes (w = -2 here) — a fixed shared component,
+  * not full per-plane independence. Measured recall at the current
+  * configuration is 0.96 against the 0.9 gate (AnnRecallSpec), so it's
+  * accepted; when raising the modulus, also require
+  * (37 + 11i) % modulus != 0 for i < dim to eliminate it.
   */
 object Ann {
   import org.apache.spark.sql.{Column, DataFrame}

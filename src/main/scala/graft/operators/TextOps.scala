@@ -88,8 +88,9 @@ object TextOps {
   }
 
   /** Connected components by iterative min-label propagation over an
-    * undirected `(a_id, b_id)` edge list (pre-persisted, tiny — the
-    * near-dup subgraph of a corpus). Returns `(id, lbl)` where `lbl` is
+    * undirected `(a_id, b_id)` edge list (tiny — the near-dup subgraph
+    * of a corpus; pinned + lineage-cut here via eager localCheckpoint,
+    * so callers need not persist it). Returns `(id, lbl)` where `lbl` is
     * the minimum id reachable from `id` — the deterministic canonical
     * representative. Tested directly on multi-hop graphs in
     * ConnectedComponentsSpec; exercised end-to-end (with the DuckDB
@@ -104,12 +105,18 @@ object TextOps {
     * (Verify/Bench/tests are single-threaded per session).
     *
     * Shape notes (all measured at sf0.1, idle min-of-3):
-    *   - The edge list is pinned (count on the cached frame) BEFORE
-    *     iterating: the loop's first action references the labels lineage
-    *     several times (step input, neighbor join, witness scan), and
-    *     with the cache still cold each reference races to recompute the
-    *     heavy upstream pipeline concurrently — the standard
-    *     persist-then-materialize idiom any iterative-graph job needs.
+    *   - The edge list is pinned with an EAGER localCheckpoint BEFORE
+    *     iterating, which does two jobs at once: materializes the heavy
+    *     upstream pipeline exactly once (the loop's first action would
+    *     otherwise race several cold-cache references to it), and CUTS
+    *     THE LINEAGE — without the cut, every round's tiny 1-partition
+    *     query drags the whole candidate-generation plan back through
+    *     analysis/optimization/codegen even though execution hits the
+    *     cache, ~0.25s/round of pure driver planning at sf0.1. Local
+    *     checkpoint blocks don't survive executor loss; a long-running
+    *     cluster job should swap in reliable checkpointing (same
+    *     one-line call) — the planning-cost argument only strengthens
+    *     with scale.
     *   - One propagation step = min over (current ∪ neighbor-hop): one
     *     join + one aggregate. Round count is O(diameter), which for
     *     near-dup clusters is small by construction (dup clusters are
@@ -120,26 +127,37 @@ object TextOps {
     *     unmaterialized inner step per reference for +1.5s. A giant
     *     high-diameter graph flips that trade-off; both variants are a
     *     one-line change to step().
-    *   - Convergence witness: labels only ever decrease, so the label SUM
-    *     is monotone and equal sums ⇔ fixpoint — one aggregate instead of
-    *     a change-detection join, and the before/after sums come from a
-    *     single tagged-union action, so each round costs ONE driver
-    *     barrier. Summed as decimal(38,0): a long would wrap past 2^63 on
-    *     billions of large doc_ids and could fake convergence.
+    *   - Convergence witness, fused into the step: the previous label is
+    *     carried THROUGH the min-aggregate (prev contributes exactly one
+    *     tagged row per id, so `min(when(own, lbl))` recovers it), and an
+    *     `Observation` on the same plan counts rows whose label changed
+    *     while the materializing count() runs. Each round is therefore
+    *     ONE action over exactly the rows the step had to touch anyway —
+    *     no separate before/after scan, no driver-side result beyond the
+    *     observed counter, and changed==0 ⇔ fixpoint exactly (updates
+    *     are monotone decreasing). This replaced a tagged-union
+    *     label-SUM witness that needed a decimal(38,0) accumulator to
+    *     rule out wraparound faking convergence; counting changes has no
+    *     overflow mode at all.
     *   - Loop-scoped conf (restored in finally): 1 shuffle partition to
     *     match the caller's repartition(1) subgraph (the session's 32
     *     would schedule 32 near-empty tasks per exchange), AQE off (each
     *     exchange would become a separately materialized + re-optimized
-    *     query stage — pure latency on this fixed-shape tiny DAG). Each
-    *     knob was worth ~0.8s/query. Raise both together with the
-    *     caller's repartition(1) at real scale.
+    *     query stage — pure latency on this fixed-shape tiny DAG), and
+    *     whole-stage codegen off (each round compiles fresh generated
+    *     classes for a job that touches a few hundred rows — measured
+    *     ~0.3s/round, the compile never amortizes). The first two knobs
+    *     were worth ~0.8s/query each. At real scale raise the partition
+    *     count with the caller's repartition(1), re-enable AQE, and
+    *     re-enable codegen once per-round data is large enough to
+    *     amortize the compile (~millions of rows).
     */
   def connectedComponents(s: org.apache.spark.sql.SparkSession,
       edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    edges.count()
-    val sym = edges
+    val e = edges.localCheckpoint()
+    val sym = e
       .select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .union(e.select(col("b_id").as("u"), col("a_id").as("v")))
     // round 0 folded into the init: min(self, direct neighbors) in one
     // aggregation, no join — for cliquish dup clusters this is already
     // the fixpoint and the loop only confirms it
@@ -147,49 +165,49 @@ object TextOps {
       .union(sym.select(col("u").as("id"), col("u").as("lbl")))
       .groupBy("id").agg(min("lbl").as("lbl"))
       .persist()
-    def step(l: org.apache.spark.sql.DataFrame) = {
+    // one propagation round: min over (current ∪ neighbor-hop), with the
+    // convergence witness fused in — prev's label rides through the
+    // aggregate on a tagged row and the Observation counts changes
+    // during the same action that materializes the result
+    def step(l: org.apache.spark.sql.DataFrame,
+        obs: org.apache.spark.sql.Observation) = {
       val via = sym.join(l, col("u") === col("id"))
         .select(col("v").as("id"), col("lbl"))
-      l.union(via).groupBy("id").agg(min("lbl").as("lbl"))
-    }
-    def sums2(prev: org.apache.spark.sql.DataFrame,
-        next: org.apache.spark.sql.DataFrame): (BigDecimal, BigDecimal) = {
-      val m = prev.select(lit(0).as("g"), col("lbl"))
-        .union(next.select(lit(1).as("g"), col("lbl")))
-        .groupBy("g").agg(sum(col("lbl").cast("decimal(38,0)")).as("s"),
-          count(lit(1)).as("c"))
-        .collect()
-        .map { r =>
-          // a NON-EMPTY group with a null sum is decimal(38,0) overflow
-          // (ANSI-off nulls instead of throwing) — mapping it to 0 would
-          // fake convergence with unpropagated labels, the exact failure
-          // the decimal accumulator exists to rule out. Empty groups
-          // (no rows at all) legitimately read as 0.
-          if (r.isNullAt(1) && r.getLong(2) > 0)
-            throw new ArithmeticException(
-              "connectedComponents: label-sum overflowed decimal(38,0)")
-          r.getInt(0) ->
-            (if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
-        }
-        .toMap
-      (m.getOrElse(0, BigDecimal(0)), m.getOrElse(1, BigDecimal(0)))
+      l.select(col("id"), col("lbl"), lit(true).as("own"))
+        .union(via.select(col("id"), col("lbl"), lit(false).as("own")))
+        .groupBy("id")
+        .agg(min("lbl").as("lbl"),
+          // every id has exactly ONE own row (l is already keyed by id),
+          // so this recovers prev's label; via-only ids can't exist (all
+          // of sym's v values appear as u values by symmetry)
+          min(when(col("own"), col("lbl"))).as("prev_lbl"))
+        .observe(obs,
+          // count(when(...)) not sum(...): count is 0 on an empty
+          // frame where sum would be null
+          count(when(col("lbl") =!= col("prev_lbl"), lit(1)))
+            .as("changed"))
+        .select("id", "lbl")
     }
     val loopConf = Seq("spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "1")
+      "spark.sql.shuffle.partitions" -> "1",
+      "spark.sql.codegen.wholeStage" -> "false")
     val prevConf = loopConf.map { case (k, _) => k -> s.conf.get(k) }
     try {
       loopConf.foreach { case (k, v) => s.conf.set(k, v) }
       var converged = false
       while (!converged) {
-        val next = step(labels).persist()
+        val obs = new org.apache.spark.sql.Observation()
+        val next = step(labels, obs).persist()
         // on a mid-loop failure, drop BOTH cached frames before
         // rethrowing — the finally below restores conf, not cache state
-        val (prevSum, curSum) =
-          try sums2(labels, next)
-          catch { case t: Throwable =>
+        val changed =
+          try {
+            next.count()
+            obs.get("changed").asInstanceOf[Long]
+          } catch { case t: Throwable =>
             next.unpersist(); labels.unpersist(); throw t
           }
-        converged = curSum == prevSum
+        converged = changed == 0L
         labels.unpersist()
         labels = next
       }
@@ -454,7 +472,6 @@ object TextOps {
           .filter(jac >= 0.5)
           .select("a_id", "b_id")
           .repartition(1)
-          .persist()
         connectedComponents(s, edges)
           .select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
       },

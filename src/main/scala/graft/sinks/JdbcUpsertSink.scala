@@ -119,6 +119,15 @@ object JdbcUpsertSink {
     *     cannot even be written unquoted in Derby DDL or MERGE).
     *   Table names stay unquoted — Spark passes the user's table string
     *   through raw, so both sides case-fold identically.
+    *
+    * MIGRATION (changed in round 7): earlier revisions quoted TARGET
+    * columns in their given lowercase and defaulted missing columnTypes
+    * entries to a TEXT/VARCHAR fallback. A deployment whose target table
+    * was created with quoted-LOWERCASE DDL (the pattern the old doc and
+    * the old Derby test prescribed) must recreate/re-case that table —
+    * the uppercase-folded references no longer match quoted-lowercase
+    * columns — and every caller must now supply a COMPLETE columnTypes
+    * map (construction throws otherwise; no silent type fallback).
     */
   object AnsiMergeDialect extends Dialect {
     private def q(id: String) = "\"" + id + "\""

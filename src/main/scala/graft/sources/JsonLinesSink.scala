@@ -135,10 +135,20 @@ private[sources] class JsonLinesBatchWrite(path: String,
     // sweep orphan staged files from crashed/zombie attempts of THIS
     // query (a killed executor never runs DataWriter.abort; only the
     // winning attempt's file is in a commit message) — without this,
-    // successful jobs leak .staged-* clutter forever
+    // successful jobs leak .staged-* clutter forever. BEST-EFFORT only:
+    // a zombie task may still hold its staged file open and some
+    // filesystems recreate it on the writer's close/flush, so one file
+    // can leak until the next commit; correctness is untouched either
+    // way (only promoted part-*.jsonl files are ever visible). A false
+    // delete return is logged, not raised — failing the commit over
+    // clutter would turn cleanup into a correctness hazard.
     f.listStatus(dir)
       .filter(_.getPath.getName.startsWith(s".staged-$queryId"))
-      .foreach(st => f.delete(st.getPath, false))
+      .foreach { st =>
+        if (!f.delete(st.getPath, false))
+          Console.err.println(
+            s"graft_jsonl: orphan staged file survived sweep: ${st.getPath}")
+      }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -47,8 +47,10 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
   test("loop-scoped conf is restored on the session") {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    val codegen = spark.conf.get("spark.sql.codegen.wholeStage")
     cc(Seq((1L, 2L)))
     assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe)
     assert(spark.conf.get("spark.sql.shuffle.partitions") === parts)
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") === codegen)
   }
 }
