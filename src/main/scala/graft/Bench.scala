@@ -73,12 +73,14 @@ object Bench {
     "q_sort" -> 0.16, "q_sql_report" -> 0.27, "q_star_join" -> 0.37,
     "q_stats_moments" -> 0.70, "q_stratified" -> 0.12,
     "q_string_agg" -> 0.09, "q_strings" -> 0.11,
-    "q_subquery_corr" -> 0.15, "q_surrogate_ids" -> 0.11,
+    "q_subquery_corr" -> 0.15, "q_surprisal" -> 0.76,
+    "q_surrogate_ids" -> 0.11,
     "q_synth_source" -> 0.05, "q_text_stats" -> 0.14, "q_tfidf" -> 0.59,
     "q_token_count" -> 0.19, "q_topk" -> 0.10, "q_tpch_q1" -> 0.41,
     "q_tpch_q3" -> 0.44, "q_tpch_q5" -> 0.64, "q_try_arith" -> 0.85,
     "q_tumbling" -> 0.16, "q_union" -> 0.11, "q_upsert" -> 0.27,
-    "q_window_range" -> 0.21, "q_winsorize" -> 0.45, "q_zorder" -> 0.11)
+    "q_weighted_sample" -> 0.16, "q_window_range" -> 0.21,
+    "q_winsorize" -> 0.45, "q_zorder" -> 0.11)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms

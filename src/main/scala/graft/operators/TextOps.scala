@@ -546,6 +546,55 @@ object TextOps {
         "ORDER BY score DESC, token) AS INT) AS rn FROM scored) " +
         "WHERE rn <= 3")),
 
+    // X5: unigram-LM surprisal scoring — the corpus is its own language
+    // model and each doc is scored by how surprising its tokens are
+    // (high avg surprisal ⇒ rare/garbled text, low ⇒ boilerplate): the
+    // classic cheap quality/novelty signal for corpus curation.
+    // Surprisal is measured in WHOLE BITS, floor(log2(total/cnt)) =
+    // length(bin(total DIV cnt)) - 1 — integer arithmetic end to end,
+    // because a fractional log2 would put a transcendental in an
+    // oracle-hashed column (q_tfidf's log-free-idf reasoning). Shape:
+    // one explode → (doc,token) tf, token counts off tf, a 1-row
+    // broadcast total, tf⋈counts on token, per-doc sum — the
+    // inverted-index scoring pass. At real scale the token join's
+    // heavy-hitter skew ("the") is AQE-skew-join territory, or
+    // broadcast the head vocabulary and shuffle only the tail.
+    QDef("q_surprisal",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("token"))
+        val tf = toks.groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"))
+        val cnts = tf.groupBy("token").agg(sum("tf").as("cnt"))
+        val tot = cnts.agg(sum("cnt").as("total"))
+        tf.join(cnts, "token")
+          .crossJoin(broadcast(tot))
+          .withColumn("bits",
+            (length(bin(expr("total DIV cnt"))) - 1).cast("bigint"))
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_toks"),
+            sum(col("tf") * col("bits")).as("sum_bits"))
+          .select(col("doc_id"), col("n_toks"), col("sum_bits"),
+            Det.rnd(col("sum_bits").cast("double") / col("n_toks"), 6)
+              .as("avg_bits"))
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(" +
+        "string_split_regex(trim(text), '\\s+')) AS token " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
+        "GROUP BY doc_id, token), " +
+        "c AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf " +
+        "GROUP BY token), " +
+        "n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c), " +
+        "b AS (SELECT tf.doc_id, tf.tf, " +
+        "length(bin(n.total // c.cnt)) - 1 AS bits " +
+        "FROM tf JOIN c USING (token) CROSS JOIN n) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks, " +
+        "CAST(sum(tf * bits) AS BIGINT) AS sum_bits, " +
+        Det.rndSql("CAST(sum(tf * bits) AS DOUBLE) / sum(tf)", 6) +
+        " AS avg_bits FROM b GROUP BY doc_id")),
+
     // explode + aggregate: the inverted-index building block (token →
     // postings) behind scaled near-dedup; top-20 corpus tokens with a
     // deterministic (count desc, token) cut.

@@ -390,6 +390,36 @@ object TrainingData {
           "SELECT ev.event_id, ev.event_type, " +
           graft.Det.rndSql("least(greatest(ev.value, b.q05), b.q95)", 4) +
           " AS value_w FROM ev JOIN b USING (event_type)"
-      })
+      }),
+
+    // Weighted sampling without replacement via sequential Poisson
+    // sampling (Ohlsson 1998): priority = w/u with u uniform from the
+    // doc's md5; the k largest priorities are a πps-approximate sample
+    // (inclusion probability ≈ k·w/Σw). Chosen over the classic
+    // Efraimidis-Spirakis u^(1/w) key because the priority is PURE
+    // RATIONAL ARITHMETIC on exact inputs — u = (hex32(md5)+0.5)/2^32
+    // is an exact dyadic double (power-of-two divisor) and IEEE
+    // division is correctly rounded, so both engines produce
+    // bit-identical priorities, where pow/ln can drift an ulp between
+    // libm implementations (same reasoning as q_tfidf's log-free idf).
+    // Weight = n_chars: length-proportional ≈ token-budget-proportional
+    // sampling, the usual corpus-subsampling weighting. Shape:
+    // embarrassingly parallel scoring + TakeOrderedAndProject top-k —
+    // no global sort, no corpus shuffle at any scale.
+    QDef("q_weighted_sample",
+      (s, d) => {
+        val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("bigint")
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            (col("n_chars") / ((v + lit(0.5)) / lit(4294967296.0)))
+              .as("priority"))
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some("SELECT doc_id, n_chars, " +
+        "n_chars / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
+        "1, 8)) AS BIGINT) + 0.5) / 4294967296.0) AS priority " +
+        "FROM documents ORDER BY priority DESC, doc_id LIMIT 25"))
   )
 }

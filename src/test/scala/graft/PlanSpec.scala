@@ -201,4 +201,29 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // k rows per group survive each partition before the shuffle
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q_weighted_sample: top-k with no exchange, priority inside codegen") {
+    // sequential-Poisson sampling must stay a single-pass partial top-k
+    // (TakeOrderedAndProject: per-partition heaps + driver merge of k
+    // rows) — a global Sort+Exchange here would shuffle the corpus to
+    // sample 25 docs
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_surprisal: AQE reuses the tf shuffle for counts and total") {
+    // the query references the exploded (doc,token) tf pipeline three
+    // times (tf join input, token counts, corpus total); without
+    // exchange reuse the corpus would be scanned + exploded three times.
+    // Reuse is a RUNTIME AQE decision, so execute first and assert on
+    // the final adaptive plan.
+    val df = SparkEntry.queries("q_surprisal")(spark, sf)
+    // collect() drives df's OWN query execution, so its
+    // AdaptiveSparkPlan finalizes in place (a write would plan a fresh
+    // execution and leave this one un-finalized)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).size >= 2, p)
+  }
 }
