@@ -99,6 +99,13 @@ object TextOps {
     * Caller contract: the returned frame is PERSISTED (the loop
     * materialized it) — release it via unpersist()/catalog.clearCache()
     * when done (Verify/Bench clear the cache after every query). The
+    * pinned edge list lives as localCheckpoint RDD blocks, which
+    * clearCache() does NOT free: they are released by ContextCleaner
+    * once the returned frame (whose recompute path needs them) becomes
+    * unreachable and the driver GCs it. Per call that is the tiny
+    * near-dup edge list, bounded and self-cleaning in a long session;
+    * at cluster scale prefer reliable checkpointing anyway (see below).
+    * The
     * loop also briefly rewrites session-GLOBAL conf (restored in the
     * finally below), so the driver must not plan unrelated queries on
     * this session concurrently — true of every current caller

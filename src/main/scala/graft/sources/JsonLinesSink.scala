@@ -139,16 +139,24 @@ private[sources] class JsonLinesBatchWrite(path: String,
     // a zombie task may still hold its staged file open and some
     // filesystems recreate it on the writer's close/flush, so one file
     // can leak until the next commit; correctness is untouched either
-    // way (only promoted part-*.jsonl files are ever visible). A false
-    // delete return is logged, not raised — failing the commit over
-    // clutter would turn cleanup into a correctness hazard.
-    f.listStatus(dir)
+    // way (only promoted part-*.jsonl files are ever visible). By this
+    // point every promotion already succeeded, so NOTHING here may fail
+    // the commit — a false delete return is logged, and a thrown
+    // IOException (lease held by a zombie, transient store RPC) is
+    // caught and logged too; either would otherwise report a failed
+    // write whose output is fully visible.
+    try f.listStatus(dir)
       .filter(_.getPath.getName.startsWith(s".staged-$queryId"))
       .foreach { st =>
         if (!f.delete(st.getPath, false))
           Console.err.println(
             s"graft_jsonl: orphan staged file survived sweep: ${st.getPath}")
       }
+    catch {
+      case e: java.io.IOException =>
+        Console.err.println(
+          s"graft_jsonl: orphan sweep failed (data already committed): $e")
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

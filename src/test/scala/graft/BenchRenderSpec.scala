@@ -86,6 +86,18 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(stale.isEmpty, s"stale reference entries: ${stale.toSeq.sorted}")
   }
 
+  test("retry pass only runs at/below the reference calibration scale") {
+    assert(Bench.retryEligible("/root/testdata/sf0.1"))
+    assert(Bench.retryEligible("/root/testdata/sf0.01"))
+    assert(Bench.retryEligible("/root/testdata/sf0.001"))
+    // larger scales: every query would legitimately exceed its sf0.1
+    // reference — no retries, no saturated `retried` signal
+    assert(!Bench.retryEligible("/root/testdata/sf1"))
+    assert(!Bench.retryEligible("/root/testdata/sf10"))
+    // unrecognized layout: assume uncalibrated
+    assert(!Bench.retryEligible("/data/mycorpus"))
+  }
+
   test("load1 parses the first loadavg field, -1 sentinel otherwise") {
     assert(Bench.load1("2.13 1.86 1.74 2/556 30270") === 2.13 +- 1e-9)
     assert(Bench.load1("unknown") === -1.0 +- 1e-9)
