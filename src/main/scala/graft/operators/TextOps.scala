@@ -65,7 +65,11 @@ object TextOps {
     * recomputing them for the (tiny) candidate fetch — and candidates
     * travel as ids only, so the arrays never fan out through the joins.
     */
-  private def bandCandidates(s: org.apache.spark.sql.SparkSession,
+  /** (repartitioned docs, persisted (doc_id, band1, band2) signatures) —
+    * the band index both the self-join (bandCandidates) and the
+    * incremental new-vs-corpus join (q_dedup_incremental) block on.
+    */
+  private def bandSignatures(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
     graft.functions.VectorFunctions.register(s)
@@ -76,6 +80,13 @@ object TextOps {
         md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
         md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
       .persist()
+    (docs, bands)
+  }
+
+  private def bandCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val (docs, bands) = bandSignatures(s, d)
     val a = bands.select(col("doc_id").as("a_id"), col("band1"),
       col("band2"))
     val b = bands.select(col("doc_id").as("b_id"),
@@ -448,6 +459,64 @@ object TextOps {
         "AS jaccard FROM c WHERE CAST(len(list_intersect(atoks, btoks)) " +
         "AS DOUBLE) / (len(atoks) + len(btoks) - " +
         "len(list_intersect(atoks, btoks))) >= 0.5")),
+
+    // X4: INCREMENTAL near-dedup — the production ingest shape: a new
+    // batch (md5 bucket >= 'cd', ~20% of docs, standing in for today's
+    // crawl; same split family as q_sample_split) is checked for
+    // near-duplicates AGAINST the existing corpus (~80%) through the
+    // same MinHash band index. Band keys equi-join new→old (two joins +
+    // distinct, never batch×corpus), candidates travel as id pairs,
+    // exact token-Jaccard re-verifies candidates only. At scale the old
+    // side's (doc_id, band1, band2) index is a STORED table maintained
+    // at ingest — each batch then costs O(|batch| + collisions), never
+    // a corpus re-scan/re-hash; bucket the stored index on the band
+    // keys and the join is exchange-free on the corpus side. May
+    // legitimately return 0 rows when no batch doc near-dups the corpus.
+    QDef("q_dedup_incremental",
+      (s, d) => {
+        val (docs, bands) = bandSignatures(s, d)
+        val bucket = graft.operators.TrainingData
+          .hashPrefixOf(col("doc_id"), 2)
+        val nw = bands.filter(bucket >= "cd")
+          .select(col("doc_id").as("new_id"), col("band1"), col("band2"))
+        val ex = bands.filter(bucket < "cd")
+          .select(col("doc_id").as("old_id"),
+            col("band1").as("eb1"), col("band2").as("eb2"))
+        val c1 = nw.join(ex, col("band1") === col("eb1"))
+          .select("new_id", "old_id")
+        val c2 = nw.join(ex, col("band2") === col("eb2"))
+          .select("new_id", "old_id")
+        val cand = c1.union(c2).distinct()
+        val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
+        val inter = expr("graft_intersect_size(n_toks_a, e_toks_a)")
+        val jac = inter.cast("double") /
+          (size(col("n_toks_a")) + size(col("e_toks_a")) - inter)
+        cand
+          .join(toks.select(col("doc_id").as("new_id"),
+            col("toks").as("n_toks_a")), "new_id")
+          .join(toks.select(col("doc_id").as("old_id"),
+            col("toks").as("e_toks_a")), "old_id")
+          .select(col("new_id"), col("old_id"), jac.as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+      },
+      Some(sigSql +
+        ", nw AS (SELECT * FROM g " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'), " +
+        "ex AS (SELECT * FROM g " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'), " +
+        "c AS (" +
+        "SELECT nw.doc_id AS new_id, ex.doc_id AS old_id, " +
+        "nw.toks AS ntoks, ex.toks AS etoks FROM nw JOIN ex " +
+        "ON nw.band1 = ex.band1 " +
+        "UNION " +
+        "SELECT nw.doc_id, ex.doc_id, nw.toks, ex.toks FROM nw JOIN ex " +
+        "ON nw.band2 = ex.band2) " +
+        "SELECT new_id, old_id, " +
+        "CAST(len(list_intersect(ntoks, etoks)) AS DOUBLE) / " +
+        "(len(ntoks) + len(etoks) - len(list_intersect(ntoks, etoks))) " +
+        "AS jaccard FROM c WHERE CAST(len(list_intersect(ntoks, etoks)) " +
+        "AS DOUBLE) / (len(ntoks) + len(etoks) - " +
+        "len(list_intersect(ntoks, etoks))) >= 0.5")),
 
     // X4: near-dup CLUSTER consolidation — pairs alone don't dedupe a
     // corpus; the pipeline needs connected components over the pair

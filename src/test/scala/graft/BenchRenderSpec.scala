@@ -31,39 +31,67 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
   }
 
   test("compact line fits the driver's 2000-char stdout tail for ALL queries") {
-    // the driver keeps only the last ~2000 chars of stdout; build the
-    // compact line from the REAL query list with worst-ish values so any
-    // future query addition that overflows the window fails here, not in
-    // the round's bench record
+    // the driver keeps only the last 2000 chars of stdout (measured from
+    // the BENCH_r05-r07 tails); build the compact line from the REAL
+    // query list so any future query addition that overflows the window
+    // fails here, not in the round's bench record
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.size >= 100)
-    // worst case: every centisecond value needs all 3 digits,
-    // double-digit loadavgs
+    // realistic ceiling: 2-digit centiseconds (an idle run is almost
+    // entirely 10-99cs queries) — must fit with NO omission
+    val realistic = names.map(n => (n, 0.42, Seq(0.42)))
+    val rLine = Bench.renderCompact(realistic, 3, "/root/testdata/sf0.1",
+      "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345",
+      retried = 108)
+    assert(rLine.length <= Bench.BudgetChars, s"len=${rLine.length}")
+    assert(!rLine.contains("\"omitted\""), rLine.take(200))
+    assert(rLine.contains("\"delta\":42"), "q_ prefix + centisecond value")
+    // pathological ceiling: EVERY query at 9.99s (3-digit cs). The line
+    // must still fit by omitting the cheapest entries, declared via
+    // "omitted":N — the slowest queries always survive
     val res = names.map(n => (n, 9.99, Seq(9.99)))
     val line = Bench.renderCompact(res, 3, "/root/testdata/sf0.1",
       "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345",
       retried = 108)
-    // true budget: 2000-char tail minus newline slack (the run JVM's
-    // stdout now passes through raw — outputStrategy := StdoutOutput —
-    // but keep margin for a stray shutdown line)
-    assert(line.length <= 1950, s"len=${line.length}")
+    assert(line.length <= Bench.BudgetChars, s"len=${line.length}")
     // the driver json.loads's this line verbatim: it must BE the JSON
     // object — no prefix (the sbt "[info] " corruption of rounds 1-4),
     // single line, brace to brace
     assert(line.startsWith("{") && line.endsWith("}"), line.take(60))
     assert(!line.contains("\n"), "must be a single line")
     assert(line.contains("\"prefix\":\"q_\""), line.take(120))
-    assert(line.contains("\"reps\":3"), line.takeRight(120))
+    assert(line.contains("\"reps\":3"), line.takeRight(160))
     assert(line.contains("\"sf\":\"sf0.1\""), line.takeRight(120))
     // q_ prefix stripped; per-query values are integer centiseconds,
     // declared by the q_unit field so the record stays self-describing
     assert(line.contains("\"q_unit\":\"cs\""), line.take(160))
-    assert(line.contains("\"delta\":999"), "q_ prefix + centisecond value")
     // loadavg + retry count ride in the parsed record so the graded
     // number can be noise-qualified without the (truncated) detail line
     assert(line.contains("\"load1\":[31.99,31.88]"), line.takeRight(160))
     assert(line.contains("\"retried\":108"), line.take(200))
     assert(line.count(_ == '{') === line.count(_ == '}'), "balanced braces")
+    // degradation is declared and bounded (only the few cheapest fall)
+    val omitted = "\"omitted\":(\\d+)".r.findFirstMatchIn(line)
+    assert(omitted.nonEmpty, line.take(200))
+    assert(omitted.get.group(1).toInt <= 10, line.take(200))
+  }
+
+  test("overflow omission drops cheapest queries, never failed sentinels") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // one failed query among uniformly slow ones: the -1 sentinel must
+    // survive omission even though -1 "sorts cheap"
+    val res = names.zipWithIndex.map { case (n, i) =>
+      if (i == 0) (n, -1.0, Seq(-1.0))
+      else (n, 9.0 + i * 0.01, Seq(9.0 + i * 0.01))
+    }
+    val line = Bench.renderCompact(res, 3, "/tmp/sf0.1")
+    assert(line.length <= Bench.BudgetChars, s"len=${line.length}")
+    assert(line.contains(
+      "\"" + names.head.stripPrefix("q_") + "\":-1"), line.take(300))
+    assert(line.contains("\"failed\":1"), line)
+    // the slowest query (last index) must be present
+    assert(line.contains("\"" + names.last.stripPrefix("q_") + "\":"),
+      line.takeRight(300))
   }
 
   test("outlier threshold: 3x idle reference, floored, safe default") {

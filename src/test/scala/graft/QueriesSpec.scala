@@ -12,7 +12,7 @@ class QueriesSpec extends AnyFunSuite with SparkSuite {
   // planted near-duplicates; they must still run without error.
   private val mayBeEmpty =
     Set("q_dedup_near", "q_embed_dedup", "q_ngram_jaccard",
-      "q_dedup_clusters")
+      "q_dedup_clusters", "q_dedup_incremental")
 
   test("all registered queries run and return rows") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
