@@ -65,6 +65,20 @@ object TextOps {
     * recomputing them for the (tiny) candidate fetch — and candidates
     * travel as ids only, so the arrays never fan out through the joins.
     */
+  /** (doc_id, toks, band1, band2) for any documents-shaped frame —
+    * stateless per-row expressions, so it works identically on a STREAM
+    * (StreamingOps.streamingNearDedup computes the same signatures on
+    * arriving micro-batches). Callers must have VectorFunctions
+    * registered.
+    */
+  private[graft] def sigWithToks(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("lanes", expr("graft_minhash_lanes(text)"))
+      .select(col("doc_id"), expr(toksExpr).as("toks"),
+        md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
+        md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
+
   /** (repartitioned docs, persisted (doc_id, band1, band2) signatures) —
     * the band index both the self-join (bandCandidates) and the
     * incremental new-vs-corpus join (q_dedup_incremental) block on.
@@ -74,12 +88,7 @@ object TextOps {
         org.apache.spark.sql.DataFrame) = {
     graft.functions.VectorFunctions.register(s)
     val docs = Tables(s, d, "documents").repartition(col("doc_id"))
-    val bands = docs
-      .withColumn("lanes", expr("graft_minhash_lanes(text)"))
-      .select(col("doc_id"),
-        md5(concat(expr(mhExpr(1)), expr(mhExpr(2)))).as("band1"),
-        md5(concat(expr(mhExpr(3)), expr(mhExpr(4)))).as("band2"))
-      .persist()
+    val bands = sigWithToks(docs).drop("toks").persist()
     (docs, bands)
   }
 

@@ -238,6 +238,50 @@ object StreamingOps {
   def corpusIngestBatch(spark: SparkSession, sfDir: String): DataFrame =
     corpusPrep(spark.read.parquet(s"$sfDir/documents.parquet"))
 
+  /** Streaming incremental near-dedup — the stream-static twin of batch
+    * q_dedup_incremental (the continuous-ingest dedup gate): new
+    * documents arrive as a file stream and are checked for
+    * near-duplicates against the static corpus's MinHash band index.
+    *
+    * Shape, the part that matters at scale: the STATIC side is exactly
+    * the stored index a production deployment maintains at ingest —
+    * (band_key, old_id, toks) rows, band1 ∪ band2 — and the STREAM side
+    * computes its signatures per arriving doc with the same stateless
+    * expressions batch uses (TextOps.sigWithToks, one shared
+    * definition), explodes to its two band keys, and stream-static
+    * equi-joins on band_key. Exact token-Jaccard verifies collisions
+    * only; a streaming dropDuplicates on (new_id, old_id) collapses
+    * pairs that collide on both bands (state = emitted pair ids — at
+    * real scale bound it with dropDuplicatesWithinWatermark on an
+    * ingest-time column). Append mode end to end; the static index is
+    * re-read per micro-batch by the join, so a production run would
+    * pin/bucket it by band_key to keep the corpus side exchange-free.
+    */
+  def streamingNearDedup(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_neardedup"): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val bucket = graft.operators.TrainingData
+      .hashPrefixOf(col("doc_id"), 2)
+    def keyed(sig: DataFrame, idAs: String, toksAs: String): DataFrame =
+      sig.select(explode(array(col("band1"), col("band2")))
+          .as("band_key"),
+        col("doc_id").as(idAs), col("toks").as(toksAs))
+    val corpusIdx = keyed(graft.operators.TextOps.sigWithToks(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(bucket < "cd")), "old_id", "old_toks")
+    val newDocs = keyed(graft.operators.TextOps.sigWithToks(
+      docsStream(spark, sfDir).filter(bucket >= "cd")),
+      "new_id", "new_toks")
+    val inter = expr("graft_intersect_size(new_toks, old_toks)")
+    val jac = inter.cast("double") /
+      (size(col("new_toks")) + size(col("old_toks")) - inter)
+    val matches = newDocs.join(corpusIdx, "band_key")
+      .select(col("new_id"), col("old_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .dropDuplicates("new_id", "old_id")
+    drainToMemory(matches, queryName)
+  }
+
   /** Context-window chunking over a file-streamed corpus — the SAME
     * transform as batch q_chunk (TrainingData.chunk, one shared
     * definition), which is stateless/per-row and therefore streams in

@@ -187,6 +187,21 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(s1 === b1)
   }
 
+  test("streaming near-dedup equals batch q_dedup_incremental exactly") {
+    // stream-static band join vs the batch twin: same signatures (one
+    // shared definition), same verify — the PAIR SET and the exact
+    // jaccard doubles must match
+    val streamed = StreamingOps.streamingNearDedup(spark, sf)
+    val batch = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "old_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val (s1, b1) = (rows(streamed), rows(batch))
+    assert(s1.nonEmpty)
+    assert(s1 === b1)
+  }
+
   test("streaming corpus ingest (filter+dedup+split) equals batch twin") {
     val streamed = StreamingOps.corpusIngest(spark, sf)
     val batch = StreamingOps.corpusIngestBatch(spark, sf)
