@@ -49,7 +49,9 @@ object Bench {
     "q_dedup_keeplast" -> 0.28, "q_dedup_near" -> 0.54,
     "q_delta" -> 0.27, "q_dim_update" -> 0.32, "q_distinct" -> 0.19,
     "q_distribution" -> 0.18, "q_dup_spans" -> 0.78,
-    "q_embed_dedup" -> 0.31, "q_except" -> 0.23, "q_explode" -> 0.22,
+    "q_embed_centroid" -> 0.36, "q_embed_dedup" -> 0.31,
+    "q_embed_outliers" -> 0.53,
+    "q_except" -> 0.23, "q_explode" -> 0.22,
     "q_filter_null" -> 0.16, "q_filter_range" -> 0.13,
     "q_fingerprint" -> 0.14, "q_funnel" -> 0.38, "q_gapfill" -> 0.42,
     "q_groupagg" -> 0.58, "q_grouping_sets" -> 0.17, "q_having" -> 0.15,

@@ -469,6 +469,97 @@ object Similarity {
           "(sqrt(list_dot_product(b.v, b.v)) * " +
           "sqrt(list_dot_product(a.v, a.v)))", 6)} AS sim " +
         "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
-        "WHERE sim > 0.4"))
+        "WHERE sim > 0.4")),
+
+    // X3/X4: per-label embedding centroids — the cluster summaries a
+    // curation pipeline keeps per domain/topic (mixture analysis, drift
+    // monitoring, the seed step of any assign-to-nearest pass).
+    // Elementwise mean via posexplode → one (label, pos) partial-sum
+    // shuffle; the mean is Det-exact (decimal-grid sum / count, then
+    // grid-round) so values hash identically across engines despite
+    // float inputs. Emitted in LONG form (label, pos, mv) — the
+    // driver's compare sorts rows by every column, which an array cell
+    // can't support; q_embed_outliers consumes the assembled array form
+    // internally (centroids below). At any scale the partial
+    // aggregation combines map-side; output = labels × dim rows, tiny.
+    QDef("q_embed_centroid",
+      (s, d) => centroidMeans(s, d)
+        .select(col("label"), col("pos"), col("mv"),
+          col("n").as("n_vecs")),
+      Some(centroidSql +
+        " SELECT label, CAST(pos AS INT) AS pos, mv, " +
+        "CAST(n AS BIGINT) AS n_vecs FROM m")),
+
+    // X3/X4: embedding-space outlier scoring — each vector's cosine to
+    // its OWN label centroid; the 20 least-typical vectors (lowest
+    // cosine) surface mislabeled/garbage embeddings, the standard
+    // embedding-QA cut before training on a clustered corpus. Shape:
+    // broadcast the (labels × dim) centroid table, per-row cosine, one
+    // TakeOrderedAndProject — no shuffle of the vector corpus beyond
+    // the centroid build itself.
+    QDef("q_embed_outliers",
+      (s, d) => {
+        VectorFunctions.register(s)
+        val cent = centroids(s, d).select(col("label"),
+          col("centroid").as("cv"))
+        val v = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cos = Det.rnd(expr("graft_dot(v, cv)") /
+          (expr(norm) * expr("sqrt(graft_dot(cv, cv))")), 6)
+        v.join(broadcast(cent), "label")
+          .withColumn("cos_sim", cos)
+          .orderBy(col("cos_sim").asc, col("vec_id").asc)
+          .limit(20)
+          .select("vec_id", "label", "cos_sim")
+      },
+      Some(centroidSql +
+        ", v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings) " +
+        "SELECT vec_id, v.label, " +
+        s"${Det.rndSql("list_dot_product(v.v, cent.centroid) / " +
+          "(sqrt(list_dot_product(v.v, v.v)) * " +
+          "sqrt(list_dot_product(cent.centroid, cent.centroid)))", 6)} " +
+        "AS cos_sim FROM v JOIN cent ON v.label = cent.label " +
+        "ORDER BY cos_sim, vec_id LIMIT 20"))
   )
+
+  /** Per-(label, pos) Det-exact mean: (label, pos, mv, n) — the long
+    * form q_embed_centroid emits; n is the per-label vector count
+    * (identical at every pos).
+    */
+  private def centroidMeans(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables(s, d, "embeddings").select(col("label"),
+      posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(Det.rnd(Det.exactSum(col("val"), 6) / count(lit(1)), 6)
+        .as("mv"), count(lit(1)).as("n"))
+
+  /** Assembled array form: (label, centroid array<double>) — consumed
+    * by q_embed_outliers' cosine; shares centroidMeans so the two
+    * queries can't drift.
+    */
+  private def centroids(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    centroidMeans(s, d).groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        x => x.getField("mv")).as("centroid"))
+
+  /** DuckDB twin of [[centroids]] as a WITH prefix ending in `cent`.
+    * lazy: declared below `defs`, which references it during its own
+    * eager initialization — a plain val would still be null there.
+    */
+  private lazy val centroidSql =
+    "WITH x AS (SELECT label, gs - 1 AS pos, " +
+      "CAST(embedding[gs] AS DOUBLE) AS val FROM (" +
+      "SELECT label, embedding, " +
+      "unnest(generate_series(1, len(embedding))) AS gs " +
+      "FROM embeddings)), " +
+      "m AS (SELECT label, pos, " +
+      s"${Det.rndSql(Det.exactSumSql("val", 6) + " / count(*)", 6)} " +
+      "AS mv, count(*) AS n FROM x GROUP BY label, pos), " +
+      "cent AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs, " +
+      "list(mv ORDER BY pos) AS centroid FROM m GROUP BY label)"
 }
