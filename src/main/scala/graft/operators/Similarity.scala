@@ -500,27 +500,39 @@ object Similarity {
     QDef("q_embed_outliers",
       (s, d) => {
         VectorFunctions.register(s)
+        // centroid norm computed ONCE in the tiny broadcast table — a
+        // per-label constant must not be re-folded per corpus row
         val cent = centroids(s, d).select(col("label"),
-          col("centroid").as("cv"))
+          col("centroid").as("cv"),
+          expr("sqrt(graft_dot(centroid, centroid))").as("cnrm"))
         val v = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v"))
+          .withColumn("vnrm", expr(norm))
         val cos = Det.rnd(expr("graft_dot(v, cv)") /
-          (expr(norm) * expr("sqrt(graft_dot(cv, cv))")), 6)
-        v.join(broadcast(cent), "label")
+          (col("vnrm") * col("cnrm")), 6)
+        // zero-norm vectors have no defined cosine — excluded on BOTH
+        // sides (Spark's non-ANSI x/0.0 yields NULL which sorts FIRST
+        // on asc, DuckDB sorts NULLS LAST: inside a LIMIT the engines
+        // would disagree on the cut)
+        v.filter(col("vnrm") > 0d)
+          .join(broadcast(cent.filter(col("cnrm") > 0d)), "label")
           .withColumn("cos_sim", cos)
           .orderBy(col("cos_sim").asc, col("vec_id").asc)
           .limit(20)
           .select("vec_id", "label", "cos_sim")
       },
       Some(centroidSql +
-        ", v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v " +
-        "FROM embeddings) " +
+        ", cn AS (SELECT label, centroid, " +
+        "sqrt(list_dot_product(centroid, centroid)) AS cnrm FROM cent), " +
+        "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        "CAST(embedding AS DOUBLE[]))) AS vnrm FROM embeddings) " +
         "SELECT vec_id, v.label, " +
-        s"${Det.rndSql("list_dot_product(v.v, cent.centroid) / " +
-          "(sqrt(list_dot_product(v.v, v.v)) * " +
-          "sqrt(list_dot_product(cent.centroid, cent.centroid)))", 6)} " +
-        "AS cos_sim FROM v JOIN cent ON v.label = cent.label " +
+        s"${Det.rndSql("list_dot_product(v.v, cn.centroid) / " +
+          "(v.vnrm * cn.cnrm)", 6)} " +
+        "AS cos_sim FROM v JOIN cn ON v.label = cn.label " +
+        "WHERE v.vnrm > 0 AND cn.cnrm > 0 " +
         "ORDER BY cos_sim, vec_id LIMIT 20"))
   )
 

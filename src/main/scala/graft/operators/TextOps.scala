@@ -56,15 +56,6 @@ object TextOps {
       s"md5(${mhSql(1)} || ${mhSql(2)}) AS band1, " +
       s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM h)"
 
-  /** Shared MinHash band-blocking machinery for the near-dup queries:
-    * returns the repartitioned documents frame (the single-file source
-    * otherwise yields ONE partition for the per-doc hashing) and the
-    * distinct band-collision candidate id pairs (a_id < b_id). Only the
-    * narrow (id, band, band) signature is persisted — caching the heavy
-    * token/shingle arrays costs more in columnar encoding than
-    * recomputing them for the (tiny) candidate fetch — and candidates
-    * travel as ids only, so the arrays never fan out through the joins.
-    */
   /** (doc_id, toks, band1, band2) for any documents-shaped frame —
     * stateless per-row expressions, so it works identically on a STREAM
     * (StreamingOps.streamingNearDedup computes the same signatures on
@@ -92,6 +83,15 @@ object TextOps {
     (docs, bands)
   }
 
+  /** Shared MinHash band-blocking machinery for the near-dup queries:
+    * returns the repartitioned documents frame (the single-file source
+    * otherwise yields ONE partition for the per-doc hashing) and the
+    * distinct band-collision candidate id pairs (a_id < b_id). Only the
+    * narrow (id, band, band) signature is persisted — caching the heavy
+    * token/shingle arrays costs more in columnar encoding than
+    * recomputing them for the (tiny) candidate fetch — and candidates
+    * travel as ids only, so the arrays never fan out through the joins.
+    */
   private def bandCandidates(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
@@ -484,11 +484,12 @@ object TextOps {
     QDef("q_dedup_incremental",
       (s, d) => {
         val (docs, bands) = bandSignatures(s, d)
+        val bound = graft.operators.TrainingData.TrainBoundary
         val bucket = graft.operators.TrainingData
           .hashPrefixOf(col("doc_id"), 2)
-        val nw = bands.filter(bucket >= "cd")
+        val nw = bands.filter(bucket >= bound)
           .select(col("doc_id").as("new_id"), col("band1"), col("band2"))
-        val ex = bands.filter(bucket < "cd")
+        val ex = bands.filter(bucket < bound)
           .select(col("doc_id").as("old_id"),
             col("band1").as("eb1"), col("band2").as("eb2"))
         val c1 = nw.join(ex, col("band1") === col("eb1"))
@@ -510,9 +511,11 @@ object TextOps {
       },
       Some(sigSql +
         ", nw AS (SELECT * FROM g " +
-        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'), " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= " +
+        s"'${graft.operators.TrainingData.TrainBoundary}'), " +
         "ex AS (SELECT * FROM g " +
-        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'), " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < " +
+        s"'${graft.operators.TrainingData.TrainBoundary}'), " +
         "c AS (" +
         "SELECT nw.doc_id AS new_id, ex.doc_id AS old_id, " +
         "nw.toks AS ntoks, ex.toks AS etoks FROM nw JOIN ex " +

@@ -30,13 +30,24 @@ object TrainingData {
   private def hashPrefixSql(n: Int) =
     s"substr(md5(CAST(doc_id AS VARCHAR)), 1, $n)"
 
+  /** 2-hex md5-bucket split thresholds ('cd'/'e6' ≈ 80/10/10) — THE
+    * single definition of the boundary, shared by splitCol,
+    * q_sample_split's oracle SQL, and the incremental-dedup
+    * new-vs-corpus cut (batch q_dedup_incremental, its oracle, and
+    * streamingNearDedup) so none of them can drift when the split is
+    * retuned.
+    */
+  val TrainBoundary = "cd"
+  val ValBoundary = "e6"
+
   /** The 80/10/10 train/val/test assignment off the 2-hex bucket — THE
     * single definition, shared by q_sample_split and the streaming
     * corpus ingest so batch and streaming splits can never drift.
     */
   def splitCol(id: Column): Column = {
     val b = hashPrefixOf(id, 2)
-    when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    when(b < TrainBoundary, "train")
+      .when(b < ValBoundary, "val").otherwise("test")
   }
 
   /** Default chunk geometry — referenced by the PropertiesSpec formula
@@ -80,8 +91,8 @@ object TrainingData {
         col("doc_id"), hashPrefix(2).as("bucket"),
         splitCol(col("doc_id")).as("split")),
       Some("SELECT doc_id, " + hashPrefixSql(2) + " AS bucket, " +
-        "CASE WHEN " + hashPrefixSql(2) + " < 'cd' THEN 'train' " +
-        "WHEN " + hashPrefixSql(2) + " < 'e6' THEN 'val' " +
+        s"CASE WHEN ${hashPrefixSql(2)} < '$TrainBoundary' THEN 'train' " +
+        s"WHEN ${hashPrefixSql(2)} < '$ValBoundary' THEN 'val' " +
         "ELSE 'test' END AS split FROM documents")),
 
     // Token-budget sequence packing (concat-and-chunk pretraining

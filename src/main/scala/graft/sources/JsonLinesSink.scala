@@ -153,7 +153,11 @@ private[sources] class JsonLinesBatchWrite(path: String,
             s"graft_jsonl: orphan staged file survived sweep: ${st.getPath}")
       }
     catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: an object-store SDK can surface
+      // untranslated RuntimeExceptions from listStatus/delete, and the
+      // invariant is that NOTHING in this best-effort sweep fails a
+      // commit whose data is already visible
+      case scala.util.control.NonFatal(e) =>
         Console.err.println(
           s"graft_jsonl: orphan sweep failed (data already committed): $e")
     }

@@ -260,17 +260,23 @@ object StreamingOps {
   def streamingNearDedup(spark: SparkSession, sfDir: String,
       queryName: String = "stream_neardedup"): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
+    val bound = graft.operators.TrainingData.TrainBoundary
     val bucket = graft.operators.TrainingData
       .hashPrefixOf(col("doc_id"), 2)
+    // band key carries its SLOT ("1"/"2" prefix): the batch twin only
+    // matches band1 with band1 and band2 with band2; a positionless key
+    // would also admit cross-band collisions (new.band1 == old.band2),
+    // a strictly broader candidate set that breaks exact parity
     def keyed(sig: DataFrame, idAs: String, toksAs: String): DataFrame =
-      sig.select(explode(array(col("band1"), col("band2")))
+      sig.select(explode(array(
+          concat(lit("1"), col("band1")), concat(lit("2"), col("band2"))))
           .as("band_key"),
         col("doc_id").as(idAs), col("toks").as(toksAs))
     val corpusIdx = keyed(graft.operators.TextOps.sigWithToks(
       spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(bucket < "cd")), "old_id", "old_toks")
+        .filter(bucket < bound)), "old_id", "old_toks")
     val newDocs = keyed(graft.operators.TextOps.sigWithToks(
-      docsStream(spark, sfDir).filter(bucket >= "cd")),
+      docsStream(spark, sfDir).filter(bucket >= bound)),
       "new_id", "new_toks")
     val inter = expr("graft_intersect_size(new_toks, old_toks)")
     val jac = inter.cast("double") /

