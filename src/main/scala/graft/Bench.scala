@@ -49,6 +49,7 @@ object Bench {
     "q_dedup_keeplast" -> 0.28, "q_dedup_near" -> 0.54,
     "q_delta" -> 0.27, "q_dim_update" -> 0.32, "q_distinct" -> 0.19,
     "q_distribution" -> 0.18, "q_dup_spans" -> 0.78,
+    "q_embed_assign" -> 0.73,
     "q_embed_centroid" -> 0.36, "q_embed_dedup" -> 0.31,
     "q_embed_outliers" -> 0.53,
     "q_except" -> 0.23, "q_explode" -> 0.22,

@@ -534,6 +534,54 @@ object Similarity {
         "AS cos_sim FROM v JOIN cn ON v.label = cn.label " +
         "WHERE v.vnrm > 0 AND cn.cnrm > 0 " +
         "ORDER BY cos_sim, vec_id LIMIT 20"))
+  ,
+
+    // X3/X4: nearest-centroid assignment — the E-step of Lloyd's / the
+    // classify-by-centroid pass: every vector re-assigned to its most
+    // cosine-similar label centroid, with a match flag against the
+    // stored label (mismatches ≈ mislabel candidates, the follow-up cut
+    // after q_embed_outliers). Shape: vectors × broadcast centroid
+    // table (labels × dim, tiny at any corpus size), per-row cosines,
+    // then ONE shuffle on vec_id for the WindowGroupLimit-capped
+    // argmax — the corpus never self-joins.
+    QDef("q_embed_assign",
+      (s, d) => {
+        VectorFunctions.register(s)
+        val cent = centroids(s, d).select(col("label").as("c_label"),
+          col("centroid").as("cv"),
+          expr("sqrt(graft_dot(centroid, centroid))").as("cnrm"))
+        val v = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("vnrm", expr(norm))
+          .filter(col("vnrm") > 0d)
+        val cos = Det.rnd(expr("graft_dot(v, cv)") /
+          (col("vnrm") * col("cnrm")), 6)
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("c_label").asc)
+        v.crossJoin(broadcast(cent.filter(col("cnrm") > 0d)))
+          .withColumn("cos_sim", cos)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"),
+            col("c_label").as("assigned_label"), col("cos_sim"),
+            (col("c_label") === col("label")).as("label_match"))
+      },
+      Some(centroidSql +
+        ", cn AS (SELECT label AS c_label, centroid, " +
+        "sqrt(list_dot_product(centroid, centroid)) AS cnrm FROM cent " +
+        "WHERE sqrt(list_dot_product(centroid, centroid)) > 0), " +
+        "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        "CAST(embedding AS DOUBLE[]))) AS vnrm FROM embeddings), " +
+        "sc AS (SELECT v.vec_id, v.label, cn.c_label, " +
+        s"${Det.rndSql("list_dot_product(v.v, cn.centroid) / " +
+          "(v.vnrm * cn.cnrm)", 6)} AS cos_sim " +
+        "FROM v CROSS JOIN cn WHERE v.vnrm > 0) " +
+        "SELECT vec_id, label, c_label AS assigned_label, cos_sim, " +
+        "c_label = label AS label_match FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cos_sim DESC, c_label) AS rn FROM sc) WHERE rn = 1"))
   )
 
   /** Per-(label, pos) Det-exact mean: (label, pos, mv, n) — the long
