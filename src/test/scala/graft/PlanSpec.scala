@@ -212,6 +212,21 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_embed_outliers/q_embed_assign: broadcast centroids, capped cuts") {
+    // the centroid table must broadcast (labels × dim, tiny at any
+    // corpus size) and the final cut must be a partial top-k — a
+    // shuffled centroid join or a global sort would scale with the
+    // vector corpus
+    val po = plan("q_embed_outliers")
+    assert(po.contains("BroadcastHashJoin"), po)
+    assert(po.contains("TakeOrderedAndProject"), po)
+    val pa = plan("q_embed_assign")
+    assert(pa.contains("BroadcastNestedLoopJoin"), pa)
+    // rn==1 pushes down as partial+final WindowGroupLimit so only one
+    // row per vec_id survives each side of the shuffle
+    assert(pa.contains("WindowGroupLimit"), pa)
+  }
+
   test("q_surprisal: AQE reuses the tf shuffle for counts and total") {
     // the query references the exploded (doc,token) tf pipeline three
     // times (tf join input, token counts, corpus total); without
