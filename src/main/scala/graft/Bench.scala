@@ -186,29 +186,10 @@ object Bench {
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) => (name, fn, (1 to reps).map(_ => timeOne(fn))) }
-    // retry pass: queries still reading as outliers get up to 2 more
-    // min-merged reps, taken AFTER the whole alphabetical sweep — a load
-    // burst mid-run is contiguous in time, so end-of-run reps sample a
-    // different (usually calmer) box. Skipped entirely above the
-    // reference table's calibration scale (retryEligible). Any failed
-    // rep still marks the query failed (a flaky failure must stay
-    // visible, same rule as the main pass).
-    var retried = 0
-    val doRetry = retryEligible(sfDir)
-    val results = firstPass.map { case (name, fn, runs) =>
-      var rs = runs
-      var extra = 0
-      def best = if (rs.exists(_ < 0)) -1.0 else rs.min
-      val wasOutlier =
-        doRetry && best >= 0 && best > outlierThreshold(name)
-      while (doRetry && best >= 0 && best > outlierThreshold(name) &&
-          extra < 2) {
-        rs = rs :+ timeOne(fn)
-        extra += 1
-      }
-      if (wasOutlier) retried += 1
-      (name, best, rs)
-    }
+    val (results, retried) =
+      applyRetries(firstPass.map { case (n, fn, rs) => (n, rs) },
+        retryEligible(sfDir),
+        name => timeOne(SparkEntry.queries(name)))
     val loadAfter = loadavg()
     // full record first (raw runs, loadavg, 4-decimals) for human readers...
     println(render(results, reps, loadBefore, loadAfter, sfDir, retried))
@@ -219,6 +200,37 @@ object Bench {
     // by BenchRenderSpec against the real query list.
     println(renderCompact(results, reps, sfDir, loadBefore, loadAfter,
       retried))
+  }
+
+  /** Retry pass (pure merge logic, unit-tested in BenchRenderSpec):
+    * queries still reading as outliers after the main sweep get up to 2
+    * more min-merged reps via `rerun`, taken AFTER the whole
+    * alphabetical pass — a load burst mid-run is contiguous in time, so
+    * end-of-run reps sample a different (usually calmer) box. Skipped
+    * entirely when `doRetry` is false (above the reference table's
+    * calibration scale). Any failed rep still marks the query failed (a
+    * flaky failure must stay visible, same rule as the main pass).
+    * Returns the merged results and the count of retried queries.
+    */
+  def applyRetries(firstPass: Seq[(String, Seq[Double])],
+      doRetry: Boolean, rerun: String => Double)
+      : (Seq[(String, Double, Seq[Double])], Int) = {
+    var retried = 0
+    val results = firstPass.map { case (name, runs) =>
+      var rs = runs
+      var extra = 0
+      def best = if (rs.exists(_ < 0)) -1.0 else rs.min
+      val wasOutlier =
+        doRetry && best >= 0 && best > outlierThreshold(name)
+      while (doRetry && best >= 0 && best > outlierThreshold(name) &&
+          extra < 2) {
+        rs = rs :+ rerun(name)
+        extra += 1
+      }
+      if (wasOutlier) retried += 1
+      (name, best, rs)
+    }
+    (results, retried)
   }
 
   /** Locale.ROOT: the f interpolator uses the JVM default locale, which

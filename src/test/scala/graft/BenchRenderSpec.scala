@@ -126,6 +126,55 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(!Bench.retryEligible("/data/mycorpus"))
   }
 
+  test("retry merge: outliers re-rep min-merged, capped at 2, early stop") {
+    // q_melt ref 0.31 → threshold 0.93; first rep inflated to 5s
+    var calls = 0
+    val (res, n) = Bench.applyRetries(
+      Seq(("q_melt", Seq(5.0, 4.0, 6.0))), doRetry = true,
+      _ => { calls += 1; if (calls == 1) 0.4 else 99.0 })
+    // first retry lands under threshold → no second retry
+    assert(calls === 1)
+    assert(res === Seq(("q_melt", 0.4, Seq(5.0, 4.0, 6.0, 0.4))))
+    assert(n === 1)
+  }
+
+  test("retry merge: cap of 2 extra reps even when still an outlier") {
+    var calls = 0
+    val (res, n) = Bench.applyRetries(
+      Seq(("q_melt", Seq(5.0))), doRetry = true,
+      _ => { calls += 1; 4.0 })
+    assert(calls === 2)
+    assert(res.head._2 === 4.0 +- 1e-9)
+    assert(n === 1)
+  }
+
+  test("retry merge: disabled pass and in-range queries never re-run") {
+    var calls = 0
+    val (resOff, nOff) = Bench.applyRetries(
+      Seq(("q_melt", Seq(5.0))), doRetry = false,
+      _ => { calls += 1; 0.1 })
+    assert(calls === 0 && nOff === 0 && resOff.head._2 === 5.0 +- 1e-9)
+    val (resIn, nIn) = Bench.applyRetries(
+      Seq(("q_melt", Seq(0.5))), doRetry = true,
+      _ => { calls += 1; 0.1 })
+    assert(calls === 0 && nIn === 0 && resIn.head._2 === 0.5 +- 1e-9)
+  }
+
+  test("retry merge: failures are never retried and a failed retry sticks") {
+    var calls = 0
+    // already-failed query: -1 sentinel, no reruns
+    val (resF, nF) = Bench.applyRetries(
+      Seq(("q_melt", Seq(-1.0, 5.0))), doRetry = true,
+      _ => { calls += 1; 0.1 })
+    assert(calls === 0 && nF === 0 && resF.head._2 === -1.0 +- 1e-9)
+    // outlier whose retry rep fails: the query reads failed (flaky
+    // failures must stay visible), counted as retried
+    val (resR, nR) = Bench.applyRetries(
+      Seq(("q_melt", Seq(5.0))), doRetry = true, _ => -1.0)
+    assert(resR.head._2 === -1.0 +- 1e-9)
+    assert(nR === 1)
+  }
+
   test("load1 parses the first loadavg field, -1 sentinel otherwise") {
     assert(Bench.load1("2.13 1.86 1.74 2/556 30270") === 2.13 +- 1e-9)
     assert(Bench.load1("unknown") === -1.0 +- 1e-9)
