@@ -44,6 +44,40 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("property: random graphs match a driver-side union-find") {
+    // the fused Observation witness is this round's semantic change —
+    // exercise it on random multi-component graphs (self-loops, dup
+    // edges, chains) against an independent union-find oracle. Seeded:
+    // a failure must reproduce on re-run. Spark jobs per sample are
+    // expensive, so a handful of samples like PropertiesSpec.
+    import org.scalacheck.Gen
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 11L)
+      b <- Gen.chooseNum(0L, 11L)
+    } yield (a, b)
+    val graphGen = Gen.listOfN(10, edgeGen)
+    (0 until 6).foreach { i =>
+      val pairs = graphGen.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(0xccccL + i))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+      }
+      // canonical = min reachable id: route every root to the min of
+      // its component members
+      val members = parent.keys.toSeq.groupBy(find)
+      val expect = members.flatMap { case (_, ms) =>
+        val m = ms.min; ms.map(_ -> m)
+      }
+      assert(cc(pairs) === expect, s"seed offset $i pairs=$pairs")
+    }
+  }
+
   test("loop-scoped conf is restored on the session") {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     val parts = spark.conf.get("spark.sql.shuffle.partitions")
