@@ -500,39 +500,16 @@ object Similarity {
     QDef("q_embed_outliers",
       (s, d) => {
         VectorFunctions.register(s)
-        // centroid norm computed ONCE in the tiny broadcast table — a
-        // per-label constant must not be re-folded per corpus row
-        val cent = centroids(s, d).select(col("label"),
-          col("centroid").as("cv"),
-          expr("sqrt(graft_dot(centroid, centroid))").as("cnrm"))
-        val v = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("v"))
-          .withColumn("vnrm", expr(norm))
-        val cos = Det.rnd(expr("graft_dot(v, cv)") /
-          (col("vnrm") * col("cnrm")), 6)
-        // zero-norm vectors have no defined cosine — excluded on BOTH
-        // sides (Spark's non-ANSI x/0.0 yields NULL which sorts FIRST
-        // on asc, DuckDB sorts NULLS LAST: inside a LIMIT the engines
-        // would disagree on the cut)
-        v.filter(col("vnrm") > 0d)
-          .join(broadcast(cent.filter(col("cnrm") > 0d)), "label")
-          .withColumn("cos_sim", cos)
+        val (v, cent) = normedVectorsAndCentroids(s, d)
+        v.join(broadcast(cent), "label")
+          .withColumn("cos_sim", centCos)
           .orderBy(col("cos_sim").asc, col("vec_id").asc)
           .limit(20)
           .select("vec_id", "label", "cos_sim")
       },
-      Some(centroidSql +
-        ", cn AS (SELECT label, centroid, " +
-        "sqrt(list_dot_product(centroid, centroid)) AS cnrm FROM cent), " +
-        "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
-        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-        "CAST(embedding AS DOUBLE[]))) AS vnrm FROM embeddings) " +
-        "SELECT vec_id, v.label, " +
-        s"${Det.rndSql("list_dot_product(v.v, cn.centroid) / " +
-          "(v.vnrm * cn.cnrm)", 6)} " +
-        "AS cos_sim FROM v JOIN cn ON v.label = cn.label " +
-        "WHERE v.vnrm > 0 AND cn.cnrm > 0 " +
+      Some(normedSql +
+        "SELECT vec_id, v.label, " + centCosSql +
+        " AS cos_sim FROM v JOIN cn ON v.label = cn.label " +
         "ORDER BY cos_sim, vec_id LIMIT 20"))
   ,
 
@@ -547,42 +524,72 @@ object Similarity {
     QDef("q_embed_assign",
       (s, d) => {
         VectorFunctions.register(s)
-        val cent = centroids(s, d).select(col("label").as("c_label"),
-          col("centroid").as("cv"),
-          expr("sqrt(graft_dot(centroid, centroid))").as("cnrm"))
-        val v = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("v"))
-          .withColumn("vnrm", expr(norm))
-          .filter(col("vnrm") > 0d)
-        val cos = Det.rnd(expr("graft_dot(v, cv)") /
-          (col("vnrm") * col("cnrm")), 6)
+        val (v, cent) = normedVectorsAndCentroids(s, d)
         val w = Window.partitionBy("vec_id")
           .orderBy(col("cos_sim").desc, col("c_label").asc)
-        v.crossJoin(broadcast(cent.filter(col("cnrm") > 0d)))
-          .withColumn("cos_sim", cos)
+        v.crossJoin(broadcast(
+            cent.withColumnRenamed("label", "c_label")))
+          .withColumn("cos_sim", centCos)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("label"),
             col("c_label").as("assigned_label"), col("cos_sim"),
             (col("c_label") === col("label")).as("label_match"))
       },
-      Some(centroidSql +
-        ", cn AS (SELECT label AS c_label, centroid, " +
-        "sqrt(list_dot_product(centroid, centroid)) AS cnrm FROM cent " +
-        "WHERE sqrt(list_dot_product(centroid, centroid)) > 0), " +
-        "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
-        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-        "CAST(embedding AS DOUBLE[]))) AS vnrm FROM embeddings), " +
-        "sc AS (SELECT v.vec_id, v.label, cn.c_label, " +
-        s"${Det.rndSql("list_dot_product(v.v, cn.centroid) / " +
-          "(v.vnrm * cn.cnrm)", 6)} AS cos_sim " +
-        "FROM v CROSS JOIN cn WHERE v.vnrm > 0) " +
+      Some(normedSql +
         "SELECT vec_id, label, c_label AS assigned_label, cos_sim, " +
         "c_label = label AS label_match FROM (" +
-        "SELECT *, row_number() OVER (PARTITION BY vec_id " +
-        "ORDER BY cos_sim DESC, c_label) AS rn FROM sc) WHERE rn = 1"))
+        "SELECT v.vec_id, v.label, cn.label AS c_label, " +
+        centCosSql + " AS cos_sim, " +
+        "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+        centCosSql + " DESC, cn.label) AS rn " +
+        "FROM v CROSS JOIN cn) WHERE rn = 1"))
   )
+
+  /** Shared scaffolding for the centroid-cosine queries
+    * (q_embed_outliers, q_embed_assign), so the zero-norm guard and the
+    * norm formula can't drift between them:
+    * `v` = (vec_id, label, v, vnrm) with zero-norm vectors excluded
+    * (Spark's non-ANSI x/0.0 yields NULL which sorts FIRST ascending
+    * while DuckDB sorts NULLS LAST — inside a LIMIT/argmax the engines
+    * would disagree); `cent` = (label, cv, cnrm) with the centroid norm
+    * computed ONCE in the tiny broadcast table (a per-label constant
+    * must not be re-folded per corpus row), zero-norm centroids
+    * excluded for the same reason.
+    */
+  private def normedVectorsAndCentroids(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cent = centroids(s, d).select(col("label"),
+      col("centroid").as("cv"),
+      expr("sqrt(graft_dot(centroid, centroid))").as("cnrm"))
+      .filter(col("cnrm") > 0d)
+    val v = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("vnrm", expr(norm))
+      .filter(col("vnrm") > 0d)
+    (v, cent)
+  }
+
+  /** Cosine of a vector row against its joined centroid row. */
+  private def centCos: org.apache.spark.sql.Column =
+    Det.rnd(expr("graft_dot(v, cv)") / (col("vnrm") * col("cnrm")), 6)
+
+  /** DuckDB twins: [[normedSql]] extends centroidSql with the cn/v CTEs
+    * (guards applied IN the CTEs — alias reuse in WHERE is legal in
+    * DuckDB); [[centCosSql]] is the cosine over those CTEs.
+    */
+  private lazy val normedSql = centroidSql +
+    ", cn AS (SELECT label, centroid, " +
+    "sqrt(list_dot_product(centroid, centroid)) AS cnrm FROM cent " +
+    "WHERE cnrm > 0), " +
+    "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
+    "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+    "CAST(embedding AS DOUBLE[]))) AS vnrm FROM embeddings " +
+    "WHERE vnrm > 0) "
+  private lazy val centCosSql =
+    Det.rndSql("list_dot_product(v.v, cn.centroid) / (v.vnrm * cn.cnrm)", 6)
 
   /** Per-(label, pos) Det-exact mean: (label, pos, mv, n) — the long
     * form q_embed_centroid emits; n is the per-label vector count
