@@ -11,18 +11,29 @@ import org.apache.spark.sql.SparkSession
   *      estimator of the true cost under asymmetric noise (noise only ever
   *      adds time).
   *   2. If the box is already loaded when the run starts (1-min loadavg
-  *      > 1.0), full runs raise the floor to 5 reps.
-  *   3. After the main pass, every query whose min still exceeds 3x its
-  *      idle reference (the cheapest value ever published for it in a
-  *      parsed BENCH record, embedded below) gets up to 2 extra min-merged
-  *      reps. Bursts are contiguous in time and queries run alphabetically,
-  *      so by the time the retry pass runs the burst has usually passed —
+  *      > 1.0), full runs take a SECOND whole min-merged sweep (2 more
+  *      reps per query) after the first completes. The two sweeps sample
+  *      each query ~a full bench apart in time, so a contiguous load
+  *      burst can't inflate both — unlike the old "raise the floor to 5
+  *      back-to-back reps" defense, which a burst longer than one query's
+  *      5 reps defeated (r08 still published ~1.3x under uniform load).
+  *      Same total work (5 reps), time-dispersed.
+  *   3. After that, every query whose min still exceeds 3x its idle
+  *      reference (embedded below) gets up to 2 extra min-merged reps.
+  *      Bursts are contiguous in time and queries run alphabetically, so
+  *      by the time the retry pass runs the burst has usually passed —
   *      r07's inflation was a single contiguous block worth ~60s of fake
   *      time that two end-of-run reps would have erased.
-  * The raw runs (retries appended) and /proc/loadavg before/after are
-  * emitted alongside so a reviewer can see whether the record was taken on
-  * a loaded box, and the parsed line carries load1 + the retried-query
-  * count.
+  * Pass/fail is decided by the MAIN pass alone: a transient failure in a
+  * supplementary rep (sweep 2 or a retry) keeps the main-pass min as the
+  * headline and is surfaced via `retry_failed` ("rfail" in the compact
+  * line) instead of degrading a clean record to failed:1 — supplementary
+  * reps exist only because of noise, so a flaky rerun must not destroy a
+  * valid min-of-N (ADVICE r08).
+  * The raw runs (supplementary reps appended) and /proc/loadavg
+  * before/after are emitted alongside so a reviewer can see whether the
+  * record was taken on a loaded box, and the parsed line carries load1 +
+  * the retried-query count.
   */
 object Bench {
 
@@ -31,10 +42,14 @@ object Bench {
     * parsed BENCH record (r5-r7), refined by the round-8 full-run record
     * (114 queries, load1 0.80 at start, reps 3) for the entries that
     * were new this round or whose historical min was itself a loaded-box
-    * artifact (q_dup_spans, q_dedup_clusters). Used ONLY to decide which
-    * queries deserve a retry rep — never to report a number — so a stale
-    * entry costs at most two wasted ~0.x s reps or one missed retry,
-    * not a wrong record.
+    * artifact (q_dup_spans, q_dedup_clusters), and raised for the two
+    * entries whose historical min proved UNreproducible (r08 judge
+    * min-of-3 idle re-measure, twice: q_rag_retrieve 1.42,
+    * q_kmv_distinct 1.52 — the old 1.16s mins were themselves flukes and
+    * sat below honest idle runs). Used ONLY to decide which queries
+    * deserve a retry rep — never to report a number — so a stale entry
+    * costs at most two wasted ~0.x s reps or one missed retry, not a
+    * wrong record.
     */
   val reference: Map[String, Double] = Map(
     "q_anti_join" -> 0.37, "q_approx_distinct" -> 0.73,
@@ -59,7 +74,7 @@ object Bench {
     "q_intersect" -> 0.23, "q_interval_bucket" -> 0.27,
     "q_join_inner" -> 0.24, "q_join_multikey" -> 0.58,
     "q_join_outer" -> 0.33, "q_join_range" -> 0.20,
-    "q_json_extract" -> 0.30, "q_kmv_distinct" -> 1.16,
+    "q_json_extract" -> 0.30, "q_kmv_distinct" -> 1.52,
     "q_lang_id" -> 0.14, "q_lead_lag" -> 0.19, "q_llm_summary" -> 0.12,
     "q_maplookup" -> 0.09, "q_math" -> 0.14, "q_melt" -> 0.31,
     "q_minhash" -> 0.23, "q_mixture" -> 0.13, "q_multifile" -> 0.26,
@@ -67,7 +82,7 @@ object Bench {
     "q_null_semantics" -> 0.12, "q_pack" -> 0.17, "q_percentile" -> 0.60,
     "q_pivot" -> 0.19, "q_profile" -> 0.15, "q_project" -> 0.10,
     "q_promo_share" -> 0.35, "q_quality" -> 0.13,
-    "q_rag_retrieve" -> 1.16, "q_rank" -> 0.13, "q_redact" -> 0.11,
+    "q_rag_retrieve" -> 1.42, "q_rank" -> 0.13, "q_redact" -> 0.11,
     "q_rename" -> 0.09, "q_repetition" -> 0.17, "q_rollup" -> 0.26,
     "q_running_sum" -> 0.24, "q_salted_agg" -> 0.20,
     "q_sample_split" -> 0.07, "q_scan" -> 0.12, "q_semi_join" -> 0.19,
@@ -157,12 +172,11 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "unknown" }
     val loadBefore = loadavg()
-    // a box already under load at start inflates EVERY rep, so min-of-3
-    // can't save the record — buy two more chances per query up front.
-    // The full idle bench is ~40s; 5 reps is still cheap.
+    // a box already under load at start inflates EVERY rep of the main
+    // sweep; the cure is a second sweep later in time (below), not more
+    // back-to-back reps now
     val loadedStart = load1(loadBefore) > 1.0
-    val repsFloor = if (loadedStart) 5 else 3
-    val reps = (if (only.isEmpty) repsEnv.max(repsFloor) else repsEnv).max(1)
+    val reps = (if (only.isEmpty) repsEnv.max(3) else repsEnv).max(1)
     // warm-up: absorb JVM/codegen/session start-up so the first measured
     // query isn't charged ~4s of one-time cost
     Tables(spark, sfDir, "lineitem").count()
@@ -183,54 +197,94 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
+    val rerun: String => Double = name => timeOne(SparkEntry.queries(name))
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) => (name, fn, (1 to reps).map(_ => timeOne(fn))) }
-    val (results, retried) =
-      applyRetries(firstPass.map { case (n, fn, rs) => (n, rs) },
-        retryEligible(sfDir),
-        name => timeOne(SparkEntry.queries(name)))
+      .map { case (name, fn) =>
+        (name, (1 to reps).map(_ => timeOne(fn)): Seq[Double])
+      }
+    // loaded start → a whole second min-merged sweep, ~a full bench later
+    // in time than each query's first reps (VERDICT r08 #1)
+    val passed = secondPass(firstPass, loadedStart && only.isEmpty, 2, rerun)
+    val (results, retried, retryFailed) =
+      applyRetries(passed, retryEligible(sfDir), rerun)
     val loadAfter = loadavg()
     // full record first (raw runs, loadavg, 4-decimals) for human readers...
-    println(render(results, reps, loadBefore, loadAfter, sfDir, retried))
+    println(render(results, reps, loadBefore, loadAfter, sfDir, retried,
+      retryFailed))
     spark.stop()
     // ...then the compact machine line LAST: the driver keeps only the final
     // ~2000 chars of stdout, and the full record has never fit (BENCH_r01-r03
     // all show parsed:null). This line must stay under that window — gated
     // by BenchRenderSpec against the real query list.
     println(renderCompact(results, reps, sfDir, loadBefore, loadAfter,
-      retried))
+      retried, retryFailed))
+  }
+
+  /** Loaded-box defense (pure sweep driver, unit-tested): when the main
+    * pass started on a loaded box, sweep every non-failed query AGAIN,
+    * REP-MAJOR — all queries once, then all queries again — so even a
+    * query's two supplementary reps sample the box ~a sweep apart rather
+    * than back-to-back. The supplementary runs are returned separately
+    * from the main runs because they do not participate in pass/fail —
+    * only in lowering the min. Queries whose main pass already failed
+    * are not re-run (the -1 must stay visible; a success here could not
+    * change the headline anyway).
+    */
+  def secondPass(firstPass: Seq[(String, Seq[Double])], doPass: Boolean,
+      passReps: Int, rerun: String => Double)
+      : Seq[(String, Seq[Double], Seq[Double])] = {
+    val extras = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    if (doPass)
+      for (_ <- 1 to passReps; (name, main) <- firstPass
+           if !main.exists(_ < 0))
+        extras(name) = extras.getOrElse(name, Vector.empty) :+ rerun(name)
+    firstPass.map { case (name, main) =>
+      (name, main, extras.getOrElse(name, Vector.empty): Seq[Double])
+    }
   }
 
   /** Retry pass (pure merge logic, unit-tested in BenchRenderSpec):
-    * queries still reading as outliers after the main sweep get up to 2
-    * more min-merged reps via `rerun`, taken AFTER the whole
-    * alphabetical pass — a load burst mid-run is contiguous in time, so
-    * end-of-run reps sample a different (usually calmer) box. Skipped
-    * entirely when `doRetry` is false (above the reference table's
-    * calibration scale). Any failed rep still marks the query failed (a
-    * flaky failure must stay visible, same rule as the main pass).
-    * Returns the merged results and the count of retried queries.
+    * queries still reading as outliers after the sweeps get up to 2 more
+    * min-merged reps via `rerun`, taken AFTER the whole alphabetical
+    * pass — a load burst mid-run is contiguous in time, so end-of-run
+    * reps sample a different (usually calmer) box. Skipped entirely when
+    * `doRetry` is false (above the reference table's calibration scale).
+    *
+    * Pass/fail comes from the MAIN runs only: a failed main rep marks
+    * the query failed (flaky failures must stay visible), but a failed
+    * SUPPLEMENTARY rep (second sweep or retry) keeps the main-pass min
+    * as the headline — supplementary reps are only triggered by noise,
+    * so one flaky rerun must not degrade a clean min-of-N to failed
+    * (ADVICE r08). Supplementary failures are counted in the returned
+    * `retryFailed` so they stay visible in the record.
+    *
+    * Returns (merged results with all runs appended, retried-query
+    * count, supplementary-rep failure count).
     */
-  def applyRetries(firstPass: Seq[(String, Seq[Double])],
+  def applyRetries(passed: Seq[(String, Seq[Double], Seq[Double])],
       doRetry: Boolean, rerun: String => Double)
-      : (Seq[(String, Double, Seq[Double])], Int) = {
+      : (Seq[(String, Double, Seq[Double])], Int, Int) = {
     var retried = 0
-    val results = firstPass.map { case (name, runs) =>
-      var rs = runs
-      var extra = 0
-      def best = if (rs.exists(_ < 0)) -1.0 else rs.min
+    var retryFailed = 0
+    val results = passed.map { case (name, main, extra0) =>
+      var extra = extra0
+      def best =
+        if (main.exists(_ < 0)) -1.0
+        else (main ++ extra.filter(_ >= 0)).min
       val wasOutlier =
         doRetry && best >= 0 && best > outlierThreshold(name)
+      var n = 0
       while (doRetry && best >= 0 && best > outlierThreshold(name) &&
-          extra < 2) {
-        rs = rs :+ rerun(name)
-        extra += 1
+          n < 2) {
+        extra = extra :+ rerun(name)
+        n += 1
       }
       if (wasOutlier) retried += 1
-      (name, best, rs)
+      retryFailed += extra.count(_ < 0)
+      (name, best, main ++ extra)
     }
-    (results, retried)
+    (results, retried, retryFailed)
   }
 
   /** Locale.ROOT: the f interpolator uses the JVM default locale, which
@@ -245,7 +299,7 @@ object Bench {
     */
   def render(results: Seq[(String, Double, Seq[Double])], reps: Int,
       loadBefore: String, loadAfter: String, sfDir: String,
-      retried: Int = 0): String = {
+      retried: Int = 0, retryFailed: Int = 0): String = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val raw = results
@@ -259,6 +313,7 @@ object Bench {
     val nFail = results.count(_._2 < 0)
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"runs":$raw,"reps":$reps,"retried":$retried,""" +
+      s""""retry_failed":$retryFailed,""" +
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       s""""failed":$nFail,"sf":"$sfDir"}"""
   }
@@ -296,7 +351,8 @@ object Bench {
 
   def renderCompact(results: Seq[(String, Double, Seq[Double])],
       reps: Int, sfDir: String, loadBefore: String = "",
-      loadAfter: String = "", retried: Int = 0): String = {
+      loadAfter: String = "", retried: Int = 0,
+      retryFailed: Int = 0): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
     // whitelist-sanitized (same treatment as load1): a quote/backslash
@@ -317,9 +373,12 @@ object Bench {
         .mkString("{", ",", "}")
       val omitted =
         if (omit.isEmpty) "" else s""""omitted":${omit.size},"""
+      // rfail: supplementary-rep (sweep-2/retry) failures — nonzero means
+      // a flaky rerun happened but the headline kept the main-pass min
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec",""" +
         s""""prefix":"q_","q_unit":"cs","queries":$qs,""" +
-        s""""reps":$reps,"retried":$retried,$omitted"failed":$nFail,""" +
+        s""""reps":$reps,"retried":$retried,"rfail":$retryFailed,""" +
+        s"""$omitted"failed":$nFail,""" +
         s""""load1":[${load1Str(loadBefore)},${load1Str(loadAfter)}],""" +
         s""""sf":"$sfShort"}"""
     }

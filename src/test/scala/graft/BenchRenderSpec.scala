@@ -126,22 +126,28 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(!Bench.retryEligible("/data/mycorpus"))
   }
 
+  // applyRetries takes (name, mainRuns, supplementaryRuns) triples; the
+  // no-second-sweep case is (name, runs, Nil)
+  private def noExtra(ps: (String, Seq[Double])*) =
+    ps.map { case (n, rs) => (n, rs, Seq.empty[Double]) }
+
   test("retry merge: outliers re-rep min-merged, capped at 2, early stop") {
     // q_melt ref 0.31 → threshold 0.93; first rep inflated to 5s
     var calls = 0
-    val (res, n) = Bench.applyRetries(
-      Seq(("q_melt", Seq(5.0, 4.0, 6.0))), doRetry = true,
+    val (res, n, rf) = Bench.applyRetries(
+      noExtra("q_melt" -> Seq(5.0, 4.0, 6.0)), doRetry = true,
       _ => { calls += 1; if (calls == 1) 0.4 else 99.0 })
     // first retry lands under threshold → no second retry
     assert(calls === 1)
     assert(res === Seq(("q_melt", 0.4, Seq(5.0, 4.0, 6.0, 0.4))))
     assert(n === 1)
+    assert(rf === 0)
   }
 
   test("retry merge: cap of 2 extra reps even when still an outlier") {
     var calls = 0
-    val (res, n) = Bench.applyRetries(
-      Seq(("q_melt", Seq(5.0))), doRetry = true,
+    val (res, n, _) = Bench.applyRetries(
+      noExtra("q_melt" -> Seq(5.0)), doRetry = true,
       _ => { calls += 1; 4.0 })
     assert(calls === 2)
     assert(res.head._2 === 4.0 +- 1e-9)
@@ -150,29 +156,73 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
 
   test("retry merge: disabled pass and in-range queries never re-run") {
     var calls = 0
-    val (resOff, nOff) = Bench.applyRetries(
-      Seq(("q_melt", Seq(5.0))), doRetry = false,
+    val (resOff, nOff, _) = Bench.applyRetries(
+      noExtra("q_melt" -> Seq(5.0)), doRetry = false,
       _ => { calls += 1; 0.1 })
     assert(calls === 0 && nOff === 0 && resOff.head._2 === 5.0 +- 1e-9)
-    val (resIn, nIn) = Bench.applyRetries(
-      Seq(("q_melt", Seq(0.5))), doRetry = true,
+    val (resIn, nIn, _) = Bench.applyRetries(
+      noExtra("q_melt" -> Seq(0.5)), doRetry = true,
       _ => { calls += 1; 0.1 })
     assert(calls === 0 && nIn === 0 && resIn.head._2 === 0.5 +- 1e-9)
   }
 
-  test("retry merge: failures are never retried and a failed retry sticks") {
+  test("retry merge: main-pass failures stick and are never retried") {
     var calls = 0
-    // already-failed query: -1 sentinel, no reruns
-    val (resF, nF) = Bench.applyRetries(
-      Seq(("q_melt", Seq(-1.0, 5.0))), doRetry = true,
+    val (resF, nF, rfF) = Bench.applyRetries(
+      noExtra("q_melt" -> Seq(-1.0, 5.0)), doRetry = true,
       _ => { calls += 1; 0.1 })
-    assert(calls === 0 && nF === 0 && resF.head._2 === -1.0 +- 1e-9)
-    // outlier whose retry rep fails: the query reads failed (flaky
-    // failures must stay visible), counted as retried
-    val (resR, nR) = Bench.applyRetries(
-      Seq(("q_melt", Seq(5.0))), doRetry = true, _ => -1.0)
-    assert(resR.head._2 === -1.0 +- 1e-9)
+    assert(calls === 0 && nF === 0 && rfF === 0)
+    assert(resF.head._2 === -1.0 +- 1e-9)
+  }
+
+  test("retry merge: flaky retry rep keeps the main-pass min (ADVICE r08)") {
+    // outlier whose retry reps fail: the headline stays the main-pass
+    // min (a noise-triggered rerun must not destroy a valid min-of-N);
+    // the flakiness is surfaced via retryFailed instead
+    val (resR, nR, rfR) = Bench.applyRetries(
+      noExtra("q_melt" -> Seq(5.0)), doRetry = true, _ => -1.0)
+    assert(resR.head._2 === 5.0 +- 1e-9)
     assert(nR === 1)
+    assert(rfR === 2) // both retry reps failed, both counted
+    // failed supplementary reps stay visible in the appended runs
+    assert(resR.head._3 === Seq(5.0, -1.0, -1.0))
+  }
+
+  test("second sweep: rep-major, min-merged via applyRetries, skips failed") {
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val passed = Bench.secondPass(
+      Seq(("q_a", Seq(5.0)), ("q_b", Seq(-1.0)), ("q_c", Seq(4.0))),
+      doPass = true, passReps = 2,
+      n => { order += n; 0.2 })
+    // rep-major: all eligible queries once, then again — never a, a
+    assert(order.toSeq === Seq("q_a", "q_c", "q_a", "q_c"))
+    // failed-main query is not re-run and keeps its sentinel
+    assert(passed === Seq(
+      ("q_a", Seq(5.0), Seq(0.2, 0.2)),
+      ("q_b", Seq(-1.0), Seq()),
+      ("q_c", Seq(4.0), Seq(0.2, 0.2))))
+    val (res, _, rf) = Bench.applyRetries(passed, doRetry = true, _ => 99.0)
+    assert(res.map(_._2) === Seq(0.2, -1.0, 0.2))
+    assert(rf === 0)
+  }
+
+  test("second sweep: disabled pass returns main runs untouched") {
+    var calls = 0
+    val passed = Bench.secondPass(Seq(("q_a", Seq(5.0))), doPass = false,
+      passReps = 2, _ => { calls += 1; 0.1 })
+    assert(calls === 0)
+    assert(passed === Seq(("q_a", Seq(5.0), Seq())))
+  }
+
+  test("second sweep: a failed sweep-2 rep keeps the main min, counted") {
+    val passed = Bench.secondPass(Seq(("q_a", Seq(0.5))), doPass = true,
+      passReps = 2, _ => -1.0)
+    val (res, n, rf) = Bench.applyRetries(passed, doRetry = true, _ => 99.0)
+    // q_a's main min 0.5 is under any threshold → no retry; the two
+    // failed sweep-2 reps ride in retryFailed, headline unharmed
+    assert(res.head._2 === 0.5 +- 1e-9)
+    assert(n === 0)
+    assert(rf === 2)
   }
 
   test("load1 parses the first loadavg field, -1 sentinel otherwise") {
