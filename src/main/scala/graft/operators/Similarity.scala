@@ -118,14 +118,30 @@ object Ann {
 
 /** IVF coarse quantizer via deterministic Lloyd's k-means (VERDICT r02 #2/#3).
   *
-  * The quantizer is tiny (k centroids × dim doubles) and lives on the
-  * DRIVER — the classic distributed k-means shape (MLlib KMeans does the
-  * same): data never shuffles for assignment, each Lloyd update is one
-  * map-side-combined aggregation collecting k×dim sums, and the final
-  * cell assignment is a per-row argmax over literal centroids that stays
-  * inside whole-stage codegen. No |corpus|×|centroids| row inflation
-  * anywhere (r02's crossJoin + row_number argmin is gone), no posexplode
-  * (centroid means are dim parallel long-sums over `v[i]`).
+  * The quantizer TABLE is tiny (k centroids × dim doubles) and lives on
+  * the DRIVER at any realistic k — the classic distributed k-means shape
+  * (MLlib KMeans does the same): data never shuffles for assignment, and
+  * each Lloyd update is one map-side-combined aggregation collecting
+  * k×dim sums. The per-row nearest-centroid ARGMAX has two regimes
+  * (VERDICT r08 #2), dispatched by [[assignCells]]:
+  *   - k ≤ [[LiteralArgmaxMaxK]]: codegen'd literal-centroid expression
+  *     ([[assign]]) — k dot products per row inside whole-stage codegen,
+  *     no join, no row inflation. The EXPRESSION is linear-size in
+  *     k×dim, so this regime does not extend to k→√n: a codegen method
+  *     embedding thousands of literal doubles blows past JIT/codegen
+  *     limits long before the driver table itself is a problem.
+  *   - k > [[LiteralArgmaxMaxK]]: the same driver table ships as a
+  *     BROADCAST join ([[assignByJoin]], the q_embed_assign shape) —
+  *     corpus × broadcast(centroids), per-row rounded cosine, one
+  *     vec_id shuffle for the WindowGroupLimit-capped row_number
+  *     argmax. This is the k→√n scale path: broadcast size k×dim
+  *     doubles, corpus never self-joins.
+  * Both regimes compute the identical rounded cosine with the identical
+  * smallest-cell-on-ties rule, so the dispatch is invisible to results
+  * (gated in IvfAssignSpec at k=40). No |corpus|×|centroids| row
+  * inflation outside the broadcast-bounded join (r02's crossJoin +
+  * row_number argmin over a SHUFFLED centroid side is gone), no
+  * posexplode (centroid means are dim parallel long-sums over `v[i]`).
   *
   * Determinism across engines (so the DuckDB oracle can mirror it):
   * fixed seed init (the k lowest vec_ids, cell id = seed vec_id), a fixed
@@ -163,6 +179,45 @@ object Ivf {
     element_at(cellIds, array_position(sims, array_max(sims)).cast("int"))
   }
 
+  /** Crossover between the literal-expression argmax and the broadcast
+    * join: at 32 centroids × 64 dims the literal expression embeds ~2k
+    * doubles — comfortably inside codegen limits — while the join's
+    * extra exchange (one vec_id shuffle) still costs more than the
+    * expression saves. Above that, expression size grows linearly
+    * toward JIT limits while the join shape is flat in k.
+    */
+  val LiteralArgmaxMaxK = 32
+
+  /** Broadcast-join nearest-centroid argmax — identical semantics to
+    * [[assign]] (same rounded cosine, same smallest-cell-on-ties), as a
+    * plan shape that is flat in k: corpus × broadcast(cell, cv, cnrm),
+    * per-row cosine, row_number argmax capped by WindowGroupLimit after
+    * ONE vec_id shuffle. The centroid norms are computed on the driver
+    * with the same left-to-right fold as the literal path, so the
+    * broadcast table carries bit-identical doubles.
+    */
+  def assignByJoin(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cent = broadcast(
+      cents.map { case (id, c) => (id, c, norm(c)) }.toDF("cell", "cv", "cnrm"))
+    val sim = Det.rnd(call_function("graft_dot", col("v"), col("cv")) /
+      (col("nrm") * col("cnrm")), 6)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("_csim").desc, col("cell").asc)
+    e.crossJoin(cent)
+      .withColumn("_csim", sim)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(e.columns.map(col) :+ col("cell"): _*)
+  }
+
+  /** e must have (vec_id, v, nrm). Returns e + `cell` via the regime
+    * right for this k (see object doc). */
+  def assignCells(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    if (cents.length <= LiteralArgmaxMaxK) e.withColumn("cell", assign(cents))
+    else assignByJoin(e, cents)
+
   /** One Lloyd update: element-wise integer-scaled means per cell. One
     * distributed aggregation (dim long-sums + a count per cell,
     * map-side combined); only k×dim values reach the driver. */
@@ -197,8 +252,8 @@ object Ivf {
       s"kmeansCells: expected $k seed vectors with vec_id in [0, $k), " +
         s"found ${cents.length} — ids must be dense from 0")
     for (_ <- 1 until iters)
-      cents = meanCentroids(e.withColumn("cell", assign(cents)), dim)
-    e.withColumn("cell", assign(cents))
+      cents = meanCentroids(assignCells(e, cents), dim)
+    assignCells(e, cents)
   }
 
   /** DuckDB mirror of kmeansCells(k, 64, iters=2) + cell-probe top-k for
