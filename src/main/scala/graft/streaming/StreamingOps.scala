@@ -253,39 +253,36 @@ object StreamingOps {
     * only; a streaming dropDuplicates on (new_id, old_id) collapses
     * pairs that collide on both bands (state = emitted pair ids — at
     * real scale bound it with dropDuplicatesWithinWatermark on an
-    * ingest-time column). Append mode end to end; the static index is
-    * re-read per micro-batch by the join, so a production run would
-    * pin/bucket it by band_key to keep the corpus side exchange-free.
+    * ingest-time column). Append mode end to end.
+    *
+    * `indexTable`: the name of a STORED bucketed band index written by
+    * TextOps.writeBandIndex — the production shape: each micro-batch's
+    * stream-static join reads the index as a plain bucketed scan
+    * instead of re-hashing the whole corpus per batch, and bucketing on
+    * band_key keeps the corpus side exchange-free (VERDICT r08 #4).
+    * With None the index is computed inline from the static corpus
+    * read — ad-hoc mode for a corpus without a maintained index; same
+    * results, corpus re-hashed per micro-batch.
+    *
+    * The signature/key/verify logic is TextOps.nearDupsAgainstIndex —
+    * ONE definition shared with the batch path, so stream and batch
+    * cannot drift (exact parity gated in MultimodalStreamingSpec).
     */
   def streamingNearDedup(spark: SparkSession, sfDir: String,
-      queryName: String = "stream_neardedup"): DataFrame = {
+      queryName: String = "stream_neardedup",
+      indexTable: Option[String] = None): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val bound = graft.operators.TrainingData.TrainBoundary
     val bucket = graft.operators.TrainingData
       .hashPrefixOf(col("doc_id"), 2)
-    // band key carries its SLOT ("1"/"2" prefix): the batch twin only
-    // matches band1 with band1 and band2 with band2; a positionless key
-    // would also admit cross-band collisions (new.band1 == old.band2),
-    // a strictly broader candidate set that breaks exact parity
-    def keyed(sig: DataFrame, idAs: String, toksAs: String): DataFrame =
-      sig.select(explode(array(
-          concat(lit("1"), col("band1")), concat(lit("2"), col("band2"))))
-          .as("band_key"),
-        col("doc_id").as(idAs), col("toks").as(toksAs))
-    val corpusIdx = keyed(graft.operators.TextOps.sigWithToks(
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .filter(bucket < bound)), "old_id", "old_toks")
-    val newDocs = keyed(graft.operators.TextOps.sigWithToks(
-      docsStream(spark, sfDir).filter(bucket >= bound)),
-      "new_id", "new_toks")
-    val inter = expr("graft_intersect_size(new_toks, old_toks)")
-    val jac = inter.cast("double") /
-      (size(col("new_toks")) + size(col("old_toks")) - inter)
-    val matches = newDocs.join(corpusIdx, "band_key")
-      .select(col("new_id"), col("old_id"), jac.as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .dropDuplicates("new_id", "old_id")
-    drainToMemory(matches, queryName)
+    val corpusIdx = indexTable.map(spark.table).getOrElse(
+      graft.operators.TextOps.bandIndexRows(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(bucket < bound), "old_id", "old_toks"))
+    val newDocs = docsStream(spark, sfDir).filter(bucket >= bound)
+    drainToMemory(
+      graft.operators.TextOps.nearDupsAgainstIndex(newDocs, corpusIdx),
+      queryName)
   }
 
   /** Context-window chunking over a file-streamed corpus — the SAME
