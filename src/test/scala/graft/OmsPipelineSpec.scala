@@ -69,6 +69,110 @@ class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
     assert(goldenByName.exceptAll(oursByName).count() === 0)
   }
 
+  test("golden COVID-19: dim upsert accumulates to the exact golden sets") {
+    // The COVID-19 golden dir has dims but no Statistique. Its Pays is
+    // NOT any single input's countries: it is exactly the UNION of
+    // covid_global_3.csv (ids 1-187, first processed) and
+    // covid_global.csv's new countries (ids 188-248) — a dim-UPSERT
+    // accumulation across the covid-mapped inputs. covid_global has no
+    // date column at all, yet its countries are in the golden, so the
+    // reference run registered dims BEFORE its date filter (the
+    // committed scripts' post-filter skip would exclude the whole
+    // file) — the golden is the authority on that order. Ids within a
+    // batch are first-appearance in the reference vs name-sorted here
+    // (same divergence the Monkeypox tests document), so the gate is
+    // set equality per id-range, not id-for-id.
+    val covidGolden = new java.io.File(golden).getParentFile.getPath +
+      "/COVID-19"
+    val goldenPays = spark.read.option("header", true)
+      .option("inferSchema", true).csv(s"$covidGolden/Pays.csv")
+    def countries(file: String) = SchemaMapper.applyMapping(
+        OmsPipeline.extract(spark, s"$refData/$file"),
+        OmsPipeline.standardColumnMap)
+      .select("country").na.drop()
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(String, Int)].toDF("country", "id_pays")
+    val afterG3 = OmsPipeline.upsertDim(empty,
+      countries("covid_global_3.csv"), "country", "id_pays")
+    val dims = OmsPipeline.upsertDim(afterG3,
+      countries("covid_global.csv"), "country", "id_pays")
+    assert(dims.count() === 248L)
+    assert(dims.count() === goldenPays.count())
+    assert(dims.select("country")
+      .except(goldenPays.select("country")).count() === 0)
+    assert(goldenPays.select("country")
+      .except(dims.select("country")).count() === 0)
+    // accumulation structure: the first batch's id range holds exactly
+    // the first file's countries, in ours AND the golden
+    val n1 = afterG3.count()
+    def idRange(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+      df.filter(col("id_pays") > lo && col("id_pays") <= hi)
+        .select("country")
+    assert(idRange(dims, 0, n1).except(idRange(goldenPays, 0, n1))
+      .count() === 0)
+    assert(idRange(goldenPays, 0, n1).except(idRange(dims, 0, n1))
+      .count() === 0)
+    // Region mirrors Pays 1:1 in the golden (same names, id_region ==
+    // id_pays) — the starSchema mirror invariant
+    val goldenRegion = spark.read.option("header", true)
+      .option("inferSchema", true).csv(s"$covidGolden/Region.csv")
+    assert(goldenRegion.count() === 248L)
+    assert(goldenRegion.filter(col("id_region") =!= col("id_pays"))
+      .count() === 0)
+    assert(goldenRegion.select(col("nom_region").as("country"))
+      .except(dims.select("country")).count() === 0)
+    // every covid input detects the golden dir's disease
+    for (f <- Seq("covid_global_3.csv", "covid_global.csv"))
+      assert(OmsPipeline.detectMaladie(f) === "COVID-19")
+    val goldenMaladie = spark.read.option("header", true)
+      .option("inferSchema", true).csv(s"$covidGolden/Maladie.csv")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(goldenMaladie === Seq((1, "COVID-19")))
+  }
+
+  test("golden Inconnue: dateless input writes the header-only star") {
+    // The Inconnue golden is the skip path made visible: an input with a
+    // mappable country but NO usable dates standardizes to an empty
+    // frame, and the star save still emits every table — header-only
+    // CSVs, [] JSON arrays — except Maladie, which registers the
+    // detected disease (golden Maladie.csv = "1,Inconnue"). Replicated
+    // with covid_country_wise_latest.csv (country synonym present, no
+    // date column; the reference's own Inconnue input is not committed,
+    // but any dateless file exercises the identical path).
+    val incGolden = new java.io.File(golden).getParentFile.getPath +
+      "/Inconnue"
+    assert(OmsPipeline.detectMaladie("who_report_latest.csv") === "Inconnue")
+    val std = OmsPipeline.standardize(
+      OmsPipeline.extract(spark,
+        s"$refData/covid_country_wise_latest.csv"), "Inconnue")
+    assert(std.count() === 0L, "no parseable dates -> empty standardized")
+    val star = OmsPipeline.starSchema(std, "Inconnue", spark)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_inconnue").toString
+    OmsPipeline.saveStar(star, out)
+    def readCsv(dir: String, name: String) = spark.read
+      .option("header", true).csv(s"$dir/$name.csv")
+    for (t <- Seq("Pays", "Region", "Statistique")) {
+      val g = readCsv(incGolden, t)
+      val ours = readCsv(out, t)
+      // header-only: same columns in the same order, zero rows, on both
+      assert(ours.columns.toSeq === g.columns.toSeq, t)
+      assert(g.count() === 0L, t)
+      assert(ours.count() === 0L, t)
+    }
+    val gm = readCsv(incGolden, "Maladie")
+    val om = readCsv(out, "Maladie")
+    assert(om.columns.toSeq === gm.columns.toSeq)
+    assert(om.collect().map(_.toSeq).toSeq === gm.collect().map(_.toSeq).toSeq)
+    // the pandas-shape JSON sink: byte-identical tiny files
+    def slurp(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+    for (t <- Seq("Pays", "Region", "Statistique"))
+      assert(slurp(s"$out/$t.json") === slurp(s"$incGolden/$t.json"), t)
+    assert(slurp(s"$out/Maladie.json") === slurp(s"$incGolden/Maladie.json"))
+  }
+
   test("EP1 long format: indicators melt with unit lookup") {
     val long = OmsPipeline.toLongFormat(standardized)
     val units = long.select("indicator", "unit").distinct().collect()
