@@ -171,6 +171,33 @@ object TextOps {
       .dropDuplicates("new_id", "old_id")
   }
 
+  /** Unigram-LM surprisal scoring over any documents-shaped frame — the
+    * q_surprisal body, extracted so the property tests can feed
+    * modified corpora (doc-concatenation additivity) and a driver-side
+    * reference can recompute it. See the QDef comment for the
+    * whole-bit/integer-exactness and scale reasoning.
+    */
+  private[graft] def surprisal(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+    val tf = toks.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val cnts = tf.groupBy("token").agg(sum("tf").as("cnt"))
+    val tot = cnts.agg(sum("cnt").as("total"))
+    tf.join(cnts, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("bits",
+        (length(bin(expr("total DIV cnt"))) - 1).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_toks"), col("sum_bits"),
+        Det.rnd(col("sum_bits").cast("double") / col("n_toks"), 6)
+          .as("avg_bits"))
+  }
+
   /** Connected components by iterative min-label propagation over an
     * undirected `(a_id, b_id)` edge list (tiny — the near-dup subgraph
     * of a corpus; pinned + lineage-cut here via eager localCheckpoint,
@@ -715,25 +742,7 @@ object TextOps {
     // heavy-hitter skew ("the") is AQE-skew-join territory, or
     // broadcast the head vocabulary and shuffle only the tail.
     QDef("q_surprisal",
-      (s, d) => {
-        val toks = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            explode(split(trim(col("text")), "\\s+")).as("token"))
-        val tf = toks.groupBy("doc_id", "token")
-          .agg(count(lit(1)).as("tf"))
-        val cnts = tf.groupBy("token").agg(sum("tf").as("cnt"))
-        val tot = cnts.agg(sum("cnt").as("total"))
-        tf.join(cnts, "token")
-          .crossJoin(broadcast(tot))
-          .withColumn("bits",
-            (length(bin(expr("total DIV cnt"))) - 1).cast("bigint"))
-          .groupBy("doc_id")
-          .agg(sum(col("tf")).as("n_toks"),
-            sum(col("tf") * col("bits")).as("sum_bits"))
-          .select(col("doc_id"), col("n_toks"), col("sum_bits"),
-            Det.rnd(col("sum_bits").cast("double") / col("n_toks"), 6)
-              .as("avg_bits"))
-      },
+      (s, d) => surprisal(Tables(s, d, "documents")),
       Some("WITH toks AS (SELECT doc_id, unnest(" +
         "string_split_regex(trim(text), '\\s+')) AS token " +
         "FROM documents), " +

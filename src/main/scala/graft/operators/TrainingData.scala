@@ -30,6 +30,20 @@ object TrainingData {
   private def hashPrefixSql(n: Int) =
     s"substr(md5(CAST(doc_id AS VARCHAR)), 1, $n)"
 
+  /** Sequential-Poisson sampling priority (Ohlsson 1998): w / u with
+    * u = (hex32(md5(id)) + 0.5) / 2^32 — an exact dyadic double, so the
+    * IEEE division gives bit-identical priorities in any engine (the
+    * q_weighted_sample doc has the full reasoning). ONE definition,
+    * shared by the QDef and the property tests: strictly monotone in
+    * `weight` for a fixed id (u is constant per id), which is what
+    * makes inclusion-monotonicity a testable invariant.
+    */
+  private[graft] def samplePriority(weight: Column, docId: Column): Column = {
+    val v = conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
+      .cast("bigint")
+    weight / ((v + lit(0.5)) / lit(4294967296.0))
+  }
+
   /** 2-hex md5-bucket split thresholds ('cd'/'e6' ≈ 80/10/10) — THE
     * single definition of the boundary, shared by splitCol,
     * q_sample_split's oracle SQL, and the incremental-dedup
@@ -418,16 +432,11 @@ object TrainingData {
     // embarrassingly parallel scoring + TakeOrderedAndProject top-k —
     // no global sort, no corpus shuffle at any scale.
     QDef("q_weighted_sample",
-      (s, d) => {
-        val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-          16, 10).cast("bigint")
-        Tables(s, d, "documents")
-          .select(col("doc_id"), col("n_chars"),
-            (col("n_chars") / ((v + lit(0.5)) / lit(4294967296.0)))
-              .as("priority"))
-          .orderBy(col("priority").desc, col("doc_id"))
-          .limit(25)
-      },
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          samplePriority(col("n_chars"), col("doc_id")).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(25),
       Some("SELECT doc_id, n_chars, " +
         "n_chars / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
         "1, 8)) AS BIGINT) + 0.5) / 4294967296.0) AS priority " +

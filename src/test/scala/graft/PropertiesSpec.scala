@@ -241,4 +241,61 @@ class PropertiesSpec extends AnyFunSuite with SparkSuite {
       assert(covered.toSet === (0 until n).toSet, s"n=$n")
     }
   }
+
+  test("property: surprisal equals a full driver-side recompute") {
+    // independent plain-Scala reimplementation: tokenize, unigram
+    // counts, whole-bit surprisal = floor(log2(total DIV cnt)), per-doc
+    // sums — n_toks and sum_bits must match the distributed result
+    // EXACTLY (integer arithmetic end to end is the operator's claim)
+    val out = graft.operators.TextOps.surprisal(
+        Tables(spark, sf, "documents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(out.nonEmpty)
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tfs = docs.map { case (id, t) =>
+      (id, t.trim.split("\\s+").toSeq.groupBy(identity)
+        .map { case (tok, occ) => tok -> occ.size.toLong })
+    }
+    val cnt = tfs.flatMap(_._2).groupBy(_._1)
+      .map { case (tok, v) => tok -> v.map(_._2).sum }
+    val total = cnt.values.sum
+    def bits(c: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(total / c)
+    val ref = tfs.map { case (id, tf) =>
+      (id, tf.values.sum,
+        tf.map { case (tok, f) => f * bits(cnt(tok)) }.sum)
+    }.sortBy(_._1).toSeq
+    assert(out.map(t => (t._1, t._2, t._3)) === ref)
+    out.foreach { case (_, n, s, avg) =>
+      assert(math.abs(avg - s.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("property: surprisal sum_bits is additive over doc concatenation") {
+    // merging two docs leaves the corpus unigram counts (and therefore
+    // every token's bits) unchanged, so the merged doc scores the sum
+    // of its parts and every untouched doc scores identically
+    val sp = spark
+    import sp.implicits._
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val two = docs.filter(length(trim(col("text"))) > 0)
+      .orderBy("doc_id").limit(2).collect()
+    assume(two.length == 2, "fixture needs two non-empty docs")
+    val (aId, aTxt) = (two(0).getLong(0), two(0).getString(1))
+    val (bId, bTxt) = (two(1).getLong(0), two(1).getString(1))
+    val merged = docs.filter(!col("doc_id").isin(aId, bId))
+      .unionByName(Seq((aId, aTxt + " " + bTxt)).toDF("doc_id", "text"))
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.surprisal(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = byId(docs)
+    val mrg = byId(merged)
+    assert(mrg(aId)._1 === base(aId)._1 + base(bId)._1)
+    assert(mrg(aId)._2 === base(aId)._2 + base(bId)._2)
+    (base.keySet - aId - bId).foreach(id => assert(mrg(id) === base(id)))
+  }
 }

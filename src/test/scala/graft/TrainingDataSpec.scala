@@ -113,6 +113,72 @@ class TrainingDataSpec extends AnyFunSuite with SparkSuite {
     rows.foreach { case (id, pos) => assert(pos === expected(id), id) }
   }
 
+  test("q_weighted_sample: inclusion is monotone in weight") {
+    // sequential-Poisson priority = w/u with u fixed per doc_id, so
+    // raising only the sampled docs' weights can never evict them and
+    // lowering only the unsampled docs' weights can never admit them
+    import graft.operators.TrainingData
+    val docs = Tables(spark, sf, "documents").select("doc_id", "n_chars")
+    def topK(d: org.apache.spark.sql.DataFrame, k: Int): Set[Long] =
+      d.select(col("doc_id"),
+          TrainingData.samplePriority(col("w"), col("doc_id")).as("p"))
+        .orderBy(col("p").desc, col("doc_id")).limit(k)
+        .collect().map(_.getLong(0)).toSet
+    val k = 10
+    val sample = topK(docs.withColumn("w", col("n_chars").cast("double")), k)
+    assert(sample.size === k)
+    val up = docs.withColumn("w",
+      when(col("doc_id").isInCollection(sample), col("n_chars") * 10.0)
+        .otherwise(col("n_chars").cast("double")))
+    assert(topK(up, k) === sample)
+    val down = docs.withColumn("w",
+      when(col("doc_id").isInCollection(sample),
+        col("n_chars").cast("double"))
+        .otherwise(col("n_chars") / 10.0))
+    assert(topK(down, k) === sample)
+  }
+
+  test("q_weighted_sample: result invariant under input order/partitioning") {
+    // the sample is a pure function of (doc_id, weight) content — row
+    // order and physical layout must not leak through the top-k cut
+    import graft.operators.TrainingData
+    val base = SparkEntry.queries("q_weighted_sample")(spark, sf01)
+      .collect().map(_.toSeq).toSeq
+    val shuffled = Tables(spark, sf01, "documents")
+      .repartition(13, col("n_chars"))
+      .sortWithinPartitions(col("doc_id").desc)
+      .select(col("doc_id"), col("n_chars"),
+        TrainingData.samplePriority(col("n_chars"), col("doc_id"))
+          .as("priority"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(25)
+      .collect().map(_.toSeq).toSeq
+    assert(base.size === 25)
+    assert(shuffled === base)
+  }
+
+  test("q_weighted_sample: priorities bit-identical to a driver reference") {
+    // the exactness claim behind the oracle: u = (hex32(md5)+0.5)/2^32
+    // is an exact dyadic double and w/u is one correctly-rounded IEEE
+    // division, so an independent driver-side recompute must match to
+    // the last bit, not within a tolerance
+    import graft.operators.TrainingData
+    val rows = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        TrainingData.samplePriority(col("n_chars"), col("doc_id")).as("p"))
+      .collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = r.get(1).asInstanceOf[Number].doubleValue()
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.take(8), 16) + 0.5) /
+        4294967296.0
+      assert(r.getDouble(2) === w / u, s"doc $id")
+    }
+  }
+
   test("q_mixture: kept <= total, even sources thinner than odd") {
     val m = SparkEntry.queries("q_mixture")(spark, sf01)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
