@@ -551,7 +551,10 @@ object Similarity {
     // embedding-QA cut before training on a clustered corpus. Shape:
     // broadcast the (labels × dim) centroid table, per-row cosine, one
     // TakeOrderedAndProject — no shuffle of the vector corpus beyond
-    // the centroid build itself.
+    // the centroid build itself. Zero-norm/NULL embeddings score the
+    // sentinel -1.0 (the cosine floor) so the exact garbage this cut
+    // hunts leads the ranking instead of vanishing — see
+    // normedVectorsAndCentroids.
     QDef("q_embed_outliers",
       (s, d) => {
         VectorFunctions.register(s)
@@ -602,15 +605,22 @@ object Similarity {
   )
 
   /** Shared scaffolding for the centroid-cosine queries
-    * (q_embed_outliers, q_embed_assign), so the zero-norm guard and the
-    * norm formula can't drift between them:
-    * `v` = (vec_id, label, v, vnrm) with zero-norm vectors excluded
-    * (Spark's non-ANSI x/0.0 yields NULL which sorts FIRST ascending
-    * while DuckDB sorts NULLS LAST — inside a LIMIT/argmax the engines
-    * would disagree); `cent` = (label, cv, cnrm) with the centroid norm
-    * computed ONCE in the tiny broadcast table (a per-label constant
-    * must not be re-folded per corpus row), zero-norm centroids
-    * excluded for the same reason.
+    * (q_embed_outliers, q_embed_assign), so the zero-norm handling and
+    * the norm formula can't drift between them:
+    * `v` = (vec_id, label, v, vnrm) with ALL vectors kept — a zero-norm
+    * (or NULL) embedding is exactly the garbage row the outlier/mislabel
+    * cut exists to surface, so rather than divide by zero (Spark's
+    * non-ANSI x/0.0 yields NULL which sorts FIRST ascending while DuckDB
+    * sorts NULLS LAST — inside a LIMIT/argmax the engines would
+    * disagree) [[centCos]] gives such rows the sentinel cos_sim -1.0:
+    * the cosine floor, so they deterministically lead the outlier cut
+    * and argmax-tie-break on label in BOTH engines. `cent` = (label, cv,
+    * cnrm) with the centroid norm computed ONCE in the tiny broadcast
+    * table (a per-label constant must not be re-folded per corpus row);
+    * zero-norm CENTROIDS stay excluded — a label whose mean vector is
+    * exactly zero has no direction to compare against, and its vectors
+    * drop out of the label-equi-join (q_embed_outliers) / lose that one
+    * candidate arm (q_embed_assign).
     */
   private def normedVectorsAndCentroids(
       s: org.apache.spark.sql.SparkSession, d: String)
@@ -623,17 +633,22 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("vnrm", expr(norm))
-      .filter(col("vnrm") > 0d)
     (v, cent)
   }
 
-  /** Cosine of a vector row against its joined centroid row. */
+  /** Cosine of a vector row against its joined centroid row; zero-norm
+    * (or NULL) vectors get the sentinel -1.0 — see
+    * [[normedVectorsAndCentroids]].
+    */
   private def centCos: org.apache.spark.sql.Column =
-    Det.rnd(expr("graft_dot(v, cv)") / (col("vnrm") * col("cnrm")), 6)
+    when(col("vnrm") > 0d,
+      Det.rnd(expr("graft_dot(v, cv)") / (col("vnrm") * col("cnrm")), 6))
+      .otherwise(lit(-1.0d))
 
   /** DuckDB twins: [[normedSql]] extends centroidSql with the cn/v CTEs
-    * (guards applied IN the CTEs — alias reuse in WHERE is legal in
-    * DuckDB); [[centCosSql]] is the cosine over those CTEs.
+    * (the centroid guard applied IN the cn CTE — alias reuse in WHERE is
+    * legal in DuckDB); [[centCosSql]] is the cosine over those CTEs with
+    * the same zero-norm sentinel branch as [[centCos]].
     */
   private lazy val normedSql = centroidSql +
     ", cn AS (SELECT label, centroid, " +
@@ -641,10 +656,12 @@ object Similarity {
     "WHERE cnrm > 0), " +
     "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
     "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-    "CAST(embedding AS DOUBLE[]))) AS vnrm FROM embeddings " +
-    "WHERE vnrm > 0) "
+    "CAST(embedding AS DOUBLE[]))) AS vnrm FROM embeddings) "
   private lazy val centCosSql =
-    Det.rndSql("list_dot_product(v.v, cn.centroid) / (v.vnrm * cn.cnrm)", 6)
+    "CASE WHEN v.vnrm > 0 THEN " +
+      Det.rndSql("list_dot_product(v.v, cn.centroid) / (v.vnrm * cn.cnrm)",
+        6) +
+      " ELSE CAST(-1 AS DOUBLE) END"
 
   /** Per-(label, pos) Det-exact mean: (label, pos, mv, n) — the long
     * form q_embed_centroid emits; n is the per-label vector count
