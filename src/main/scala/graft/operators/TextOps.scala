@@ -207,16 +207,17 @@ object TextOps {
     * ConnectedComponentsSpec; exercised end-to-end (with the DuckDB
     * recursive-CTE oracle) by q_dedup_clusters.
     *
-    * Caller contract: the returned frame is PERSISTED (the loop
-    * materialized it) — release it via unpersist()/catalog.clearCache()
-    * when done (Verify/Bench clear the cache after every query). The
-    * pinned edge list lives as localCheckpoint RDD blocks, which
-    * clearCache() does NOT free: they are released by ContextCleaner
-    * once the returned frame (whose recompute path needs them) becomes
-    * unreachable and the driver GCs it. Per call that is the tiny
-    * near-dup edge list, bounded and self-cleaning in a long session;
-    * at cluster scale prefer reliable checkpointing anyway (see below).
-    * The
+    * Caller contract: the returned frame is a SELF-CONTAINED eager
+    * localCheckpoint of the converged labels — no lineage back to the
+    * edge list, safe to re-reference even after catalog.clearCache().
+    * The pinned edge list's checkpoint blocks (the big ones — every
+    * candidate pair) are unpersisted EXPLICITLY before this returns,
+    * success or failure, so repeated reps in a long bench/verify session
+    * accumulate nothing; only the label-sized blocks of the returned
+    * frame itself wait for ContextCleaner GC once the caller drops it
+    * (clearCache() does not free checkpoint blocks — unpersist() on the
+    * returned frame is likewise a no-op). At cluster scale prefer
+    * reliable checkpointing anyway (see below). The
     * loop also briefly rewrites session-GLOBAL conf (restored in the
     * finally below), so the driver must not plan unrelated queries on
     * this session concurrently — true of every current caller
@@ -329,9 +330,32 @@ object TextOps {
         labels.unpersist()
         labels = next
       }
-    } finally prevConf.foreach { case (k, v) => s.conf.set(k, v) }
-    labels
+      // detach the result from the edge list: one more (tiny, cached,
+      // 1-partition) materialization into its own checkpoint blocks, so
+      // the finally below can free the edge blocks without leaving the
+      // returned frame un-recomputable
+      val out = labels.localCheckpoint()
+      labels.unpersist()
+      out
+    } finally {
+      prevConf.foreach { case (k, v) => s.conf.set(k, v) }
+      // free the pinned edge list NOW (every candidate pair — the bulk
+      // of the loop's storage) instead of waiting for the driver to GC
+      // the frame; localCheckpoint blocks are invisible to clearCache
+      unpersistCheckpoint(e)
+    }
   }
+
+  /** Unpersist the checkpoint blocks behind an (eagerly) locally
+    * checkpointed frame — `Dataset.localCheckpoint` offers no release
+    * hook, so reach through the LogicalRDD it plans to. The frame must
+    * not be referenced afterwards (its only data source is gone).
+    */
+  private def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+    }
 
   val defs: Seq[QDef] = Seq(
 

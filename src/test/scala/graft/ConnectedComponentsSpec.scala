@@ -17,8 +17,9 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
     val edges = pairs.toDF("a_id", "b_id").repartition(1).persist()
     try {
       val labels = TextOps.connectedComponents(spark, edges)
-      try labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      finally labels.unpersist() // returned frame is persisted (contract)
+      // returned frame is a self-contained localCheckpoint (contract):
+      // its blocks are GC-released once this reference drops
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     } finally edges.unpersist()
   }
 
@@ -42,6 +43,23 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
 
   test("empty edge list yields an empty labeling") {
     assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("edge checkpoint blocks are freed; result survives clearCache") {
+    // ADVICE r08: the pinned edge list must not accumulate storage
+    // blocks across reps — exactly ONE persistent RDD may outlive the
+    // call (the returned frame's own label-sized checkpoint), and the
+    // result must stay readable after a cache clear (self-contained)
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L))
+      .toDF("a_id", "b_id").repartition(1)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = TextOps.connectedComponents(spark, edges)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size === 1, s"leaked persistent RDDs: $added")
+    spark.catalog.clearCache()
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
   }
 
   test("property: random graphs match a driver-side union-find") {
