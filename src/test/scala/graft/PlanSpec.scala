@@ -231,14 +231,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // the query references the exploded (doc,token) tf pipeline three
     // times (tf join input, token counts, corpus total); without
     // exchange reuse the corpus would be scanned + exploded three times.
-    // Reuse is a RUNTIME AQE decision, so execute first and assert on
-    // the final adaptive plan.
-    val df = SparkEntry.queries("q_surprisal")(spark, sf)
-    // collect() drives df's OWN query execution, so its
-    // AdaptiveSparkPlan finalizes in place (a write would plan a fresh
-    // execution and leave this one un-finalized)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert("ReusedExchange".r.findAllIn(p).size >= 2, p)
+    // Reuse is a RUNTIME AQE decision, so pin the confs it rides on
+    // (ADVICE r08: session/Spark-version drift must fail THIS gate
+    // loudly, not flake it), execute, and assert on the final adaptive
+    // plan.
+    val pinned = Seq("spark.sql.exchange.reuse" -> "true",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.shuffle.partitions" -> "4")
+    val prev = pinned.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = SparkEntry.queries("q_surprisal")(spark, sf)
+      // collect() drives df's OWN query execution, so its
+      // AdaptiveSparkPlan finalizes in place (a write would plan a fresh
+      // execution and leave this one un-finalized)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert("ReusedExchange".r.findAllIn(p).size >= 2, p)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }
