@@ -137,8 +137,10 @@ object Ann {
   *     argmax. This is the k→√n scale path: broadcast size k×dim
   *     doubles, corpus never self-joins.
   * Both regimes compute the identical rounded cosine with the identical
-  * smallest-cell-on-ties rule, so the dispatch is invisible to results
-  * (gated in IvfAssignSpec at k=40). No |corpus|×|centroids| row
+  * smallest-cell-on-ties rule — including the zero-norm/NULL sentinel
+  * cosine -1.0, which lands degenerate vectors in the smallest cell in
+  * BOTH regimes — so the dispatch is invisible to results (gated in
+  * IvfAssignSpec at k=40, degenerate rows included). No |corpus|×|centroids| row
   * inflation outside the broadcast-bounded join (r02's crossJoin +
   * row_number argmin over a SHUFFLED centroid side is gone), no
   * posexplode (centroid means are dim parallel long-sums over `v[i]`).
@@ -160,10 +162,21 @@ object Ivf {
     math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
 
   /** Rounded cosine of row vector `v` (with precomputed `nrm`) against a
-    * driver-literal centroid. */
-  private def csim(c: Seq[Double]): Column =
-    Det.rnd(call_function("graft_dot", col("v"), typedlit(c)) /
-      (col("nrm") * lit(norm(c))), 6)
+    * driver-literal centroid. Zero-norm/NULL vectors (and zero-norm
+    * centroids) get the sentinel -1.0 — without it the literal path's
+    * all-NULL cosine array argmaxes to a NULL cell while the join path's
+    * NULLS-LAST tie takes the smallest cell, and the regime dispatch
+    * would no longer be invisible to results. With the sentinel both
+    * regimes tie every cell at -1.0 and resolve to the smallest cell id
+    * (cents is sorted; array_position takes the first max). */
+  private def csim(c: Seq[Double]): Column = {
+    val cn = norm(c)
+    if (cn == 0d) lit(-1.0d)
+    else when(col("nrm") > 0d,
+      Det.rnd(call_function("graft_dot", col("v"), typedlit(c)) /
+        (col("nrm") * lit(cn)), 6))
+      .otherwise(lit(-1.0d))
+  }
 
   /** Single-pass nearest-centroid argmax: the k rounded cosines land in
     * one array and the cell is read at the first-max position —
@@ -201,8 +214,12 @@ object Ivf {
     import s.implicits._
     val cent = broadcast(
       cents.map { case (id, c) => (id, c, norm(c)) }.toDF("cell", "cv", "cnrm"))
-    val sim = Det.rnd(call_function("graft_dot", col("v"), col("cv")) /
-      (col("nrm") * col("cnrm")), 6)
+    // same zero-norm sentinel as the literal path's csim — the regime
+    // dispatch must stay invisible to results on degenerate vectors too
+    val sim = when(col("nrm") > 0d && col("cnrm") > 0d,
+      Det.rnd(call_function("graft_dot", col("v"), col("cv")) /
+        (col("nrm") * col("cnrm")), 6))
+      .otherwise(lit(-1.0d))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("_csim").desc, col("cell").asc)
     e.crossJoin(cent)
@@ -261,10 +278,15 @@ object Ivf {
     * c1 = integer-scaled means, cells = argmax vs c1, then rescoring
     * inside the query's own cell only. */
   def oracleSql(k: Int, maxQueryId: Int, topK: Int): String = {
+    // assignment cosine mirrors the Spark regimes' zero-norm sentinel
+    // (see Ivf.csim) so the twins agree even on degenerate vectors
     def csim(vAlias: String, cAlias: String) =
-      Det.rndSql(s"list_dot_product($vAlias.v, $cAlias.c) / " +
-        s"(sqrt(list_dot_product($vAlias.v, $vAlias.v)) * " +
-        s"sqrt(list_dot_product($cAlias.c, $cAlias.c)))", 6)
+      s"CASE WHEN list_dot_product($vAlias.v, $vAlias.v) > 0 " +
+        s"AND list_dot_product($cAlias.c, $cAlias.c) > 0 THEN " +
+        Det.rndSql(s"list_dot_product($vAlias.v, $cAlias.c) / " +
+          s"(sqrt(list_dot_product($vAlias.v, $vAlias.v)) * " +
+          s"sqrt(list_dot_product($cAlias.c, $cAlias.c)))", 6) +
+        " ELSE CAST(-1 AS DOUBLE) END"
     val sim = Det.rndSql("list_dot_product(c2.v, q.v) / " +
       "(sqrt(list_dot_product(c2.v, c2.v)) * " +
       "sqrt(list_dot_product(q.v, q.v)))", 6)

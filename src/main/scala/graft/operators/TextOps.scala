@@ -162,13 +162,26 @@ object TextOps {
       index: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val nw = bandIndexRows(newDocs, "new_id", "new_toks")
-    val inter = expr("graft_intersect_size(new_toks, old_toks)")
-    val jac = inter.cast("double") /
-      (size(col("new_toks")) + size(col("old_toks")) - inter)
     nw.join(index, "band_key")
-      .select(col("new_id"), col("old_id"), jac.as("jaccard"))
+      .select(col("new_id"), col("old_id"),
+        jaccard(col("new_toks"), col("old_toks")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .dropDuplicates("new_id", "old_id")
+  }
+
+  /** Exact set-overlap verification used by every near-dup candidate
+    * check — ONE definition (shared with the QDefs below) so the
+    * formula cannot drift between the batch, incremental, streaming,
+    * and cluster paths that all promise identical semantics.
+    */
+  private[graft] def intersectSize(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_intersect_size", a, b)
+
+  private[graft] def jaccard(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val inter = intersectSize(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter)
   }
 
   /** Unigram-LM surprisal scoring over any documents-shaped frame — the
@@ -333,8 +346,10 @@ object TextOps {
       // detach the result from the edge list: one more (tiny, cached,
       // 1-partition) materialization into its own checkpoint blocks, so
       // the finally below can free the edge blocks without leaving the
-      // returned frame un-recomputable
-      val out = labels.localCheckpoint()
+      // returned frame un-recomputable; a failed detach must not orphan
+      // the converged cache (same discipline as the mid-loop handler)
+      val out = try labels.localCheckpoint()
+        catch { case t: Throwable => labels.unpersist(); throw t }
       labels.unpersist()
       out
     } finally {
@@ -556,16 +571,14 @@ object TextOps {
       (s, d) => {
         val (docs, cand) = bandCandidates(s, d)
         val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
-        val inter = expr("graft_intersect_size(a_toks, b_toks)")
-        val jac = inter.cast("double") /
-          (size(col("a_toks")) + size(col("b_toks")) - inter)
         cand
           .join(toks.select(col("doc_id").as("a_id"),
             col("toks").as("a_toks")), "a_id")
           .join(toks.select(col("doc_id").as("b_id"),
             col("toks").as("b_toks")), "b_id")
-          .select(col("a_id"), col("b_id"), inter.as("n_inter"),
-            jac.as("jaccard"))
+          .select(col("a_id"), col("b_id"),
+            intersectSize(col("a_toks"), col("b_toks")).as("n_inter"),
+            jaccard(col("a_toks"), col("b_toks")).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
       },
       Some(sigSql +
@@ -616,15 +629,13 @@ object TextOps {
           .select("new_id", "old_id")
         val cand = c1.union(c2).distinct()
         val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
-        val inter = expr("graft_intersect_size(n_toks_a, e_toks_a)")
-        val jac = inter.cast("double") /
-          (size(col("n_toks_a")) + size(col("e_toks_a")) - inter)
         cand
           .join(toks.select(col("doc_id").as("new_id"),
             col("toks").as("n_toks_a")), "new_id")
           .join(toks.select(col("doc_id").as("old_id"),
             col("toks").as("e_toks_a")), "old_id")
-          .select(col("new_id"), col("old_id"), jac.as("jaccard"))
+          .select(col("new_id"), col("old_id"),
+            jaccard(col("n_toks_a"), col("e_toks_a")).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
       },
       Some(sigSql +
@@ -660,9 +671,7 @@ object TextOps {
       (s, d) => {
         val (docs, cand) = bandCandidates(s, d)
         val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
-        val inter = expr("graft_intersect_size(a_toks, b_toks)")
-        val jac = inter.cast("double") /
-          (size(col("a_toks")) + size(col("b_toks")) - inter)
+        val jac = jaccard(col("a_toks"), col("b_toks"))
         // symmetric edge list, once: each propagation round is then ONE
         // join + ONE min-aggregate. repartition(1) — NOT coalesce(1),
         // which would collapse the whole upstream hash/verify pipeline
@@ -835,9 +844,7 @@ object TextOps {
         val (docs, cand) = bandCandidates(s, d)
         val shs = docs.select(col("doc_id"),
           expr("graft_shingle_set(text)").as("shs"))
-        val inter = expr("graft_intersect_size(a_shs, b_shs)")
-        val jac = inter.cast("double") /
-          (size(col("a_shs")) + size(col("b_shs")) - inter)
+        val jac = jaccard(col("a_shs"), col("b_shs"))
         cand
           .join(shs.select(col("doc_id").as("a_id"),
             col("shs").as("a_shs")), "a_id")

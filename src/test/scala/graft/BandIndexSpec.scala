@@ -35,12 +35,14 @@ class BandIndexSpec extends AnyFunSuite with SparkSuite {
 
   test("index join matches q_dedup_incremental exactly") {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    TextOps.writeBandIndex(docs.filter(bucket < bound), table)
-    val viaIndex = pairs(TextOps.nearDupsAgainstIndex(
-      docs.filter(bucket >= bound), spark.table(table)))
-    val selfContained =
-      pairs(SparkEntry.queries("q_dedup_incremental")(spark, sf))
-    assert(viaIndex === selfContained)
+    try {
+      TextOps.writeBandIndex(docs.filter(bucket < bound), table)
+      val viaIndex = pairs(TextOps.nearDupsAgainstIndex(
+        docs.filter(bucket >= bound), spark.table(table)))
+      val selfContained =
+        pairs(SparkEntry.queries("q_dedup_incremental")(spark, sf))
+      assert(viaIndex === selfContained)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
   test("stored-index join shuffles only the new batch") {

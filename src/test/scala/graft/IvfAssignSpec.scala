@@ -69,6 +69,28 @@ class IvfAssignSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("zero-norm vectors land in the smallest cell under BOTH regimes") {
+    // without the sentinel cosine the literal path argmaxes an all-NULL
+    // array to a NULL cell while the join path's NULLS-LAST tie picks
+    // the smallest cell — the dispatch would leak into results exactly
+    // on the degenerate rows the embed queries now surface
+    import spark.implicits._
+    val withZero = e.unionByName(
+      Seq((999L, Seq.fill(dim)(0.0))).toDF("vec_id", "v")
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))")))
+    val viaLiteral = cells(withZero.withColumn("cell", Ivf.assign(cents.take(8))))
+    val viaJoin = cells(Ivf.assignByJoin(withZero, cents.take(8)))
+    assert(viaLiteral(999L) === 0)
+    assert(viaJoin(999L) === 0)
+    // the well-formed rows are untouched by the sentinel branch
+    assert(viaLiteral === viaJoin)
+    // and above the crossover the dispatch stays invisible too
+    val viaJoin40 = cells(Ivf.assignByJoin(withZero, cents))
+    val viaLiteral40 = cells(withZero.withColumn("cell", Ivf.assign(cents)))
+    assert(viaJoin40(999L) === 0)
+    assert(viaLiteral40 === viaJoin40)
+  }
+
   test("kmeansCells end-to-end above the crossover keeps each row once") {
     val out = Ivf.kmeansCells(e, k = 40, dim = dim, iters = 2)
     assert(out.count() === 120)

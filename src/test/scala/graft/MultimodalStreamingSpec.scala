@@ -198,28 +198,29 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     val bucket = graft.operators.TrainingData
       .hashPrefixOf(org.apache.spark.sql.functions.col("doc_id"), 2)
     spark.sql("DROP TABLE IF EXISTS stream_band_idx")
-    graft.operators.TextOps.writeBandIndex(
-      spark.read.parquet(s"$sf/documents.parquet").filter(bucket < bound),
-      "stream_band_idx")
-    val viaIndex = StreamingOps.streamingNearDedup(spark, sf,
-      queryName = "stream_neardedup_idx",
-      indexTable = Some("stream_band_idx"))
-    val inline = StreamingOps.streamingNearDedup(spark, sf)
-    val batch = SparkEntry.queries("q_dedup_incremental")(spark, sf)
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.select("new_id", "old_id", "jaccard").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .sortBy(t => (t._1, t._2)).toSeq
-    val b1 = rows(batch)
-    // q_dedup_incremental is legitimately empty when no planted
-    // near-dup pair straddles the train/new split (QueriesSpec's
-    // mayBeEmpty contract) — parity must hold either way, but flag a
-    // regenerated fixture that makes it vacuous as canceled, not red
-    assume(b1.nonEmpty,
-      "fixture has no cross-split near-dups; parity test vacuous")
-    assert(rows(viaIndex) === b1)
-    assert(rows(inline) === b1)
-    spark.sql("DROP TABLE IF EXISTS stream_band_idx")
+    try {
+      graft.operators.TextOps.writeBandIndex(
+        spark.read.parquet(s"$sf/documents.parquet").filter(bucket < bound),
+        "stream_band_idx")
+      val viaIndex = StreamingOps.streamingNearDedup(spark, sf,
+        queryName = "stream_neardedup_idx",
+        indexTable = Some("stream_band_idx"))
+      val inline = StreamingOps.streamingNearDedup(spark, sf)
+      val batch = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("new_id", "old_id", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      val b1 = rows(batch)
+      // q_dedup_incremental is legitimately empty when no planted
+      // near-dup pair straddles the train/new split (QueriesSpec's
+      // mayBeEmpty contract) — parity must hold either way, but flag a
+      // regenerated fixture that makes it vacuous as canceled, not red
+      assume(b1.nonEmpty,
+        "fixture has no cross-split near-dups; parity test vacuous")
+      assert(rows(viaIndex) === b1)
+      assert(rows(inline) === b1)
+    } finally spark.sql("DROP TABLE IF EXISTS stream_band_idx")
   }
 
   test("streaming corpus ingest (filter+dedup+split) equals batch twin") {
