@@ -44,6 +44,67 @@ import org.apache.spark.sql.functions._
   * accepted; when raising the modulus, also require
   * (37 + 11i) % modulus != 0 for i < dim to eliminate it.
   */
+/** THE rounded cosine — one Spark definition and one SQL-builder twin
+  * for every similarity site in this file, so the zero-norm rule cannot
+  * drift between the ANN legs, the IVF quantizer, and the embedding-QA
+  * cuts: a zero-norm (or NULL) vector on either side scores the
+  * sentinel -1.0, the cosine floor. Rationale: Spark's non-ANSI x/0.0
+  * yields NULL (DESC-sorts last) while DuckDB's depends on version
+  * (NULL on 1.0; NaN — which sorts FIRST in ORDER BY DESC — once
+  * ieee_floating_point_ops defaults true in 1.1+), so inside a top-k
+  * cut, a >threshold filter, or an argmax the engines could disagree.
+  * The sentinel keeps degenerate vectors deterministically at the
+  * BOTTOM of every descending ranking, OUT of every >threshold pair
+  * filter, and at the TOP of q_embed_outliers' ascending garbage cut —
+  * identically in both engines, on any DuckDB version.
+  */
+private[operators] object CosSim {
+  import org.apache.spark.sql.Column
+
+  def sentinel(dot: Column, n1: Column, n2: Column): Column =
+    when(n1 > lit(0d) && n2 > lit(0d), Det.rnd(dot / (n1 * n2), 6))
+      .otherwise(lit(-1.0d))
+
+  /** DuckDB twin: rounded `dotSql / (n1Sql * n2Sql)` behind the same
+    * guard. Pass the norm EXPRESSIONS (not aliases) when the dialect
+    * site cannot reference aliases in scope.
+    */
+  def sentinelSql(dotSql: String, n1Sql: String, n2Sql: String): String =
+    s"CASE WHEN $n1Sql > 0 AND $n2Sql > 0 THEN " +
+      Det.rndSql(s"$dotSql / ($n1Sql * $n2Sql)", 6) +
+      " ELSE CAST(-1 AS DOUBLE) END"
+
+  /** NULL-embedding canonicalization for every cosine/banding scan:
+    * a NULL embedding IS the zero vector — same sentinel cosine, same
+    * (all-'1') hyperplane sign bits, same candidate sets on both
+    * engines. One definition per engine because the alternatives
+    * diverge: Spark's when-guards would band a NULL dot to '0' bits
+    * where a zero vector gives '1' bits, and DuckDB 1.0's
+    * list_inner_product hard-errors on a mixed-validity list column
+    * even under a CASE guard (verified empirically — single-row NULL
+    * chunks return NULL, mixed chunks abort). Centroid MEANS are the
+    * deliberate exception on both engines: a NULL embedding contributes
+    * no coordinates there (Spark posexplode drops it; the SQL twin's
+    * embedding[gs] yields NULLs that sum skips), because canonicalizing
+    * would drag every per-label mean toward zero.
+    */
+  def canon(embedding: Column, dim: Int = 64): Column =
+    coalesce(embedding.cast("array<double>"),
+      typedlit(Seq.fill(dim)(0.0)))
+
+  /** The identity list_transform is LOAD-BEARING: DuckDB 1.0's
+    * list_inner_product validates the flat child vector of its list
+    * argument across the whole chunk, so a COALESCE that papers over a
+    * NULL list row still aborts ("left argument can not contain NULL
+    * values") when the chunk mixes NULL and non-NULL lists; the
+    * transform re-materializes a clean child vector (verified
+    * empirically on a mixed 502-row fixture).
+    */
+  def canonSql(dim: Int = 64): String =
+    "list_transform(COALESCE(CAST(embedding AS DOUBLE[]), " +
+      s"[CAST(0 AS DOUBLE) for i in generate_series(1, $dim)]), x -> x)"
+}
+
 object Ann {
   import org.apache.spark.sql.{Column, DataFrame}
 
@@ -71,7 +132,7 @@ object Ann {
   /** Normalized view of the embeddings table: (vec_id, v, nrm). */
   def prep(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
+        CosSim.canon(col("embedding")).as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
 
   /** Distinct candidate pairs (q_id, vec_id) colliding on ≥1 band.
@@ -105,7 +166,8 @@ object Ann {
     val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val sim = Det.rnd(expr("graft_dot(v, qv)") / (col("nrm") * col("qn")), 6)
+    val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
+      col("nrm"), col("qn"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     cand.join(e, "vec_id").join(broadcast(q), "q_id")
@@ -169,14 +231,9 @@ object Ivf {
     * would no longer be invisible to results. With the sentinel both
     * regimes tie every cell at -1.0 and resolve to the smallest cell id
     * (cents is sorted; array_position takes the first max). */
-  private def csim(c: Seq[Double]): Column = {
-    val cn = norm(c)
-    if (cn == 0d) lit(-1.0d)
-    else when(col("nrm") > 0d,
-      Det.rnd(call_function("graft_dot", col("v"), typedlit(c)) /
-        (col("nrm") * lit(cn)), 6))
-      .otherwise(lit(-1.0d))
-  }
+  private def csim(c: Seq[Double]): Column =
+    CosSim.sentinel(call_function("graft_dot", col("v"), typedlit(c)),
+      col("nrm"), lit(norm(c)))
 
   /** Single-pass nearest-centroid argmax: the k rounded cosines land in
     * one array and the cell is read at the first-max position —
@@ -216,10 +273,9 @@ object Ivf {
       cents.map { case (id, c) => (id, c, norm(c)) }.toDF("cell", "cv", "cnrm"))
     // same zero-norm sentinel as the literal path's csim — the regime
     // dispatch must stay invisible to results on degenerate vectors too
-    val sim = when(col("nrm") > 0d && col("cnrm") > 0d,
-      Det.rnd(call_function("graft_dot", col("v"), col("cv")) /
-        (col("nrm") * col("cnrm")), 6))
-      .otherwise(lit(-1.0d))
+    val sim = CosSim.sentinel(
+      call_function("graft_dot", col("v"), col("cv")),
+      col("nrm"), col("cnrm"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("_csim").desc, col("cell").asc)
     e.crossJoin(cent)
@@ -278,19 +334,17 @@ object Ivf {
     * c1 = integer-scaled means, cells = argmax vs c1, then rescoring
     * inside the query's own cell only. */
   def oracleSql(k: Int, maxQueryId: Int, topK: Int): String = {
-    // assignment cosine mirrors the Spark regimes' zero-norm sentinel
-    // (see Ivf.csim) so the twins agree even on degenerate vectors
+    // BOTH cosines — assignment AND cell-probe rescoring — mirror the
+    // Spark sites' zero-norm sentinel (CosSim) so the twins agree even
+    // on degenerate vectors, on any DuckDB version
     def csim(vAlias: String, cAlias: String) =
-      s"CASE WHEN list_dot_product($vAlias.v, $vAlias.v) > 0 " +
-        s"AND list_dot_product($cAlias.c, $cAlias.c) > 0 THEN " +
-        Det.rndSql(s"list_dot_product($vAlias.v, $cAlias.c) / " +
-          s"(sqrt(list_dot_product($vAlias.v, $vAlias.v)) * " +
-          s"sqrt(list_dot_product($cAlias.c, $cAlias.c)))", 6) +
-        " ELSE CAST(-1 AS DOUBLE) END"
-    val sim = Det.rndSql("list_dot_product(c2.v, q.v) / " +
-      "(sqrt(list_dot_product(c2.v, c2.v)) * " +
-      "sqrt(list_dot_product(q.v, q.v)))", 6)
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      CosSim.sentinelSql(s"list_dot_product($vAlias.v, $cAlias.c)",
+        s"sqrt(list_dot_product($vAlias.v, $vAlias.v))",
+        s"sqrt(list_dot_product($cAlias.c, $cAlias.c))")
+    val sim = CosSim.sentinelSql("list_dot_product(c2.v, q.v)",
+      "sqrt(list_dot_product(c2.v, c2.v))",
+      "sqrt(list_dot_product(q.v, q.v))")
+    s"WITH e AS (SELECT vec_id, ${CosSim.canonSql()} AS v " +
       "FROM embeddings), " +
       s"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e " +
       s"WHERE vec_id < $k), " +
@@ -345,13 +399,13 @@ object Similarity {
       s"SELECT q.vec_id AS q_id, c.vec_id AS vec_id FROM e c JOIN e q " +
         s"ON c.band$b = q.band$b AND q.vec_id < $maxQueryId " +
         "AND c.vec_id <> q.vec_id").mkString(" UNION ")
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+    s"WITH e AS (SELECT vec_id, ${CosSim.canonSql()} AS v, " +
       s"$bandCols FROM embeddings), " +
       s"cand AS ($unions), " +
       "p AS (SELECT cand.q_id, cand.vec_id, " +
-      s"${Det.rndSql("list_dot_product(c.v, q.v) / " +
-        "(sqrt(list_dot_product(c.v, c.v)) * " +
-        "sqrt(list_dot_product(q.v, q.v)))", 6)} AS sim " +
+      s"${CosSim.sentinelSql("list_dot_product(c.v, q.v)",
+        "sqrt(list_dot_product(c.v, c.v))",
+        "sqrt(list_dot_product(q.v, q.v))")} AS sim " +
       "FROM cand JOIN e c ON cand.vec_id = c.vec_id " +
       "JOIN e q ON cand.q_id = q.vec_id) " +
       "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
@@ -366,12 +420,12 @@ object Similarity {
       (s, d) => {
         VectorFunctions.register(s)
         val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), CosSim.canon(col("embedding")).as("v"))
           .withColumn("nrm", expr(norm))
           .persist() // norms computed once, reused by query + candidate side
         val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn")).filter(col("q_id") < 10)
-        val sim = Det.rnd(expr(dotAB) / (col("nrm") * col("qn")), 6)
+        val sim = CosSim.sentinel(expr(dotAB), col("nrm"), col("qn"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("sim").desc, col("vec_id").asc)
         e.crossJoin(broadcast(q))
@@ -381,12 +435,12 @@ object Similarity {
           .filter(col("rn") <= 5)
           .select("q_id", "vec_id", "sim")
       },
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      Some(s"WITH e AS (SELECT vec_id, ${CosSim.canonSql()} AS v " +
         "FROM embeddings), " +
         "p AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, " +
-        s"${Det.rndSql("list_dot_product(c.v, q.v) / " +
-          "(sqrt(list_dot_product(c.v, c.v)) * " +
-          "sqrt(list_dot_product(q.v, q.v)))", 6)} AS sim " +
+        s"${CosSim.sentinelSql("list_dot_product(c.v, q.v)",
+          "sqrt(list_dot_product(c.v, c.v))",
+          "sqrt(list_dot_product(q.v, q.v))")} AS sim " +
         "FROM e c, e q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
         "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
         "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p) " +
@@ -410,14 +464,14 @@ object Similarity {
             typedlit(planeVec(p))) >= 0d, "1").otherwise("0")
         val bucket = concat((1 to 4).map(bit): _*)
         val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), CosSim.canon(col("embedding")).as("v"))
           .withColumn("nrm", expr(norm))
           .withColumn("bucket", bucket)
           .persist()
         val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("bucket").as("q_bucket"))
           .filter(col("q_id") < 10)
-        val sim = Det.rnd(expr(dotAB) / (col("nrm") * col("qn")), 6)
+        val sim = CosSim.sentinel(expr(dotAB), col("nrm"), col("qn"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("sim").desc, col("vec_id").asc)
         e.join(broadcast(q), col("bucket") === col("q_bucket") &&
@@ -435,7 +489,7 @@ object Similarity {
           s"CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 " +
             "THEN '1' ELSE '0' END"
         val bucket = (1 to 4).map(bit).mkString(" || ")
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        s"WITH e AS (SELECT vec_id, ${CosSim.canonSql()} AS v, " +
           s"$bucket AS bucket FROM embeddings), " +
           "p AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.bucket, " +
           s"${Det.rndSql("list_dot_product(c.v, q.v) / " +
@@ -494,7 +548,7 @@ object Similarity {
         VectorFunctions.register(s)
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("v"))
+            CosSim.canon(col("embedding")).as("v"))
           .withColumn("nrm", expr(norm))
           // persist: scanned by the seed collect, the Lloyd mean job,
           // and both sides of the cell-probe join (fixed-width doubles
@@ -504,7 +558,7 @@ object Similarity {
         val q = cells.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qn"), col("cell").as("q_cell"))
-        val sim = Det.rnd(expr(dotAB) / (col("nrm") * col("qn")), 6)
+        val sim = CosSim.sentinel(expr(dotAB), col("nrm"), col("qn"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("sim").desc, col("vec_id").asc)
         cells.join(broadcast(q), col("cell") === col("q_cell") &&
@@ -524,14 +578,14 @@ object Similarity {
         VectorFunctions.register(s)
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("v"))
+            CosSim.canon(col("embedding")).as("v"))
           .withColumn("nrm", expr(norm))
           .persist() // norms computed once, reused by both pair sides
         val a = e.select(col("vec_id").as("a_id"), col("label"),
           col("v").as("qv"), col("nrm").as("qn"))
         val b = e.select(col("vec_id").as("b_id"),
           col("label").as("b_label"), col("v"), col("nrm"))
-        val sim = Det.rnd(expr(dotAB) / (col("nrm") * col("qn")), 6)
+        val sim = CosSim.sentinel(expr(dotAB), col("nrm"), col("qn"))
         b.join(a, col("label") === col("b_label") &&
             col("a_id") < col("b_id"))
           .withColumn("sim", sim)
@@ -539,12 +593,12 @@ object Similarity {
           .select("a_id", "b_id", "label", "sim")
       },
       Some("WITH e AS (SELECT vec_id, label, " +
-        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+        s"${CosSim.canonSql()} AS v FROM embeddings) " +
         "SELECT a_id, b_id, label, sim FROM (" +
         "SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label, " +
-        s"${Det.rndSql("list_dot_product(b.v, a.v) / " +
-          "(sqrt(list_dot_product(b.v, b.v)) * " +
-          "sqrt(list_dot_product(a.v, a.v)))", 6)} AS sim " +
+        s"${CosSim.sentinelSql("list_dot_product(b.v, a.v)",
+          "sqrt(list_dot_product(b.v, b.v))",
+          "sqrt(list_dot_product(a.v, a.v))")} AS sim " +
         "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
         "WHERE sim > 0.4")),
 
@@ -653,7 +707,7 @@ object Similarity {
       .filter(col("cnrm") > 0d)
     val v = Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
+        CosSim.canon(col("embedding")).as("v"))
       .withColumn("vnrm", expr(norm))
     (v, cent)
   }
@@ -663,9 +717,7 @@ object Similarity {
     * [[normedVectorsAndCentroids]].
     */
   private def centCos: org.apache.spark.sql.Column =
-    when(col("vnrm") > 0d,
-      Det.rnd(expr("graft_dot(v, cv)") / (col("vnrm") * col("cnrm")), 6))
-      .otherwise(lit(-1.0d))
+    CosSim.sentinel(expr("graft_dot(v, cv)"), col("vnrm"), col("cnrm"))
 
   /** DuckDB twins: [[normedSql]] extends centroidSql with the cn/v CTEs
     * (the centroid guard applied IN the cn CTE — alias reuse in WHERE is
@@ -676,14 +728,12 @@ object Similarity {
     ", cn AS (SELECT label, centroid, " +
     "sqrt(list_dot_product(centroid, centroid)) AS cnrm FROM cent " +
     "WHERE cnrm > 0), " +
-    "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
-    "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-    "CAST(embedding AS DOUBLE[]))) AS vnrm FROM embeddings) "
+    s"v AS (SELECT vec_id, label, ${CosSim.canonSql()} AS v, " +
+    s"sqrt(list_dot_product(${CosSim.canonSql()}, " +
+    s"${CosSim.canonSql()})) AS vnrm FROM embeddings) "
   private lazy val centCosSql =
-    "CASE WHEN v.vnrm > 0 THEN " +
-      Det.rndSql("list_dot_product(v.v, cn.centroid) / (v.vnrm * cn.cnrm)",
-        6) +
-      " ELSE CAST(-1 AS DOUBLE) END"
+    CosSim.sentinelSql("list_dot_product(v.v, cn.centroid)",
+      "v.vnrm", "cn.cnrm")
 
   /** Per-(label, pos) Det-exact mean: (label, pos, mv, n) — the long
     * form q_embed_centroid emits; n is the per-label vector count

