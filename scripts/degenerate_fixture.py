@@ -37,12 +37,15 @@ t = pq.read_table(f"{src}/embeddings.parquet")
 maxid = max(t.column("vec_id").to_pylist())
 lab0 = t.column("label")[0].as_py()
 dim = len(t.column("embedding")[0].as_py())
-extra = pa.table({
-    "vec_id": pa.array([maxid + 1, maxid + 2], pa.int64()),
-    "embedding": pa.array([[0.0] * dim, None], pa.list_(pa.float32())),
-    "label": pa.array([lab0, lab0], pa.int32()),
-})
-merged = pa.concat_tables([t.select(["vec_id", "embedding", "label"]), extra])
+# build the appended rows against the SOURCE schema (pa.concat_tables
+# requires exact equality; hardcoded widths would abort on e.g. an
+# int32 vec_id), and carry any extra columns through as NULLs
+values = {"vec_id": [maxid + 1, maxid + 2],
+          "embedding": [[0.0] * dim, None],
+          "label": [lab0, lab0]}
+extra = pa.table({f.name: pa.array(values.get(f.name, [None, None]),
+                                   f.type) for f in t.schema})
+merged = pa.concat_tables([t, extra])
 pq.write_table(merged, f"{dst}/embeddings.parquet")
 print(f"wrote {dst}/embeddings.parquet: {merged.num_rows} rows "
       f"(zero-norm id {maxid + 1}, NULL id {maxid + 2})")

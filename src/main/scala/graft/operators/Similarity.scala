@@ -61,6 +61,17 @@ import org.apache.spark.sql.functions._
 private[operators] object CosSim {
   import org.apache.spark.sql.Column
 
+  /** Embedding width of the generated corpus (TESTDATA.md) — the dim
+    * every QDef in this file is written against (their hyperplane
+    * literals are EmbDim-length too). Library entry points that accept
+    * other corpora (Ann.prep/candidates/topK) take dim explicitly and
+    * forward it here; canon/canonSql deliberately have NO default so a
+    * new call site must state whose width the padded zero vector gets —
+    * a wrong-length pad breaks the documented NULL-bands-like-zero
+    * invariant (graft_dot returns NULL on length mismatch → '0' bits).
+    */
+  val EmbDim = 64
+
   def sentinel(dot: Column, n1: Column, n2: Column): Column =
     when(n1 > lit(0d) && n2 > lit(0d), Det.rnd(dot / (n1 * n2), 6))
       .otherwise(lit(-1.0d))
@@ -88,7 +99,7 @@ private[operators] object CosSim {
     * embedding[gs] yields NULLs that sum skips), because canonicalizing
     * would drag every per-label mean toward zero.
     */
-  def canon(embedding: Column, dim: Int = 64): Column =
+  def canon(embedding: Column, dim: Int): Column =
     coalesce(embedding.cast("array<double>"),
       typedlit(Seq.fill(dim)(0.0)))
 
@@ -100,7 +111,7 @@ private[operators] object CosSim {
     * transform re-materializes a clean child vector (verified
     * empirically on a mixed 502-row fixture).
     */
-  def canonSql(dim: Int = 64): String =
+  def canonSql(dim: Int): String =
     "list_transform(COALESCE(CAST(embedding AS DOUBLE[]), " +
       s"[CAST(0 AS DOUBLE) for i in generate_series(1, $dim)]), x -> x)"
 }
@@ -129,10 +140,13 @@ object Ann {
   def bandKeys(v: Column, nBands: Int, bits: Int, dim: Int): Column =
     array((1 to nBands).map(b => bandKey(v, b, bits, dim)): _*)
 
-  /** Normalized view of the embeddings table: (vec_id, v, nrm). */
-  def prep(emb: DataFrame): DataFrame =
+  /** Normalized view of the embeddings table: (vec_id, v, nrm).
+    * `dim` sizes the zero vector NULL embeddings canonicalize to — it
+    * must match the corpus width or banding diverges (see CosSim.canon).
+    */
+  def prep(emb: DataFrame, dim: Int = CosSim.EmbDim): DataFrame =
     emb.select(col("vec_id"),
-        CosSim.canon(col("embedding")).as("v"))
+        CosSim.canon(col("embedding"), dim).as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
 
   /** Distinct candidate pairs (q_id, vec_id) colliding on ≥1 band.
@@ -141,7 +155,7 @@ object Ann {
     * side is broadcast; the corpus side streams partition-parallel.
     */
   def candidates(e: DataFrame, isQuery: Column => Column, nBands: Int,
-      bits: Int, dim: Int = 64): DataFrame = {
+      bits: Int, dim: Int = CosSim.EmbDim): DataFrame = {
     val banded = e.withColumn("bands",
       bandKeys(col("v"), nBands, bits, dim))
     val c = banded.select(col("vec_id"), posexplode(col("bands")))
@@ -157,11 +171,11 @@ object Ann {
 
   /** Banded ANN top-k: exact cosine rescoring of the candidate set only. */
   def topK(emb: DataFrame, isQuery: Column => Column, k: Int, nBands: Int,
-      bits: Int, dim: Int = 64): DataFrame = {
+      bits: Int, dim: Int = CosSim.EmbDim): DataFrame = {
     // prep feeds band generation plus both rescoring joins and is
     // deliberately NOT persisted: recomputing the scan + norms is cheaper
     // than columnar cache encoding at this width (measured at sf0.1)
-    val e = prep(emb)
+    val e = prep(emb, dim)
     val cand = candidates(e, isQuery, nBands, bits, dim)
     val q = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -344,7 +358,7 @@ object Ivf {
     val sim = CosSim.sentinelSql("list_dot_product(c2.v, q.v)",
       "sqrt(list_dot_product(c2.v, c2.v))",
       "sqrt(list_dot_product(q.v, q.v))")
-    s"WITH e AS (SELECT vec_id, ${CosSim.canonSql()} AS v " +
+    s"WITH e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v " +
       "FROM embeddings), " +
       s"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e " +
       s"WHERE vec_id < $k), " +
@@ -399,7 +413,7 @@ object Similarity {
       s"SELECT q.vec_id AS q_id, c.vec_id AS vec_id FROM e c JOIN e q " +
         s"ON c.band$b = q.band$b AND q.vec_id < $maxQueryId " +
         "AND c.vec_id <> q.vec_id").mkString(" UNION ")
-    s"WITH e AS (SELECT vec_id, ${CosSim.canonSql()} AS v, " +
+    s"WITH e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v, " +
       s"$bandCols FROM embeddings), " +
       s"cand AS ($unions), " +
       "p AS (SELECT cand.q_id, cand.vec_id, " +
@@ -420,7 +434,7 @@ object Similarity {
       (s, d) => {
         VectorFunctions.register(s)
         val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"), CosSim.canon(col("embedding")).as("v"))
+          .select(col("vec_id"), CosSim.canon(col("embedding"), CosSim.EmbDim).as("v"))
           .withColumn("nrm", expr(norm))
           .persist() // norms computed once, reused by query + candidate side
         val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -435,7 +449,7 @@ object Similarity {
           .filter(col("rn") <= 5)
           .select("q_id", "vec_id", "sim")
       },
-      Some(s"WITH e AS (SELECT vec_id, ${CosSim.canonSql()} AS v " +
+      Some(s"WITH e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v " +
         "FROM embeddings), " +
         "p AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, " +
         s"${CosSim.sentinelSql("list_dot_product(c.v, q.v)",
@@ -464,7 +478,7 @@ object Similarity {
             typedlit(planeVec(p))) >= 0d, "1").otherwise("0")
         val bucket = concat((1 to 4).map(bit): _*)
         val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"), CosSim.canon(col("embedding")).as("v"))
+          .select(col("vec_id"), CosSim.canon(col("embedding"), CosSim.EmbDim).as("v"))
           .withColumn("nrm", expr(norm))
           .withColumn("bucket", bucket)
           .persist()
@@ -489,12 +503,12 @@ object Similarity {
           s"CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 " +
             "THEN '1' ELSE '0' END"
         val bucket = (1 to 4).map(bit).mkString(" || ")
-        s"WITH e AS (SELECT vec_id, ${CosSim.canonSql()} AS v, " +
+        s"WITH e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v, " +
           s"$bucket AS bucket FROM embeddings), " +
           "p AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.bucket, " +
-          s"${Det.rndSql("list_dot_product(c.v, q.v) / " +
-            "(sqrt(list_dot_product(c.v, c.v)) * " +
-            "sqrt(list_dot_product(q.v, q.v)))", 6)} AS sim " +
+          s"${CosSim.sentinelSql("list_dot_product(c.v, q.v)",
+            "sqrt(list_dot_product(c.v, c.v))",
+            "sqrt(list_dot_product(q.v, q.v))")} AS sim " +
           "FROM e c JOIN e q ON c.bucket = q.bucket " +
           "AND q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
           "SELECT q_id, vec_id, bucket, sim FROM (SELECT *, " +
@@ -548,7 +562,7 @@ object Similarity {
         VectorFunctions.register(s)
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"),
-            CosSim.canon(col("embedding")).as("v"))
+            CosSim.canon(col("embedding"), CosSim.EmbDim).as("v"))
           .withColumn("nrm", expr(norm))
           // persist: scanned by the seed collect, the Lloyd mean job,
           // and both sides of the cell-probe join (fixed-width doubles
@@ -578,7 +592,7 @@ object Similarity {
         VectorFunctions.register(s)
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
-            CosSim.canon(col("embedding")).as("v"))
+            CosSim.canon(col("embedding"), CosSim.EmbDim).as("v"))
           .withColumn("nrm", expr(norm))
           .persist() // norms computed once, reused by both pair sides
         val a = e.select(col("vec_id").as("a_id"), col("label"),
@@ -593,7 +607,7 @@ object Similarity {
           .select("a_id", "b_id", "label", "sim")
       },
       Some("WITH e AS (SELECT vec_id, label, " +
-        s"${CosSim.canonSql()} AS v FROM embeddings) " +
+        s"${CosSim.canonSql(CosSim.EmbDim)} AS v FROM embeddings) " +
         "SELECT a_id, b_id, label, sim FROM (" +
         "SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label, " +
         s"${CosSim.sentinelSql("list_dot_product(b.v, a.v)",
@@ -707,7 +721,7 @@ object Similarity {
       .filter(col("cnrm") > 0d)
     val v = Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
-        CosSim.canon(col("embedding")).as("v"))
+        CosSim.canon(col("embedding"), CosSim.EmbDim).as("v"))
       .withColumn("vnrm", expr(norm))
     (v, cent)
   }
@@ -728,9 +742,10 @@ object Similarity {
     ", cn AS (SELECT label, centroid, " +
     "sqrt(list_dot_product(centroid, centroid)) AS cnrm FROM cent " +
     "WHERE cnrm > 0), " +
-    s"v AS (SELECT vec_id, label, ${CosSim.canonSql()} AS v, " +
-    s"sqrt(list_dot_product(${CosSim.canonSql()}, " +
-    s"${CosSim.canonSql()})) AS vnrm FROM embeddings) "
+    // lateral alias reuse (v inside vnrm) — same DuckDB feature the cn
+    // CTE leans on; evaluates the canonicalization once per row
+    s"v AS (SELECT vec_id, label, ${CosSim.canonSql(CosSim.EmbDim)} AS v, " +
+    "sqrt(list_dot_product(v, v)) AS vnrm FROM embeddings) "
   private lazy val centCosSql =
     CosSim.sentinelSql("list_dot_product(v.v, cn.centroid)",
       "v.vnrm", "cn.cnrm")
