@@ -100,7 +100,10 @@ object Bench {
     "q_tpch_q3" -> 0.44, "q_tpch_q5" -> 0.64, "q_try_arith" -> 0.85,
     "q_tumbling" -> 0.16, "q_union" -> 0.11, "q_upsert" -> 0.27,
     "q_weighted_sample" -> 0.10, "q_window_range" -> 0.21,
-    "q_winsorize" -> 0.45, "q_zorder" -> 0.11)
+    "q_winsorize" -> 0.45, "q_zorder" -> 0.11,
+    // round-9 additions, min-of-3 at load1 1.4 (mild-load upper bound;
+    // revise from the next clean full-run record)
+    "q_bm25" -> 1.44, "q_pmi" -> 1.03, "q_skyline" -> 0.42)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms

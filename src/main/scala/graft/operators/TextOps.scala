@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** The q_bm25 literal query set — one definition feeding BOTH the
+    * Spark broadcast frame and the oracle's VALUES list, so the two
+    * sides cannot drift. Terms are plain `[a-z]+` words (they are
+    * spliced into SQL unquote-escaped). Declared BEFORE `defs`: the
+    * oracle strings are built eagerly at object init.
+    */
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
+    (1, "spark window join"),
+    (2, "fast hash scan merge"),
+    (3, "customer order data stream"))
+
   /** Distinct whitespace tokens of `text`. */
   private val toksExpr = "array_distinct(split(trim(text), '\\\\s+'))"
   private val toksSql = "list_distinct(string_split_regex(trim(text), '\\s+'))"
@@ -884,6 +895,160 @@ object TextOps {
         "text", "summary").select("doc_id", "summary"),
       Some("SELECT doc_id, array_to_string(" +
         "(string_split_regex(trim(text), '\\s+'))[1:8], ' ') AS summary " +
-        "FROM documents"))
+        "FROM documents")),
+
+    // X5 + RAG: BM25 lexical retrieval — the sparse twin of the dense
+    // q_rag_retrieve leg (production retrieval is hybrid: BM25 candidate
+    // generation + embedding rerank). Okapi BM25 with k1=1.2, b=0.75 and
+    // the LOG-FREE rational idf (n-df+0.5)/(df+0.5): ln() would put a
+    // libm transcendental in an oracle-hashed column (q_tfidf's
+    // reasoning), and BM25's ranking only needs idf monotone-decreasing
+    // in df, which the rational form is. Per-doc score = Σ over matched
+    // query terms — summed as integer micro-units via Det.exactSum so
+    // partial-aggregation ORDER cannot change the double (term count per
+    // (q,doc) is tiny but the principle is free). Shape: the corpus-side
+    // tf/dl/df stats are one explode + three aggregations (shuffle on
+    // token resp. doc_id); the query set is a driver-literal broadcast so
+    // scoring touches ONLY postings of query terms — the inverted-index
+    // probe, corpus-scan-free at any scale once tf is a materialized
+    // index. Top-10 per query via the rank-cap window
+    // (WindowGroupLimit).
+    QDef("q_bm25",
+      (s, d) => {
+        val q = s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
+        val qt = q.select(col("q_id"),
+          explode(split(col("qtext"), " ")).as("token"))
+        // ONE corpus tokenize pass: tf is the inverted index (persisted
+        // — on a cluster this is the bucketed-to-storage index the probe
+        // reuses across queries), and dl / df / the corpus constants are
+        // all DERIVED from it (dl = Σ tf per doc, df = postings length),
+        // never from a documents rescan
+        val tf = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("token"))
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"))
+          .persist()
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = dl.agg(count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        // identical association order to the oracle SQL: doubles are
+        // IEEE-deterministic only if both engines run the SAME ops
+        val term = ((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        broadcast(qt).join(tf, "token")
+          .join(dfq, "token")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(n))
+          .select(col("q_id"), col("doc_id"), term.as("term"))
+          .groupBy("q_id", "doc_id")
+          .agg(Det.exactSum(col("term"), 6).as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("doc_id"), col("score"),
+            col("rn").cast("int").as("rn"))
+      },
+      Some("WITH q(q_id, qtext) AS (VALUES " +
+        Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ") +
+        "), " +
+        "qt AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS token " +
+        "FROM q), " +
+        "toks AS (SELECT doc_id, unnest(" +
+        "string_split_regex(trim(text), '\\s+')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
+        "GROUP BY doc_id, token), " +
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks " +
+        "GROUP BY doc_id), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "t AS (SELECT qt.q_id, tf.doc_id, " +
+        "((n.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
+        "((tf.tf * 2.2) / (tf.tf + 1.2 * " +
+        "(1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) AS term " +
+        "FROM qt JOIN tf USING (token) JOIN df USING (token) " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n), " +
+        "s AS (SELECT q_id, doc_id, " +
+        Det.exactSumSql("term", 6) + " AS score " +
+        "FROM t GROUP BY q_id, doc_id) " +
+        "SELECT q_id, doc_id, score, rn FROM (SELECT *, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY score DESC, doc_id) AS INT) AS rn FROM s) " +
+        "WHERE rn <= 10")),
+
+    // X5: bigram collocation mining — which word pairs co-occur more
+    // than chance predicts (phrase detection / tokenizer-merge
+    // candidates in corpus prep). Association strength is LIFT,
+    // p(xy)/(p(x)p(y)) — PMI without the log2 (same ranking, log2 is
+    // monotone; and a transcendental would land in an oracle-hashed
+    // column). Bigrams come from arrays_zip-style adjacent pairing
+    // INSIDE the token array (transform over a slice) — no per-doc
+    // window shuffle, no posexplode self-join; the only shuffles are
+    // the count aggregations. min-count ≥ 5 kills the noise tail before
+    // the unigram joins; top-20 by (lift desc, bigram) is a
+    // TakeOrderedAndProject, no global sort.
+    QDef("q_pmi",
+      (s, d) => {
+        val t = Tables(s, d, "documents")
+          .select(split(trim(col("text")), "\\s+").as("rawtoks"))
+        val bg = t.select(explode(expr(
+          "transform(slice(rawtoks, 1, size(rawtoks) - 1), " +
+            "(x, i) -> concat(x, ' ', element_at(rawtoks, i + 2)))"))
+          .as("bigram"))
+        val uni = t.select(explode(col("rawtoks")).as("token"))
+        // TWO corpus passes total (bigram + unigram); the grand totals
+        // are Σ over the persisted count tables — never a corpus rescan
+        // — and cu is read twice (w1 and w2 legs) from cache
+        val cb = bg.groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+          .persist()
+        val cu = uni.groupBy("token").agg(count(lit(1)).as("n_tok"))
+          .persist()
+        val nb = cb.agg(sum("n_pair").as("n_big"))
+        val nu = cu.agg(sum("n_tok").as("n_uni"))
+        val lift = Det.rnd(
+          (col("n_pair").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("n_x").cast("double") * col("n_y") * col("n_big")), 6)
+        cb.filter(col("n_pair") >= 5)
+          .withColumn("w1", substring_index(col("bigram"), " ", 1))
+          .withColumn("w2", substring_index(col("bigram"), " ", -1))
+          .join(cu.select(col("token").as("w1"), col("n_tok").as("n_x")),
+            "w1")
+          .join(cu.select(col("token").as("w2"), col("n_tok").as("n_y")),
+            "w2")
+          .crossJoin(broadcast(nb))
+          .crossJoin(broadcast(nu))
+          .select(col("bigram"), col("n_pair"), col("n_x"), col("n_y"),
+            lift.as("lift"))
+          .orderBy(col("lift").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "string_split_regex(trim(text), '\\s+') AS rawtoks " +
+        "FROM documents), " +
+        "bg AS (SELECT unnest([array_to_string(rawtoks[i:i+1], ' ') " +
+        "for i in generate_series(1, len(rawtoks) - 1)]) AS bigram " +
+        "FROM t), " +
+        "uni AS (SELECT unnest(rawtoks) AS token FROM t), " +
+        "cb AS (SELECT bigram, count(*) AS n_pair FROM bg " +
+        "GROUP BY bigram), " +
+        "cu AS (SELECT token, count(*) AS n_tok FROM uni GROUP BY token), " +
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bg), " +
+        "nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni), " +
+        "s AS (SELECT cb.bigram, cb.n_pair, cx.n_tok AS n_x, " +
+        "cy.n_tok AS n_y, " +
+        Det.rndSql("(CAST(cb.n_pair AS DOUBLE) * nu.n_uni * nu.n_uni) / " +
+          "(CAST(cx.n_tok AS DOUBLE) * cy.n_tok * nb.n_big)", 6) +
+        " AS lift " +
+        "FROM cb JOIN cu cx ON cx.token = split_part(cb.bigram, ' ', 1) " +
+        "JOIN cu cy ON cy.token = split_part(cb.bigram, ' ', 2) " +
+        "CROSS JOIN nb CROSS JOIN nu WHERE cb.n_pair >= 5) " +
+        "SELECT bigram, n_pair, n_x, n_y, lift FROM s " +
+        "ORDER BY lift DESC, bigram LIMIT 20"))
   )
 }

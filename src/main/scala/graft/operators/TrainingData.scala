@@ -440,6 +440,46 @@ object TrainingData {
       Some("SELECT doc_id, n_chars, " +
         "n_chars / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
         "1, 8)) AS BIGINT) + 0.5) / 4294967296.0) AS priority " +
-        "FROM documents ORDER BY priority DESC, doc_id LIMIT 25"))
+        "FROM documents ORDER BY priority DESC, doc_id LIMIT 25")),
+
+    // Pareto-frontier curation cut: the docs not dominated on
+    // (n_chars, vocabulary size) — "no other doc is at least as long AND
+    // at least as lexically rich, strictly better somewhere". The
+    // textbook skyline is a quadratic NOT-EXISTS self-join (the oracle
+    // keeps that form as the executable spec); the Spark side is the
+    // O(n log n) two-window decomposition that survives 100 TB:
+    //   1. groupBy(a).max(b) — one shuffle, output ≤ |distinct a| rows
+    //      (dominance within equal a = only the max-b rows can survive);
+    //   2. a global running max(b) over a DESC on that TINY aggregate —
+    //      rangeBetween(…, -1) ends the frame at a+1, i.e. STRICTLY
+    //      larger a (integer dims), so a frontier point is exactly one
+    //      whose b beats every larger-a max — the single-partition
+    //      window is over ≤|distinct n_chars| rows, never the corpus;
+    //   3. broadcast the frontier points back against the full table to
+    //      recover doc ids (duplicates of a frontier point are all
+    //      non-dominated — domination needs a STRICT inequality).
+    QDef("q_skyline",
+      (s, d) => {
+        val m = Tables(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(array_distinct(split(trim(col("text")), "\\s+")))
+              .cast("long").as("n_vocab"))
+        val byA = m.groupBy("n_chars").agg(max("n_vocab").as("mv"))
+        val wGt = Window.orderBy(col("n_chars").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val frontier = byA
+          .withColumn("mb_gt", max("mv").over(wGt))
+          .filter(col("mb_gt").isNull || col("mb_gt") < col("mv"))
+          .select(col("n_chars"), col("mv").as("n_vocab"))
+        m.join(broadcast(frontier), Seq("n_chars", "n_vocab"))
+          .select("doc_id", "n_chars", "n_vocab")
+      },
+      Some("WITH m AS (SELECT doc_id, n_chars, " +
+        "CAST(len(list_distinct(string_split_regex(trim(text), " +
+        "'\\s+'))) AS BIGINT) AS n_vocab FROM documents) " +
+        "SELECT doc_id, n_chars, n_vocab FROM m d WHERE NOT EXISTS (" +
+        "SELECT 1 FROM m e WHERE e.n_chars >= d.n_chars " +
+        "AND e.n_vocab >= d.n_vocab " +
+        "AND (e.n_chars > d.n_chars OR e.n_vocab > d.n_vocab))"))
   )
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-9 corpus-mining trio: q_bm25 (sparse lexical retrieval),
+  * q_pmi (bigram collocation lift), q_skyline (Pareto-frontier curation
+  * cut). Each is checked against an INDEPENDENT driver-side reference —
+  * a from-scratch Okapi implementation, a hand-counted lift, a brute
+  * force O(n²) dominance filter — not against the DuckDB oracle (the
+  * oracle parity is check_oracle.py's job); these specs pin the
+  * semantics even if both engines drifted together.
+  */
+class RetrievalSpec extends AnyFunSuite with SparkSuite {
+
+  /** Stage a documents.parquet shaped like the harness table; n_chars =
+    * text length, matching the generator's convention closely enough
+    * for the ops under test (they derive everything else from text).
+    */
+  private def stage(docs: Seq[(Long, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_retr").toString
+    val sp = spark
+    import sp.implicits._
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q_bm25 matches a from-scratch Okapi reference, micro-unit exact") {
+    val docs = Seq(
+      1L -> "spark join join window fast",
+      2L -> "window window window",
+      3L -> "hash scan merge fast fast scan",
+      4L -> "customer order data stream data",
+      5L -> "quick brown fox jumps",
+      6L -> "spark spark spark join window hash")
+    val dir = stage(docs)
+    val out = SparkEntry.queries("q_bm25")(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    val toks = docs.toMap.view.mapValues(_.trim.split("\\s+").toSeq).toMap
+    val nDocs = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+    val dfm = toks.values.flatMap(_.distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // independent reference: same published Okapi formula (k1=1.2,
+    // b=0.75, rational idf), scored per doc by direct iteration
+    def ref(qtext: String, id: Long): Option[Double] = {
+      val tl = toks(id)
+      val dl = tl.size
+      val micro = qtext.split(" ").toSeq.flatMap { term =>
+        val tf = tl.count(_ == term)
+        if (tf == 0) None
+        else {
+          val df = dfm(term)
+          val idf = (nDocs - df + 0.5) / (df + 0.5)
+          val w = (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+          Some(math.floor(idf * w * 1e6 + 0.5).toLong)
+        }
+      }
+      if (micro.isEmpty) None else Some(micro.sum.toDouble / 1e6)
+    }
+    // 6 docs < top-10 cap, so EVERY matching (query, doc) pair must
+    // appear, with the exact micro-unit score, and nothing else may
+    var pairs = 0
+    for ((qid, qtext) <- graft.operators.TextOps.Bm25Queries;
+         (id, _) <- docs) {
+      ref(qtext, id) match {
+        case Some(exp) =>
+          assert(out.get((qid, id)).contains(exp),
+            s"q$qid doc$id: expected $exp got ${out.get((qid, id))}")
+          pairs += 1
+        case None =>
+          assert(!out.contains((qid, id)), s"q$qid doc$id: spurious hit")
+      }
+    }
+    assert(out.size === pairs)
+  }
+
+  test("q_pmi: min-count gate and hand-computed lift") {
+    // "x y" occurs 5 times (survives the >=5 gate), "y x" only 4
+    val dir = stage(Seq(1L -> "x y x y x y x y x y"))
+    val out = SparkEntry.queries("q_pmi")(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("x y"))
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((5L, 5L, 5L)))
+    // lift = (n_pair * n_uni²) / (n_x * n_y * n_big) = 500/225
+    val exp = math.floor((5.0 * 10 * 10) / (5.0 * 5 * 9) * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) === exp)
+  }
+
+  test("property: q_skyline equals the brute-force dominance filter") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = for {
+      n <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val corpusGen = Gen.chooseNum(5, 40).flatMap(k =>
+      Gen.listOfN(k, docGen).map(_.zipWithIndex.map {
+        case (t, i) => (i.toLong, t)
+      }))
+    Iterator.continually(corpusGen.sample).flatten.take(5).foreach { docs =>
+      val dir = stage(docs)
+      val got = SparkEntry.queries("q_skyline")(spark, dir).collect()
+        .map(_.getLong(0)).toSet
+      val dims = docs.map { case (id, t) =>
+        id -> ((t.length.toLong,
+          t.trim.split("\\s+").distinct.length.toLong))
+      }
+      val exp = dims.filter { case (_, (a, b)) =>
+        !dims.exists { case (_, (a2, b2)) =>
+          a2 >= a && b2 >= b && (a2 > a || b2 > b)
+        }
+      }.map(_._1).toSet
+      assert(got === exp, s"corpus=${docs.take(10)}…")
+    }
+  }
+}
