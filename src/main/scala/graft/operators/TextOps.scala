@@ -31,6 +31,52 @@ object TextOps {
     (2, "fast hash scan merge"),
     (3, "customer order data stream"))
 
+  /** Denormalized Okapi BM25 inverted index over a documents-shaped
+    * frame: one row per (token, doc) posting carrying every corpus
+    * statistic the scorer needs (tf, df, dl, n_docs, avgdl). ONE corpus
+    * tokenize pass builds tf (persisted — on a cluster this is the
+    * bucketed-to-storage index the probe reuses across queries); dl, df
+    * and the corpus constants all DERIVE from it (dl = Σ tf per doc,
+    * df = postings length), never from a documents rescan.
+    */
+  private[graft] def bm25Postings(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    tf.join(dfq, "token").join(dl, "doc_id").crossJoin(broadcast(n))
+  }
+
+  /** The ONE Okapi scoring definition (k1=1.2, b=0.75, log-free rational
+    * idf) shared by batch q_bm25 and StreamingOps.streamingBm25 — stream
+    * and batch scoring cannot drift. `queryTerms` is (q_id, token);
+    * output is (q_id, doc_id, score) with the per-doc score summed as
+    * integer micro-units (Det.exactSum — accumulation-order-free). The
+    * term weight keeps the IDENTICAL association order to the q_bm25
+    * oracle SQL: doubles are IEEE-deterministic only if both engines run
+    * the SAME ops.
+    */
+  private[graft] def bm25Score(queryTerms: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val term = ((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) *
+      ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+    queryTerms.join(postings, "token")
+      .select(col("q_id"), col("doc_id"), term.as("term"))
+      .groupBy("q_id", "doc_id")
+      .agg(Det.exactSum(col("term"), 6).as("score"))
+  }
+
   /** Distinct whitespace tokens of `text`. */
   private val toksExpr = "array_distinct(split(trim(text), '\\\\s+'))"
   private val toksSql = "list_distinct(string_split_regex(trim(text), '\\s+'))"
@@ -918,37 +964,9 @@ object TextOps {
         val q = s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
         val qt = q.select(col("q_id"),
           explode(split(col("qtext"), " ")).as("token"))
-        // ONE corpus tokenize pass: tf is the inverted index (persisted
-        // — on a cluster this is the bucketed-to-storage index the probe
-        // reuses across queries), and dl / df / the corpus constants are
-        // all DERIVED from it (dl = Σ tf per doc, df = postings length),
-        // never from a documents rescan
-        val tf = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            explode(split(trim(col("text")), "\\s+")).as("token"))
-          .groupBy("doc_id", "token")
-          .agg(count(lit(1)).as("tf"))
-          .persist()
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val n = dl.agg(count(lit(1)).as("n_docs"),
-          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-        // identical association order to the oracle SQL: doubles are
-        // IEEE-deterministic only if both engines run the SAME ops
-        val term = ((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5))) *
-          ((col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) *
-              (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
         val w = Window.partitionBy("q_id")
           .orderBy(col("score").desc, col("doc_id").asc)
-        broadcast(qt).join(tf, "token")
-          .join(dfq, "token")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(n))
-          .select(col("q_id"), col("doc_id"), term.as("term"))
-          .groupBy("q_id", "doc_id")
-          .agg(Det.exactSum(col("term"), 6).as("score"))
+        bm25Score(broadcast(qt), bm25Postings(Tables(s, d, "documents")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("q_id"), col("doc_id"), col("score"),

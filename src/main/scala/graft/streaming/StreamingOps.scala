@@ -298,6 +298,32 @@ object StreamingOps {
       graft.operators.TrainingData.chunk(docsStream(spark, sfDir)),
       queryName)
 
+  /** Streaming BM25 probe — the online-serving twin of batch q_bm25:
+    * queries arrive as a file stream (`queriesDir`, rows of (q_id,
+    * qtext)) and probe the STATIC inverted index over the corpus
+    * (TextOps.bm25Postings — in production the stored index, bucketed
+    * on token so the corpus side of every micro-batch's join is
+    * exchange-free). The stream side explodes query terms statelessly;
+    * the stream-static equi-join touches only the arriving queries'
+    * postings; scoring aggregates per (q_id, doc_id) in complete mode.
+    * The op emits scored candidates — the top-k cut belongs to the
+    * consumer (a ranking service dedupes/cuts per query downstream).
+    * Term weight and score are TextOps.bm25Score — ONE definition with
+    * batch, so stream and batch scoring cannot drift (exact parity
+    * gated in RetrievalSpec).
+    */
+  def streamingBm25(spark: SparkSession, sfDir: String, queriesDir: String,
+      queryName: String = "stream_bm25"): DataFrame = {
+    val postings = graft.operators.TextOps.bm25Postings(
+      graft.Tables(spark, sfDir, "documents"))
+    val schema = spark.read.parquet(queriesDir).schema
+    val queryTerms = spark.readStream.schema(schema).parquet(queriesDir)
+      .select(col("q_id"), explode(split(col("qtext"), " ")).as("token"))
+    drainToMemory(
+      graft.operators.TextOps.bm25Score(queryTerms, postings),
+      queryName, mode = "complete")
+  }
+
   private def corpusPrep(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))

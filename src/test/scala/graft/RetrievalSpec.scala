@@ -90,6 +90,30 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(r.getDouble(4) === exp)
   }
 
+  test("streamingBm25: streamed scored pairs equal batch q_bm25 exactly") {
+    val docs = Seq(
+      1L -> "spark join join window fast",
+      2L -> "window window window hash",
+      3L -> "hash scan merge fast fast scan",
+      4L -> "customer order data stream data",
+      5L -> "spark spark join window hash merge")
+    val dir = stage(docs)
+    val qdir = java.nio.file.Files
+      .createTempDirectory("graft_bm25q").toString
+    val sp = spark
+    import sp.implicits._
+    graft.operators.TextOps.Bm25Queries.toDF("q_id", "qtext")
+      .write.mode("overwrite").parquet(qdir)
+    val streamed = streaming.StreamingOps.streamingBm25(spark, dir, qdir)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // 5 docs < the batch top-10 cap, so the batch output IS the full
+    // scored set; the stream must equal it pair-for-pair, bit-for-bit
+    val batch = SparkEntry.queries("q_bm25")(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(streamed === batch)
+  }
+
   test("property: q_skyline equals the brute-force dominance filter") {
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
     val docGen = for {
