@@ -250,4 +250,36 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       assert("ReusedExchange".r.findAllIn(p).size >= 2, p)
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("q_bm25: cached index reused, broadcast query probe, capped top-k") {
+    val p = plan("q_bm25")
+    // dl/df/avgdl derive from the PERSISTED tf index, not corpus rescans
+    assert(p.contains("InMemoryTableScan"), p)
+    // the literal query-term side broadcasts — the probe never shuffles
+    // the postings on its account
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-10 per query is rank-capped before the final window
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_pmi: top-20 is TakeOrdered over persisted counts, no global sort") {
+    val p = plan("q_pmi")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p) // no global Sort node
+    // grand totals read the persisted count tables, not a corpus rescan
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q_skyline: global window runs on the aggregate, frontier broadcasts") {
+    val df = SparkEntry.queries("q_skyline")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the single-partition Window's child must be the groupBy(a).max(b)
+    // aggregate (≤ |distinct n_chars| rows), never the raw corpus: a
+    // HashAggregate has to appear below the Window in the tree
+    val winIdx = p.indexOf("Window ")
+    assert(winIdx >= 0, p)
+    assert(p.indexOf("HashAggregate", winIdx) >= 0, p)
+    // frontier joins back as a broadcast, not a shuffle of the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
