@@ -54,9 +54,11 @@ object TextOps {
     tf.join(dfq, "token").join(dl, "doc_id").crossJoin(broadcast(n))
   }
 
-  /** The ONE Okapi scoring definition (k1=1.2, b=0.75, log-free rational
-    * idf) shared by batch q_bm25 and StreamingOps.streamingBm25 — stream
-    * and batch scoring cannot drift. `queryTerms` is (q_id, token);
+  /** The ONE scoring definition (Okapi tf saturation k1=1.2, b=0.75;
+    * log-free rational idf — exp-scale, see the q_bm25 QDef comment for
+    * the documented deviation) shared by batch q_bm25 and
+    * StreamingOps.streamingBm25 — stream and batch scoring cannot
+    * drift. `queryTerms` is (q_id, token);
     * output is (q_id, doc_id, score) with the per-doc score summed as
     * integer micro-units (Det.exactSum — accumulation-order-free). The
     * term weight keeps the IDENTICAL association order to the q_bm25
@@ -943,13 +945,20 @@ object TextOps {
         "(string_split_regex(trim(text), '\\s+'))[1:8], ' ') AS summary " +
         "FROM documents")),
 
-    // X5 + RAG: BM25 lexical retrieval — the sparse twin of the dense
-    // q_rag_retrieve leg (production retrieval is hybrid: BM25 candidate
-    // generation + embedding rerank). Okapi BM25 with k1=1.2, b=0.75 and
-    // the LOG-FREE rational idf (n-df+0.5)/(df+0.5): ln() would put a
-    // libm transcendental in an oracle-hashed column (q_tfidf's
-    // reasoning), and BM25's ranking only needs idf monotone-decreasing
-    // in df, which the rational form is. Per-doc score = Σ over matched
+    // X5 + RAG: BM25-style lexical retrieval — the sparse twin of the
+    // dense q_rag_retrieve leg (production retrieval is hybrid: lexical
+    // candidate generation + embedding rerank). Okapi tf saturation
+    // (k1=1.2, b=0.75) with a LOG-FREE rational idf (n-df+0.5)/(df+0.5):
+    // ln() would put a libm transcendental in an oracle-hashed column
+    // (q_tfidf's reasoning). DOCUMENTED DEVIATION from textbook Okapi:
+    // the rational idf is exp-scale — per-term it ranks identically
+    // (monotone-decreasing in df), but across a multi-term sum it
+    // weights rare terms more than log-idf would, so multi-term
+    // rankings can differ from ln-idf BM25 (one rare-term match can
+    // outscore several common-term matches). The determinism is worth
+    // that trade here; swap in ln((n-df+0.5)/(df+0.5)) for textbook
+    // behavior where cross-engine hashing isn't at stake.
+    // Per-doc score = Σ over matched
     // query terms — summed as integer micro-units via Det.exactSum so
     // partial-aggregation ORDER cannot change the double (term count per
     // (q,doc) is tiny but the principle is free). Shape: the corpus-side
@@ -986,9 +995,17 @@ object TextOps {
         "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
         "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        // CAST(tf AS DOUBLE) before the *2.2: DuckDB types a bare
+        // tf*2.2 as exact DECIMAL (2.2 is DECIMAL(2,1)), which rounds
+        // differently from Spark's double(2.2)*tf in the last ulp —
+        // with a double left operand the 2.2 is promoted and both
+        // engines run the identical IEEE multiply. The OTHER decimal
+        // literals are safe: 0.5/0.75 are binary-exact (the decimal
+        // intermediates convert to the same doubles Spark computes) and
+        // 1.2 multiplies an already-double operand.
         "t AS (SELECT qt.q_id, tf.doc_id, " +
         "((n.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
-        "((tf.tf * 2.2) / (tf.tf + 1.2 * " +
+        "((CAST(tf.tf AS DOUBLE) * 2.2) / (tf.tf + 1.2 * " +
         "(1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) AS term " +
         "FROM qt JOIN tf USING (token) JOIN df USING (token) " +
         "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n), " +

@@ -124,7 +124,11 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
       Gen.listOfN(k, docGen).map(_.zipWithIndex.map {
         case (t, i) => (i.toLong, t)
       }))
-    Iterator.continually(corpusGen.sample).flatten.take(5).foreach { docs =>
+    // fixed seeds (SchemaMapperSpec's rule): a failing corpus must
+    // reproduce on re-run; unseeded .sample would draw 5 fresh ones
+    val corpora = (0 until 5).map(i => corpusGen.pureApply(
+      Gen.Parameters.default, org.scalacheck.rng.Seed(0x5c11e5eedL + i)))
+    corpora.foreach { docs =>
       val dir = stage(docs)
       val got = SparkEntry.queries("q_skyline")(spark, dir).collect()
         .map(_.getLong(0)).toSet
