@@ -101,9 +101,12 @@ object Bench {
     "q_tumbling" -> 0.16, "q_union" -> 0.11, "q_upsert" -> 0.27,
     "q_weighted_sample" -> 0.10, "q_window_range" -> 0.21,
     "q_winsorize" -> 0.45, "q_zorder" -> 0.11,
-    // round-9 additions, min-of-3 at load1 1.4 (mild-load upper bound;
-    // revise from the next clean full-run record)
-    "q_bm25" -> 1.44, "q_pmi" -> 1.03, "q_skyline" -> 0.42)
+    // round-9 additions, min-of-3 at load1 1.4 (mild-load upper bound);
+    // q_bm25 re-measured r11 after the stored-index refactor (probe cost
+    // only, 0.35 idle — was 1.44 when the postings rebuilt per run);
+    // q_bm25_ln shares the stored index, measured alongside
+    "q_pmi" -> 1.03, "q_skyline" -> 0.42,
+    "q_bm25" -> 0.35, "q_bm25_ln" -> 0.29)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms
@@ -377,10 +380,15 @@ object Bench {
       val omitted =
         if (omit.isEmpty) "" else s""""omitted":${omit.size},"""
       // rfail: supplementary-rep (sweep-2/retry) failures — nonzero means
-      // a flaky rerun happened but the headline kept the main-pass min
+      // a flaky rerun happened but the headline kept the main-pass min.
+      // retried/rfail render ONLY when nonzero (absent ⇒ 0): the 117+
+      // query corpus leaves ~25 chars of budget headroom, and an idle
+      // run's ,"retried":0,"rfail":0 would spend it on no information
+      val retries = (if (retried > 0) s""""retried":$retried,""" else "") +
+        (if (retryFailed > 0) s""""rfail":$retryFailed,""" else "")
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec",""" +
         s""""prefix":"q_","q_unit":"cs","queries":$qs,""" +
-        s""""reps":$reps,"retried":$retried,"rfail":$retryFailed,""" +
+        s""""reps":$reps,$retries""" +
         s"""$omitted"failed":$nFail,""" +
         s""""load1":[${load1Str(loadBefore)},${load1Str(loadAfter)}],""" +
         s""""sf":"$sfShort"}"""

@@ -26,16 +26,40 @@ object Tables {
       case n        => spark.read.parquet(s"$sfDir/$n.parquet")
     }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for (PARQUET_TYPE_ILLEGAL on a plain read). Read the
-    * raw nanos as long and truncate to micros — integer `div` so no double
-    * precision loss at ~1.7e18 — which is exactly DuckDB's ns→us coercion,
-    * keeping the oracle comparable.
+  /** `events.parquet` has shipped in two generator flavors: parquet
+    * TIMESTAMP(NANOS) — which Spark has no native type for, so it reads
+    * as raw nanos LONG under `nanosAsLong` and truncates to micros
+    * (integer `div`, no double loss at ~1.7e18 — exactly DuckDB's ns→µs
+    * coercion) — and, from the 2026-08-13 regeneration on, native
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which reads as
+    * TIMESTAMP_NTZ and only needs the cast to session-zone (UTC)
+    * TimestampType to keep downstream semantics and the DuckDB oracle
+    * (naive µs on its side) identical. Dispatch on the read schema so
+    * both layouts work.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Normalize a raw events frame's `ts` (either flavor — see [[events]])
+    * to µs-precision session-zone TimestampType, in place.
+    */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
+  /** SQL expression extracting µs-since-epoch as LONG from a raw events
+    * `ts` of the given read type — the streaming ops key state on this.
+    */
+  private[graft] def tsMicrosExpr(
+      dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.LongType => "ts div 1000"
+    case _ => "unix_micros(CAST(ts AS TIMESTAMP))"
   }
 }
 

@@ -117,22 +117,33 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** RAW events file schema as the batch reader sees it — ts may be
+    * LONG (legacy nanos files under nanosAsLong) or TIMESTAMP_NTZ
+    * (native-µs files); see Tables.events for the two flavors.
+    */
   private def eventsSchema(spark: SparkSession,
       sfDir: String): org.apache.spark.sql.types.StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(spark, sfDir).schema
-      .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
-        (st, f) => if (f.name == "ts")
-          st.add("ts", org.apache.spark.sql.types.LongType)
-        else st.add(f)
-      }
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+  }
+
+  /** Raw events file stream plus the µs-since-epoch extraction expr
+    * matching the file's ts flavor — every stateful events op keys its
+    * state on `ts_us`, identically for both layouts.
+    */
+  private def eventsStreamWithTs(spark: SparkSession,
+      sfDir: String): (DataFrame, String) = {
+    val schema = eventsSchema(spark, sfDir)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    (raw, Tables.tsMicrosExpr(schema("ts").dataType) + " AS ts_us")
   }
 
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(eventsSchema(spark, sfDir))
+    Tables.normalizeTs(spark.readStream.schema(eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(sfDir))
 
   /** File-streamed documents corpus — the one source recipe shared by
     * every corpus-streaming op (schema pre-read; the file-stream source
@@ -301,9 +312,9 @@ object StreamingOps {
   /** Streaming BM25 probe — the online-serving twin of batch q_bm25:
     * queries arrive as a file stream (`queriesDir`, rows of (q_id,
     * qtext)) and probe the STATIC inverted index over the corpus
-    * (TextOps.bm25Postings — in production the stored index, bucketed
-    * on token so the corpus side of every micro-batch's join is
-    * exchange-free). The stream side explodes query terms statelessly;
+    * (TextOps.bm25Index — the stored table, bucketed on token so the
+    * corpus side of every micro-batch's join is exchange-free). The
+    * stream side explodes query terms statelessly;
     * the stream-static equi-join touches only the arriving queries'
     * postings; scoring aggregates per (q_id, doc_id) in complete mode.
     * The op emits scored candidates — the top-k cut belongs to the
@@ -314,8 +325,7 @@ object StreamingOps {
     */
   def streamingBm25(spark: SparkSession, sfDir: String, queriesDir: String,
       queryName: String = "stream_bm25"): DataFrame = {
-    val postings = graft.operators.TextOps.bm25Postings(
-      graft.Tables(spark, sfDir, "documents"))
+    val postings = graft.operators.TextOps.bm25Index(spark, sfDir)
     val schema = spark.read.parquet(queriesDir).schema
     val queryTerms = spark.readStream.schema(schema).parquet(queriesDir)
       .select(col("q_id"), explode(split(col("qtext"), " ")).as("token"))
@@ -387,10 +397,9 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      drainToMemory(spark.readStream.schema(eventsSchema(spark, sfDir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
+      val (raw, tsUs) = eventsStreamWithTs(spark, sfDir)
+      drainToMemory(raw
+        .selectExpr("user_id", tsUs, "event_id")
         .as[Ev]
         .groupByKey(_.user_id)
         .transformWithState(new UserStatsProcessor,
@@ -458,12 +467,10 @@ object StreamingOps {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      drainToMemory(spark.readStream.schema(eventsSchema(spark, sfDir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      val (raw, tsUs) = eventsStreamWithTs(spark, sfDir)
+      drainToMemory(raw
         .filter(col("event_type").isin("click", "purchase"))
-        .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id",
-          "event_type")
+        .selectExpr("user_id", tsUs, "event_id", "event_type")
         .as[EvT]
         .groupByKey(_.user_id)
         .transformWithState(new AsOfProcessor,
@@ -494,7 +501,6 @@ object StreamingOps {
       queryName: String = "stream_sessions"): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val schema = eventsSchema(spark, sfDir)
     val gapUs = gapMinutes * 60L * 1000000L
     val fn = (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) => {
       // events within a micro-batch arrive unordered per group
@@ -511,10 +517,9 @@ object StreamingOps {
       state.update(st)
       out.iterator
     }
-    drainToMemory(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
+    val (raw, tsUs) = eventsStreamWithTs(spark, sfDir)
+    drainToMemory(raw
+      .selectExpr("user_id", tsUs, "event_id")
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),

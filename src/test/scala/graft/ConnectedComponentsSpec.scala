@@ -12,11 +12,12 @@ import graft.operators.TextOps
   */
 class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
 
-  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(pairs: Seq[(Long, Long)],
+      doubling: Boolean = false): Map[Long, Long] = {
     import spark.implicits._
     val edges = pairs.toDF("a_id", "b_id").repartition(1).persist()
     try {
-      val labels = TextOps.connectedComponents(spark, edges)
+      val labels = TextOps.connectedComponents(spark, edges, doubling)
       // returned frame is a self-contained localCheckpoint (contract):
       // its blocks are GC-released once this reference drops
       labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -28,6 +29,28 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
     // 1-hop min, so node 5 takes 5 rounds to learn about node 0
     val labels = cc(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
     assert(labels === (0L to 5L).map(_ -> 0L).toMap)
+  }
+
+  test("pointer-doubling flag: diameter-5 path reaches the same labels") {
+    // VERDICT r09 #5: the O(log d) variant must agree with the default
+    // O(d) propagation on a graph that actually iterates — a path of
+    // diameter 5 needs several rounds either way, and the doubling hop
+    // (lbl ← min(lbl, lbl(lbl))) is exercised on every one of them
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val expect = (0L to 5L).map(_ -> 0L).toMap
+    assert(cc(path, doubling = true) === expect)
+    assert(cc(path, doubling = true) === cc(path))
+  }
+
+  test("pointer-doubling flag: disjoint components stay separate") {
+    val labels = cc(Seq(
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)), doubling = true)
+    assert(labels === Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L))
   }
 
   test("disjoint components keep separate canonical ids") {

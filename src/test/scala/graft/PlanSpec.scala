@@ -251,10 +251,13 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
-  test("q_bm25: cached index reused, broadcast query probe, capped top-k") {
+  test("q_bm25: stored-index probe, broadcast query side, capped top-k") {
     val p = plan("q_bm25")
-    // dl/df/avgdl derive from the PERSISTED tf index, not corpus rescans
-    assert(p.contains("InMemoryTableScan"), p)
+    // the probe reads the STORED bucketed postings table (r10 refactor —
+    // maintain-once/probe-many), never a per-query corpus recompute:
+    // the documents source must not appear anywhere in the probe plan
+    assert(p.contains("graft_bm25_idx_"), p)
+    assert(!p.contains("documents"), p)
     // the literal query-term side broadcasts — the probe never shuffles
     // the postings on its account
     assert(p.contains("BroadcastHashJoin"), p)

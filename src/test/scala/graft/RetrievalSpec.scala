@@ -78,6 +78,92 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(out.size === pairs)
   }
 
+  test("q_bm25_ln matches a from-scratch ln-idf Okapi reference") {
+    // same corpus as the rational-idf test; the reference only differs
+    // by math.log around the idf — same JVM, same libm, so micro-unit
+    // exactness holds (which is exactly why q_bm25_ln has NO DuckDB
+    // oracle: DuckDB's ln may differ in the last ulp)
+    val docs = Seq(
+      1L -> "spark join join window fast",
+      2L -> "window window window",
+      3L -> "hash scan merge fast fast scan",
+      4L -> "customer order data stream data",
+      5L -> "quick brown fox jumps",
+      6L -> "spark spark spark join window hash")
+    val dir = stage(docs)
+    val out = SparkEntry.queries("q_bm25_ln")(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    val toks = docs.toMap.view.mapValues(_.trim.split("\\s+").toSeq).toMap
+    val nDocs = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+    val dfm = toks.values.flatMap(_.distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def ref(qtext: String, id: Long): Option[Double] = {
+      val tl = toks(id)
+      val dl = tl.size
+      val micro = qtext.split(" ").toSeq.flatMap { term =>
+        val tf = tl.count(_ == term)
+        if (tf == 0) None
+        else {
+          val df = dfm(term)
+          val idf = math.log((nDocs - df + 0.5) / (df + 0.5))
+          val w = (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+          Some(math.floor(idf * w * 1e6 + 0.5).toLong)
+        }
+      }
+      if (micro.isEmpty) None else Some(micro.sum.toDouble / 1e6)
+    }
+    var pairs = 0
+    for ((qid, qtext) <- graft.operators.TextOps.Bm25Queries;
+         (id, _) <- docs) {
+      ref(qtext, id) match {
+        case Some(exp) =>
+          assert(out.get((qid, id)).contains(exp),
+            s"q$qid doc$id: expected $exp got ${out.get((qid, id))}")
+          pairs += 1
+        case None =>
+          assert(!out.contains((qid, id)), s"q$qid doc$id: spurious hit")
+      }
+    }
+    assert(out.size === pairs)
+  }
+
+  test("rational vs ln idf genuinely diverge on multi-term ranking") {
+    // constructed so EVERY doc has dl = 8 = avgdl (tf weight exactly
+    // 1.0, scores are pure idf sums): the rare term r has df=1; the 7
+    // common terms c1..c7 each have df=5 of n=10, i.e. rational idf
+    // 5.5/5.5 = 1.0 but ln idf exactly 0. Doc 1 matches only r
+    // (rational 6.33…, ln 1.84…); doc 2 matches all seven c's
+    // (rational 7.0 — WINS; ln 0.0 — loses). Textbook behavior differs
+    // from the exp-scale deviation, exactly as the q_bm25 QDef comment
+    // documents.
+    val common = (1 to 7).map(i => s"c$i")
+    val docs = Seq(
+      1L -> ("r " + (1 to 7).map(i => s"f$i").mkString(" ")),
+      2L -> (common.mkString(" ") + " g1")) ++
+      (3L to 6L).map(i => i -> (common.mkString(" ") + s" g$i")) ++
+      (7L to 10L).map(i => i -> (1 to 8).map(j => s"z${i}_$j").mkString(" "))
+    val dir = stage(docs)
+    val sp = spark
+    import sp.implicits._
+    val qt = ("r" +: common).map(t => (1, t)).toDF("q_id", "token")
+    val idx = graft.operators.TextOps.bm25Index(spark, dir)
+    def top1(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect().map(r => (r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, s) => (-s, id) }.head._1
+    val rational = graft.operators.TextOps.bm25Score(qt, idx)
+    val ln = graft.operators.TextOps.bm25ScoreLn(qt, idx)
+    assert(top1(rational) === 2L, "rational idf: 7 commons beat the rare")
+    assert(top1(ln) === 1L, "ln idf: the rare term wins")
+    // and the constructed invariants really hold, micro-unit exact
+    val lnScores = ln.collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val exp1 = math.floor(math.log(9.5 / 1.5) * 1e6 + 0.5) / 1e6
+    assert(lnScores(1L) === exp1)
+    assert(lnScores(2L) === 0.0)
+  }
+
   test("q_pmi: min-count gate and hand-computed lift") {
     // "x y" occurs 5 times (survives the >=5 gate), "y x" only 4
     val dir = stage(Seq(1L -> "x y x y x y x y x y"))
