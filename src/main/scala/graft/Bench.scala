@@ -53,7 +53,7 @@ object Bench {
     */
   val reference: Map[String, Double] = Map(
     "q_anti_join" -> 0.37, "q_approx_distinct" -> 0.73,
-    "q_approx_percentile" -> 0.71, "q_array_ops" -> 0.28,
+    "q_approx_percentile" -> 1.45, "q_array_ops" -> 0.28,
     "q_asof" -> 0.32, "q_asof_native" -> 0.31, "q_cast" -> 0.24,
     "q_chunk" -> 0.20, "q_classify" -> 0.10, "q_cohort" -> 0.31,
     "q_contamination" -> 0.41, "q_count" -> 0.12,
@@ -78,8 +78,8 @@ object Bench {
     "q_lang_id" -> 0.14, "q_lead_lag" -> 0.19, "q_llm_summary" -> 0.12,
     "q_maplookup" -> 0.09, "q_math" -> 0.14, "q_melt" -> 0.31,
     "q_minhash" -> 0.23, "q_mixture" -> 0.13, "q_multifile" -> 0.26,
-    "q_multimodal" -> 0.16, "q_ngram_jaccard" -> 0.44, "q_ntile" -> 0.64,
-    "q_null_semantics" -> 0.12, "q_pack" -> 0.17, "q_percentile" -> 0.60,
+    "q_multimodal" -> 0.16, "q_ngram_jaccard" -> 0.44, "q_ntile" -> 1.20,
+    "q_null_semantics" -> 0.12, "q_pack" -> 0.17, "q_percentile" -> 1.20,
     "q_pivot" -> 0.19, "q_profile" -> 0.15, "q_project" -> 0.10,
     "q_promo_share" -> 0.35, "q_quality" -> 0.13,
     "q_rag_retrieve" -> 1.42, "q_rank" -> 0.13, "q_redact" -> 0.11,
@@ -100,11 +100,16 @@ object Bench {
     "q_tpch_q3" -> 0.44, "q_tpch_q5" -> 0.64, "q_try_arith" -> 0.85,
     "q_tumbling" -> 0.16, "q_union" -> 0.11, "q_upsert" -> 0.27,
     "q_weighted_sample" -> 0.10, "q_window_range" -> 0.21,
-    "q_winsorize" -> 0.45, "q_zorder" -> 0.11,
+    "q_winsorize" -> 0.90, "q_zorder" -> 0.11,
     // round-9 additions, min-of-3 at load1 1.4 (mild-load upper bound);
     // q_bm25 re-measured r11 after the stored-index refactor (probe cost
     // only, 0.35 idle — was 1.44 when the postings rebuilt per run);
-    // q_bm25_ln shares the stored index, measured alongside
+    // q_bm25_ln shares the stored index, measured alongside.
+    // q_percentile/q_ntile/q_approx_percentile/q_winsorize re-based r11
+    // for the Rank.rangeRanked rewrite: ~2x at sf0.1 (range-sample scan
+    // + broadcast offsets) bought sublinear scaling — 5.5s -> 3.2s at
+    // sf1 and a plan with no single-task-per-group window (mild-load
+    // min-of-3 upper bounds; refine from the next idle full record)
     "q_pmi" -> 1.03, "q_skyline" -> 0.42,
     "q_bm25" -> 0.35, "q_bm25_ln" -> 0.29)
 

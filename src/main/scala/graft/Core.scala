@@ -160,6 +160,109 @@ object Pctl {
       .mkString(" OR ")
 }
 
+/** Scale-safe per-group ranking — the shared machinery behind the exact
+  * percentile/ntile family (q_percentile, q_approx_percentile, q_ntile,
+  * q_winsorize). The naive shape — `row_number().over(Window.partitionBy
+  * (group).orderBy(value))` — puts EVERY row of a group in ONE task
+  * (WindowExec moves the whole window partition to a single task), and
+  * these groups are low-cardinality by nature (3 return flags, a handful
+  * of event types): at 100 TB that is a ~30 TB single-task sort. This is
+  * the q_shuffle_global two-phase zipWithIndex decomposition generalized
+  * to (group, value) range sharding:
+  *
+  *   1. ONE full shuffle: `repartitionByRange` on (group ++ orderCols),
+  *      so each task holds a contiguous slice of each group's value
+  *      order (a group spans MANY tasks; parallelism = partition count,
+  *      independent of group cardinality), sorted within partitions.
+  *   2. Per-row intra-partition position WITHOUT a window:
+  *      `monotonically_increasing_id` is (partitionId << 33) + a
+  *      counter that increments by 1 per row within the partition —
+  *      contiguous within a partition by construction (guarded by
+  *      RangeRankSpec's property test against the window form), so
+  *      `mid - min(mid per (pid, group))` is the 0-based rank of the
+  *      row inside its partition's slice of the group.
+  *   3. A (pid, group) aggregate — map-side combined, ≤ partitions ×
+  *      groups rows at ANY scale — carries min(mid), the slice counts,
+  *      the running per-group offset (a window over THIS tiny frame
+  *      only) and the group total n; broadcast back and
+  *      rn = offset + (mid - base) + 1.
+  *
+  * The two consumers of the shuffled frame (the ranked rows and the
+  * tiny aggregate) share one canonicalized Exchange, so AQE reuses it
+  * (ReusedExchange — same mechanism q_surprisal gates); the counts job
+  * never rescans the source. Ties across partition boundaries: range
+  * partitioning keys on the FULL (group, orderCols) tuple, so when
+  * orderCols is a total order ranks are exactly the window form's; when
+  * it is not (q_percentile orders by value alone), equal values may
+  * permute WITHIN their rank run, but every consumer reads only the
+  * VALUE at a boundary rank, which ties share — outputs are identical
+  * either way.
+  */
+object Rank {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.expressions.Window
+
+  /** `in`'s columns plus `rn` (1-based rank of the row within its
+    * group, ordered by `orderCols`) and `n` (group size) — no per-group
+    * single-task window anywhere in the plan. NULL groups rank as their
+    * own group, exactly like the window form.
+    */
+  def rangeRanked(in: DataFrame, groupCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val keys = (groupCol +: orderCols).map(col)
+    val parts =
+      in.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val t = in.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id())
+    // tiny: partitions × groups rows, partial-aggregated map-side
+    val wOff = Window.partitionBy(groupCol).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val slices = t.groupBy(col("_pid"), col(groupCol))
+      .agg(count(lit(1)).as("_cnt"), min("_mid").as("_base"))
+      .withColumn("_off", coalesce(sum("_cnt").over(wOff), lit(0L)))
+      .withColumn("n",
+        sum("_cnt").over(Window.partitionBy(groupCol)))
+      .select(col("_pid"), col(groupCol), col("_base"), col("_off"),
+        col("n"))
+    // NULL-SAFE group equality: a plain equi-join would silently drop
+    // rows whose group is NULL, where the window form ranks them as
+    // their own partition (groupBy and Window.partitionBy both treat
+    // NULL as a group, so <=> keeps the two forms row-identical)
+    val sl = slices.withColumnRenamed(groupCol, "_sgrp")
+      .withColumnRenamed("_pid", "_spid")
+    t.join(broadcast(sl),
+        col("_pid") === col("_spid") && col(groupCol) <=> col("_sgrp"))
+      .withColumn("rn", col("_off") + (col("_mid") - col("_base")) + 1)
+      .select((in.columns.map(col) :+ col("rn") :+ col("n")): _*)
+  }
+
+  /** Spark/DuckDB `ntile(k)` bucket from (rn, n) — closed form of the
+    * uneven-division rule both engines share (the first n mod k buckets
+    * take one extra row): with q = n div k, r = n mod k, ranks up to
+    * r*(q+1) land in the size-(q+1) buckets, the rest count off size-q
+    * buckets from r. Integer arithmetic only; ceil(x/d) = (x+d-1) div d.
+    * Equality with the built-in ntile is property-tested in
+    * RangeRankSpec and oracle-checked end-to-end (the DuckDB side of
+    * q_ntile keeps the real `ntile(10)`).
+    */
+  def ntileFromRank(k: Int, rn: Column, n: Column): Column = {
+    // exact long integral divide: the Column API has no `div`, and a
+    // bare `/` is double division — subtract the remainder first so the
+    // double quotient is an exact integer (operands here are ranks and
+    // group sizes, far below 2^53)
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val q = idiv(n, lit(k))
+    val r = n % k
+    val bigSpan = r * (q + 1)
+    when(q === lit(0L), rn) // n < k: every bucket has one row
+      .when(rn <= bigSpan, idiv(rn + q, q + 1))
+      .otherwise(r + idiv(rn - bigSpan + q - 1, q))
+  }
+}
+
 /** Session defaults shared by Verify/Bench/tests: UTC (oracle date parity),
   * ANSI off (the reference's pandas `errors="coerce"` null-on-failure
   * semantics — SURVEY.md §2.7 F1/F5), shuffle partitions sized for local

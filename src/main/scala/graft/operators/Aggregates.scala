@@ -246,21 +246,20 @@ object Aggregates {
     // interpolation definition). Computed by SORT, not by Spark's
     // `percentile` aggregate: that aggregate accumulates a value→count
     // map per group and merges the full map in one JVM — at 100 TB the
-    // map holds every distinct value of the column. The sort form is one
-    // window shuffle (range-partitioned sort machinery), a filter to the
-    // four boundary ranks, and a 4-row interpolation — nothing ever
-    // concentrates on a single task beyond k rows per group.
+    // map holds every distinct value of the column. Ranks come from
+    // Rank.rangeRanked (Core.scala) — range-sharded two-phase
+    // zipWithIndex, NOT a per-group window: l_returnflag has 3 values,
+    // so the window form would sort a third of the table in ONE task at
+    // any scale. Then a filter to the four boundary ranks and a 4-row
+    // interpolation — nothing concentrates beyond a range shard.
     QDef("q_percentile",
       (s, d) => {
-        val w = Window.partitionBy("l_returnflag")
-          .orderBy("l_extendedprice")
-        val wAll = Window.partitionBy("l_returnflag")
         // boundary-rank interpolation: Pctl (Core.scala) — the one shared
         // definition, also used by q_approx_percentile and q_winsorize
-        val ranked = Tables(s, d, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wAll))
+        val ranked = graft.Rank.rangeRanked(
+          Tables(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", Seq("l_extendedprice"))
         val v = col("l_extendedprice")
         ranked
           .filter(Pctl.boundary(Seq(0.5, 0.9), col("rn"), col("n")))
@@ -346,18 +345,15 @@ object Aggregates {
         // exact twin via Pctl (Core.scala), the shared boundary-rank
         // interpolation — NOT the built-in `percentile` aggregate, whose
         // per-group value→count map is exactly the shape q_percentile
-        // avoids. One window sort per group, then a single aggregate
-        // computes the sketch AND picks the two boundary values, so
-        // sketch and twin share the one shuffle. No Pctl.boundary
-        // pre-filter here: the sketch aggregate needs every row.
-        val w = Window.partitionBy("l_returnflag")
-          .orderBy("l_extendedprice")
-        val wAll = Window.partitionBy("l_returnflag")
-        val ranked = Tables(s, d, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("nn", count(lit(1)).over(wAll))
-        val exact = Pctl.interp(0.5, col("rn"), col("nn"),
+        // avoids. Ranks via Rank.rangeRanked (no per-group single-task
+        // window — q_percentile's reasoning); one aggregate then
+        // computes the sketch AND picks the two boundary values. No
+        // Pctl.boundary pre-filter here: the sketch needs every row.
+        val ranked = graft.Rank.rangeRanked(
+          Tables(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", Seq("l_extendedprice"))
+        val exact = Pctl.interp(0.5, col("rn"), col("n"),
           col("l_extendedprice"))
         ranked.groupBy("l_returnflag").agg(
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
@@ -376,18 +372,24 @@ object Aggregates {
     // skew diagnosis. ntile's uneven-division rule (first n%k buckets
     // take the extra row) is identical in both engines; the ORDER BY
     // carries unique tiebreak keys so the row→bucket assignment is a
-    // total order and thus deterministic. One window shuffle on the
-    // group key, then a map-side-combinable count — scale-safe.
+    // total order and thus deterministic. The bucket comes from
+    // Rank.ntileFromRank over Rank.rangeRanked ranks (Core.scala) —
+    // the built-in ntile().over(partitionBy(l_returnflag)) would drag a
+    // third of the table through ONE task (3 groups at any scale); the
+    // closed-form bucket from the scale-safe rank is value-identical
+    // (RangeRankSpec property + the oracle keeps DuckDB's real ntile).
     QDef("q_ntile",
       (s, d) => {
-        val w = Window.partitionBy("l_returnflag")
-          .orderBy(col("l_extendedprice"), col("l_orderkey"),
-            col("l_linenumber"))
-        Tables(s, d, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice"),
-            col("l_orderkey"), col("l_linenumber"))
-          // Spark ntile is INT, DuckDB's BIGINT — align the schema
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        val ranked = graft.Rank.rangeRanked(
+          Tables(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice"),
+              col("l_orderkey"), col("l_linenumber")),
+          "l_returnflag",
+          Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+        ranked
+          // Spark ntile is INT, DuckDB's BIGINT — long either way here
+          .withColumn("decile",
+            graft.Rank.ntileFromRank(10, col("rn"), col("n")))
           .groupBy("l_returnflag", "decile")
           .agg(count(lit(1)).as("n"),
             min("l_extendedprice").as("lo"),

@@ -383,12 +383,11 @@ object TrainingData {
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
-        val w = Window.partitionBy("event_type")
-          .orderBy(col("value"), col("event_id"))
-        val wAll = Window.partitionBy("event_type")
-        val ranked = ev
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wAll))
+        // ranks via Rank.rangeRanked (Core.scala), not a per-group
+        // window: event_type is low-cardinality, and the window form
+        // would sort each type's whole slice in one task at any scale
+        val ranked = graft.Rank.rangeRanked(ev, "event_type",
+          Seq("value", "event_id"))
         val (rn, n, v) = (col("rn"), col("n"), col("value"))
         val bounds = ranked
           .filter(graft.Pctl.boundary(Seq(0.05, 0.95), rn, n))
