@@ -109,12 +109,24 @@ object TextOps {
     * one session). Batch q_bm25 and StreamingOps.streamingBm25 both read
     * THIS table, so the serving path is the production shape: a bucketed
     * scan probed by the query terms, corpus-scan-free per query.
+    *
+    * The table name carries a PER-PROCESS token alongside the sfDir
+    * hash: the warehouse directory (${tmpdir}/graft_warehouse) is
+    * shared by every JVM on the box, so a pure sfDir-keyed name would
+    * let process B's clearOrphanLocation delete the directory process
+    * A is actively probing (B's fresh catalog has no entry for it —
+    * review finding r11). Distinct names make cross-process collision
+    * impossible; within a process the catalog memo still gives
+    * build-once/probe-many. At 100 TB the index lives in a real
+    * catalog + object store and is shared deliberately — the token is
+    * a local-warehouse artifact.
     */
   private[graft] def bm25Index(s: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
+    val pid = java.lang.ProcessHandle.current().pid()
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val table = s"graft_bm25_idx_${hex.take(10)}"
+    val table = s"graft_bm25_idx_${hex.take(10)}_p$pid"
     bm25BuildLock.synchronized {
       if (!s.catalog.tableExists(table)) {
         writeBm25Index(Tables(s, sfDir, "documents"), table)

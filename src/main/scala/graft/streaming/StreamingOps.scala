@@ -141,9 +141,9 @@ object StreamingOps {
   }
 
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.normalizeTs(spark.readStream.schema(eventsSchema(spark, sfDir))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir))
+    // one source recipe: reuse eventsStreamWithTs's raw stream so the
+    // glob/schema invariants live in exactly one place
+    Tables.normalizeTs(eventsStreamWithTs(spark, sfDir)._1)
 
   /** File-streamed documents corpus — the one source recipe shared by
     * every corpus-streaming op (schema pre-read; the file-stream source

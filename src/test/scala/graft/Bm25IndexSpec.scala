@@ -35,8 +35,13 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSuite {
 
   test("stored-postings probe shuffles only the query-term side") {
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // conf-ISOLATED session: suites plan in parallel against the shared
+    // session, and holding autoBroadcastJoinThreshold=-1 there would
+    // intermittently flip a concurrent PlanSpec broadcast gate to
+    // sort-merge (review finding r11). newSession shares the catalog
+    // (the stored table is visible) but owns its conf.
+    val s = spark.newSession()
     val key = "spark.sql.autoBroadcastJoinThreshold"
-    val old = spark.conf.get(key)
     try {
       TextOps.writeBm25Index(docs, table)
       // force the sort-merge path (at 100 TB the postings never
@@ -45,8 +50,11 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSuite {
       // shuffle. No broadcast() hint on the query side here — q_bm25
       // adds it for the 3-literal-query case; this spec models the
       // large-batch serving shape.
-      spark.conf.set(key, "-1")
-      val out = TextOps.bm25Score(queryTerms, spark.table(table))
+      s.conf.set(key, "-1")
+      val qt = s.createDataFrame(TextOps.Bm25Queries).toDF("q_id", "qtext")
+        .select(col("q_id"),
+          explode(split(col("qtext"), " ")).as("token"))
+      val out = TextOps.bm25Score(qt, s.table(table))
       val root = unwrap(out.queryExecution.executedPlan)
       val smj = root.collect { case j: SortMergeJoinExec => j }
       assert(smj.nonEmpty, root.toString)
@@ -65,7 +73,8 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSuite {
       assert(corpusSide.toString.contains("SelectedBucketsCount"),
         corpusSide.toString)
     } finally {
-      spark.conf.set(key, old)
+      // the -1 threshold dies with the throwaway session; only the
+      // shared-catalog table needs cleanup
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }

@@ -92,7 +92,10 @@ class DegenerateHarnessSpec extends AnyFunSuite with SparkSuite {
     val rows = SparkEntry.queries("q_embed_assign")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     degenIds.foreach { id => assert(rows(id) === -1.0, s"vec $id") }
-    assert(rows.size === 502)
+    // every vector assigned exactly once — derived from the corpus, not
+    // a hard-coded row count, so fixture regeneration can't break it
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.size.toLong === total)
   }
 
   test("q_embed_centroid stays finite with the zero row folded in") {
