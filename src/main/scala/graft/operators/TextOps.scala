@@ -104,6 +104,34 @@ object TextOps {
     */
   private val bm25BuildLock = new Object
 
+  /** One-shot-per-JVM sweep of DEAD processes' leftover index
+    * locations: the per-process table token (see [[bm25Index]]) makes
+    * cross-process deletion races impossible, but it also means every
+    * exited JVM strands its index directory in the shared warehouse
+    * forever. A directory matching the token pattern whose pid no
+    * longer exists can have no owner, so the first build in this JVM
+    * reclaims them (best-effort; pid-recycling keeps a dir alive, which
+    * only costs its disk until the recycled pid also dies).
+    */
+  private[graft] var sweptDeadIndexes = false
+  private[graft] def sweepDeadIndexes(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    if (!sweptDeadIndexes) {
+      sweptDeadIndexes = true
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val owned = "^graft_bm25_idx_[0-9a-f]{10}_p([0-9]+)$".r
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        st.getPath.getName match {
+          case owned(pid)
+              if !java.lang.ProcessHandle.of(pid.toLong).isPresent =>
+            fs.delete(st.getPath, true); ()
+          case _ => ()
+        }
+      }
+    }
+
   /** The stored postings index for `sfDir`'s documents table, built on
     * first use per catalog (idempotent, synchronized — test suites share
     * one session). Batch q_bm25 and StreamingOps.streamingBm25 both read
@@ -128,6 +156,7 @@ object TextOps {
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val table = s"graft_bm25_idx_${hex.take(10)}_p$pid"
     bm25BuildLock.synchronized {
+      sweepDeadIndexes(s)
       if (!s.catalog.tableExists(table)) {
         writeBm25Index(Tables(s, sfDir, "documents"), table)
       }

@@ -94,6 +94,30 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("dead-process index leftovers are swept; live ones are kept") {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dir whose pid token cannot be a live process, and one owned by
+    // THIS process (live by construction)
+    val dead = new org.apache.hadoop.fs.Path(wh,
+      "graft_bm25_idx_0123456789_p999999999")
+    val live = new org.apache.hadoop.fs.Path(wh,
+      s"graft_bm25_idx_0123456789_p${ProcessHandle.current().pid()}")
+    fs.mkdirs(dead); fs.mkdirs(live)
+    try {
+      TextOps.sweptDeadIndexes = false
+      TextOps.sweepDeadIndexes(spark)
+      assert(!fs.exists(dead), "dead-pid leftover not reclaimed")
+      assert(fs.exists(live), "live process's index must survive")
+      // the flag makes the sweep once-per-JVM: a re-created dead dir
+      // stays until the next process boots
+      fs.mkdirs(dead)
+      TextOps.sweepDeadIndexes(spark)
+      assert(fs.exists(dead))
+    } finally { fs.delete(dead, true); fs.delete(live, true); () }
+  }
+
   test("q_bm25 still answers from a second session in the same JVM") {
     // build (or reuse) the index through session 1 ...
     assert(TextOps.bm25Index(spark, sf).limit(1).count() === 1L)
