@@ -621,12 +621,17 @@ object TextOps {
         "FROM documents GROUP BY lang")),
 
     // X5: per-doc token counting — whitespace tokens plus a BPE-ish
-    // regex token count and a chars/4 subword estimate.
+    // regex token count and a chars/4 subword estimate. regexp_count,
+    // not size(regexp_extract_all(...)): the count is the only thing
+    // consumed, and extract_all materializes every token as a UTF8String
+    // array element first — pure allocation on the hottest per-row path
+    // (q_token_count ran exactly at the data factor in SCALE_SF1.md,
+    // i.e. it IS compute-bound).
     QDef("q_token_count",
       (s, d) => Tables(s, d, "documents").select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_ws"),
-        size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+        expr("CAST(regexp_count(text, '[a-z0-9]+|[^a-z0-9\\\\s]') AS INT)")
           .as("n_re"),
         expr("(n_chars + 3) div 4").as("n_bpe_est")),
       Some("SELECT doc_id, " +
