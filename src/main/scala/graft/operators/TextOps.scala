@@ -31,6 +31,51 @@ object TextOps {
     (2, "fast hash scan merge"),
     (3, "customer order data stream"))
 
+  /** ONE oracle text for every BM25 probe that promises exact batch
+    * parity — q_bm25 (stored denormalized index) and q_bm25_incr
+    * (append-maintained index) are gated by this identical SQL, which
+    * is itself the strongest statement of the incremental path's
+    * correctness: however the index was built, the scores hash-match a
+    * from-scratch computation.
+    *
+    * CAST(tf AS DOUBLE) before the *2.2: DuckDB types a bare tf*2.2 as
+    * exact DECIMAL (2.2 is DECIMAL(2,1)), which rounds differently from
+    * Spark's double(2.2)*tf in the last ulp — with a double left
+    * operand the 2.2 is promoted and both engines run the identical
+    * IEEE multiply. The OTHER decimal literals are safe: 0.5/0.75 are
+    * binary-exact (the decimal intermediates convert to the same
+    * doubles Spark computes) and 1.2 multiplies an already-double
+    * operand.
+    */
+  private val Bm25OracleSql: String =
+    "WITH q(q_id, qtext) AS (VALUES " +
+      Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ") +
+      "), " +
+      "qt AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS token " +
+      "FROM q), " +
+      "toks AS (SELECT doc_id, unnest(" +
+      "string_split_regex(trim(text), '\\s+')) AS token FROM documents), " +
+      "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
+      "GROUP BY doc_id, token), " +
+      "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks " +
+      "GROUP BY doc_id), " +
+      "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+      "t AS (SELECT qt.q_id, tf.doc_id, " +
+      "((n.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
+      "((CAST(tf.tf AS DOUBLE) * 2.2) / (tf.tf + 1.2 * " +
+      "(1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) AS term " +
+      "FROM qt JOIN tf USING (token) JOIN df USING (token) " +
+      "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n), " +
+      "s AS (SELECT q_id, doc_id, " +
+      Det.exactSumSql("term", 6) + " AS score " +
+      "FROM t GROUP BY q_id, doc_id) " +
+      "SELECT q_id, doc_id, score, rn FROM (SELECT *, " +
+      "CAST(row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY score DESC, doc_id) AS INT) AS rn FROM s) " +
+      "WHERE rn <= 10"
+
   /** Denormalized Okapi BM25 inverted-index rows over a documents-shaped
     * frame: one row per (token, doc) posting carrying every corpus
     * statistic the scorer needs (tf, df, dl, n_docs, avgdl). ONE corpus
@@ -93,6 +138,122 @@ object TextOps {
     finally tf.unpersist()
   }
 
+  /** INCREMENTAL BM25 index maintenance — the ingest path the batch
+    * index's doc only promised ("at 100 TB the index is maintained
+    * incrementally at ingest"). Two changes against [[writeBm25Index]]
+    * make append-only maintenance CORRECT:
+    *   - postings carry only DOC-LOCAL stats (token, doc_id, tf, dl):
+    *     a new batch appends to the bucketed table (bucketBy append
+    *     keeps the layout) and nothing already stored is ever
+    *     rewritten;
+    *   - the CORPUS-GLOBAL stats are not stored per posting. df is
+    *     derived AT PROBE TIME from the rows the probe fetched anyway
+    *     (every posting of a probed token lives in that token's
+    *     bucket, so count-per-token over the fetched rows IS the full
+    *     document frequency — zero extra scan), and (n_docs, sum_dl)
+    *     live in a 1-row stats table each ingest folds its batch into.
+    * [[bm25ScoreIncr]] then reproduces the batch arithmetic op-for-op,
+    * so scores over an incrementally-grown index hash-match q_bm25's
+    * oracle — q_bm25_incr builds its index in two halves and is gated
+    * by the IDENTICAL oracle SQL. StreamingOps.streamingBm25Ingest is
+    * this function under foreachBatch.
+    */
+  def appendBm25Postings(docs: org.apache.spark.sql.DataFrame,
+      table: String, statsTable: String, nBuckets: Int = 8): Unit = {
+    val s = docs.sparkSession
+    clearOrphanLocation(s, table)
+    clearOrphanLocation(s, statsTable)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    try if (!tf.isEmpty) {
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      tf.join(dl, "doc_id")
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+        .write.mode("append")
+        .bucketBy(nBuckets, "token").sortBy("token")
+        .saveAsTable(table)
+      val batch = dl.agg(count(lit(1)).as("n_docs"),
+        sum("dl").as("sum_dl"))
+      val merged =
+        if (s.catalog.tableExists(statsTable))
+          s.table(statsTable).unionByName(batch)
+            .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+        else batch
+      // materialize on the driver BEFORE the overwrite (1 row — this is
+      // metadata, not data): writing a table from a plan that reads the
+      // same table is not safe
+      val r = merged.collect()(0)
+      val sp = s
+      import sp.implicits._
+      Seq((r.getLong(0), r.getLong(1))).toDF("n_docs", "sum_dl")
+        .write.mode("overwrite").saveAsTable(statsTable)
+    } finally tf.unpersist()
+  }
+
+  /** Score query terms against an INCREMENTAL index ([[
+    * appendBm25Postings]]): identical output contract and arithmetic to
+    * [[bm25Score]] — the idf/weight expressions are the same shared
+    * Columns, df is count-per-token over the probed postings (exact:
+    * the probe fetches every posting of each probed token), and
+    * avgdl = sum_dl/n_docs mirrors the batch aggregate's ops.
+    */
+  private[graft] def bm25ScoreIncr(
+      queryTerms: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // dedupe tokens BEFORE the probe: a token two queries share must
+    // fetch (and count) once
+    val toks = queryTerms.select("token").distinct()
+    val fetched = toks.join(postings, "token").persist()
+    try {
+      val dfq = fetched.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = stats.select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+      queryTerms.join(fetched, "token")
+        .join(broadcast(dfq), "token")
+        .crossJoin(broadcast(n))
+        .select(col("q_id"), col("doc_id"),
+          (rationalIdf * okapiTfWeight).as("term"))
+        .groupBy("q_id", "doc_id")
+        .agg(Det.exactSum(col("term"), 6).as("score"))
+    } finally { fetched.unpersist(); () }
+  }
+
+  /** Memoized two-halves incremental build for `sfDir` (per process +
+    * catalog, like [[bm25Index]]): documents split by doc_id parity,
+    * each half appended as its own ingest batch — so every q_bm25_incr
+    * verification exercises true append-maintenance, while reps within
+    * a session pay only the probe. Returns (postings, stats).
+    */
+  private[graft] def bm25IndexIncr(s: org.apache.spark.sql.SparkSession,
+      sfDir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val table = s"graft_bm25_incr_${hex.take(10)}_p$pid"
+    val statsTable = table + "_stats"
+    bm25BuildLock.synchronized {
+      sweepDeadIndexes(s)
+      if (!s.catalog.tableExists(table)
+          || !s.catalog.tableExists(statsTable)) {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        s.sql(s"DROP TABLE IF EXISTS $statsTable")
+        val docs = Tables(s, sfDir, "documents")
+        appendBm25Postings(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), table, statsTable)
+        appendBm25Postings(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), table, statsTable)
+      }
+    }
+    (s.table(table), s.table(statsTable))
+  }
+
   /** Build lock for [[bm25Index]] — serializes concurrent first-use
     * builds across threads (test suites run suites in parallel against
     * one JVM). The MEMO itself is the session catalog: we ask
@@ -121,7 +282,8 @@ object TextOps {
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val owned = "^graft_bm25_idx_[0-9a-f]{10}_p([0-9]+)$".r
+      val owned =
+        "^graft_bm25_(?:idx|incr)_[0-9a-f]{10}_p([0-9]+)(?:_stats)?$".r
       if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
         st.getPath.getName match {
           case owned(pid)
@@ -1145,41 +1307,7 @@ object TextOps {
           .select(col("q_id"), col("doc_id"), col("score"),
             col("rn").cast("int").as("rn"))
       },
-      Some("WITH q(q_id, qtext) AS (VALUES " +
-        Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ") +
-        "), " +
-        "qt AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS token " +
-        "FROM q), " +
-        "toks AS (SELECT doc_id, unnest(" +
-        "string_split_regex(trim(text), '\\s+')) AS token FROM documents), " +
-        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
-        "GROUP BY doc_id, token), " +
-        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks " +
-        "GROUP BY doc_id), " +
-        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
-        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
-        // CAST(tf AS DOUBLE) before the *2.2: DuckDB types a bare
-        // tf*2.2 as exact DECIMAL (2.2 is DECIMAL(2,1)), which rounds
-        // differently from Spark's double(2.2)*tf in the last ulp —
-        // with a double left operand the 2.2 is promoted and both
-        // engines run the identical IEEE multiply. The OTHER decimal
-        // literals are safe: 0.5/0.75 are binary-exact (the decimal
-        // intermediates convert to the same doubles Spark computes) and
-        // 1.2 multiplies an already-double operand.
-        "t AS (SELECT qt.q_id, tf.doc_id, " +
-        "((n.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
-        "((CAST(tf.tf AS DOUBLE) * 2.2) / (tf.tf + 1.2 * " +
-        "(1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) AS term " +
-        "FROM qt JOIN tf USING (token) JOIN df USING (token) " +
-        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n), " +
-        "s AS (SELECT q_id, doc_id, " +
-        Det.exactSumSql("term", 6) + " AS score " +
-        "FROM t GROUP BY q_id, doc_id) " +
-        "SELECT q_id, doc_id, score, rn FROM (SELECT *, " +
-        "CAST(row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY score DESC, doc_id) AS INT) AS rn FROM s) " +
-        "WHERE rn <= 10")),
+      Some(Bm25OracleSql)),
 
     // X5 + RAG: TEXTBOOK ln-idf Okapi BM25 (VERDICT r09 #4) — the same
     // stored bucketed postings index as q_bm25, scored with
@@ -1206,6 +1334,30 @@ object TextOps {
             col("rn").cast("int").as("rn"))
       },
       None),
+
+    // X5 + RAG + 100 TB ingest: the INCREMENTAL-index twin of q_bm25 —
+    // same queries, same scoring arithmetic, same top-10 window, but
+    // the index is built by APPEND-ONLY maintenance (two ingest batches
+    // split by doc_id parity; see appendBm25Postings) with df derived
+    // at probe time and (n_docs, sum_dl) folded into a 1-row stats
+    // table. Gated by the IDENTICAL oracle SQL as q_bm25: the hash gate
+    // proves append-maintenance loses nothing against a from-scratch
+    // build, bit-for-bit.
+    QDef("q_bm25_incr",
+      (s, d) => {
+        val q = s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
+        val qt = q.select(col("q_id"),
+          explode(split(col("qtext"), " ")).as("token"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val (postings, stats) = bm25IndexIncr(s, d)
+        bm25ScoreIncr(broadcast(qt), postings, stats)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("doc_id"), col("score"),
+            col("rn").cast("int").as("rn"))
+      },
+      Some(Bm25OracleSql)),
 
     // X5: bigram collocation mining — which word pairs co-occur more
     // than chance predicts (phrase detection / tokenizer-merge

@@ -334,6 +334,37 @@ object StreamingOps {
       queryName, mode = "complete")
   }
 
+  /** Streaming BM25 INDEX INGEST — the online half of the maintenance
+    * story streamingBm25 serves from: documents arrive as a file
+    * stream and each micro-batch APPENDS its doc-local postings to the
+    * bucketed incremental index + folds its counts into the 1-row
+    * stats table (TextOps.appendBm25Postings under foreachBatch — ONE
+    * maintenance definition with batch, so stream-built and
+    * batch-built indexes cannot drift; exact probe parity against
+    * batch q_bm25 is gated in RetrievalSpec). Nothing already stored
+    * is ever rewritten — per-batch cost is O(batch), never a corpus
+    * re-scan, which is the whole 100 TB ingest contract.
+    */
+  def streamingBm25Ingest(spark: SparkSession, sfDir: String,
+      table: String, statsTable: String): Unit = {
+    // point the source AT the table path, not at sfDir + glob: the
+    // corpus ships both as a single documents.parquet FILE (testdata)
+    // and as a directory of part files (anything Spark wrote), and a
+    // leaf-name glob filter would see no files in the directory layout
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val q = spark.readStream.schema(schema).parquet(path).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextOps.appendBm25Postings(batch, table, statsTable)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ck_bm25").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   private def corpusPrep(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))

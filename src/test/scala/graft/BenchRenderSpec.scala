@@ -60,7 +60,10 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(line.startsWith("{") && line.endsWith("}"), line.take(60))
     assert(!line.contains("\n"), "must be a single line")
     assert(line.contains("\"prefix\":\"q_\""), line.take(120))
-    assert(line.contains("\"reps\":3"), line.takeRight(160))
+    // default-valued counters are OMITTED (absent ⇒ reps 3 / failed 0 —
+    // the budget headroom rule in renderCompact); non-default ones ride
+    assert(!line.contains("\"reps\""), line.takeRight(160))
+    assert(!line.contains("\"failed\""), line.takeRight(160))
     assert(line.contains("\"sf\":\"sf0.1\""), line.takeRight(120))
     // q_ prefix stripped; per-query values are integer centiseconds,
     // declared by the q_unit field so the record stays self-describing

@@ -200,6 +200,55 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(streamed === batch)
   }
 
+  test("q_bm25_incr: append-built index scores equal batch q_bm25 exactly") {
+    val docs = Seq(
+      1L -> "spark join join window fast",
+      2L -> "window window window",
+      3L -> "hash scan merge fast fast scan",
+      4L -> "customer order data stream data",
+      5L -> "spark spark spark join window hash")
+    val dir = stage(docs)
+    def scored(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // the incremental build appends two parity-split batches; every
+    // (query, doc, score) triple must match the from-scratch index
+    // bit-for-bit — df-at-probe-time and the stats fold lose nothing
+    assert(scored("q_bm25_incr") === scored("q_bm25"))
+  }
+
+  test("streamingBm25Ingest: stream-built index answers like batch q_bm25") {
+    val docs = Seq(
+      1L -> "spark join join window fast",
+      2L -> "window window window hash",
+      3L -> "hash scan merge fast fast scan",
+      4L -> "customer order data stream data")
+    val dir = stage(docs)
+    val pid = ProcessHandle.current().pid()
+    val (table, statsTable) =
+      (s"bm25_ingest_spec_p$pid", s"bm25_ingest_spec_p${pid}_stats")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $statsTable")
+    try {
+      streaming.StreamingOps.streamingBm25Ingest(spark, dir, table, statsTable)
+      val sp = spark
+      import sp.implicits._
+      val qt = graft.operators.TextOps.Bm25Queries.toDF("q_id", "qtext")
+        .select($"q_id", org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split($"qtext", " ")).as("token"))
+      val streamed = graft.operators.TextOps
+        .bm25ScoreIncr(qt, spark.table(table), spark.table(statsTable))
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      val batch = SparkEntry.queries("q_bm25")(spark, dir).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(streamed === batch)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $statsTable")
+    }
+  }
+
   test("property: q_skyline equals the brute-force dominance filter") {
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
     val docGen = for {
