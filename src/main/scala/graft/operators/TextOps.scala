@@ -114,8 +114,8 @@ object TextOps {
     * (When the catalog DOES know the table, mode("overwrite") handles
     * replacement and this is a no-op.)
     */
-  private def clearOrphanLocation(s: org.apache.spark.sql.SparkSession,
-      table: String): Unit =
+  private[graft] def clearOrphanLocation(
+      s: org.apache.spark.sql.SparkSession, table: String): Unit =
     if (!s.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
@@ -123,15 +123,23 @@ object TextOps {
       if (fs.exists(loc)) { fs.delete(loc, true); () }
     }
 
-  def writeBm25Index(docs: org.apache.spark.sql.DataFrame, table: String,
-      nBuckets: Int = 8): Unit = {
-    clearOrphanLocation(docs.sparkSession, table)
-    val tf = docs
+  /** The ONE tokenize→tf pipeline both index builders share — the
+    * exact-parity gate between q_bm25 and q_bm25_incr depends on batch
+    * and incremental builds tokenizing IDENTICALLY, so the definition
+    * must be impossible to change in one place only.
+    */
+  private def tokenTf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-      .persist()
+
+  def writeBm25Index(docs: org.apache.spark.sql.DataFrame, table: String,
+      nBuckets: Int = 8): Unit = {
+    clearOrphanLocation(docs.sparkSession, table)
+    val tf = tokenTf(docs).persist()
     try bm25PostingRows(tf).write.mode("overwrite")
       .bucketBy(nBuckets, "token").sortBy("token")
       .saveAsTable(table)
@@ -163,13 +171,11 @@ object TextOps {
     val s = docs.sparkSession
     clearOrphanLocation(s, table)
     clearOrphanLocation(s, statsTable)
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
-      .persist()
-    try if (!tf.isEmpty) {
+    val tf = tokenTf(docs).persist()
+    try {
+      // an EMPTY batch still creates/keeps the tables (coalesced sums):
+      // an empty corpus must yield an empty probe result, exactly like
+      // writeBm25Index's unconditional save — not TABLE_NOT_FOUND
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       tf.join(dl, "doc_id")
         .select(col("token"), col("doc_id"), col("tf"), col("dl"))
@@ -177,7 +183,7 @@ object TextOps {
         .bucketBy(nBuckets, "token").sortBy("token")
         .saveAsTable(table)
       val batch = dl.agg(count(lit(1)).as("n_docs"),
-        sum("dl").as("sum_dl"))
+        coalesce(sum("dl"), lit(0L)).as("sum_dl"))
       val merged =
         if (s.catalog.tableExists(statsTable))
           s.table(statsTable).unionByName(batch)
@@ -199,7 +205,11 @@ object TextOps {
     * [[bm25Score]] — the idf/weight expressions are the same shared
     * Columns, df is count-per-token over the probed postings (exact:
     * the probe fetches every posting of each probed token), and
-    * avgdl = sum_dl/n_docs mirrors the batch aggregate's ops.
+    * avgdl = sum_dl/n_docs mirrors the batch aggregate's ops. The df
+    * rides in as a window over the probed rows, so the postings scan
+    * happens ONCE per execution (a persist here would be useless — the
+    * frame is returned lazily, so any unpersist would run before the
+    * caller's action ever populated the cache).
     */
   private[graft] def bm25ScoreIncr(
       queryTerms: org.apache.spark.sql.DataFrame,
@@ -209,46 +219,84 @@ object TextOps {
     // dedupe tokens BEFORE the probe: a token two queries share must
     // fetch (and count) once
     val toks = queryTerms.select("token").distinct()
-    val fetched = toks.join(postings, "token").persist()
-    try {
-      val dfq = fetched.groupBy("token").agg(count(lit(1)).as("df"))
-      val n = stats.select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-      queryTerms.join(fetched, "token")
-        .join(broadcast(dfq), "token")
-        .crossJoin(broadcast(n))
-        .select(col("q_id"), col("doc_id"),
-          (rationalIdf * okapiTfWeight).as("term"))
-        .groupBy("q_id", "doc_id")
-        .agg(Det.exactSum(col("term"), 6).as("score"))
-    } finally { fetched.unpersist(); () }
+    val fetched = toks.join(postings, "token")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("token")))
+    val n = stats.select(col("n_docs"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    queryTerms.join(fetched, "token")
+      .crossJoin(broadcast(n))
+      .select(col("q_id"), col("doc_id"),
+        (rationalIdf * okapiTfWeight).as("term"))
+      .groupBy("q_id", "doc_id")
+      .agg(Det.exactSum(col("term"), 6).as("score"))
+  }
+
+  /** ONE presentation for every q_bm25* variant: the literal query set
+    * exploded to broadcast (q_id, token) terms, handed to the variant's
+    * scorer, then the deterministic top-10 cut (rank-capped window,
+    * doc_id tiebreak). Three queries share the tie-break/top-k contract
+    * — it must be impossible to change in fewer than all of them.
+    */
+  private def bm25TopK(s: org.apache.spark.sql.SparkSession,
+      scoreOf: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val qt = s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
+      .select(col("q_id"), explode(split(col("qtext"), " ")).as("token"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scoreOf(broadcast(qt))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("doc_id"), col("score"),
+        col("rn").cast("int").as("rn"))
+  }
+
+  /** Per-process index table token — ONE derivation for every stored
+    * BM25 table family ([[bm25Index]], [[bm25IndexIncr]]), kept in
+    * lockstep with [[sweepDeadIndexes]]'s ownership regex: a format
+    * drift between the name and the sweep pattern would orphan
+    * directories from reclamation forever.
+    */
+  private def indexTableName(prefix: String, sfDir: String): String = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${prefix}_${hex.take(10)}_p$pid"
   }
 
   /** Memoized two-halves incremental build for `sfDir` (per process +
     * catalog, like [[bm25Index]]): documents split by doc_id parity,
     * each half appended as its own ingest batch — so every q_bm25_incr
     * verification exercises true append-maintenance, while reps within
-    * a session pay only the probe. Returns (postings, stats).
+    * a session pay only the probe. A `_ok` MARKER table commits the
+    * build: the memo requires it, so a crash mid-build (half the corpus
+    * appended, stats covering less) can never be served as complete —
+    * the next call drops the partial tables and rebuilds. Returns
+    * (postings, stats).
     */
   private[graft] def bm25IndexIncr(s: org.apache.spark.sql.SparkSession,
       sfDir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val pid = java.lang.ProcessHandle.current().pid()
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val table = s"graft_bm25_incr_${hex.take(10)}_p$pid"
+    val table = indexTableName("graft_bm25_incr", sfDir)
     val statsTable = table + "_stats"
+    val okTable = table + "_ok"
     bm25BuildLock.synchronized {
       sweepDeadIndexes(s)
-      if (!s.catalog.tableExists(table)
+      if (!s.catalog.tableExists(okTable)
+          || !s.catalog.tableExists(table)
           || !s.catalog.tableExists(statsTable)) {
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        s.sql(s"DROP TABLE IF EXISTS $statsTable")
+        Seq(table, statsTable, okTable).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"); clearOrphanLocation(s, t)
+        }
         val docs = Tables(s, sfDir, "documents")
         appendBm25Postings(
           docs.filter(pmod(col("doc_id"), lit(2)) === 0), table, statsTable)
         appendBm25Postings(
           docs.filter(pmod(col("doc_id"), lit(2)) === 1), table, statsTable)
+        val sp = s
+        import sp.implicits._
+        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
       }
     }
     (s.table(table), s.table(statsTable))
@@ -274,24 +322,38 @@ object TextOps {
     * reclaims them (best-effort; pid-recycling keeps a dir alive, which
     * only costs its disk until the recycled pid also dies).
     */
-  private[graft] var sweptDeadIndexes = false
+  private var sweptDeadIndexes = false
   private[graft] def sweepDeadIndexes(
       s: org.apache.spark.sql.SparkSession): Unit =
-    if (!sweptDeadIndexes) {
+    // reentrant from bm25Index/bm25IndexIncr (same monitor); the lock
+    // makes the flag's read-then-set safe for direct callers too — an
+    // unsynchronized flag write would race parallel suites' builds
+    bm25BuildLock.synchronized { if (!sweptDeadIndexes) {
       sweptDeadIndexes = true
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val owned =
-        "^graft_bm25_(?:idx|incr)_[0-9a-f]{10}_p([0-9]+)(?:_stats)?$".r
+      val owned = "^graft_bm25_(?:idx|incr)_[0-9a-f]{10}_p([0-9]+)" +
+        "(?:_stats|_ok|_ledger)?$"
+      val ownedRe = owned.r
       if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
         st.getPath.getName match {
-          case owned(pid)
+          case ownedRe(pid)
               if !java.lang.ProcessHandle.of(pid.toLong).isPresent =>
             fs.delete(st.getPath, true); ()
           case _ => ()
         }
       }
+    } }
+
+  /** Test hook: re-arm and re-run the sweep under the build lock (the
+    * flag is private so no test can touch it unsynchronized).
+    */
+  private[graft] def resweepForTest(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    bm25BuildLock.synchronized {
+      sweptDeadIndexes = false
+      sweepDeadIndexes(s)
     }
 
   /** The stored postings index for `sfDir`'s documents table, built on
@@ -313,10 +375,7 @@ object TextOps {
     */
   private[graft] def bm25Index(s: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
-    val pid = java.lang.ProcessHandle.current().pid()
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val table = s"graft_bm25_idx_${hex.take(10)}_p$pid"
+    val table = indexTableName("graft_bm25_idx", sfDir)
     bm25BuildLock.synchronized {
       sweepDeadIndexes(s)
       if (!s.catalog.tableExists(table)) {
@@ -1295,18 +1354,7 @@ object TextOps {
     // index. Top-10 per query via the rank-cap window
     // (WindowGroupLimit).
     QDef("q_bm25",
-      (s, d) => {
-        val q = s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
-        val qt = q.select(col("q_id"),
-          explode(split(col("qtext"), " ")).as("token"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("doc_id").asc)
-        bm25Score(broadcast(qt), bm25Index(s, d))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 10)
-          .select(col("q_id"), col("doc_id"), col("score"),
-            col("rn").cast("int").as("rn"))
-      },
+      (s, d) => bm25TopK(s, qt => bm25Score(qt, bm25Index(s, d))),
       Some(Bm25OracleSql)),
 
     // X5 + RAG: TEXTBOOK ln-idf Okapi BM25 (VERDICT r09 #4) — the same
@@ -1321,18 +1369,7 @@ object TextOps {
     // micro-unit-exact driver-side reference (same JVM, same libm)
     // carry the correctness instead.
     QDef("q_bm25_ln",
-      (s, d) => {
-        val q = s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
-        val qt = q.select(col("q_id"),
-          explode(split(col("qtext"), " ")).as("token"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("doc_id").asc)
-        bm25ScoreLn(broadcast(qt), bm25Index(s, d))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 10)
-          .select(col("q_id"), col("doc_id"), col("score"),
-            col("rn").cast("int").as("rn"))
-      },
+      (s, d) => bm25TopK(s, qt => bm25ScoreLn(qt, bm25Index(s, d))),
       None),
 
     // X5 + RAG + 100 TB ingest: the INCREMENTAL-index twin of q_bm25 —
@@ -1344,19 +1381,10 @@ object TextOps {
     // proves append-maintenance loses nothing against a from-scratch
     // build, bit-for-bit.
     QDef("q_bm25_incr",
-      (s, d) => {
-        val q = s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
-        val qt = q.select(col("q_id"),
-          explode(split(col("qtext"), " ")).as("token"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("doc_id").asc)
+      (s, d) => bm25TopK(s, qt => {
         val (postings, stats) = bm25IndexIncr(s, d)
-        bm25ScoreIncr(broadcast(qt), postings, stats)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 10)
-          .select(col("q_id"), col("doc_id"), col("score"),
-            col("rn").cast("int").as("rn"))
-      },
+        bm25ScoreIncr(qt, postings, stats)
+      }),
       Some(Bm25OracleSql)),
 
     // X5: bigram collocation mining — which word pairs co-occur more

@@ -344,6 +344,16 @@ object StreamingOps {
     * batch q_bm25 is gated in RetrievalSpec). Nothing already stored
     * is ever rewritten — per-batch cost is O(batch), never a corpus
     * re-scan, which is the whole 100 TB ingest contract.
+    *
+    * REPLAY GUARD: foreachBatch is at-least-once — a driver restart (or
+    * a second run over the same table) redelivers batch ids, and a
+    * blind re-append would double every posting and stats count. A
+    * `<table>_ledger` table records applied batch ids; a redelivered id
+    * is skipped. The ledger write follows the append non-atomically, so
+    * a crash exactly between them still duplicates on replay — closing
+    * that last window needs a transactional table format (the same
+    * caveat as upsertDirectory's rename note above); one ingest stream
+    * per table, as the batch-id namespace is per-query.
     */
   def streamingBm25Ingest(spark: SparkSession, sfDir: String,
       table: String, statsTable: String): Unit = {
@@ -353,10 +363,22 @@ object StreamingOps {
     // leaf-name glob filter would see no files in the directory layout
     val path = s"$sfDir/documents.parquet"
     val schema = spark.read.parquet(path).schema
+    val ledger = table + "_ledger"
+    graft.operators.TextOps.clearOrphanLocation(spark, ledger)
     val q = spark.readStream.schema(schema).parquet(path).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.TextOps.appendBm25Postings(batch, table, statsTable)
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val applied = s.catalog.tableExists(ledger) &&
+          !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
+        if (!applied) {
+          graft.operators.TextOps
+            .appendBm25Postings(batch, table, statsTable)
+          val sp = s
+          import sp.implicits._
+          Seq(batchId).toDF("batch_id")
+            .write.mode("append").saveAsTable(ledger)
+        }
       }
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_ck_bm25").toString)

@@ -106,12 +106,12 @@ class Bm25IndexSpec extends AnyFunSuite with SparkSuite {
       s"graft_bm25_idx_0123456789_p${ProcessHandle.current().pid()}")
     fs.mkdirs(dead); fs.mkdirs(live)
     try {
-      TextOps.sweptDeadIndexes = false
-      TextOps.sweepDeadIndexes(spark)
+      TextOps.resweepForTest(spark)
       assert(!fs.exists(dead), "dead-pid leftover not reclaimed")
       assert(fs.exists(live), "live process's index must survive")
       // the flag makes the sweep once-per-JVM: a re-created dead dir
-      // stays until the next process boots
+      // stays until the next process boots (sweepDeadIndexes without
+      // the re-arm is a no-op)
       fs.mkdirs(dead)
       TextOps.sweepDeadIndexes(spark)
       assert(fs.exists(dead))

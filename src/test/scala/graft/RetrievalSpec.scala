@@ -227,8 +227,9 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     val pid = ProcessHandle.current().pid()
     val (table, statsTable) =
       (s"bm25_ingest_spec_p$pid", s"bm25_ingest_spec_p${pid}_stats")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"DROP TABLE IF EXISTS $statsTable")
+    val ledger = table + "_ledger"
+    Seq(table, statsTable, ledger)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     try {
       streaming.StreamingOps.streamingBm25Ingest(spark, dir, table, statsTable)
       val sp = spark
@@ -236,17 +237,20 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
       val qt = graft.operators.TextOps.Bm25Queries.toDF("q_id", "qtext")
         .select($"q_id", org.apache.spark.sql.functions.explode(
           org.apache.spark.sql.functions.split($"qtext", " ")).as("token"))
-      val streamed = graft.operators.TextOps
+      def scored() = graft.operators.TextOps
         .bm25ScoreIncr(qt, spark.table(table), spark.table(statsTable))
         .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2)))
         .toMap
       val batch = SparkEntry.queries("q_bm25")(spark, dir).collect()
         .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
-      assert(streamed === batch)
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.sql(s"DROP TABLE IF EXISTS $statsTable")
-    }
+      assert(scored() === batch)
+      // REPLAY GUARD: a second run redelivers the same batch ids (fresh
+      // checkpoint restarts at 0); the ledger must skip them — without
+      // it every posting and stats count would double and scores drift
+      streaming.StreamingOps.streamingBm25Ingest(spark, dir, table, statsTable)
+      assert(scored() === batch, "replayed ingest corrupted the index")
+    } finally Seq(table, statsTable, ledger)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("property: q_skyline equals the brute-force dominance filter") {
