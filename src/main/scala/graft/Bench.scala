@@ -95,7 +95,9 @@ object Bench {
     "q_string_agg" -> 0.09, "q_strings" -> 0.11,
     "q_subquery_corr" -> 0.15, "q_surprisal" -> 0.55,
     "q_surrogate_ids" -> 0.11,
-    "q_synth_source" -> 0.05, "q_text_stats" -> 0.14, "q_tfidf" -> 0.59,
+    // q_tfidf re-based r11: reads the stored bm25 postings index
+    // (probe cost; was 0.59 re-deriving tf/df/n_docs per run)
+    "q_synth_source" -> 0.05, "q_text_stats" -> 0.14, "q_tfidf" -> 0.25,
     "q_token_count" -> 0.19, "q_topk" -> 0.10, "q_tpch_q1" -> 0.41,
     "q_tpch_q3" -> 0.44, "q_tpch_q5" -> 0.64, "q_try_arith" -> 0.85,
     "q_tumbling" -> 0.16, "q_union" -> 0.11, "q_upsert" -> 0.27,

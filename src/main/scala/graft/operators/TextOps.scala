@@ -1158,29 +1158,25 @@ object TextOps {
 
     // X5: TF-IDF keyword extraction — term frequency per doc × inverse
     // document frequency over the corpus, top-3 terms per doc. The idf
-    // is the log-FREE rational n_docs/df: tf·n/df is a single double
+    // is the LOG-FREE rational n_docs/df: tf·n/df is a single double
     // division of exact integers, bit-identical across engines, where
-    // ln() could drift by an ulp between libm implementations. Shape:
-    // one explode + two aggregations + a WindowGroupLimit-capped
-    // row_number — the inverted-index scoring pass at any scale.
+    // ln() could drift by an ulp between libm implementations.
+    // ONE INDEX, MANY CONSUMERS: tf/df/n_docs are exactly the
+    // denormalized columns of the STORED bm25 postings index, so tfidf
+    // reads the maintained index (one bucketed scan + the per-doc
+    // WindowGroupLimit) instead of re-running the explode + two
+    // aggregation shuffles per query — the same maintain-once economics
+    // as the bm25 probes, and tokenization CANNOT drift between tfidf
+    // and bm25 scoring because tokenTf is shared. The index's
+    // tokenize-derived n_docs equals the oracle's count(DISTINCT
+    // doc_id) because every document yields at least one token row
+    // (split(trim(text)) of even an empty string is [""]; the oracle
+    // re-verifies per corpus).
     QDef("q_tfidf",
       (s, d) => {
-        val toks = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            explode(split(trim(col("text")), "\\s+")).as("token"))
-        val tf = toks.groupBy("doc_id", "token")
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("token")
-          .agg(count(lit(1)).as("df"))
-        // lazy 1-row broadcast cross join, mirroring the oracle's
-        // CROSS JOIN n — an eager .count() here would run two extra
-        // jobs at every plan construction (Explain, each Bench rep)
-        val nDocs = Tables(s, d, "documents")
-          .agg(countDistinct(col("doc_id")).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("token").asc)
-        tf.join(df, "token")
-          .crossJoin(broadcast(nDocs))
+        bm25Index(s, d)
           .withColumn("score",
             (col("tf") * col("n_docs")) / col("df"))
           .withColumn("rn", row_number().over(w))
