@@ -93,7 +93,7 @@ object Bench {
     "q_sort" -> 0.16, "q_sql_report" -> 0.27, "q_star_join" -> 0.37,
     "q_stats_moments" -> 0.70, "q_stratified" -> 0.12,
     "q_string_agg" -> 0.09, "q_strings" -> 0.11,
-    "q_subquery_corr" -> 0.15, "q_surprisal" -> 0.55,
+    "q_subquery_corr" -> 0.15, "q_surprisal" -> 0.35,
     "q_surrogate_ids" -> 0.11,
     // q_tfidf re-based r11: reads the stored bm25 postings index
     // (probe cost; was 0.59 re-deriving tf/df/n_docs per run)

@@ -613,12 +613,18 @@ object TextOps {
     * whole-bit/integer-exactness and scale reasoning.
     */
   private[graft] def surprisal(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    surprisalFromTf(tokenTf(docs))
+
+  /** Surprisal from pre-computed (doc_id, token, tf) posting rows.
+    * q_surprisal feeds the STORED bm25 index here — the LM's unigram
+    * counts are Σ tf per token, which over a token-bucketed scan
+    * aggregates and joins EXCHANGE-FREE (the only shuffle left is the
+    * per-doc sum) — while [[surprisal]] keeps the any-corpus form the
+    * property tests and streaming paths use.
+    */
+  private[graft] def surprisalFromTf(tf: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("token"))
-    val tf = toks.groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
     val cnts = tf.groupBy("token").agg(sum("tf").as("cnt"))
     val tot = cnts.agg(sum("cnt").as("total"))
     tf.join(cnts, "token")
@@ -1215,7 +1221,12 @@ object TextOps {
     // heavy-hitter skew ("the") is AQE-skew-join territory, or
     // broadcast the head vocabulary and shuffle only the tail.
     QDef("q_surprisal",
-      (s, d) => surprisal(Tables(s, d, "documents")),
+      // ONE INDEX, MANY CONSUMERS (q_tfidf's reasoning): the stored
+      // bm25 postings ARE the (doc_id, token, tf) rows surprisal needs,
+      // so the LM counts come from one bucketed scan instead of a fresh
+      // corpus explode + the AQE-reused tf shuffles per run
+      (s, d) => surprisalFromTf(
+        bm25Index(s, d).select("doc_id", "token", "tf")),
       Some("WITH toks AS (SELECT doc_id, unnest(" +
         "string_split_regex(trim(text), '\\s+')) AS token " +
         "FROM documents), " +

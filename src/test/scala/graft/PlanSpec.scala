@@ -227,28 +227,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(pa.contains("WindowGroupLimit"), pa)
   }
 
-  test("q_surprisal: AQE reuses the tf shuffle for counts and total") {
-    // the query references the exploded (doc,token) tf pipeline three
-    // times (tf join input, token counts, corpus total); without
-    // exchange reuse the corpus would be scanned + exploded three times.
-    // Reuse is a RUNTIME AQE decision, so pin the confs it rides on
-    // (ADVICE r08: session/Spark-version drift must fail THIS gate
-    // loudly, not flake it), execute, and assert on the final adaptive
-    // plan.
-    val pinned = Seq("spark.sql.exchange.reuse" -> "true",
-      "spark.sql.adaptive.enabled" -> "true",
-      "spark.sql.shuffle.partitions" -> "4")
-    val prev = pinned.map { case (k, _) => k -> spark.conf.get(k) }
-    try {
-      pinned.foreach { case (k, v) => spark.conf.set(k, v) }
-      val df = SparkEntry.queries("q_surprisal")(spark, sf)
-      // collect() drives df's OWN query execution, so its
-      // AdaptiveSparkPlan finalizes in place (a write would plan a fresh
-      // execution and leave this one un-finalized)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      assert("ReusedExchange".r.findAllIn(p).size >= 2, p)
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  test("q_surprisal: index-backed LM counts, one shuffle (per-doc sum)") {
+    // r11: the tf pipeline comes from the STORED bm25 postings index
+    // (which replaced the explode + AQE-reused tf shuffles this gate
+    // previously pinned). The bucketed-on-token layout makes the token
+    // counts aggregation AND the tf⋈counts join exchange-free; only the
+    // final per-doc sum may shuffle. Execute and assert on the final
+    // adaptive plan.
+    val df = SparkEntry.queries("q_surprisal")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the LM reads the stored index, never the raw corpus
+    assert(p.contains("graft_bm25_idx_"), p)
+    assert(!p.contains("documents"), p)
+    // exchange-free token side: every non-broadcast Exchange in the
+    // final plan partitions on doc_id (the per-doc sum) — none on token
+    val shuffles = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .toSeq
+    assert(shuffles.nonEmpty, p) // the per-doc sum is real
+    shuffles.foreach { l =>
+      assert(l.contains("doc_id"), s"non-doc_id shuffle:\n$l\n$p") }
   }
 
   test("q_bm25: stored-index probe, broadcast query side, capped top-k") {
