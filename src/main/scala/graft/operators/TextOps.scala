@@ -1245,11 +1245,13 @@ object TextOps {
 
     // explode + aggregate: the inverted-index building block (token →
     // postings) behind scaled near-dedup; top-20 corpus tokens with a
-    // deterministic (count desc, token) cut.
+    // deterministic (count desc, token) cut. INDEX-BACKED (r11): the
+    // occurrence count per token is Σ tf over the stored bm25 postings
+    // — a bucketed-on-token scan whose aggregation needs NO exchange;
+    // the top-20 is a TakeOrderedAndProject over ≤|vocab| rows.
     QDef("q_explode",
-      (s, d) => Tables(s, d, "documents")
-        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
+      (s, d) => bm25Index(s, d)
+        .groupBy("token").agg(sum("tf").as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20),
       Some("SELECT tok AS token, count(*) AS n FROM (" +
