@@ -322,9 +322,15 @@ object Ivf {
       .sortBy(_._1).toSeq
   }
 
-  /** e must have (vec_id, v, nrm). Returns e + `cell` after `iters`
-    * assignment passes (iters-1 Lloyd mean updates in between). */
-  def kmeansCells(e: DataFrame, k: Int, dim: Int, iters: Int): DataFrame = {
+  /** The trained quantizer alone: seed init + iters-1 Lloyd mean
+    * updates, WITHOUT the final assignment pass — the piece
+    * [[IvfIndex]] persists so later probes (and external-query cell
+    * routing) never re-train. [[kmeansCells]] composes it with
+    * [[assignCells]], so the stored and inline paths share one
+    * training definition.
+    */
+  def kmeansCentroids(e: DataFrame, k: Int, dim: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
     // seed centroids: the k lowest vec_ids, cell id = seed vec_id
     var cents: Seq[(Int, Seq[Double])] =
       e.filter(col("vec_id") < k).select(col("vec_id"), col("v")).collect()
@@ -336,12 +342,17 @@ object Ivf {
     // (or zero) centroids, assign() would quietly produce NULL cells and
     // meanCentroids would unbox them to a bogus cell 0
     require(cents.length == k,
-      s"kmeansCells: expected $k seed vectors with vec_id in [0, $k), " +
+      s"kmeansCentroids: expected $k seed vectors with vec_id in [0, $k), " +
         s"found ${cents.length} — ids must be dense from 0")
     for (_ <- 1 until iters)
       cents = meanCentroids(assignCells(e, cents), dim)
-    assignCells(e, cents)
+    cents
   }
+
+  /** e must have (vec_id, v, nrm). Returns e + `cell` after `iters`
+    * assignment passes (iters-1 Lloyd mean updates in between). */
+  def kmeansCells(e: DataFrame, k: Int, dim: Int, iters: Int): DataFrame =
+    assignCells(e, kmeansCentroids(e, k, dim, iters))
 
   /** DuckDB mirror of kmeansCells(k, 64, iters=2) + cell-probe top-k for
     * queries vec_id < maxQueryId: c0 = seed vectors, a1 = argmax vs c0,
@@ -381,6 +392,233 @@ object Ivf {
       "SELECT q_id, vec_id, cell, sim FROM (SELECT *, row_number() " +
       "OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn " +
       s"FROM p) WHERE rn <= $topK"
+  }
+}
+
+/** STORED embedding ANN band index (VERDICT r11 #1) — the maintain-once/
+  * probe-many form of [[Ann]], exactly the economics [[graft.operators.
+  * TextOps.writeBm25Index]] gave lexical retrieval: band signatures are
+  * hashed ONCE at write/ingest time into a bucketed postings table, and
+  * every subsequent retrieval run probes stored buckets instead of
+  * re-hashing the corpus (q_simsearch_banded's pre-r12 sf1 ratio was
+  * 7.2× — linear in corpus size for a fixed query set — because
+  * Ann.topK banded `Tables(embeddings)` inline per run).
+  *
+  * Two tables per index:
+  *   - `<table>`: (band_key, vec_id) id-only band postings, bucketed +
+  *     sorted on band_key. band_key is SLOT-PREFIXED ("<band_idx>:" ++
+  *     sign bits — TextOps.bandIndexRows' rule): a positionless key
+  *     would admit cross-band collisions, a strictly broader candidate
+  *     set than Ann.candidates' per-band-position equi-join.
+  *   - `<table>_vec`: (vec_id, v, nrm) payload, bucketed + sorted on
+  *     vec_id — candidate rescoring and query-vector fetch read this,
+  *     so the heavy arrays are stored ONCE (not once per band) and
+  *     never travel through the band join.
+  * Probes read the QUERY side's band keys from the stored postings
+  * themselves (filter on vec_id — parquet row-group pruning), so a
+  * probe needs NO banding configuration at all; only [[write]] and the
+  * streaming external-query path take (nBands, bits, dim), which must
+  * match the build (StreamingOps.streamingAnn documents the contract).
+  *
+  * At 100 TB both tables live in a real catalog and are maintained at
+  * ingest (band rows are doc-local — append-only maintenance needs no
+  * rewrite, the writeBandIndex/appendBm25Postings precedent); here the
+  * memoized build is per process + catalog with the `_ok`-marker crash
+  * guard, dead-pid sweep, and orphan-location cleanup shared with the
+  * BM25 family.
+  */
+object AnnIndex {
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+  import graft.operators.{TextOps => TO}
+
+  /** The memoized corpus index's banding config — q_simsearch_banded's
+    * 8 bands × 2 bits over the 64-wide testdata embeddings. */
+  val NBands = 8
+  val Bits = 2
+
+  /** Slot-prefixed exploded band postings for any (vec_id, v) frame. */
+  def bandRows(e: DataFrame, nBands: Int, bits: Int, dim: Int): DataFrame =
+    e.withColumn("bands", Ann.bandKeys(col("v"), nBands, bits, dim))
+      .select(col("vec_id"), posexplode(col("bands")))
+      .toDF("vec_id", "band_idx", "bits")
+      .select(concat(col("band_idx").cast("string"), lit(":"),
+        col("bits")).as("band_key"), col("vec_id"))
+
+  /** Materialize `emb`'s band postings + vector payload as bucketed
+    * tables (see object doc). Caller-supplied names must be per-process
+    * unique in a shared warehouse — TextOps.clearOrphanLocation's
+    * contract.
+    */
+  def write(emb: DataFrame, table: String, nBands: Int = NBands,
+      bits: Int = Bits, dim: Int = CosSim.EmbDim, nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    TO.clearOrphanLocation(s, table)
+    TO.clearOrphanLocation(s, table + "_vec")
+    // the prep scan feeds both writes; persisting the narrow normalized
+    // form beats re-reading + re-folding norms for the band pass
+    val e = Ann.prep(emb, dim).persist()
+    try {
+      bandRows(e, nBands, bits, dim).write.mode("overwrite")
+        .bucketBy(nBuckets, "band_key").sortBy("band_key")
+        .saveAsTable(table)
+      e.write.mode("overwrite")
+        .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(table + "_vec")
+    } finally { e.unpersist(); () }
+  }
+
+  /** Banded ANN top-k served ENTIRELY from the stored index: query band
+    * keys and query vectors are fetched by vec_id filter (pruned scans,
+    * no shuffle), candidates come from one band_key equi-join against
+    * the bucketed postings (broadcast query side — corpus side is a
+    * bucketed scan with zero Exchange, AnnIndexSpec-gated under forced
+    * SMJ), rescoring joins the payload table on vec_id with the (tiny)
+    * candidate set broadcast. Identical semantics to [[Ann.topK]] —
+    * same candidate set, same sentinel cosine, same tiebreaks.
+    */
+  def topK(s: SparkSession, table: String, isQuery: Column => Column,
+      k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val bands = s.table(table)
+    val vecs = s.table(table + "_vec")
+    val qb = bands.filter(isQuery(col("vec_id")))
+      .select(col("band_key").as("q_band_key"), col("vec_id").as("q_id"))
+    val cand = bands.join(broadcast(qb),
+        col("band_key") === col("q_band_key") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val q = vecs.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
+      col("nrm"), col("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(cand).join(vecs, "vec_id").join(broadcast(q), "q_id")
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "sim")
+  }
+
+  /** The stored ANN index for `sfDir`'s embeddings, built on first use
+    * per process + catalog (the bm25Index memo contract: catalog IS the
+    * memo, `_ok` marker commits a build, dead-pid leftovers swept,
+    * builds serialized under the shared lock). Returns the base table
+    * name; `<name>_vec` is the payload twin.
+    */
+  def annIndex(s: SparkSession, sfDir: String): String = {
+    val table = TO.indexTableName("graft_ann_idx", sfDir)
+    val okTable = table + "_ok"
+    TO.bm25BuildLock.synchronized {
+      TO.sweepDeadIndexes(s)
+      if (!s.catalog.tableExists(okTable)
+          || !s.catalog.tableExists(table)
+          || !s.catalog.tableExists(table + "_vec")) {
+        Seq(table, table + "_vec", okTable).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
+        }
+        write(Tables(s, sfDir, "embeddings"), table)
+        val sp = s
+        import sp.implicits._
+        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
+      }
+    }
+    table
+  }
+}
+
+/** STORED IVF quantizer + cell assignments (VERDICT r11 #2): the
+  * k-means training loop ([[Ivf.kmeansCentroids]] — 2 full corpus
+  * passes + a Lloyd update) runs ONCE at build time; q_simsearch_ivf
+  * then probes a bucketed (vec_id, v, nrm, cell) table with zero
+  * Exchange on the corpus side. The centroids land in `<table>_cent`
+  * (cell, c) so external queries (streaming, new vectors) can be
+  * cell-routed without touching the corpus — the piece a per-run
+  * retrain made impossible. Same memo/marker/sweep machinery as
+  * [[AnnIndex]].
+  */
+object IvfIndex {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import graft.operators.{TextOps => TO}
+
+  /** The memoized corpus quantizer's config — q_simsearch_ivf's 8
+    * cells, 2 assignment passes over the 64-wide embeddings. */
+  val K = 8
+  val Iters = 2
+
+  def write(emb: DataFrame, table: String, k: Int = K,
+      dim: Int = CosSim.EmbDim, iters: Int = Iters,
+      nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    TO.clearOrphanLocation(s, table)
+    TO.clearOrphanLocation(s, table + "_cent")
+    // persisted: the seed collect, each Lloyd pass, and the final
+    // assignment all rescan the normalized corpus
+    val e = Ann.prep(emb, dim).persist()
+    try {
+      val cents = Ivf.kmeansCentroids(e, k, dim, iters)
+      Ivf.assignCells(e, cents).write.mode("overwrite")
+        .bucketBy(nBuckets, "cell").sortBy("cell")
+        .saveAsTable(table)
+      val sp = s
+      import sp.implicits._
+      cents.toDF("cell", "c").write.mode("overwrite")
+        .saveAsTable(table + "_cent")
+    } finally { e.unpersist(); () }
+  }
+
+  /** Cell-probe top-k from the stored assignments: queries fetched by
+    * vec_id filter off the same table carry their cell, candidates are
+    * one cell equi-join (broadcast query side — the corpus side is a
+    * bucketed scan, zero Exchange), rescoring is exact within the
+    * probed cell only. Identical semantics to the pre-r12 inline form.
+    */
+  def topK(s: SparkSession, table: String,
+      isQuery: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cells = s.table(table)
+    val q = cells.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("q_cell"))
+    val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
+      col("nrm"), col("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cells.join(broadcast(q), col("cell") === col("q_cell") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cell"), col("sim"))
+  }
+
+  /** Memoized stored quantizer for `sfDir`'s embeddings — the
+    * [[AnnIndex.annIndex]] contract (catalog memo, `_ok` marker, sweep,
+    * shared build lock). Returns the cells table name; `<name>_cent`
+    * holds the centroids.
+    */
+  def ivfIndex(s: SparkSession, sfDir: String): String = {
+    val table = TO.indexTableName("graft_ivf_idx", sfDir)
+    val okTable = table + "_ok"
+    TO.bm25BuildLock.synchronized {
+      TO.sweepDeadIndexes(s)
+      if (!s.catalog.tableExists(okTable)
+          || !s.catalog.tableExists(table)
+          || !s.catalog.tableExists(table + "_cent")) {
+        Seq(table, table + "_cent", okTable).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
+        }
+        write(Tables(s, sfDir, "embeddings"), table)
+        val sp = s
+        import sp.implicits._
+        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
+      }
+    }
+    table
   }
 }
 
@@ -516,17 +754,17 @@ object Similarity {
           "AS rn FROM p) WHERE rn <= 3"
       }),
 
-    // X3: AND-OR banded LSH ANN through the parameterized Ann machinery —
-    // 8 bands × 2 bits, candidates = OR-of-band collisions (ids only),
-    // exact cosine rescoring on candidates, top-3 per query. The recall
-    // properties of this config are asserted against brute force in
-    // AnnRecallSpec.
+    // X3: AND-OR banded LSH ANN — 8 bands × 2 bits, candidates =
+    // OR-of-band collisions (ids only), exact cosine rescoring on
+    // candidates, top-3 per query. STORED-INDEX-BACKED (r12): served
+    // from the memoized bucketed band postings + payload tables
+    // (AnnIndex), so a retrieval run probes stored buckets instead of
+    // re-hashing the corpus — the same maintain-once economics as
+    // q_bm25. Semantics identical to the inline Ann.topK (one shared
+    // banding definition); recall properties of this config are
+    // asserted against brute force in AnnRecallSpec.
     QDef("q_simsearch_banded",
-      (s, d) => {
-        VectorFunctions.register(s)
-        Ann.topK(Tables(s, d, "embeddings"), _ < 10, k = 3,
-          nBands = 8, bits = 2)
-      },
+      (s, d) => AnnIndex.topK(s, AnnIndex.annIndex(s, d), _ < 10, k = 3),
       Some(bandedOracleSql(maxQueryId = 10, k = 3))),
 
     // X3 + RAG retrieval: the banded ANN feeding a document fetch — the
@@ -535,13 +773,17 @@ object Similarity {
     // document payloads never travel through the similarity machinery).
     QDef("q_rag_retrieve",
       (s, d) => {
-        VectorFunctions.register(s)
-        val nn = Ann.topK(Tables(s, d, "embeddings"), _ < 5, k = 3,
-          nBands = 8, bits = 2)
+        // same stored index as q_simsearch_banded — one maintained
+        // index, every dense-retrieval consumer probes it
+        val nn = AnnIndex.topK(s, AnnIndex.annIndex(s, d), _ < 5, k = 3)
         val docs = Tables(s, d, "documents")
           .select(col("doc_id").as("vec_id"),
             substring(col("text"), 1, 40).as("snippet"))
-        nn.join(docs, "vec_id")
+        // broadcast the k·|queries| NEIGHBOR side — the natural BuildRight
+        // would broadcast the whole snippet table (every doc's text
+        // through one exchange); this way documents streams
+        // partition-parallel and only matches surface
+        docs.join(broadcast(nn), "vec_id")
           .select("q_id", "vec_id", "sim", "snippet")
       },
       Some("SELECT b.q_id, b.vec_id, b.sim, " +
@@ -557,31 +799,13 @@ object Similarity {
     // query probes ONLY its own cell, so scan cost is corpus/cells per
     // query — the inverted-file scale path (at 100 TB, k grows toward
     // √n and the quantizer still fits on the driver).
+    // STORED-QUANTIZER-BACKED (r12): training (seed collect + Lloyd
+    // update + assignment passes) happens ONCE in the memoized IvfIndex
+    // build; this query is a pure cell-probe against the bucketed
+    // (vec_id, v, nrm, cell) table — at 100 TB the quantizer is
+    // maintained at ingest and retrieval never retrains.
     QDef("q_simsearch_ivf",
-      (s, d) => {
-        VectorFunctions.register(s)
-        val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"),
-            CosSim.canon(col("embedding"), CosSim.EmbDim).as("v"))
-          .withColumn("nrm", expr(norm))
-          // persist: scanned by the seed collect, the Lloyd mean job,
-          // and both sides of the cell-probe join (fixed-width doubles
-          // encode cheaply, unlike the dedup queries' token arrays)
-          .persist()
-        val cells = Ivf.kmeansCells(e, k = 8, dim = 64, iters = 2)
-        val q = cells.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-            col("nrm").as("qn"), col("cell").as("q_cell"))
-        val sim = CosSim.sentinel(expr(dotAB), col("nrm"), col("qn"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("vec_id").asc)
-        cells.join(broadcast(q), col("cell") === col("q_cell") &&
-            col("vec_id") =!= col("q_id"))
-          .withColumn("sim", sim)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("q_id"), col("vec_id"), col("cell"), col("sim"))
-      },
+      (s, d) => IvfIndex.topK(s, IvfIndex.ivfIndex(s, d), _ < 10, k = 3),
       Some(Ivf.oracleSql(k = 8, maxQueryId = 10, topK = 3))),
 
     // X3/X4: embedding near-dup pairs, blocked by label (IVF-style coarse

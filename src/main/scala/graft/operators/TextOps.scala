@@ -113,6 +113,18 @@ object TextOps {
     * the CURRENT catalog has no entry for, clear any orphan location.
     * (When the catalog DOES know the table, mode("overwrite") handles
     * replacement and this is a no-op.)
+    *
+    * CALLER CONTRACT (review finding r12): this deletes a warehouse
+    * directory for ANY table the current in-memory catalog doesn't
+    * know, so a caller-supplied table name shared between two live
+    * processes would let process B delete a directory process A is
+    * actively serving. Every public builder that takes a table name
+    * ([[writeBm25Index]], [[writeBandIndex]], [[appendBm25Postings]],
+    * StreamingOps.streamingBm25Ingest, Similarity's index writers)
+    * therefore requires names that are PER-PROCESS UNIQUE in a shared
+    * warehouse — derive them via [[indexTableName]] (pid-tokenized,
+    * dead-pid-swept) or suffix a pid as the test suites do; the
+    * internal memoized families already comply.
     */
   private[graft] def clearOrphanLocation(
       s: org.apache.spark.sql.SparkSession, table: String): Unit =
@@ -253,12 +265,13 @@ object TextOps {
   }
 
   /** Per-process index table token — ONE derivation for every stored
-    * BM25 table family ([[bm25Index]], [[bm25IndexIncr]]), kept in
+    * index table family ([[bm25Index]], [[bm25IndexIncr]], the ANN /
+    * IVF / band-index families in Similarity and this file), kept in
     * lockstep with [[sweepDeadIndexes]]'s ownership regex: a format
     * drift between the name and the sweep pattern would orphan
     * directories from reclamation forever.
     */
-  private def indexTableName(prefix: String, sfDir: String): String = {
+  private[graft] def indexTableName(prefix: String, sfDir: String): String = {
     val pid = java.lang.ProcessHandle.current().pid()
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -311,7 +324,7 @@ object TextOps {
     * trigger its own build (or see the shared-catalog entry), never
     * skip-and-throw TABLE_OR_VIEW_NOT_FOUND (VERDICT r10 #5).
     */
-  private val bm25BuildLock = new Object
+  private[graft] val bm25BuildLock = new Object
 
   /** One-shot-per-JVM sweep of DEAD processes' leftover index
     * locations: the per-process table token (see [[bm25Index]]) makes
@@ -333,8 +346,8 @@ object TextOps {
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val owned = "^graft_bm25_(?:idx|incr)_[0-9a-f]{10}_p([0-9]+)" +
-        "(?:_stats|_ok|_ledger)?$"
+      val owned = "^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|band_incr)" +
+        "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_ck)?$"
       val ownedRe = owned.r
       if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
         st.getPath.getName match {
