@@ -36,8 +36,11 @@ class RangeRankSpec extends AnyFunSuite with SparkSuite {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("g"))))
   }
 
+  // target the SCALE regime explicitly: the public rangeRanked would
+  // dispatch these tiny frames to the window form (r12 two-regime
+  // dispatch) and the property gate would compare window against itself
   private def rangeForm(rows: Seq[(String, Long, Long)]) =
-    collected(Rank.rangeRanked(frame(rows), "g", Seq("v", "id")))
+    collected(Rank.rangeSharded(frame(rows), "g", Seq("v", "id")))
 
   test("property: rangeRanked equals the window form on random frames") {
     import org.scalacheck.Gen
@@ -90,8 +93,38 @@ class RangeRankSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("two-regime dispatch: window under the threshold, regimes agree") {
+    // a tiny input must dispatch to the window form — no range
+    // repartition anywhere in its plan
+    val tiny = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    assert(tiny.queryExecution.optimizedPlan.stats.sizeInBytes
+      <= Rank.WindowRegimeMaxBytes)
+    val viaDispatch = Rank.rangeRanked(tiny, "l_returnflag",
+      Seq("l_extendedprice"))
+    assert(!viaDispatch.queryExecution.executedPlan.toString
+      .contains("rangepartitioning"))
+    // and both regimes produce identical (rn, n) on the same data
+    val rows = Seq(("a", 1L, 0L), ("a", 1L, 1L), ("b", 5L, 2L),
+      ("a", 0L, 3L), (null, 2L, 4L))
+    val win = collected(
+      Rank.windowRanked(frame(rows), "g", Seq("v", "id")))
+    assert(rangeForm(rows) === win)
+  }
+
+  test("rangeSharded refuses to run with exchange reuse disabled") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.exchange.reuse", "false")
+    val df = s.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val e = intercept[IllegalArgumentException] {
+      Rank.rangeSharded(df, "l_returnflag", Seq("l_extendedprice"))
+    }
+    assert(e.getMessage.contains("exchange.reuse"))
+  }
+
   test("plan: no per-group rank window on the big path, exchange reused") {
-    val ranked = Rank.rangeRanked(
+    val ranked = Rank.rangeSharded(
       spark.read.parquet(s"$sf/lineitem.parquet")
         .select(col("l_returnflag"), col("l_extendedprice")),
       "l_returnflag", Seq("l_extendedprice"))
