@@ -345,15 +345,27 @@ object StreamingOps {
     * is ever rewritten — per-batch cost is O(batch), never a corpus
     * re-scan, which is the whole 100 TB ingest contract.
     *
-    * REPLAY GUARD: foreachBatch is at-least-once — a driver restart (or
-    * a second run over the same table) redelivers batch ids, and a
-    * blind re-append would double every posting and stats count. A
-    * `<table>_ledger` table records applied batch ids; a redelivered id
-    * is skipped. The ledger write follows the append non-atomically, so
-    * a crash exactly between them still duplicates on replay — closing
-    * that last window needs a transactional table format (the same
-    * caveat as upsertDirectory's rename note above); one ingest stream
-    * per table, as the batch-id namespace is per-query.
+    * REPLAY GUARD: foreachBatch is at-least-once — a driver restart
+    * redelivers batch ids, and a blind re-append would double every
+    * posting and stats count. A `<table>_ledger` table records applied
+    * batch ids; a redelivered id is skipped. The ledger write follows
+    * the append non-atomically, so a crash exactly between them still
+    * duplicates on replay — closing that last window needs a
+    * transactional table format (the same caveat as upsertDirectory's
+    * rename note above); one ingest stream per table, as the batch-id
+    * namespace is per-query.
+    *
+    * STABLE CHECKPOINT (ADVICE r11): the checkpoint lives in the
+    * warehouse at `<table>_ck`, derived from the table name — a fresh
+    * temp checkpoint per invocation would restart batch ids at 0 every
+    * run, making the ledger treat ANY later invocation on the same
+    * table as a replay and silently drop genuinely NEW documents. With
+    * the stable location, the checkpoint's file log also remembers
+    * which source files are already ingested, so a re-invocation
+    * processes only new arrivals (new batch ids, ledger passes) — the
+    * incremental-ingest contract. The table name must be per-process
+    * unique (TextOps.clearOrphanLocation's contract); pid-tokenized
+    * names are reclaimed with their tables by the dead-pid sweep.
     */
   def streamingBm25Ingest(spark: SparkSession, sfDir: String,
       table: String, statsTable: String): Unit = {
@@ -365,6 +377,17 @@ object StreamingOps {
     val schema = spark.read.parquet(path).schema
     val ledger = table + "_ledger"
     graft.operators.TextOps.clearOrphanLocation(spark, ledger)
+    val ck = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase + "_ck")
+    val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // orphan-checkpoint guard, the clearOrphanLocation rule applied to
+    // the checkpoint: if the CURRENT catalog has no postings table but
+    // a checkpoint survives (crashed/recycled process), its file log
+    // would claim the corpus was already ingested and this run would
+    // build an empty index — start fresh instead
+    if (!spark.catalog.tableExists(table) && fs.exists(ck)) {
+      fs.delete(ck, true); ()
+    }
     val q = spark.readStream.schema(schema).parquet(path).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
@@ -380,11 +403,19 @@ object StreamingOps {
             .write.mode("append").saveAsTable(ledger)
         }
       }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ck_bm25").toString)
+      .option("checkpointLocation", ck.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the writes above ran in the micro-batch's CLONED session, whose
+    // relation cache is separate from the caller's — without a refresh
+    // the caller's next read of the overwritten stats table fails on
+    // the vanished old part file (and a stale postings listing would
+    // silently miss appended files)
+    if (spark.catalog.tableExists(table))
+      spark.catalog.refreshTable(table)
+    if (spark.catalog.tableExists(statsTable))
+      spark.catalog.refreshTable(statsTable)
   }
 
   private def corpusPrep(docs: DataFrame): DataFrame =

@@ -244,13 +244,45 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
       val batch = SparkEntry.queries("q_bm25")(spark, dir).collect()
         .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
       assert(scored() === batch)
-      // REPLAY GUARD: a second run redelivers the same batch ids (fresh
-      // checkpoint restarts at 0); the ledger must skip them — without
-      // it every posting and stats count would double and scores drift
+      // IDEMPOTENT RERUN: with the stable checkpoint (r12) a second
+      // invocation over unchanged data sees no new files (the
+      // checkpoint's file log remembers them) — nothing re-appends,
+      // scores stay bit-identical. The ledger still guards genuine
+      // at-least-once REDELIVERY within a run.
       streaming.StreamingOps.streamingBm25Ingest(spark, dir, table, statsTable)
-      assert(scored() === batch, "replayed ingest corrupted the index")
-    } finally Seq(table, statsTable, ledger)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      assert(scored() === batch, "re-run over unchanged data corrupted the index")
+      // NEW DATA (the ADVICE r11 silent-loss case): documents appended
+      // after the first invocation must be INGESTED by the next one —
+      // the pre-r12 per-invocation temp checkpoint restarted batch ids
+      // at 0, so the ledger classified every later invocation as a
+      // replay and dropped the new docs. Reference = a from-scratch
+      // index over the grown corpus.
+      val more = Seq(5L -> "window join stream spark spark",
+        6L -> "data data order scan")
+      more.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+      streaming.StreamingOps.streamingBm25Ingest(spark, dir, table, statsTable)
+      val refTable = table + "_fullref"
+      spark.sql(s"DROP TABLE IF EXISTS $refTable")
+      try {
+        graft.operators.TextOps.writeBm25Index(
+          spark.read.parquet(s"$dir/documents.parquet"), refTable)
+        val full = graft.operators.TextOps
+          .bm25Score(qt, spark.table(refTable))
+          .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2)))
+          .toMap
+        assert(scored() === full, "new documents were not ingested")
+        assert(scored() !== batch, "new docs should have changed scores")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $refTable")
+    } finally {
+      Seq(table, statsTable, ledger)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val ck = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase + "_ck")
+      val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(ck, true)
+    }
   }
 
   test("property: q_skyline equals the brute-force dominance filter") {
