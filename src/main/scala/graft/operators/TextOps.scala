@@ -53,8 +53,8 @@ object TextOps {
       "), " +
       "qt AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS token " +
       "FROM q), " +
-      "toks AS (SELECT doc_id, unnest(" +
-      "string_split_regex(trim(text), '\\s+')) AS token FROM documents), " +
+      "toks AS (SELECT doc_id, unnest(string_split_regex(" +
+      "trim(coalesce(text, '')), '\\s+')) AS token FROM documents), " +
       "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
       "GROUP BY doc_id, token), " +
       "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks " +
@@ -139,12 +139,22 @@ object TextOps {
     * exact-parity gate between q_bm25 and q_bm25_incr depends on batch
     * and incremental builds tokenizing IDENTICALLY, so the definition
     * must be impossible to change in one place only.
+    *
+    * coalesce(text, '') (ADVICE r11): explode drops NULL arrays, so a
+    * NULL-text document would silently vanish from the index's dl /
+    * n_docs while q_tfidf's oracle counts it via count(DISTINCT
+    * doc_id) FROM documents — a latent oracle break armed by any
+    * testdata regeneration that ships NULL text. Canonicalized to '',
+    * such a document yields the single '' token on BOTH engines
+    * (split/string_split_regex of '' is ['']) and stays in every
+    * corpus statistic; the oracle twins carry the same coalesce.
     */
   private def tokenTf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("token"))
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
 
@@ -1188,9 +1198,11 @@ object TextOps {
     // as the bm25 probes, and tokenization CANNOT drift between tfidf
     // and bm25 scoring because tokenTf is shared. The index's
     // tokenize-derived n_docs equals the oracle's count(DISTINCT
-    // doc_id) because every document yields at least one token row
-    // (split(trim(text)) of even an empty string is [""]; the oracle
-    // re-verifies per corpus).
+    // doc_id) because every document yields at least one token row:
+    // split(trim(text)) of an empty string is [""], and tokenTf
+    // canonicalizes NULL text to '' (otherwise explode would drop the
+    // doc from dl/n_docs — ADVICE r11); the oracle re-verifies per
+    // corpus.
     QDef("q_tfidf",
       (s, d) => {
         val w = Window.partitionBy("doc_id")
@@ -1204,8 +1216,8 @@ object TextOps {
             Det.rnd(col("score"), 6).as("score"),
             col("rn").cast("int").as("rn"))
       },
-      Some("WITH toks AS (SELECT doc_id, unnest(" +
-        "string_split_regex(trim(text), '\\s+')) AS token " +
+      Some("WITH toks AS (SELECT doc_id, unnest(string_split_regex(" +
+        "trim(coalesce(text, '')), '\\s+')) AS token " +
         "FROM documents), " +
         "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
         "GROUP BY doc_id, token), " +
@@ -1240,8 +1252,8 @@ object TextOps {
       // corpus explode + the AQE-reused tf shuffles per run
       (s, d) => surprisalFromTf(
         bm25Index(s, d).select("doc_id", "token", "tf")),
-      Some("WITH toks AS (SELECT doc_id, unnest(" +
-        "string_split_regex(trim(text), '\\s+')) AS token " +
+      Some("WITH toks AS (SELECT doc_id, unnest(string_split_regex(" +
+        "trim(coalesce(text, '')), '\\s+')) AS token " +
         "FROM documents), " +
         "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
         "GROUP BY doc_id, token), " +
@@ -1268,7 +1280,8 @@ object TextOps {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20),
       Some("SELECT tok AS token, count(*) AS n FROM (" +
-        "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok " +
+        "SELECT unnest(string_split_regex(trim(coalesce(text, '')), " +
+        "'\\s+')) AS tok " +
         "FROM documents) GROUP BY tok ORDER BY n DESC, token LIMIT 20")),
 
     // X4: SimHash — 16-bit signature by per-bit majority vote over token

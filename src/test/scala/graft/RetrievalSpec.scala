@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -25,6 +26,41 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
+  }
+
+  test("NULL-text documents stay in the index's corpus statistics") {
+    // ADVICE r11: explode drops NULL arrays, so without tokenTf's
+    // coalesce(text, '') a NULL-text doc would vanish from dl/n_docs
+    // while q_tfidf's oracle counts it straight off the documents
+    // table. Canonicalized, it contributes one '' token — identically
+    // to an empty string — on both engines.
+    val d = java.nio.file.Files.createTempDirectory("graft_nulltext")
+      .toString
+    val sp = spark
+    import sp.implicits._
+    Seq((1L, "spark join", "en", "src0", 10L),
+        (2L, null.asInstanceOf[String], "en", "src0", 0L),
+        (3L, "", "en", "src0", 0L),
+        (4L, "window hash", "en", "src0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val t = "nulltext_idx_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      graft.operators.TextOps.writeBm25Index(
+        spark.read.parquet(s"$d/documents.parquet"), t)
+      val idx = spark.table(t)
+      // every doc present; n_docs = 4 everywhere; NULL and '' text both
+      // carry the single '' token with dl = 1
+      assert(idx.select("n_docs").distinct().collect()
+        .map(_.getLong(0)).toSeq === Seq(4L))
+      val dl = idx.select("doc_id", "dl").distinct().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dl === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+      val emptyTok = idx.filter(col("doc_id").isin(2L, 3L))
+        .select("token").distinct().collect().map(_.getString(0)).toSeq
+      assert(emptyTok === Seq(""))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("q_bm25 matches a from-scratch Okapi reference, micro-unit exact") {
