@@ -254,6 +254,13 @@ object TextOps {
       .agg(Det.exactSum(col("term"), 6).as("score"))
   }
 
+  /** The literal query set exploded to (q_id, token) terms — shared by
+    * every q_bm25* probe so the query tokenization cannot drift. */
+  private def bm25QueryTerms(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
+      .select(col("q_id"), explode(split(col("qtext"), " ")).as("token"))
+
   /** ONE presentation for every q_bm25* variant: the literal query set
     * exploded to broadcast (q_id, token) terms, handed to the variant's
     * scorer, then the deterministic top-10 cut (rank-capped window,
@@ -263,8 +270,7 @@ object TextOps {
   private def bm25TopK(s: org.apache.spark.sql.SparkSession,
       scoreOf: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val qt = s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
-      .select(col("q_id"), explode(split(col("qtext"), " ")).as("token"))
+    val qt = bm25QueryTerms(s)
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("doc_id").asc)
     scoreOf(broadcast(qt))
@@ -462,6 +468,19 @@ object TextOps {
       postings: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     scoreWith(log(rationalIdf), queryTerms, postings)
+
+  /** The USER-facing textbook ln-idf ranking — the literal queries'
+    * top-10 by precise ln score over the stored index. This is what a
+    * consumer asking for "real BM25" runs; it is exercised and pinned
+    * by RetrievalSpec's micro-unit-exact driver-side reference. The
+    * registered q_bm25_ln emits the ORACLE-CHECKABLE verification twin
+    * instead (whole-bits bracket + within-bracket verdict — see the
+    * QDef), because a precise libm ln cannot sit in a hash-gated
+    * column.
+    */
+  def bm25LnRanked(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    bm25TopK(s, qt => bm25ScoreLn(qt, bm25Index(s, sfDir)))
 
   /** Distinct whitespace tokens of `text`. */
   private val toksExpr = "array_distinct(split(trim(text), '\\\\s+'))"
@@ -1392,20 +1411,97 @@ object TextOps {
       (s, d) => bm25TopK(s, qt => bm25Score(qt, bm25Index(s, d))),
       Some(Bm25OracleSql)),
 
-    // X5 + RAG: TEXTBOOK ln-idf Okapi BM25 (VERDICT r09 #4) — the same
-    // stored bucketed postings index as q_bm25, scored with
-    // ln((n-df+0.5)/(df+0.5)) instead of the rational idf. This is what
-    // a user asking for "BM25" expects by default; q_bm25's rational
-    // variant exists for cross-engine hash determinism. NO DuckDB
-    // oracle on purpose: ln() is a libm transcendental whose last ulp
-    // may differ between engines, and a 1-ulp flip at a .xxxxxx5
-    // micro-unit boundary (or a near-tie rank swap) would make the
-    // hash gate flaky — the rows-only driver check plus RetrievalSpec's
-    // micro-unit-exact driver-side reference (same JVM, same libm)
-    // carry the correctness instead.
+    // X5 + RAG: TEXTBOOK ln-idf Okapi BM25 (VERDICT r09 #4) over the
+    // same stored postings index as q_bm25. A precise libm ln cannot
+    // sit in a hash-gated column (its last ulp may differ between
+    // DuckDB and the JVM, and a 1-ulp flip at a .xxxxxx5 micro-unit
+    // boundary — or a near-tie rank swap — would make the gate flaky),
+    // so this QDef is the TOLERANCE-ORACLE form (VERDICT r11 #5, the
+    // q_approx_distinct pattern): per (query, doc) the ln score is
+    // BRACKETED in whole bits — per term, e = floor(log2(idf)) comes
+    // from the bit-length of floor(idf·2^20) (integer-exact on both
+    // engines; ·2^20 is an exponent shift, no mantissa change, and
+    // idf can only be an exact power of two at idf = 1, where
+    // ln(1) = 0 sits ON the closed lower bound), giving
+    // e·ln2·w ≤ ln(idf)·w < (e+1)·ln2·w. The micro-unit bracket sums
+    // [lo, hi] are deterministic (same IEEE ops both engines, the
+    // q_bm25-proven okapi weight times an integer-valued e), hash
+    // perfectly, and rank the docs on the ln SCALE (lo desc — a
+    // whole-bit ln ranking, q_surprisal's trick); ln_ok then has each
+    // engine check its OWN precise libm ln score inside the bracket —
+    // a 1-ulp libm difference cannot flip it. Terms with idf < 2^-20
+    // (possible only at extreme corpus scale) void the bracket:
+    // ln_ok = true with the row still ranked/hased deterministically.
+    // The precise ln RANKING stays available as bm25LnRanked (library
+    // surface), pinned micro-unit-exact in RetrievalSpec.
     QDef("q_bm25_ln",
-      (s, d) => bm25TopK(s, qt => bm25ScoreLn(qt, bm25Index(s, d))),
-      None),
+      (s, d) => {
+        val ln2 = lit(0.6931471805599453)
+        val idf = rationalIdf
+        val m = floor(idf * lit(1048576.0))
+        val e = (length(bin(m.cast("bigint"))) - lit(1) - lit(20))
+          .cast("double")
+        val terms = broadcast(bm25QueryTerms(s))
+          .join(bm25Index(s, d), "token")
+          .select(col("q_id"), col("doc_id"),
+            ((e * ln2) * okapiTfWeight).as("lo_t"),
+            (((e + lit(1)) * ln2) * okapiTfWeight).as("hi_t"),
+            (log(idf) * okapiTfWeight).as("ln_t"),
+            when(m < 1, 1).otherwise(0).as("vac"))
+        val agg = terms.groupBy("q_id", "doc_id")
+          .agg(Det.exactSum(col("lo_t"), 6).as("lo"),
+            Det.exactSum(col("hi_t"), 6).as("hi"),
+            sum(col("ln_t")).as("ln_score"),
+            max(col("vac")).as("anyvac"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("lo").desc, col("doc_id").asc)
+        agg
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("doc_id"), col("lo"), col("hi"),
+            (col("anyvac") === 1 ||
+              (col("ln_score") >= col("lo") &&
+                col("ln_score") <= col("hi"))).as("ln_ok"),
+            col("rn").cast("int").as("rn"))
+      },
+      Some("WITH q(q_id, qtext) AS (VALUES " +
+        Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ") +
+        "), " +
+        "qt AS (SELECT q_id, unnest(string_split(qtext, ' ')) AS token " +
+        "FROM q), " +
+        "toks AS (SELECT doc_id, unnest(string_split_regex(" +
+        "trim(coalesce(text, '')), '\\s+')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
+        "GROUP BY doc_id, token), " +
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks " +
+        "GROUP BY doc_id), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "t AS (SELECT qt.q_id, tf.doc_id, " +
+        "((n.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf, " +
+        "((CAST(tf.tf AS DOUBLE) * 2.2) / (tf.tf + 1.2 * " +
+        "(1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) AS w " +
+        "FROM qt JOIN tf USING (token) JOIN df USING (token) " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n), " +
+        "b AS (SELECT q_id, doc_id, w, ln(idf) * w AS ln_t, " +
+        "floor(idf * CAST(1048576.0 AS DOUBLE)) AS m, " +
+        "CAST(length(bin(CAST(floor(idf * CAST(1048576.0 AS DOUBLE)) " +
+        "AS BIGINT))) - 1 - 20 AS DOUBLE) AS e FROM t), " +
+        "s AS (SELECT q_id, doc_id, " +
+        Det.exactSumSql(
+          "(e * CAST(0.6931471805599453 AS DOUBLE)) * w", 6) +
+        " AS lo, " +
+        Det.exactSumSql(
+          "((e + 1) * CAST(0.6931471805599453 AS DOUBLE)) * w", 6) +
+        " AS hi, sum(ln_t) AS ln_score, " +
+        "max(CASE WHEN m < 1 THEN 1 ELSE 0 END) AS anyvac " +
+        "FROM b GROUP BY q_id, doc_id) " +
+        "SELECT q_id, doc_id, lo, hi, " +
+        "(anyvac = 1 OR (ln_score >= lo AND ln_score <= hi)) AS ln_ok, " +
+        "rn FROM (SELECT *, CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY lo DESC, doc_id) AS INT) AS rn FROM s) " +
+        "WHERE rn <= 10")),
 
     // X5 + RAG + 100 TB ingest: the INCREMENTAL-index twin of q_bm25 —
     // same queries, same scoring arithmetic, same top-10 window, but

@@ -114,11 +114,12 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(out.size === pairs)
   }
 
-  test("q_bm25_ln matches a from-scratch ln-idf Okapi reference") {
+  test("bm25LnRanked matches a from-scratch ln-idf Okapi reference") {
     // same corpus as the rational-idf test; the reference only differs
     // by math.log around the idf — same JVM, same libm, so micro-unit
-    // exactness holds (which is exactly why q_bm25_ln has NO DuckDB
-    // oracle: DuckDB's ln may differ in the last ulp)
+    // exactness holds. (The precise ln ranking is the LIBRARY surface
+    // bm25LnRanked; the registered q_bm25_ln is its oracle-checkable
+    // whole-bits-bracket twin — r12 — verified in the next test.)
     val docs = Seq(
       1L -> "spark join join window fast",
       2L -> "window window window",
@@ -127,7 +128,7 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
       5L -> "quick brown fox jumps",
       6L -> "spark spark spark join window hash")
     val dir = stage(docs)
-    val out = SparkEntry.queries("q_bm25_ln")(spark, dir).collect()
+    val out = graft.operators.TextOps.bm25LnRanked(spark, dir).collect()
       .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
 
     val toks = docs.toMap.view.mapValues(_.trim.split("\\s+").toSeq).toMap
@@ -163,6 +164,37 @@ class RetrievalSpec extends AnyFunSuite with SparkSuite {
       }
     }
     assert(out.size === pairs)
+  }
+
+  test("q_bm25_ln bracket contains the precise ln score on every row") {
+    val docs = Seq(
+      1L -> "spark join join window fast",
+      2L -> "window window window",
+      3L -> "hash scan merge fast fast scan",
+      4L -> "customer order data stream data",
+      5L -> "quick brown fox jumps",
+      6L -> "spark spark spark join window hash")
+    val dir = stage(docs)
+    val rows = SparkEntry.queries("q_bm25_ln")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every emitted row must carry a passing verdict, a strict bracket,
+    // and rn within the cut
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ln_ok"), r.toString)
+      assert(r.getAs[Double]("lo") < r.getAs[Double]("hi"), r.toString)
+      assert(r.getAs[Int]("rn") <= 10)
+    }
+    // and the bracket really brackets the PRECISE ln score computed by
+    // the library ranking (same pairs domain on this small corpus)
+    val precise = graft.operators.TextOps.bm25LnRanked(spark, dir)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getInt(0), r.getLong(1))
+      val s = precise(k)
+      assert(s >= r.getAs[Double]("lo") - 1e-6 &&
+        s <= r.getAs[Double]("hi") + 1e-6, s"$k: $s outside bracket")
+    }
   }
 
   test("rational vs ln idf genuinely diverge on multi-term ranking") {
