@@ -45,6 +45,34 @@ class BandIndexSpec extends AnyFunSuite with SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("append-built index equals a from-scratch build (r12)") {
+    val t2 = table + "_app"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    try {
+      val old = docs.filter(bucket < bound)
+      TextOps.writeBandIndex(old, table)
+      // grown by two parity-split appends — band rows are doc-local, so
+      // append-only maintenance must lose/alter nothing
+      TextOps.appendBandIndex(
+        old.filter(pmod(col("doc_id"), lit(2)) === 0), t2)
+      TextOps.appendBandIndex(
+        old.filter(pmod(col("doc_id"), lit(2)) === 1), t2)
+      def rows(t: String) = spark.table(t)
+        .select(col("band_key"), col("old_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(rows(t2) === rows(table))
+      // and the probe through the appended index yields the identical
+      // pair set
+      val nw = docs.filter(bucket >= bound)
+      assert(pairs(TextOps.nearDupsAgainstIndex(nw, spark.table(t2))) ===
+        pairs(TextOps.nearDupsAgainstIndex(nw, spark.table(table))))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+    }
+  }
+
   test("stored-index join shuffles only the new batch") {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     TextOps.writeBandIndex(docs.filter(bucket < bound), table)
