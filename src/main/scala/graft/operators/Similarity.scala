@@ -502,6 +502,49 @@ object AnnIndex {
       .select("q_id", "vec_id", "sim")
   }
 
+  /** Scored band-collision candidates of EXTERNAL query vectors
+    * against the stored index — the serving-path shape shared by batch
+    * and streaming (StreamingOps.streamingAnn is this function over a
+    * file stream; exact parity gated in AnnIndexSpec, the
+    * streamingBm25 pattern: ONE definition, so stream and batch cannot
+    * drift). `queries` is (q_id, embedding) in its own id namespace;
+    * arriving vectors are canonicalized + banded STATELESSLY with the
+    * (nBands, bits, dim) the index was BUILT with — the one config
+    * contract a caller must honor — then:
+    * band_key equi-join against the stored postings (bucketed corpus
+    * side), (q_id, vec_id) dedup of multi-band collisions, payload
+    * join on vec_id, exact sentinel-cosine rescoring. Emits ALL scored
+    * candidates (q_id, vec_id, sim) — the top-k cut belongs to the
+    * consumer, exactly like streamingBm25. No self-exclusion: external
+    * queries are not corpus members. The query vector rides through
+    * the dedup (needed for rescoring); at scale bound the streaming
+    * dedup state with a watermark on an ingest-time column.
+    */
+  def scoreExternal(queries: DataFrame, s: SparkSession, table: String,
+      nBands: Int = NBands, bits: Int = Bits,
+      dim: Int = CosSim.EmbDim): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val bands = s.table(table)
+    val vecs = s.table(table + "_vec")
+    val qb = queries
+      .select(col("q_id"), CosSim.canon(col("embedding"), dim).as("qv"))
+      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+      .withColumn("bands", Ann.bandKeys(col("qv"), nBands, bits, dim))
+      .select(col("q_id"), col("qv"), col("qn"),
+        posexplode(col("bands")))
+      .toDF("q_id", "qv", "qn", "band_idx", "bits")
+      .select(col("q_id"), col("qv"), col("qn"),
+        concat(col("band_idx").cast("string"), lit(":"),
+          col("bits")).as("band_key"))
+    qb.join(bands, "band_key")
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+      .dropDuplicates("q_id", "vec_id")
+      .join(vecs, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        CosSim.sentinel(expr("graft_dot(v, qv)"),
+          col("nrm"), col("qn")).as("sim"))
+  }
+
   /** The stored ANN index for `sfDir`'s embeddings, built on first use
     * per process + catalog (the bm25Index memo contract: catalog IS the
     * memo, `_ok` marker commits a build, dead-pid leftovers swept,

@@ -334,6 +334,32 @@ object StreamingOps {
       queryName, mode = "complete")
   }
 
+  /** Streaming ANN probe — the online-serving twin of the stored-index
+    * dense retrieval (VERDICT r11 #4; streamingBm25 is the lexical
+    * template): query VECTORS arrive as a file stream (`queriesDir`,
+    * rows of (q_id, embedding)) and probe the STATIC stored band index
+    * over the corpus (AnnIndex.annIndex — band postings bucketed on
+    * band_key, payload bucketed on vec_id, so the corpus side of every
+    * micro-batch's stream-static joins is a bucketed scan). Arriving
+    * vectors are canonicalized + banded statelessly with the index's
+    * build config; candidates dedup on (q_id, vec_id) (streaming
+    * state — at scale bound it with dropDuplicatesWithinWatermark);
+    * exact sentinel-cosine rescoring emits scored candidates in append
+    * mode — the top-k cut belongs to the consumer, exactly like
+    * streamingBm25. The whole probe is AnnIndex.scoreExternal — ONE
+    * definition with batch, so stream and batch scoring cannot drift
+    * (exact parity gated in AnnIndexSpec).
+    */
+  def streamingAnn(spark: SparkSession, sfDir: String, queriesDir: String,
+      queryName: String = "stream_ann"): DataFrame = {
+    val table = graft.operators.AnnIndex.annIndex(spark, sfDir)
+    val schema = spark.read.parquet(queriesDir).schema
+    val queries = spark.readStream.schema(schema).parquet(queriesDir)
+    drainToMemory(
+      graft.operators.AnnIndex.scoreExternal(queries, spark, table),
+      queryName)
+  }
+
   /** Streaming BM25 INDEX INGEST — the online half of the maintenance
     * story streamingBm25 serves from: documents arrive as a file
     * stream and each micro-batch APPENDS its doc-local postings to the

@@ -149,6 +149,41 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
   // the 64-wide corpus dim without reaching into CosSim's privacy
   private val CosSim64 = 64
 
+  test("streamingAnn: streamed scored candidates equal the batch probe") {
+    // external queries in their own id namespace: copies of corpus
+    // vectors (plus one zero vector for the sentinel path), staged as a
+    // parquet dir for the file-stream source
+    val qdir = java.nio.file.Files.createTempDirectory("graft_annq")
+      .toString
+    val sp = spark
+    import sp.implicits._
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0) + 10000L,
+        r.getSeq[Float](1)))
+    val staged = corpus.toSeq :+ ((20000L, Seq.empty[Float]))
+    staged.toDF("q_id", "embedding")
+      .write.mode("overwrite").parquet(qdir)
+    val out = streaming.StreamingOps.streamingAnn(spark, sf, qdir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // batch twin: the SAME shared probe over a static read
+    val table = graft.operators.AnnIndex.annIndex(spark, sf)
+    val batch = graft.operators.AnnIndex.scoreExternal(
+      spark.read.parquet(qdir), spark, table)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(out === batch)
+    assert(out.nonEmpty)
+    // semantic anchor: a query that IS corpus vector k must surface
+    // (q, k) at sentinel-aware self-similarity 1.0 (band keys collide
+    // on every band for identical vectors)
+    corpus.foreach { case (qid, v) =>
+      val self = (qid, qid - 10000L)
+      if (v.exists(_ != 0f)) assert(out.get(self).contains(1.0), self)
+    }
+  }
+
   test("q_simsearch_banded answers from a second session in the same JVM") {
     assert(SparkEntry.queries("q_simsearch_banded")(spark, sf).count() > 0)
     val s2 = spark.newSession()
