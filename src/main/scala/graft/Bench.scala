@@ -52,8 +52,10 @@ object Bench {
     * wrong record.
     */
   val reference: Map[String, Double] = Map(
+    // rank family re-based r12 (two-regime dispatch: window form at
+    // sf0.1, range-sharded above 16 MB — idle full-run min-of-3)
     "q_anti_join" -> 0.37, "q_approx_distinct" -> 0.73,
-    "q_approx_percentile" -> 1.45, "q_array_ops" -> 0.28,
+    "q_approx_percentile" -> 0.78, "q_array_ops" -> 0.28,
     "q_asof" -> 0.32, "q_asof_native" -> 0.31, "q_cast" -> 0.24,
     "q_chunk" -> 0.20, "q_classify" -> 0.10, "q_cohort" -> 0.31,
     "q_contamination" -> 0.41, "q_count" -> 0.12,
@@ -78,18 +80,20 @@ object Bench {
     "q_lang_id" -> 0.14, "q_lead_lag" -> 0.19, "q_llm_summary" -> 0.12,
     "q_maplookup" -> 0.09, "q_math" -> 0.14, "q_melt" -> 0.31,
     "q_minhash" -> 0.23, "q_mixture" -> 0.13, "q_multifile" -> 0.26,
-    "q_multimodal" -> 0.16, "q_ngram_jaccard" -> 0.44, "q_ntile" -> 1.20,
-    "q_null_semantics" -> 0.12, "q_pack" -> 0.17, "q_percentile" -> 1.20,
+    "q_multimodal" -> 0.16, "q_ngram_jaccard" -> 0.44, "q_ntile" -> 0.63,
+    "q_null_semantics" -> 0.12, "q_pack" -> 0.17, "q_percentile" -> 0.56,
     "q_pivot" -> 0.19, "q_profile" -> 0.15, "q_project" -> 0.10,
     "q_promo_share" -> 0.35, "q_quality" -> 0.13,
-    "q_rag_retrieve" -> 1.42, "q_rank" -> 0.13, "q_redact" -> 0.11,
+    // ANN family re-based r12: stored band index / stored IVF
+    // quantizer — probe cost only (was per-run corpus re-hash/retrain)
+    "q_rag_retrieve" -> 0.32, "q_rank" -> 0.13, "q_redact" -> 0.11,
     "q_rename" -> 0.09, "q_repetition" -> 0.17, "q_rollup" -> 0.26,
     "q_running_sum" -> 0.24, "q_salted_agg" -> 0.20,
     "q_sample_split" -> 0.07, "q_scan" -> 0.12, "q_semi_join" -> 0.19,
     "q_session_window" -> 0.31, "q_sessionize" -> 0.28,
     "q_shuffle_global" -> 0.28, "q_simhash" -> 0.16,
-    "q_simsearch" -> 0.21, "q_simsearch_banded" -> 1.06,
-    "q_simsearch_ivf" -> 0.63, "q_simsearch_lsh" -> 0.21,
+    "q_simsearch" -> 0.21, "q_simsearch_banded" -> 0.26,
+    "q_simsearch_ivf" -> 0.11, "q_simsearch_lsh" -> 0.21,
     "q_sort" -> 0.16, "q_sql_report" -> 0.27, "q_star_join" -> 0.37,
     "q_stats_moments" -> 0.70, "q_stratified" -> 0.12,
     "q_string_agg" -> 0.09, "q_strings" -> 0.11,
@@ -102,7 +106,7 @@ object Bench {
     "q_tpch_q3" -> 0.44, "q_tpch_q5" -> 0.64, "q_try_arith" -> 0.85,
     "q_tumbling" -> 0.16, "q_union" -> 0.11, "q_upsert" -> 0.27,
     "q_weighted_sample" -> 0.10, "q_window_range" -> 0.21,
-    "q_winsorize" -> 0.90, "q_zorder" -> 0.11,
+    "q_winsorize" -> 0.33, "q_zorder" -> 0.11,
     // round-9 additions, min-of-3 at load1 1.4 (mild-load upper bound);
     // q_bm25 re-measured r11 after the stored-index refactor (probe cost
     // only, 0.35 idle — was 1.44 when the postings rebuilt per run);
@@ -116,7 +120,9 @@ object Bench {
     "q_bm25" -> 0.35, "q_bm25_ln" -> 0.29,
     // append-maintained index probe: df derived at probe time adds one
     // tiny aggregation over the fetched postings (mild-load min-of-3)
-    "q_bm25_incr" -> 0.70)
+    "q_bm25_incr" -> 0.70,
+    // r12 addition: append-built band-index near-dedup probe
+    "q_dedup_incr_idx" -> 0.26)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms

@@ -26,6 +26,20 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // testdata drift guard (VERDICT r11 #7): record every table's RAW
+    // physical schema up front — the r11 events TIMESTAMP(NANOS)→µs
+    // regeneration cost most of a round to diagnose; with this line a
+    // generator drift shows up in the first seconds of the verify log.
+    // Read WITHOUT Tables' normalization so the file's true flavor
+    // (e.g. ts:bigint nanos vs ts:timestamp_ntz) is what prints.
+    Tables.names.foreach { n =>
+      val flavor =
+        try spark.read.parquet(s"$sfDir/$n.parquet").schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}")
+          .mkString(",")
+        catch { case e: Throwable => s"UNREADABLE: ${e.getMessage}" }
+      println(s"[verify] physical-schema $n: $flavor")
+    }
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
