@@ -502,6 +502,36 @@ object AnnIndex {
       .select("q_id", "vec_id", "sim")
   }
 
+  /** APPEND-ONLY maintenance for the stored ANN index — the
+    * appendBandIndex treatment for vectors: band postings AND payload
+    * rows are DOC-LOCAL (a vector's band keys depend only on its own
+    * coordinates and the fixed plane family, never on corpus
+    * statistics), so a new ingest batch appends its exploded band rows
+    * and payload rows to the two bucketed tables with nothing
+    * rewritten — per-batch cost O(batch). An index grown by appends is
+    * row-identical to a from-scratch [[write]] over the union (gated
+    * in AnnIndexSpec) and probes identically. The (nBands, bits, dim)
+    * config must match the original build — same contract as
+    * [[scoreExternal]].
+    */
+  def append(emb: DataFrame, table: String, nBands: Int = NBands,
+      bits: Int = Bits, dim: Int = CosSim.EmbDim,
+      nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    TO.clearOrphanLocation(s, table)
+    TO.clearOrphanLocation(s, table + "_vec")
+    val e = Ann.prep(emb, dim).persist()
+    try {
+      bandRows(e, nBands, bits, dim).write.mode("append")
+        .bucketBy(nBuckets, "band_key").sortBy("band_key")
+        .saveAsTable(table)
+      e.write.mode("append")
+        .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(table + "_vec")
+    } finally { e.unpersist(); () }
+  }
+
   /** Scored band-collision candidates of EXTERNAL query vectors
     * against the stored index — the serving-path shape shared by batch
     * and streaming (StreamingOps.streamingAnn is this function over a
@@ -611,6 +641,36 @@ object IvfIndex {
       cents.toDF("cell", "c").write.mode("overwrite")
         .saveAsTable(table + "_cent")
     } finally { e.unpersist(); () }
+  }
+
+  /** APPEND-ONLY maintenance for the stored IVF index: new vectors are
+    * assigned with the STORED quantizer (centroids read from
+    * `<table>_cent`, the same [[Ivf.assignCells]] regime dispatch as
+    * the build) and their rows appended to the bucketed cells table —
+    * nothing rewritten, no retraining, per-batch cost O(batch·k).
+    * DELIBERATE IVF semantics: the quantizer is frozen at build time,
+    * so appended vectors land in the nearest EXISTING cell — the
+    * standard inverted-file practice (append at ingest, retrain
+    * periodically when drift warrants a [[write]] rebuild); an
+    * append-grown index therefore equals a from-scratch build ONLY
+    * when the centroids agree, which AnnIndexSpec gates by comparing
+    * appended assignments against assignCells under the stored
+    * centroids.
+    */
+  def append(emb: DataFrame, table: String,
+      dim: Int = CosSim.EmbDim, nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    require(s.catalog.tableExists(table + "_cent"),
+      s"IvfIndex.append: no stored quantizer ${table}_cent — build " +
+        "with IvfIndex.write first (append never retrains)")
+    val cents = s.table(table + "_cent").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val e = Ann.prep(emb, dim)
+    Ivf.assignCells(e, cents).write.mode("append")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
+      .saveAsTable(table)
   }
 
   /** Cell-probe top-k from the stored assignments: queries fetched by

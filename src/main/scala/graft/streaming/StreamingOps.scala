@@ -360,6 +360,56 @@ object StreamingOps {
       queryName)
   }
 
+  /** Streaming ANN INDEX INGEST — the online half of the vector
+    * maintenance story [[streamingAnn]] serves from (the
+    * streamingBm25Ingest twin): embedding vectors arrive as a file
+    * stream and each micro-batch APPENDS its band postings + payload
+    * rows to the stored index (AnnIndex.append under foreachBatch —
+    * ONE maintenance definition with batch, so stream-built and
+    * batch-built indexes cannot drift; probe parity gated in
+    * AnnIndexSpec). Band/payload rows are doc-local, so nothing stored
+    * is ever rewritten — per-batch cost O(batch), the 100 TB ingest
+    * contract. Same replay ledger (a re-delivered batch id would
+    * duplicate every band row and double the probe's candidate
+    * payloads) and same STABLE warehouse checkpoint as the BM25
+    * ingest: later invocations see only genuinely new files. Table
+    * names must be per-process unique (clearOrphanLocation contract).
+    */
+  def streamingAnnIngest(spark: SparkSession, sfDir: String,
+      table: String): Unit = {
+    val path = s"$sfDir/embeddings.parquet"
+    val schema = spark.read.parquet(path).schema
+    val ledger = table + "_ledger"
+    graft.operators.TextOps.clearOrphanLocation(spark, ledger)
+    val ck = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase + "_ck")
+    val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!spark.catalog.tableExists(table) && fs.exists(ck)) {
+      fs.delete(ck, true); ()
+    }
+    val q = spark.readStream.schema(schema).parquet(path).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val applied = s.catalog.tableExists(ledger) &&
+          !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
+        if (!applied) {
+          graft.operators.AnnIndex.append(batch, table)
+          val sp = s
+          import sp.implicits._
+          Seq(batchId).toDF("batch_id")
+            .write.mode("append").saveAsTable(ledger)
+        }
+      }
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq(table, table + "_vec").foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+  }
+
   /** Streaming BM25 INDEX INGEST — the online half of the maintenance
     * story streamingBm25 serves from: documents arrive as a file
     * stream and each micro-batch APPENDS its doc-local postings to the

@@ -184,6 +184,98 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("append-built ANN index equals a from-scratch build (r12)") {
+    val t2 = table + "_app"
+    Seq(table, s"${table}_vec", t2, s"${t2}_vec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      AnnIndex.write(emb, table)
+      // grown by two parity-split appends — band/payload rows are
+      // doc-local, so append-only maintenance must lose/alter nothing
+      AnnIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 0), t2)
+      AnnIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1), t2)
+      def bandRows(t: String) = spark.table(t)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(bandRows(t2) === bandRows(table))
+      assert(spark.table(s"${t2}_vec").count() ===
+        spark.table(s"${table}_vec").count())
+      def probe(t: String) = AnnIndex.topK(spark, t, _ < 10, k = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      assert(probe(t2) === probe(table))
+    } finally Seq(table, s"${table}_vec", t2, s"${t2}_vec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("IVF append assigns with the stored quantizer, never retrains") {
+    val t = "ivf_app_spec"
+    Seq(t, s"${t}_cent").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      // append without a stored quantizer must refuse loudly
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.append(emb.limit(1), t)
+      }
+      assert(e.getMessage.contains("no stored quantizer"))
+      // build on the id-dense front half (kmeans seeds need vec_id
+      // 0..k dense), append the tail
+      IvfIndex.write(emb.filter(col("vec_id") < 50), t)
+      IvfIndex.append(emb.filter(col("vec_id") >= 50), t)
+      // appended rows must equal assignCells under the STORED centroids
+      val cents = spark.table(s"${t}_cent").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val expected = Ivf.assignCells(
+        Ann.prep(emb.filter(col("vec_id") >= 50)), cents)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      val stored = spark.table(t)
+        .filter(col("vec_id") >= 50)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      assert(stored === expected)
+      assert(stored.nonEmpty)
+    } finally Seq(t, s"${t}_cent")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("streamingAnnIngest: stream-built index probes like batch-built") {
+    val pid = ProcessHandle.current().pid()
+    val t = s"ann_ingest_spec_p$pid"
+    val tb = s"ann_ingest_batch_p$pid"
+    val dir = java.nio.file.Files.createTempDirectory("graft_anning")
+      .toString
+    val sp = spark
+    import sp.implicits._
+    def stageHalf(m: Int): Unit =
+      emb.filter(pmod(col("vec_id"), lit(2)) === m)
+        .select("vec_id", "embedding")
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Seq(t, s"${t}_vec", s"${t}_ledger", tb, s"${tb}_vec")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      stageHalf(0)
+      streaming.StreamingOps.streamingAnnIngest(spark, dir, t)
+      // idempotent re-run over unchanged data (stable checkpoint)
+      streaming.StreamingOps.streamingAnnIngest(spark, dir, t)
+      // new vectors arriving later must be ingested
+      stageHalf(1)
+      streaming.StreamingOps.streamingAnnIngest(spark, dir, t)
+      AnnIndex.write(spark.read.parquet(s"$dir/embeddings.parquet"), tb)
+      def probe(x: String) = AnnIndex.topK(spark, x, _ < 10, k = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      assert(probe(t) === probe(tb))
+      assert(probe(t).nonEmpty)
+    } finally {
+      Seq(t, s"${t}_vec", s"${t}_ledger", tb, s"${tb}_vec")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+      val ck = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase + "_ck")
+      ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(ck, true)
+    }
+  }
+
   test("q_simsearch_banded answers from a second session in the same JVM") {
     assert(SparkEntry.queries("q_simsearch_banded")(spark, sf).count() > 0)
     val s2 = spark.newSession()
