@@ -264,6 +264,26 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_simsearch_banded/ivf/rag: stored-index probes never scan embeddings") {
+    // r12: the ANN family serves from the stored band/IVF tables — the
+    // embeddings source must not appear anywhere in a probe plan (the
+    // corpus was hashed/assigned ONCE at build time; a probe that still
+    // scans it would be the per-run recompute the index exists to kill)
+    val pb = plan("q_simsearch_banded")
+    assert(pb.contains("graft_ann_idx_"), pb)
+    assert(!pb.contains("embeddings"), pb)
+    assert(pb.contains("WindowGroupLimit"), pb)
+    val pi = plan("q_simsearch_ivf")
+    assert(pi.contains("graft_ivf_idx_"), pi)
+    assert(!pi.contains("embeddings"), pi)
+    val pr = plan("q_rag_retrieve")
+    assert(pr.contains("graft_ann_idx_"), pr)
+    assert(!pr.contains("embeddings"), pr)
+    // the snippet fetch broadcasts the k·|queries| NEIGHBOR side; the
+    // documents payload scan streams (never broadcasts its text column)
+    assert(pr.contains("BroadcastHashJoin"), pr)
+  }
+
   test("q_pmi: top-20 is TakeOrdered over persisted counts, no global sort") {
     val p = plan("q_pmi")
     assert(p.contains("TakeOrderedAndProject"), p)
