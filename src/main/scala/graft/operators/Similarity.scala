@@ -495,7 +495,15 @@ object AnnIndex {
       col("nrm"), col("qn"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    broadcast(cand).join(vecs, "vec_id").join(broadcast(q), "q_id")
+    // NO broadcast hint on the candidate side (unlike the tiny literal
+    // query side): candidate volume is DATA-dependent — band collisions
+    // over a skewed corpus can be arbitrarily large — and a hint would
+    // force-broadcast it at any size. AQE sees the actual size after
+    // the distinct's exchange and converts to broadcast when small
+    // (measured: same warm cost as the hinted form at sf0.1), while the
+    // at-scale fallback is a sort-merge against the vec-id-bucketed
+    // payload — still zero Exchange on the stored side.
+    cand.join(vecs, "vec_id").join(broadcast(q), "q_id")
       .withColumn("sim", sim)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

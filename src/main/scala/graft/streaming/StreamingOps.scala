@@ -374,6 +374,15 @@ object StreamingOps {
     * payloads) and same STABLE warehouse checkpoint as the BM25
     * ingest: later invocations see only genuinely new files. Table
     * names must be per-process unique (clearOrphanLocation contract).
+    *
+    * Atomicity caveat, WIDER here than for BM25: a batch touches TWO
+    * tables (band postings, then payload) before the ledger commits,
+    * so a crash after the first append replays into duplicated band
+    * rows, and a crash between the appends leaves candidates whose
+    * payload join silently drops them until the replay lands. Exactly
+    * the window the BM25 ingest documents — closing it needs a
+    * transactional table format; until then treat a crashed ingest as
+    * requiring an index rebuild.
     */
   def streamingAnnIngest(spark: SparkSession, sfDir: String,
       table: String): Unit = {
