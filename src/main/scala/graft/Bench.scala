@@ -76,7 +76,7 @@ object Bench {
     "q_intersect" -> 0.23, "q_interval_bucket" -> 0.27,
     "q_join_inner" -> 0.24, "q_join_multikey" -> 0.58,
     "q_join_outer" -> 0.33, "q_join_range" -> 0.20,
-    "q_json_extract" -> 0.30, "q_kmv_distinct" -> 1.52,
+    "q_json_extract" -> 0.30, "q_kmv_distinct" -> 0.40,  // r12: split sketch/exact aggs (Expand removed)
     "q_lang_id" -> 0.14, "q_lead_lag" -> 0.19, "q_llm_summary" -> 0.12,
     "q_maplookup" -> 0.09, "q_math" -> 0.14, "q_melt" -> 0.31,
     "q_minhash" -> 0.23, "q_mixture" -> 0.13, "q_multifile" -> 0.26,

@@ -131,12 +131,19 @@ object Aggregates {
     QDef("q_kmv_distinct",
       (s, d) => {
         graft.functions.VectorFunctions.register(s)
-        Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
-          // native bigint input: the sketch hashes the long directly
-          // (splitmix64), no per-row cast-to-string allocation
-          expr("graft_kmv_distinct(l_partkey, 256)")
-            .as("kmv_parts"),
+        val t = Tables(s, d, "lineitem")
+        // sketch and exact twin aggregate SEPARATELY, joined on the
+        // 3-row group key (r12): planning them in ONE agg makes Spark
+        // rewrite countDistinct via Expand — every input row duplicated
+        // per aggregate leg with a null-gate on each — which tripled
+        // the query's cost (1.09s vs 0.40s warm at sf0.1). Two clean
+        // single-purpose scans beat one doubled one; the sketch hashes
+        // the long directly (splitmix64), no per-row cast-to-string.
+        val sk = t.groupBy("l_returnflag").agg(
+          expr("graft_kmv_distinct(l_partkey, 256)").as("kmv_parts"))
+        val ex = t.groupBy("l_returnflag").agg(
           countDistinct(col("l_partkey")).as("exact_parts"))
+        ex.join(sk, "l_returnflag")
           .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("kmv_parts") - col("exact_parts")) /
               col("exact_parts") < 0.15).as("within_tol"))
