@@ -54,7 +54,7 @@ object Bench {
   val reference: Map[String, Double] = Map(
     // rank family re-based r12 (two-regime dispatch: window form at
     // sf0.1, range-sharded above 16 MB — idle full-run min-of-3)
-    "q_anti_join" -> 0.37, "q_approx_distinct" -> 0.73,
+    "q_anti_join" -> 0.37, "q_approx_distinct" -> 0.51,
     "q_approx_percentile" -> 0.78, "q_array_ops" -> 0.28,
     "q_asof" -> 0.32, "q_asof_native" -> 0.31, "q_cast" -> 0.24,
     "q_chunk" -> 0.20, "q_classify" -> 0.10, "q_cohort" -> 0.31,
