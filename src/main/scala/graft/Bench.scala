@@ -121,8 +121,10 @@ object Bench {
     // append-maintained index probe: df derived at probe time adds one
     // tiny aggregation over the fetched postings (mild-load min-of-3)
     "q_bm25_incr" -> 0.70,
-    // r12 addition: append-built band-index near-dedup probe
-    "q_dedup_incr_idx" -> 0.26)
+    // r12 additions: append-built band-index near-dedup probe; hybrid
+    // RRF retrieval = two stored-index probes + a 20-row fuse (heavy-
+    // load min-of-3 upper bound, refine from the next idle record)
+    "q_dedup_incr_idx" -> 0.26, "q_hybrid_retrieve" -> 0.90)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms

@@ -742,11 +742,13 @@ object Similarity {
   private val dotAB = "graft_dot(v, qv)"
   private val norm = "sqrt(graft_dot(v, v))"
 
-  /** DuckDB mirror of Ann.topK(8 bands × 2 bits): reproduces the
-    * deterministic planes and the 8-way band-collision union. Shared by
-    * the banded-ANN and RAG-retrieval oracles.
+  /** The e/cand/p CTE bodies (no WITH keyword) of the banded-ANN
+    * DuckDB mirror — reproduces the deterministic planes and the 8-way
+    * band-collision union, ending in `p` = scored candidate pairs.
+    * Factored so the hybrid-retrieval oracle can splice these CTEs
+    * into its own WITH list.
     */
-  private def bandedOracleSql(maxQueryId: Int, k: Int): String = {
+  private def bandedCtes(maxQueryId: Int): String = {
     def plane(p: Int) =
       // keep in lockstep with Ann.planeVec — same integer family
       s"[CAST(((1 + $p * 37 + i * 61 + $p * i * 11) % 29) - 14 " +
@@ -762,7 +764,7 @@ object Similarity {
       s"SELECT q.vec_id AS q_id, c.vec_id AS vec_id FROM e c JOIN e q " +
         s"ON c.band$b = q.band$b AND q.vec_id < $maxQueryId " +
         "AND c.vec_id <> q.vec_id").mkString(" UNION ")
-    s"WITH e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v, " +
+    s"e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v, " +
       s"$bandCols FROM embeddings), " +
       s"cand AS ($unions), " +
       "p AS (SELECT cand.q_id, cand.vec_id, " +
@@ -770,11 +772,16 @@ object Similarity {
         "sqrt(list_dot_product(c.v, c.v))",
         "sqrt(list_dot_product(q.v, q.v))")} AS sim " +
       "FROM cand JOIN e c ON cand.vec_id = c.vec_id " +
-      "JOIN e q ON cand.q_id = q.vec_id) " +
+      "JOIN e q ON cand.q_id = q.vec_id)"
+  }
+
+  /** DuckDB mirror of Ann.topK(8 bands × 2 bits) — shared by the
+    * banded-ANN and RAG-retrieval oracles. */
+  private def bandedOracleSql(maxQueryId: Int, k: Int): String =
+    s"WITH ${bandedCtes(maxQueryId)} " +
       "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
       "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p) " +
       s"WHERE rn <= $k"
-  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -1026,7 +1033,96 @@ object Similarity {
         centCosSql + " AS cos_sim, " +
         "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
         centCosSql + " DESC, cn.label) AS rn " +
-        "FROM v CROSS JOIN cn) WHERE rn = 1"))
+        "FROM v CROSS JOIN cn) WHERE rn = 1")),
+
+    // X3 + X5 + RAG: HYBRID retrieval (r12) — the production RAG shape:
+    // a LEXICAL leg and a DENSE leg fused by reciprocal-rank fusion,
+    // BOTH served from stored indexes. Framed as query-by-example
+    // related-document search (doc_id ≡ vec_id in the corpus): for each
+    // query doc (doc_id < 3), the lexical leg probes the stored BM25
+    // postings with the doc's DISTINCT tokens (top-10 by score,
+    // self-excluded), the dense leg is the stored-band-index ANN top-10,
+    // and RRF fuses them: rrf = Σ_legs 1/(60 + rank) — Cormack et al.'s
+    // constant; ranks are deterministic integers, so the fused score is
+    // a sum of exact reciprocals computed with identical IEEE ops on
+    // both engines (no tf-idf/cosine scale mismatch to calibrate, which
+    // is exactly why production hybrid search uses RRF). Top-5 fused per
+    // query, (rrf desc, doc_id) tiebreak. Cost shape: two stored-index
+    // probes + a 20-row-per-query fuse — corpus-scan-free.
+    QDef("q_hybrid_retrieve",
+      (s, d) => {
+        import graft.operators.{TextOps => TO}
+        VectorFunctions.register(s)
+        val qt = broadcast(Tables(s, d, "documents")
+          .filter(col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"),
+            explode(expr(TO.toksExpr)).as("token")))
+        val wl = Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val lexR = TO.bm25Score(qt, TO.bm25Index(s, d))
+          .filter(col("doc_id") =!= col("q_id"))
+          .withColumn("lrn", row_number().over(wl))
+          .filter(col("lrn") <= 10)
+          .select("q_id", "doc_id", "lrn")
+        val wd = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        val denseR = AnnIndex.topK(s, AnnIndex.annIndex(s, d), _ < 3,
+            k = 10)
+          .withColumn("drn", row_number().over(wd))
+          .select(col("q_id"), col("vec_id").as("doc_id"), col("drn"))
+        val rrf = Det.rnd(
+          coalesce(lit(1.0) / (lit(60) + col("lrn")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("drn")), lit(0.0)), 6)
+        val wf = Window.partitionBy("q_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        lexR.join(denseR, Seq("q_id", "doc_id"), "full_outer")
+          .withColumn("rrf", rrf)
+          .withColumn("rn", row_number().over(wf))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("doc_id"), col("rrf"),
+            col("rn").cast("int").as("rn"))
+      },
+      Some("WITH q AS (SELECT doc_id AS q_id, unnest(" +
+        graft.operators.TextOps.toksSql + ") AS token " +
+        "FROM documents WHERE doc_id < 3), " +
+        "toks AS (SELECT doc_id, unnest(string_split_regex(" +
+        "trim(coalesce(text, '')), '\\s+')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks " +
+        "GROUP BY doc_id, token), " +
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks " +
+        "GROUP BY doc_id), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "t AS (SELECT q.q_id, tf.doc_id, " +
+        "((n.n_docs - df.df + 0.5) / (df.df + 0.5)) * " +
+        "((CAST(tf.tf AS DOUBLE) * 2.2) / (tf.tf + 1.2 * " +
+        "(1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) AS term " +
+        "FROM q JOIN tf USING (token) JOIN df USING (token) " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n " +
+        "WHERE tf.doc_id <> q.q_id), " +
+        "lexs AS (SELECT q_id, doc_id, " +
+        Det.exactSumSql("term", 6) + " AS score " +
+        "FROM t GROUP BY q_id, doc_id), " +
+        "lexr AS (SELECT q_id, doc_id, lrn FROM (SELECT q_id, doc_id, " +
+        "row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY score DESC, doc_id) AS lrn FROM lexs) WHERE lrn <= 10), " +
+        bandedCtes(maxQueryId = 3) + ", " +
+        "denser AS (SELECT q_id, doc_id, drn FROM (SELECT q_id, " +
+        "vec_id AS doc_id, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY sim DESC, vec_id) AS drn FROM p) WHERE drn <= 10), " +
+        "f AS (SELECT coalesce(l.q_id, r.q_id) AS q_id, " +
+        "coalesce(l.doc_id, r.doc_id) AS doc_id, l.lrn, r.drn " +
+        "FROM lexr l FULL OUTER JOIN denser r " +
+        "ON l.q_id = r.q_id AND l.doc_id = r.doc_id), " +
+        "sc AS (SELECT q_id, doc_id, " +
+        Det.rndSql("coalesce(CAST(1.0 AS DOUBLE) / (60 + lrn), 0) + " +
+          "coalesce(CAST(1.0 AS DOUBLE) / (60 + drn), 0)", 6) +
+        " AS rrf FROM f) " +
+        "SELECT q_id, doc_id, rrf, rn FROM (SELECT *, " +
+        "CAST(row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY rrf DESC, doc_id) AS INT) AS rn FROM sc) " +
+        "WHERE rn <= 5"))
   )
 
   /** Shared scaffolding for the centroid-cosine queries

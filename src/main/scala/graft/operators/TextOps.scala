@@ -482,9 +482,11 @@ object TextOps {
       sfDir: String): org.apache.spark.sql.DataFrame =
     bm25TopK(s, qt => bm25ScoreLn(qt, bm25Index(s, sfDir)))
 
-  /** Distinct whitespace tokens of `text`. */
-  private val toksExpr = "array_distinct(split(trim(text), '\\\\s+'))"
-  private val toksSql = "list_distinct(string_split_regex(trim(text), '\\s+'))"
+  /** Distinct whitespace tokens of `text` (package-visible: the hybrid
+    * retrieval QDef in Similarity derives its doc-as-query token sets
+    * with the IDENTICAL expression). */
+  private[graft] val toksExpr = "array_distinct(split(trim(text), '\\\\s+'))"
+  private[graft] val toksSql = "list_distinct(string_split_regex(trim(text), '\\s+'))"
 
   /** Word 3-gram shingles. Spark side: the custom single-pass
     * graft_shingles expression (graft.functions.Shingles) — the HOF
