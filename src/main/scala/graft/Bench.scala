@@ -124,7 +124,8 @@ object Bench {
     // r12 additions: append-built band-index near-dedup probe; hybrid
     // RRF retrieval = two stored-index probes + a 20-row fuse (heavy-
     // load min-of-3 upper bound, refine from the next idle record)
-    "q_dedup_incr_idx" -> 0.26, "q_hybrid_retrieve" -> 0.90)
+    "q_dedup_incr_idx" -> 0.26, "q_hybrid_retrieve" -> 0.90,
+    "q_simsearch_ivf_mp" -> 0.25)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms

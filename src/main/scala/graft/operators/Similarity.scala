@@ -354,28 +354,27 @@ object Ivf {
   def kmeansCells(e: DataFrame, k: Int, dim: Int, iters: Int): DataFrame =
     assignCells(e, kmeansCentroids(e, k, dim, iters))
 
-  /** DuckDB mirror of kmeansCells(k, 64, iters=2) + cell-probe top-k for
-    * queries vec_id < maxQueryId: c0 = seed vectors, a1 = argmax vs c0,
-    * c1 = integer-scaled means, cells = argmax vs c1, then rescoring
-    * inside the query's own cell only. */
-  def oracleSql(k: Int, maxQueryId: Int, topK: Int): String = {
-    // BOTH cosines — assignment AND cell-probe rescoring — mirror the
-    // Spark sites' zero-norm sentinel (CosSim) so the twins agree even
-    // on degenerate vectors, on any DuckDB version
-    def csim(vAlias: String, cAlias: String) =
-      CosSim.sentinelSql(s"list_dot_product($vAlias.v, $cAlias.c)",
-        s"sqrt(list_dot_product($vAlias.v, $vAlias.v))",
-        s"sqrt(list_dot_product($cAlias.c, $cAlias.c))")
-    val sim = CosSim.sentinelSql("list_dot_product(c2.v, q.v)",
-      "sqrt(list_dot_product(c2.v, c2.v))",
-      "sqrt(list_dot_product(q.v, q.v))")
-    s"WITH e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v " +
+  // BOTH cosines — assignment AND cell-probe rescoring — mirror the
+  // Spark sites' zero-norm sentinel (CosSim) so the twins agree even
+  // on degenerate vectors, on any DuckDB version
+  private def csimSql(vAlias: String, cAlias: String) =
+    CosSim.sentinelSql(s"list_dot_product($vAlias.v, $cAlias.c)",
+      s"sqrt(list_dot_product($vAlias.v, $vAlias.v))",
+      s"sqrt(list_dot_product($cAlias.c, $cAlias.c))")
+
+  /** The e/c0/a1/c1/cells CTE bodies (no WITH) mirroring
+    * kmeansCells(k, 64, iters=2): c0 = seed vectors, a1 = argmax vs c0,
+    * c1 = integer-scaled means, cells = argmax vs c1. Shared by the
+    * single- and multi-probe oracles.
+    */
+  private def quantizerCtes(k: Int): String =
+    s"e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v " +
       "FROM embeddings), " +
       s"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e " +
       s"WHERE vec_id < $k), " +
       "a1 AS (SELECT vec_id, v, cell FROM (" +
       "SELECT e.vec_id, e.v, c0.cell, row_number() OVER (" +
-      s"PARTITION BY e.vec_id ORDER BY ${csim("e", "c0")} DESC, c0.cell) " +
+      s"PARTITION BY e.vec_id ORDER BY ${csimSql("e", "c0")} DESC, c0.cell) " +
       "AS rn FROM e, c0) WHERE rn = 1), " +
       "c1 AS (SELECT cell, list(cx ORDER BY i) AS c FROM (" +
       "SELECT cell, i, CAST(sum(CAST(floor(v[i] * 1000000 + 0.5) " +
@@ -384,15 +383,48 @@ object Ivf {
       "GROUP BY cell), " +
       "cells AS (SELECT vec_id, v, cell FROM (" +
       "SELECT e.vec_id, e.v, c1.cell, row_number() OVER (" +
-      s"PARTITION BY e.vec_id ORDER BY ${csim("e", "c1")} DESC, c1.cell) " +
-      "AS rn FROM e, c1) WHERE rn = 1), " +
+      s"PARTITION BY e.vec_id ORDER BY ${csimSql("e", "c1")} DESC, c1.cell) " +
+      "AS rn FROM e, c1) WHERE rn = 1)"
+
+  private def rescoreSql = CosSim.sentinelSql(
+    "list_dot_product(c2.v, q.v)",
+    "sqrt(list_dot_product(c2.v, c2.v))",
+    "sqrt(list_dot_product(q.v, q.v))")
+
+  /** DuckDB mirror of kmeansCells + single-cell probe top-k for
+    * queries vec_id < maxQueryId: rescoring inside the query's own
+    * cell only. */
+  def oracleSql(k: Int, maxQueryId: Int, topK: Int): String =
+    s"WITH ${quantizerCtes(k)}, " +
       "p AS (SELECT q.vec_id AS q_id, c2.vec_id AS vec_id, c2.cell, " +
-      s"$sim AS sim FROM cells c2 JOIN cells q ON c2.cell = q.cell " +
+      s"$rescoreSql AS sim FROM cells c2 JOIN cells q ON c2.cell = q.cell " +
       s"AND q.vec_id < $maxQueryId AND c2.vec_id <> q.vec_id) " +
       "SELECT q_id, vec_id, cell, sim FROM (SELECT *, row_number() " +
       "OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn " +
       s"FROM p) WHERE rn <= $topK"
-  }
+
+  /** MULTI-PROBE mirror: each query ranks ALL centroids by the rounded
+    * sentinel cosine and rescans its `nprobe` nearest cells — the
+    * standard IVF recall lever (a query near a cell boundary finds
+    * neighbors quantized into the adjacent cell). Cell ranking uses the
+    * IDENTICAL cosine + (csim desc, cell asc) tiebreak as assignment,
+    * so probe 1 is always the query's own cell and nprobe=1 degenerates
+    * to [[oracleSql]].
+    */
+  def oracleSqlMultiProbe(k: Int, maxQueryId: Int, topK: Int,
+      nprobe: Int): String =
+    s"WITH ${quantizerCtes(k)}, " +
+      "pc AS (SELECT q_id, cell FROM (" +
+      "SELECT q.vec_id AS q_id, c1.cell, row_number() OVER (" +
+      s"PARTITION BY q.vec_id ORDER BY ${csimSql("q", "c1")} DESC, " +
+      "c1.cell) AS crn FROM cells q, c1 " +
+      s"WHERE q.vec_id < $maxQueryId) WHERE crn <= $nprobe), " +
+      "p AS (SELECT pc.q_id, c2.vec_id, c2.cell, " +
+      s"$rescoreSql AS sim FROM cells c2 JOIN pc ON c2.cell = pc.cell " +
+      "JOIN cells q ON q.vec_id = pc.q_id AND c2.vec_id <> pc.q_id) " +
+      "SELECT q_id, vec_id, cell, sim FROM (SELECT *, row_number() " +
+      "OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn " +
+      s"FROM p) WHERE rn <= $topK"
 }
 
 /** STORED embedding ANN band index (VERDICT r11 #1) — the maintain-once/
@@ -707,6 +739,50 @@ object IvfIndex {
       .select(col("q_id"), col("vec_id"), col("cell"), col("sim"))
   }
 
+  /** MULTI-PROBE cell top-k (the standard IVF recall lever): each query
+    * ranks the stored centroids by the same rounded sentinel cosine the
+    * quantizer assigns with — probe 1 is therefore always the query's
+    * own cell, so nprobe=1 degenerates to [[topK]] — and rescans its
+    * `nprobe` nearest cells; a query sitting near a cell boundary then
+    * finds neighbors quantized into the adjacent cell. Shape: queries ×
+    * broadcast(k centroids) for the cell ranking (k·|queries| rows),
+    * then ONE cell equi-join against the bucketed table with the
+    * nprobe-exploded query side broadcast — the corpus side stays a
+    * bucketed scan; probe cost is nprobe/k of the corpus per query.
+    */
+  def topKMultiProbe(s: SparkSession, table: String,
+      isQuery: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      k: Int, nprobe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cells = s.table(table)
+    val cents = s.table(table + "_cent")
+      .select(col("cell"), col("c").as("cv"))
+      .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
+    val q = cells.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val csim = CosSim.sentinel(expr("graft_dot(qv, cv)"),
+      col("qn"), col("cnrm"))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probe = q.crossJoin(broadcast(cents))
+      .withColumn("csim", csim)
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("cell").as("q_cell"))
+    val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
+      col("nrm"), col("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cells.join(broadcast(probe), col("cell") === col("q_cell") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cell"), col("sim"))
+  }
+
   /** Memoized stored quantizer for `sfDir`'s embeddings — the
     * [[AnnIndex.annIndex]] contract (catalog memo, `_ok` marker, sweep,
     * shared build lock). Returns the cells table name; `<name>_cent`
@@ -925,6 +1001,19 @@ object Similarity {
     QDef("q_simsearch_ivf",
       (s, d) => IvfIndex.topK(s, IvfIndex.ivfIndex(s, d), _ < 10, k = 3),
       Some(Ivf.oracleSql(k = 8, maxQueryId = 10, topK = 3))),
+
+    // X3: IVF MULTI-PROBE — nprobe=2 over the same stored quantizer:
+    // the standard recall lever (a query near a cell boundary rescans
+    // the adjacent cell too, catching neighbors the single-cell probe
+    // quantized away). Probe cost nprobe/k of the corpus per query;
+    // cell ranking reuses the assignment cosine, so probe 1 is always
+    // the query's own cell and this strictly extends q_simsearch_ivf's
+    // candidate set.
+    QDef("q_simsearch_ivf_mp",
+      (s, d) => IvfIndex.topKMultiProbe(s, IvfIndex.ivfIndex(s, d),
+        _ < 10, k = 3, nprobe = 2),
+      Some(Ivf.oracleSqlMultiProbe(k = 8, maxQueryId = 10, topK = 3,
+        nprobe = 2))),
 
     // X3/X4: embedding near-dup pairs, blocked by label (IVF-style coarse
     // partition) — pair cost is per-block, not corpus². May legitimately

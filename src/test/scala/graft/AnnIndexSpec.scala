@@ -276,6 +276,40 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("IVF multi-probe: nprobe=1 equals the single-cell probe exactly") {
+    val t = "ivf_mp_spec"
+    Seq(t, s"${t}_cent").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      IvfIndex.write(emb, t)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getInt(2), r.getDouble(3)))).toMap
+      // cell ranking reuses the assignment cosine + tiebreak, so the
+      // nearest probed cell IS the query's own cell — nprobe=1 must
+      // degenerate to topK bit-for-bit
+      val single = rows(IvfIndex.topK(spark, t, _ < 10, k = 3))
+      val mp1 = rows(IvfIndex.topKMultiProbe(spark, t, _ < 10, k = 3,
+        nprobe = 1))
+      assert(mp1 === single)
+      // nprobe=2 searches a superset of candidates: every returned sim
+      // must be >= the single-probe sim at the same rank position
+      val mp2 = IvfIndex.topKMultiProbe(spark, t, _ < 10, k = 3,
+        nprobe = 2)
+      val s2 = mp2.collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getDouble(3)).sorted.reverse.toSeq).toMap
+      val s1 = IvfIndex.topK(spark, t, _ < 10, k = 3).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getDouble(3)).sorted.reverse.toSeq).toMap
+      s1.foreach { case (q, sims1) =>
+        val sims2 = s2(q)
+        sims1.zip(sims2).foreach { case (a, b) =>
+          assert(b >= a, s"q=$q: multiprobe sim $b < single $a") }
+      }
+    } finally Seq(t, s"${t}_cent")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("q_simsearch_banded answers from a second session in the same JVM") {
     assert(SparkEntry.queries("q_simsearch_banded")(spark, sf).count() > 0)
     val s2 = spark.newSession()
