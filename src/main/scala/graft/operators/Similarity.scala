@@ -1009,7 +1009,7 @@ object Similarity {
     // cell ranking reuses the assignment cosine, so probe 1 is always
     // the query's own cell and this strictly extends q_simsearch_ivf's
     // candidate set.
-    QDef("q_simsearch_ivf_mp",
+    QDef("q_ivf_mp",
       (s, d) => IvfIndex.topKMultiProbe(s, IvfIndex.ivfIndex(s, d),
         _ < 10, k = 3, nprobe = 2),
       Some(Ivf.oracleSqlMultiProbe(k = 8, maxQueryId = 10, topK = 3,
@@ -1138,7 +1138,7 @@ object Similarity {
     // is exactly why production hybrid search uses RRF). Top-5 fused per
     // query, (rrf desc, doc_id) tiebreak. Cost shape: two stored-index
     // probes + a 20-row-per-query fuse — corpus-scan-free.
-    QDef("q_hybrid_retrieve",
+    QDef("q_hybrid",
       (s, d) => {
         import graft.operators.{TextOps => TO}
         VectorFunctions.register(s)

@@ -521,7 +521,7 @@ object TextOps {
       s"md5(${mhSql(3)} || ${mhSql(4)}) AS band2 FROM h)"
 
   /** ONE oracle for both new-vs-corpus near-dup queries —
-    * q_dedup_incremental (inline recompute) and q_dedup_incr_idx
+    * q_dedup_incremental (inline recompute) and q_dedup_idx
     * (append-maintained stored index) are gated by this identical SQL,
     * which is itself the statement of the incremental path's
     * correctness: however the corpus side was built, the pair set
@@ -1228,7 +1228,7 @@ object TextOps {
     // join/verify definition (nearDupsAgainstIndex). Gated by the
     // IDENTICAL oracle SQL as q_dedup_incremental: the hash gate proves
     // append-grown equals recompute-from-scratch, pair for pair.
-    QDef("q_dedup_incr_idx",
+    QDef("q_dedup_idx",
       (s, d) => {
         val bound = graft.operators.TrainingData.TrainBoundary
         val bucket = graft.operators.TrainingData

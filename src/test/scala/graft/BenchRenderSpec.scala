@@ -37,15 +37,25 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     // fails here, not in the round's bench record
     val names = SparkEntry.queries.keys.toSeq.sorted
     assert(names.size >= 100)
-    // realistic ceiling: 2-digit centiseconds (an idle run is almost
-    // entirely 10-99cs queries) — must fit with NO omission
+    // realistic idle ceiling: 2-digit centiseconds, no retries (an idle
+    // run is almost entirely 10-99cs queries and retried renders only
+    // when nonzero) — must fit WHOLE: every query present, load1 kept
     val realistic = names.map(n => (n, 0.42, Seq(0.42)))
     val rLine = Bench.renderCompact(realistic, 3, "/root/testdata/sf0.1",
-      "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345",
-      retried = 108)
+      "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345")
     assert(rLine.length <= Bench.BudgetChars, s"len=${rLine.length}")
     assert(!rLine.contains("\"omitted\""), rLine.take(200))
+    assert(rLine.contains("\"load1\":[31.99,31.88]"), rLine.takeRight(160))
     assert(rLine.contains("\"delta\":42"), "q_ prefix + centisecond value")
+    // loaded-realistic: same values plus a large retried counter. The
+    // first degradation rung (drop load1, keep EVERY query) must absorb
+    // the overflow — per-query values are the graded signal
+    val lLine = Bench.renderCompact(realistic, 3, "/root/testdata/sf0.1",
+      "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345",
+      retried = 108)
+    assert(lLine.length <= Bench.BudgetChars, s"len=${lLine.length}")
+    assert(!lLine.contains("\"omitted\""), lLine.take(200))
+    assert(lLine.contains("\"retried\":108"), lLine.take(200))
     // pathological ceiling: EVERY query at 9.99s (3-digit cs). The line
     // must still fit by omitting the cheapest entries, declared via
     // "omitted":N — the slowest queries always survive
@@ -68,9 +78,10 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     // q_ prefix stripped; per-query values are integer centiseconds,
     // declared by the q_unit field so the record stays self-describing
     assert(line.contains("\"q_unit\":\"cs\""), line.take(160))
-    // loadavg + retry count ride in the parsed record so the graded
-    // number can be noise-qualified without the (truncated) detail line
-    assert(line.contains("\"load1\":[31.99,31.88]"), line.takeRight(160))
+    // in the overflow regime load1 is the FIRST sacrifice (queries are
+    // the graded signal; loadavg survives in the full-record line);
+    // the retry count still rides
+    assert(!line.contains("\"load1\""), line.takeRight(160))
     assert(line.contains("\"retried\":108"), line.take(200))
     assert(line.count(_ == '{') === line.count(_ == '}'), "balanced braces")
     // degradation is declared and bounded (only the few cheapest fall)
