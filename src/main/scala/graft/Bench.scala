@@ -125,7 +125,7 @@ object Bench {
     // RRF retrieval = two stored-index probes + a 20-row fuse (heavy-
     // load min-of-3 upper bound, refine from the next idle record)
     "q_dedup_idx" -> 0.26, "q_hybrid" -> 0.90,
-    "q_ivf_mp" -> 0.25)
+    "q_ivf_mp" -> 0.25, "q_simsearch_filtered" -> 0.30)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms

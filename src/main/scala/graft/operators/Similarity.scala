@@ -476,20 +476,34 @@ object AnnIndex {
       .select(concat(col("band_idx").cast("string"), lit(":"),
         col("bits")).as("band_key"), col("vec_id"))
 
+  /** Normalized (vec_id, v, <payload...>, nrm) — [[Ann.prep]] plus
+    * caller-chosen passthrough METADATA columns stored in the payload
+    * table, the piece filtered vector search probes against (label,
+    * language, source, timestamp — whatever the corpus carries).
+    */
+  private def prepPayload(emb: DataFrame, dim: Int,
+      payloadCols: Seq[String]): DataFrame =
+    emb.select(col("vec_id") +:
+        CosSim.canon(col("embedding"), dim).as("v") +:
+        payloadCols.map(col): _*)
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+
   /** Materialize `emb`'s band postings + vector payload as bucketed
-    * tables (see object doc). Caller-supplied names must be per-process
-    * unique in a shared warehouse — TextOps.clearOrphanLocation's
-    * contract.
+    * tables (see object doc). `payloadCols` ride in the payload table
+    * for metadata-filtered probes ([[topKFiltered]]). Caller-supplied
+    * names must be per-process unique in a shared warehouse —
+    * TextOps.clearOrphanLocation's contract.
     */
   def write(emb: DataFrame, table: String, nBands: Int = NBands,
-      bits: Int = Bits, dim: Int = CosSim.EmbDim, nBuckets: Int = 8): Unit = {
+      bits: Int = Bits, dim: Int = CosSim.EmbDim, nBuckets: Int = 8,
+      payloadCols: Seq[String] = Nil): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.clearOrphanLocation(s, table)
     TO.clearOrphanLocation(s, table + "_vec")
     // the prep scan feeds both writes; persisting the narrow normalized
     // form beats re-reading + re-folding norms for the band pass
-    val e = Ann.prep(emb, dim).persist()
+    val e = prepPayload(emb, dim, payloadCols).persist()
     try {
       bandRows(e, nBands, bits, dim).write.mode("overwrite")
         .bucketBy(nBuckets, "band_key").sortBy("band_key")
@@ -551,17 +565,17 @@ object AnnIndex {
     * rewritten — per-batch cost O(batch). An index grown by appends is
     * row-identical to a from-scratch [[write]] over the union (gated
     * in AnnIndexSpec) and probes identically. The (nBands, bits, dim)
-    * config must match the original build — same contract as
-    * [[scoreExternal]].
+    * config AND `payloadCols` must match the original build — same
+    * contract as [[scoreExternal]].
     */
   def append(emb: DataFrame, table: String, nBands: Int = NBands,
       bits: Int = Bits, dim: Int = CosSim.EmbDim,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8, payloadCols: Seq[String] = Nil): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.clearOrphanLocation(s, table)
     TO.clearOrphanLocation(s, table + "_vec")
-    val e = Ann.prep(emb, dim).persist()
+    val e = prepPayload(emb, dim, payloadCols).persist()
     try {
       bandRows(e, nBands, bits, dim).write.mode("append")
         .bucketBy(nBuckets, "band_key").sortBy("band_key")
@@ -570,6 +584,50 @@ object AnnIndex {
         .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
         .saveAsTable(table + "_vec")
     } finally { e.unpersist(); () }
+  }
+
+  /** METADATA-FILTERED banded ANN top-k — production "filtered vector
+    * search": candidates must agree with the query on every column of
+    * `matchCols` (stored in the payload table at build time), compared
+    * null-safely, BEFORE the top-k cut — so the k results are the best
+    * k WITHIN the filter, not a post-filtered subset of the global
+    * top-k (the classic filtered-ANN correctness trap: post-filtering
+    * returns < k or worse neighbors). Shape is [[topK]] plus the
+    * payload-column equality in the rescoring join — the filter rides
+    * the SAME joined row, costing nothing extra; at high filter
+    * selectivity a production system would add the filter key to the
+    * band key itself (partitioned indexes), which this layout admits
+    * by prefixing band_key at build time.
+    */
+  def topKFiltered(s: SparkSession, table: String,
+      isQuery: Column => Column, k: Int,
+      matchCols: Seq[String]): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val bands = s.table(table)
+    val vecs = s.table(table + "_vec")
+    val qb = bands.filter(isQuery(col("vec_id")))
+      .select(col("band_key").as("q_band_key"), col("vec_id").as("q_id"))
+    val cand = bands.join(broadcast(qb),
+        col("band_key") === col("q_band_key") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val q = vecs.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id") +: col("v").as("qv") +:
+        col("nrm").as("qn") +:
+        matchCols.map(c => col(c).as(s"q_$c")): _*)
+    val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
+      col("nrm"), col("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val matched = matchCols
+      .map(c => col(c) <=> col(s"q_$c"))
+      .foldLeft(lit(true))(_ && _)
+    cand.join(vecs, "vec_id").join(broadcast(q), "q_id")
+      .filter(matched)
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "sim")
   }
 
   /** Scored band-collision candidates of EXTERNAL query vectors
@@ -621,18 +679,31 @@ object AnnIndex {
     * builds serialized under the shared lock). Returns the base table
     * name; `<name>_vec` is the payload twin.
     */
+  /** The payload metadata the memoized corpus index stores — `label`
+    * feeds the filtered probe (q_simsearch_filtered). */
+  val PayloadCols: Seq[String] = Seq("label")
+
   def annIndex(s: SparkSession, sfDir: String): String = {
     val table = TO.indexTableName("graft_ann_idx", sfDir)
     val okTable = table + "_ok"
     TO.bm25BuildLock.synchronized {
       TO.sweepDeadIndexes(s)
-      if (!s.catalog.tableExists(okTable)
-          || !s.catalog.tableExists(table)
-          || !s.catalog.tableExists(table + "_vec")) {
+      // schema-evolution guard alongside the existence memo: an index
+      // built by an older code path (or a crashed build) may lack the
+      // payload columns the filtered probe needs — rebuild rather than
+      // fail at probe time with a missing-column error
+      val complete = s.catalog.tableExists(okTable) &&
+        s.catalog.tableExists(table) &&
+        s.catalog.tableExists(table + "_vec") && {
+          val cols = s.table(table + "_vec").columns.toSet
+          PayloadCols.forall(cols.contains)
+        }
+      if (!complete) {
         Seq(table, table + "_vec", okTable).foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
         }
-        write(Tables(s, sfDir, "embeddings"), table)
+        write(Tables(s, sfDir, "embeddings"), table,
+          payloadCols = PayloadCols)
         val sp = s
         import sp.implicits._
         Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
@@ -840,7 +911,9 @@ object Similarity {
       s"SELECT q.vec_id AS q_id, c.vec_id AS vec_id FROM e c JOIN e q " +
         s"ON c.band$b = q.band$b AND q.vec_id < $maxQueryId " +
         "AND c.vec_id <> q.vec_id").mkString(" UNION ")
-    s"e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v, " +
+    // label rides in e for the filtered-probe oracle; the other
+    // consumers ignore it
+    s"e AS (SELECT vec_id, label, ${CosSim.canonSql(CosSim.EmbDim)} AS v, " +
       s"$bandCols FROM embeddings), " +
       s"cand AS ($unions), " +
       "p AS (SELECT cand.q_id, cand.vec_id, " +
@@ -1123,6 +1196,26 @@ object Similarity {
         "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
         centCosSql + " DESC, cn.label) AS rn " +
         "FROM v CROSS JOIN cn) WHERE rn = 1")),
+
+    // X3: METADATA-FILTERED ANN (r12) — filtered vector search, the
+    // production feature every vector store ships: top-3 neighbors
+    // AMONG candidates sharing the query's label (filter applied
+    // BEFORE the k-cut — post-filtering the global top-k would return
+    // fewer/worse neighbors, the classic filtered-ANN trap). Served
+    // from the same stored index; the label rides in the payload table
+    // and the equality costs nothing beyond the rescoring join it
+    // already sits on.
+    QDef("q_simsearch_filtered",
+      (s, d) => AnnIndex.topKFiltered(s, AnnIndex.annIndex(s, d),
+        _ < 10, k = 3, matchCols = Seq("label")),
+      Some(s"WITH ${bandedCtes(maxQueryId = 10)}, " +
+        "pf AS (SELECT p.q_id, p.vec_id, p.sim FROM p " +
+        "JOIN e c ON p.vec_id = c.vec_id " +
+        "JOIN e q ON p.q_id = q.vec_id " +
+        "WHERE c.label IS NOT DISTINCT FROM q.label) " +
+        "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM pf) " +
+        "WHERE rn <= 3")),
 
     // X3 + X5 + RAG: HYBRID retrieval (r12) — the production RAG shape:
     // a LEXICAL leg and a DENSE leg fused by reciprocal-rank fusion,

@@ -310,6 +310,25 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("filtered probe: every neighbor shares the query's label") {
+    val out = SparkEntry.queries("q_simsearch_filtered")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (q, v) =>
+      assert(labels(q) === labels(v), s"cross-label pair ($q, $v)")
+    }
+    // and the filter runs BEFORE the cut: some query must surface a
+    // same-label neighbor that the UNfiltered top-3 did not contain
+    // (post-filtering the global top-k could never add neighbors)
+    val unfiltered = SparkEntry.queries("q_simsearch_banded")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.exists(p => !unfiltered.contains(p)),
+      "filtered results identical to post-filtered global top-k — " +
+        "pre-cut filtering not exercised by this corpus")
+  }
+
   test("q_simsearch_banded answers from a second session in the same JVM") {
     assert(SparkEntry.queries("q_simsearch_banded")(spark, sf).count() > 0)
     val s2 = spark.newSession()
