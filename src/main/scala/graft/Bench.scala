@@ -125,7 +125,7 @@ object Bench {
     // RRF retrieval = two stored-index probes + a 20-row fuse (heavy-
     // load min-of-3 upper bound, refine from the next idle record)
     "q_dedup_idx" -> 0.26, "q_hybrid" -> 0.90,
-    "q_ivf_mp" -> 0.25, "q_simsearch_filtered" -> 0.30)
+    "q_ivf_mp" -> 0.25, "q_ann_filtered" -> 0.30)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms
@@ -235,8 +235,22 @@ object Bench {
       applyRetries(passed, retryEligible(sfDir), rerun)
     val loadAfter = loadavg()
     // full record first (raw runs, loadavg, 4-decimals) for human readers...
-    println(render(results, reps, loadBefore, loadAfter, sfDir, retried,
-      retryFailed))
+    val full = render(results, reps, loadBefore, loadAfter, sfDir, retried,
+      retryFailed)
+    println(full)
+    // ...and PERSISTED: past ~123 queries the per-entry math can exceed
+    // the driver's 2000-char stdout tail even at idle 2-digit values, so
+    // the compact line may have to omit its cheapest entries — this file
+    // keeps the COMPLETE per-query record (raw reps included) reviewable
+    // from the repo regardless of what survived the capture window.
+    // Full runs only: a subset run must not masquerade as the round's
+    // record (the Verify oracle_sql_subset reasoning).
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      }
     spark.stop()
     // ...then the compact machine line LAST: the driver keeps only the final
     // ~2000 chars of stdout, and the full record has never fit (BENCH_r01-r03

@@ -680,7 +680,7 @@ object AnnIndex {
     * name; `<name>_vec` is the payload twin.
     */
   /** The payload metadata the memoized corpus index stores — `label`
-    * feeds the filtered probe (q_simsearch_filtered). */
+    * feeds the filtered probe (q_ann_filtered). */
   val PayloadCols: Seq[String] = Seq("label")
 
   def annIndex(s: SparkSession, sfDir: String): String = {
@@ -1205,7 +1205,7 @@ object Similarity {
     // from the same stored index; the label rides in the payload table
     // and the equality costs nothing beyond the rescoring join it
     // already sits on.
-    QDef("q_simsearch_filtered",
+    QDef("q_ann_filtered",
       (s, d) => AnnIndex.topKFiltered(s, AnnIndex.annIndex(s, d),
         _ < 10, k = 3, matchCols = Seq("label")),
       Some(s"WITH ${bandedCtes(maxQueryId = 10)}, " +

