@@ -125,7 +125,9 @@ object Bench {
     // RRF retrieval = two stored-index probes + a 20-row fuse (heavy-
     // load min-of-3 upper bound, refine from the next idle record)
     "q_dedup_idx" -> 0.26, "q_hybrid" -> 0.90,
-    "q_ivf_mp" -> 0.25, "q_ann_filtered" -> 0.30)
+    "q_ivf_mp" -> 0.25, "q_ann_filtered" -> 0.30,
+    // sq8: q_simsearch + the per-row quantize transform
+    "q_sq8" -> 0.35)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms
@@ -368,7 +370,10 @@ object Bench {
   }
 
   /** Compact final line sized for the driver's ~2000-char stdout tail.
-    * Query keys drop the uniform "q_" prefix (declared via "prefix") and
+    * Query keys drop the uniform "q_" prefix (a fixed registry-wide
+    * convention documented in SURVEY/README — the former "prefix" field
+    * that declared it was cut in r12 to keep all 124 queries inside the
+    * capture window) and
     * values are INTEGER CENTISECONDS (declared via "q_unit":"cs"; -1 =
     * failed) — both lossless vs the old 2-decimal seconds and together
     * they keep 100+ queries inside the capture window with headroom for
@@ -430,7 +435,7 @@ object Bench {
           s""""load1":[${load1Str(loadBefore)},${load1Str(loadAfter)}],"""
         else ""
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec",""" +
-        s""""prefix":"q_","q_unit":"cs","queries":$qs,""" +
+        s""""q_unit":"cs","queries":$qs,""" +
         s"""$counters$omitted$load""" +
         s""""sf":"$sfShort"}"""
     }

@@ -1197,6 +1197,63 @@ object Similarity {
         centCosSql + " DESC, cn.label) AS rn " +
         "FROM v CROSS JOIN cn) WHERE rn = 1")),
 
+    // X3: INT8 SCALAR-QUANTIZED similarity (r12) — the storage lever
+    // every 100 TB vector deployment pulls: per-vector symmetric
+    // quantization (scale = max|v_i| / 127, code = round(v_i/scale))
+    // shrinks the payload 4× (int8 codes + one float scale vs float32),
+    // and candidate scoring runs on DEQUANTIZED vectors whose error is
+    // bounded by scale/2 per coordinate. This QDef demonstrates the
+    // full arithmetic — quantize, dequantize, rounded sentinel cosine,
+    // top-5 — with every step bit-identical in DuckDB (floor-based
+    // round-half-up, exact /127 double division), so the hash gate
+    // proves the quantization itself, not just the ranking. In the
+    // stored-index form the codes would live in the payload table as
+    // array<tinyint>+scale with exact rescoring of the final top-k from
+    // the full vectors (the two-stage rescore ladder).
+    QDef("q_sq8",
+      (s, d) => {
+        VectorFunctions.register(s)
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            CosSim.canon(col("embedding"), CosSim.EmbDim).as("v"))
+          .withColumn("sc",
+            expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
+          .withColumn("vq", expr(
+            "transform(v, x -> CASE WHEN sc = CAST(0 AS DOUBLE) " +
+              "THEN CAST(0 AS DOUBLE) " +
+              "ELSE floor(x / sc + 0.5) * sc END)"))
+          .withColumn("nrm", expr("sqrt(graft_dot(vq, vq))"))
+          .persist()
+        val q = e.select(col("vec_id").as("q_id"), col("vq").as("qv"),
+          col("nrm").as("qn")).filter(col("q_id") < 10)
+        val sim = CosSim.sentinel(expr("graft_dot(vq, qv)"),
+          col("nrm"), col("qn"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", sim)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("q_id", "vec_id", "sim")
+      },
+      Some("WITH e AS (SELECT vec_id, " +
+        s"${CosSim.canonSql(CosSim.EmbDim)} AS v FROM embeddings), " +
+        "sq AS (SELECT vec_id, v, " +
+        "list_max(list_transform(v, x -> abs(x))) / " +
+        "CAST(127 AS DOUBLE) AS sc FROM e), " +
+        "q8 AS (SELECT vec_id, list_transform(v, x -> " +
+        "CASE WHEN sc = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+        "ELSE floor(x / sc + 0.5) * sc END) AS vq FROM sq), " +
+        "p AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, " +
+        s"${CosSim.sentinelSql("list_dot_product(c.vq, q.vq)",
+          "sqrt(list_dot_product(c.vq, c.vq))",
+          "sqrt(list_dot_product(q.vq, q.vq))")} AS sim " +
+        "FROM q8 c, q8 q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
+        "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p) " +
+        "WHERE rn <= 5")),
+
     // X3: METADATA-FILTERED ANN (r12) — filtered vector search, the
     // production feature every vector store ships: top-3 neighbors
     // AMONG candidates sharing the query's label (filter applied

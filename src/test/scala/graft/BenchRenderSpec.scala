@@ -75,7 +75,6 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     // single line, brace to brace
     assert(line.startsWith("{") && line.endsWith("}"), line.take(60))
     assert(!line.contains("\n"), "must be a single line")
-    assert(line.contains("\"prefix\":\"q_\""), line.take(120))
     // default-valued counters are OMITTED (absent ⇒ reps 3 / failed 0 —
     // the budget headroom rule in renderCompact); non-default ones ride
     assert(!line.contains("\"reps\""), line.takeRight(160))
