@@ -127,7 +127,11 @@ object Bench {
     "q_dedup_idx" -> 0.26, "q_hybrid" -> 0.90,
     "q_ivf_mp" -> 0.25, "q_ann_filtered" -> 0.30,
     // sq8: q_simsearch + the per-row quantize transform
-    "q_sq8" -> 0.35)
+    "q_sq8" -> 0.35,
+    // pq: stored-codes ADC probe (codes explode + broadcast LUT join +
+    // one partial-agg shuffle on (q_id, vec_id)); semdedup: within-cell
+    // pair join over the stored IVF cells + an AQE-sized anti join
+    "q_pq" -> 0.30, "q_semdedup" -> 0.30)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms

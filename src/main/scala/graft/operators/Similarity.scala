@@ -367,7 +367,7 @@ object Ivf {
     * c1 = integer-scaled means, cells = argmax vs c1. Shared by the
     * single- and multi-probe oracles.
     */
-  private def quantizerCtes(k: Int): String =
+  private[operators] def quantizerCtes(k: Int): String =
     s"e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v " +
       "FROM embeddings), " +
       s"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e " +
@@ -880,6 +880,281 @@ object IvfIndex {
   }
 }
 
+/** STORED product-quantization index — the compression rung below
+  * q_sq8's int8 scalar quantization: each 64-dim vector is split into
+  * [[PqIndex.M]] subspaces of [[PqIndex.SubDim]] dims, each subvector
+  * replaced by the id of its nearest codebook centroid (squared-L2,
+  * [[PqIndex.Ks]] centroids per subspace, trained with the same
+  * deterministic seed-init + integer-scaled-Lloyd scheme as
+  * [[Ivf.kmeansCentroids]]). A stored vector is then M small codes —
+  * 8 ints against 64 floats, the 32× payload shrink (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
+  * that keeps a 100 TB corpus's candidate scoring RAM-resident.
+  *
+  * Scoring is ADC (asymmetric distance computation): the QUERY stays
+  * exact; per query a lookup table of subspace dot products
+  * (M × Ks = 128 rows) is built once and broadcast, and a candidate's
+  * score is the SUM of M table lookups — the codes table is never
+  * reconstructed into vectors and the heavy arrays never travel.
+  * Both partial sums go through [[Det.exactSum]]'s decimal grid so the
+  * unordered 8-way sum is bit-identical in Spark and the DuckDB oracle.
+  *
+  * Tables (the [[IvfIndex]] layout): `<t>` = (vec_id, codes array<int>)
+  * bucketed on vec_id; `<t>_cb` = (sub, cid, c, nc2) codebook,
+  * M·Ks rows. [[append]] encodes new vectors with the STORED codebook
+  * (frozen at build, the IVF-append contract) — per-batch cost
+  * O(batch·M·Ks), nothing rewritten, no retraining.
+  */
+object PqIndex {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import graft.operators.{TextOps => TO}
+
+  /** M·SubDim must equal the corpus dim (CosSim.EmbDim). */
+  val M = 8
+  val SubDim = 8
+  val Ks = 16
+
+  private val scale = 1000000.0
+
+  /** (vec_id, nrm, sub, s) subvector rows, sub in 1..M — the reshape
+    * is pure element movement, so Spark's slice and the oracle's
+    * list(v[i] ORDER BY i) grouping produce identical doubles. nrm is
+    * the ORIGINAL full-vector norm riding toward the codes table (see
+    * [[toCodeRows]]). */
+  private def subvectors(e: DataFrame): DataFrame = {
+    val subs = array((1 to M).map(s =>
+      struct(lit(s).as("sub"),
+        slice(col("v"), (s - 1) * SubDim + 1, SubDim).as("s"))): _*)
+    e.select(col("vec_id"), col("nrm"), explode(subs).as("x"))
+      .select(col("vec_id"), col("nrm"), col("x.sub").as("sub"),
+        col("x.s").as("s"))
+  }
+
+  /** Squared L2 via the dot identity |s|²+|c|²−2·s·c: every term is a
+    * fixed-order graft_dot/list_dot_product fold over identical
+    * doubles, so d2 is bit-identical across engines and the
+    * (d2 ASC, cid ASC) tiebreak needs no rounding. */
+  private val d2 =
+    expr("graft_dot(s, s) + graft_dot(c, c) - 2 * graft_dot(s, c)")
+
+  /** Nearest-centroid code per (vec_id, sub) against codebook frame
+    * `cb` = (sub, cid, c). The codebook is M·Ks rows — broadcast; cost
+    * is O(rows·M·Ks) subspace dots, partition-parallel. */
+  private def assignCodes(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2").asc, col("cid").asc)
+    sv.join(broadcast(cb), "sub")
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nrm"), col("sub"), col("s"),
+        col("cid"))
+  }
+
+  /** One Lloyd update per (sub, cid): element-wise integer-scaled means
+    * (long sums are order-free → exact), the meanCentroids arithmetic
+    * on the subspace grid. One map-side-combined aggregation; M·Ks rows
+    * out. */
+  private def meanCodebook(assigned: DataFrame): DataFrame = {
+    val sums = (0 until SubDim).map(i =>
+      sum(floor(col("s")(i) * lit(scale) + lit(0.5)).cast("long"))
+        .as(s"s$i"))
+    val cx = (0 until SubDim).map(i =>
+      col(s"s$i").cast("double") / (lit(scale) * col("n")))
+    assigned.groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("sub"), col("cid"), array(cx: _*).as("c"))
+  }
+
+  /** (vec_id, nrm, codes) rows: the M codes assembled in subspace
+    * order, plus the ORIGINAL full-vector norm — the standard
+    * inner-product/cosine-PQ correction term (8 bytes next to the
+    * codes). It exists so a zero-norm/NULL original scores the
+    * library-wide sentinel -1.0 at probe time: the reconstruction of a
+    * degenerate vector is a NONZERO codeword, and without the stored
+    * norm ADC would hand it a legitimate-looking cosine that could
+    * displace real neighbors (the CosSim contract: degenerate vectors
+    * stay at the BOTTOM of every ranking). */
+  private def toCodeRows(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid"))))
+        .as("cs"), max(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("nrm"),
+        expr("transform(cs, x -> x.cid)").as("codes"))
+
+  /** Train (seed init from the Ks lowest vec_ids' subvectors + one
+    * integer-scaled Lloyd update — the quantizerCtes shape) and store
+    * codebook + codes. */
+  def write(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    TO.clearOrphanLocation(s, table)
+    TO.clearOrphanLocation(s, table + "_cb")
+    val e = Ann.prep(emb, CosSim.EmbDim).persist()
+    val sv = subvectors(e)
+    val cb0 = sv.filter(col("vec_id") < Ks)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+        col("s").as("c"))
+    val cb1 = meanCodebook(assignCodes(sv, cb0)).persist()
+    try {
+      // seed density contract (the kmeansCentroids require): fewer
+      // than Ks seed vectors would silently train a smaller codebook
+      require(cb0.count() == M.toLong * Ks,
+        s"PqIndex.write: expected $Ks seed vectors with vec_id in " +
+          s"[0, $Ks) — ids must be dense from 0")
+      toCodeRows(assignCodes(sv, cb1)).write.mode("overwrite")
+        .bucketBy(nBuckets, "vec_id").sortBy("vec_id").saveAsTable(table)
+      cb1.withColumn("nc2", expr("graft_dot(c, c)")).write
+        .mode("overwrite").saveAsTable(table + "_cb")
+    } finally { e.unpersist(); cb1.unpersist(); () }
+  }
+
+  /** Encode vectors under a GIVEN codebook frame (sub, cid, c) — the
+    * shared definition [[append]] writes and AnnIndexSpec's
+    * never-retrains gate recomputes. */
+  private[graft] def encode(emb: DataFrame, cb: DataFrame): DataFrame =
+    toCodeRows(assignCodes(subvectors(Ann.prep(emb, CosSim.EmbDim)), cb))
+
+  /** APPEND-ONLY maintenance: new vectors are encoded with the STORED
+    * codebook (frozen at build — the [[IvfIndex.append]] contract:
+    * retrain periodically via [[write]] when drift warrants) and their
+    * code rows appended; nothing rewritten. */
+  def append(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    require(s.catalog.tableExists(table + "_cb"),
+      s"PqIndex.append: no stored codebook ${table}_cb — build with " +
+        "PqIndex.write first (append never retrains)")
+    val cb = s.table(table + "_cb").select(col("sub"), col("cid"),
+      col("c"))
+    encode(emb, cb)
+      .write.mode("append").bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(table)
+  }
+
+  /** ADC top-k: `queries` = (vec_id, v) exact canon vectors. Builds the
+    * per-query LUT (queries × codebook — |q|·M·Ks rows, broadcast),
+    * explodes the stored codes (no shuffle on the bucketed scan), sums
+    * the looked-up subspace dots and centroid norm² on Det's decimal
+    * grid (order-free exact), and ranks the rounded sentinel cosine of
+    * query vs the candidate's RECONSTRUCTION — computed without ever
+    * materializing it. */
+  def topK(s: SparkSession, table: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cb = s.table(table + "_cb")
+    val q = queries.select(col("vec_id").as("q_id"), col("v"),
+      expr("sqrt(graft_dot(v, v))").as("qn"))
+    val lut = q.crossJoin(cb)
+      .select(col("q_id"), col("sub"), col("cid"), col("qn"),
+        expr(s"graft_dot(slice(v, (sub-1)*$SubDim+1, $SubDim), c)")
+          .as("dp"),
+        col("nc2"))
+    val codes = s.table(table)
+      .select(col("vec_id"), col("nrm"),
+        posexplode(col("codes")).as(Seq("pos", "cid")))
+      .select(col("vec_id"), col("nrm"), (col("pos") + 1).as("sub"),
+        col("cid"))
+    // stored-norm guard first (degenerate original → sentinel), then
+    // the reconstruction-norm cosine — the CosSim sentinel contract
+    val sim = when(col("nrm") > lit(0d),
+      CosSim.sentinel(col("dt"), sqrt(col("n2")), col("qn")))
+      .otherwise(lit(-1.0d))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(Det.exactSum(col("dp"), 6).as("dt"),
+        Det.exactSum(col("nc2"), 6).as("n2"),
+        max(col("qn")).as("qn"), max(col("nrm")).as("nrm"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("sim"))
+  }
+
+  /** Memoized stored PQ index for `sfDir`'s embeddings — the
+    * [[IvfIndex.ivfIndex]] contract (catalog memo, `_ok` marker, sweep,
+    * shared build lock). */
+  def pqIndex(s: SparkSession, sfDir: String): String = {
+    val table = TO.indexTableName("graft_pq_idx", sfDir)
+    val okTable = table + "_ok"
+    TO.bm25BuildLock.synchronized {
+      TO.sweepDeadIndexes(s)
+      if (!s.catalog.tableExists(okTable) || !s.catalog.tableExists(table)
+          || !s.catalog.tableExists(table + "_cb")) {
+        Seq(table, table + "_cb", okTable).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
+        }
+        write(Tables(s, sfDir, "embeddings"), table)
+        val sp = s
+        import sp.implicits._
+        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
+      }
+    }
+    table
+  }
+
+  /** DuckDB mirror of the whole pipeline — per-subspace seed + Lloyd +
+    * assignment CTEs (the quantizerCtes scheme on the subspace grid),
+    * then the ADC probe with the same decimal-grid sums. */
+  def oracleSql(maxQueryId: Int, topK: Int): String = {
+    def d2Sql(cb: String) =
+      s"list_dot_product(sv.s, sv.s) + list_dot_product($cb.c, $cb.c) " +
+        s"- 2 * list_dot_product(sv.s, $cb.c)"
+    "WITH e AS (SELECT vec_id, " +
+      s"${CosSim.canonSql(CosSim.EmbDim)} AS v FROM embeddings), " +
+      s"sv AS (SELECT vec_id, CAST((i-1)//$SubDim AS INT)+1 AS sub, " +
+      "list(v[i] ORDER BY i) AS s " +
+      s"FROM e, generate_series(1, ${M * SubDim}) t(i) " +
+      s"GROUP BY vec_id, (i-1)//$SubDim), " +
+      "cb0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, s AS c FROM sv " +
+      s"WHERE vec_id < $Ks), " +
+      "a1 AS (SELECT vec_id, sub, s, cid FROM (" +
+      "SELECT sv.vec_id, sv.sub, sv.s, cb0.cid, row_number() OVER (" +
+      s"PARTITION BY sv.vec_id, sv.sub ORDER BY ${d2Sql("cb0")} ASC, " +
+      "cb0.cid ASC) AS rn " +
+      "FROM sv JOIN cb0 ON sv.sub = cb0.sub) WHERE rn = 1), " +
+      "cb1 AS (SELECT sub, cid, list(cx ORDER BY j) AS c FROM (" +
+      "SELECT sub, cid, j, " +
+      "CAST(sum(CAST(floor(s[j]*1000000 + 0.5) AS BIGINT)) AS DOUBLE) " +
+      "/ (1000000.0 * count(*)) AS cx " +
+      s"FROM a1, generate_series(1, $SubDim) t(j) " +
+      "GROUP BY sub, cid, j) GROUP BY sub, cid), " +
+      "codes AS (SELECT vec_id, sub, cid FROM (" +
+      "SELECT sv.vec_id, sv.sub, cb1.cid, row_number() OVER (" +
+      s"PARTITION BY sv.vec_id, sv.sub ORDER BY ${d2Sql("cb1")} ASC, " +
+      "cb1.cid ASC) AS rn " +
+      "FROM sv JOIN cb1 ON sv.sub = cb1.sub) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS q_id, v, " +
+      "sqrt(list_dot_product(v, v)) AS qn FROM e " +
+      s"WHERE vec_id < $maxQueryId), " +
+      "lut AS (SELECT q.q_id, cb1.sub, cb1.cid, q.qn, " +
+      "list_dot_product(list_slice(q.v, " +
+      s"(cb1.sub-1)*$SubDim+1, cb1.sub*$SubDim), cb1.c) AS dp, " +
+      "list_dot_product(cb1.c, cb1.c) AS nc2 FROM q, cb1), " +
+      "p AS (SELECT l.q_id, c.vec_id, " +
+      s"${Det.exactSumSql("l.dp", 6)} AS dt, " +
+      s"${Det.exactSumSql("l.nc2", 6)} AS n2, max(l.qn) AS qn, " +
+      "max(sqrt(list_dot_product(ce.v, ce.v))) AS cnrm " +
+      "FROM codes c JOIN lut l ON c.sub = l.sub AND c.cid = l.cid " +
+      "JOIN e ce ON ce.vec_id = c.vec_id " +
+      "WHERE c.vec_id <> l.q_id GROUP BY l.q_id, c.vec_id) " +
+      "SELECT q_id, vec_id, sim FROM (SELECT q_id, vec_id, " +
+      s"$guardedSim AS sim, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY " +
+      s"$guardedSim DESC, vec_id) " +
+      s"AS rn FROM p) WHERE rn <= $topK"
+  }
+
+  // stored-norm sentinel guard around the ADC cosine (see toCodeRows)
+  private def guardedSim: String =
+    "CASE WHEN cnrm > 0 THEN " +
+      CosSim.sentinelSql("dt", "sqrt(n2)", "qn") +
+      " ELSE CAST(-1 AS DOUBLE) END"
+}
+
 object Similarity {
 
   // graft_dot is the custom codegen DotProduct expression
@@ -1253,6 +1528,65 @@ object Similarity {
         "SELECT q_id, vec_id, sim FROM (SELECT *, row_number() OVER (" +
         "PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p) " +
         "WHERE rn <= 5")),
+
+    // X3: PRODUCT-QUANTIZED ADC search (r12) over the STORED PQ index
+    // (PqIndex): codes live in a bucketed table maintained at ingest,
+    // the query never touches full corpus vectors — scoring is M table
+    // lookups per candidate against a broadcast 128-row per-query LUT.
+    // The hash gate proves the whole ladder: deterministic per-subspace
+    // codebook training, code assignment, and the ADC sums themselves
+    // (decimal-grid exact in both engines).
+    QDef("q_pq",
+      (s, d) => {
+        VectorFunctions.register(s)
+        val q = Tables(s, d, "embeddings")
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id"),
+            CosSim.canon(col("embedding"), CosSim.EmbDim).as("v"))
+        PqIndex.topK(s, PqIndex.pqIndex(s, d), q, k = 5)
+      },
+      Some(PqIndex.oracleSql(maxQueryId = 10, topK = 5))),
+
+    // X4: SEMANTIC DEDUP (r12) — SemDeDup (Abbas et al., 2023,
+    // arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    // then drop near-duplicate embeddings WITHIN each cluster — pair
+    // cost is Σ|cell|², never corpus², and with a production-sized k
+    // (SemDeDup uses ~100k clusters) cells stay small enough that the
+    // within-cell pass is embarrassingly parallel. The cells come from
+    // the STORED IVF quantizer (maintain-once, the r12 index family);
+    // both sides of the pair join read the same bucketed-on-cell
+    // table, so the join itself needs no Exchange. Survivor rule:
+    // deterministic lowest-id-wins — a vector is dropped when ANY
+    // lower-id vector in its cell is >= τ cosine-similar (one pass,
+    // non-transitive; τ = 0.4 matches q_embed_dedup's pair cut on this
+    // corpus). Emits the KEPT rows (vec_id, cell).
+    QDef("q_semdedup",
+      (s, d) => {
+        VectorFunctions.register(s)
+        val cells = s.table(IvfIndex.ivfIndex(s, d))
+        val a = cells.select(col("vec_id").as("a_id"),
+          col("v").as("qv"), col("nrm").as("qn"),
+          col("cell").as("a_cell"))
+        val b = cells.select(col("vec_id").as("b_id"), col("v"),
+          col("nrm"), col("cell"))
+        val sim = CosSim.sentinel(expr(dotAB), col("nrm"), col("qn"))
+        val dropped = b.join(a, col("a_cell") === col("cell") &&
+            col("a_id") < col("b_id"))
+          .withColumn("sim", sim)
+          .filter(col("sim") >= 0.4)
+          .select(col("b_id").as("vec_id")).distinct()
+        // AQE sizes the anti join (dropped is usually tiny → broadcast)
+        cells.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cell"))
+      },
+      Some(s"WITH ${Ivf.quantizerCtes(IvfIndex.K)}, " +
+        "d AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b " +
+        "ON a.cell = b.cell AND a.vec_id < b.vec_id WHERE " +
+        s"${CosSim.sentinelSql("list_dot_product(b.v, a.v)",
+          "sqrt(list_dot_product(b.v, b.v))",
+          "sqrt(list_dot_product(a.v, a.v))")} >= 0.4) " +
+        "SELECT c.vec_id, c.cell FROM cells c ANTI JOIN d " +
+        "ON c.vec_id = d.vec_id")),
 
     // X3: METADATA-FILTERED ANN (r12) — filtered vector search, the
     // production feature every vector store ships: top-3 neighbors

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, AnnIndex, IvfIndex, Ivf}
+import graft.operators.{Ann, AnnIndex, IvfIndex, Ivf, PqIndex}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -235,6 +235,46 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
       assert(stored === expected)
       assert(stored.nonEmpty)
     } finally Seq(t, s"${t}_cent")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("PQ append encodes with the stored codebook, never retrains") {
+    val t = "pq_app_spec"
+    Seq(t, s"${t}_cb").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      // append without a stored codebook must refuse loudly
+      val e = intercept[IllegalArgumentException] {
+        PqIndex.append(emb.limit(1), t)
+      }
+      assert(e.getMessage.contains("no stored codebook"))
+      // build on the id-dense front half (codebook seeds need vec_id
+      // 0..Ks dense), append the tail
+      PqIndex.write(emb.filter(col("vec_id") < 250), t)
+      val cbBefore = spark.table(s"${t}_cb").collect()
+        .map(_.toString).sorted.toSeq
+      PqIndex.append(emb.filter(col("vec_id") >= 250), t)
+      // append must not have touched the codebook
+      val cbAfter = spark.table(s"${t}_cb").collect()
+        .map(_.toString).sorted.toSeq
+      assert(cbAfter === cbBefore)
+      // shape invariants over the grown table: one row per vector,
+      // M codes each, every code id inside the codebook
+      val all = spark.table(t).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](r.fieldIndex("codes")).toSeq).toMap
+      assert(all.size.toLong === emb.count())
+      all.values.foreach { cs =>
+        assert(cs.length === PqIndex.M)
+        assert(cs.forall(c => c >= 0 && c < PqIndex.Ks), cs.toString)
+      }
+      // appended rows must equal a fresh encode under the STORED
+      // codebook — the never-retrains contract
+      val cb = spark.table(s"${t}_cb").select(col("sub"), col("cid"),
+        col("c"))
+      val expected = PqIndex.encode(emb.filter(col("vec_id") >= 250), cb)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](r.fieldIndex("codes")).toSeq).toMap
+      assert(expected.nonEmpty)
+      expected.foreach { case (id, cs) => assert(all(id) === cs, s"vec $id") }
+    } finally Seq(t, s"${t}_cb")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 

@@ -56,6 +56,10 @@ class DegenerateHarnessSpec extends AnyFunSuite with SparkSuite {
     ("q_simsearch_banded", "vec_id", "sim"),
     ("q_simsearch_ivf", "vec_id", "sim"),
     ("q_rag_retrieve", "vec_id", "sim"),
+    // PQ: the stored-norm guard (toCodeRows) exists exactly for this
+    // invariant — a degenerate vector's RECONSTRUCTION is a nonzero
+    // codeword, so without it ADC would score it above the sentinel
+    ("q_pq", "vec_id", "sim"),
     ("q_embed_dedup", "b_id", "sim"))
 
   test("retrieval family runs green; degenerate candidates only at the sentinel") {
@@ -96,6 +100,31 @@ class DegenerateHarnessSpec extends AnyFunSuite with SparkSuite {
     // a hard-coded row count, so fixture regeneration can't break it
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
     assert(rows.size.toLong === total)
+  }
+
+  test("q_pq: degenerate originals at the sentinel in the FULL scored set") {
+    // the top-5 cut hides sentinel rows, so probe with k > corpus to
+    // force every candidate out — the stored-norm guard must pin the
+    // zero/NULL originals at exactly -1.0 even though their PQ
+    // reconstructions are nonzero codewords with legitimate cosines
+    import graft.operators.PqIndex
+    val qdf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 1)
+      .select(col("vec_id"),
+        coalesce(col("embedding").cast("array<double>"),
+          typedlit(Seq.fill(64)(0.0))).as("v"))
+    val all = PqIndex.topK(spark, PqIndex.pqIndex(spark, dir), qdf,
+      k = 10000)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    degenIds.foreach { id =>
+      assert(all(id) === -1.0, s"vec $id above the sentinel") }
+    assert(all.size > degenIds.size)
+  }
+
+  test("q_semdedup keeps degenerate rows (sentinel sims never dedup)") {
+    val kept = SparkEntry.queries("q_semdedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    degenIds.foreach(id => assert(kept.contains(id), s"vec $id dropped"))
   }
 
   test("q_embed_centroid stays finite with the zero row folded in") {

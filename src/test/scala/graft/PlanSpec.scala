@@ -284,6 +284,20 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(pr.contains("BroadcastHashJoin"), pr)
   }
 
+  test("q_pq: ADC probe reads stored codes; embeddings is query-fetch only") {
+    // the candidate side is the stored codes table — full corpus
+    // vectors must never be read at probe time (ADC scores candidates
+    // from code lookups alone); the only embeddings touch is the
+    // query-vector fetch, with the 10-row id filter pushed to parquet
+    val p = plan("q_pq")
+    assert(p.contains("graft_pq_idx_"), p)
+    assert(p.contains("LessThan(vec_id,10)"), p)
+    val embScans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(embScans <= 1, s"$embScans embeddings scans:\n$p")
+    // the per-query LUT (queries × codebook, 128 rows/query) broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_pmi: top-20 is TakeOrdered over persisted counts, no global sort") {
     val p = plan("q_pmi")
     assert(p.contains("TakeOrderedAndProject"), p)
