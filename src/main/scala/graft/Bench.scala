@@ -131,7 +131,9 @@ object Bench {
     // pq: stored-codes ADC probe (codes explode + broadcast LUT join +
     // one partial-agg shuffle on (q_id, vec_id)); semdedup: within-cell
     // pair join over the stored IVF cells + an AQE-sized anti join
-    "q_pq" -> 0.30, "q_semdedup" -> 0.30)
+    "q_pq" -> 0.30, "q_semdedup" -> 0.30,
+    // ivfpq: cell-restricted ADC — the cheapest of the ANN probes
+    "q_ivfpq" -> 0.30)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms

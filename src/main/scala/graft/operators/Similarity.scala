@@ -1074,6 +1074,45 @@ object PqIndex {
       .select(col("q_id"), col("vec_id"), col("sim"))
   }
 
+  /** Pair-restricted ADC top-k — the IVF-PQ probe shape (Jégou et al.
+    * §V: a coarse quantizer picks each query's candidate cells, PQ
+    * codes score only those residents). `cand` = (q_id, vec_id)
+    * candidate pairs from the coarse index; the codes table is joined
+    * down to the candidate residents BEFORE the LUT lookup, so probe
+    * cost is O(Σ|cell| · M), never corpus-wide. */
+  def topKPairs(s: SparkSession, table: String, queries: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cb = s.table(table + "_cb")
+    val q = queries.select(col("vec_id").as("q_id"), col("v"),
+      expr("sqrt(graft_dot(v, v))").as("qn"))
+    val lut = q.crossJoin(cb)
+      .select(col("q_id"), col("sub"), col("cid"), col("qn"),
+        expr(s"graft_dot(slice(v, (sub-1)*$SubDim+1, $SubDim), c)")
+          .as("dp"),
+        col("nc2"))
+    val codes = s.table(table)
+      .select(col("vec_id"), col("nrm"),
+        posexplode(col("codes")).as(Seq("pos", "cid")))
+      .select(col("vec_id"), col("nrm"), (col("pos") + 1).as("sub"),
+        col("cid"))
+      .join(cand, "vec_id")
+    val sim = when(col("nrm") > lit(0d),
+      CosSim.sentinel(col("dt"), sqrt(col("n2")), col("qn")))
+      .otherwise(lit(-1.0d))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    codes.join(broadcast(lut), Seq("q_id", "sub", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(Det.exactSum(col("dp"), 6).as("dt"),
+        Det.exactSum(col("nc2"), 6).as("n2"),
+        max(col("qn")).as("qn"), max(col("nrm")).as("nrm"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("sim"))
+  }
+
   /** Memoized stored PQ index for `sfDir`'s embeddings — the
     * [[IvfIndex.ivfIndex]] contract (catalog memo, `_ok` marker, sweep,
     * shared build lock). */
@@ -1096,22 +1135,22 @@ object PqIndex {
     table
   }
 
-  /** DuckDB mirror of the whole pipeline — per-subspace seed + Lloyd +
-    * assignment CTEs (the quantizerCtes scheme on the subspace grid),
-    * then the ADC probe with the same decimal-grid sums. */
-  def oracleSql(maxQueryId: Int, topK: Int): String = {
+  /** The sv/cb0/pa1/cb1/codes CTE bodies (no WITH, no `e` — the caller
+    * supplies the canon `e`): per-subspace seed + Lloyd + assignment,
+    * the quantizerCtes scheme on the subspace grid. Shared by the ADC
+    * and IVF-PQ oracles (CTE names stay disjoint from quantizerCtes'
+    * e/c0/a1/c1/cells so the two pipelines can co-exist in one WITH). */
+  private def pqCtes: String = {
     def d2Sql(cb: String) =
       s"list_dot_product(sv.s, sv.s) + list_dot_product($cb.c, $cb.c) " +
         s"- 2 * list_dot_product(sv.s, $cb.c)"
-    "WITH e AS (SELECT vec_id, " +
-      s"${CosSim.canonSql(CosSim.EmbDim)} AS v FROM embeddings), " +
-      s"sv AS (SELECT vec_id, CAST((i-1)//$SubDim AS INT)+1 AS sub, " +
+    s"sv AS (SELECT vec_id, CAST((i-1)//$SubDim AS INT)+1 AS sub, " +
       "list(v[i] ORDER BY i) AS s " +
       s"FROM e, generate_series(1, ${M * SubDim}) t(i) " +
       s"GROUP BY vec_id, (i-1)//$SubDim), " +
       "cb0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, s AS c FROM sv " +
       s"WHERE vec_id < $Ks), " +
-      "a1 AS (SELECT vec_id, sub, s, cid FROM (" +
+      "pa1 AS (SELECT vec_id, sub, s, cid FROM (" +
       "SELECT sv.vec_id, sv.sub, sv.s, cb0.cid, row_number() OVER (" +
       s"PARTITION BY sv.vec_id, sv.sub ORDER BY ${d2Sql("cb0")} ASC, " +
       "cb0.cid ASC) AS rn " +
@@ -1120,20 +1159,33 @@ object PqIndex {
       "SELECT sub, cid, j, " +
       "CAST(sum(CAST(floor(s[j]*1000000 + 0.5) AS BIGINT)) AS DOUBLE) " +
       "/ (1000000.0 * count(*)) AS cx " +
-      s"FROM a1, generate_series(1, $SubDim) t(j) " +
+      s"FROM pa1, generate_series(1, $SubDim) t(j) " +
       "GROUP BY sub, cid, j) GROUP BY sub, cid), " +
       "codes AS (SELECT vec_id, sub, cid FROM (" +
       "SELECT sv.vec_id, sv.sub, cb1.cid, row_number() OVER (" +
       s"PARTITION BY sv.vec_id, sv.sub ORDER BY ${d2Sql("cb1")} ASC, " +
       "cb1.cid ASC) AS rn " +
-      "FROM sv JOIN cb1 ON sv.sub = cb1.sub) WHERE rn = 1), " +
-      "q AS (SELECT vec_id AS q_id, v, " +
+      "FROM sv JOIN cb1 ON sv.sub = cb1.sub) WHERE rn = 1)"
+  }
+
+  /** Per-query lookup-table CTE over a `qv` relation (q_id, v, qn). */
+  private def lutCte: String =
+    "lut AS (SELECT qv.q_id, cb1.sub, cb1.cid, qv.qn, " +
+      "list_dot_product(list_slice(qv.v, " +
+      s"(cb1.sub-1)*$SubDim+1, cb1.sub*$SubDim), cb1.c) AS dp, " +
+      "list_dot_product(cb1.c, cb1.c) AS nc2 FROM qv, cb1)"
+
+  /** DuckDB mirror of the whole pipeline — per-subspace seed + Lloyd +
+    * assignment CTEs, then the ADC probe with the same decimal-grid
+    * sums. */
+  def oracleSql(maxQueryId: Int, topK: Int): String =
+    "WITH e AS (SELECT vec_id, " +
+      s"${CosSim.canonSql(CosSim.EmbDim)} AS v FROM embeddings), " +
+      s"$pqCtes, " +
+      "qv AS (SELECT vec_id AS q_id, v, " +
       "sqrt(list_dot_product(v, v)) AS qn FROM e " +
       s"WHERE vec_id < $maxQueryId), " +
-      "lut AS (SELECT q.q_id, cb1.sub, cb1.cid, q.qn, " +
-      "list_dot_product(list_slice(q.v, " +
-      s"(cb1.sub-1)*$SubDim+1, cb1.sub*$SubDim), cb1.c) AS dp, " +
-      "list_dot_product(cb1.c, cb1.c) AS nc2 FROM q, cb1), " +
+      s"$lutCte, " +
       "p AS (SELECT l.q_id, c.vec_id, " +
       s"${Det.exactSumSql("l.dp", 6)} AS dt, " +
       s"${Det.exactSumSql("l.nc2", 6)} AS n2, max(l.qn) AS qn, " +
@@ -1146,7 +1198,33 @@ object PqIndex {
       "row_number() OVER (PARTITION BY q_id ORDER BY " +
       s"$guardedSim DESC, vec_id) " +
       s"AS rn FROM p) WHERE rn <= $topK"
-  }
+
+  /** DuckDB mirror of the IVF-PQ probe: the stored coarse quantizer's
+    * cells (quantizerCtes) pick each query's candidate set, the PQ
+    * codes (pqCtes) ADC-score it — both pipelines in one WITH, names
+    * disjoint by construction. */
+  def oracleSqlIvfPq(ivfK: Int, maxQueryId: Int, topK: Int): String =
+    s"WITH ${Ivf.quantizerCtes(ivfK)}, $pqCtes, " +
+      "qv AS (SELECT vec_id AS q_id, v, cell, " +
+      "sqrt(list_dot_product(v, v)) AS qn FROM cells " +
+      s"WHERE vec_id < $maxQueryId), " +
+      "cnd AS (SELECT qv.q_id, c.vec_id FROM cells c JOIN qv " +
+      "ON c.cell = qv.cell AND c.vec_id <> qv.q_id), " +
+      s"$lutCte, " +
+      "p AS (SELECT cnd.q_id, c.vec_id, " +
+      s"${Det.exactSumSql("l.dp", 6)} AS dt, " +
+      s"${Det.exactSumSql("l.nc2", 6)} AS n2, max(l.qn) AS qn, " +
+      "max(sqrt(list_dot_product(ce.v, ce.v))) AS cnrm " +
+      "FROM codes c JOIN cnd ON cnd.vec_id = c.vec_id " +
+      "JOIN lut l ON l.q_id = cnd.q_id AND c.sub = l.sub " +
+      "AND c.cid = l.cid " +
+      "JOIN e ce ON ce.vec_id = c.vec_id " +
+      "GROUP BY cnd.q_id, c.vec_id) " +
+      "SELECT q_id, vec_id, sim FROM (SELECT q_id, vec_id, " +
+      s"$guardedSim AS sim, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY " +
+      s"$guardedSim DESC, vec_id) " +
+      s"AS rn FROM p) WHERE rn <= $topK"
 
   // stored-norm sentinel guard around the ADC cosine (see toCodeRows)
   private def guardedSim: String =
@@ -1546,6 +1624,33 @@ object Similarity {
         PqIndex.topK(s, PqIndex.pqIndex(s, d), q, k = 5)
       },
       Some(PqIndex.oracleSql(maxQueryId = 10, topK = 5))),
+
+    // X3: IVF-PQ (r12) — the canonical billion-scale ANN layout
+    // (FAISS's IndexIVFPQ; Jégou et al. §V): the stored COARSE
+    // quantizer restricts each query to its cell's residents, and the
+    // stored PQ CODES ADC-score only those — probe cost
+    // O(|cell| · M lookups) per query, with neither full corpus
+    // vectors nor corpus-wide code scans touched. Queries come off the
+    // IVF table (carrying their cell), so the probe plan reads ONLY
+    // the two stored indexes. Both indexes are append-maintained; this
+    // QDef is their composition, hash-gated end to end.
+    QDef("q_ivfpq",
+      (s, d) => {
+        VectorFunctions.register(s)
+        val cells = s.table(IvfIndex.ivfIndex(s, d))
+        val q = cells.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v"),
+            col("cell").as("q_cell"))
+        val cand = cells
+          .join(broadcast(q.select(col("q_id"), col("q_cell"))),
+            col("cell") === col("q_cell") &&
+              col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"))
+        PqIndex.topKPairs(s, PqIndex.pqIndex(s, d),
+          q.select(col("q_id").as("vec_id"), col("v")), cand, k = 3)
+      },
+      Some(PqIndex.oracleSqlIvfPq(ivfK = IvfIndex.K, maxQueryId = 10,
+        topK = 3))),
 
     // X4: SEMANTIC DEDUP (r12) — SemDeDup (Abbas et al., 2023,
     // arXiv:2303.09540): cluster the corpus with a coarse quantizer,

@@ -60,6 +60,7 @@ class DegenerateHarnessSpec extends AnyFunSuite with SparkSuite {
     // invariant — a degenerate vector's RECONSTRUCTION is a nonzero
     // codeword, so without it ADC would score it above the sentinel
     ("q_pq", "vec_id", "sim"),
+    ("q_ivfpq", "vec_id", "sim"),
     ("q_embed_dedup", "b_id", "sim"))
 
   test("retrieval family runs green; degenerate candidates only at the sentinel") {

@@ -298,6 +298,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_ivfpq: probe reads ONLY the two stored indexes, never embeddings") {
+    // IVF-PQ composition: queries + candidate cells from the stored
+    // coarse quantizer, scores from the stored codes — the embeddings
+    // source must appear nowhere (even the query vectors come off the
+    // IVF table)
+    val p = plan("q_ivfpq")
+    assert(p.contains("graft_ivf_idx_"), p)
+    assert(p.contains("graft_pq_idx_"), p)
+    assert(!p.contains("embeddings"), p)
+  }
+
   test("q_pmi: top-20 is TakeOrdered over persisted counts, no global sort") {
     val p = plan("q_pmi")
     assert(p.contains("TakeOrderedAndProject"), p)
