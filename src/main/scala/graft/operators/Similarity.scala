@@ -982,31 +982,43 @@ object PqIndex {
       .select(col("vec_id"), col("nrm"),
         expr("transform(cs, x -> x.cid)").as("codes"))
 
-  /** Train (seed init from the Ks lowest vec_ids' subvectors + one
-    * integer-scaled Lloyd update — the quantizerCtes shape) and store
-    * codebook + codes. */
-  def write(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+  /** Train the codebook alone (seed init from the Ks lowest vec_ids'
+    * subvectors + one integer-scaled Lloyd update — the quantizerCtes
+    * shape) and store `<t>_cb`, WITHOUT encoding anything — the seed
+    * step for streaming/append-only ingest, where the training corpus
+    * and the arriving vectors are different populations. */
+  def trainCodebook(emb: DataFrame, table: String): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
-    TO.clearOrphanLocation(s, table)
     TO.clearOrphanLocation(s, table + "_cb")
     val e = Ann.prep(emb, CosSim.EmbDim).persist()
-    val sv = subvectors(e)
-    val cb0 = sv.filter(col("vec_id") < Ks)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"),
-        col("s").as("c"))
-    val cb1 = meanCodebook(assignCodes(sv, cb0)).persist()
     try {
+      val sv = subvectors(e)
+      val cb0 = sv.filter(col("vec_id") < Ks)
+        .select(col("sub"), col("vec_id").cast("int").as("cid"),
+          col("s").as("c"))
       // seed density contract (the kmeansCentroids require): fewer
       // than Ks seed vectors would silently train a smaller codebook
       require(cb0.count() == M.toLong * Ks,
-        s"PqIndex.write: expected $Ks seed vectors with vec_id in " +
-          s"[0, $Ks) — ids must be dense from 0")
-      toCodeRows(assignCodes(sv, cb1)).write.mode("overwrite")
-        .bucketBy(nBuckets, "vec_id").sortBy("vec_id").saveAsTable(table)
-      cb1.withColumn("nc2", expr("graft_dot(c, c)")).write
-        .mode("overwrite").saveAsTable(table + "_cb")
-    } finally { e.unpersist(); cb1.unpersist(); () }
+        s"PqIndex.trainCodebook: expected $Ks seed vectors with vec_id " +
+          s"in [0, $Ks) — ids must be dense from 0")
+      meanCodebook(assignCodes(sv, cb0))
+        .withColumn("nc2", expr("graft_dot(c, c)"))
+        .write.mode("overwrite").saveAsTable(table + "_cb")
+    } finally { e.unpersist(); () }
+  }
+
+  /** Train and store codebook + codes: [[trainCodebook]] then one
+    * [[append]] of the whole corpus — byte-identical to a fused build
+    * (parquet doubles roundtrip exactly, so encoding under the STORED
+    * codebook equals encoding under the in-flight one), and it keeps
+    * ONE encode definition for build, append, and streaming ingest. */
+  def write(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    TO.clearOrphanLocation(s, table)
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    trainCodebook(emb, table)
+    append(emb, table, nBuckets)
   }
 
   /** Encode vectors under a GIVEN codebook frame (sub, cid, c) — the

@@ -385,7 +385,40 @@ object StreamingOps {
     * requiring an index rebuild.
     */
   def streamingAnnIngest(spark: SparkSession, sfDir: String,
+      table: String): Unit =
+    vectorIngest(spark, sfDir, table, Seq(table, table + "_vec"),
+      (batch, t) => graft.operators.AnnIndex.append(batch, t))
+
+  /** Streaming PQ INDEX INGEST — the online maintenance leg of
+    * [[graft.operators.PqIndex]]: vectors arrive as a file stream and
+    * each micro-batch is ENCODED with the stored codebook and appended
+    * to the bucketed codes table (PqIndex.append under foreachBatch —
+    * one encode definition with batch, so stream- and batch-grown
+    * codes cannot drift; gated in AnnIndexSpec). The codebook must
+    * pre-exist ([[graft.operators.PqIndex.trainCodebook]] on a seed
+    * corpus — append never retrains, the frozen-quantizer contract),
+    * and is never touched by ingest, so a PQ batch is ONE table append
+    * — a narrower crash window than the two-table ANN ingest above.
+    * Same replay ledger + stable warehouse checkpoint as every ingest
+    * in this file.
+    */
+  def streamingPqIngest(spark: SparkSession, sfDir: String,
       table: String): Unit = {
+    require(spark.catalog.tableExists(table + "_cb"),
+      s"streamingPqIngest: no stored codebook ${table}_cb — train with " +
+        "PqIndex.trainCodebook first (ingest never retrains)")
+    vectorIngest(spark, sfDir, table, Seq(table),
+      (batch, t) => graft.operators.PqIndex.append(batch, t))
+  }
+
+  /** The shared vector-ingest loop (ANN bands, PQ codes): file-stream
+    * the corpus, append each micro-batch through `append` behind the
+    * batch-id replay ledger, stable warehouse checkpoint at
+    * `<table>_ck` (orphan-cleaned when the table is gone), refresh
+    * `refresh` for the caller's session. */
+  private def vectorIngest(spark: SparkSession, sfDir: String,
+      table: String, refresh: Seq[String],
+      append: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
     val path = s"$sfDir/embeddings.parquet"
     val schema = spark.read.parquet(path).schema
     val ledger = table + "_ledger"
@@ -403,7 +436,7 @@ object StreamingOps {
         val applied = s.catalog.tableExists(ledger) &&
           !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
         if (!applied) {
-          graft.operators.AnnIndex.append(batch, table)
+          append(batch.toDF(), table)
           val sp = s
           import sp.implicits._
           Seq(batchId).toDF("batch_id")
@@ -414,7 +447,7 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Seq(table, table + "_vec").foreach { t =>
+    refresh.foreach { t =>
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
     }
   }

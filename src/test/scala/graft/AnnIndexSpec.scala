@@ -316,6 +316,53 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("streamingPqIngest: stream-grown codes equal a direct encode") {
+    val pid = ProcessHandle.current().pid()
+    val t = s"pq_ingest_spec_p$pid"
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqing")
+      .toString
+    def stageHalf(m: Int): Unit =
+      emb.filter(pmod(col("vec_id"), lit(2)) === m)
+        .select("vec_id", "embedding")
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Seq(t, s"${t}_cb", s"${t}_ledger")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      // ingest without a trained codebook must refuse loudly (the
+      // frozen-quantizer contract — ingest never trains)
+      val e = intercept[IllegalArgumentException] {
+        streaming.StreamingOps.streamingPqIngest(spark, dir, t)
+      }
+      assert(e.getMessage.contains("no stored codebook"))
+      // codebook from the (id-dense) corpus; codes arrive by stream
+      graft.operators.PqIndex.trainCodebook(emb, t)
+      stageHalf(0)
+      streaming.StreamingOps.streamingPqIngest(spark, dir, t)
+      // idempotent re-run over unchanged data (stable checkpoint)
+      streaming.StreamingOps.streamingPqIngest(spark, dir, t)
+      // vectors arriving later must be ingested
+      stageHalf(1)
+      streaming.StreamingOps.streamingPqIngest(spark, dir, t)
+      def codeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Int](r.fieldIndex("codes")).toSeq).toMap
+      val cb = spark.table(s"${t}_cb").select(col("sub"), col("cid"),
+        col("c"))
+      val expected = codeMap(graft.operators.PqIndex.encode(
+        spark.read.parquet(s"$dir/embeddings.parquet"), cb))
+      val got = codeMap(spark.table(t))
+      assert(got === expected)
+      assert(got.size.toLong === emb.count())
+    } finally {
+      Seq(t, s"${t}_cb", s"${t}_ledger")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+      val ck = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase + "_ck")
+      ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(ck, true)
+    }
+  }
+
   test("IVF multi-probe: nprobe=1 equals the single-cell probe exactly") {
     val t = "ivf_mp_spec"
     Seq(t, s"${t}_cent").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
