@@ -680,7 +680,7 @@ object AnnIndex {
     * name; `<name>_vec` is the payload twin.
     */
   /** The payload metadata the memoized corpus index stores — `label`
-    * feeds the filtered probe (q_ann_filtered). */
+    * feeds the filtered probe (q_annf). */
   val PayloadCols: Seq[String] = Seq("label")
 
   def annIndex(s: SparkSession, sfDir: String): String = {
@@ -1245,6 +1245,168 @@ object PqIndex {
       " ELSE CAST(-1 AS DOUBLE) END"
 }
 
+/** STORED binary-quantization index — the bottom rung of the vector
+  * compression ladder (fp64 512 B → int8 SQ 64 B → PQ 8 codes → BQ
+  * 8 B): each 64-dim vector collapses to its per-coordinate SIGN BITS,
+  * packed into ONE BIGINT (`sig`). Candidate generation is then a
+  * popcount scan — Hamming(a, b) = bit_count(a XOR b), one codegen'd
+  * integer op per candidate against 64 multiply-adds for a float dot —
+  * and the scan reads 8 bytes/vector, which is what keeps a 100 TB
+  * corpus's first-pass scoring in memory/SIMD territory (the
+  * "binary quantization with rescoring" shape production vector
+  * stores ship). Hamming only RANKS; the top-C survivors per query are
+  * rescored EXACTLY through the stored [[AnnIndex]] payload table
+  * (v, nrm) before the final top-k cut, so the emitted similarities
+  * are true sentinel cosines. Everything is integer until the rerank —
+  * sign bits, XOR, popcount — so the DuckDB mirror (which compares
+  * signs positionally instead of packing words) produces the same
+  * Hamming numbers bit-for-bit and the driver's hash gate proves the
+  * quantization itself, not just the rerank.
+  *
+  * A sign bit depends only on the vector's own coordinates, so rows
+  * are doc-local: [[append]] is trivially exact (append-grown ≡
+  * from-scratch, AnnIndexSpec-gated) and there is nothing to retrain —
+  * the property that makes BQ the cheapest index to MAINTAIN as well
+  * as to scan. NULL embeddings canonicalize to the zero vector
+  * ([[CosSim.canon]]) whose signature is 0L (no coordinate is > 0) on
+  * both engines; their rerank cosine is the library-wide -1 sentinel.
+  *
+  * Table: `<t>` = (vec_id, sig BIGINT) bucketed on vec_id. Packing
+  * assumes dim ≤ 64 (one word); wider corpora would store
+  * array<bigint> words and sum per-word popcounts — same contract,
+  * noted at [[write]].
+  */
+object BqIndex {
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+  import graft.operators.{TextOps => TO}
+
+  /** Rerank depth: Hamming keeps the top C per query, exact cosine
+    * re-orders those C and cuts to k. */
+  val C = 20
+
+  /** Sign-bit packing of canon vector `v` (bit p set ⟺ v[p] > 0) —
+    * a left-to-right fold, bit 63 via shiftleft wraps to the BIGINT
+    * sign bit which XOR/popcount treat as just another bit. */
+  private[graft] val sigExpr =
+    "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, p) -> " +
+      "acc | (CASE WHEN element_at(v, p + 1) > CAST(0 AS DOUBLE) " +
+      "THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) " +
+      "END))"
+
+  /** Build the signature table from scratch (dim ≤ 64: one BIGINT
+    * word). Rescoring vectors live in the [[AnnIndex]] payload table —
+    * BQ stores ONLY the 8-byte signatures. */
+  def write(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
+      nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    TO.clearOrphanLocation(s, table)
+    append(emb, table, dim, nBuckets)
+  }
+
+  /** APPEND-ONLY maintenance: signatures are doc-local (no corpus
+    * statistics, no codebook), so growing the table batch by batch is
+    * exactly a from-scratch build over the union — nothing rewritten,
+    * nothing retrained, O(batch) per ingest. */
+  def append(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
+      nBuckets: Int = 8): Unit = {
+    require(dim <= 64,
+      s"BqIndex: dim $dim > 64 needs array<bigint> signature words")
+    val s = emb.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    TO.clearOrphanLocation(s, table)
+    Ann.prep(emb, dim)
+      .select(col("vec_id"), expr(sigExpr).as("sig"))
+      .write.mode("append").bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(table)
+  }
+
+  /** Hamming-prefiltered exact-reranked top-k. Phase 1 scans the
+    * 8-byte signatures against the broadcast query signatures — the
+    * per-candidate work is ONE xor+popcount, and only (q_id, vec_id,
+    * ham) int triples travel into the top-C cut, never vectors.
+    * Phase 2 fetches the C survivors' full vectors from the stored
+    * payload table `vecTable` (bucketed on vec_id) and ranks true
+    * sentinel cosines. Queries come off the stored tables too, so the
+    * probe plan reads nothing but stored indexes (PlanSpec-gated). */
+  def topK(s: SparkSession, table: String, vecTable: String,
+      isQuery: Column => Column, k: Int, c: Int = C): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val sigs = s.table(table)
+    val q = sigs.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
+    val wh = Window.partitionBy("q_id")
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val cand = sigs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham", expr("bit_count(sig ^ q_sig)"))
+      .withColumn("hrn", row_number().over(wh))
+      .filter(col("hrn") <= c)
+      .select("q_id", "vec_id", "ham")
+    val vecs = s.table(vecTable)
+    val qv = vecs.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
+      col("nrm"), col("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(vecs, "vec_id").join(broadcast(qv), "q_id")
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("ham").cast("int").as("ham"),
+        col("sim"))
+  }
+
+  /** Memoized stored signature table for `sfDir`'s embeddings — the
+    * [[AnnIndex.annIndex]] contract (catalog memo, `_ok` marker,
+    * sweep, shared build lock). */
+  def bqIndex(s: SparkSession, sfDir: String): String = {
+    val table = TO.indexTableName("graft_bq_idx", sfDir)
+    val okTable = table + "_ok"
+    TO.bm25BuildLock.synchronized {
+      TO.sweepDeadIndexes(s)
+      if (!s.catalog.tableExists(okTable)
+          || !s.catalog.tableExists(table)) {
+        Seq(table, okTable).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
+        }
+        write(Tables(s, sfDir, "embeddings"), table)
+        val sp = s
+        import sp.implicits._
+        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
+      }
+    }
+    table
+  }
+
+  /** DuckDB mirror: positional sign comparison instead of packed
+    * words — CASE-per-position mismatch counts are the same integers
+    * bit_count(xor) produces, so `ham` hash-matches exactly. */
+  def oracleSql(maxQueryId: Int, topK: Int, c: Int = C): String =
+    s"WITH e AS (SELECT vec_id, ${CosSim.canonSql(CosSim.EmbDim)} AS v " +
+      "FROM embeddings), " +
+      "h AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, " +
+      "CAST(list_sum(list_transform(range(1, 65), p -> " +
+      "CASE WHEN (c.v[p] > 0) <> (q.v[p] > 0) THEN 1 ELSE 0 END)) " +
+      "AS INT) AS ham " +
+      s"FROM e c, e q WHERE q.vec_id < $maxQueryId " +
+      "AND c.vec_id <> q.vec_id), " +
+      "cand AS (SELECT q_id, vec_id, ham FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) " +
+      s"AS hrn FROM h) WHERE hrn <= $c), " +
+      "p AS (SELECT cand.q_id, cand.vec_id, cand.ham, " +
+      CosSim.sentinelSql("list_dot_product(c.v, q.v)",
+        "sqrt(list_dot_product(c.v, c.v))",
+        "sqrt(list_dot_product(q.v, q.v))") + " AS sim " +
+      "FROM cand JOIN e c ON cand.vec_id = c.vec_id " +
+      "JOIN e q ON cand.q_id = q.vec_id) " +
+      "SELECT q_id, vec_id, ham, sim FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) " +
+      s"AS rn FROM p) WHERE rn <= $topK"
+}
+
 object Similarity {
 
   // graft_dot is the custom codegen DotProduct expression
@@ -1664,6 +1826,17 @@ object Similarity {
       Some(PqIndex.oracleSqlIvfPq(ivfK = IvfIndex.K, maxQueryId = 10,
         topK = 3))),
 
+    // X3: BINARY QUANTIZATION (r12) — the bottom compression rung
+    // ([[BqIndex]]): 8-byte sign signatures, xor+popcount Hamming
+    // prefilter to top-C, exact rerank through the stored AnnIndex
+    // payload. Integer end-to-end until the rerank, so the hash gate
+    // proves the packed-word Hamming against DuckDB's positional
+    // sign-mismatch count.
+    QDef("q_bq",
+      (s, d) => BqIndex.topK(s, BqIndex.bqIndex(s, d),
+        AnnIndex.annIndex(s, d) + "_vec", _ < 10, k = 5),
+      Some(BqIndex.oracleSql(maxQueryId = 10, topK = 5))),
+
     // X4: SEMANTIC DEDUP (r12) — SemDeDup (Abbas et al., 2023,
     // arXiv:2303.09540): cluster the corpus with a coarse quantizer,
     // then drop near-duplicate embeddings WITHIN each cluster — pair
@@ -1713,7 +1886,7 @@ object Similarity {
     // from the same stored index; the label rides in the payload table
     // and the equality costs nothing beyond the rescoring join it
     // already sits on.
-    QDef("q_ann_filtered",
+    QDef("q_annf",
       (s, d) => AnnIndex.topKFiltered(s, AnnIndex.annIndex(s, d),
         _ < 10, k = 3, matchCols = Seq("label")),
       Some(s"WITH ${bandedCtes(maxQueryId = 10)}, " +
@@ -1739,7 +1912,7 @@ object Similarity {
     // is exactly why production hybrid search uses RRF). Top-5 fused per
     // query, (rrf desc, doc_id) tiebreak. Cost shape: two stored-index
     // probes + a 20-row-per-query fuse — corpus-scan-free.
-    QDef("q_hybrid",
+    QDef("q_rrf",
       (s, d) => {
         import graft.operators.{TextOps => TO}
         VectorFunctions.register(s)

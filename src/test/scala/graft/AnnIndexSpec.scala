@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, AnnIndex, IvfIndex, Ivf, PqIndex}
+import graft.operators.{Ann, AnnIndex, BqIndex, IvfIndex, Ivf, PqIndex}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -398,7 +398,7 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("filtered probe: every neighbor shares the query's label") {
-    val out = SparkEntry.queries("q_ann_filtered")(spark, sf)
+    val out = SparkEntry.queries("q_annf")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.nonEmpty)
     val labels = emb.select("vec_id", "label").collect()
@@ -414,6 +414,63 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
     assert(out.exists(p => !unfiltered.contains(p)),
       "filtered results identical to post-filtered global top-k — " +
         "pre-cut filtering not exercised by this corpus")
+  }
+
+  test("BQ signatures: packed-word Hamming equals positional mismatch") {
+    val t = "bq_sig_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      BqIndex.write(emb, t)
+      // ground truth from the canon vectors, recomputed in plain Scala
+      val vecs = Ann.prep(emb).select("vec_id", "v").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def bits(v: Array[Double]) = v.map(_ > 0)
+      val sigs = spark.table(t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigs.keySet === vecs.keySet)
+      // packed word agrees bit-for-bit with the sign pattern
+      sigs.foreach { case (id, sig) =>
+        val b = bits(vecs(id))
+        (0 until 64).foreach { p =>
+          assert(((sig >>> p) & 1L) === (if (b(p)) 1L else 0L),
+            s"vec $id bit $p")
+        }
+      }
+      // xor+popcount Hamming = positional mismatch count (spot pairs)
+      val ids = sigs.keySet.toSeq.sorted.take(8)
+      for (a <- ids; b <- ids if a < b) {
+        val expected = bits(vecs(a)).zip(bits(vecs(b)))
+          .count { case (x, y) => x != y }
+        assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) === expected,
+          s"pair ($a, $b)")
+      }
+      // a NULL embedding canonicalizes to the zero vector -> sig 0
+      val nullIds = emb.filter(col("embedding").isNull)
+        .select("vec_id").collect().map(_.getLong(0))
+      nullIds.foreach(id => assert(sigs(id) === 0L, s"NULL vec $id"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("append-built BQ index equals a from-scratch build (r12)") {
+    val t = "bq_app_spec"; val t2 = t + "_app"
+    Seq(t, t2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      BqIndex.write(emb, t)
+      // signatures are doc-local: parity-split appends must reproduce
+      // the from-scratch table row for row
+      BqIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 0), t2)
+      BqIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1), t2)
+      def rows(x: String) = spark.table(x).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows(t2) === rows(t))
+      // and probe-for-probe through the shared payload table
+      val vec = AnnIndex.annIndex(spark, sf) + "_vec"
+      def probe(x: String) = BqIndex.topK(spark, x, vec, _ < 10, k = 5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getInt(2), r.getDouble(3)))).toMap
+      assert(probe(t2) === probe(t))
+      assert(probe(t).nonEmpty)
+    } finally Seq(t, t2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
   test("q_simsearch_banded answers from a second session in the same JVM") {

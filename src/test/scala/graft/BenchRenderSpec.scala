@@ -40,10 +40,11 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     // realistic idle ceiling: 2-digit centiseconds, no retries (an idle
     // run is almost entirely 10-99cs queries and retried renders only
     // when nonzero) — every query must be present (load1 is allowed to
-    // fall first; at 123 names the registry sits AT the window). When a
-    // future query addition trips this, either shorten its name or —
-    // now that BENCH_FULL.json persists the complete record — bump the
-    // omission allowance here deliberately.
+    // fall first; at 127 names the registry sits ~8 chars under the
+    // r12-recalibrated window). When a future query addition trips
+    // this, either shorten its name or — now that BENCH_FULL.json
+    // persists the complete record — bump the omission allowance here
+    // deliberately.
     val realistic = names.map(n => (n, 0.42, Seq(0.42)))
     val rLine = Bench.renderCompact(realistic, 3, "/root/testdata/sf0.1",
       "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345")

@@ -309,6 +309,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("embeddings"), p)
   }
 
+  test("q_bq: probe reads the signature + payload tables, never embeddings") {
+    // BQ composition: the Hamming scan reads the stored 8-byte
+    // signatures, the rerank reads the stored AnnIndex payload, and the
+    // query signatures/vectors come off those same tables — the
+    // embeddings source must appear nowhere
+    val p = plan("q_bq")
+    assert(p.contains("graft_bq_idx_"), p)
+    assert(p.contains("graft_ann_idx_"), p)
+    assert(!p.contains("embeddings"), p)
+    // both cuts are rank-capped before their windows
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_pmi: top-20 is TakeOrdered over persisted counts, no global sort") {
     val p = plan("q_pmi")
     assert(p.contains("TakeOrderedAndProject"), p)
