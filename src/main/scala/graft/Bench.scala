@@ -125,17 +125,20 @@ object Bench {
     // RRF retrieval = two stored-index probes + a 20-row fuse (heavy-
     // load min-of-3 upper bound, refine from the next idle record)
     "q_dedup_idx" -> 0.26, "q_rrf" -> 0.90,
-    "q_ivf_mp" -> 0.25, "q_annf" -> 0.30,
+    "q_ivfmp" -> 0.25, "q_annf" -> 0.30,
     // sq8: q_simsearch + the per-row quantize transform
     "q_sq8" -> 0.35,
     // pq: stored-codes ADC probe (codes explode + broadcast LUT join +
     // one partial-agg shuffle on (q_id, vec_id)); semdedup: within-cell
     // pair join over the stored IVF cells + an AQE-sized anti join
-    "q_pq" -> 0.30, "q_semdedup" -> 0.30,
+    "q_pq" -> 0.30, "q_semdd" -> 0.30,
     // ivfpq: cell-restricted ADC — the cheapest of the ANN probes
     "q_ivfpq" -> 0.30,
     // bq: 8-byte signature scan + popcount window + 20-row rerank
-    "q_bq" -> 0.30)
+    "q_bq" -> 0.30,
+    // curate: the five-stage pipeline capstone — roughly lang+quality
+    // scan + dedup exchange + contamination join + pack exchange
+    "q_curate" -> 0.55)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms
@@ -401,11 +404,11 @@ object Bench {
     * compact line's newline — spark.stop() runs before the println and
     * shutdown-hook logging goes to stderr — so the old 29-char
     * stray-line margin was spent on a risk the record shows never
-    * materializes; 1990 keeps 9 chars of slack while fitting the
-    * 127-query corpus whole (the BenchRenderSpec budget test
-    * re-measures the real query list every round).
+    * materializes; 1994 keeps 4 chars of slack while fitting the
+    * 129-query corpus whole at idle values (the BenchRenderSpec budget
+    * test re-measures the real query list every round).
     */
-  val BudgetChars = 1990
+  val BudgetChars = 1994
 
   def renderCompact(results: Seq[(String, Double, Seq[Double])],
       reps: Int, sfDir: String, loadBefore: String = "",
@@ -414,9 +417,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
     // whitelist-sanitized (same treatment as load1): a quote/backslash
-    // in a caller-supplied path would corrupt the one machine-parsed line
-    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption
-      .getOrElse(sfDir).replaceAll("[^A-Za-z0-9._-]", "_")
+    // in a caller-supplied path would corrupt the one machine-parsed line.
+    // The driver's "sfN.NN" basenames splice as a bare JSON number — the
+    // matched digits verbatim (locale-proof, 4 chars saved toward the
+    // capture window); any other basename falls back to the quoted
+    // sanitized string.
+    val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir)
+    val sfJson = "^sf([0-9]+(?:\\.[0-9]+)?)$".r
+      .findFirstMatchIn(sfBase) match {
+        case Some(m) => m.group(1)
+        case None =>
+          "\"" + sfBase.replaceAll("[^A-Za-z0-9._-]", "_") + "\""
+      }
     // first /proc/loadavg field via the shared load1 parser; a malformed
     // token ("unknown", a garbled "0.") → -1 sentinel, and valid fields
     // splice through VERBATIM (re-formatting the parsed double could
@@ -449,7 +462,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec",""" +
         s""""q_unit":"cs","queries":$qs,""" +
         s"""$counters$omitted$load""" +
-        s""""sf":"$sfShort"}"""
+        s""""sf":$sfJson}"""
     }
     // Overflow degradation, two rungs (the 122-query corpus sits a few
     // chars under the window, so slow runs with many 3-digit values CAN

@@ -1609,7 +1609,7 @@ object Similarity {
     // cell ranking reuses the assignment cosine, so probe 1 is always
     // the query's own cell and this strictly extends q_simsearch_ivf's
     // candidate set.
-    QDef("q_ivf_mp",
+    QDef("q_ivfmp",
       (s, d) => IvfIndex.topKMultiProbe(s, IvfIndex.ivfIndex(s, d),
         _ < 10, k = 3, nprobe = 2),
       Some(Ivf.oracleSqlMultiProbe(k = 8, maxQueryId = 10, topK = 3,
@@ -1850,7 +1850,7 @@ object Similarity {
     // lower-id vector in its cell is >= τ cosine-similar (one pass,
     // non-transitive; τ = 0.4 matches q_embed_dedup's pair cut on this
     // corpus). Emits the KEPT rows (vec_id, cell).
-    QDef("q_semdedup",
+    QDef("q_semdd",
       (s, d) => {
         VectorFunctions.register(s)
         val cells = s.table(IvfIndex.ivfIndex(s, d))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Det, QDef, Tables}
 import graft.functions.LlmOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -488,6 +489,38 @@ object TextOps {
     * with the IDENTICAL expression). */
   private[graft] val toksExpr = "array_distinct(split(trim(text), '\\\\s+'))"
   private[graft] val toksSql = "list_distinct(string_split_regex(trim(text), '\\s+'))"
+
+  /** Stopword-hit language scores — ONE definition per engine, shared
+    * by q_lang_id and the q_curate pipeline's language gate (a
+    * diverging copy would let the gate drift from the classifier it
+    * claims to apply). Scores count which of a language's 3 marker
+    * words appear space-delimited in the text.
+    */
+  private[graft] val LangWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"), "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "y", "de"), "de" -> Seq("der", "und", "das"))
+
+  private[graft] def langScore(text: Column, ws: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    ws.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  private[graft] def langScoreSql(ws: Seq[String]): String =
+    ws.map(w =>
+      s"(CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** The quality keep-rule (q_quality's "good" class), factored for the
+    * same shared-definition reason: ≥30 tokens and >0.25 distinct-token
+    * ratio. Callers supply the n_tok / n_uniq expressions (both engines
+    * derive them from the same split/distinct definitions above).
+    */
+  private[graft] def qualityGate(nTok: Column, nUniq: Column): Column =
+    nTok >= 30 && nUniq.cast("double") / nTok > 0.25
+
+  private[graft] def qualityGateSql(nTok: String, nUniq: String): String =
+    s"$nTok >= 30 AND CAST($nUniq AS DOUBLE) / $nTok > 0.25"
 
   /** Word 3-gram shingles. Spark side: the custom single-pass
     * graft_shingles expression (graft.functions.Shingles) — the HOF
@@ -1001,13 +1034,12 @@ object TextOps {
     // markers, first-match-wins tie order (en > fr > es > de, else 'und').
     QDef("q_lang_id",
       (s, d) => {
-        val padded = concat(lit(" "), col("text"), lit(" "))
-        def score(ws: Seq[String]) = ws.map(w =>
-          when(padded.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
-        val en = score(Seq("the", "a", "of"))
-        val fr = score(Seq("le", "la", "et"))
-        val es = score(Seq("el", "y", "de"))
-        val de = score(Seq("der", "und", "das"))
+        def score(lang: String) =
+          langScore(col("text"), LangWords.toMap.apply(lang))
+        val en = score("en")
+        val fr = score("fr")
+        val es = score("es")
+        val de = score("de")
         Tables(s, d, "documents").select(
           col("doc_id"),
           en.as("s_en"), fr.as("s_fr"), es.as("s_es"), de.as("s_de"),
@@ -1018,12 +1050,8 @@ object TextOps {
             .otherwise("und").as("pred_lang"))
       },
       Some {
-        def sc(ws: Seq[String]) = ws.map(w =>
-          s"(CASE WHEN ' ' || text || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        val (en, fr, es, de) = (sc(Seq("the", "a", "of")),
-          sc(Seq("le", "la", "et")), sc(Seq("el", "y", "de")),
-          sc(Seq("der", "und", "das")))
+        def sc(lang: String) = langScoreSql(LangWords.toMap.apply(lang))
+        val (en, fr, es, de) = (sc("en"), sc("fr"), sc("es"), sc("de"))
         s"SELECT doc_id, s_en, s_fr, s_es, s_de, CASE " +
           "WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en > 0 " +
           "THEN 'en' " +
@@ -1043,14 +1071,13 @@ object TextOps {
           col("doc_id"), col("n_tok"), col("n_uniq"),
           (col("n_uniq").cast("double") / col("n_tok")).as("uniq_ratio"),
           (col("n_chars").cast("double") / col("n_tok")).as("chars_per_tok"),
-          when(col("n_tok") >= 30 &&
-            col("n_uniq").cast("double") / col("n_tok") > 0.25, "good")
+          when(qualityGate(col("n_tok"), col("n_uniq")), "good")
             .otherwise("low").as("quality")),
       Some("SELECT doc_id, CAST(n_tok AS INT) AS n_tok, " +
         "CAST(n_uniq AS INT) AS n_uniq, " +
         "CAST(n_uniq AS DOUBLE) / n_tok AS uniq_ratio, " +
         "CAST(n_chars AS DOUBLE) / n_tok AS chars_per_tok, " +
-        "CASE WHEN n_tok >= 30 AND CAST(n_uniq AS DOUBLE) / n_tok > 0.25 " +
+        s"CASE WHEN ${qualityGateSql("n_tok", "n_uniq")} " +
         "THEN 'good' ELSE 'low' END AS quality FROM " +
         "(SELECT doc_id, n_chars, " +
         "len(string_split_regex(trim(text), '\\s+')) AS n_tok, " +

@@ -80,7 +80,7 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     // the budget headroom rule in renderCompact); non-default ones ride
     assert(!line.contains("\"reps\""), line.takeRight(160))
     assert(!line.contains("\"failed\""), line.takeRight(160))
-    assert(line.contains("\"sf\":\"sf0.1\""), line.takeRight(120))
+    assert(line.contains("\"sf\":0.1"), line.takeRight(120))
     // q_ prefix stripped; per-query values are integer centiseconds,
     // declared by the q_unit field so the record stays self-describing
     assert(line.contains("\"q_unit\":\"cs\""), line.take(160))
@@ -270,7 +270,7 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
       assert(line.contains("\"failed\":1"), line)
       assert(line.contains("\"value\":0.12"), line)
       assert(!line.contains(","+"12"), line) // no comma decimals
-      assert(line.contains("\"sf\":\"sf0.1\""), line)
+      assert(line.contains("\"sf\":0.1"), line)
     } finally java.util.Locale.setDefault(prev)
   }
 }

@@ -122,8 +122,8 @@ class DegenerateHarnessSpec extends AnyFunSuite with SparkSuite {
     assert(all.size > degenIds.size)
   }
 
-  test("q_semdedup keeps degenerate rows (sentinel sims never dedup)") {
-    val kept = SparkEntry.queries("q_semdedup")(spark, dir)
+  test("q_semdd keeps degenerate rows (sentinel sims never dedup)") {
+    val kept = SparkEntry.queries("q_semdd")(spark, dir)
       .collect().map(_.getLong(0)).toSet
     degenIds.foreach(id => assert(kept.contains(id), s"vec $id dropped"))
   }
