@@ -411,6 +411,37 @@ object StreamingOps {
       (batch, t) => graft.operators.PqIndex.append(batch, t))
   }
 
+  /** Streaming IVF INDEX INGEST — the online maintenance leg of
+    * [[graft.operators.IvfIndex]]: arriving vectors are assigned with
+    * the STORED quantizer (frozen centroids — ingest never retrains,
+    * same contract as PQ above; refuses without one) and appended to
+    * the bucketed cells table. One-table batches, doc-local rows,
+    * replay ledger + stable checkpoint from the shared loop;
+    * stream-vs-batch assignment parity gated in AnnIndexSpec.
+    */
+  def streamingIvfIngest(spark: SparkSession, sfDir: String,
+      table: String): Unit = {
+    require(spark.catalog.tableExists(table + "_cent"),
+      s"streamingIvfIngest: no stored quantizer ${table}_cent — build " +
+        "with IvfIndex.write first (ingest never retrains)")
+    vectorIngest(spark, sfDir, table, Seq(table),
+      (batch, t) => graft.operators.IvfIndex.append(batch, t))
+  }
+
+  /** Streaming BQ INDEX INGEST — the online maintenance leg of
+    * [[graft.operators.BqIndex]]: arriving vectors collapse to their
+    * sign-bit signatures and append to the bucketed table. Signatures
+    * are doc-local AND stateless (no codebook, no corpus statistics —
+    * nothing to freeze), so this is the simplest possible ingest: one
+    * table, nothing to pre-train, stream-grown ≡ batch-built by
+    * construction (still spec-gated). Replay ledger + stable
+    * checkpoint from the shared loop.
+    */
+  def streamingBqIngest(spark: SparkSession, sfDir: String,
+      table: String): Unit =
+    vectorIngest(spark, sfDir, table, Seq(table),
+      (batch, t) => graft.operators.BqIndex.append(batch, t))
+
   /** The shared vector-ingest loop (ANN bands, PQ codes): file-stream
     * the corpus, append each micro-batch through `append` behind the
     * batch-id replay ledger, stable warehouse checkpoint at

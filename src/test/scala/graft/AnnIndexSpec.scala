@@ -363,6 +363,67 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("streamingIvfIngest/streamingBqIngest: stream-grown equals batch") {
+    val pid = ProcessHandle.current().pid()
+    val ti = s"ivf_ingest_spec_p$pid"
+    val tq = s"bq_ingest_spec_p$pid"
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfing")
+      .toString
+    def stageHalf(m: Int): Unit =
+      emb.filter(pmod(col("vec_id"), lit(2)) === m)
+        .select("vec_id", "embedding")
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val all = Seq(ti, s"${ti}_cent", s"${ti}_ledger", tq, s"${tq}_ledger")
+    all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      // IVF ingest without a stored quantizer must refuse loudly
+      val e = intercept[IllegalArgumentException] {
+        streaming.StreamingOps.streamingIvfIngest(spark, dir, ti)
+      }
+      assert(e.getMessage.contains("no stored quantizer"))
+      // quantizer trained on the id-dense front half; drop its cells so
+      // EVERY vector arrives by stream (the stored centroids survive)
+      IvfIndex.write(emb.filter(col("vec_id") < 50), ti)
+      spark.sql(s"DROP TABLE $ti")
+      stageHalf(0)
+      streaming.StreamingOps.streamingIvfIngest(spark, dir, ti)
+      streaming.StreamingOps.streamingIvfIngest(spark, dir, ti) // replay
+      stageHalf(1)
+      streaming.StreamingOps.streamingIvfIngest(spark, dir, ti)
+      val cents = spark.table(s"${ti}_cent").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val expectedCells = Ivf.assignCells(
+        Ann.prep(spark.read.parquet(s"$dir/embeddings.parquet")), cents)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      val gotCells = spark.table(ti).select("vec_id", "cell").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      assert(gotCells === expectedCells)
+      assert(gotCells.size.toLong === emb.count())
+      // BQ: stateless signatures — stream-grown must equal a batch build
+      streaming.StreamingOps.streamingBqIngest(spark, dir, tq)
+      streaming.StreamingOps.streamingBqIngest(spark, dir, tq) // replay
+      val tb = s"bq_ingest_batch_p$pid"
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      try {
+        BqIndex.write(spark.read.parquet(s"$dir/embeddings.parquet"), tb)
+        def sigs(x: String) = spark.table(x)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(sigs(tq) === sigs(tb))
+        assert(sigs(tq).size.toLong === emb.count())
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tb")
+    } finally {
+      all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+      Seq(ti, tq).foreach { t =>
+        val ck = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase + "_ck")
+        ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(ck, true)
+      }
+    }
+  }
+
   test("IVF multi-probe: nprobe=1 equals the single-cell probe exactly") {
     val t = "ivf_mp_spec"
     Seq(t, s"${t}_cent").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
