@@ -136,6 +136,77 @@ object TextOps {
       if (fs.exists(loc)) { fs.delete(loc, true); () }
     }
 
+  /** COMPACT an append-grown bucketed index table. Append-only
+    * maintenance (appendBm25Postings, AnnIndex/IvfIndex/PqIndex/
+    * BqIndex.append, the streaming ingests) deliberately never
+    * rewrites stored rows — per-batch cost O(batch) — but each ingest
+    * batch adds a file per bucket, so after N batches a probe opens
+    * N× the files (footer/open overhead) even though its PLAN stays
+    * bucketed and exchange-free. This is the standard maintenance op
+    * every append-only store pairs with its ingest path: rewrite the
+    * table's content into a fresh table with the IDENTICAL bucket/sort
+    * spec (read from the catalog, so compaction cannot drift from the
+    * build), repartitioned on the bucket key so each task holds
+    * exactly one bucket → ONE file per bucket, then swap names.
+    *
+    * Guarantees gated in CompactionSpec: row-identical content,
+    * bucket spec preserved (a post-compaction probe join still plans
+    * with zero Exchange on the stored side), file count collapsed to
+    * `numBuckets`. NOT crash-atomic: the drop→rename window can leave
+    * `table` missing with the data intact under `<table>_compact`
+    * (recover by renaming manually); run it in the ingest's quiet
+    * window, same non-transactional caveat as the ingests themselves.
+    * Caller-supplied names follow the clearOrphanLocation contract
+    * (per-process unique).
+    */
+  def compactIndex(s: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = s.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"compactIndex: $table has no bucket spec — compaction exists to " +
+        "restore bucketed-probe file counts; plain tables don't need it"))
+    val tmp = table + "_compact"
+    s.sql(s"DROP TABLE IF EXISTS $tmp")
+    clearOrphanLocation(s, tmp)
+    // repartition(numBuckets, bucketCols): HashPartitioning's
+    // partitionIdExpression is pmod(murmur3(cols), n) — the SAME
+    // expression bucketing assigns file ids with, so shuffle partition
+    // i holds exactly bucket i and each task writes ONE file. AQE
+    // breaks that task↔bucket alignment (observed: its post-shuffle
+    // optimizations regroup the 8 reduce partitions onto 4 tasks that
+    // each held up to 8 buckets = 23 files), so the whole write runs
+    // with AQE off — a maintenance write needs a FIXED partitioning,
+    // which is precisely what adaptivity exists to override.
+    val coalesceKey = "spark.sql.adaptive.enabled"
+    val prevCoalesce = s.conf.get(coalesceKey, "true")
+    s.conf.set(coalesceKey, "false")
+    try {
+      // read the FILES, not the catalog table: the bucketed scan
+      // already claims HashPartitioning(bucketCols, n), which makes
+      // the repartition "redundant" and eliminates the very shuffle
+      // that aligns tasks to buckets (the writer then bin-packs the
+      // small files into arbitrary tasks). A plain parquet read has
+      // no claimed partitioning, so the repartition stands.
+      val one = s.read.parquet(meta.location.toString)
+        .repartition(spec.numBuckets,
+          spec.bucketColumnNames.map(col): _*)
+      val w = one.write
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+      val ws =
+        if (spec.sortColumnNames.nonEmpty)
+          w.sortBy(spec.sortColumnNames.head,
+            spec.sortColumnNames.tail: _*)
+        else w
+      ws.saveAsTable(tmp)
+    } finally s.conf.set(coalesceKey, prevCoalesce)
+    s.sql(s"DROP TABLE $table")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    s.catalog.refreshTable(table)
+  }
+
   /** The ONE tokenize→tf pipeline both index builders share — the
     * exact-parity gate between q_bm25 and q_bm25_incr depends on batch
     * and incremental builds tokenizing IDENTICALLY, so the definition

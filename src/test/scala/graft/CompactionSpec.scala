@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{BqIndex, TextOps}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TextOps.compactIndex — the maintenance half of the append-only
+  * contract: every ingest batch adds a file per bucket, compaction
+  * collapses the table back to one file per bucket WITHOUT changing
+  * content or losing the bucket spec (and with it the zero-Exchange
+  * probe property every stored-index family depends on).
+  */
+class CompactionSpec extends AnyFunSuite with SparkSuite {
+
+  private def emb = Tables(spark, sf, "embeddings")
+
+  private def dataFiles(table: String): Seq[String] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
+  }
+
+  test("compaction: content identical, one file/bucket, spec preserved") {
+    val pid = ProcessHandle.current().pid()
+    val t = s"compact_spec_p$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_compact")
+    try {
+      // grow the table through four appends — each leaves its own
+      // files, the fragmentation compaction exists to undo
+      (0 to 3).foreach { m =>
+        BqIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === m), t)
+      }
+      val before = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val filesBefore = dataFiles(t).size
+      assert(filesBefore > 8, s"expected fragmentation, got $filesBefore")
+
+      TextOps.compactIndex(spark, t)
+
+      val after = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(after === before)
+      // one file per bucket (8 = the family default used by append)
+      assert(dataFiles(t).size === 8, dataFiles(t).mkString(","))
+      // the tmp name must not linger
+      assert(!spark.catalog.tableExists(s"${t}_compact"))
+
+      // bucket spec survived the swap: a forced-SMJ self-join on the
+      // bucket key plans with zero Exchange on both sides
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = s2.table(t)
+      val b = s2.table(t).select(col("vec_id").as("q_id"),
+        col("sig").as("q_sig"))
+      val joined = a.join(b, col("vec_id") === col("q_id"))
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case ad: AdaptiveSparkPlanExec => unwrap(ad.executedPlan)
+        case other => other
+      }
+      val root = unwrap(joined.queryExecution.executedPlan)
+      val smj = root.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, root.toString)
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case e: ShuffleExchangeExec => e }.size
+      assert(shuffles(smj.head.left) === 0, smj.head.left.toString)
+      assert(shuffles(smj.head.right) === 0, smj.head.right.toString)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact")
+    }
+  }
+
+  test("compaction refuses a non-bucketed table") {
+    val pid = ProcessHandle.current().pid()
+    val t = s"compact_plain_p$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      emb.limit(10).write.saveAsTable(t)
+      val e = intercept[IllegalArgumentException] {
+        TextOps.compactIndex(spark, t)
+      }
+      assert(e.getMessage.contains("no bucket spec"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+}
