@@ -131,7 +131,7 @@ object Bench {
     // pq: stored-codes ADC probe (codes explode + broadcast LUT join +
     // one partial-agg shuffle on (q_id, vec_id)); semdedup: within-cell
     // pair join over the stored IVF cells + an AQE-sized anti join
-    "q_pq" -> 0.30, "q_semdd" -> 0.30,
+    "q_pq" -> 0.30, "q_semdd" -> 0.35,  // r12: corpus-scaled quantizer
     // ivfpq: cell-restricted ADC — the cheapest of the ANN probes
     "q_ivfpq" -> 0.30,
     // bq: 8-byte signature scan + popcount window + 20-row rerank

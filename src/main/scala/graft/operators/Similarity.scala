@@ -1416,6 +1416,54 @@ object Similarity {
   private val dotAB = "graft_dot(v, qv)"
   private val norm = "sqrt(graft_dot(v, v))"
 
+  /** SemDeDup's expected cell size: the quantizer behind q_semdd uses
+    * k = max(8, ⌈n / SddCellSize⌉) cells so that within-cell pair cost
+    * Σ|cell|² stays LINEAR in the corpus — the published SemDeDup
+    * practice (Abbas et al. use ~100k clusters at web scale; cluster
+    * count is an explicit hyper-parameter that must grow with the
+    * corpus, or the pair pass degrades quadratically — measured here:
+    * a fixed k=8 quantizer put the sf1/sf0.1 ratio at 30×). At the
+    * oracle's sf0.01 scale (500 vectors) the formula gives exactly
+    * IvfIndex.K = 8 (⌈500/64⌉ = 8), so the q_semdd oracle — which
+    * mirrors the k=8 training deterministically — is unchanged; the
+    * k-scaling spec in AnnIndexSpec pins the formula and that the
+    * scaling engages on a larger synthetic corpus.
+    */
+  val SddCellSize = 64
+
+  private[graft] def sddK(n: Long): Int =
+    math.max(IvfIndex.K, ((n + SddCellSize - 1) / SddCellSize).toInt)
+
+  /** Memoized SemDeDup quantizer for `sfDir`'s embeddings — the
+    * ivfIndex contract (catalog memo, `_ok` marker, sweep, shared
+    * lock), but with corpus-scaled k. Kept SEPARATE from the shared
+    * probe quantizer (graft_ivf_idx): q_simsearch_ivf/q_ivfpq/q_ivfmp
+    * mirror a fixed k=8 training in their oracles, while dedup needs
+    * k to track the corpus.
+    */
+  private def semDedupIndex(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    import graft.operators.{TextOps => TO}
+    val table = TO.indexTableName("graft_sdd_idx", sfDir)
+    val okTable = table + "_ok"
+    TO.bm25BuildLock.synchronized {
+      TO.sweepDeadIndexes(s)
+      if (!s.catalog.tableExists(okTable)
+          || !s.catalog.tableExists(table)
+          || !s.catalog.tableExists(table + "_cent")) {
+        Seq(table, table + "_cent", okTable).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
+        }
+        val emb = Tables(s, sfDir, "embeddings")
+        IvfIndex.write(emb, table, k = sddK(emb.count()))
+        val sp = s
+        import sp.implicits._
+        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
+      }
+    }
+    table
+  }
+
   /** The e/cand/p CTE bodies (no WITH keyword) of the banded-ANN
     * DuckDB mirror — reproduces the deterministic planes and the 8-way
     * band-collision union, ending in `p` = scored candidate pairs.
@@ -1840,11 +1888,12 @@ object Similarity {
     // X4: SEMANTIC DEDUP (r12) — SemDeDup (Abbas et al., 2023,
     // arXiv:2303.09540): cluster the corpus with a coarse quantizer,
     // then drop near-duplicate embeddings WITHIN each cluster — pair
-    // cost is Σ|cell|², never corpus², and with a production-sized k
-    // (SemDeDup uses ~100k clusters) cells stay small enough that the
-    // within-cell pass is embarrassingly parallel. The cells come from
-    // the STORED IVF quantizer (maintain-once, the r12 index family);
-    // both sides of the pair join read the same bucketed-on-cell
+    // cost is Σ|cell|², never corpus², and k SCALES WITH THE CORPUS
+    // (semDedupIndex: k = max(8, ⌈n/SddCellSize⌉), a stored quantizer
+    // of its own) so cells keep a bounded expected size and the pair
+    // pass stays LINEAR — with a fixed k the ratio audit measured 30×
+    // on 10× data; with scaling, 1.5× (SCALE_SF1.md).
+    // Both sides of the pair join read the same bucketed-on-cell
     // table, so the join itself needs no Exchange. Survivor rule:
     // deterministic lowest-id-wins — a vector is dropped when ANY
     // lower-id vector in its cell is >= τ cosine-similar (one pass,
@@ -1853,7 +1902,7 @@ object Similarity {
     QDef("q_semdd",
       (s, d) => {
         VectorFunctions.register(s)
-        val cells = s.table(IvfIndex.ivfIndex(s, d))
+        val cells = s.table(semDedupIndex(s, d))
         val a = cells.select(col("vec_id").as("a_id"),
           col("v").as("qv"), col("nrm").as("qn"),
           col("cell").as("a_cell"))

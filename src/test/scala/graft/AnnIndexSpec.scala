@@ -477,6 +477,38 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
         "pre-cut filtering not exercised by this corpus")
   }
 
+  test("SemDeDup quantizer k scales with the corpus, floor at K") {
+    import graft.operators.Similarity
+    // the formula: exactly IvfIndex.K at the oracle's sf0.01 scale
+    // (500 vectors: ceil(500/64) = 8), so the k=8-mirroring oracle
+    // stays valid; linear growth above (bounded expected cell size =
+    // linear pair cost)
+    assert(Similarity.sddK(500) === IvfIndex.K)
+    assert(Similarity.sddK(10) === IvfIndex.K)
+    assert(Similarity.sddK(2000) === 32)
+    assert(Similarity.sddK(20000) === 313)
+    // scaling engages on a real build: 4 id-shifted copies -> 2000
+    // vectors, k = sddK(2000) = 32 distinct seed centroids -> strictly
+    // more cells than the fixed-8 quantizer would give
+    val pid = ProcessHandle.current().pid()
+    val t = s"sdd_scale_spec_p$pid"
+    Seq(t, s"${t}_cent").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      val n = emb.count()
+      val copies = (0 until 4).map(i =>
+        emb.select((col("vec_id") + lit(i * n)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionAll _)
+      val total = 4 * n
+      assert(Similarity.sddK(total) > IvfIndex.K)
+      IvfIndex.write(copies, t, k = Similarity.sddK(total))
+      val nCells = spark.table(t).select("cell").distinct().count()
+      assert(nCells > IvfIndex.K, s"only $nCells cells")
+      assert(spark.table(t).count() === total)
+    } finally Seq(t, s"${t}_cent")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("BQ signatures: packed-word Hamming equals positional mismatch") {
     val t = "bq_sig_spec"
     spark.sql(s"DROP TABLE IF EXISTS $t")
