@@ -77,6 +77,39 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("compacted BM25 postings probe bit-identically") {
+    // the flagship composition: grow the incremental postings index by
+    // appends (files per batch per bucket), compact, and the lexical
+    // probe must be unchanged pair-for-pair and score-for-score
+    val pid = ProcessHandle.current().pid()
+    val t = s"compact_bm25_p$pid"
+    val st = s"${t}_stats"
+    Seq(t, st, s"${t}_compact")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      val docs = Tables(spark, sf, "documents")
+      (0 to 2).foreach { m =>
+        TextOps.appendBm25Postings(
+          docs.filter(pmod(col("doc_id"), lit(3)) === m), t, st)
+      }
+      val sp = spark
+      import sp.implicits._
+      val qt = Seq((0L, "the"), (0L, "of"), (1L, "data"))
+        .toDF("q_id", "token")
+      def probe() = TextOps.bm25ScoreIncr(qt, spark.table(t),
+        spark.table(st)).collect()
+        .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")),
+          r.getAs[Double]("score"))).toMap
+      val before = probe()
+      val filesBefore = dataFiles(t).size
+      TextOps.compactIndex(spark, t)
+      assert(probe() === before)
+      assert(before.nonEmpty)
+      assert(dataFiles(t).size === 8, s"was $filesBefore")
+    } finally Seq(t, st, s"${t}_compact")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("compaction refuses a non-bucketed table") {
     val pid = ProcessHandle.current().pid()
     val t = s"compact_plain_p$pid"
