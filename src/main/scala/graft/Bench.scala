@@ -54,7 +54,7 @@ object Bench {
   val reference: Map[String, Double] = Map(
     // rank family re-based r12 (two-regime dispatch: window form at
     // sf0.1, range-sharded above 16 MB — idle full-run min-of-3)
-    "q_anti_join" -> 0.37, "q_approx_distinct" -> 0.51,
+    "q_anti_join" -> 0.20, "q_approx_distinct" -> 0.51,
     "q_approx_percentile" -> 0.78, "q_array_ops" -> 0.28,
     "q_asof" -> 0.32, "q_asof_native" -> 0.31, "q_cast" -> 0.24,
     "q_chunk" -> 0.20, "q_classify" -> 0.10, "q_cohort" -> 0.31,
@@ -63,13 +63,13 @@ object Bench {
     "q_dedup_clusters" -> 1.06, "q_dedup_exact" -> 0.15,
     "q_dedup_incremental" -> 0.51,
     "q_dedup_keeplast" -> 0.28, "q_dedup_near" -> 0.54,
-    "q_delta" -> 0.27, "q_dim_update" -> 0.32, "q_distinct" -> 0.19,
-    "q_distribution" -> 0.18, "q_dup_spans" -> 0.63,
+    "q_delta" -> 0.27, "q_dim_update" -> 0.22, "q_distinct" -> 0.19,
+    "q_distribution" -> 0.13, "q_dup_spans" -> 0.63,
     "q_embed_assign" -> 0.42,
-    "q_embed_centroid" -> 0.16, "q_embed_dedup" -> 0.31,
+    "q_embed_centroid" -> 0.16, "q_embed_dedup" -> 0.23,
     "q_embed_outliers" -> 0.34,
-    "q_except" -> 0.23, "q_explode" -> 0.22,
-    "q_filter_null" -> 0.16, "q_filter_range" -> 0.13,
+    "q_except" -> 0.23, "q_explode" -> 0.07,
+    "q_filter_null" -> 0.16, "q_filter_range" -> 0.09,
     "q_fingerprint" -> 0.14, "q_funnel" -> 0.38, "q_gapfill" -> 0.42,
     "q_groupagg" -> 0.58, "q_grouping_sets" -> 0.17, "q_having" -> 0.15,
     "q_heavy_hitters" -> 0.17, "q_histogram" -> 0.17,
@@ -80,7 +80,7 @@ object Bench {
     "q_lang_id" -> 0.14, "q_lead_lag" -> 0.19, "q_llm_summary" -> 0.12,
     "q_maplookup" -> 0.09, "q_math" -> 0.14, "q_melt" -> 0.31,
     "q_minhash" -> 0.23, "q_mixture" -> 0.13, "q_multifile" -> 0.26,
-    "q_multimodal" -> 0.16, "q_ngram_jaccard" -> 0.44, "q_ntile" -> 0.63,
+    "q_multimodal" -> 0.12, "q_ngram_jaccard" -> 0.44, "q_ntile" -> 0.63,
     "q_null_semantics" -> 0.12, "q_pack" -> 0.17, "q_percentile" -> 0.56,
     "q_pivot" -> 0.19, "q_profile" -> 0.15, "q_project" -> 0.10,
     "q_promo_share" -> 0.35, "q_quality" -> 0.13,
@@ -91,13 +91,13 @@ object Bench {
     "q_running_sum" -> 0.24, "q_salted_agg" -> 0.20,
     "q_sample_split" -> 0.07, "q_scan" -> 0.12, "q_semi_join" -> 0.19,
     "q_session_window" -> 0.31, "q_sessionize" -> 0.28,
-    "q_shuffle_global" -> 0.28, "q_simhash" -> 0.16,
+    "q_shuffle_global" -> 0.18, "q_simhash" -> 0.16,
     "q_simsearch" -> 0.21, "q_simsearch_banded" -> 0.26,
     "q_simsearch_ivf" -> 0.11, "q_simsearch_lsh" -> 0.21,
     "q_sort" -> 0.16, "q_sql_report" -> 0.27, "q_star_join" -> 0.37,
     "q_stats_moments" -> 0.70, "q_stratified" -> 0.12,
     "q_string_agg" -> 0.09, "q_strings" -> 0.11,
-    "q_subquery_corr" -> 0.15, "q_surprisal" -> 0.35,
+    "q_subquery_corr" -> 0.15, "q_surprisal" -> 0.24,
     "q_surrogate_ids" -> 0.11,
     // q_tfidf re-based r11: reads the stored bm25 postings index
     // (probe cost; was 0.59 re-deriving tf/df/n_docs per run)
@@ -124,21 +124,21 @@ object Bench {
     // r12 additions: append-built band-index near-dedup probe; hybrid
     // RRF retrieval = two stored-index probes + a 20-row fuse (heavy-
     // load min-of-3 upper bound, refine from the next idle record)
-    "q_dedup_idx" -> 0.26, "q_rrf" -> 0.90,
+    "q_dedup_idx" -> 0.26, "q_rrf" -> 0.60,
     "q_ivfmp" -> 0.25, "q_annf" -> 0.30,
     // sq8: q_simsearch + the per-row quantize transform
-    "q_sq8" -> 0.35,
+    "q_sq8" -> 0.25,
     // pq: stored-codes ADC probe (codes explode + broadcast LUT join +
     // one partial-agg shuffle on (q_id, vec_id)); semdedup: within-cell
     // pair join over the stored IVF cells + an AQE-sized anti join
-    "q_pq" -> 0.30, "q_semdd" -> 0.35,  // r12: corpus-scaled quantizer
+    "q_pq" -> 0.30, "q_semdd" -> 0.23,  // r12: corpus-scaled quantizer
     // ivfpq: cell-restricted ADC — the cheapest of the ANN probes
     "q_ivfpq" -> 0.30,
     // bq: 8-byte signature scan + popcount window + 20-row rerank
     "q_bq" -> 0.30,
     // curate: the five-stage pipeline capstone — roughly lang+quality
     // scan + dedup exchange + contamination join + pack exchange
-    "q_curate" -> 0.55)
+    "q_curate" -> 0.65)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms
