@@ -424,7 +424,10 @@ object Bench {
     // sanitized string.
     val sfBase = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    val sfJson = "^sf([0-9]+(?:\\.[0-9]+)?)$".r
+    // no leading zeros in the integer part ("sf01" must NOT splice as
+    // 01 — a leading-zero literal is invalid JSON and would corrupt
+    // the one machine-parsed line; it falls through to the quoted arm)
+    val sfJson = "^sf((?:0|[1-9][0-9]*)(?:\\.[0-9]+)?)$".r
       .findFirstMatchIn(sfBase) match {
         case Some(m) => m.group(1)
         case None =>

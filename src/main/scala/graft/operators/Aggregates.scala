@@ -122,8 +122,15 @@ object Aggregates {
           approx_count_distinct(col("l_partkey")).as("approx_parts"))
         val ex = t.groupBy("l_returnflag").agg(
           countDistinct(col("l_partkey")).as("exact_parts"))
-        ex.join(ap, "l_returnflag")
-          .select(col("l_returnflag"), col("exact_parts"),
+        // null-safe key: a NULL group (legit under GROUP BY on both
+        // engines) appears on each leg and must rejoin — plain equality
+        // would drop it while the oracle keeps it. Explicit aliases:
+        // both legs descend from the same scan, and self-join column
+        // references otherwise lean on dataset-id disambiguation.
+        ex.as("ex").join(ap.as("ap"),
+            col("ex.l_returnflag") <=> col("ap.l_returnflag"))
+          .select(col("ex.l_returnflag").as("l_returnflag"),
+            col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")) /
               col("exact_parts") < 0.15).as("within_tol"))
       },
@@ -152,8 +159,11 @@ object Aggregates {
           expr("graft_kmv_distinct(l_partkey, 256)").as("kmv_parts"))
         val ex = t.groupBy("l_returnflag").agg(
           countDistinct(col("l_partkey")).as("exact_parts"))
-        ex.join(sk, "l_returnflag")
-          .select(col("l_returnflag"), col("exact_parts"),
+        // null-safe aliased key — same reasoning as q_approx_distinct
+        ex.as("ex").join(sk.as("sk"),
+            col("ex.l_returnflag") <=> col("sk.l_returnflag"))
+          .select(col("ex.l_returnflag").as("l_returnflag"),
+            col("exact_parts"),
             (abs(col("kmv_parts") - col("exact_parts")) /
               col("exact_parts") < 0.15).as("within_tol"))
       },

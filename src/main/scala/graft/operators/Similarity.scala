@@ -1797,8 +1797,12 @@ object Similarity {
             "transform(v, x -> CASE WHEN sc = CAST(0 AS DOUBLE) " +
               "THEN CAST(0 AS DOUBLE) " +
               "ELSE floor(x / sc + 0.5) * sc END)"))
+          // NOT persisted (the Ann.topK reasoning): the QDef cannot
+          // unpersist after its consumer's action, so a persist here
+          // would pin cache blocks for the session's lifetime — and
+          // recomputing the quantize transform for the 10-row query
+          // side is cheaper than columnar cache encoding anyway
           .withColumn("nrm", expr("sqrt(graft_dot(vq, vq))"))
-          .persist()
         val q = e.select(col("vec_id").as("q_id"), col("vq").as("qv"),
           col("nrm").as("qn")).filter(col("q_id") < 10)
         val sim = CosSim.sentinel(expr("graft_dot(vq, qv)"),
@@ -1918,6 +1922,9 @@ object Similarity {
         cells.join(dropped, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("cell"))
       },
+      // oracle precondition: quantizerCtes(8) mirrors the scaled
+      // quantizer EXACTLY while sddK(n_oracle_corpus) == 8 — pinned by
+      // AnnIndexSpec's tripwire on the sf0.01 corpus size
       Some(s"WITH ${Ivf.quantizerCtes(IvfIndex.K)}, " +
         "d AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b " +
         "ON a.cell = b.cell AND a.vec_id < b.vec_id WHERE " +

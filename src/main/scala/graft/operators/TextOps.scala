@@ -435,7 +435,8 @@ object TextOps {
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       val owned =
-        "^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr)" +
+        "^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
+          "|sdd_idx|bq_idx)" +
           "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck)?$"
       val ownedRe = owned.r
       if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>

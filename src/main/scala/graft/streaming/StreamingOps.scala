@@ -385,9 +385,15 @@ object StreamingOps {
     * requiring an index rebuild.
     */
   def streamingAnnIngest(spark: SparkSession, sfDir: String,
-      table: String): Unit =
+      table: String,
+      nBands: Int = graft.operators.AnnIndex.NBands,
+      bits: Int = graft.operators.AnnIndex.Bits,
+      dim: Int = 64,
+      payloadCols: Seq[String] = Nil): Unit =
     vectorIngest(spark, sfDir, table, Seq(table, table + "_vec"),
-      (batch, t) => graft.operators.AnnIndex.append(batch, t))
+      (batch, t) => graft.operators.AnnIndex.append(batch, t,
+        nBands = nBands, bits = bits, dim = dim,
+        payloadCols = payloadCols))
 
   /** Streaming PQ INDEX INGEST — the online maintenance leg of
     * [[graft.operators.PqIndex]]: vectors arrive as a file stream and
@@ -460,6 +466,14 @@ object StreamingOps {
     if (!spark.catalog.tableExists(table) && fs.exists(ck)) {
       fs.delete(ck, true); ()
     }
+    // checkpoint and ledger are a PAIR: with the checkpoint reset,
+    // batch ids restart at 0, and a surviving ledger from the dropped
+    // table's previous life would mark every redelivered id as already
+    // applied — the ingest would return success having appended
+    // nothing (the silent-skip failure the r11 stable-checkpoint fix
+    // was about, reintroduced through the table-drop path)
+    if (!spark.catalog.tableExists(table))
+      spark.sql(s"DROP TABLE IF EXISTS $ledger")
     val q = spark.readStream.schema(schema).parquet(path).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
@@ -537,6 +551,12 @@ object StreamingOps {
     if (!spark.catalog.tableExists(table) && fs.exists(ck)) {
       fs.delete(ck, true); ()
     }
+    // and the ledger resets WITH the checkpoint (they are a pair):
+    // post-reset batch ids restart at 0, so a ledger surviving from
+    // the dropped table's previous life would silently skip every
+    // redelivered batch and the rebuild would ingest nothing
+    if (!spark.catalog.tableExists(table))
+      spark.sql(s"DROP TABLE IF EXISTS $ledger")
     val q = spark.readStream.schema(schema).parquet(path).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>

@@ -412,6 +412,14 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(sigs(tq) === sigs(tb))
         assert(sigs(tq).size.toLong === emb.count())
+        // rebuild-after-drop: dropping the TABLE must reset the paired
+        // ledger too — with the checkpoint gone batch ids restart at 0,
+        // and a surviving ledger would silently skip every batch,
+        // leaving the "rebuilt" index nonexistent (the review finding:
+        // success with no data)
+        spark.sql(s"DROP TABLE $tq")
+        streaming.StreamingOps.streamingBqIngest(spark, dir, tq)
+        assert(sigs(tq) === sigs(tb), "rebuild after drop ingested nothing")
       } finally spark.sql(s"DROP TABLE IF EXISTS $tb")
     } finally {
       all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
@@ -487,6 +495,17 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
     assert(Similarity.sddK(10) === IvfIndex.K)
     assert(Similarity.sddK(2000) === 32)
     assert(Similarity.sddK(20000) === 313)
+    // TRIPWIRE (the NULL-text lesson, r11): q_semdd's ORACLE mirrors a
+    // k=8 training while the Spark side computes k = sddK(n) — they
+    // agree exactly while sddK(n) == IvfIndex.K, i.e. while the
+    // oracle-scale corpus stays ≤ SddCellSize·K vectors. Pin it so a
+    // testdata regeneration turns into THIS assertion, not a mystery
+    // q_semdd hash mismatch.
+    val n001 = Tables(spark, "/root/testdata/sf0.01", "embeddings").count()
+    assert(Similarity.sddK(n001) === IvfIndex.K,
+      s"sf0.01 corpus ($n001 vectors) left the k=8 regime — q_semdd's " +
+        "oracle (quantizerCtes(8)) no longer mirrors the scaled " +
+        "quantizer; re-derive SddCellSize")
     // scaling engages on a real build: 4 id-shifted copies -> 2000
     // vectors, k = sddK(2000) = 32 distinct seed centroids -> strictly
     // more cells than the fixed-8 quantizer would give

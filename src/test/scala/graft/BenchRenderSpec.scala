@@ -273,4 +273,21 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
       assert(line.contains("\"sf\":0.1"), line)
     } finally java.util.Locale.setDefault(prev)
   }
+
+  test("sf field: driver basenames splice numeric, others stay quoted") {
+    def sfOf(dir: String) = {
+      val line = Bench.renderCompact(
+        Seq(("q_a", 0.42, Seq(0.42))), 3, dir)
+      "\"sf\":([^,}]+)".r.findFirstMatchIn(line).get.group(1)
+    }
+    assert(sfOf("/root/testdata/sf0.1") === "0.1")
+    assert(sfOf("/tmp/sf1") === "1")
+    assert(sfOf("/tmp/sf10") === "10")
+    // leading-zero integer part would be an INVALID JSON literal —
+    // must fall through to the quoted-string arm
+    assert(sfOf("/tmp/sf01") === "\"sf01\"")
+    // non-sf basenames quote too (whitelist-sanitized)
+    assert(sfOf("/tmp/mydata") === "\"mydata\"")
+    assert(sfOf("/tmp/we\"ird") === "\"we_ird\"")
+  }
 }
