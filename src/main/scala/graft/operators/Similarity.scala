@@ -523,8 +523,14 @@ object AnnIndex {
     * candidate set broadcast. Identical semantics to [[Ann.topK]] —
     * same candidate set, same sentinel cosine, same tiebreaks.
     */
+  /** Stored-index top-k; with `matchCols` nonempty it is the
+    * METADATA-FILTERED probe (see [[topKFiltered]]) — ONE candidate /
+    * rescore / cut pipeline for both forms (review r12: the filtered
+    * variant was a wholesale copy that could drift), with the filter
+    * reduced to `lit(true)` (pruned by Catalyst) when unfiltered.
+    */
   def topK(s: SparkSession, table: String, isQuery: Column => Column,
-      k: Int): DataFrame = {
+      k: Int, matchCols: Seq[String] = Nil): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val bands = s.table(table)
     val vecs = s.table(table + "_vec")
@@ -535,12 +541,19 @@ object AnnIndex {
           col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
     val q = vecs.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
+      .select(col("vec_id").as("q_id") +: col("v").as("qv") +:
+        col("nrm").as("qn") +:
+        matchCols.map(c => col(c).as(s"q_$c")): _*)
     val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
       col("nrm"), col("qn"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
+    // null-safe payload equality BEFORE the top-k cut — the k results
+    // are the best k WITHIN the filter, not a post-filtered subset of
+    // the global top-k (the classic filtered-ANN correctness trap)
+    val matched = matchCols
+      .map(c => col(c) <=> col(s"q_$c"))
+      .foldLeft(lit(true))(_ && _)
     // NO broadcast hint on the candidate side (unlike the tiny literal
     // query side): candidate volume is DATA-dependent — band collisions
     // over a skewed corpus can be arbitrarily large — and a hint would
@@ -550,6 +563,7 @@ object AnnIndex {
     // at-scale fallback is a sort-merge against the vec-id-bucketed
     // payload — still zero Exchange on the stored side.
     cand.join(vecs, "vec_id").join(broadcast(q), "q_id")
+      .filter(matched)
       .withColumn("sim", sim)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -601,34 +615,8 @@ object AnnIndex {
     */
   def topKFiltered(s: SparkSession, table: String,
       isQuery: Column => Column, k: Int,
-      matchCols: Seq[String]): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val bands = s.table(table)
-    val vecs = s.table(table + "_vec")
-    val qb = bands.filter(isQuery(col("vec_id")))
-      .select(col("band_key").as("q_band_key"), col("vec_id").as("q_id"))
-    val cand = bands.join(broadcast(qb),
-        col("band_key") === col("q_band_key") &&
-          col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id").distinct()
-    val q = vecs.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("q_id") +: col("v").as("qv") +:
-        col("nrm").as("qn") +:
-        matchCols.map(c => col(c).as(s"q_$c")): _*)
-    val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
-      col("nrm"), col("qn"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    val matched = matchCols
-      .map(c => col(c) <=> col(s"q_$c"))
-      .foldLeft(lit(true))(_ && _)
-    cand.join(vecs, "vec_id").join(broadcast(q), "q_id")
-      .filter(matched)
-      .withColumn("sim", sim)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("q_id", "vec_id", "sim")
-  }
+      matchCols: Seq[String]): DataFrame =
+    topK(s, table, isQuery, k, matchCols)
 
   /** Scored band-collision candidates of EXTERNAL query vectors
     * against the stored index — the serving-path shape shared by batch
@@ -683,34 +671,18 @@ object AnnIndex {
     * feeds the filtered probe (q_annf). */
   val PayloadCols: Seq[String] = Seq("label")
 
-  def annIndex(s: SparkSession, sfDir: String): String = {
-    val table = TO.indexTableName("graft_ann_idx", sfDir)
-    val okTable = table + "_ok"
-    TO.bm25BuildLock.synchronized {
-      TO.sweepDeadIndexes(s)
+  def annIndex(s: SparkSession, sfDir: String): String =
+    TO.memoIndex(s, "graft_ann_idx", sfDir, Seq("_vec"),
       // schema-evolution guard alongside the existence memo: an index
       // built by an older code path (or a crashed build) may lack the
       // payload columns the filtered probe needs — rebuild rather than
       // fail at probe time with a missing-column error
-      val complete = s.catalog.tableExists(okTable) &&
-        s.catalog.tableExists(table) &&
-        s.catalog.tableExists(table + "_vec") && {
-          val cols = s.table(table + "_vec").columns.toSet
-          PayloadCols.forall(cols.contains)
-        }
-      if (!complete) {
-        Seq(table, table + "_vec", okTable).foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
-        }
-        write(Tables(s, sfDir, "embeddings"), table,
-          payloadCols = PayloadCols)
-        val sp = s
-        import sp.implicits._
-        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
-      }
+      complete = t => {
+        val cols = s.table(t + "_vec").columns.toSet
+        PayloadCols.forall(cols.contains)
+      }) { t =>
+      write(Tables(s, sfDir, "embeddings"), t, payloadCols = PayloadCols)
     }
-    table
-  }
 }
 
 /** STORED IVF quantizer + cell assignments (VERDICT r11 #2): the
@@ -859,25 +831,10 @@ object IvfIndex {
     * shared build lock). Returns the cells table name; `<name>_cent`
     * holds the centroids.
     */
-  def ivfIndex(s: SparkSession, sfDir: String): String = {
-    val table = TO.indexTableName("graft_ivf_idx", sfDir)
-    val okTable = table + "_ok"
-    TO.bm25BuildLock.synchronized {
-      TO.sweepDeadIndexes(s)
-      if (!s.catalog.tableExists(okTable)
-          || !s.catalog.tableExists(table)
-          || !s.catalog.tableExists(table + "_cent")) {
-        Seq(table, table + "_cent", okTable).foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
-        }
-        write(Tables(s, sfDir, "embeddings"), table)
-        val sp = s
-        import sp.implicits._
-        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
-      }
+  def ivfIndex(s: SparkSession, sfDir: String): String =
+    TO.memoIndex(s, "graft_ivf_idx", sfDir, Seq("_cent")) { t =>
+      write(Tables(s, sfDir, "embeddings"), t)
     }
-    table
-  }
 }
 
 /** STORED product-quantization index — the compression rung below
@@ -1128,24 +1085,10 @@ object PqIndex {
   /** Memoized stored PQ index for `sfDir`'s embeddings — the
     * [[IvfIndex.ivfIndex]] contract (catalog memo, `_ok` marker, sweep,
     * shared build lock). */
-  def pqIndex(s: SparkSession, sfDir: String): String = {
-    val table = TO.indexTableName("graft_pq_idx", sfDir)
-    val okTable = table + "_ok"
-    TO.bm25BuildLock.synchronized {
-      TO.sweepDeadIndexes(s)
-      if (!s.catalog.tableExists(okTable) || !s.catalog.tableExists(table)
-          || !s.catalog.tableExists(table + "_cb")) {
-        Seq(table, table + "_cb", okTable).foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
-        }
-        write(Tables(s, sfDir, "embeddings"), table)
-        val sp = s
-        import sp.implicits._
-        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
-      }
+  def pqIndex(s: SparkSession, sfDir: String): String =
+    TO.memoIndex(s, "graft_pq_idx", sfDir, Seq("_cb")) { t =>
+      write(Tables(s, sfDir, "embeddings"), t)
     }
-    table
-  }
 
   /** The sv/cb0/pa1/cb1/codes CTE bodies (no WITH, no `e` — the caller
     * supplies the canon `e`): per-subspace seed + Lloyd + assignment,
@@ -1362,24 +1305,10 @@ object BqIndex {
   /** Memoized stored signature table for `sfDir`'s embeddings — the
     * [[AnnIndex.annIndex]] contract (catalog memo, `_ok` marker,
     * sweep, shared build lock). */
-  def bqIndex(s: SparkSession, sfDir: String): String = {
-    val table = TO.indexTableName("graft_bq_idx", sfDir)
-    val okTable = table + "_ok"
-    TO.bm25BuildLock.synchronized {
-      TO.sweepDeadIndexes(s)
-      if (!s.catalog.tableExists(okTable)
-          || !s.catalog.tableExists(table)) {
-        Seq(table, okTable).foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
-        }
-        write(Tables(s, sfDir, "embeddings"), table)
-        val sp = s
-        import sp.implicits._
-        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
-      }
+  def bqIndex(s: SparkSession, sfDir: String): String =
+    TO.memoIndex(s, "graft_bq_idx", sfDir) { t =>
+      write(Tables(s, sfDir, "embeddings"), t)
     }
-    table
-  }
 
   /** DuckDB mirror: positional sign comparison instead of packed
     * words — CASE-per-position mismatch counts are the same integers
@@ -1442,27 +1371,12 @@ object Similarity {
     * k to track the corpus.
     */
   private def semDedupIndex(s: org.apache.spark.sql.SparkSession,
-      sfDir: String): String = {
-    import graft.operators.{TextOps => TO}
-    val table = TO.indexTableName("graft_sdd_idx", sfDir)
-    val okTable = table + "_ok"
-    TO.bm25BuildLock.synchronized {
-      TO.sweepDeadIndexes(s)
-      if (!s.catalog.tableExists(okTable)
-          || !s.catalog.tableExists(table)
-          || !s.catalog.tableExists(table + "_cent")) {
-        Seq(table, table + "_cent", okTable).foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t"); TO.clearOrphanLocation(s, t)
-        }
-        val emb = Tables(s, sfDir, "embeddings")
-        IvfIndex.write(emb, table, k = sddK(emb.count()))
-        val sp = s
-        import sp.implicits._
-        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
-      }
+      sfDir: String): String =
+    graft.operators.TextOps.memoIndex(s, "graft_sdd_idx", sfDir,
+      Seq("_cent")) { t =>
+      val emb = Tables(s, sfDir, "embeddings")
+      IvfIndex.write(emb, t, k = sddK(emb.count()))
     }
-    table
-  }
 
   /** The e/cand/p CTE bodies (no WITH keyword) of the banded-ANN
     * DuckDB mirror — reproduces the deterministic planes and the 8-way

@@ -376,31 +376,54 @@ object TextOps {
     * the next call drops the partial tables and rebuilds. Returns
     * (postings, stats).
     */
-  private[graft] def bm25IndexIncr(s: org.apache.spark.sql.SparkSession,
-      sfDir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val table = indexTableName("graft_bm25_incr", sfDir)
-    val statsTable = table + "_stats"
+  /** THE memoized-index build dance, factored once (review r12: seven
+    * hand-rolled copies had already drifted — bm25Index lacked the
+    * crash marker, the schema-evolution hook existed only in
+    * AnnIndex.annIndex): catalog-as-memo under the shared
+    * [[bm25BuildLock]], `_ok` crash marker committing a build,
+    * dead-pid sweep, drop + orphan-location clean of every member on
+    * an incomplete build. `suffixes` are the sibling tables ("_vec",
+    * "_cent", ...) that must exist for the index to count as built;
+    * `complete` adds any extra validity check (schema evolution) and
+    * runs only once the marker and all tables exist; `build` creates
+    * the table and its siblings.
+    */
+  private[graft] def memoIndex(s: org.apache.spark.sql.SparkSession,
+      prefix: String, sfDir: String, suffixes: Seq[String] = Nil,
+      complete: String => Boolean = _ => true)
+      (build: String => Unit): String = {
+    val table = indexTableName(prefix, sfDir)
     val okTable = table + "_ok"
     bm25BuildLock.synchronized {
       sweepDeadIndexes(s)
-      if (!s.catalog.tableExists(okTable)
-          || !s.catalog.tableExists(table)
-          || !s.catalog.tableExists(statsTable)) {
-        Seq(table, statsTable, okTable).foreach { t =>
+      val ok = s.catalog.tableExists(okTable) &&
+        (table +: suffixes.map(table + _))
+          .forall(s.catalog.tableExists) &&
+        complete(table)
+      if (!ok) {
+        (table +: suffixes.map(table + _) :+ okTable).foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t"); clearOrphanLocation(s, t)
         }
-        val docs = Tables(s, sfDir, "documents")
-        appendBm25Postings(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0), table, statsTable)
-        appendBm25Postings(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 1), table, statsTable)
+        build(table)
         val sp = s
         import sp.implicits._
         Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
       }
     }
-    (s.table(table), s.table(statsTable))
+    table
+  }
+
+  private[graft] def bm25IndexIncr(s: org.apache.spark.sql.SparkSession,
+      sfDir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val table = memoIndex(s, "graft_bm25_incr", sfDir, Seq("_stats")) { t =>
+      val docs = Tables(s, sfDir, "documents")
+      appendBm25Postings(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), t, t + "_stats")
+      appendBm25Postings(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), t, t + "_stats")
+    }
+    (s.table(table), s.table(table + "_stats"))
   }
 
   /** Build lock for [[bm25Index]] — serializes concurrent first-use
@@ -477,16 +500,13 @@ object TextOps {
     * a local-warehouse artifact.
     */
   private[graft] def bm25Index(s: org.apache.spark.sql.SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame = {
-    val table = indexTableName("graft_bm25_idx", sfDir)
-    bm25BuildLock.synchronized {
-      sweepDeadIndexes(s)
-      if (!s.catalog.tableExists(table)) {
-        writeBm25Index(Tables(s, sfDir, "documents"), table)
-      }
-    }
-    s.table(table)
-  }
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    // the memoIndex refactor also gave this oldest builder the `_ok`
+    // crash marker it predated: a build that died mid-saveAsTable used
+    // to leave a partial table the memo would happily serve
+    s.table(memoIndex(s, "graft_bm25_idx", sfDir) { t =>
+      writeBm25Index(Tables(s, sfDir, "documents"), t)
+    })
 
   /** The ONE scoring definition (Okapi tf saturation k1=1.2, b=0.75;
     * log-free rational idf — exp-scale, see the q_bm25 QDef comment for
@@ -778,31 +798,15 @@ object TextOps {
     * frame.
     */
   private[graft] def bandIndexIncr(s: org.apache.spark.sql.SparkSession,
-      sfDir: String): org.apache.spark.sql.DataFrame = {
-    val table = indexTableName("graft_band_incr", sfDir)
-    val okTable = table + "_ok"
-    bm25BuildLock.synchronized {
-      sweepDeadIndexes(s)
-      if (!s.catalog.tableExists(okTable)
-          || !s.catalog.tableExists(table)) {
-        Seq(table, okTable).foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t"); clearOrphanLocation(s, t)
-        }
-        val bound = graft.operators.TrainingData.TrainBoundary
-        val bucket = graft.operators.TrainingData
-          .hashPrefixOf(col("doc_id"), 2)
-        val old = Tables(s, sfDir, "documents").filter(bucket < bound)
-        appendBandIndex(old.filter(pmod(col("doc_id"), lit(2)) === 0),
-          table)
-        appendBandIndex(old.filter(pmod(col("doc_id"), lit(2)) === 1),
-          table)
-        val sp = s
-        import sp.implicits._
-        Seq(1).toDF("ok").write.mode("overwrite").saveAsTable(okTable)
-      }
-    }
-    s.table(table)
-  }
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    s.table(memoIndex(s, "graft_band_incr", sfDir) { t =>
+      val bound = graft.operators.TrainingData.TrainBoundary
+      val bucket = graft.operators.TrainingData
+        .hashPrefixOf(col("doc_id"), 2)
+      val old = Tables(s, sfDir, "documents").filter(bucket < bound)
+      appendBandIndex(old.filter(pmod(col("doc_id"), lit(2)) === 0), t)
+      appendBandIndex(old.filter(pmod(col("doc_id"), lit(2)) === 1), t)
+    })
 
   /** Near-dup pairs of `newDocs` against a stored (band_key, old_id,
     * old_toks) index frame (spark.table of a [[writeBandIndex]] table,
