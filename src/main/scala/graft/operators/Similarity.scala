@@ -1009,7 +1009,18 @@ object PqIndex {
     * query vs the candidate's RECONSTRUCTION — computed without ever
     * materializing it. */
   def topK(s: SparkSession, table: String, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame = adcTopK(s, table, queries, k, cand = None)
+
+  /** ONE ADC scoring pipeline for the corpus-wide and pair-restricted
+    * probes (review r12: topKPairs was a wholesale copy that could
+    * drift from topK's ADC arithmetic): per-query LUT (queries ×
+    * codebook, broadcast), stored-codes explode — restricted to the
+    * candidate residents BEFORE the LUT lookup when `cand` is given —
+    * decimal-grid-exact subspace sums, stored-norm sentinel guard,
+    * rank cut.
+    */
+  private def adcTopK(s: SparkSession, table: String, queries: DataFrame,
+      k: Int, cand: Option[DataFrame]): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val cb = s.table(table + "_cb")
     val q = queries.select(col("vec_id").as("q_id"), col("v"),
@@ -1019,11 +1030,20 @@ object PqIndex {
         expr(s"graft_dot(slice(v, (sub-1)*$SubDim+1, $SubDim), c)")
           .as("dp"),
         col("nc2"))
-    val codes = s.table(table)
+    val codesAll = s.table(table)
       .select(col("vec_id"), col("nrm"),
         posexplode(col("codes")).as(Seq("pos", "cid")))
       .select(col("vec_id"), col("nrm"), (col("pos") + 1).as("sub"),
         col("cid"))
+    // corpus-wide: LUT keyed on (sub, cid), corpus self-pairs excluded;
+    // pair-restricted: codes joined down to the candidates first, LUT
+    // keyed per query — no self-pairs by construction
+    val (codes, lutKeys, excl) = cand match {
+      case Some(c) => (codesAll.join(c, "vec_id"),
+        Seq("q_id", "sub", "cid"), lit(true))
+      case None => (codesAll, Seq("sub", "cid"),
+        col("vec_id") =!= col("q_id"))
+    }
     // stored-norm guard first (degenerate original → sentinel), then
     // the reconstruction-norm cosine — the CosSim sentinel contract
     val sim = when(col("nrm") > lit(0d),
@@ -1031,8 +1051,8 @@ object PqIndex {
       .otherwise(lit(-1.0d))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    codes.join(broadcast(lut), Seq("sub", "cid"))
-      .filter(col("vec_id") =!= col("q_id"))
+    codes.join(broadcast(lut), lutKeys)
+      .filter(excl)
       .groupBy(col("q_id"), col("vec_id"))
       .agg(Det.exactSum(col("dp"), 6).as("dt"),
         Det.exactSum(col("nc2"), 6).as("n2"),
@@ -1050,37 +1070,8 @@ object PqIndex {
     * down to the candidate residents BEFORE the LUT lookup, so probe
     * cost is O(Σ|cell| · M), never corpus-wide. */
   def topKPairs(s: SparkSession, table: String, queries: DataFrame,
-      cand: DataFrame, k: Int): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val cb = s.table(table + "_cb")
-    val q = queries.select(col("vec_id").as("q_id"), col("v"),
-      expr("sqrt(graft_dot(v, v))").as("qn"))
-    val lut = q.crossJoin(cb)
-      .select(col("q_id"), col("sub"), col("cid"), col("qn"),
-        expr(s"graft_dot(slice(v, (sub-1)*$SubDim+1, $SubDim), c)")
-          .as("dp"),
-        col("nc2"))
-    val codes = s.table(table)
-      .select(col("vec_id"), col("nrm"),
-        posexplode(col("codes")).as(Seq("pos", "cid")))
-      .select(col("vec_id"), col("nrm"), (col("pos") + 1).as("sub"),
-        col("cid"))
-      .join(cand, "vec_id")
-    val sim = when(col("nrm") > lit(0d),
-      CosSim.sentinel(col("dt"), sqrt(col("n2")), col("qn")))
-      .otherwise(lit(-1.0d))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    codes.join(broadcast(lut), Seq("q_id", "sub", "cid"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(Det.exactSum(col("dp"), 6).as("dt"),
-        Det.exactSum(col("nc2"), 6).as("n2"),
-        max(col("qn")).as("qn"), max(col("nrm")).as("nrm"))
-      .withColumn("sim", sim)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), col("sim"))
-  }
+      cand: DataFrame, k: Int): DataFrame =
+    adcTopK(s, table, queries, k, cand = Some(cand))
 
   /** Memoized stored PQ index for `sfDir`'s embeddings — the
     * [[IvfIndex.ivfIndex]] contract (catalog memo, `_ok` marker, sweep,
