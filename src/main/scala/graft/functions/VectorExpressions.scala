@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst dot product over two array<double> columns.
   *
@@ -81,6 +81,72 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Native sign-bit packing for binary quantization (BqIndex): bit p of
+  * the BIGINT result is set iff v[p] > 0, p < min(64, length). The
+  * composable form — `aggregate(sequence(0, 63), 0L, (acc, p) ->
+  * acc | shiftleft(CASE WHEN element_at(v, p+1) > 0 ...))` — is an
+  * interpreted 64-step fold per row on the whole-corpus ingest path;
+  * this is the bare loop under whole-stage codegen. Semantics match
+  * the fold exactly for every non-null array: a NULL element or an
+  * out-of-range position contributes a 0 bit (element_at past the end
+  * is NULL in the fold, and NULL > 0 is not true), elements beyond 64
+  * are ignored. ONE deliberate divergence: a NULL array is NULL here
+  * (nullSafeEval) where the fold yields 0 — the array only appears
+  * inside the fold's CASE, so its null never propagates; the
+  * null-propagating contract is the saner one and the case is
+  * unreachable from BqIndex (canon vectors are never NULL). Gated in
+  * AnnIndexSpec.
+  */
+case class SignPack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sign_pack expects array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(64, v.numElements())
+    var sig = 0L
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && v.getDouble(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = java.lang.Math.min(64, $v.numElements());
+         |long $sig = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$v.isNullAt($i) && $v.getDouble($i) > 0) {
+         |    $sig |= 1L << $i;
+         |  }
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override def nullable: Boolean = child.nullable
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(newChild)
+}
+
 object VectorFunctions {
   /** Single source of truth for graft's custom functions — consumed by
     * both per-session `register` and the GraftExtensions injection path
@@ -94,6 +160,10 @@ object VectorFunctions {
     "graft_dot" -> (exprs => {
       arity("graft_dot", exprs, 2, 2)
       DotProduct(exprs.head, exprs(1))
+    }),
+    "graft_sign_pack" -> (exprs => {
+      arity("graft_sign_pack", exprs, 1, 1)
+      SignPack(exprs.head)
     }),
     "graft_shingles" -> (exprs => {
       arity("graft_shingles", exprs, 1, 1)

@@ -1218,10 +1218,17 @@ object BqIndex {
     * re-orders those C and cuts to k. */
   val C = 20
 
-  /** Sign-bit packing of canon vector `v` (bit p set ⟺ v[p] > 0) —
-    * a left-to-right fold, bit 63 via shiftleft wraps to the BIGINT
-    * sign bit which XOR/popcount treat as just another bit. */
-  private[graft] val sigExpr =
+  /** Sign-bit packing of canon vector `v` (bit p set ⟺ v[p] > 0) via
+    * the native codegen [[graft.functions.SignPack]] expression — the
+    * interpreted 64-step HOF fold it replaces (kept below as the
+    * parity reference SignPackSpec gates) allocated a lambda frame per
+    * bit per row on the whole-corpus ingest path. Bit 63 wraps to the
+    * BIGINT sign bit, which XOR/popcount treat as just another bit. */
+  private[graft] val sigExpr = "graft_sign_pack(v)"
+
+  /** The composable-form twin of [[sigExpr]], asserted equal in
+    * AnnIndexSpec (never used on the hot path). */
+  private[graft] val sigFoldExpr =
     "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, p) -> " +
       "acc | (CASE WHEN element_at(v, p + 1) > CAST(0 AS DOUBLE) " +
       "THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) " +

@@ -560,6 +560,38 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
       val nullIds = emb.filter(col("embedding").isNull)
         .select("vec_id").collect().map(_.getLong(0))
       nullIds.foreach(id => assert(sigs(id) === 0L, s"NULL vec $id"))
+      // the native codegen expression (graft_sign_pack) must equal the
+      // composable HOF fold it replaced — over the corpus AND the edge
+      // shapes the fold defines semantics for: NULL element (0 bit),
+      // short array (high bits 0), >64 elements (ignored), NULL array
+      // (NULL out)
+      val sp = spark
+      import sp.implicits._
+      val edges = Seq(
+        (1L, Seq[java.lang.Double](1.0, null, -2.0, 0.0)),
+        (2L, Seq[java.lang.Double](0.5)),
+        (3L, (1 to 70).map(i =>
+          java.lang.Double.valueOf(if (i % 3 == 0) 1.0 else -1.0)))
+      ).toDF("vec_id", "v")
+      val cases = Ann.prep(emb).select(col("vec_id"), col("v"))
+        .unionByName(edges)
+      val mismatch = cases
+        .select(col("vec_id"),
+          expr(graft.operators.BqIndex.sigExpr).as("native"),
+          expr(graft.operators.BqIndex.sigFoldExpr).as("fold"))
+        .filter(!(col("native") <=> col("fold")))
+        .count()
+      assert(mismatch === 0L)
+      // the ONE deliberate divergence: for a NULL ARRAY the fold yields
+      // 0 (v appears only inside its CASE, so nothing propagates) while
+      // the native expression is null-propagating — the saner contract,
+      // and unreachable from BqIndex (Ann.prep canonicalizes NULL
+      // embeddings to the zero vector first)
+      val nullArr = Seq((9L, null: Seq[java.lang.Double])).toDF("vec_id", "v")
+        .select(expr(graft.operators.BqIndex.sigExpr).as("native"),
+          expr(graft.operators.BqIndex.sigFoldExpr).as("fold"))
+        .collect().head
+      assert(nullArr.isNullAt(0) && nullArr.getLong(1) === 0L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 

@@ -22,6 +22,7 @@ class ArityCheckSpec extends AnyFunSuite with SparkSuite {
     "graft_shingle_set" -> ((1, 1)),
     "graft_minhash_lanes" -> ((1, 1)),
     "graft_intersect_size" -> ((2, 2)),
+    "graft_sign_pack" -> ((1, 1)),
     "graft_simhash16" -> ((1, 1)),
     "graft_heavy_hitters" -> ((2, 2)),
     "graft_kmv_distinct" -> ((2, 2)),
