@@ -93,6 +93,78 @@ object TrainingData {
           .as("n_chunk_toks"))
   }
 
+  /** The English-language + quality "ingest gate" — the STATELESS
+    * prefix of [[curate]] (per-row, no corpus statistics), factored so
+    * the batch pipeline and [[graft.streaming.StreamingOps
+    * .streamingCurateGate]] share one definition and cannot drift.
+    * Keeps rows whose q_lang_id class is 'en' AND whose
+    * q_quality class is 'good'; emits (original columns + n_tok).
+    */
+  def curateGate(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def score(lang: String) =
+      TextOps.langScore(col("text"), TextOps.LangWords.toMap.apply(lang))
+    val (en, fr, es, de) =
+      (score("en"), score("fr"), score("es"), score("de"))
+    docs
+      .filter(en >= fr && en >= es && en >= de && en > 0)
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_uniq", size(expr(TextOps.toksExpr)))
+      .filter(TextOps.qualityGate(col("n_tok"), col("n_uniq")))
+      .drop("n_uniq")
+  }
+
+  /** The five-stage curation pipeline as a library entry point —
+    * q_curate is exactly `curate(documents, benchmark = doc_id < 5,
+    * corpus = doc_id >= 5)` (the QDef calls this function, so the
+    * oracle hash-gates THIS definition end to end). `isBenchmark`
+    * selects the eval set (compared raw — an external benchmark is
+    * never curated); `isCorpus` selects the curate-able rows. Returns
+    * the packed output (shard, pack_id, n_docs, n_tokens). Stages and
+    * plan shape are documented at the QDef.
+    */
+  def curate(docs: org.apache.spark.sql.DataFrame,
+      isBenchmark: Column => Column,
+      isCorpus: Column => Column): org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val q = curateGate(docs)
+    val wDd = Window.partitionBy(md5(col("text")))
+      .orderBy(col("doc_id"))
+    val dd = q.withColumn("rn", row_number().over(wDd))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("n_tok"))
+    val bench = docs.filter(isBenchmark(col("doc_id")))
+      .select(explode(expr("graft_shingle_set(text)")).as("sh"))
+      .distinct()
+    // decontamination as a flag-aggregate rather than a self-anti
+    // join: an anti join would reference `dd` on BOTH sides and
+    // Catalyst does not CSE DataFrame reuse — the dedup exchange
+    // would run twice. One explode (doc-local, so the max() partial
+    // agg collapses each doc to one row map-side), one broadcast
+    // probe of the tiny benchmark side, one agg exchange.
+    // explode_outer: a shingle-less doc cannot be contaminated
+    // (unreachable under the ≥30-token quality gate, kept for
+    // robustness if the gate is retuned).
+    val surv = dd.filter(isCorpus(col("doc_id")))
+      .select(col("doc_id"), col("n_tok"),
+        explode_outer(expr("graft_shingle_set(text)")).as("sh"))
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("sh"),
+        "left")
+      .groupBy("doc_id", "n_tok")
+      .agg(max(coalesce(col("hit"), lit(0))).as("hit"))
+      .filter(col("hit") === 0)
+    val wPack = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    surv.select(col("doc_id"), hashPrefix(1).as("shard"),
+        col("n_tok").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(wPack))
+      .withColumn("pack_id",
+        expr("CAST((cum - n_toks) DIV 2048 AS INT)"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Deterministic train/val/test split: 2-hex-char bucket (256 buckets)
@@ -506,55 +578,8 @@ object TrainingData {
     // equi-join against the broadcast benchmark side; stage 5 is one
     // exchange on the shard key. No stage materializes between.
     QDef("q_curate",
-      (s, d) => {
-        graft.functions.VectorFunctions.register(s)
-        val docs = Tables(s, d, "documents")
-        def score(lang: String) =
-          TextOps.langScore(col("text"), TextOps.LangWords.toMap.apply(lang))
-        val (en, fr, es, de) =
-          (score("en"), score("fr"), score("es"), score("de"))
-        val lang = docs
-          .filter(en >= fr && en >= es && en >= de && en > 0)
-        val q = lang
-          .withColumn("n_tok", size(split(trim(col("text")), "\\s+")))
-          .withColumn("n_uniq", size(expr(TextOps.toksExpr)))
-          .filter(TextOps.qualityGate(col("n_tok"), col("n_uniq")))
-        val wDd = Window.partitionBy(md5(col("text")))
-          .orderBy(col("doc_id"))
-        val dd = q.withColumn("rn", row_number().over(wDd))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("text"), col("n_tok"))
-        val bench = docs.filter(col("doc_id") < 5)
-          .select(explode(expr("graft_shingle_set(text)")).as("sh"))
-          .distinct()
-        // decontamination as a flag-aggregate rather than a self-anti
-        // join: an anti join would reference `dd` on BOTH sides and
-        // Catalyst does not CSE DataFrame reuse — the dedup exchange
-        // would run twice. One explode (doc-local, so the max() partial
-        // agg collapses each doc to one row map-side), one broadcast
-        // probe of the tiny benchmark side, one agg exchange.
-        // explode_outer: a shingle-less doc cannot be contaminated
-        // (unreachable under the ≥30-token quality gate, kept for
-        // robustness if the gate is retuned).
-        val surv = dd.filter(col("doc_id") >= 5)
-          .select(col("doc_id"), col("n_tok"),
-            explode_outer(expr("graft_shingle_set(text)")).as("sh"))
-          .join(broadcast(bench.withColumn("hit", lit(1))), Seq("sh"),
-            "left")
-          .groupBy("doc_id", "n_tok")
-          .agg(max(coalesce(col("hit"), lit(0))).as("hit"))
-          .filter(col("hit") === 0)
-        val wPack = Window.partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        surv.select(col("doc_id"), hashPrefix(1).as("shard"),
-            col("n_tok").as("n_toks"))
-          .withColumn("cum", sum(col("n_toks")).over(wPack))
-          .withColumn("pack_id",
-            expr("CAST((cum - n_toks) DIV 2048 AS INT)"))
-          .groupBy("shard", "pack_id")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_toks")).as("n_tokens"))
-      },
+      (s, d) => curate(Tables(s, d, "documents"),
+        isBenchmark = _ < 5, isCorpus = _ >= 5),
       Some {
         def sc(lang: String) =
           TextOps.langScoreSql(TextOps.LangWords.toMap.apply(lang))

@@ -309,6 +309,23 @@ object StreamingOps {
       graft.operators.TrainingData.chunk(docsStream(spark, sfDir)),
       queryName)
 
+  /** Streaming CURATION GATE — the stateless prefix of the q_curate
+    * pipeline (TrainingData.curateGate: language class 'en' AND
+    * quality class 'good', ONE definition with batch) applied to
+    * arriving documents: per-row, no corpus statistics, so it streams
+    * in append mode with exact batch parity. This is the continuous
+    * ingest-time filter of a corpus pipeline — documents that fail the
+    * gate never reach storage; the STATEFUL stages (exact dedup,
+    * decontamination, packing) run batch-side over the gated store
+    * (or via the stored band index for online near-dedup —
+    * [[streamingNearDedup]]).
+    */
+  def streamingCurateGate(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_curate_gate"): DataFrame =
+    drainToMemory(
+      graft.operators.TrainingData.curateGate(docsStream(spark, sfDir)),
+      queryName)
+
   /** Streaming BM25 probe — the online-serving twin of batch q_bm25:
     * queries arrive as a file stream (`queriesDir`, rows of (q_id,
     * qtext)) and probe the STATIC inverted index over the corpus

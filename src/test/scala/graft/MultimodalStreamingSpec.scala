@@ -187,6 +187,23 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(s1 === b1)
   }
 
+  test("streaming curation gate equals the batch gate exactly") {
+    // the stateless prefix of q_curate (lang 'en' + quality 'good',
+    // ONE shared definition) over a stream must keep/drop exactly the
+    // rows the batch form does
+    val streamed = StreamingOps.streamingCurateGate(spark, sf)
+    val batch = graft.operators.TrainingData
+      .curateGate(Tables(spark, sf, "documents"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tok").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val (s1, b1) = (rows(streamed), rows(batch))
+    assert(s1.nonEmpty)
+    assert(s1 === b1)
+    // and the gate genuinely filters on this corpus
+    assert(s1.size.toLong < Tables(spark, sf, "documents").count())
+  }
+
   test("streaming near-dedup equals batch q_dedup_incremental exactly") {
     // stream-static band join vs the batch twin: same signatures (one
     // shared definition), same verify — the PAIR SET and the exact
