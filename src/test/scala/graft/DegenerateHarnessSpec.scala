@@ -61,6 +61,10 @@ class DegenerateHarnessSpec extends AnyFunSuite with SparkSuite {
     // codeword, so without it ADC would score it above the sentinel
     ("q_pq", "vec_id", "sim"),
     ("q_ivfpq", "vec_id", "sim"),
+    // BQ: degenerate vectors pack to sig 0 (no coordinate > 0) and can
+    // enter the Hamming top-C, but the exact rerank hands them the
+    // sentinel — they can never displace a well-formed neighbor
+    ("q_bq", "vec_id", "sim"),
     ("q_embed_dedup", "b_id", "sim"))
 
   test("retrieval family runs green; degenerate candidates only at the sentinel") {
