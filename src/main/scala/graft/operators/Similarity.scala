@@ -464,9 +464,13 @@ object AnnIndex {
   import graft.operators.{TextOps => TO}
 
   /** The memoized corpus index's banding config — q_simsearch_banded's
-    * 8 bands × 2 bits over the 64-wide testdata embeddings. */
+    * 8 bands × 2 bits over the 64-wide testdata embeddings. `Dim` is
+    * the public face of CosSim.EmbDim for callers outside the
+    * operators package (the streaming ingest defaults ride it so a
+    * corpus-width change cannot silently fork stream from batch). */
   val NBands = 8
   val Bits = 2
+  val Dim: Int = CosSim.EmbDim
 
   /** Slot-prefixed exploded band postings for any (vec_id, v) frame. */
   def bandRows(e: DataFrame, nBands: Int, bits: Int, dim: Int): DataFrame =
@@ -521,13 +525,12 @@ object AnnIndex {
     * bucketed scan with zero Exchange, AnnIndexSpec-gated under forced
     * SMJ), rescoring joins the payload table on vec_id with the (tiny)
     * candidate set broadcast. Identical semantics to [[Ann.topK]] —
-    * same candidate set, same sentinel cosine, same tiebreaks.
-    */
-  /** Stored-index top-k; with `matchCols` nonempty it is the
-    * METADATA-FILTERED probe (see [[topKFiltered]]) — ONE candidate /
-    * rescore / cut pipeline for both forms (review r12: the filtered
-    * variant was a wholesale copy that could drift), with the filter
-    * reduced to `lit(true)` (pruned by Catalyst) when unfiltered.
+    * same candidate set, same sentinel cosine, same tiebreaks. With
+    * `matchCols` nonempty it is the METADATA-FILTERED probe (see
+    * [[topKFiltered]]) — ONE candidate/rescore/cut pipeline for both
+    * forms (review r12: the filtered variant was a wholesale copy that
+    * could drift), the filter reducing to `lit(true)` (pruned by
+    * Catalyst) when unfiltered.
     */
   def topK(s: SparkSession, table: String, isQuery: Column => Column,
       k: Int, matchCols: Seq[String] = Nil): DataFrame = {
@@ -994,6 +997,9 @@ object PqIndex {
     require(s.catalog.tableExists(table + "_cb"),
       s"PqIndex.append: no stored codebook ${table}_cb — build with " +
         "PqIndex.write first (append never retrains)")
+    // a dead process's orphaned codes directory would fail the CREATE
+    // the first append performs (the guard every sibling append has)
+    TO.clearOrphanLocation(s, table)
     val cb = s.table(table + "_cb").select(col("sub"), col("cid"),
       col("c"))
     encode(emb, cb)

@@ -179,29 +179,30 @@ object TextOps {
     // each held up to 8 buckets = 23 files), so the whole write runs
     // with AQE off — a maintenance write needs a FIXED partitioning,
     // which is precisely what adaptivity exists to override.
-    val coalesceKey = "spark.sql.adaptive.enabled"
-    val prevCoalesce = s.conf.get(coalesceKey, "true")
-    s.conf.set(coalesceKey, "false")
-    try {
-      // read the FILES, not the catalog table: the bucketed scan
-      // already claims HashPartitioning(bucketCols, n), which makes
-      // the repartition "redundant" and eliminates the very shuffle
-      // that aligns tasks to buckets (the writer then bin-packs the
-      // small files into arbitrary tasks). A plain parquet read has
-      // no claimed partitioning, so the repartition stands.
-      val one = s.read.parquet(meta.location.toString)
-        .repartition(spec.numBuckets,
-          spec.bucketColumnNames.map(col): _*)
-      val w = one.write
-        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
-          spec.bucketColumnNames.tail: _*)
-      val ws =
-        if (spec.sortColumnNames.nonEmpty)
-          w.sortBy(spec.sortColumnNames.head,
-            spec.sortColumnNames.tail: _*)
-        else w
-      ws.saveAsTable(tmp)
-    } finally s.conf.set(coalesceKey, prevCoalesce)
+    // the rewrite runs in a CLONED session (shared catalog, isolated
+    // conf) so disabling AQE for the one fixed-partitioning write
+    // cannot de-adapt queries planned concurrently on the caller's
+    // session
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // read the FILES, not the catalog table: the bucketed scan
+    // already claims HashPartitioning(bucketCols, n), which makes
+    // the repartition "redundant" and eliminates the very shuffle
+    // that aligns tasks to buckets (the writer then bin-packs the
+    // small files into arbitrary tasks). A plain parquet read has
+    // no claimed partitioning, so the repartition stands.
+    val one = s2.read.parquet(meta.location.toString)
+      .repartition(spec.numBuckets,
+        spec.bucketColumnNames.map(col): _*)
+    val w = one.write
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    val ws =
+      if (spec.sortColumnNames.nonEmpty)
+        w.sortBy(spec.sortColumnNames.head,
+          spec.sortColumnNames.tail: _*)
+      else w
+    ws.saveAsTable(tmp)
     s.sql(s"DROP TABLE $table")
     s.sql(s"ALTER TABLE $tmp RENAME TO $table")
     s.catalog.refreshTable(table)
@@ -460,7 +461,7 @@ object TextOps {
       val owned =
         "^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
           "|sdd_idx|bq_idx)" +
-          "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck)?$"
+          "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact)?$"
       val ownedRe = owned.r
       if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
         st.getPath.getName match {

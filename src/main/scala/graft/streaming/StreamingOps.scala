@@ -405,7 +405,7 @@ object StreamingOps {
       table: String,
       nBands: Int = graft.operators.AnnIndex.NBands,
       bits: Int = graft.operators.AnnIndex.Bits,
-      dim: Int = 64,
+      dim: Int = graft.operators.AnnIndex.Dim,
       payloadCols: Seq[String] = Nil): Unit =
     vectorIngest(spark, sfDir, table, Seq(table, table + "_vec"),
       (batch, t) => graft.operators.AnnIndex.append(batch, t,
@@ -472,8 +472,24 @@ object StreamingOps {
     * `refresh` for the caller's session. */
   private def vectorIngest(spark: SparkSession, sfDir: String,
       table: String, refresh: Seq[String],
+      append: (org.apache.spark.sql.DataFrame, String) => Unit): Unit =
+    ledgeredIngest(spark, s"$sfDir/embeddings.parquet", table, refresh,
+      append)
+
+  /** THE ledgered ingest loop — shared by the vector-index ingests and
+    * [[streamingBm25Ingest]] (review r12: two hand-rolled copies of
+    * the replay machinery is exactly the one-definition-or-drift
+    * failure the loop exists to prevent): file-stream the source,
+    * apply each micro-batch through `append` behind the batch-id
+    * replay ledger, stable warehouse checkpoint at `<table>_ck`
+    * (orphan-cleaned with its paired ledger when the table is gone),
+    * then refresh `refresh` for the caller's session — the batch
+    * writes ran in the micro-batch's CLONED session, whose relation
+    * cache is separate, and a stale listing would miss appended files
+    * (or fail on an overwritten stats table's vanished part file). */
+  private def ledgeredIngest(spark: SparkSession, path: String,
+      table: String, refresh: Seq[String],
       append: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
-    val path = s"$sfDir/embeddings.parquet"
     val schema = spark.read.parquet(path).schema
     val ledger = table + "_ledger"
     graft.operators.TextOps.clearOrphanLocation(spark, ledger)
@@ -548,61 +564,15 @@ object StreamingOps {
     * names are reclaimed with their tables by the dead-pid sweep.
     */
   def streamingBm25Ingest(spark: SparkSession, sfDir: String,
-      table: String, statsTable: String): Unit = {
+      table: String, statsTable: String): Unit =
     // point the source AT the table path, not at sfDir + glob: the
     // corpus ships both as a single documents.parquet FILE (testdata)
     // and as a directory of part files (anything Spark wrote), and a
     // leaf-name glob filter would see no files in the directory layout
-    val path = s"$sfDir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
-    val ledger = table + "_ledger"
-    graft.operators.TextOps.clearOrphanLocation(spark, ledger)
-    val ck = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase + "_ck")
-    val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // orphan-checkpoint guard, the clearOrphanLocation rule applied to
-    // the checkpoint: if the CURRENT catalog has no postings table but
-    // a checkpoint survives (crashed/recycled process), its file log
-    // would claim the corpus was already ingested and this run would
-    // build an empty index — start fresh instead
-    if (!spark.catalog.tableExists(table) && fs.exists(ck)) {
-      fs.delete(ck, true); ()
-    }
-    // and the ledger resets WITH the checkpoint (they are a pair):
-    // post-reset batch ids restart at 0, so a ledger surviving from
-    // the dropped table's previous life would silently skip every
-    // redelivered batch and the rebuild would ingest nothing
-    if (!spark.catalog.tableExists(table))
-      spark.sql(s"DROP TABLE IF EXISTS $ledger")
-    val q = spark.readStream.schema(schema).parquet(path).writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val applied = s.catalog.tableExists(ledger) &&
-          !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
-        if (!applied) {
-          graft.operators.TextOps
-            .appendBm25Postings(batch, table, statsTable)
-          val sp = s
-          import sp.implicits._
-          Seq(batchId).toDF("batch_id")
-            .write.mode("append").saveAsTable(ledger)
-        }
-      }
-      .option("checkpointLocation", ck.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // the writes above ran in the micro-batch's CLONED session, whose
-    // relation cache is separate from the caller's — without a refresh
-    // the caller's next read of the overwritten stats table fails on
-    // the vanished old part file (and a stale postings listing would
-    // silently miss appended files)
-    if (spark.catalog.tableExists(table))
-      spark.catalog.refreshTable(table)
-    if (spark.catalog.tableExists(statsTable))
-      spark.catalog.refreshTable(statsTable)
-  }
+    ledgeredIngest(spark, s"$sfDir/documents.parquet", table,
+      refresh = Seq(table, statsTable),
+      append = (batch, t) => graft.operators.TextOps
+        .appendBm25Postings(batch, t, statsTable))
 
   private def corpusPrep(docs: DataFrame): DataFrame =
     docs
