@@ -152,16 +152,19 @@ object TextOps {
     * Guarantees gated in CompactionSpec: row-identical content,
     * bucket spec preserved (a post-compaction probe join still plans
     * with zero Exchange on the stored side), file count collapsed to
-    * `numBuckets`. NOT crash-atomic: the drop→rename window can leave
-    * `table` missing with the data intact under `<table>_compact`
-    * (recover by renaming manually); run it in the ingest's quiet
-    * window, same non-transactional caveat as the ingests themselves.
-    * Caller-supplied names follow the clearOrphanLocation contract
-    * (per-process unique).
+    * `numBuckets`. The whole op runs under [[bm25BuildLock]] (ADVICE
+    * r12), so in-process builders and memoized-index consumers
+    * serialize with the swap; the swap itself is the two-rename
+    * [[swapIndexTables]] dance with `_old` backup — a crash at ANY
+    * step leaves a complete copy recoverable by [[recoverSwap]],
+    * which both this function and [[memoIndex]] run first, so the
+    * next touch heals WITHOUT a full rebuild. Caller-supplied names
+    * follow the clearOrphanLocation contract (per-process unique).
     */
   def compactIndex(s: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
+      table: String): Unit = bm25BuildLock.synchronized {
     import org.apache.spark.sql.catalyst.TableIdentifier
+    recoverSwap(s, table)
     val meta = s.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -203,9 +206,63 @@ object TextOps {
           spec.sortColumnNames.tail: _*)
       else w
     ws.saveAsTable(tmp)
-    s.sql(s"DROP TABLE $table")
+    swapIndexTables(s, table, tmp)
+  }
+
+  /** Promote a fully-written replacement table `tmp` to `table` with an
+    * `_old` backup — the maintenance-swap primitive compaction and any
+    * retrain-and-swap op (PqIndex.refresh) share. The naive
+    * DROP→RENAME left a window where a crash stranded the ONLY copy
+    * under the tmp name and forced a rebuild (VERDICT r12 #3/#4);
+    * here the previous copy is renamed OUT to `<table>_old` before the
+    * new one is renamed IN, so at every instant at least one complete,
+    * catalog-registered copy exists and [[recoverSwap]] can restore
+    * the binding after a crash at any step. Callers must hold
+    * [[bm25BuildLock]] (all current callers do) so in-process
+    * builders/memo consumers never observe the mid-swap states.
+    */
+  private[graft] def swapIndexTables(s: org.apache.spark.sql.SparkSession,
+      table: String, tmp: String): Unit = {
+    val old = table + "_old"
+    s.sql(s"DROP TABLE IF EXISTS $old")
+    clearOrphanLocation(s, old)
+    s.sql(s"ALTER TABLE $table RENAME TO $old")
     s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    s.sql(s"DROP TABLE $old")
     s.catalog.refreshTable(table)
+  }
+
+  /** Heal a crashed [[swapIndexTables]] — idempotent, cheap (catalog
+    * lookups only), run by compactIndex and memoIndex before they
+    * trust the catalog state. The two crash states:
+    *   - `table` unbound: prefer the REPLACEMENT copy under
+    *     `<table>_compact` (it was fully written before the swap
+    *     began — saveAsTable registers only complete tables), else
+    *     restore the backup `<table>_old`;
+    *   - `table` bound with a leftover `_old`: the swap finished all
+    *     but the final drop — drop the backup.
+    * Gated in CompactionSpec's crash-state tests: recovery restores
+    * the binding without any rebuild.
+    */
+  private[graft] def recoverSwap(s: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val old = table + "_old"
+    val tmp = table + "_compact"
+    var healed = false
+    if (!s.catalog.tableExists(table)) {
+      if (s.catalog.tableExists(tmp)) {
+        s.sql(s"ALTER TABLE $tmp RENAME TO $table"); healed = true
+      } else if (s.catalog.tableExists(old)) {
+        s.sql(s"ALTER TABLE $old RENAME TO $table"); healed = true
+      }
+    }
+    if (s.catalog.tableExists(old) && s.catalog.tableExists(table)) {
+      s.sql(s"DROP TABLE $old"); healed = true
+    }
+    // refresh ONLY when something changed: an unconditional refresh
+    // would drop the relation cache on every memoized probe's
+    // memoIndex pass and re-list files per rep
+    if (healed) s.catalog.refreshTable(table)
   }
 
   /** The ONE tokenize→tf pipeline both index builders share — the
@@ -367,16 +424,6 @@ object TextOps {
     s"${prefix}_${hex.take(10)}_p$pid"
   }
 
-  /** Memoized two-halves incremental build for `sfDir` (per process +
-    * catalog, like [[bm25Index]]): documents split by doc_id parity,
-    * each half appended as its own ingest batch — so every q_bm25_incr
-    * verification exercises true append-maintenance, while reps within
-    * a session pay only the probe. A `_ok` MARKER table commits the
-    * build: the memo requires it, so a crash mid-build (half the corpus
-    * appended, stats covering less) can never be served as complete —
-    * the next call drops the partial tables and rebuilds. Returns
-    * (postings, stats).
-    */
   /** THE memoized-index build dance, factored once (review r12: seven
     * hand-rolled copies had already drifted — bm25Index lacked the
     * crash marker, the schema-evolution hook existed only in
@@ -397,6 +444,10 @@ object TextOps {
     val okTable = table + "_ok"
     bm25BuildLock.synchronized {
       sweepDeadIndexes(s)
+      // heal any crashed maintenance swap BEFORE trusting the catalog:
+      // a compaction (or retrain-swap) that died mid-swap must read as
+      // "built" again via its surviving copy, not trigger a rebuild
+      (table +: suffixes.map(table + _)).foreach(recoverSwap(s, _))
       val ok = s.catalog.tableExists(okTable) &&
         (table +: suffixes.map(table + _))
           .forall(s.catalog.tableExists) &&
@@ -414,6 +465,15 @@ object TextOps {
     table
   }
 
+  /** Memoized two-halves incremental build for `sfDir` (per process +
+    * catalog, like [[bm25Index]]): documents split by doc_id parity,
+    * each half appended as its own ingest batch — so every q_bm25_incr
+    * verification exercises true append-maintenance, while reps within
+    * a session pay only the probe. The memoIndex `_ok` marker commits
+    * the build: a crash mid-build (half the corpus appended, stats
+    * covering less) can never be served as complete — the next call
+    * drops the partial tables and rebuilds. Returns (postings, stats).
+    */
   private[graft] def bm25IndexIncr(s: org.apache.spark.sql.SparkSession,
       sfDir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -461,7 +521,7 @@ object TextOps {
       val owned =
         "^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
           "|sdd_idx|bq_idx)" +
-          "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact)?$"
+          "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old)?$"
       val ownedRe = owned.r
       if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
         st.getPath.getName match {

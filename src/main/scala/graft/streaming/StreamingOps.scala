@@ -496,17 +496,28 @@ object StreamingOps {
     val ck = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase + "_ck")
     val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!spark.catalog.tableExists(table) && fs.exists(ck)) {
-      fs.delete(ck, true); ()
+    // reset keys on ANY member table missing, not just the primary
+    // (ADVICE r12): for a multi-table ingest (bm25's stats twin, ANN's
+    // payload twin), losing only the sibling while postings + ledger
+    // survive would otherwise skip every batch as already-applied and
+    // never rebuild the lost member. The reset drops EVERY member, not
+    // just the missing one: with the checkpoint gone the source replays
+    // all files, and replaying into a surviving append table would
+    // duplicate its rows (or double-fold the stats twin)
+    if (refresh.exists(t => !spark.catalog.tableExists(t))) {
+      if (fs.exists(ck)) { fs.delete(ck, true); () }
+      // checkpoint and ledger are a PAIR: with the checkpoint reset,
+      // batch ids restart at 0, and a surviving ledger from the
+      // dropped table's previous life would mark every redelivered id
+      // as already applied — the ingest would return success having
+      // appended nothing (the silent-skip failure the r11
+      // stable-checkpoint fix was about, reintroduced through the
+      // table-drop path)
+      (refresh :+ ledger).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        graft.operators.TextOps.clearOrphanLocation(spark, t)
+      }
     }
-    // checkpoint and ledger are a PAIR: with the checkpoint reset,
-    // batch ids restart at 0, and a surviving ledger from the dropped
-    // table's previous life would mark every redelivered id as already
-    // applied — the ingest would return success having appended
-    // nothing (the silent-skip failure the r11 stable-checkpoint fix
-    // was about, reintroduced through the table-drop path)
-    if (!spark.catalog.tableExists(table))
-      spark.sql(s"DROP TABLE IF EXISTS $ledger")
     val q = spark.readStream.schema(schema).parquet(path).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>

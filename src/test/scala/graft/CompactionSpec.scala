@@ -110,6 +110,102 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("crash between swap renames: recoverSwap promotes the new copy") {
+    // mid-swap state A: `t` renamed OUT to _old, replacement fully
+    // written under _compact, crash before rename-in — the state the
+    // old DROP→RENAME could strand data in (VERDICT r12 #4)
+    val pid = ProcessHandle.current().pid()
+    val t = s"swap_crash_a_p$pid"
+    Seq(t, s"${t}_old", s"${t}_compact")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      BqIndex.append(emb.filter(col("vec_id") < 100), t)
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+      BqIndex.append(emb, s"${t}_compact") // the (newer, fuller) copy
+      val want = spark.table(s"${t}_compact").count()
+      TextOps.recoverSwap(spark, t)
+      assert(spark.catalog.tableExists(t))
+      assert(spark.table(t).count() === want)
+      assert(!spark.catalog.tableExists(s"${t}_old"))
+      assert(!spark.catalog.tableExists(s"${t}_compact"))
+    } finally Seq(t, s"${t}_old", s"${t}_compact")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("crash before the final drop: recoverSwap clears the backup") {
+    // mid-swap state B: swap finished all but DROP _old
+    val pid = ProcessHandle.current().pid()
+    val t = s"swap_crash_b_p$pid"
+    Seq(t, s"${t}_old")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      BqIndex.append(emb.filter(col("vec_id") < 100), s"${t}_old")
+      BqIndex.append(emb, t)
+      val want = spark.table(t).count()
+      TextOps.recoverSwap(spark, t)
+      assert(spark.table(t).count() === want)
+      assert(!spark.catalog.tableExists(s"${t}_old"))
+    } finally Seq(t, s"${t}_old")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("memoIndex heals a crashed swap without rebuilding") {
+    // crash state C (table renamed out, no replacement yet): the next
+    // memoized-index consumer must restore the backup and serve it —
+    // NOT fall into a full rebuild (the build fn throwing proves it)
+    val prefix = "graft_heal_test"
+    val t = TextOps.memoIndex(spark, prefix, sf) { tt =>
+      BqIndex.write(emb, tt)
+    }
+    try {
+      val want = spark.table(t).count()
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+      val t2 = TextOps.memoIndex(spark, prefix, sf) { _ =>
+        fail("crashed swap must heal from _old, not rebuild")
+      }
+      assert(t2 === t)
+      assert(spark.table(t).count() === want)
+      assert(!spark.catalog.tableExists(s"${t}_old"))
+    } finally Seq(t, s"${t}_old", s"${t}_ok")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("compactIndex serializes with holders of the build lock") {
+    // ADVICE r12: the swap must run under bm25BuildLock so in-process
+    // memoized-index consumers (which all enter through memoIndex's
+    // synchronized block) can never observe a mid-swap state
+    val pid = ProcessHandle.current().pid()
+    val t = s"compact_lock_p$pid"
+    Seq(t, s"${t}_compact")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      BqIndex.append(emb, t)
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() =>
+        TextOps.bm25BuildLock.synchronized {
+          started.countDown()
+          release.await()
+        })
+      holder.start()
+      started.await()
+      @volatile var done = false
+      val compactor = new Thread(() => {
+        TextOps.compactIndex(spark, t)
+        done = true
+      })
+      compactor.start()
+      compactor.join(500)
+      assert(!done, "compactIndex ran while the build lock was held")
+      release.countDown()
+      compactor.join(120000)
+      holder.join(10000)
+      assert(done)
+      assert(dataFiles(t).size === 8)
+    } finally Seq(t, s"${t}_compact")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("compaction refuses a non-bucketed table") {
     val pid = ProcessHandle.current().pid()
     val t = s"compact_plain_p$pid"
