@@ -520,7 +520,7 @@ object TextOps {
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       val owned =
         "^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
-          "|sdd_idx|bq_idx)" +
+          "|sdd_idx|bq_idx|sq_idx)" +
           "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old)?$"
       val ownedRe = owned.r
       if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>

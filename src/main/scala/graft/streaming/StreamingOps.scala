@@ -451,6 +451,19 @@ object StreamingOps {
       (batch, t) => graft.operators.IvfIndex.append(batch, t))
   }
 
+  /** Streaming SQ8 INDEX INGEST — the online maintenance leg of
+    * [[graft.operators.SqIndex]]: arriving vectors are int8-quantized
+    * with their own per-vector scale and appended to the bucketed
+    * codes table. Like BQ, the representation is doc-local AND
+    * stateless (nothing to pre-train, nothing to freeze), so
+    * stream-grown ≡ batch-built by construction (spec-gated). Replay
+    * ledger + stable checkpoint from the shared loop.
+    */
+  def streamingSqIngest(spark: SparkSession, sfDir: String,
+      table: String): Unit =
+    vectorIngest(spark, sfDir, table, Seq(table),
+      (batch, t) => graft.operators.SqIndex.append(batch, t))
+
   /** Streaming BQ INDEX INGEST — the online maintenance leg of
     * [[graft.operators.BqIndex]]: arriving vectors collapse to their
     * sign-bit signatures and append to the bucketed table. Signatures

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, AnnIndex, BqIndex, IvfIndex, Ivf, PqIndex}
+import graft.operators.{Ann, AnnIndex, BqIndex, IvfIndex, Ivf, PqIndex, SqIndex}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -615,6 +615,97 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
       assert(probe(t2) === probe(t))
       assert(probe(t).nonEmpty)
     } finally Seq(t, t2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("SQ8: stored codes reconstruct the inline quantization exactly") {
+    val t = "sq_spec"; val t2 = t + "_app"
+    Seq(t, t2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      SqIndex.write(emb, t)
+      // the per-vector scale is doc-local: parity-split appends must
+      // reproduce the from-scratch table row for row
+      SqIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 0), t2)
+      SqIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1), t2)
+      def rows(x: String) = spark.table(x).collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Byte](2).toSeq)).sortBy(_._1).toSeq
+      assert(rows(t2) === rows(t))
+      // codes really are int8: tinyint element type, values in [-127,127]
+      val schema = spark.table(t).schema("codes").dataType
+      assert(schema.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType === org.apache.spark.sql.types.ByteType,
+        schema.toString)
+      assert(rows(t).flatMap(_._3).forall(c => c >= -127 && c <= 127))
+      // stored probe ≡ quantize-in-flight (the r12 inline q_sq8 form):
+      // reconstruction code*sc must be bit-identical, so sims match
+      val stored = SqIndex.topK(spark, t, _ < 10, k = 5).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val inline = {
+        val e = emb.select(col("vec_id"),
+            expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+          .withColumn("v", coalesce(col("v"),
+            typedlit(Seq.fill(64)(0.0))))
+          .withColumn("sc",
+            expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
+          .withColumn("vq", expr(
+            "transform(v, x -> CASE WHEN sc = CAST(0 AS DOUBLE) " +
+              "THEN CAST(0 AS DOUBLE) ELSE floor(x / sc + 0.5) * sc END)"))
+          .withColumn("nrm", expr("sqrt(graft_dot(vq, vq))"))
+        val q = e.select(col("vec_id").as("q_id"), col("vq").as("qv"),
+          col("nrm").as("qn")).filter(col("q_id") < 10)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", Det.rnd(
+            when(col("nrm") > 0d && col("qn") > 0d,
+              expr("graft_dot(vq, qv)") / (col("nrm") * col("qn")))
+              .otherwise(lit(null)), 6))
+          .withColumn("sim", coalesce(col("sim"), lit(-1.0)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("q_id", "vec_id", "sim").collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      }
+      assert(stored === inline)
+      assert(stored.nonEmpty)
+    } finally Seq(t, t2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("streamingSqIngest: stream-grown codes equal a batch build") {
+    val pid = ProcessHandle.current().pid()
+    val t = s"sq_ingest_spec_p$pid"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqing")
+      .toString
+    def stageHalf(m: Int): Unit =
+      emb.filter(pmod(col("vec_id"), lit(2)) === m)
+        .select("vec_id", "embedding")
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val all = Seq(t, s"${t}_ledger")
+    all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      stageHalf(0)
+      streaming.StreamingOps.streamingSqIngest(spark, dir, t)
+      streaming.StreamingOps.streamingSqIngest(spark, dir, t) // replay
+      stageHalf(1)
+      streaming.StreamingOps.streamingSqIngest(spark, dir, t)
+      val tb = s"sq_ingest_batch_p$pid"
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      try {
+        SqIndex.write(spark.read.parquet(s"$dir/embeddings.parquet"), tb)
+        def rows(x: String) = spark.table(x).collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            r.getSeq[Byte](2).toSeq)).sortBy(_._1).toSeq
+        assert(rows(t) === rows(tb))
+        assert(rows(t).size.toLong === emb.count())
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tb")
+    } finally {
+      all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+      val ck = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase + "_ck")
+      ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(ck, true)
+    }
   }
 
   test("q_simsearch_banded answers from a second session in the same JVM") {

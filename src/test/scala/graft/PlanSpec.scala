@@ -322,6 +322,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_sq8: probe reads the stored codes table, never embeddings") {
+    // r13: the SQ8 leg serves from the memoized (vec_id, sc, codes)
+    // table — the per-run corpus re-quantization (the round-12 weak
+    // mark) is gone, so the embeddings source must appear nowhere;
+    // queries come off the same stored table
+    val p = plan("q_sq8")
+    assert(p.contains("graft_sq_idx_"), p)
+    assert(!p.contains("embeddings"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_pmi: top-20 is TakeOrdered over persisted counts, no global sort") {
     val p = plan("q_pmi")
     assert(p.contains("TakeOrderedAndProject"), p)
