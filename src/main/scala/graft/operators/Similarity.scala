@@ -505,6 +505,10 @@ object AnnIndex {
     graft.functions.VectorFunctions.register(s)
     TO.clearOrphanLocation(s, table)
     TO.clearOrphanLocation(s, table + "_vec")
+    // a full rebuild may change the banding config — reset the pin
+    s.sql(s"DROP TABLE IF EXISTS ${table}_cfg")
+    TO.ensureIndexConfig(s, table,
+      Seq("dim" -> dim, "nbands" -> nBands, "bits" -> bits))
     // the prep scan feeds both writes; persisting the narrow normalized
     // form beats re-reading + re-folding norms for the band pass
     val e = prepPayload(emb, dim, payloadCols).persist()
@@ -582,14 +586,18 @@ object AnnIndex {
     * rewritten — per-batch cost O(batch). An index grown by appends is
     * row-identical to a from-scratch [[write]] over the union (gated
     * in AnnIndexSpec) and probes identically. The (nBands, bits, dim)
-    * config AND `payloadCols` must match the original build — same
-    * contract as [[scoreExternal]].
+    * config is PINNED in `<table>_cfg` (first maintenance call
+    * creates it, every later one must match — r13, so a mismatched
+    * ingest fails loudly instead of silently forking the banding);
+    * `payloadCols` must likewise match the original build.
     */
   def append(emb: DataFrame, table: String, nBands: Int = NBands,
       bits: Int = Bits, dim: Int = CosSim.EmbDim,
       nBuckets: Int = 8, payloadCols: Seq[String] = Nil): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
+    TO.ensureIndexConfig(s, table,
+      Seq("dim" -> dim, "nbands" -> nBands, "bits" -> bits))
     TO.clearOrphanLocation(s, table)
     TO.clearOrphanLocation(s, table + "_vec")
     val e = prepPayload(emb, dim, payloadCols).persist()
@@ -638,17 +646,27 @@ object AnnIndex {
     * queries are not corpus members. The query vector rides through
     * the dedup (needed for rescoring); at scale bound the streaming
     * dedup state with a watermark on an ingest-time column.
+    *
+    * Banding config: the STORED `<table>_cfg` row wins when present
+    * (r13 — the serving path no longer trusts the caller to repeat
+    * the build parameters); the parameters are the fallback for an
+    * index predating the config pin.
     */
   def scoreExternal(queries: DataFrame, s: SparkSession, table: String,
       nBands: Int = NBands, bits: Int = Bits,
       dim: Int = CosSim.EmbDim): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    val cfg = TO.readIndexConfig(s, table)
+    val (nb, bt, dm) = cfg match {
+      case Some(c) => (c("nbands"), c("bits"), c("dim"))
+      case None => (nBands, bits, dim)
+    }
     val bands = s.table(table)
     val vecs = s.table(table + "_vec")
     val qb = queries
-      .select(col("q_id"), CosSim.canon(col("embedding"), dim).as("qv"))
+      .select(col("q_id"), CosSim.canon(col("embedding"), dm).as("qv"))
       .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
-      .withColumn("bands", Ann.bandKeys(col("qv"), nBands, bits, dim))
+      .withColumn("bands", Ann.bandKeys(col("qv"), nb, bt, dm))
       .select(col("q_id"), col("qv"), col("qn"),
         posexplode(col("bands")))
       .toDF("q_id", "qv", "qn", "band_idx", "bits")
@@ -675,7 +693,7 @@ object AnnIndex {
   val PayloadCols: Seq[String] = Seq("label")
 
   def annIndex(s: SparkSession, sfDir: String): String =
-    TO.memoIndex(s, "graft_ann_idx", sfDir, Seq("_vec"),
+    TO.memoIndex(s, "graft_ann_idx", sfDir, Seq("_vec", "_cfg"),
       // schema-evolution guard alongside the existence memo: an index
       // built by an older code path (or a crashed build) may lack the
       // payload columns the filtered probe needs — rebuild rather than
@@ -741,10 +759,11 @@ object IvfIndex {
     * append-grown index therefore equals a from-scratch build ONLY
     * when the centroids agree, which AnnIndexSpec gates by comparing
     * appended assignments against assignCells under the stored
-    * centroids.
+    * centroids. dim is DERIVED from the stored centroids (r13 — the
+    * quantizer is the config store), so an append cannot canonicalize
+    * to a width the index wasn't built at.
     */
-  def append(emb: DataFrame, table: String,
-      dim: Int = CosSim.EmbDim, nBuckets: Int = 8): Unit = {
+  def append(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     require(s.catalog.tableExists(table + "_cent"),
@@ -753,7 +772,7 @@ object IvfIndex {
     val cents = s.table(table + "_cent").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
-    val e = Ann.prep(emb, dim)
+    val e = Ann.prep(emb, cents.head._2.length)
     Ivf.assignCells(e, cents).write.mode("append")
       .bucketBy(nBuckets, "cell").sortBy("cell")
       .saveAsTable(table)
@@ -869,25 +888,41 @@ object PqIndex {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import graft.operators.{TextOps => TO}
 
-  /** M·SubDim must equal the corpus dim (CosSim.EmbDim). */
+  /** The memoized corpus index's config — M·SubDim equals the testdata
+    * dim (CosSim.EmbDim). These are DEFAULTS, not pins (r13): every
+    * entry point below takes (m, subDim, ks) — or derives them from
+    * the stored codebook, whose rows fully determine the grid
+    * (m = max(sub), subDim = len(c), and dim = m·subDim), so a
+    * 768-dim corpus trains m=8 × subDim=96 (or m=96 × 8) with the
+    * same machinery (WideDimSpec).
+    */
   val M = 8
   val SubDim = 8
   val Ks = 16
 
   private val scale = 1000000.0
 
-  /** (vec_id, nrm, sub, s) subvector rows, sub in 1..M — the reshape
+  /** (vec_id, nrm, sub, s) subvector rows, sub in 1..m — the reshape
     * is pure element movement, so Spark's slice and the oracle's
     * list(v[i] ORDER BY i) grouping produce identical doubles. nrm is
     * the ORIGINAL full-vector norm riding toward the codes table (see
     * [[toCodeRows]]). */
-  private def subvectors(e: DataFrame): DataFrame = {
-    val subs = array((1 to M).map(s =>
+  private def subvectors(e: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val subs = array((1 to m).map(s =>
       struct(lit(s).as("sub"),
-        slice(col("v"), (s - 1) * SubDim + 1, SubDim).as("s"))): _*)
+        slice(col("v"), (s - 1) * subDim + 1, subDim).as("s"))): _*)
     e.select(col("vec_id"), col("nrm"), explode(subs).as("x"))
       .select(col("vec_id"), col("nrm"), col("x.sub").as("sub"),
         col("x.s").as("s"))
+  }
+
+  /** The (m, subDim) grid a codebook frame was trained with — the
+    * codebook IS the config store (one driver-side aggregate over
+    * m·ks rows), so encode/append/probe can never drift from the
+    * build. */
+  private def cbGrid(cb: DataFrame): (Int, Int) = {
+    val r = cb.agg(max(col("sub")), max(size(col("c")))).collect()(0)
+    (r.getInt(0), r.getInt(1))
   }
 
   /** Squared L2 via the dot identity |s|²+|c|²−2·s·c: every term is a
@@ -913,13 +948,13 @@ object PqIndex {
 
   /** One Lloyd update per (sub, cid): element-wise integer-scaled means
     * (long sums are order-free → exact), the meanCentroids arithmetic
-    * on the subspace grid. One map-side-combined aggregation; M·Ks rows
+    * on the subspace grid. One map-side-combined aggregation; m·ks rows
     * out. */
-  private def meanCodebook(assigned: DataFrame): DataFrame = {
-    val sums = (0 until SubDim).map(i =>
+  private def meanCodebook(assigned: DataFrame, subDim: Int): DataFrame = {
+    val sums = (0 until subDim).map(i =>
       sum(floor(col("s")(i) * lit(scale) + lit(0.5)).cast("long"))
         .as(s"s$i"))
-    val cx = (0 until SubDim).map(i =>
+    val cx = (0 until subDim).map(i =>
       col(s"s$i").cast("double") / (lit(scale) * col("n")))
     assigned.groupBy(col("sub"), col("cid"))
       .agg(count(lit(1)).as("n"), sums: _*)
@@ -942,29 +977,40 @@ object PqIndex {
       .select(col("vec_id"), col("nrm"),
         expr("transform(cs, x -> x.cid)").as("codes"))
 
-  /** Train the codebook alone (seed init from the Ks lowest vec_ids'
+  /** Train the codebook alone (seed init from the ks lowest vec_ids'
     * subvectors + one integer-scaled Lloyd update — the quantizerCtes
     * shape) and store `<t>_cb`, WITHOUT encoding anything — the seed
     * step for streaming/append-only ingest, where the training corpus
-    * and the arriving vectors are different populations. */
-  def trainCodebook(emb: DataFrame, table: String): Unit = {
+    * and the arriving vectors are different populations. The stored
+    * codebook carries the whole (m, subDim, ks) grid implicitly, so
+    * no other config row is needed downstream. */
+  def trainCodebook(emb: DataFrame, table: String, m: Int = M,
+      subDim: Int = SubDim, ks: Int = Ks): Unit =
+    trainCodebookTo(emb, table + "_cb", m, subDim, ks)
+
+  /** The training body, targeting an explicit codebook TABLE name — so
+    * [[refresh]] can train into a `_cb_compact` replacement and
+    * promote it with the atomic swap instead of overwriting the
+    * codebook probes are reading. */
+  private def trainCodebookTo(emb: DataFrame, cbTable: String, m: Int,
+      subDim: Int, ks: Int): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
-    TO.clearOrphanLocation(s, table + "_cb")
-    val e = Ann.prep(emb, CosSim.EmbDim).persist()
+    TO.clearOrphanLocation(s, cbTable)
+    val e = Ann.prep(emb, m * subDim).persist()
     try {
-      val sv = subvectors(e)
-      val cb0 = sv.filter(col("vec_id") < Ks)
+      val sv = subvectors(e, m, subDim)
+      val cb0 = sv.filter(col("vec_id") < ks)
         .select(col("sub"), col("vec_id").cast("int").as("cid"),
           col("s").as("c"))
       // seed density contract (the kmeansCentroids require): fewer
-      // than Ks seed vectors would silently train a smaller codebook
-      require(cb0.count() == M.toLong * Ks,
-        s"PqIndex.trainCodebook: expected $Ks seed vectors with vec_id " +
-          s"in [0, $Ks) — ids must be dense from 0")
-      meanCodebook(assignCodes(sv, cb0))
+      // than ks seed vectors would silently train a smaller codebook
+      require(cb0.count() == m.toLong * ks,
+        s"PqIndex.trainCodebook: expected $ks seed vectors with vec_id " +
+          s"in [0, $ks) — ids must be dense from 0")
+      meanCodebook(assignCodes(sv, cb0), subDim)
         .withColumn("nc2", expr("graft_dot(c, c)"))
-        .write.mode("overwrite").saveAsTable(table + "_cb")
+        .write.mode("overwrite").saveAsTable(cbTable)
     } finally { e.unpersist(); () }
   }
 
@@ -973,19 +1019,25 @@ object PqIndex {
     * (parquet doubles roundtrip exactly, so encoding under the STORED
     * codebook equals encoding under the in-flight one), and it keeps
     * ONE encode definition for build, append, and streaming ingest. */
-  def write(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+  def write(emb: DataFrame, table: String, nBuckets: Int = 8,
+      m: Int = M, subDim: Int = SubDim, ks: Int = Ks): Unit = {
     val s = emb.sparkSession
     TO.clearOrphanLocation(s, table)
     s.sql(s"DROP TABLE IF EXISTS $table")
-    trainCodebook(emb, table)
+    trainCodebook(emb, table, m, subDim, ks)
     append(emb, table, nBuckets)
   }
 
   /** Encode vectors under a GIVEN codebook frame (sub, cid, c) — the
     * shared definition [[append]] writes and AnnIndexSpec's
-    * never-retrains gate recomputes. */
-  private[graft] def encode(emb: DataFrame, cb: DataFrame): DataFrame =
-    toCodeRows(assignCodes(subvectors(Ann.prep(emb, CosSim.EmbDim)), cb))
+    * never-retrains gate recomputes. The grid comes from the codebook
+    * itself ([[cbGrid]]), so an encode can never use a different
+    * reshape than the training did. */
+  private[graft] def encode(emb: DataFrame, cb: DataFrame): DataFrame = {
+    val (m, subDim) = cbGrid(cb)
+    toCodeRows(assignCodes(
+      subvectors(Ann.prep(emb, m * subDim), m, subDim), cb))
+  }
 
   /** APPEND-ONLY maintenance: new vectors are encoded with the STORED
     * codebook (frozen at build — the [[IvfIndex.append]] contract:
@@ -1029,11 +1081,14 @@ object PqIndex {
       k: Int, cand: Option[DataFrame]): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val cb = s.table(table + "_cb")
+    // the stored codebook determines the subspace width — probes of a
+    // wide-dim index (subDim = 96 at dim 768) slice with ITS grid
+    val (_, subDim) = cbGrid(cb)
     val q = queries.select(col("vec_id").as("q_id"), col("v"),
       expr("sqrt(graft_dot(v, v))").as("qn"))
     val lut = q.crossJoin(cb)
       .select(col("q_id"), col("sub"), col("cid"), col("qn"),
-        expr(s"graft_dot(slice(v, (sub-1)*$SubDim+1, $SubDim), c)")
+        expr(s"graft_dot(slice(v, (sub-1)*$subDim+1, $subDim), c)")
           .as("dp"),
         col("nc2"))
     val codesAll = s.table(table)
@@ -1086,6 +1141,93 @@ object PqIndex {
     TO.memoIndex(s, "graft_pq_idx", sfDir, Seq("_cb")) { t =>
       write(Tables(s, sfDir, "embeddings"), t)
     }
+
+  /** Mean quantization error of the STORED codes against the exact
+    * vectors — the health metric that tells a user WHEN to [[refresh]]
+    * (VERDICT r12 #4: append under a frozen codebook degrades SILENTLY
+    * as the ingest distribution drifts; this is the drift gauge).
+    * Defined as avg(1 − cos(v, reconstruction(v))) over vectors whose
+    * exact and reconstructed norms are both nonzero — exactly the
+    * ADC-vs-exact gap for the self-pair, since ADC scores a candidate
+    * by the cosine of the query against the candidate's reconstruction
+    * (Jégou et al. §III frame quantization quality the same way, as
+    * the reconstruction distortion). 0 = lossless; rises as appended
+    * vectors land far from every codeword. `emb` supplies the exact
+    * vectors (the codes table deliberately doesn't retain them) and is
+    * joined to the stored codes by vec_id, so the metric measures the
+    * codes actually in service, not a re-encode. One partial-agg pass;
+    * the codebook broadcasts.
+    */
+  def quantizationError(s: SparkSession, table: String,
+      emb: DataFrame): Double = {
+    graft.functions.VectorFunctions.register(s)
+    val cb = s.table(table + "_cb")
+    val (m, subDim) = cbGrid(cb)
+    val e = Ann.prep(emb, m * subDim)
+    val codes = s.table(table)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "cid")))
+      .select(col("vec_id"), (col("pos") + 1).as("sub"), col("cid"))
+    val recon = codes
+      .join(broadcast(cb.select(col("sub"), col("cid"), col("c"))),
+        Seq("sub", "cid"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("c")))),
+        x => x.getField("c"))).as("recon"))
+    e.join(recon, "vec_id")
+      .withColumn("rnrm", expr("sqrt(graft_dot(recon, recon))"))
+      .filter(col("nrm") > 0d && col("rnrm") > 0d)
+      .agg(avg(lit(1.0) -
+        expr("graft_dot(v, recon)") / (col("nrm") * col("rnrm"))))
+      .collect()(0).getDouble(0)
+  }
+
+  /** RETRAIN-AND-SWAP maintenance (VERDICT r12 #4): train a fresh
+    * codebook on `emb` (the current corpus — original plus appended
+    * drift), re-encode everything under it, and promote BOTH tables
+    * via the atomic [[TextOps.swapIndexTables]] dance — the compaction
+    * precedent, under the shared build lock so in-process probes and
+    * builders serialize with the swap. The grid (m, subDim) and ks are
+    * inherited from the CURRENT codebook: refresh changes the
+    * codewords, never the layout.
+    *
+    * Determinism makes the parity gate exact: training is seeded from
+    * the ks lowest vec_ids with integer-scaled Lloyd means, so a
+    * refreshed index is BIT-IDENTICAL to a from-scratch [[write]] over
+    * the same corpus (spec-gated) — refresh is write's cost without
+    * the serving gap.
+    *
+    * Crash contract: each single-table swap heals via recoverSwap (run
+    * by memoIndex and compactIndex), but the PAIR isn't atomic — a
+    * crash between the codebook swap and the codes swap leaves new
+    * codewords serving old codes (wrong ADC scores until healed).
+    * The window is two catalog renames wide; re-running refresh (or
+    * any from-scratch write) repairs it, same as the multi-table
+    * ingest caveat streamingAnnIngest documents. A transactional
+    * table format closes it for real.
+    */
+  def refresh(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    TO.bm25BuildLock.synchronized {
+      TO.recoverSwap(s, table)
+      TO.recoverSwap(s, table + "_cb")
+      val cb = s.table(table + "_cb")
+      val (m, subDim) = cbGrid(cb)
+      val ks = (cb.count() / m).toInt
+      val cbTmp = table + "_cb_compact"
+      val codesTmp = table + "_compact"
+      Seq(cbTmp, codesTmp).foreach { x =>
+        s.sql(s"DROP TABLE IF EXISTS $x"); TO.clearOrphanLocation(s, x)
+      }
+      trainCodebookTo(emb, cbTmp, m, subDim, ks)
+      encode(emb, s.table(cbTmp).select(col("sub"), col("cid"), col("c")))
+        .write.bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(codesTmp)
+      TO.swapIndexTables(s, table + "_cb", cbTmp)
+      TO.swapIndexTables(s, table, codesTmp)
+    }
+  }
 
   /** The sv/cb0/pa1/cb1/codes CTE bodies (no WITH, no `e` — the caller
     * supplies the canon `e`): per-subspace seed + Lloyd + assignment,
@@ -1187,34 +1329,40 @@ object PqIndex {
 
 /** STORED binary-quantization index — the bottom rung of the vector
   * compression ladder (fp64 512 B → int8 SQ 64 B → PQ 8 codes → BQ
-  * 8 B): each 64-dim vector collapses to its per-coordinate SIGN BITS,
-  * packed into ONE BIGINT (`sig`). Candidate generation is then a
-  * popcount scan — Hamming(a, b) = bit_count(a XOR b), one codegen'd
-  * integer op per candidate against 64 multiply-adds for a float dot —
-  * and the scan reads 8 bytes/vector, which is what keeps a 100 TB
-  * corpus's first-pass scoring in memory/SIMD territory (the
-  * "binary quantization with rescoring" shape production vector
-  * stores ship). Hamming only RANKS; the top-C survivors per query are
-  * rescored EXACTLY through the stored [[AnnIndex]] payload table
-  * (v, nrm) before the final top-k cut, so the emitted similarities
-  * are true sentinel cosines. Everything is integer until the rerank —
-  * sign bits, XOR, popcount — so the DuckDB mirror (which compares
-  * signs positionally instead of packing words) produces the same
-  * Hamming numbers bit-for-bit and the driver's hash gate proves the
-  * quantization itself, not just the rerank.
+  * dim/8 B): each vector collapses to its per-coordinate SIGN BITS,
+  * packed into ⌈dim/64⌉ BIGINT words (`sig` — ONE word at this
+  * corpus's dim 64; r13 lifted the single-word pin so a 768- or
+  * 4096-dim production corpus packs to 12/64 words with the same
+  * machinery, WideDimSpec-gated). Candidate generation is then a
+  * popcount scan — Hamming(a, b) = Σ_w bit_count(a[w] XOR b[w]), one
+  * codegen'd integer op per 64 coordinates (graft_hamming) against 64
+  * multiply-adds for a float dot — and the scan reads dim/8
+  * bytes/vector, which is what keeps a 100 TB corpus's first-pass
+  * scoring in memory/SIMD territory (the "binary quantization with
+  * rescoring" shape production vector stores ship). Hamming only
+  * RANKS; the top-C survivors per query are rescored EXACTLY through
+  * the stored [[AnnIndex]] payload table (v, nrm) before the final
+  * top-k cut, so the emitted similarities are true sentinel cosines.
+  * Everything is integer until the rerank — sign bits, XOR, popcount —
+  * so the DuckDB mirror (which compares signs positionally instead of
+  * packing words) produces the same Hamming numbers bit-for-bit and
+  * the driver's hash gate proves the quantization itself, not just the
+  * rerank.
   *
   * A sign bit depends only on the vector's own coordinates, so rows
   * are doc-local: [[append]] is trivially exact (append-grown ≡
   * from-scratch, AnnIndexSpec-gated) and there is nothing to retrain —
   * the property that makes BQ the cheapest index to MAINTAIN as well
   * as to scan. NULL embeddings canonicalize to the zero vector
-  * ([[CosSim.canon]]) whose signature is 0L (no coordinate is > 0) on
-  * both engines; their rerank cosine is the library-wide -1 sentinel.
+  * ([[CosSim.canon]]) whose signature is all-zero words (no coordinate
+  * is > 0) on both engines; their rerank cosine is the library-wide -1
+  * sentinel.
   *
-  * Table: `<t>` = (vec_id, sig BIGINT) bucketed on vec_id. Packing
-  * assumes dim ≤ 64 (one word); wider corpora would store
-  * array<bigint> words and sum per-word popcounts — same contract,
-  * noted at [[write]].
+  * Table: `<t>` = (vec_id, sig array<bigint>) bucketed on vec_id, with
+  * the build dim pinned in `<t>_cfg` (TextOps.ensureIndexConfig): a
+  * mixed-width append would produce different word counts, whose
+  * Hamming is NULL — candidates silently vanishing — so it must fail
+  * loudly at the ingest site instead.
   */
 object BqIndex {
   import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1224,15 +1372,16 @@ object BqIndex {
     * re-orders those C and cuts to k. */
   val C = 20
 
-  /** Sign-bit packing of canon vector `v` (bit p set ⟺ v[p] > 0) via
-    * the native codegen [[graft.functions.SignPack]] expression — the
-    * interpreted 64-step HOF fold it replaces (kept below as the
-    * parity reference SignPackSpec gates) allocated a lambda frame per
-    * bit per row on the whole-corpus ingest path. Bit 63 wraps to the
-    * BIGINT sign bit, which XOR/popcount treat as just another bit. */
-  private[graft] val sigExpr = "graft_sign_pack(v)"
+  /** Multi-word sign-bit packing of canon vector `v` (bit p of word w
+    * set ⟺ v[64w + p] > 0) via the native codegen
+    * [[graft.functions.SignPackWords]] expression. Word 0 at dim ≤ 64
+    * equals the single-word [[graft.functions.SignPack]] BIGINT
+    * exactly (bit 63 wraps to the word's sign bit, which XOR/popcount
+    * treat as just another bit) — parity gated in AnnIndexSpec. */
+  private[graft] val sigExpr = "graft_sign_pack_words(v)"
 
-  /** The composable-form twin of [[sigExpr]], asserted equal in
+  /** The composable-form twin of the single-word packing, asserted
+    * equal to graft_sign_pack AND to word 0 of [[sigExpr]] in
     * AnnIndexSpec (never used on the hot path). */
   private[graft] val sigFoldExpr =
     "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, p) -> " +
@@ -1240,13 +1389,15 @@ object BqIndex {
       "THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) " +
       "END))"
 
-  /** Build the signature table from scratch (dim ≤ 64: one BIGINT
-    * word). Rescoring vectors live in the [[AnnIndex]] payload table —
-    * BQ stores ONLY the 8-byte signatures. */
+  /** Build the signature table from scratch. Rescoring vectors live in
+    * the [[AnnIndex]] payload table — BQ stores ONLY the dim/8-byte
+    * signatures. A rebuild may change dim, so the config row resets
+    * with the table. */
   def write(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
       nBuckets: Int = 8): Unit = {
     val s = emb.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
+    s.sql(s"DROP TABLE IF EXISTS ${table}_cfg")
     TO.clearOrphanLocation(s, table)
     append(emb, table, dim, nBuckets)
   }
@@ -1254,13 +1405,13 @@ object BqIndex {
   /** APPEND-ONLY maintenance: signatures are doc-local (no corpus
     * statistics, no codebook), so growing the table batch by batch is
     * exactly a from-scratch build over the union — nothing rewritten,
-    * nothing retrained, O(batch) per ingest. */
+    * nothing retrained, O(batch) per ingest. The first append pins dim
+    * in `<table>_cfg`; later appends must match it. */
   def append(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
       nBuckets: Int = 8): Unit = {
-    require(dim <= 64,
-      s"BqIndex: dim $dim > 64 needs array<bigint> signature words")
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
+    TO.ensureIndexConfig(s, table, Seq("dim" -> dim))
     TO.clearOrphanLocation(s, table)
     Ann.prep(emb, dim)
       .select(col("vec_id"), expr(sigExpr).as("sig"))
@@ -1269,9 +1420,10 @@ object BqIndex {
   }
 
   /** Hamming-prefiltered exact-reranked top-k. Phase 1 scans the
-    * 8-byte signatures against the broadcast query signatures — the
-    * per-candidate work is ONE xor+popcount, and only (q_id, vec_id,
-    * ham) int triples travel into the top-C cut, never vectors.
+    * dim/8-byte signatures against the broadcast query signatures —
+    * the per-candidate work is one xor+popcount per 64 coordinates
+    * (graft_hamming), and only (q_id, vec_id, ham) int triples travel
+    * into the top-C cut, never vectors.
     * Phase 2 fetches the C survivors' full vectors from the stored
     * payload table `vecTable` (bucketed on vec_id) and ranks true
     * sentinel cosines. Queries come off the stored tables too, so the
@@ -1286,7 +1438,7 @@ object BqIndex {
       .orderBy(col("ham").asc, col("vec_id").asc)
     val cand = sigs.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("ham", expr("bit_count(sig ^ q_sig)"))
+      .withColumn("ham", expr("graft_hamming(sig, q_sig)"))
       .withColumn("hrn", row_number().over(wh))
       .filter(col("hrn") <= c)
       .select("q_id", "vec_id", "ham")
@@ -1308,9 +1460,13 @@ object BqIndex {
 
   /** Memoized stored signature table for `sfDir`'s embeddings — the
     * [[AnnIndex.annIndex]] contract (catalog memo, `_ok` marker,
-    * sweep, shared build lock). */
+    * sweep, shared build lock), with a schema-evolution guard: an
+    * index left by the pre-r13 single-BIGINT layout rebuilds rather
+    * than failing graft_hamming's type check at probe time. */
   def bqIndex(s: SparkSession, sfDir: String): String =
-    TO.memoIndex(s, "graft_bq_idx", sfDir) { t =>
+    TO.memoIndex(s, "graft_bq_idx", sfDir, Seq("_cfg"),
+      complete = t => s.table(t).schema("sig").dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]) { t =>
       write(Tables(s, sfDir, "embeddings"), t)
     }
 

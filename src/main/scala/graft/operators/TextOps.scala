@@ -136,6 +136,51 @@ object TextOps {
       if (fs.exists(loc)) { fs.delete(loc, true); () }
     }
 
+  /** Stored build-time index configuration (VERDICT r12 next-round #1:
+    * "make dim a stored build-time property of each index") — a 1-row
+    * `<table>_cfg` sibling holding the integer parameters the index
+    * was built with (dim; banding for ANN). First maintenance call
+    * creates it; every later call REQUIRES an exact match, so a
+    * mixed-width append (a dim-768 batch into a dim-64 index — which
+    * would otherwise degrade silently: cross-width dots are NULL and
+    * candidates just vanish) fails loudly at the ingest site instead.
+    * Probes that need the config ([[graft.operators.AnnIndex
+    * .scoreExternal]]'s external-query banding) read it from here, so
+    * a serving path no longer trusts the caller to repeat the build
+    * parameters.
+    */
+  private[graft] def ensureIndexConfig(s: org.apache.spark.sql.SparkSession,
+      table: String, cfg: Seq[(String, Int)]): Unit = {
+    val t = table + "_cfg"
+    if (s.catalog.tableExists(t)) {
+      val row = s.table(t).collect()(0)
+      cfg.foreach { case (k, v) =>
+        val got = row.getAs[Int](k)
+        require(got == v,
+          s"$table was built with $k=$got; this call passed $k=$v — " +
+            "index config is fixed at build time (rebuild to change it)")
+      }
+    } else {
+      clearOrphanLocation(s, t)
+      val sp = s
+      import sp.implicits._
+      cfg.foldLeft(Seq(1).toDF("_one")) { case (d, (k, v)) =>
+          d.withColumn(k, org.apache.spark.sql.functions.lit(v))
+        }.drop("_one")
+        .write.mode("overwrite").saveAsTable(t)
+    }
+  }
+
+  /** The stored config row as a map, for probes that need the build
+    * parameters (scoreExternal). */
+  private[graft] def readIndexConfig(s: org.apache.spark.sql.SparkSession,
+      table: String): Option[Map[String, Int]] =
+    if (!s.catalog.tableExists(table + "_cfg")) None
+    else {
+      val row = s.table(table + "_cfg").collect()(0)
+      Some(row.schema.fieldNames.map(k => k -> row.getAs[Int](k)).toMap)
+    }
+
   /** COMPACT an append-grown bucketed index table. Append-only
     * maintenance (appendBm25Postings, AnnIndex/IvfIndex/PqIndex/
     * BqIndex.append, the streaming ingests) deliberately never
@@ -521,7 +566,7 @@ object TextOps {
       val owned =
         "^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
           "|sdd_idx|bq_idx|sq_idx)" +
-          "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old)?$"
+          "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg)?$"
       val ownedRe = owned.r
       if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
         st.getPath.getName match {

@@ -460,9 +460,10 @@ object StreamingOps {
     * ledger + stable checkpoint from the shared loop.
     */
   def streamingSqIngest(spark: SparkSession, sfDir: String,
-      table: String): Unit =
+      table: String,
+      dim: Int = graft.operators.AnnIndex.Dim): Unit =
     vectorIngest(spark, sfDir, table, Seq(table),
-      (batch, t) => graft.operators.SqIndex.append(batch, t))
+      (batch, t) => graft.operators.SqIndex.append(batch, t, dim))
 
   /** Streaming BQ INDEX INGEST — the online maintenance leg of
     * [[graft.operators.BqIndex]]: arriving vectors collapse to their
@@ -474,9 +475,107 @@ object StreamingOps {
     * checkpoint from the shared loop.
     */
   def streamingBqIngest(spark: SparkSession, sfDir: String,
-      table: String): Unit =
+      table: String,
+      dim: Int = graft.operators.AnnIndex.Dim): Unit =
     vectorIngest(spark, sfDir, table, Seq(table),
-      (batch, t) => graft.operators.BqIndex.append(batch, t))
+      (batch, t) => graft.operators.BqIndex.append(batch, t, dim))
+
+  /** ONE-CALL DOCUMENT INGEST (VERDICT r12 #7 — "a batch arrived"
+    * should be one call, not four): a single file-streamed loop over
+    * arriving documents that, per micro-batch and behind ONE ledger,
+    *   1. applies the curation gate (TrainingData.curateGate — the
+    *      stateless lang+quality filter, one definition with batch);
+    *   2. EXACT-DEDUPS against everything already ingested: one
+    *      md5(text) hash row per stored doc lives in the bucketed
+    *      `<base>_hashes` table, the batch dedups internally
+    *      (keep-lowest-doc_id, the q_curate rule) and anti-joins the
+    *      store — O(batch) probe against a bucketed scan, never a
+    *      corpus rescan, and a redelivered or re-staged document can
+    *      never index twice;
+    *   3. appends the surviving docs' band rows to `<base>_band`
+    *      (near-dup index) and their postings to `<base>_bm25` +
+    *      `<base>_bm25_stats` — the same appendBandIndex /
+    *      appendBm25Postings definitions batch maintenance uses, so
+    *      unified and independent maintenance cannot drift (parity
+    *      gated in UnifiedIngestSpec);
+    *   4. appends the hash rows, closing the dedup loop.
+    * Atomicity caveat scales with the table count (the
+    * streamingAnnIngest note): a crash mid-batch can leave a partial
+    * family until the ledger replays; a transactional format closes
+    * it. Tables follow the per-process-unique-name contract.
+    */
+  def streamingDocumentIngest(spark: SparkSession, sfDir: String,
+      base: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val bandT = s"${base}_band"
+    val bm25T = s"${base}_bm25"
+    val statsT = s"${base}_bm25_stats"
+    val hashT = s"${base}_hashes"
+    ledgeredIngest(spark, s"$sfDir/documents.parquet", base,
+      refresh = Seq(bandT, bm25T, statsT, hashT),
+      append = (batch, _) => {
+        val s = batch.sparkSession
+        val gated = graft.operators.TrainingData.curateGate(batch)
+          .withColumn("content_hash", md5(col("text")))
+        val w = Window.partitionBy("content_hash").orderBy(col("doc_id"))
+        val inBatch = gated.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val novel =
+          (if (s.catalog.tableExists(hashT))
+            inBatch.join(s.table(hashT), Seq("content_hash"), "left_anti")
+          else inBatch).persist()
+        try {
+          graft.operators.TextOps.appendBandIndex(novel, bandT)
+          graft.operators.TextOps.appendBm25Postings(novel, bm25T, statsT)
+          graft.operators.TextOps.clearOrphanLocation(s, hashT)
+          novel.select(col("content_hash"), col("doc_id"))
+            .write.mode("append")
+            .bucketBy(8, "content_hash").sortBy("content_hash")
+            .saveAsTable(hashT)
+        } finally { novel.unpersist(); () }
+      })
+  }
+
+  /** ONE-CALL VECTOR INGEST (VERDICT r12 #7, the vector twin): a
+    * single file-streamed loop that maintains EVERY stored vector
+    * index — ANN band postings + payload, BQ signatures, SQ8 codes,
+    * PQ codes, IVF cells — per micro-batch behind ONE ledger, through
+    * the same per-family append definitions batch maintenance uses
+    * (parity gated in UnifiedIngestSpec). The trained artifacts must
+    * pre-exist for the frozen-quantizer families (PQ codebook, IVF
+    * centroids — ingest never retrains; refused loudly otherwise);
+    * ANN banding config comes from the explicit parameters on first
+    * ingest and is pinned in `_cfg` thereafter.
+    */
+  def streamingAllIndexIngest(spark: SparkSession, sfDir: String,
+      base: String,
+      nBands: Int = graft.operators.AnnIndex.NBands,
+      bits: Int = graft.operators.AnnIndex.Bits,
+      dim: Int = graft.operators.AnnIndex.Dim): Unit = {
+    val annT = s"${base}_ann"
+    val bqT = s"${base}_bq"
+    val sqT = s"${base}_sq"
+    val pqT = s"${base}_pq"
+    val ivfT = s"${base}_ivf"
+    require(spark.catalog.tableExists(pqT + "_cb"),
+      s"streamingAllIndexIngest: no stored codebook ${pqT}_cb — train " +
+        "with PqIndex.trainCodebook first (ingest never retrains)")
+    require(spark.catalog.tableExists(ivfT + "_cent"),
+      s"streamingAllIndexIngest: no stored quantizer ${ivfT}_cent — " +
+        "build with IvfIndex.write first (ingest never retrains)")
+    ledgeredIngest(spark, s"$sfDir/embeddings.parquet", base,
+      refresh = Seq(annT, annT + "_vec", bqT, sqT, pqT, ivfT),
+      append = (batch, _) => {
+        val b = batch.persist()
+        try {
+          graft.operators.AnnIndex.append(b, annT, nBands, bits, dim)
+          graft.operators.BqIndex.append(b, bqT, dim)
+          graft.operators.SqIndex.append(b, sqT, dim)
+          graft.operators.PqIndex.append(b, pqT)
+          graft.operators.IvfIndex.append(b, ivfT)
+        } finally { b.unpersist(); () }
+      })
+  }
 
   /** The shared vector-ingest loop (ANN bands, PQ codes): file-stream
     * the corpus, append each micro-batch through `append` behind the

@@ -409,7 +409,8 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
       try {
         BqIndex.write(spark.read.parquet(s"$dir/embeddings.parquet"), tb)
         def sigs(x: String) = spark.table(x)
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+          .toMap
         assert(sigs(tq) === sigs(tb))
         assert(sigs(tq).size.toLong === emb.count())
         // rebuild-after-drop: dropping the TABLE must reset the paired
@@ -537,8 +538,12 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
       val vecs = Ann.prep(emb).select("vec_id", "v").collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
       def bits(v: Array[Double]) = v.map(_ > 0)
-      val sigs = spark.table(t).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // r13: signatures are ⌈dim/64⌉ packed words — exactly ONE at
+      // this corpus's dim 64, whose value must equal the old BIGINT
+      val sigRows = spark.table(t).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(sigRows.values.forall(_.size === 1), "one word at dim 64")
+      val sigs = sigRows.view.mapValues(_.head).toMap
       assert(sigs.keySet === vecs.keySet)
       // packed word agrees bit-for-bit with the sign pattern
       sigs.foreach { case (id, sig) =>
@@ -560,11 +565,12 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
       val nullIds = emb.filter(col("embedding").isNull)
         .select("vec_id").collect().map(_.getLong(0))
       nullIds.foreach(id => assert(sigs(id) === 0L, s"NULL vec $id"))
-      // the native codegen expression (graft_sign_pack) must equal the
-      // composable HOF fold it replaced — over the corpus AND the edge
-      // shapes the fold defines semantics for: NULL element (0 bit),
-      // short array (high bits 0), >64 elements (ignored), NULL array
-      // (NULL out)
+      // three-way parity over the corpus AND the edge shapes the fold
+      // defines semantics for (NULL element → 0 bit, short array →
+      // high bits 0, >64 elements — fold ignores them, the words form
+      // carries them in word 1, so WORD 0 of the words expression must
+      // equal both the single-word codegen graft_sign_pack and the
+      // composable HOF fold)
       val sp = spark
       import sp.implicits._
       val edges = Seq(
@@ -577,21 +583,41 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
         .unionByName(edges)
       val mismatch = cases
         .select(col("vec_id"),
-          expr(graft.operators.BqIndex.sigExpr).as("native"),
+          expr(s"element_at(${graft.operators.BqIndex.sigExpr}, 1)")
+            .as("word0"),
+          expr("graft_sign_pack(v)").as("single"),
           expr(graft.operators.BqIndex.sigFoldExpr).as("fold"))
-        .filter(!(col("native") <=> col("fold")))
+        .filter(!(col("word0") <=> col("fold")) ||
+          !(col("single") <=> col("fold")))
         .count()
       assert(mismatch === 0L)
+      // the 70-element edge packs to TWO words, bits 64-69 in word 1
+      val wide = edges.filter(col("vec_id") === 3L)
+        .select(expr(graft.operators.BqIndex.sigExpr)).collect()
+        .head.getSeq[Long](0)
+      assert(wide.size === 2)
+      val expectedW1 = (64 until 70).foldLeft(0L)((acc, i) =>
+        if ((i + 1) % 3 == 0) acc | (1L << (i - 64)) else acc)
+      assert(wide(1) === expectedW1)
       // the ONE deliberate divergence: for a NULL ARRAY the fold yields
       // 0 (v appears only inside its CASE, so nothing propagates) while
-      // the native expression is null-propagating — the saner contract,
-      // and unreachable from BqIndex (Ann.prep canonicalizes NULL
-      // embeddings to the zero vector first)
+      // the native expressions are null-propagating — the saner
+      // contract, and unreachable from BqIndex (Ann.prep canonicalizes
+      // NULL embeddings to the zero vector first)
       val nullArr = Seq((9L, null: Seq[java.lang.Double])).toDF("vec_id", "v")
         .select(expr(graft.operators.BqIndex.sigExpr).as("native"),
           expr(graft.operators.BqIndex.sigFoldExpr).as("fold"))
         .collect().head
       assert(nullArr.isNullAt(0) && nullArr.getLong(1) === 0L)
+      // graft_hamming over the stored words equals the HOF twin
+      val hamMismatch = spark.table(t).select(col("sig"))
+        .crossJoin(spark.table(t).select(col("sig").as("q_sig"))
+          .limit(4))
+        .select(expr("graft_hamming(sig, q_sig)").as("native"),
+          expr("aggregate(zip_with(sig, q_sig, (x, y) -> " +
+            "bit_count(x ^ y)), 0, (a, b) -> a + b)").as("hof"))
+        .filter(!(col("native") <=> col("hof"))).count()
+      assert(hamMismatch === 0L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
@@ -605,7 +631,8 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
       BqIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 0), t2)
       BqIndex.append(emb.filter(pmod(col("vec_id"), lit(2)) === 1), t2)
       def rows(x: String) = spark.table(x).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).sortBy(_._1)
+        .toSeq
       assert(rows(t2) === rows(t))
       // and probe-for-probe through the shared payload table
       val vec = AnnIndex.annIndex(spark, sf) + "_vec"

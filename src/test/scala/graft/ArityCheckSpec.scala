@@ -23,6 +23,8 @@ class ArityCheckSpec extends AnyFunSuite with SparkSuite {
     "graft_minhash_lanes" -> ((1, 1)),
     "graft_intersect_size" -> ((2, 2)),
     "graft_sign_pack" -> ((1, 1)),
+    "graft_sign_pack_words" -> ((1, 1)),
+    "graft_hamming" -> ((2, 2)),
     "graft_simhash16" -> ((1, 1)),
     "graft_heavy_hitters" -> ((2, 2)),
     "graft_kmv_distinct" -> ((2, 2)),
