@@ -778,6 +778,75 @@ object IvfIndex {
       .saveAsTable(table)
   }
 
+  /** The IVF drift gauge (the [[PqIndex.quantizationError]] sibling):
+    * mean (1 − cos(v, centroid)) over the STORED assignments — how far
+    * the vectors in service sit from the cell centers routing them.
+    * Appends under the frozen quantizer raise it as the ingest
+    * distribution drifts (new vectors land in far-away nearest cells);
+    * this is the number a user watches to decide when [[refresh]] is
+    * due. Unlike PQ's gauge it needs no external vectors: the cells
+    * table retains `v`, so one bucketed scan × broadcast(k centroids)
+    * measures exactly what probes see. Zero-norm rows are excluded
+    * (their sentinel cosine is a convention, not a distance).
+    */
+  def quantizationError(s: SparkSession, table: String): Double = {
+    graft.functions.VectorFunctions.register(s)
+    val cents = s.table(table + "_cent")
+      .select(col("cell"), col("c").as("cv"))
+      .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
+    s.table(table).join(broadcast(cents), "cell")
+      .filter(col("nrm") > 0d && col("cnrm") > 0d)
+      .agg(avg(lit(1.0) -
+        expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm"))))
+      .collect()(0).getDouble(0)
+  }
+
+  /** RETRAIN-AND-SWAP maintenance (the [[PqIndex.refresh]] sibling):
+    * retrain the quantizer on `emb` (the current corpus — original
+    * plus appended drift), reassign everything, and promote BOTH
+    * tables via the atomic [[TextOps.swapIndexTables]] dance under the
+    * shared build lock. k and dim are inherited from the CURRENT
+    * stored centroids — refresh moves the cell centers, never the cell
+    * count or width. Deterministic training (lowest-vec_id seeds,
+    * integer-scaled Lloyd means) makes a refreshed index BIT-IDENTICAL
+    * to a from-scratch [[write]] over the same corpus (IvfRefreshSpec)
+    * — write's cost without the serving gap.
+    *
+    * Crash contract: same as PqIndex.refresh — each single-table swap
+    * heals via recoverSwap, but the PAIR isn't atomic; a crash between
+    * the centroid swap and the cells swap serves new centers with old
+    * assignments until a re-run repairs it.
+    */
+  def refresh(emb: DataFrame, table: String, iters: Int = Iters,
+      nBuckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    TO.bm25BuildLock.synchronized {
+      TO.recoverSwap(s, table)
+      TO.recoverSwap(s, table + "_cent")
+      val stored = s.table(table + "_cent").collect()
+      val k = stored.length
+      val dim = stored.head.getSeq[Double](1).length
+      val cellsTmp = table + "_compact"
+      val centTmp = table + "_cent_compact"
+      Seq(cellsTmp, centTmp).foreach { x =>
+        s.sql(s"DROP TABLE IF EXISTS $x"); TO.clearOrphanLocation(s, x)
+      }
+      val e = Ann.prep(emb, dim).persist()
+      try {
+        val cents = Ivf.kmeansCentroids(e, k, dim, iters)
+        Ivf.assignCells(e, cents).write
+          .bucketBy(nBuckets, "cell").sortBy("cell")
+          .saveAsTable(cellsTmp)
+        val sp = s
+        import sp.implicits._
+        cents.toDF("cell", "c").write.saveAsTable(centTmp)
+      } finally { e.unpersist(); () }
+      TO.swapIndexTables(s, table + "_cent", centTmp)
+      TO.swapIndexTables(s, table, cellsTmp)
+    }
+  }
+
   /** Cell-probe top-k from the stored assignments: queries fetched by
     * vec_id filter off the same table carry their cell, candidates are
     * one cell equi-join (broadcast query side — the corpus side is a

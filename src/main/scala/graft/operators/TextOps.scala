@@ -552,6 +552,21 @@ object TextOps {
     * reclaims them (best-effort; pid-recycling keeps a dir alive, which
     * only costs its disk until the recycled pid also dies).
     */
+  /** The ownership pattern [[sweepDeadIndexes]] deletes under: every
+    * memoized index family's base name + pid, with zero-or-MORE
+    * sibling suffixes — suffixes STACK (maintenance tmps like
+    * `_cb_compact` / `_cent_compact` and their `_old` backups from a
+    * crashed PqIndex/IvfIndex.refresh), so a dead process's refresh
+    * leftovers are swept like any other sibling. Spec-pinned in
+    * IvfRefreshSpec so the pattern and the maintenance naming can't
+    * drift apart silently.
+    */
+  private[graft] val ownedIndexRe =
+    ("^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
+      "|sdd_idx|bq_idx|sq_idx)" +
+      "_[0-9a-f]{10}_p([0-9]+)" +
+      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg)*$").r
+
   private var sweptDeadIndexes = false
   private[graft] def sweepDeadIndexes(
       s: org.apache.spark.sql.SparkSession): Unit =
@@ -563,11 +578,7 @@ object TextOps {
       val wh = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val owned =
-        "^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
-          "|sdd_idx|bq_idx|sq_idx)" +
-          "_[0-9a-f]{10}_p([0-9]+)(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg)?$"
-      val ownedRe = owned.r
+      val ownedRe = ownedIndexRe
       if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
         st.getPath.getName match {
           case ownedRe(pid)
