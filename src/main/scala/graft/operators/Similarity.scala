@@ -812,16 +812,17 @@ object IvfIndex {
     * to a from-scratch [[write]] over the same corpus (IvfRefreshSpec)
     * — write's cost without the serving gap.
     *
-    * Crash contract: same as PqIndex.refresh — each single-table swap
-    * heals via recoverSwap, but the PAIR isn't atomic; a crash between
-    * the centroid swap and the cells swap serves new centers with old
-    * assignments until a re-run repairs it.
+    * Crash contract: same as PqIndex.refresh — the centroids and
+    * cells promote together through [[TextOps.swapIndexTableGroup]],
+    * so a crash at any step converges to the all-new pair on recovery
+    * (GroupSwapSpec); new centers can no longer serve old assignments.
     */
   def refresh(emb: DataFrame, table: String, iters: Int = Iters,
       nBuckets: Int = 8): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.bm25BuildLock.synchronized {
+      TO.recoverGroupSwap(s, table)
       TO.recoverSwap(s, table)
       TO.recoverSwap(s, table + "_cent")
       val stored = s.table(table + "_cent").collect()
@@ -842,8 +843,8 @@ object IvfIndex {
         import sp.implicits._
         cents.toDF("cell", "c").write.saveAsTable(centTmp)
       } finally { e.unpersist(); () }
-      TO.swapIndexTables(s, table + "_cent", centTmp)
-      TO.swapIndexTables(s, table, cellsTmp)
+      TO.swapIndexTableGroup(s, table,
+        Seq(table + "_cent" -> centTmp, table -> cellsTmp))
     }
   }
 
@@ -1266,19 +1267,18 @@ object PqIndex {
     * the same corpus (spec-gated) — refresh is write's cost without
     * the serving gap.
     *
-    * Crash contract: each single-table swap heals via recoverSwap (run
-    * by memoIndex and compactIndex), but the PAIR isn't atomic — a
-    * crash between the codebook swap and the codes swap leaves new
-    * codewords serving old codes (wrong ADC scores until healed).
-    * The window is two catalog renames wide; re-running refresh (or
-    * any from-scratch write) repairs it, same as the multi-table
-    * ingest caveat streamingAnnIngest documents. A transactional
-    * table format closes it for real.
+    * Crash contract: the codebook and codes promote together through
+    * [[TextOps.swapIndexTableGroup]] — an intent marker plus
+    * rename-out/rename-in phases, so a crash at ANY step converges to
+    * the all-new pair on the next refresh's [[TextOps
+    * .recoverGroupSwap]] (gated in GroupSwapSpec); new codewords can
+    * no longer serve old codes.
     */
   def refresh(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.bm25BuildLock.synchronized {
+      TO.recoverGroupSwap(s, table)
       TO.recoverSwap(s, table)
       TO.recoverSwap(s, table + "_cb")
       val cb = s.table(table + "_cb")
@@ -1293,8 +1293,8 @@ object PqIndex {
       encode(emb, s.table(cbTmp).select(col("sub"), col("cid"), col("c")))
         .write.bucketBy(nBuckets, "vec_id").sortBy("vec_id")
         .saveAsTable(codesTmp)
-      TO.swapIndexTables(s, table + "_cb", cbTmp)
-      TO.swapIndexTables(s, table, codesTmp)
+      TO.swapIndexTableGroup(s, table,
+        Seq(table + "_cb" -> cbTmp, table -> codesTmp))
     }
   }
 

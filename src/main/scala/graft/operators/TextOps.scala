@@ -254,6 +254,43 @@ object TextOps {
     swapIndexTables(s, table, tmp)
   }
 
+  /** Operational file-count pressure of a stored bucketed index —
+    * the number that says WHEN to run [[compactIndex]], completing
+    * the maintenance triad (file pressure here; quantizer drift via
+    * PqIndex/IvfIndex.quantizationError says when to `refresh`).
+    * Append-only maintenance adds one file per bucket per batch, so
+    * probes open `filesPerBucket`× the minimum file count; the plan
+    * stays bucketed and exchange-free regardless, which is exactly
+    * why the degradation is invisible in `explain` and needs a
+    * metadata gauge. Pure driver-side metadata (catalog + one
+    * directory listing) — no job, safe to poll.
+    */
+  final case class IndexFileHealth(buckets: Int, files: Long) {
+    def filesPerBucket: Double =
+      if (buckets == 0) 0.0 else files.toDouble / buckets
+    /** True once probes pay more than `threshold` opens per bucket —
+      * the compaction trigger a maintenance loop polls. */
+    def needsCompaction(threshold: Double = 4.0): Boolean =
+      filesPerBucket > threshold
+  }
+
+  def indexFileHealth(s: org.apache.spark.sql.SparkSession,
+      table: String): IndexFileHealth = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = s.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(0)
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(loc)) 0L
+      else fs.listStatus(loc).count { st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")
+      }.toLong
+    IndexFileHealth(buckets, files)
+  }
+
   /** Promote a fully-written replacement table `tmp` to `table` with an
     * `_old` backup — the maintenance-swap primitive compaction and any
     * retrain-and-swap op (PqIndex.refresh) share. The naive
@@ -275,6 +312,104 @@ object TextOps {
     s.sql(s"ALTER TABLE $tmp RENAME TO $table")
     s.sql(s"DROP TABLE $old")
     s.catalog.refreshTable(table)
+  }
+
+  /** Promote a GROUP of replacement tables atomically-enough that a
+    * crash at ANY step converges to the all-new group on recovery —
+    * closing the "the PAIR isn't atomic" caveat the refresh ops
+    * carried (a crash between PqIndex.refresh's codebook swap and
+    * codes swap served new codewords against old codes until healed).
+    *
+    * Protocol (all under the caller-held [[bm25BuildLock]]):
+    *   0. record INTENT: `<base>_swap` gets one (member, tmp) row per
+    *      pair — written before any rename, dropped after all of them,
+    *      so its existence marks "a group swap is in flight";
+    *   1. rename every member OUT to `<member>_old`;
+    *   2. rename every tmp IN to its member name;
+    *   3. drop the `_old` backups, drop the marker.
+    * Each rename is an atomic catalog op. [[recoverGroupSwap]] reads
+    * the marker and replays whatever phase each member crashed in —
+    * every member's replacement survives under its tmp name until its
+    * own phase-2 rename, so recovery always has the NEW copy to
+    * promote and never resurrects a mixed old/new group (gated in
+    * GroupSwapSpec at every crash point).
+    */
+  private[graft] def swapIndexTableGroup(
+      s: org.apache.spark.sql.SparkSession,
+      base: String, pairs: Seq[(String, String)]): Unit = {
+    val marker = base + "_swap"
+    pairs.foreach { case (t, tmp) =>
+      require(s.catalog.tableExists(tmp),
+        s"swapIndexTableGroup: replacement $tmp missing for $t")
+      require(s.catalog.tableExists(t),
+        s"swapIndexTableGroup: member $t unbound — heal with " +
+          "recoverGroupSwap/recoverSwap before swapping")
+    }
+    s.sql(s"DROP TABLE IF EXISTS $marker")
+    clearOrphanLocation(s, marker)
+    val sp = s
+    import sp.implicits._
+    pairs.toDF("member", "tmp").coalesce(1)
+      .write.saveAsTable(marker)
+    pairs.foreach { case (t, _) =>
+      val old = t + "_old"
+      s.sql(s"DROP TABLE IF EXISTS $old")
+      clearOrphanLocation(s, old)
+      s.sql(s"ALTER TABLE $t RENAME TO $old")
+    }
+    pairs.foreach { case (t, tmp) =>
+      s.sql(s"ALTER TABLE $tmp RENAME TO $t")
+    }
+    pairs.foreach { case (t, _) =>
+      s.sql(s"DROP TABLE IF EXISTS ${t}_old")
+    }
+    s.sql(s"DROP TABLE $marker")
+    pairs.foreach { case (t, _) => s.catalog.refreshTable(t) }
+  }
+
+  /** Heal a crashed [[swapIndexTableGroup]]: if the intent marker
+    * exists, drive every member to its NEW copy — the member states a
+    * crash can leave are exactly
+    *   - tmp present, member bound, no `_old`: phase 1 never ran for
+    *     it → rename out, rename in;
+    *   - tmp present, member unbound: crashed between its phase-1 and
+    *     phase-2 renames → rename the tmp in;
+    *   - tmp gone, member bound: its swap completed → just drop any
+    *     `_old` leftover;
+    * then drop the marker. Idempotent; catalog ops only. The
+    * defensive last-resort (tmp gone AND member unbound — outside the
+    * protocol's reachable states) restores `_old` so SOMETHING serves.
+    * Run this before [[swapIndexTableGroup]] and before trusting a
+    * group-swapped family's tables.
+    */
+  private[graft] def recoverGroupSwap(
+      s: org.apache.spark.sql.SparkSession, base: String): Unit = {
+    val marker = base + "_swap"
+    if (!s.catalog.tableExists(marker)) return
+    val pairs = s.table(marker).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    pairs.foreach { case (t, tmp) =>
+      val old = t + "_old"
+      if (s.catalog.tableExists(tmp)) {
+        if (s.catalog.tableExists(t)) {
+          if (!s.catalog.tableExists(old)) {
+            s.sql(s"ALTER TABLE $t RENAME TO $old")
+            s.sql(s"ALTER TABLE $tmp RENAME TO $t")
+          }
+          // t bound AND _old present AND tmp present is unreachable
+          // (phase 1 unbinds t before phase 2 rebinds it); leave the
+          // bound copy alone rather than guess
+        } else s.sql(s"ALTER TABLE $tmp RENAME TO $t")
+      } else if (!s.catalog.tableExists(t) &&
+          s.catalog.tableExists(old)) {
+        s.sql(s"ALTER TABLE $old RENAME TO $t")
+      }
+      if (s.catalog.tableExists(t) && s.catalog.tableExists(old)) {
+        s.sql(s"DROP TABLE $old")
+      }
+      s.catalog.refreshTable(t)
+    }
+    s.sql(s"DROP TABLE $marker")
   }
 
   /** Heal a crashed [[swapIndexTables]] — idempotent, cheap (catalog
@@ -565,7 +700,7 @@ object TextOps {
     ("^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
       "|sdd_idx|bq_idx|sq_idx)" +
       "_[0-9a-f]{10}_p([0-9]+)" +
-      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg)*$").r
+      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg|_swap)*$").r
 
   private var sweptDeadIndexes = false
   private[graft] def sweepDeadIndexes(

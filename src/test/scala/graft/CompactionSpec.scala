@@ -278,6 +278,34 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("indexFileHealth gauges append pressure; compaction resets it") {
+    val pid = ProcessHandle.current().pid()
+    val t = s"health_spec_p$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_compact")
+    try {
+      (0 to 5).foreach { m =>
+        BqIndex.append(emb.filter(pmod(col("vec_id"), lit(6)) === m), t)
+      }
+      val grown = TextOps.indexFileHealth(spark, t)
+      assert(grown.buckets === 8)
+      // six appends, each writing up to one file per bucket
+      assert(grown.filesPerBucket > 4.0, grown.toString)
+      assert(grown.needsCompaction())
+      TextOps.compactIndex(spark, t)
+      val compacted = TextOps.indexFileHealth(spark, t)
+      assert(compacted.buckets === 8)
+      assert(compacted.files === 8L, compacted.toString)
+      assert(compacted.filesPerBucket === 1.0)
+      assert(!compacted.needsCompaction())
+      // the gauge agrees with a direct listing
+      assert(compacted.files === dataFiles(t).size.toLong)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact")
+    }
+  }
+
   test("compaction refuses a non-bucketed table") {
     val pid = ProcessHandle.current().pid()
     val t = s"compact_plain_p$pid"

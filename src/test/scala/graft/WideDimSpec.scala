@@ -297,4 +297,74 @@ class WideDimSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("dim 128: streaming SQ + PQ + IVF ingest match batch at that width") {
+    val dim = 128
+    val ts = s"wd_ssq_p$pid"
+    val tp = s"wd_spq_p$pid"
+    val ti = s"wd_sivf_p$pid"
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds").toString
+    val all = Seq(ts, s"${ts}_ledger", s"${ts}_batch",
+      tp, s"${tp}_cb", s"${tp}_ledger",
+      ti, s"${ti}_cent", s"${ti}_ledger")
+    drop(all: _*)
+    try {
+      val emb = corpus(dim)
+      // the frozen-quantizer families train BEFORE ingest (ingest
+      // never retrains) — PQ's grid and IVF's width both derive from
+      // the stored artifact, so no dim parameter reaches the stream
+      PqIndex.trainCodebook(emb, tp, m = 8, subDim = dim / 8, ks = 8)
+      val cents = Ivf.kmeansCentroids(Ann.prep(emb, dim), 4, dim,
+        IvfIndex.Iters)
+      val sp = spark
+      import sp.implicits._
+      cents.toDF("cell", "c").write.saveAsTable(s"${ti}_cent")
+      def stageHalf(m: Int): Unit =
+        emb.filter(pmod(col("vec_id"), lit(2)) === m)
+          .select("vec_id", "embedding")
+          .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      def ingestAll(): Unit = {
+        streaming.StreamingOps.streamingSqIngest(spark, dir, ts, dim = dim)
+        streaming.StreamingOps.streamingPqIngest(spark, dir, tp)
+        streaming.StreamingOps.streamingIvfIngest(spark, dir, ti)
+      }
+      stageHalf(0); ingestAll()
+      stageHalf(1); ingestAll()
+      val full = spark.read.parquet(s"$dir/embeddings.parquet")
+      // SQ: doc-local codes — stream-grown ≡ batch-built
+      SqIndex.write(full, s"${ts}_batch", dim = dim)
+      def sqRows(x: String) = spark.table(x).collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Byte](2).toSeq)).sortBy(_._1).toSeq
+      assert(sqRows(ts) === sqRows(s"${ts}_batch"))
+      assert(sqRows(ts).size === emb.count())
+      // PQ: stream-grown codes ≡ a direct encode under the stored
+      // codebook (the never-retrains gate at this width)
+      val direct = PqIndex.encode(full,
+          spark.table(s"${tp}_cb").select(col("sub"), col("cid"),
+            col("c"))).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](2).toSeq)).toMap
+      val streamed = spark.table(tp)
+        .select(col("vec_id"), col("codes")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toMap
+      assert(streamed === direct)
+      // IVF: stream-grown assignments ≡ assignCells under the stored
+      // centroids, whose length IS the width
+      val expected = Ivf.assignCells(Ann.prep(full, dim), cents)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = spark.table(ti).select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === expected)
+      assert(got.size === emb.count())
+    } finally {
+      drop(all: _*)
+      Seq(ts, tp, ti).foreach { t =>
+        val ck = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase + "_ck")
+        ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(ck, true)
+      }
+    }
+  }
 }
