@@ -1611,6 +1611,8 @@ object SqIndex {
       nBuckets: Int = 8): Unit = {
     val s = emb.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
+    // a rebuild may change dim — the config row resets with the table
+    s.sql(s"DROP TABLE IF EXISTS ${table}_cfg")
     TO.clearOrphanLocation(s, table)
     append(emb, table, dim, nBuckets)
   }
@@ -1618,10 +1620,14 @@ object SqIndex {
   /** APPEND-ONLY maintenance: the per-vector scale depends only on the
     * vector's own coordinates, so growing batch by batch equals a
     * from-scratch build over the union — nothing rewritten, nothing
-    * retrained (gated in AnnIndexSpec). */
+    * retrained (gated in AnnIndexSpec). The first append pins dim in
+    * `<table>_cfg`; later appends must match it — mixed-width codes
+    * would reconstruct to different-length vectors whose cross-width
+    * dot is NULL, silently vanishing candidates from [[topK]]. */
   def append(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
       nBuckets: Int = 8): Unit = {
     val s = emb.sparkSession
+    TO.ensureIndexConfig(s, table, Seq("dim" -> dim))
     TO.clearOrphanLocation(s, table)
     emb.select(col("vec_id"),
         CosSim.canon(col("embedding"), dim).as("v"))
@@ -1663,7 +1669,7 @@ object SqIndex {
     * [[BqIndex.bqIndex]] contract (catalog memo, `_ok` marker, sweep,
     * shared build lock). */
   def sqIndex(s: SparkSession, sfDir: String): String =
-    TO.memoIndex(s, "graft_sq_idx", sfDir) { t =>
+    TO.memoIndex(s, "graft_sq_idx", sfDir, Seq("_cfg")) { t =>
       write(Tables(s, sfDir, "embeddings"), t)
     }
 }

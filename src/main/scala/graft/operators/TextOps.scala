@@ -209,6 +209,11 @@ object TextOps {
   def compactIndex(s: org.apache.spark.sql.SparkSession,
       table: String): Unit = bm25BuildLock.synchronized {
     import org.apache.spark.sql.catalyst.TableIdentifier
+    // a crashed GROUP swap (a refresh died mid-promotion) must heal
+    // before compaction stages its own `_compact` tmp — otherwise the
+    // marker's later replay could mistake that tmp for the stranded
+    // refresh replacement
+    recoverGroupSwap(s, table)
     recoverSwap(s, table)
     val meta = s.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))

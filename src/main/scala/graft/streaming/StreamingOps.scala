@@ -407,7 +407,11 @@ object StreamingOps {
       bits: Int = graft.operators.AnnIndex.Bits,
       dim: Int = graft.operators.AnnIndex.Dim,
       payloadCols: Seq[String] = Nil): Unit =
-    vectorIngest(spark, sfDir, table, Seq(table, table + "_vec"),
+    // the `_cfg` pin is a first-class member: losing it (or ingesting
+    // into a pre-config-pin index) resets the whole family rather
+    // than letting the first append re-pin against surviving data
+    vectorIngest(spark, sfDir, table,
+      Seq(table, table + "_vec", table + "_cfg"),
       (batch, t) => graft.operators.AnnIndex.append(batch, t,
         nBands = nBands, bits = bits, dim = dim,
         payloadCols = payloadCols))
@@ -462,7 +466,7 @@ object StreamingOps {
   def streamingSqIngest(spark: SparkSession, sfDir: String,
       table: String,
       dim: Int = graft.operators.AnnIndex.Dim): Unit =
-    vectorIngest(spark, sfDir, table, Seq(table),
+    vectorIngest(spark, sfDir, table, Seq(table, table + "_cfg"),
       (batch, t) => graft.operators.SqIndex.append(batch, t, dim))
 
   /** Streaming BQ INDEX INGEST — the online maintenance leg of
@@ -477,7 +481,7 @@ object StreamingOps {
   def streamingBqIngest(spark: SparkSession, sfDir: String,
       table: String,
       dim: Int = graft.operators.AnnIndex.Dim): Unit =
-    vectorIngest(spark, sfDir, table, Seq(table),
+    vectorIngest(spark, sfDir, table, Seq(table, table + "_cfg"),
       (batch, t) => graft.operators.BqIndex.append(batch, t, dim))
 
   /** ONE-CALL DOCUMENT INGEST (VERDICT r12 #7 — "a batch arrived"
@@ -564,7 +568,8 @@ object StreamingOps {
       s"streamingAllIndexIngest: no stored quantizer ${ivfT}_cent — " +
         "build with IvfIndex.write first (ingest never retrains)")
     ledgeredIngest(spark, s"$sfDir/embeddings.parquet", base,
-      refresh = Seq(annT, annT + "_vec", bqT, sqT, pqT, ivfT),
+      refresh = Seq(annT, annT + "_vec", annT + "_cfg",
+        bqT, bqT + "_cfg", sqT, sqT + "_cfg", pqT, ivfT),
       append = (batch, _) => {
         val b = batch.persist()
         try {

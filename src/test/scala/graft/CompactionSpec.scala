@@ -225,7 +225,7 @@ class CompactionSpec extends AnyFunSuite with SparkSuite {
     val compactables =
       Seq(bandT, annT, s"${annT}_vec", ivfT, pqT, bqT, sqT)
     val all = compactables ++ Seq(s"${annT}_cfg", s"${ivfT}_cent",
-      s"${pqT}_cb", s"${bqT}_cfg") ++
+      s"${pqT}_cb", s"${bqT}_cfg", s"${sqT}_cfg") ++
       compactables.flatMap(t => Seq(s"${t}_compact", s"${t}_old"))
     all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
     try {

@@ -79,12 +79,12 @@ class UnifiedIngestSpec extends AnyFunSuite with SparkSuite {
   test("streamingAllIndexIngest equals per-family independent appends") {
     val base = s"uni_vec_p$pid"
     val fams = Seq(s"${base}_ann", s"${base}_ann_vec", s"${base}_ann_cfg",
-      s"${base}_bq", s"${base}_bq_cfg", s"${base}_sq",
+      s"${base}_bq", s"${base}_bq_cfg", s"${base}_sq", s"${base}_sq_cfg",
       s"${base}_pq", s"${base}_pq_cb", s"${base}_ivf", s"${base}_ivf_cent",
       s"${base}_ledger")
     val indep = Seq(s"${base}_xann", s"${base}_xann_vec",
       s"${base}_xann_cfg", s"${base}_xbq", s"${base}_xbq_cfg",
-      s"${base}_xsq", s"${base}_xpq", s"${base}_xivf")
+      s"${base}_xsq", s"${base}_xsq_cfg", s"${base}_xpq", s"${base}_xivf")
     val dir = java.nio.file.Files.createTempDirectory("graft_univec")
       .toString
     drop(fams ++ indep: _*)

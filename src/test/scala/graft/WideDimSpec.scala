@@ -227,7 +227,7 @@ class WideDimSpec extends AnyFunSuite with SparkSuite {
     test(s"dim $dim: SQ codes are vector-length; append-exact") {
       val t = s"wd_sq_${dim}_p$pid"
       val t2 = s"${t}_app"
-      val all = Seq(t, t2)
+      val all = Seq(t, s"${t}_cfg", t2, s"${t2}_cfg")
       drop(all: _*)
       try {
         val emb = corpus(dim)
@@ -248,6 +248,16 @@ class WideDimSpec extends AnyFunSuite with SparkSuite {
         assert(topk.nonEmpty)
         assert(topk.filter(r => r.getLong(0) == 7L || r.getLong(0) == 11L)
           .forall(_.getDouble(2) === -1.0))
+        // the dim pin: a mixed-width append must fail loudly — codes
+        // reconstructing to a different length would NULL every
+        // cross-width dot and silently vanish candidates
+        val narrower = corpus(if (dim == 128) 64 else 128, n = 4,
+          idOffset = 500L)
+        val ex = intercept[IllegalArgumentException] {
+          SqIndex.append(narrower, t,
+            dim = if (dim == 128) 64 else 128)
+        }
+        assert(ex.getMessage.contains("built with dim"))
       } finally drop(all: _*)
     }
   }
@@ -304,7 +314,8 @@ class WideDimSpec extends AnyFunSuite with SparkSuite {
     val tp = s"wd_spq_p$pid"
     val ti = s"wd_sivf_p$pid"
     val dir = java.nio.file.Files.createTempDirectory("graft_wds").toString
-    val all = Seq(ts, s"${ts}_ledger", s"${ts}_batch",
+    val all = Seq(ts, s"${ts}_cfg", s"${ts}_ledger",
+      s"${ts}_batch", s"${ts}_batch_cfg",
       tp, s"${tp}_cb", s"${tp}_ledger",
       ti, s"${ti}_cent", s"${ti}_ledger")
     drop(all: _*)
