@@ -539,8 +539,13 @@ object AnnIndex {
   def topK(s: SparkSession, table: String, isQuery: Column => Column,
       k: Int, matchCols: Seq[String] = Nil): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val bands = s.table(table)
-    val vecs = s.table(table + "_vec")
+    // ONE tombstone list serves the whole family — both the band
+    // postings and the payload twin subtract it (no-op without
+    // deletes; see TextOps.tombstone for the lifecycle)
+    val bands = TO.exceptTombstones(s.table(table), s,
+      table + "_del", "vec_id")
+    val vecs = TO.exceptTombstones(s.table(table + "_vec"), s,
+      table + "_del", "vec_id")
     val qb = bands.filter(isQuery(col("vec_id")))
       .select(col("band_key").as("q_band_key"), col("vec_id").as("q_id"))
     val cand = bands.join(broadcast(qb),
@@ -611,6 +616,25 @@ object AnnIndex {
     } finally { e.unpersist(); () }
   }
 
+  /** TOMBSTONED DELETE for the ANN family: the ids stop answering (and
+    * asking) immediately — every probe ([[topK]], [[topKFiltered]],
+    * [[scoreExternal]], the streaming twin) subtracts the family's one
+    * tombstone list from both the band postings and the payload twin.
+    * O(|ids|), no index rewrite; [[vacuum]] folds the list into the
+    * stored files when its anti-join is worth retiring. Deletion is
+    * terminal per id (ids are never recycled — the ingest contract).
+    */
+  def delete(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.tombstone(s, table + "_del", ids, "vec_id")
+
+  /** Fold the family's tombstones into the stored files (both members
+    * rewritten without the deleted rows, spec-preserving atomic swap)
+    * and clear the list — post-vacuum probes pay no anti-join.
+    */
+  def vacuum(s: SparkSession, table: String): Unit =
+    TO.vacuumIndex(s, table + "_del",
+      Seq(table, table + "_vec"), "vec_id")
+
   /** METADATA-FILTERED banded ANN top-k — production "filtered vector
     * search": candidates must agree with the query on every column of
     * `matchCols` (stored in the payload table at build time), compared
@@ -661,8 +685,10 @@ object AnnIndex {
       case Some(c) => (c("nbands"), c("bits"), c("dim"))
       case None => (nBands, bits, dim)
     }
-    val bands = s.table(table)
-    val vecs = s.table(table + "_vec")
+    val bands = TO.exceptTombstones(s.table(table), s,
+      table + "_del", "vec_id")
+    val vecs = TO.exceptTombstones(s.table(table + "_vec"), s,
+      table + "_del", "vec_id")
     val qb = queries
       .select(col("q_id"), CosSim.canon(col("embedding"), dm).as("qv"))
       .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
@@ -778,6 +804,15 @@ object IvfIndex {
       .saveAsTable(table)
   }
 
+  /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
+    * the one-member cells family; probes subtract the list, vacuum
+    * folds and clears it. */
+  def delete(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.tombstone(s, table + "_del", ids, "vec_id")
+
+  def vacuum(s: SparkSession, table: String): Unit =
+    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+
   /** The IVF drift gauge (the [[PqIndex.quantizationError]] sibling):
     * mean (1 − cos(v, centroid)) over the STORED assignments — how far
     * the vectors in service sit from the cell centers routing them.
@@ -858,7 +893,8 @@ object IvfIndex {
       isQuery: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val cells = s.table(table)
+    val cells = TO.exceptTombstones(s.table(table), s,
+      table + "_del", "vec_id")
     val q = cells.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("q_cell"))
@@ -889,7 +925,8 @@ object IvfIndex {
       isQuery: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       k: Int, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val cells = s.table(table)
+    val cells = TO.exceptTombstones(s.table(table), s,
+      table + "_del", "vec_id")
     val cents = s.table(table + "_cent")
       .select(col("cell"), col("c").as("cv"))
       .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
@@ -1136,6 +1173,16 @@ object PqIndex {
     * grid (order-free exact), and ranks the rounded sentinel cosine of
     * query vs the candidate's RECONSTRUCTION — computed without ever
     * materializing it. */
+  /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
+    * the codes table ([[adcTopK]] subtracts the list for both the
+    * corpus-wide and pair-restricted probes). The codebook is
+    * untouched: deletion changes what answers, not how it's scored. */
+  def delete(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.tombstone(s, table + "_del", ids, "vec_id")
+
+  def vacuum(s: SparkSession, table: String): Unit =
+    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+
   def topK(s: SparkSession, table: String, queries: DataFrame,
       k: Int): DataFrame = adcTopK(s, table, queries, k, cand = None)
 
@@ -1161,7 +1208,8 @@ object PqIndex {
         expr(s"graft_dot(slice(v, (sub-1)*$subDim+1, $subDim), c)")
           .as("dp"),
         col("nc2"))
-    val codesAll = s.table(table)
+    val codesAll = TO.exceptTombstones(s.table(table), s,
+        table + "_del", "vec_id")
       .select(col("vec_id"), col("nrm"),
         posexplode(col("codes")).as(Seq("pos", "cid")))
       .select(col("vec_id"), col("nrm"), (col("pos") + 1).as("sub"),
@@ -1488,6 +1536,15 @@ object BqIndex {
       .saveAsTable(table)
   }
 
+  /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
+    * the signature table ([[topK]] filters the sig side, which both
+    * queries and candidates come off). */
+  def delete(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.tombstone(s, table + "_del", ids, "vec_id")
+
+  def vacuum(s: SparkSession, table: String): Unit =
+    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+
   /** Hamming-prefiltered exact-reranked top-k. Phase 1 scans the
     * dim/8-byte signatures against the broadcast query signatures —
     * the per-candidate work is one xor+popcount per 64 coordinates
@@ -1500,7 +1557,11 @@ object BqIndex {
   def topK(s: SparkSession, table: String, vecTable: String,
       isQuery: Column => Column, k: Int, c: Int = C): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val sigs = s.table(table)
+    // tombstone-filter the SIGNATURE side only: queries and candidates
+    // both come off it, so a deleted id can neither ask nor answer —
+    // the payload join on surviving candidates can't resurrect one
+    val sigs = TO.exceptTombstones(s.table(table), s,
+      table + "_del", "vec_id")
     val q = sigs.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
     val wh = Window.partitionBy("q_id")
@@ -1638,6 +1699,14 @@ object SqIndex {
       .saveAsTable(table)
   }
 
+  /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
+    * the codes table. */
+  def delete(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.tombstone(s, table + "_del", ids, "vec_id")
+
+  def vacuum(s: SparkSession, table: String): Unit =
+    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+
   /** Brute top-k over DEQUANTIZED vectors served entirely from the
     * stored codes table — queries come off the same table by vec_id
     * filter, so the probe plan reads nothing but the stored index
@@ -1647,7 +1716,8 @@ object SqIndex {
   def topK(s: SparkSession, table: String, isQuery: Column => Column,
       k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val e = s.table(table)
+    val e = TO.exceptTombstones(s.table(table), s,
+        table + "_del", "vec_id")
       .withColumn("vq", expr(vqExpr))
       .withColumn("nrm", expr("sqrt(graft_dot(vq, vq))"))
     val q = e.filter(isQuery(col("vec_id")))

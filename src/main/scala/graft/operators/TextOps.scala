@@ -208,6 +208,19 @@ object TextOps {
     */
   def compactIndex(s: org.apache.spark.sql.SparkSession,
       table: String): Unit = bm25BuildLock.synchronized {
+    rewriteBucketed(s, table, identity)
+  }
+
+  /** The shared spec-preserving rewrite behind [[compactIndex]] and
+    * [[vacuumIndex]]: re-materialize a bucketed table (content
+    * optionally transformed) into a fresh one-file-per-bucket layout
+    * with the IDENTICAL bucket/sort spec read from the catalog, then
+    * promote it via the atomic swap. Callers hold [[bm25BuildLock]].
+    */
+  private def rewriteBucketed(s: org.apache.spark.sql.SparkSession,
+      table: String,
+      transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     // a crashed GROUP swap (a refresh died mid-promotion) must heal
     // before compaction stages its own `_compact` tmp — otherwise the
@@ -244,7 +257,7 @@ object TextOps {
     // that aligns tasks to buckets (the writer then bin-packs the
     // small files into arbitrary tasks). A plain parquet read has
     // no claimed partitioning, so the repartition stands.
-    val one = s2.read.parquet(meta.location.toString)
+    val one = transform(s2.read.parquet(meta.location.toString))
       .repartition(spec.numBuckets,
         spec.bucketColumnNames.map(col): _*)
     val w = one.write
@@ -257,6 +270,69 @@ object TextOps {
       else w
     ws.saveAsTable(tmp)
     swapIndexTables(s, table, tmp)
+  }
+
+  /** TOMBSTONED DELETE — the lifecycle op the append-only indexes
+    * lacked (insert = append/ingest, retrain = refresh, rewrite =
+    * compact; removal had no story). `ids` (single column `idCol`)
+    * append to the small `<delTable>` list; probes subtract it via
+    * [[exceptTombstones]] (an anti-join the optimizer broadcasts
+    * while the list is small), and [[vacuumIndex]] later folds the
+    * tombstones into the stored files and clears the list. Only ids
+    * NOT already tombstoned append (idempotent — a double delete
+    * cannot double-subtract anything downstream). ID SEMANTICS:
+    * deletion is terminal for an id — the ingest paths assume ids are
+    * never recycled (the same contract streamingDocumentIngest's
+    * dedup enforces), so re-appending a deleted id leaves it deleted.
+    */
+  private[graft] def tombstone(s: org.apache.spark.sql.SparkSession,
+      delTable: String, ids: org.apache.spark.sql.DataFrame,
+      idCol: String): Unit = bm25BuildLock.synchronized {
+    clearOrphanLocation(s, delTable)
+    val fresh = ids.select(col(idCol)).distinct()
+    val novel =
+      if (s.catalog.tableExists(delTable))
+        fresh.join(s.table(delTable), Seq(idCol), "left_anti")
+      else fresh
+    novel.coalesce(1).write.mode("append").saveAsTable(delTable)
+    s.catalog.refreshTable(delTable)
+  }
+
+  /** Subtract a tombstone list from an index scan — the probe-side
+    * half of [[tombstone]]. When no list exists (the common case) the
+    * frame passes through UNTOUCHED, so probe plans without deletes
+    * are byte-identical to the pre-delete engine. The existence check
+    * runs at plan-build time on the driver; the anti-join's small
+    * side is the tombstone list, which AQE broadcasts at the sizes a
+    * compaction cadence keeps it at.
+    */
+  private[graft] def exceptTombstones(
+      df: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession, delTable: String,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    if (!s.catalog.tableExists(delTable)) df
+    else df.join(s.table(delTable), Seq(idCol), "left_anti")
+
+  /** Fold a tombstone list into its index family's stored files and
+    * clear it: each bucketed `member` is rewritten WITHOUT the
+    * tombstoned rows (the [[compactIndex]] rewrite with a filter —
+    * same spec-preserving one-file-per-bucket layout, same atomic
+    * swap), then the list is dropped, so subsequent probes pay no
+    * anti-join at all. Members that don't exist are skipped; a member
+    * without the id column is a caller error (loud analysis failure).
+    */
+  def vacuumIndex(s: org.apache.spark.sql.SparkSession,
+      delTable: String, members: Seq[String],
+      idCol: String): Unit = bm25BuildLock.synchronized {
+    if (s.catalog.tableExists(delTable)) {
+      members.filter(s.catalog.tableExists).foreach { m =>
+        rewriteBucketed(s, m,
+          df => df.join(df.sparkSession.table(delTable),
+            Seq(idCol), "left_anti"))
+      }
+      s.sql(s"DROP TABLE $delTable")
+      clearOrphanLocation(s, delTable)
+    }
   }
 
   /** Operational file-count pressure of a stored bucketed index —
@@ -537,6 +613,59 @@ object TextOps {
     } finally tf.unpersist()
   }
 
+  /** DELETE documents from an incremental BM25 index ([[
+    * appendBm25Postings]] family): tombstone the doc ids and subtract
+    * exactly the victims' contribution from the 1-row stats table —
+    * n_docs by their count, sum_dl by their document lengths (read
+    * off their own stored postings: every posting row carries its
+    * doc's dl). df needs NO correction here because the incremental
+    * probe derives it per-token from the postings it actually fetches
+    * ([[bm25ScoreIncr]]'s count window), which [[liveBm25]] has
+    * already tombstone-filtered — so after a delete the probe is
+    * BIT-IDENTICAL to one against an index built only from the
+    * surviving documents (DeleteSpec). Victims are intersected with
+    * the live indexed docs first: deleting an unknown or
+    * already-deleted id adjusts nothing (idempotent). Folding the
+    * tombstones into the files is [[vacuumIndex]]'s job.
+    */
+  def deleteBm25Docs(s: org.apache.spark.sql.SparkSession,
+      table: String, statsTable: String,
+      ids: org.apache.spark.sql.DataFrame): Unit =
+    bm25BuildLock.synchronized {
+      val del = table + "_del"
+      val victims = exceptTombstones(
+          s.table(table).select("doc_id", "dl").distinct(), s, del,
+          "doc_id")
+        .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"))
+        .persist()
+      try {
+        val agg = victims
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dl"))
+          .collect()(0)
+        if (agg.getLong(0) > 0L) {
+          tombstone(s, del, victims.select("doc_id"), "doc_id")
+          val cur = s.table(statsTable).collect()(0)
+          val sp = s
+          import sp.implicits._
+          Seq((cur.getLong(0) - agg.getLong(0),
+              cur.getLong(1) - agg.getLong(1)))
+            .toDF("n_docs", "sum_dl")
+            .write.mode("overwrite").saveAsTable(statsTable)
+        }
+      } finally { victims.unpersist(); () }
+    }
+
+  /** The tombstone-filtered serving view of an incremental BM25 index:
+    * (live postings, stats) ready for [[bm25ScoreIncr]]. With no
+    * deletes the postings frame is the raw table scan — plans
+    * unchanged.
+    */
+  def liveBm25(s: org.apache.spark.sql.SparkSession, table: String,
+      statsTable: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    (exceptTombstones(s.table(table), s, table + "_del", "doc_id"),
+      s.table(statsTable))
+
   /** Score query terms against an INCREMENTAL index ([[
     * appendBm25Postings]]): identical output contract and arithmetic to
     * [[bm25Score]] — the idf/weight expressions are the same shared
@@ -669,7 +798,7 @@ object TextOps {
       appendBm25Postings(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), t, t + "_stats")
     }
-    (s.table(table), s.table(table + "_stats"))
+    liveBm25(s, table, table + "_stats")
   }
 
   /** Build lock for [[bm25Index]] — serializes concurrent first-use
@@ -705,7 +834,7 @@ object TextOps {
     ("^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
       "|sdd_idx|bq_idx|sq_idx)" +
       "_[0-9a-f]{10}_p([0-9]+)" +
-      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg|_swap)*$").r
+      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg|_swap|_del)*$").r
 
   private var sweptDeadIndexes = false
   private[graft] def sweepDeadIndexes(

@@ -112,7 +112,10 @@ class IvfRefreshSpec extends AnyFunSuite with SparkSuite {
       spark.sql(s"ALTER TABLE $t RENAME TO ${t}_compact")
       IvfIndex.refresh(union, t)
       assert(spark.catalog.tableExists(t))
-      assert(IvfIndex.quantizationError(spark, t) === healthy)
+      // tolerance, not ===: the gauge is an avg over doubles, whose
+      // partition-combine order varies run to run
+      assert(math.abs(IvfIndex.quantizationError(spark, t) - healthy)
+        < 1e-9)
     } finally drop(all: _*)
   }
 

@@ -114,7 +114,10 @@ class PqRefreshSpec extends AnyFunSuite with SparkSuite {
       spark.sql(s"ALTER TABLE $t RENAME TO ${t}_compact")
       PqIndex.refresh(union, t)
       assert(spark.catalog.tableExists(t))
-      assert(PqIndex.quantizationError(spark, t, union) === healthy)
+      // tolerance, not ===: the gauge is an avg over doubles, whose
+      // partition-combine order varies run to run
+      assert(math.abs(PqIndex.quantizationError(spark, t, union) - healthy)
+        < 1e-9)
     } finally drop(all: _*)
   }
 }
