@@ -1185,7 +1185,7 @@ object TextOps {
     */
   private[graft] def bandIndexIncr(s: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
-    s.table(memoIndex(s, "graft_band_incr", sfDir) { t =>
+    liveBandIndex(s, memoIndex(s, "graft_band_incr", sfDir) { t =>
       val bound = graft.operators.TrainingData.TrainBoundary
       val bucket = graft.operators.TrainingData
         .hashPrefixOf(col("doc_id"), 2)
@@ -1193,6 +1193,30 @@ object TextOps {
       appendBandIndex(old.filter(pmod(col("doc_id"), lit(2)) === 0), t)
       appendBandIndex(old.filter(pmod(col("doc_id"), lit(2)) === 1), t)
     })
+
+  /** TOMBSTONED DELETE for a band index — the [[tombstone]] lifecycle
+    * over (band_key, old_id, old_toks) rows: deleted documents stop
+    * colliding immediately ([[liveBandIndex]] subtracts the list),
+    * [[vacuumIndex]] folds it. `ids` is a (doc_id) frame — the public
+    * documents-side id name; the index stores it as old_id.
+    */
+  def deleteBandDocs(s: org.apache.spark.sql.SparkSession,
+      table: String, ids: org.apache.spark.sql.DataFrame): Unit =
+    tombstone(s, table + "_del",
+      ids.select(col("doc_id").as("old_id")), "old_id")
+
+  /** The tombstone-filtered serving view of a stored band index —
+    * hand this to [[nearDupsAgainstIndex]] (it takes a frame, so the
+    * filter composes without touching the probe definition). No
+    * deletes → the raw table scan, plans unchanged.
+    */
+  def liveBandIndex(s: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.DataFrame =
+    exceptTombstones(s.table(table), s, table + "_del", "old_id")
+
+  def vacuumBandIndex(s: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    vacuumIndex(s, table + "_del", Seq(table), "old_id")
 
   /** Near-dup pairs of `newDocs` against a stored (band_key, old_id,
     * old_toks) index frame (spark.table of a [[writeBandIndex]] table,

@@ -78,6 +78,36 @@ class DeleteSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("band index: deleted docs stop colliding; vacuum folds") {
+    val t = s"del_band_p$pid"
+    val t2 = s"del_band_scratch_p$pid"
+    val all = Seq(t, s"${t}_del", s"${t}_compact", s"${t}_old", t2)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val victims = (10L until 40L).toDF("doc_id")
+      val old = docs.filter(col("doc_id") < 200)
+      val probeDocs = docs.filter(col("doc_id") >= 200 &&
+        col("doc_id") < 260)
+      TextOps.writeBandIndex(old, t)
+      TextOps.deleteBandDocs(spark, t, victims)
+      TextOps.writeBandIndex(
+        old.join(victims, Seq("doc_id"), "left_anti"), t2)
+      def pairs(index: org.apache.spark.sql.DataFrame) =
+        TextOps.nearDupsAgainstIndex(probeDocs, index).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = pairs(TextOps.liveBandIndex(spark, t))
+      assert(got === pairs(spark.table(t2)))
+      assert(!got.exists { case (_, o) => o >= 10L && o < 40L })
+      TextOps.vacuumBandIndex(spark, t)
+      assert(!spark.catalog.tableExists(s"${t}_del"))
+      assert(spark.table(t).filter(
+        col("old_id") >= 10L && col("old_id") < 40L).isEmpty)
+      assert(pairs(TextOps.liveBandIndex(spark, t)) === got)
+    } finally drop(all: _*)
+  }
+
   test("ANN: delete equals a survivor-only index; vacuum folds both members") {
     val t = s"del_ann_p$pid"
     val t2 = s"del_ann_scratch_p$pid"
