@@ -540,6 +540,49 @@ object StreamingOps {
       })
   }
 
+  /** ONE-CALL DOCUMENT DELETE — the removal twin of
+    * [[streamingDocumentIngest]]: one call tombstones the ids across
+    * the family it maintains (band index + BM25 postings, with the
+    * exact stats subtraction). The `_hashes` dedup rows are KEPT
+    * deliberately: deletion is terminal per id/content (the ingest
+    * contract), so a redelivered copy of a deleted document must
+    * still be recognized and skipped, not re-indexed.
+    */
+  def deleteDocuments(spark: SparkSession, base: String,
+      ids: org.apache.spark.sql.DataFrame): Unit = {
+    graft.operators.TextOps.deleteBandDocs(spark, s"${base}_band", ids)
+    graft.operators.TextOps.deleteBm25Docs(spark, s"${base}_bm25",
+      s"${base}_bm25_stats", ids)
+  }
+
+  /** Fold both document-index tombstone lists into the stored files. */
+  def vacuumDocuments(spark: SparkSession, base: String): Unit = {
+    graft.operators.TextOps.vacuumBandIndex(spark, s"${base}_band")
+    graft.operators.TextOps.vacuumIndex(spark, s"${base}_bm25_del",
+      Seq(s"${base}_bm25"), "doc_id")
+  }
+
+  /** ONE-CALL VECTOR DELETE — the removal twin of
+    * [[streamingAllIndexIngest]]: tombstone the vec_ids across every
+    * family the unified ingest maintains. */
+  def deleteVectors(spark: SparkSession, base: String,
+      ids: org.apache.spark.sql.DataFrame): Unit = {
+    graft.operators.AnnIndex.delete(spark, s"${base}_ann", ids)
+    graft.operators.BqIndex.delete(spark, s"${base}_bq", ids)
+    graft.operators.SqIndex.delete(spark, s"${base}_sq", ids)
+    graft.operators.PqIndex.delete(spark, s"${base}_pq", ids)
+    graft.operators.IvfIndex.delete(spark, s"${base}_ivf", ids)
+  }
+
+  /** Fold every vector family's tombstones into the stored files. */
+  def vacuumVectors(spark: SparkSession, base: String): Unit = {
+    graft.operators.AnnIndex.vacuum(spark, s"${base}_ann")
+    graft.operators.BqIndex.vacuum(spark, s"${base}_bq")
+    graft.operators.SqIndex.vacuum(spark, s"${base}_sq")
+    graft.operators.PqIndex.vacuum(spark, s"${base}_pq")
+    graft.operators.IvfIndex.vacuum(spark, s"${base}_ivf")
+  }
+
   /** ONE-CALL VECTOR INGEST (VERDICT r12 #7, the vector twin): a
     * single file-streamed loop that maintains EVERY stored vector
     * index — ANN band postings + payload, BQ signatures, SQ8 codes,

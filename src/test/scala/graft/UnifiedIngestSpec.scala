@@ -76,6 +76,55 @@ class UnifiedIngestSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ingest → delete → ingest → vacuum: deleted docs never resurface") {
+    val base = s"uni_life_p$pid"
+    val dir = java.nio.file.Files.createTempDirectory("graft_unilife")
+      .toString
+    val members = Seq(s"${base}_band", s"${base}_band_del",
+      s"${base}_band_compact", s"${base}_band_old",
+      s"${base}_bm25", s"${base}_bm25_del", s"${base}_bm25_compact",
+      s"${base}_bm25_old", s"${base}_bm25_stats", s"${base}_hashes",
+      s"${base}_ledger")
+    drop(members: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      def halfD(m: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === m)
+      halfD(0).write.mode("append").parquet(s"$dir/documents.parquet")
+      streaming.StreamingOps.streamingDocumentIngest(spark, dir, base)
+      // victims from the ingested half
+      val victims = (0L until 60L by 2L).toDF("doc_id")
+      streaming.StreamingOps.deleteDocuments(spark, base, victims)
+      // more batches arrive AFTER the delete
+      halfD(1).write.mode("append").parquet(s"$dir/documents.parquet")
+      streaming.StreamingOps.streamingDocumentIngest(spark, dir, base)
+      def deadBand() = TextOps.liveBandIndex(spark, s"${base}_band")
+        .filter(col("old_id") < 60L && col("old_id") % 2 === 0).count()
+      def deadBm25() = {
+        val (p, _) = TextOps.liveBm25(spark, s"${base}_bm25",
+          s"${base}_bm25_stats")
+        p.filter(col("doc_id") < 60L && col("doc_id") % 2 === 0).count()
+      }
+      assert(deadBand() === 0L)
+      assert(deadBm25() === 0L)
+      // stats reflect live docs only: gated corpus minus the victims
+      // that were actually indexed
+      val gated = TrainingData.curateGate(docs)
+      val liveN = gated.join(victims, Seq("doc_id"), "left_anti").count()
+      assert(spark.table(s"${base}_bm25_stats").collect()(0)
+        .getLong(0) === liveN)
+      // vacuum folds both lists; the probes see the same live corpus
+      streaming.StreamingOps.vacuumDocuments(spark, base)
+      assert(!spark.catalog.tableExists(s"${base}_band_del"))
+      assert(!spark.catalog.tableExists(s"${base}_bm25_del"))
+      assert(deadBand() === 0L)
+      assert(deadBm25() === 0L)
+    } finally {
+      drop(members: _*)
+      rmCk(base)
+    }
+  }
+
   test("streamingAllIndexIngest equals per-family independent appends") {
     val base = s"uni_vec_p$pid"
     val fams = Seq(s"${base}_ann", s"${base}_ann_vec", s"${base}_ann_cfg",
