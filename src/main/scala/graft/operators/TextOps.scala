@@ -325,10 +325,15 @@ object TextOps {
       delTable: String, members: Seq[String],
       idCol: String): Unit = bm25BuildLock.synchronized {
     if (s.catalog.tableExists(delTable)) {
-      members.filter(s.catalog.tableExists).foreach { m =>
-        rewriteBucketed(s, m,
-          df => df.join(df.sparkSession.table(delTable),
-            Seq(idCol), "left_anti"))
+      // an EMPTY list must not trigger the full O(index) rewrite — at
+      // scale that's the difference between dropping one tiny table
+      // and re-shuffling the whole corpus for nothing
+      if (!s.table(delTable).isEmpty) {
+        members.filter(s.catalog.tableExists).foreach { m =>
+          rewriteBucketed(s, m,
+            df => df.join(df.sparkSession.table(delTable),
+              Seq(idCol), "left_anti"))
+        }
       }
       s.sql(s"DROP TABLE $delTable")
       clearOrphanLocation(s, delTable)

@@ -125,6 +125,49 @@ class UnifiedIngestSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("streamingDocumentDeletes: CDC stream equals direct deletes; replay safe") {
+    val base = s"uni_cdc_p$pid"
+    val dir = java.nio.file.Files.createTempDirectory("graft_unicdc")
+      .toString
+    val delDir = java.nio.file.Files.createTempDirectory("graft_unicdcd")
+      .toString
+    val members = Seq(s"${base}_band", s"${base}_band_del",
+      s"${base}_bm25", s"${base}_bm25_del", s"${base}_bm25_stats",
+      s"${base}_hashes", s"${base}_ledger", s"${base}_dels_ledger")
+    drop(members: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      docs.write.mode("append").parquet(s"$dir/documents.parquet")
+      streaming.StreamingOps.streamingDocumentIngest(spark, dir, base)
+      val statsFull = spark.table(s"${base}_bm25_stats").collect()(0)
+      (0L until 30L).toDF("doc_id").write.mode("append")
+        .parquet(s"$delDir/dels.parquet")
+      streaming.StreamingOps.streamingDocumentDeletes(spark,
+        s"$delDir/dels.parquet", base)
+      val statsDel = spark.table(s"${base}_bm25_stats").collect()(0)
+      assert(statsDel.getLong(0) < statsFull.getLong(0))
+      def dead() = TextOps.liveBandIndex(spark, s"${base}_band")
+        .filter(col("old_id") < 30L).count()
+      assert(dead() === 0L)
+      // re-run with no new files: the ledger skips everything, stats
+      // do not move (the double-subtract guard, stream-shaped)
+      streaming.StreamingOps.streamingDocumentDeletes(spark,
+        s"$delDir/dels.parquet", base)
+      assert(spark.table(s"${base}_bm25_stats").collect()(0) === statsDel)
+      // a second batch of deletions arrives
+      (30L until 40L).toDF("doc_id").write.mode("append")
+        .parquet(s"$delDir/dels.parquet")
+      streaming.StreamingOps.streamingDocumentDeletes(spark,
+        s"$delDir/dels.parquet", base)
+      assert(TextOps.liveBandIndex(spark, s"${base}_band")
+        .filter(col("old_id") < 40L).count() === 0L)
+    } finally {
+      drop(members: _*)
+      rmCk(base, s"${base}_dels")
+    }
+  }
+
   test("streamingAllIndexIngest equals per-family independent appends") {
     val base = s"uni_vec_p$pid"
     val fams = Seq(s"${base}_ann", s"${base}_ann_vec", s"${base}_ann_cfg",
