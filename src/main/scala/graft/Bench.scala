@@ -451,14 +451,11 @@ object Bench {
     // window at ALL degradation rungs (VERDICT r12 #3: the overflow
     // path dropped exactly the noise-qualification signal the graded
     // artifact needed)
+    // one formatting rule (fmt2) for every one-decimal field — two
+    // copies of the trailing-zero trim could drift (review r13)
     def load1Str(s: String): String = {
       val v = load1(s)
-      if (v < 0) "-1"
-      else {
-        val one = String.format(java.util.Locale.ROOT, "%.1f",
-          Double.box(v))
-        if (one.endsWith(".0")) one.dropRight(2) else one
-      }
+      if (v < 0) "-1" else fmt2(v)
     }
     def build(omit: Set[String]): String = {
       val qs = results.filterNot(r => omit(r._1))

@@ -103,6 +103,25 @@ private[operators] object CosSim {
     coalesce(embedding.cast("array<double>"),
       typedlit(Seq.fill(dim)(0.0)))
 
+  /** [[canon]] + WIDTH ENFORCEMENT for ingest sites (review r13): the
+    * `_cfg` pin checks the caller's PARAMETER, but canon passes
+    * non-null vectors through at their own length — so a batch whose
+    * DATA is a different width than declared would still store
+    * mixed-width rows (cross-width dots go NULL, candidates silently
+    * vanish). This variant raises inside the scan when a non-null
+    * vector's length differs from dim — the check rides the existing
+    * row pass, no extra job, and it cannot be pruned away because it
+    * DEFINES the canon value. Probe-side reads keep the lenient
+    * [[canon]] (stored rows were already checked on the way in).
+    */
+  def canonChecked(embedding: Column, dim: Int): Column = {
+    val v = embedding.cast("array<double>")
+    when(v.isNull, typedlit(Seq.fill(dim)(0.0)))
+      .otherwise(when(size(v) === dim, v).otherwise(raise_error(
+        concat(lit(s"vector width mismatch: index dim=$dim, batch row has "),
+          size(v).cast("string")))))
+  }
+
   /** The identity list_transform is LOAD-BEARING: DuckDB 1.0's
     * list_inner_product validates the flat child vector of its list
     * argument across the whole chunk, so a COALESCE that papers over a
@@ -147,6 +166,15 @@ object Ann {
   def prep(emb: DataFrame, dim: Int = CosSim.EmbDim): DataFrame =
     emb.select(col("vec_id"),
         CosSim.canon(col("embedding"), dim).as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+
+  /** [[prep]] with [[CosSim.canonChecked]] width enforcement — the
+    * variant every index WRITE/APPEND path uses, so a mixed-width
+    * batch fails in the ingest scan instead of storing rows whose
+    * cross-width dots NULL out at probe time (review r13). */
+  def prepStrict(emb: DataFrame, dim: Int): DataFrame =
+    emb.select(col("vec_id"),
+        CosSim.canonChecked(col("embedding"), dim).as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
 
   /** Distinct candidate pairs (q_id, vec_id) colliding on ≥1 band.
@@ -487,8 +515,10 @@ object AnnIndex {
     */
   private def prepPayload(emb: DataFrame, dim: Int,
       payloadCols: Seq[String]): DataFrame =
+    // ingest-side width enforcement (CosSim.canonChecked): a batch of
+    // the wrong width must fail in this scan, not store mixed rows
     emb.select(col("vec_id") +:
-        CosSim.canon(col("embedding"), dim).as("v") +:
+        CosSim.canonChecked(col("embedding"), dim).as("v") +:
         payloadCols.map(col): _*)
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
 
@@ -598,7 +628,15 @@ object AnnIndex {
     */
   def append(emb: DataFrame, table: String, nBands: Int = NBands,
       bits: Int = Bits, dim: Int = CosSim.EmbDim,
-      nBuckets: Int = 8, payloadCols: Seq[String] = Nil): Unit = {
+      nBuckets: Int = 8, payloadCols: Seq[String] = Nil): Unit =
+    // under the shared build lock (review r13): a maintenance swap
+    // (compact/vacuum/refresh) snapshots the file listing before its
+    // rewrite — an append landing files between that snapshot and the
+    // swap would be silently discarded with the old table. The lock is
+    // reentrant, so memoized builds that append under it still work;
+    // table names are per-process-unique, so in-process serialization
+    // IS the full writer set.
+    TO.bm25BuildLock.synchronized {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.ensureIndexConfig(s, table,
@@ -760,7 +798,7 @@ object IvfIndex {
     TO.clearOrphanLocation(s, table + "_cent")
     // persisted: the seed collect, each Lloyd pass, and the final
     // assignment all rescan the normalized corpus
-    val e = Ann.prep(emb, dim).persist()
+    val e = Ann.prepStrict(emb, dim).persist()
     try {
       val cents = Ivf.kmeansCentroids(e, k, dim, iters)
       Ivf.assignCells(e, cents).write.mode("overwrite")
@@ -789,7 +827,10 @@ object IvfIndex {
     * quantizer is the config store), so an append cannot canonicalize
     * to a width the index wasn't built at.
     */
-  def append(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+  def append(emb: DataFrame, table: String, nBuckets: Int = 8): Unit =
+    // build-lock scope: the AnnIndex.append rationale (append vs
+    // maintenance-swap file-listing race)
+    TO.bm25BuildLock.synchronized {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     require(s.catalog.tableExists(table + "_cent"),
@@ -798,7 +839,7 @@ object IvfIndex {
     val cents = s.table(table + "_cent").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
-    val e = Ann.prep(emb, cents.head._2.length)
+    val e = Ann.prepStrict(emb, cents.head._2.length)
     Ivf.assignCells(e, cents).write.mode("append")
       .bucketBy(nBuckets, "cell").sortBy("cell")
       .saveAsTable(table)
@@ -829,11 +870,15 @@ object IvfIndex {
     val cents = s.table(table + "_cent")
       .select(col("cell"), col("c").as("cv"))
       .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
-    s.table(table).join(broadcast(cents), "cell")
+    val r = s.table(table).join(broadcast(cents), "cell")
       .filter(col("nrm") > 0d && col("cnrm") > 0d)
       .agg(avg(lit(1.0) -
         expr("graft_dot(v, cv)") / (col("nrm") * col("cnrm"))))
-      .collect()(0).getDouble(0)
+      .collect()(0)
+    // zero measurable rows (empty index, all-degenerate vectors) →
+    // avg is NULL; report "no drift" instead of an opaque NPE from a
+    // maintenance loop polling the gauge (review r13)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
   /** RETRAIN-AND-SWAP maintenance (the [[PqIndex.refresh]] sibling):
@@ -868,7 +913,7 @@ object IvfIndex {
       Seq(cellsTmp, centTmp).foreach { x =>
         s.sql(s"DROP TABLE IF EXISTS $x"); TO.clearOrphanLocation(s, x)
       }
-      val e = Ann.prep(emb, dim).persist()
+      val e = Ann.prepStrict(emb, dim).persist()
       try {
         val cents = Ivf.kmeansCentroids(e, k, dim, iters)
         Ivf.assignCells(e, cents).write
@@ -1104,7 +1149,7 @@ object PqIndex {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.clearOrphanLocation(s, cbTable)
-    val e = Ann.prep(emb, m * subDim).persist()
+    val e = Ann.prepStrict(emb, m * subDim).persist()
     try {
       val sv = subvectors(e, m, subDim)
       val cb0 = sv.filter(col("vec_id") < ks)
@@ -1143,14 +1188,17 @@ object PqIndex {
   private[graft] def encode(emb: DataFrame, cb: DataFrame): DataFrame = {
     val (m, subDim) = cbGrid(cb)
     toCodeRows(assignCodes(
-      subvectors(Ann.prep(emb, m * subDim), m, subDim), cb))
+      subvectors(Ann.prepStrict(emb, m * subDim), m, subDim), cb))
   }
 
   /** APPEND-ONLY maintenance: new vectors are encoded with the STORED
     * codebook (frozen at build — the [[IvfIndex.append]] contract:
     * retrain periodically via [[write]] when drift warrants) and their
     * code rows appended; nothing rewritten. */
-  def append(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+  def append(emb: DataFrame, table: String, nBuckets: Int = 8): Unit =
+    // build-lock scope: the AnnIndex.append rationale (append vs
+    // maintenance-swap file-listing race)
+    TO.bm25BuildLock.synchronized {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     require(s.catalog.tableExists(table + "_cb"),
@@ -1199,8 +1247,11 @@ object PqIndex {
     graft.functions.VectorFunctions.register(s)
     val cb = s.table(table + "_cb")
     // the stored codebook determines the subspace width — probes of a
-    // wide-dim index (subDim = 96 at dim 768) slice with ITS grid
-    val (_, subDim) = cbGrid(cb)
+    // wide-dim index (subDim = 96 at dim 768) slice with ITS grid.
+    // ONE ROW suffices (every codeword has the same length — the
+    // training grid), so the serving path pays a limit-1 lookup, not
+    // the full max-aggregate cbGrid runs at build time (review r13)
+    val subDim = cb.select(size(col("c"))).head().getInt(0)
     val q = queries.select(col("vec_id").as("q_id"), col("v"),
       expr("sqrt(graft_dot(v, v))").as("qn"))
     val lut = q.crossJoin(cb)
@@ -1281,7 +1332,7 @@ object PqIndex {
     graft.functions.VectorFunctions.register(s)
     val cb = s.table(table + "_cb")
     val (m, subDim) = cbGrid(cb)
-    val e = Ann.prep(emb, m * subDim)
+    val e = Ann.prepStrict(emb, m * subDim)
     val codes = s.table(table)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "cid")))
       .select(col("vec_id"), (col("pos") + 1).as("sub"), col("cid"))
@@ -1292,12 +1343,15 @@ object PqIndex {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub"), col("c")))),
         x => x.getField("c"))).as("recon"))
-    e.join(recon, "vec_id")
+    val r = e.join(recon, "vec_id")
       .withColumn("rnrm", expr("sqrt(graft_dot(recon, recon))"))
       .filter(col("nrm") > 0d && col("rnrm") > 0d)
       .agg(avg(lit(1.0) -
         expr("graft_dot(v, recon)") / (col("nrm") * col("rnrm"))))
-      .collect()(0).getDouble(0)
+      .collect()(0)
+    // zero measurable rows (no shared vec_ids, all-degenerate) → avg
+    // is NULL; report "no drift", never an NPE (review r13)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
   /** RETRAIN-AND-SWAP maintenance (VERDICT r12 #4): train a fresh
@@ -1525,12 +1579,15 @@ object BqIndex {
     * nothing retrained, O(batch) per ingest. The first append pins dim
     * in `<table>_cfg`; later appends must match it. */
   def append(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8): Unit =
+    // build-lock scope: the AnnIndex.append rationale (append vs
+    // maintenance-swap file-listing race)
+    TO.bm25BuildLock.synchronized {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.ensureIndexConfig(s, table, Seq("dim" -> dim))
     TO.clearOrphanLocation(s, table)
-    Ann.prep(emb, dim)
+    Ann.prepStrict(emb, dim)
       .select(col("vec_id"), expr(sigExpr).as("sig"))
       .write.mode("append").bucketBy(nBuckets, "vec_id").sortBy("vec_id")
       .saveAsTable(table)
@@ -1686,12 +1743,16 @@ object SqIndex {
     * would reconstruct to different-length vectors whose cross-width
     * dot is NULL, silently vanishing candidates from [[topK]]. */
   def append(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8): Unit =
+    // build-lock scope: the AnnIndex.append rationale (append vs
+    // maintenance-swap file-listing race)
+    TO.bm25BuildLock.synchronized {
     val s = emb.sparkSession
     TO.ensureIndexConfig(s, table, Seq("dim" -> dim))
     TO.clearOrphanLocation(s, table)
+    // ingest-side width enforcement — the canonChecked contract
     emb.select(col("vec_id"),
-        CosSim.canon(col("embedding"), dim).as("v"))
+        CosSim.canonChecked(col("embedding"), dim).as("v"))
       .withColumn("sc",
         expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
       .select(col("vec_id"), col("sc"), expr(codesExpr).as("codes"))

@@ -493,7 +493,11 @@ object TextOps {
       if (s.catalog.tableExists(t) && s.catalog.tableExists(old)) {
         s.sql(s"DROP TABLE $old")
       }
-      s.catalog.refreshTable(t)
+      // a member whose every copy was removed out-of-band (dead-pid
+      // sweep, manual DROP) is unrecoverable — heal the REST of the
+      // group rather than throwing here and wedging the family with
+      // the marker pinned forever (review r13)
+      if (s.catalog.tableExists(t)) s.catalog.refreshTable(t)
     }
     s.sql(s"DROP TABLE $marker")
   }
@@ -585,8 +589,20 @@ object TextOps {
     * this function under foreachBatch.
     */
   def appendBm25Postings(docs: org.apache.spark.sql.DataFrame,
-      table: String, statsTable: String, nBuckets: Int = 8): Unit = {
+      table: String, statsTable: String, nBuckets: Int = 8): Unit =
+    // build-lock scope (review r13): a maintenance swap (compact/
+    // vacuum) snapshots the file listing before its rewrite — an
+    // append landing files between that snapshot and the swap would
+    // be silently discarded with the old table. Reentrant for the
+    // memoized builds that append under the same lock; per-process-
+    // unique table names make in-process serialization the full
+    // writer set.
+    bm25BuildLock.synchronized {
     val s = docs.sparkSession
+    // heal any crashed delete before touching stats: the append's
+    // stats rewrite would otherwise drop the txn token an in-flight
+    // delete needs for its exactly-once replay guard
+    applyBm25DeleteStage(s, table, statsTable)
     clearOrphanLocation(s, table)
     clearOrphanLocation(s, statsTable)
     val tf = tokenTf(docs).persist()
@@ -604,7 +620,11 @@ object TextOps {
         coalesce(sum("dl"), lit(0L)).as("sum_dl"))
       val merged =
         if (s.catalog.tableExists(statsTable))
-          s.table(statsTable).unionByName(batch)
+          // (n_docs, sum_dl) by name: a delete-adjusted stats row also
+          // carries its txn token, which this rewrite retires (the
+          // entry heal already applied any in-flight delete)
+          s.table(statsTable).select("n_docs", "sum_dl")
+            .unionByName(batch)
             .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
         else batch
       // materialize on the driver BEFORE the overwrite (1 row — this is
@@ -637,28 +657,67 @@ object TextOps {
       table: String, statsTable: String,
       ids: org.apache.spark.sql.DataFrame): Unit =
     bm25BuildLock.synchronized {
-      val del = table + "_del"
+      // heal any in-flight delete FIRST: its staged victims are about
+      // to be tombstoned, and this call's victim set must be computed
+      // against the fully-applied state
+      applyBm25DeleteStage(s, table, statsTable)
+      val stage = table + "_del_stage"
       val victims = exceptTombstones(
-          s.table(table).select("doc_id", "dl").distinct(), s, del,
-          "doc_id")
+          s.table(table).select("doc_id", "dl").distinct(), s,
+          table + "_del", "doc_id")
         .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"))
-        .persist()
-      try {
-        val agg = victims
-          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dl"))
-          .collect()(0)
-        if (agg.getLong(0) > 0L) {
-          tombstone(s, del, victims.select("doc_id"), "doc_id")
-          val cur = s.table(statsTable).collect()(0)
-          val sp = s
-          import sp.implicits._
-          Seq((cur.getLong(0) - agg.getLong(0),
-              cur.getLong(1) - agg.getLong(1)))
-            .toDF("n_docs", "sum_dl")
-            .write.mode("overwrite").saveAsTable(statsTable)
-        }
-      } finally { victims.unpersist(); () }
+      // WRITE-AHEAD stage (review r13): the victims-with-dl snapshot
+      // commits BEFORE either downstream mutation. A crash anywhere
+      // after this point replays through applyBm25DeleteStage, whose
+      // content-addressed txn token makes the stats subtraction
+      // exactly-once — the old tombstone-then-stats order left a
+      // window where the tombstones committed, the replay saw zero
+      // live victims, and the stats kept counting deleted docs forever
+      s.sql(s"DROP TABLE IF EXISTS $stage")
+      clearOrphanLocation(s, stage)
+      victims.coalesce(1).write.saveAsTable(stage)
+      applyBm25DeleteStage(s, table, statsTable)
     }
+
+  /** Apply (or re-apply after a crash) a staged BM25 delete: subtract
+    * the staged victims' (count, Σdl) from the stats row UNLESS the
+    * row already carries this stage's content hash as its `txn`
+    * column (the exactly-once guard), then tombstone the staged ids
+    * (idempotent anti-join append) and drop the stage. Runs at every
+    * entry that reads or mutates the family — deleteBm25Docs,
+    * appendBm25Postings, liveBm25 — so no code path can observe a
+    * half-applied delete. Caller holds [[bm25BuildLock]].
+    */
+  private def applyBm25DeleteStage(
+      s: org.apache.spark.sql.SparkSession, table: String,
+      statsTable: String): Unit = {
+    val stage = table + "_del_stage"
+    if (!s.catalog.tableExists(stage)) return
+    val agg = s.table(stage)
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dl"),
+        md5(concat_ws(",",
+          sort_array(collect_list(col("doc_id"))))).as("txn"))
+      .collect()(0)
+    if (agg.getLong(0) > 0L) {
+      val txn = agg.getString(2)
+      val cur = s.table(statsTable).collect()(0)
+      val applied = cur.schema.fieldNames.contains("txn") &&
+        !cur.isNullAt(cur.fieldIndex("txn")) &&
+        cur.getAs[String]("txn") == txn
+      if (!applied) {
+        val sp = s
+        import sp.implicits._
+        Seq((cur.getLong(0) - agg.getLong(0),
+            cur.getLong(1) - agg.getLong(1), txn))
+          .toDF("n_docs", "sum_dl", "txn")
+          .write.mode("overwrite").saveAsTable(statsTable)
+      }
+      tombstone(s, table + "_del", s.table(stage).select("doc_id"),
+        "doc_id")
+    }
+    s.sql(s"DROP TABLE $stage")
+    clearOrphanLocation(s, stage)
+  }
 
   /** The tombstone-filtered serving view of an incremental BM25 index:
     * (live postings, stats) ready for [[bm25ScoreIncr]]. With no
@@ -667,9 +726,16 @@ object TextOps {
     */
   def liveBm25(s: org.apache.spark.sql.SparkSession, table: String,
       statsTable: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // heal-before-trust (the memoIndex discipline): a probe must never
+    // see a half-applied delete's stats/tombstone mix
+    if (s.catalog.tableExists(table + "_del_stage"))
+      bm25BuildLock.synchronized {
+        applyBm25DeleteStage(s, table, statsTable)
+      }
     (exceptTombstones(s.table(table), s, table + "_del", "doc_id"),
       s.table(statsTable))
+  }
 
   /** Score query terms against an INCREMENTAL index ([[
     * appendBm25Postings]]): identical output contract and arithmetic to
@@ -765,7 +831,13 @@ object TextOps {
       sweepDeadIndexes(s)
       // heal any crashed maintenance swap BEFORE trusting the catalog:
       // a compaction (or retrain-swap) that died mid-swap must read as
-      // "built" again via its surviving copy, not trigger a rebuild
+      // "built" again via its surviving copy, not trigger a rebuild.
+      // The GROUP heal runs FIRST (review r13): a refresh that died in
+      // its phase-1 window leaves one member renamed out — per-member
+      // recoverSwap alone would promote that member's NEW tmp while
+      // keeping the partner's OLD copy, serving a mixed family (new
+      // codewords scoring old codes) as complete
+      recoverGroupSwap(s, table)
       (table +: suffixes.map(table + _)).foreach(recoverSwap(s, _))
       val ok = s.catalog.tableExists(okTable) &&
         (table +: suffixes.map(table + _))
@@ -839,7 +911,7 @@ object TextOps {
     ("^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
       "|sdd_idx|bq_idx|sq_idx)" +
       "_[0-9a-f]{10}_p([0-9]+)" +
-      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg|_swap|_del)*$").r
+      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg|_swap|_del|_stage)*$").r
 
   private var sweptDeadIndexes = false
   private[graft] def sweepDeadIndexes(
@@ -1171,13 +1243,16 @@ object TextOps {
     * as every builder here ([[clearOrphanLocation]]).
     */
   def appendBandIndex(docs: org.apache.spark.sql.DataFrame, table: String,
-      nBuckets: Int = 8): Unit = {
-    clearOrphanLocation(docs.sparkSession, table)
-    bandIndexRows(docs, "old_id", "old_toks")
-      .write.mode("append")
-      .bucketBy(nBuckets, "band_key").sortBy("band_key")
-      .saveAsTable(table)
-  }
+      nBuckets: Int = 8): Unit =
+    // build-lock scope: the appendBm25Postings rationale (append vs
+    // maintenance-swap file-listing race)
+    bm25BuildLock.synchronized {
+      clearOrphanLocation(docs.sparkSession, table)
+      bandIndexRows(docs, "old_id", "old_toks")
+        .write.mode("append")
+        .bucketBy(nBuckets, "band_key").sortBy("band_key")
+        .saveAsTable(table)
+    }
 
   /** Memoized APPEND-BUILT corpus band index for `sfDir` (the
     * [[bm25IndexIncr]] contract: per process + catalog, `_ok` marker

@@ -51,10 +51,14 @@ class DeleteSpec extends AnyFunSuite with SparkSuite {
         victims.unionByName(Seq(888888L).toDF("doc_id")))
       assert(spark.table(s"${t}_stats").collect()(0) === statsAfter)
 
-      // scratch twin over the survivors only
+      // scratch twin over the survivors only (compare the two counts
+      // by name: the delete-adjusted stats row carries its txn token)
       TextOps.appendBm25Postings(
         docs.join(victims, Seq("doc_id"), "left_anti"), t2, s"${t2}_stats")
-      assert(spark.table(s"${t2}_stats").collect()(0) === statsAfter)
+      assert(spark.table(s"${t2}_stats")
+        .select("n_docs", "sum_dl").collect()(0) ===
+        org.apache.spark.sql.Row(statsAfter.getLong(0),
+          statsAfter.getLong(1)))
 
       val qt = Seq((1, "the"), (1, "data"), (2, "model"), (2, "learn"))
         .toDF("q_id", "token")
@@ -75,6 +79,61 @@ class DeleteSpec extends AnyFunSuite with SparkSuite {
         col("doc_id") >= 10L && col("doc_id") < 30L).isEmpty)
       val (p2, s2) = TextOps.liveBm25(spark, t, s"${t}_stats")
       assert(score(p2, s2) === want)
+    } finally drop(all: _*)
+  }
+
+  test("BM25 delete crash states heal exactly-once (the staged WAL)") {
+    val t = s"del_wal_p$pid"
+    val t2 = s"del_wal_twin_p$pid"
+    val all = Seq(t, s"${t}_stats", s"${t}_del", s"${t}_del_stage",
+      t2, s"${t2}_stats", s"${t2}_del", s"${t2}_del_stage")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val victims = (10L until 30L).toDF("doc_id")
+      TextOps.appendBm25Postings(docs, t, s"${t}_stats")
+      TextOps.appendBm25Postings(docs, t2, s"${t2}_stats")
+      val stageRows = spark.table(t).select("doc_id", "dl").distinct()
+        .join(victims, Seq("doc_id"))
+
+      // crash state A: the stage committed, nothing applied (died
+      // right after the write-ahead). The next PROBE must heal it to
+      // exactly the state a clean delete produces.
+      stageRows.write.saveAsTable(s"${t}_del_stage")
+      val (pA, sA) = TextOps.liveBm25(spark, t, s"${t}_stats")
+      TextOps.deleteBm25Docs(spark, t2, s"${t2}_stats", victims)
+      val (pB, sB) = TextOps.liveBm25(spark, t2, s"${t2}_stats")
+      assert(!spark.catalog.tableExists(s"${t}_del_stage"))
+      assert(sA.select("n_docs", "sum_dl").collect()(0) ===
+        sB.select("n_docs", "sum_dl").collect()(0))
+      assert(pA.count() === pB.count())
+
+      // crash state B: stats already adjusted (txn recorded) but the
+      // process died before the tombstone append finished + stage
+      // drop. Re-staging the SAME victims must NOT subtract again.
+      val statsHealthy = spark.table(s"${t}_stats")
+        .select("n_docs", "sum_dl").collect()(0)
+      stageRows.write.saveAsTable(s"${t}_del_stage")
+      // note: stats.txn still holds this stage's content hash
+      val (_, _) = TextOps.liveBm25(spark, t, s"${t}_stats")
+      assert(spark.table(s"${t}_stats")
+        .select("n_docs", "sum_dl").collect()(0) === statsHealthy)
+
+      // crash state A + an APPEND arriving before any probe: the
+      // append heals first, so its stats rewrite can't strand the
+      // in-flight delete's token
+      val extra = docs.filter(col("doc_id") >= 400 && col("doc_id") < 410)
+      val vic2 = (30L until 40L).toDF("doc_id")
+      val stage2 = spark.table(t).select("doc_id", "dl").distinct()
+        .join(vic2, Seq("doc_id")).persist()
+      val n2 = stage2.count()
+      stage2.write.saveAsTable(s"${t}_del_stage")
+      val before = spark.table(s"${t}_stats").collect()(0).getLong(0)
+      TextOps.appendBm25Postings(extra, t, s"${t}_stats")
+      assert(spark.table(s"${t}_stats").collect()(0).getLong(0) ===
+        before - n2 + extra.count())
+      stage2.unpersist()
     } finally drop(all: _*)
   }
 

@@ -258,6 +258,18 @@ class WideDimSpec extends AnyFunSuite with SparkSuite {
             dim = if (dim == 128) 64 else 128)
         }
         assert(ex.getMessage.contains("built with dim"))
+        // and the DATA-level guard (review r13): a batch whose
+        // declared dim matches the pin but whose rows are a different
+        // width must fail in the ingest scan itself, not store rows
+        // whose cross-width dots NULL out at probe time
+        val liar = intercept[Exception] {
+          SqIndex.append(narrower, t, dim = dim)
+        }
+        def rootMsgs(e: Throwable): Seq[String] =
+          Option(e).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ rootMsgs(x.getCause))
+        assert(rootMsgs(liar).exists(_.contains("width mismatch")),
+          rootMsgs(liar).mkString(" | "))
       } finally drop(all: _*)
     }
   }
