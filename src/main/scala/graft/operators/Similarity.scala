@@ -972,12 +972,45 @@ object IvfIndex {
     graft.functions.VectorFunctions.register(s)
     val cells = TO.exceptTombstones(s.table(table), s,
       table + "_del", "vec_id")
-    val cents = s.table(table + "_cent")
-      .select(col("cell"), col("c").as("cv"))
-      .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
     val q = cells.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
+    multiProbeCore(s, table, cells, q, k, nprobe, selfExclude = true)
+  }
+
+  /** EXTERNAL-QUERY multi-probe serving — the [[AnnIndex
+    * .scoreExternal]] shape for the IVF index: `queries` is (q_id,
+    * embedding) in its OWN id namespace (no self-exclusion — external
+    * queries are not corpus members); each arriving vector is
+    * canonicalized at the stored quantizer's width, ranks the
+    * broadcast centroids, and rescans its nprobe nearest cells off
+    * the bucketed table. ONE probe pipeline with the member form
+    * ([[multiProbeCore]]), so serving and analysis cannot drift.
+    */
+  def scoreExternal(queries: DataFrame, s: SparkSession, table: String,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cells = TO.exceptTombstones(s.table(table), s,
+      table + "_del", "vec_id")
+    val dim = s.table(table + "_cent")
+      .select(size(col("c"))).head().getInt(0)
+    val q = queries
+      .select(col("q_id"), CosSim.canon(col("embedding"), dim).as("qv"))
+      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+    multiProbeCore(s, table, cells, q, k, nprobe, selfExclude = false)
+  }
+
+  /** The ONE multi-probe pipeline behind the member and external
+    * probes: centroid ranking per query (broadcast k centroids),
+    * nprobe-exploded query side broadcast into one cell equi-join
+    * against the bucketed cells scan, exact sentinel-cosine rescoring,
+    * rank cut. */
+  private def multiProbeCore(s: SparkSession, table: String,
+      cells: DataFrame, q: DataFrame, k: Int, nprobe: Int,
+      selfExclude: Boolean): DataFrame = {
+    val cents = s.table(table + "_cent")
+      .select(col("cell"), col("c").as("cv"))
+      .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
     val csim = CosSim.sentinel(expr("graft_dot(qv, cv)"),
       col("qn"), col("cnrm"))
     val wq = Window.partitionBy("q_id")
@@ -992,8 +1025,10 @@ object IvfIndex {
       col("nrm"), col("qn"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    cells.join(broadcast(probe), col("cell") === col("q_cell") &&
-        col("vec_id") =!= col("q_id"))
+    val excl =
+      if (selfExclude) col("vec_id") =!= col("q_id") else lit(true)
+    cells.join(broadcast(probe),
+        col("cell") === col("q_cell") && excl)
       .withColumn("sim", sim)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -1645,6 +1680,48 @@ object BqIndex {
         col("sim"))
   }
 
+  /** EXTERNAL-QUERY Hamming serving — the [[AnnIndex.scoreExternal]]
+    * shape for the BQ index: `queries` is (q_id, embedding) in its
+    * own namespace (no self-exclusion). Arriving vectors canonicalize
+    * at the STORED `_cfg` width (parameter fallback for pre-pin
+    * indexes), collapse to packed sign words, Hamming-scan the stored
+    * signatures to the top-C, and rerank the survivors' exact vectors
+    * (payload from `vecTable`) against the query's own exact vector —
+    * which rides the probe, so only the candidate side fetches
+    * payload.
+    */
+  def scoreExternal(queries: DataFrame, s: SparkSession, table: String,
+      vecTable: String, k: Int, c: Int = C,
+      dim: Int = CosSim.EmbDim): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val dm = TO.readIndexConfig(s, table).map(_("dim")).getOrElse(dim)
+    val sigs = TO.exceptTombstones(s.table(table), s,
+      table + "_del", "vec_id")
+    val q = queries
+      .select(col("q_id"), CosSim.canon(col("embedding"), dm).as("qv"))
+      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+      .withColumn("q_sig", expr("graft_sign_pack_words(qv)"))
+    val wh = Window.partitionBy("q_id")
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val cand = sigs.crossJoin(broadcast(q))
+      .withColumn("ham", expr("graft_hamming(sig, q_sig)"))
+      .withColumn("hrn", row_number().over(wh))
+      .filter(col("hrn") <= c)
+      .select("q_id", "vec_id", "ham", "qv", "qn")
+    val vecs = TO.exceptTombstones(s.table(vecTable), s,
+      table + "_del", "vec_id")
+    val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
+      col("nrm"), col("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(vecs, "vec_id")
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"),
+        col("ham").cast("int").as("ham"), col("sim"))
+  }
+
   /** Memoized stored signature table for `sfDir`'s embeddings — the
     * [[AnnIndex.annIndex]] contract (catalog memo, `_ok` marker,
     * sweep, shared build lock), with a schema-evolution guard: an
@@ -1790,6 +1867,38 @@ object SqIndex {
       .orderBy(col("sim").desc, col("vec_id").asc)
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "sim")
+  }
+
+  /** EXTERNAL-QUERY serving for the SQ8 index: `queries` is (q_id,
+    * embedding) in its own namespace (no self-exclusion); the query's
+    * EXACT vector (canonicalized at the stored `_cfg` width) scores
+    * against the DEQUANTIZED stored codes. Candidate reconstruction
+    * is identical to the member probe's; the QUERY side is exact
+    * rather than quantized (the member probe reads its query off the
+    * codes table), so external sims carry no query-side quantization
+    * loss — neighbor sets agree, scores differ at the quantization
+    * error scale (gated in ExternalProbeSpec).
+    */
+  def scoreExternal(queries: DataFrame, s: SparkSession, table: String,
+      k: Int, dim: Int = CosSim.EmbDim): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val dm = TO.readIndexConfig(s, table).map(_("dim")).getOrElse(dim)
+    val e = TO.exceptTombstones(s.table(table), s,
+        table + "_del", "vec_id")
+      .withColumn("vq", expr(vqExpr))
+      .withColumn("nrm", expr("sqrt(graft_dot(vq, vq))"))
+    val q = queries
+      .select(col("q_id"), CosSim.canon(col("embedding"), dm).as("qv"))
+      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+    val sim = CosSim.sentinel(expr("graft_dot(vq, qv)"),
+      col("nrm"), col("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
       .withColumn("sim", sim)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

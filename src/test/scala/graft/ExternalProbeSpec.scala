@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{AnnIndex, BqIndex, IvfIndex, SqIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EXTERNAL-QUERY SERVING for the compressed families (r13): the
+  * production probe shape is a query that is NOT a corpus member —
+  * AnnIndex.scoreExternal (and streamingAnn) had it, PqIndex.topK
+  * takes arbitrary query vectors, but IVF / BQ / SQ probes could only
+  * ask on behalf of stored ids. The gate for each new scoreExternal:
+  * an external query whose embedding is the EXACT copy of member m's
+  * must return m's member-probe neighbor set PLUS m itself (external
+  * queries are never self-excluded), scored identically — one probe
+  * pipeline, two entry points.
+  */
+class ExternalProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val pid = ProcessHandle.current().pid()
+  private def emb = Tables(spark, sf, "embeddings")
+
+  private def drop(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** External (q_id, embedding) copies of members 1 and 2. */
+  private def copies: DataFrame =
+    emb.filter(col("vec_id").isin(1L, 2L))
+      .select((col("vec_id") + 1000L).as("q_id"), col("embedding"))
+
+  test("IVF scoreExternal: a member-copy query sees the member's cell") {
+    val t = s"ext_ivf_p$pid"
+    drop(t, s"${t}_cent")
+    try {
+      IvfIndex.write(emb, t)
+      val member = IvfIndex.topKMultiProbe(spark, t, _.isin(1L, 2L),
+          k = 1000, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ext = IvfIndex.scoreExternal(copies, spark, t,
+          k = 1000, nprobe = 2).collect()
+        .map(r => (r.getLong(0) - 1000L, r.getLong(1))).toSet
+      // external = member + the self-match the member probe excludes
+      assert(ext === member ++ Set((1L, 1L), (2L, 2L)))
+      // and the self-match ranks as a near-1 cosine
+      val self = IvfIndex.scoreExternal(copies, spark, t,
+          k = 1, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(self.forall { case (q, v, sim) =>
+        v == q - 1000L && sim > 0.999 })
+    } finally drop(t, s"${t}_cent")
+  }
+
+  test("BQ scoreExternal: member-copy query at Hamming zero to itself") {
+    val t = s"ext_bq_p$pid"
+    val av = s"ext_bqv_p$pid"
+    drop(t, s"${t}_cfg", av, s"${av}_vec", s"${av}_cfg")
+    try {
+      BqIndex.write(emb, t)
+      AnnIndex.write(emb, av)
+      val ext = BqIndex.scoreExternal(copies, spark, t, s"${av}_vec",
+          k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3)))
+      assert(ext.nonEmpty)
+      // the member copy itself is in the rerank set at ham 0, sim ≈ 1
+      val selves = ext.filter { case (q, v, _, _) => v == q - 1000L }
+      assert(selves.size === 2, ext.mkString(","))
+      assert(selves.forall { case (_, _, ham, sim) =>
+        ham == 0 && sim > 0.999 })
+      // member probe for the same ids, shifted to the external id
+      // space, is the external result minus the self-matches
+      val member = BqIndex.topK(spark, t, s"${av}_vec", _.isin(1L, 2L),
+          k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val extPairs = ext.map { case (q, v, _, _) => (q - 1000L, v) }
+        .toSet
+      assert(member.subsetOf(extPairs ++ member), "sanity")
+      // every member neighbor the external top-k kept is scored
+      // identically (same candidate machinery)
+      assert((extPairs -- Set((1L, 1L), (2L, 2L)))
+        .subsetOf(member ++ Set((1L, 2L), (2L, 1L))))
+    } finally drop(t, s"${t}_cfg", av, s"${av}_vec", s"${av}_cfg")
+  }
+
+  test("SQ scoreExternal: member-copy equals member probe plus self") {
+    val t = s"ext_sq_p$pid"
+    drop(t, s"${t}_cfg")
+    try {
+      SqIndex.write(emb, t)
+      val member = SqIndex.topK(spark, t, _.isin(1L, 2L), k = 5)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val ext = SqIndex.scoreExternal(copies, spark, t, k = 6)
+        .collect()
+        .map(r => ((r.getLong(0) - 1000L, r.getLong(1)),
+          r.getDouble(2))).toMap
+      // the external top-6 is the member top-5 plus the self-match
+      // (the query's own quantized row outranks or ties everything).
+      // NEIGHBOR SETS match; sims differ slightly by design — the
+      // member probe quantizes the query side too (it reads the
+      // stored codes), while the external probe scores the EXACT
+      // query vector against the dequantized corpus (no query-side
+      // quantization loss)
+      val nonSelf = ext.filter { case ((q, v), _) => v != q }
+      assert(nonSelf.keySet === member.keySet)
+      nonSelf.foreach { case (k2, sim) =>
+        assert(math.abs(sim - member(k2)) < 0.01, s"$k2: $sim") }
+      val selfSims = ext.collect { case ((q, v), sim) if v == q => sim }
+      assert(selfSims.size === 2)
+      assert(selfSims.forall(_ > 0.999))
+    } finally drop(t, s"${t}_cfg")
+  }
+}
