@@ -1000,6 +1000,51 @@ object IvfIndex {
     multiProbeCore(s, table, cells, q, k, nprobe, selfExclude = false)
   }
 
+  /** STREAM-SAFE external candidate generation: like [[scoreExternal]]
+    * but with the per-query centroid ranking computed as a STATELESS
+    * expression over the k DRIVER-COLLECTED centroids (an array of
+    * (−sim, cell) structs, array_sorted and sliced to nprobe) instead
+    * of a window — window functions are not allowed on a streaming
+    * side, which is exactly what blocked an online IVF serving twin.
+    * Emits ALL scored candidates of the probed cells (the
+    * streamingAnn/streamingBm25 contract: the top-k cut belongs to
+    * the consumer). Tie order matches [[multiProbeCore]]'s ranking
+    * (sim desc, cell asc), so batch candidates equal scoreExternal's
+    * pre-cut set row-for-row (ExternalProbeSpec).
+    */
+  def scoreExternalCandidates(queries: DataFrame, s: SparkSession,
+      table: String, nprobe: Int = 1): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cells = TO.exceptTombstones(s.table(table), s,
+      table + "_del", "vec_id")
+    val cents = s.table(table + "_cent").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val dim = cents.head._2.length
+    val q = queries
+      .select(col("q_id"), CosSim.canon(col("embedding"), dim).as("qv"))
+      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+    // one (−sim, cell) struct per centroid, each against a LITERAL
+    // centroid vector; ascending array_sort of the structs is exactly
+    // multiProbeCore's (sim desc, cell asc) ranking
+    val rankedCells = cents.map { case (cell, c) =>
+      struct((-CosSim.sentinel(
+          call_function("graft_dot", col("qv"), typedlit(c)),
+          col("qn"),
+          lit(math.sqrt(c.map(x => x * x).sum)))).as("negsim"),
+        lit(cell).as("cell"))
+    }
+    val probeQ = q
+      .withColumn("probes",
+        slice(array_sort(array(rankedCells: _*)), 1, nprobe))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(expr("transform(probes, p -> p.cell)")).as("q_cell"))
+    val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
+      col("nrm"), col("qn"))
+    cells.join(probeQ, col("cell") === col("q_cell"))
+      .select(col("q_id"), col("vec_id"), col("cell"), sim.as("sim"))
+  }
+
   /** The ONE multi-probe pipeline behind the member and external
     * probes: centroid ranking per query (broadcast k centroids),
     * nprobe-exploded query side broadcast into one cell equi-join

@@ -377,6 +377,30 @@ object StreamingOps {
       queryName)
   }
 
+  /** Streaming IVF probe — the online-serving twin of the stored IVF
+    * index (the [[streamingAnn]] shape for the cell-pruned family):
+    * query vectors arrive as a file stream and probe the STATIC
+    * bucketed cells table. Cell routing must be STATELESS on a stream
+    * (window functions are illegal on the streaming side), so the
+    * probe is [[graft.operators.IvfIndex.scoreExternalCandidates]] —
+    * per-query centroid ranking as a sorted literal-struct array,
+    * nprobe cells exploded, one stream-static equi-join against the
+    * bucketed scan. Emits ALL scored candidates of the probed cells;
+    * the top-k cut belongs to the consumer. Batch parity with
+    * scoreExternal is spec-gated (ExternalProbeSpec).
+    */
+  def streamingIvf(spark: SparkSession, sfDir: String,
+      queriesDir: String, nprobe: Int = 1,
+      queryName: String = "stream_ivf"): DataFrame = {
+    val table = graft.operators.IvfIndex.ivfIndex(spark, sfDir)
+    val schema = spark.read.parquet(queriesDir).schema
+    val queries = spark.readStream.schema(schema).parquet(queriesDir)
+    drainToMemory(
+      graft.operators.IvfIndex.scoreExternalCandidates(queries, spark,
+        table, nprobe),
+      queryName)
+  }
+
   /** Streaming ANN INDEX INGEST — the online half of the vector
     * maintenance story [[streamingAnn]] serves from (the
     * streamingBm25Ingest twin): embedding vectors arrive as a file

@@ -50,6 +50,41 @@ class ExternalProbeSpec extends AnyFunSuite with SparkSuite {
     } finally drop(t, s"${t}_cent")
   }
 
+  test("IVF stateless candidates equal scoreExternal pre-cut; stream equals batch") {
+    val t = s"ext_ivfc_p$pid"
+    drop(t, s"${t}_cent")
+    val qdir = java.nio.file.Files.createTempDirectory("graft_extq")
+      .toString
+    try {
+      IvfIndex.write(emb, t)
+      // batch parity: the stateless literal-struct routing must pick
+      // the same cells and scores as the windowed scoreExternal with
+      // the cut disabled (k >= corpus)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getInt(2), r.getDouble(3)))).toMap
+      val stateless = rows(IvfIndex.scoreExternalCandidates(
+        copies, spark, t, nprobe = 2))
+      val windowed = rows(IvfIndex.scoreExternal(
+        copies, spark, t, k = 1000000, nprobe = 2))
+      assert(stateless === windowed)
+      assert(stateless.nonEmpty)
+      // streaming parity: the same queries through the file-streamed
+      // twin produce the identical candidate set
+      copies.write.parquet(s"$qdir/queries.parquet")
+      // the streaming twin probes the memoized corpus index — build
+      // parity against IT, not the test-local table
+      val memo = IvfIndex.ivfIndex(spark, sf)
+      val streamed = rows(streaming.StreamingOps.streamingIvf(
+        spark, sf, s"$qdir/queries.parquet", nprobe = 2,
+        queryName = s"ext_ivf_stream_p$pid"))
+      val batch = rows(IvfIndex.scoreExternalCandidates(
+        copies, spark, memo, nprobe = 2))
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally drop(t, s"${t}_cent")
+  }
+
   test("BQ scoreExternal: member-copy query at Hamming zero to itself") {
     val t = s"ext_bq_p$pid"
     val av = s"ext_bqv_p$pid"
