@@ -116,7 +116,11 @@ private[operators] object CosSim {
     */
   def canonChecked(embedding: Column, dim: Int): Column = {
     val v = embedding.cast("array<double>")
-    when(v.isNull, typedlit(Seq.fill(dim)(0.0)))
+    // NULL and EMPTY both canonicalize to the zero vector — they are
+    // the degenerate "no embedding" shapes the sentinel path covers
+    // (the streaming fixtures ship an empty array deliberately); only
+    // a NON-EMPTY vector of the wrong length is a width lie
+    when(v.isNull || size(v) === 0, typedlit(Seq.fill(dim)(0.0)))
       .otherwise(when(size(v) === dim, v).otherwise(raise_error(
         concat(lit(s"vector width mismatch: index dim=$dim, batch row has "),
           size(v).cast("string")))))
@@ -176,6 +180,19 @@ object Ann {
     emb.select(col("vec_id"),
         CosSim.canonChecked(col("embedding"), dim).as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+
+  /** The ONE external-query prep every scoreExternal shares (review
+    * r13 #2: five copies invited drift): (q_id, embedding) →
+    * (q_id, qv, qn) at the index's width, with the SAME
+    * [[CosSim.canonChecked]] enforcement ingest has — external
+    * queries are user input that never passed an ingest scan, and a
+    * wrong-width query would otherwise NULL every dot/Hamming and
+    * return k well-formed rows of garbage with no error. */
+  def prepExternal(queries: DataFrame, dim: Int): DataFrame =
+    queries
+      .select(col("q_id"),
+        CosSim.canonChecked(col("embedding"), dim).as("qv"))
+      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
 
   /** Distinct candidate pairs (q_id, vec_id) colliding on ≥1 band.
     * Ids only — vectors are fetched back after the candidate cut, so the
@@ -727,9 +744,7 @@ object AnnIndex {
       table + "_del", "vec_id")
     val vecs = TO.exceptTombstones(s.table(table + "_vec"), s,
       table + "_del", "vec_id")
-    val qb = queries
-      .select(col("q_id"), CosSim.canon(col("embedding"), dm).as("qv"))
-      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+    val qb = Ann.prepExternal(queries, dm)
       .withColumn("bands", Ann.bandKeys(col("qv"), nb, bt, dm))
       .select(col("q_id"), col("qv"), col("qn"),
         posexplode(col("bands")))
@@ -836,14 +851,21 @@ object IvfIndex {
     require(s.catalog.tableExists(table + "_cent"),
       s"IvfIndex.append: no stored quantizer ${table}_cent — build " +
         "with IvfIndex.write first (append never retrains)")
-    val cents = s.table(table + "_cent").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
+    val cents = loadCentroids(s, table)
     val e = Ann.prepStrict(emb, cents.head._2.length)
     Ivf.assignCells(e, cents).write.mode("append")
       .bucketBy(nBuckets, "cell").sortBy("cell")
       .saveAsTable(table)
   }
+
+  /** ONE centroid decode for every consumer of the stored quantizer
+    * (append, the stateless probe) — two copies could drift on a
+    * `_cent` schema change (review r13). */
+  private def loadCentroids(s: SparkSession,
+      table: String): Seq[(Int, Seq[Double])] =
+    s.table(table + "_cent").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
 
   /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
     * the one-member cells family; probes subtract the list, vacuum
@@ -994,9 +1016,7 @@ object IvfIndex {
       table + "_del", "vec_id")
     val dim = s.table(table + "_cent")
       .select(size(col("c"))).head().getInt(0)
-    val q = queries
-      .select(col("q_id"), CosSim.canon(col("embedding"), dim).as("qv"))
-      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+    val q = Ann.prepExternal(queries, dim)
     multiProbeCore(s, table, cells, q, k, nprobe, selfExclude = false)
   }
 
@@ -1017,13 +1037,9 @@ object IvfIndex {
     graft.functions.VectorFunctions.register(s)
     val cells = TO.exceptTombstones(s.table(table), s,
       table + "_del", "vec_id")
-    val cents = s.table(table + "_cent").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
+    val cents = loadCentroids(s, table)
     val dim = cents.head._2.length
-    val q = queries
-      .select(col("q_id"), CosSim.canon(col("embedding"), dim).as("qv"))
-      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+    val q = Ann.prepExternal(queries, dim)
     // one (−sim, cell) struct per centroid, each against a LITERAL
     // centroid vector; ascending array_sort of the structs is exactly
     // multiProbeCore's (sim desc, cell asc) ranking
@@ -1742,24 +1758,31 @@ object BqIndex {
     val dm = TO.readIndexConfig(s, table).map(_("dim")).getOrElse(dim)
     val sigs = TO.exceptTombstones(s.table(table), s,
       table + "_del", "vec_id")
-    val q = queries
-      .select(col("q_id"), CosSim.canon(col("embedding"), dm).as("qv"))
-      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+    val q = Ann.prepExternal(queries, dm)
       .withColumn("q_sig", expr("graft_sign_pack_words(qv)"))
+    // phase 1 keeps the member-topK contract: only (q_id, vec_id, ham)
+    // int triples travel into the top-C cut — the query VECTORS rejoin
+    // from the broadcast side after the cut (review r13: carrying qv
+    // through the corpus-wide window was a ~25× data-volume blowup in
+    // exactly the scan this index keeps integer-cheap)
     val wh = Window.partitionBy("q_id")
       .orderBy(col("ham").asc, col("vec_id").asc)
-    val cand = sigs.crossJoin(broadcast(q))
+    val cand = sigs.crossJoin(broadcast(q.select("q_id", "q_sig")))
       .withColumn("ham", expr("graft_hamming(sig, q_sig)"))
+      .select("q_id", "vec_id", "ham")
       .withColumn("hrn", row_number().over(wh))
       .filter(col("hrn") <= c)
-      .select("q_id", "vec_id", "ham", "qv", "qn")
-    val vecs = TO.exceptTombstones(s.table(vecTable), s,
-      table + "_del", "vec_id")
+      .select("q_id", "vec_id", "ham")
+    // candidates derive from the filtered sigs, so the payload join
+    // cannot resurrect a deleted id — read it unfiltered (the member
+    // topK rationale)
+    val vecs = s.table(vecTable)
     val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
       col("nrm"), col("qn"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     cand.join(vecs, "vec_id")
+      .join(broadcast(q.select("q_id", "qv", "qn")), "q_id")
       .withColumn("sim", sim)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -1936,9 +1959,7 @@ object SqIndex {
         table + "_del", "vec_id")
       .withColumn("vq", expr(vqExpr))
       .withColumn("nrm", expr("sqrt(graft_dot(vq, vq))"))
-    val q = queries
-      .select(col("q_id"), CosSim.canon(col("embedding"), dm).as("qv"))
-      .withColumn("qn", expr("sqrt(graft_dot(qv, qv))"))
+    val q = Ann.prepExternal(queries, dm)
     val sim = CosSim.sentinel(expr("graft_dot(vq, qv)"),
       col("nrm"), col("qn"))
     val w = Window.partitionBy("q_id")

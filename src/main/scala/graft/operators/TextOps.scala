@@ -693,6 +693,17 @@ object TextOps {
       statsTable: String): Unit = {
     val stage = table + "_del_stage"
     if (!s.catalog.tableExists(stage)) return
+    // a stage without a stats table is an ORPHAN: the family was reset
+    // out from under a crashed delete (ledgeredIngest's member-loss
+    // reset drops postings+stats but knows nothing of the stage). Its
+    // staged victims refer to rows that no longer exist — drop it
+    // rather than wedging every later entry on the stats read
+    // (review r13)
+    if (!s.catalog.tableExists(statsTable)) {
+      s.sql(s"DROP TABLE $stage")
+      clearOrphanLocation(s, stage)
+      return
+    }
     val agg = s.table(stage)
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dl"),
         md5(concat_ws(",",
@@ -886,6 +897,19 @@ object TextOps {
     * session's catalog — a second SparkSession in the same JVM must
     * trigger its own build (or see the shared-catalog entry), never
     * skip-and-throw TABLE_OR_VIEW_NOT_FOUND (VERDICT r10 #5).
+    *
+    * DELIBERATELY one coarse monitor (review r13 weighed a per-table
+    * keyed map): every maintenance op — builds, appends, swaps,
+    * deletes, vacuums — nests through this lock with reentrancy
+    * assumptions (memoIndex→append, deleteBm25Docs→tombstone,
+    * refresh→swapIndexTableGroup), so a keyed map would need a
+    * proven lock ORDER across those chains to stay deadlock-free.
+    * The cost is in-JVM convoying of concurrent maintenance on
+    * UNRELATED tables — acceptable because maintenance is rare and
+    * cluster-side job time dominates the driver-side critical
+    * section; if one-JVM ingest+serving concurrency ever becomes the
+    * bottleneck, a striped lock keyed on the FAMILY base name (with
+    * parent-before-child acquisition) is the refinement.
     */
   private[graft] val bm25BuildLock = new Object
 

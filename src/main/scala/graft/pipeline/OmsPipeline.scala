@@ -502,6 +502,12 @@ object OmsPipeline {
       * cache blocks.
       */
     def release(): Unit = { cached.unpersist(); () }
+
+    /** Test hook: the cached frame's storage level — NONE after
+      * [[release]]. Parallel-suite-safe, unlike counting the
+      * JVM-global getPersistentRDDs. */
+    private[graft] def cachedStorageLevel
+        : org.apache.spark.storage.StorageLevel = cached.storageLevel
   }
 
   def runOperational(spark: SparkSession, dir: String): OperationalResult = {

@@ -619,6 +619,7 @@ object StreamingOps {
     */
   def streamingDocumentDeletes(spark: SparkSession, path: String,
       base: String): Unit = {
+    resetDeleteLedgerIfCheckpointLost(spark, s"${base}_dels")
     ledgeredIngest(spark, path, s"${base}_dels", refresh = Seq(),
       (batch, _) => deleteDocuments(batch.sparkSession, base,
         batch.toDF()))
@@ -631,6 +632,7 @@ object StreamingOps {
     * stream of (vec_id) rows drives [[deleteVectors]] per batch. */
   def streamingVectorDeletes(spark: SparkSession, path: String,
       base: String): Unit = {
+    resetDeleteLedgerIfCheckpointLost(spark, s"${base}_vdels")
     ledgeredIngest(spark, path, s"${base}_vdels", refresh = Seq(),
       (batch, _) => deleteVectors(batch.sparkSession, base,
         batch.toDF()))
@@ -638,6 +640,30 @@ object StreamingOps {
       .map(base + _)
       .foreach(t => if (spark.catalog.tableExists(t))
         spark.catalog.refreshTable(t))
+  }
+
+  /** Checkpoint/ledger PAIRING for the delete streams (review r13):
+    * a lost checkpoint with a surviving ledger silently skips every
+    * new deletion — batch ids restart at 0, the old ledger marks 0
+    * applied, and AvailableNow bundles ALL files (old + new) into
+    * that one skipped batch. Deletions are content-level idempotent
+    * (tombstone anti-join, WAL txn token), so the safe move on a
+    * checkpoint loss is dropping the ledger and REPLAYING everything
+    * — re-deleting an already-deleted id is exactly a no-op. (The
+    * INGEST loops cannot do this: replaying appends would duplicate
+    * stored rows, which is why their recovery is the member-loss
+    * reset instead.)
+    */
+  private def resetDeleteLedgerIfCheckpointLost(spark: SparkSession,
+      table: String): Unit = {
+    val ck = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase + "_ck")
+    val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = table + "_ledger"
+    if (!fs.exists(ck) && spark.catalog.tableExists(ledger)) {
+      spark.sql(s"DROP TABLE $ledger")
+      graft.operators.TextOps.clearOrphanLocation(spark, ledger)
+    }
   }
 
   /** ONE-CALL VECTOR INGEST (VERDICT r12 #7, the vector twin): a

@@ -117,6 +117,43 @@ class ExternalProbeSpec extends AnyFunSuite with SparkSuite {
     } finally drop(t, s"${t}_cfg", av, s"${av}_vec", s"${av}_cfg")
   }
 
+  test("wrong-width external queries fail loudly in every family") {
+    val t = s"ext_width_p$pid"
+    val av = s"ext_widthv_p$pid"
+    val sq = s"ext_widthsq_p$pid"
+    val all = Seq(t, s"${t}_cent", av, s"${av}_vec", s"${av}_cfg",
+      sq, s"${sq}_cfg")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      IvfIndex.write(emb, t)
+      AnnIndex.write(emb, av) // payload for the BQ rerank leg
+      BqIndex.write(emb, sq)
+      SqIndex.write(emb, sq + "x")
+      val wide = Seq((5000L, (0 until 128).map(_.toDouble)))
+        .toDF("q_id", "embedding")
+      def msgs(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      // external queries are user input that never passed an ingest
+      // scan: a wrong-width vector must raise, not NULL every
+      // dot/Hamming and return k rows of garbage (review r13)
+      Seq(
+        () => IvfIndex.scoreExternal(wide, spark, t, k = 3).collect(),
+        () => IvfIndex.scoreExternalCandidates(wide, spark, t).collect(),
+        () => BqIndex.scoreExternal(wide, spark, sq, s"${av}_vec",
+          k = 3).collect(),
+        () => SqIndex.scoreExternal(wide, spark, sq + "x", k = 3)
+          .collect()
+      ).foreach { f =>
+        val e = intercept[Exception](f())
+        assert(msgs(e).exists(_.contains("width mismatch")),
+          msgs(e).mkString(" | "))
+      }
+    } finally drop(all :+ (sq + "x") :+ (sq + "x_cfg"): _*)
+  }
+
   test("SQ scoreExternal: member-copy equals member probe plus self") {
     val t = s"ext_sq_p$pid"
     drop(t, s"${t}_cfg")

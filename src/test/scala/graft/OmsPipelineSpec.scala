@@ -224,8 +224,11 @@ class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("operational run: unmappable files skipped, diseases detected") {
-    // session is shared across suites: measure cache growth relatively
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    // cache hygiene is asserted on the run's OWN frame below —
+    // JVM-global getPersistentRDDs counts are unusable here because
+    // parallel sibling suites persist and unpersist concurrently
+    // (review r13: a count-based check can both false-pass and
+    // false-fail)
     val res = OmsPipeline.runOperational(spark, refData)
     // monkeypox_report_2.csv (Entity,Day,Daily cases) matches no synonym
     // and must be skipped (ETL_OMS_OPERATIONNEL.py:250-253); covid_day_wise
@@ -248,14 +251,15 @@ class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
     val unrounded = geo.filter(col("latitude").isNotNull &&
       col("latitude") =!= round(col("latitude"), 6)).count()
     assert(unrounded === 0)
-    // cache hygiene: release() drops the run's cached union frame.
-    // ≤, not ===: getPersistentRDDs is JVM-global and suites run in
-    // parallel — a sibling suite unpersisting its own frames mid-test
-    // lowers the count below the baseline; only a NET INCREASE here
-    // would be this run's leak
+    // cache hygiene: release() drops the run's cached union frame —
+    // asserted on THAT frame's storage level, parallel-suite-safe
+    assert(res.cachedStorageLevel !==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "the run should hold its cache until release()")
     res.release()
-    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
-      "cache blocks leaked after release()")
+    assert(res.cachedStorageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE,
+      "cache block leaked after release()")
     // a missing directory is a clear error, not an opaque NPE
     intercept[IllegalArgumentException] {
       OmsPipeline.runOperational(spark, "/nonexistent/dir")
