@@ -320,6 +320,45 @@ class WideDimSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("dim 128: external probes serve at the stored width (no caller dim)") {
+    val dim = 128
+    val ti = s"wd_exti_p$pid"
+    val tb = s"wd_extb_p$pid"
+    val ta = s"wd_exta_p$pid"
+    val tq = s"wd_extq_p$pid"
+    val all = Seq(ti, s"${ti}_cent", tb, s"${tb}_cfg",
+      ta, s"${ta}_vec", s"${ta}_cfg", tq, s"${tq}_cfg")
+    drop(all: _*)
+    try {
+      val emb = corpus(dim)
+      IvfIndex.write(emb, ti, k = 4, dim = dim)
+      BqIndex.write(emb, tb, dim = dim)
+      AnnIndex.write(emb, ta, dim = dim)
+      SqIndex.write(emb, tq, dim = dim)
+      // external copies of members 1 and 2 — every probe derives the
+      // width from the STORED artifact (centroids / _cfg), no dim
+      // parameter passed anywhere
+      val copies = emb.filter(col("vec_id").isin(1L, 2L))
+        .select((col("vec_id") + 1000L).as("q_id"), col("embedding"))
+      val ivf = IvfIndex.scoreExternal(copies, spark, ti, k = 2,
+        nprobe = 2).collect()
+      assert(ivf.nonEmpty)
+      assert(ivf.filter(r => r.getLong(1) == r.getLong(0) - 1000L)
+        .forall(_.getDouble(3) > 0.999))
+      val ivfc = IvfIndex.scoreExternalCandidates(copies, spark, ti,
+        nprobe = 2).collect()
+      assert(ivfc.nonEmpty)
+      val bq = BqIndex.scoreExternal(copies, spark, tb, s"${ta}_vec",
+        k = 2).collect()
+      assert(bq.exists(r =>
+        r.getLong(1) == r.getLong(0) - 1000L && r.getInt(2) == 0))
+      val sqr = SqIndex.scoreExternal(copies, spark, tq, k = 2)
+        .collect()
+      assert(sqr.filter(r => r.getLong(1) == r.getLong(0) - 1000L)
+        .forall(_.getDouble(2) > 0.999))
+    } finally drop(all: _*)
+  }
+
   test("dim 128: streaming SQ + PQ + IVF ingest match batch at that width") {
     val dim = 128
     val ts = s"wd_ssq_p$pid"
