@@ -117,6 +117,37 @@ class ExternalProbeSpec extends AnyFunSuite with SparkSuite {
     } finally drop(t, s"${t}_cfg", av, s"${av}_vec", s"${av}_cfg")
   }
 
+  test("degenerate external queries (NULL/empty/zero) score the sentinel") {
+    val t = s"ext_deg_p$pid"
+    val av = s"ext_degv_p$pid"
+    val sq = s"ext_degsq_p$pid"
+    val all = Seq(t, s"${t}_cent", av, s"${av}_vec", s"${av}_cfg",
+      sq, s"${sq}_cfg")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      IvfIndex.write(emb, t)
+      AnnIndex.write(emb, av)
+      BqIndex.write(emb, sq)
+      val deg: org.apache.spark.sql.DataFrame = Seq(
+        (9001L, None: Option[Seq[Double]]),
+        (9002L, Some(Seq.empty[Double])),
+        (9003L, Some(Seq.fill(64)(0.0))))
+        .toDF("q_id", "embedding")
+      // no crashes, and every returned similarity is the -1 sentinel
+      // (a zero-norm query matches nothing meaningfully)
+      val ivf = IvfIndex.scoreExternal(deg, spark, t, k = 2, nprobe = 2)
+        .collect()
+      assert(ivf.forall(_.getDouble(3) === -1.0), ivf.mkString(","))
+      val bq = BqIndex.scoreExternal(deg, spark, sq, s"${av}_vec", k = 2)
+        .collect()
+      assert(bq.forall(_.getDouble(3) === -1.0), bq.mkString(","))
+      val ann = AnnIndex.scoreExternal(deg, spark, av).collect()
+      assert(ann.forall(_.getDouble(2) === -1.0), ann.mkString(","))
+    } finally drop(all: _*)
+  }
+
   test("wrong-width external queries fail loudly in every family") {
     val t = s"ext_width_p$pid"
     val av = s"ext_widthv_p$pid"
