@@ -401,6 +401,86 @@ object StreamingOps {
       queryName)
   }
 
+  /** MICRO-BATCH streaming probe — the serving path for probe shapes
+    * whose batch form needs windows or aggregations (top-k cuts,
+    * rerank windows), which an append-mode streaming plan forbids:
+    * run the BATCH probe per micro-batch under foreachBatch and
+    * append its results to a per-process results table. The
+    * one-definition-with-batch guarantee is trivial here — the probe
+    * IS the batch function — at the cost of per-batch materialization
+    * instead of incremental emission (the right trade for top-k
+    * serving, where each query's answer is complete within its own
+    * batch). Ephemeral checkpoint: probe streams are stateless and
+    * re-proberable, so nothing needs replay protection.
+    */
+  private def microBatchProbe(spark: SparkSession, queriesDir: String,
+      outTable: String,
+      probe: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): DataFrame = {
+    graft.operators.TextOps.clearOrphanLocation(spark, outTable)
+    spark.sql(s"DROP TABLE IF EXISTS $outTable")
+    val schema = spark.read.parquet(queriesDir).schema
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_probe_ck").toString
+    val q = spark.readStream.schema(schema).parquet(queriesDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        probe(batch.toDF()).write.mode("append").saveAsTable(outTable)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(outTable)
+  }
+
+  /** Streaming BQ probe: query vectors arrive as a file stream; each
+    * micro-batch runs [[graft.operators.BqIndex.scoreExternal]] —
+    * Hamming top-C + exact rerank against the memoized corpus index —
+    * and appends its top-k to the results table. */
+  def streamingBq(spark: SparkSession, sfDir: String,
+      queriesDir: String, k: Int = 10,
+      outTable: String = "stream_bq_out"): DataFrame = {
+    val sig = graft.operators.BqIndex.bqIndex(spark, sfDir)
+    val ann = graft.operators.AnnIndex.annIndex(spark, sfDir)
+    microBatchProbe(spark, queriesDir, outTable,
+      b => graft.operators.BqIndex.scoreExternal(b, b.sparkSession,
+        sig, ann + "_vec", k))
+  }
+
+  /** Streaming PQ probe: per micro-batch ADC top-k against the
+    * memoized codes table under the stored codebook. */
+  def streamingPq(spark: SparkSession, sfDir: String,
+      queriesDir: String, k: Int = 10,
+      outTable: String = "stream_pq_out"): DataFrame = {
+    val table = graft.operators.PqIndex.pqIndex(spark, sfDir)
+    microBatchProbe(spark, queriesDir, outTable, b => {
+      val s = b.sparkSession
+      graft.functions.VectorFunctions.register(s)
+      // PqIndex.topK's query contract is (vec_id, v) exact vectors;
+      // adapt the external (q_id, embedding) shape through the same
+      // checked prep every external probe uses
+      val dim = s.table(table + "_cb")
+        .agg(org.apache.spark.sql.functions.max(
+          size(col("c")) * col("sub"))).collect()(0).getInt(0)
+      val q = graft.operators.Ann.prepExternal(b, dim)
+        .select(col("q_id").as("vec_id"), col("qv").as("v"))
+      graft.operators.PqIndex.topK(s, table, q, k)
+    })
+  }
+
+  /** Streaming SQ8 probe: per micro-batch exact-query scan of the
+    * memoized dequantized codes. */
+  def streamingSq(spark: SparkSession, sfDir: String,
+      queriesDir: String, k: Int = 10,
+      outTable: String = "stream_sq_out"): DataFrame = {
+    val table = graft.operators.SqIndex.sqIndex(spark, sfDir)
+    microBatchProbe(spark, queriesDir, outTable,
+      b => graft.operators.SqIndex.scoreExternal(b, b.sparkSession,
+        table, k))
+  }
+
   /** Streaming ANN INDEX INGEST — the online half of the vector
     * maintenance story [[streamingAnn]] serves from (the
     * streamingBm25Ingest twin): embedding vectors arrive as a file

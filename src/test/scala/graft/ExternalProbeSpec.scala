@@ -117,6 +117,47 @@ class ExternalProbeSpec extends AnyFunSuite with SparkSuite {
     } finally drop(t, s"${t}_cfg", av, s"${av}_vec", s"${av}_cfg")
   }
 
+  test("micro-batch streaming probes (BQ/PQ/SQ) equal their batch forms") {
+    val qdir = java.nio.file.Files.createTempDirectory("graft_mbq")
+      .toString
+    val outs = Seq(s"mb_bq_p$pid", s"mb_pq_p$pid", s"mb_sq_p$pid")
+    drop(outs: _*)
+    try {
+      copies.write.parquet(s"$qdir/queries.parquet")
+      val staticQ = spark.read.parquet(s"$qdir/queries.parquet")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(r.length - 1))).toMap
+
+      val sig = graft.operators.BqIndex.bqIndex(spark, sf)
+      val ann = graft.operators.AnnIndex.annIndex(spark, sf)
+      val bqStream = rows(streaming.StreamingOps.streamingBq(
+        spark, sf, s"$qdir/queries.parquet", k = 4,
+        outTable = s"mb_bq_p$pid"))
+      assert(bqStream === rows(graft.operators.BqIndex.scoreExternal(
+        staticQ, spark, sig, ann + "_vec", k = 4)))
+      assert(bqStream.nonEmpty)
+
+      val pq = graft.operators.PqIndex.pqIndex(spark, sf)
+      val pqStream = rows(streaming.StreamingOps.streamingPq(
+        spark, sf, s"$qdir/queries.parquet", k = 4,
+        outTable = s"mb_pq_p$pid"))
+      val pqQ = graft.operators.Ann.prepExternal(staticQ, 64)
+        .select(col("q_id").as("vec_id"), col("qv").as("v"))
+      assert(pqStream === rows(graft.operators.PqIndex.topK(
+        spark, pq, pqQ, k = 4)))
+      assert(pqStream.nonEmpty)
+
+      val sq = graft.operators.SqIndex.sqIndex(spark, sf)
+      val sqStream = rows(streaming.StreamingOps.streamingSq(
+        spark, sf, s"$qdir/queries.parquet", k = 4,
+        outTable = s"mb_sq_p$pid"))
+      assert(sqStream === rows(graft.operators.SqIndex.scoreExternal(
+        staticQ, spark, sq, k = 4)))
+      assert(sqStream.nonEmpty)
+    } finally drop(outs: _*)
+  }
+
   test("degenerate external queries (NULL/empty/zero) score the sentinel") {
     val t = s"ext_deg_p$pid"
     val av = s"ext_degv_p$pid"
