@@ -432,6 +432,12 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the checkpoint is ephemeral BY DESIGN (probes are stateless and
+    // re-proberable) — reclaim it rather than leaking a temp dir per
+    // probe call
+    val ckPath = new org.apache.hadoop.fs.Path(ck)
+    ckPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ckPath, true)
     spark.table(outTable)
   }
 
