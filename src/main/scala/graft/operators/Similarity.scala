@@ -552,10 +552,18 @@ object AnnIndex {
     graft.functions.VectorFunctions.register(s)
     TO.clearOrphanLocation(s, table)
     TO.clearOrphanLocation(s, table + "_vec")
-    // a full rebuild may change the banding config — reset the pin
+    // a full rebuild may change the banding config — RETIRE the pin
+    // before touching data, and re-pin only after BOTH data tables
+    // land (ADVICE r13): pinning first left a direct-call crash window
+    // where a new-parameter cfg sat over old-parameter stored bands,
+    // and scoreExternal (which trusts the stored cfg) would band
+    // external queries with the wrong config and silently return
+    // garbage candidates. With the pin written LAST, every crash
+    // state is cfg-absent-or-matching: probes fall back to the
+    // caller's explicit parameters, never a config describing data
+    // that was not written. (The memoized path additionally commits
+    // via the `_ok` marker; this ordering protects direct callers.)
     s.sql(s"DROP TABLE IF EXISTS ${table}_cfg")
-    TO.ensureIndexConfig(s, table,
-      Seq("dim" -> dim, "nbands" -> nBands, "bits" -> bits))
     // the prep scan feeds both writes; persisting the narrow normalized
     // form beats re-reading + re-folding norms for the band pass
     val e = prepPayload(emb, dim, payloadCols).persist()
@@ -567,6 +575,8 @@ object AnnIndex {
         .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
         .saveAsTable(table + "_vec")
     } finally { e.unpersist(); () }
+    TO.ensureIndexConfig(s, table,
+      Seq("dim" -> dim, "nbands" -> nBands, "bits" -> bits))
   }
 
   /** Banded ANN top-k served ENTIRELY from the stored index: query band

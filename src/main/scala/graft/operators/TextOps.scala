@@ -155,6 +155,15 @@ object TextOps {
     if (s.catalog.tableExists(t)) {
       val row = s.table(t).collect()(0)
       cfg.foreach { case (k, v) =>
+        // a cfg row LACKING the key (an older pin layout, or a
+        // different family's row under this name) is a mismatch like
+        // any other — raise the same descriptive error, not getAs's
+        // opaque field-not-found (ADVICE r13)
+        require(row.schema.fieldNames.contains(k),
+          s"$table was built with a config that has no '$k' " +
+            s"(stored keys: ${row.schema.fieldNames.mkString(", ")}); " +
+            s"this call passed $k=$v — index config is fixed at build " +
+            "time (rebuild to change it)")
         val got = row.getAs[Int](k)
         require(got == v,
           s"$table was built with $k=$got; this call passed $k=$v — " +
@@ -198,8 +207,17 @@ object TextOps {
     * bucket spec preserved (a post-compaction probe join still plans
     * with zero Exchange on the stored side), file count collapsed to
     * `numBuckets`. The whole op runs under [[bm25BuildLock]] (ADVICE
-    * r12), so in-process builders and memoized-index consumers
-    * serialize with the swap; the swap itself is the two-rename
+    * r12), which serializes in-process BUILDERS and the memoized
+    * entry points ([[memoIndex]], [[liveBm25]]) — those re-resolve
+    * tables under the lock after healing. Direct PROBE calls
+    * (AnnIndex/IvfIndex/PqIndex topK, exceptTombstones consumers) do
+    * NOT take the lock: a probe planned or executing concurrently
+    * with a maintenance swap can transiently fail (TABLE_OR_VIEW_
+    * NOT_FOUND in the rename-out window, or deleted files from the
+    * dropped `_old` location) and should be retried — the swap never
+    * corrupts data, only invalidates in-flight reads (ADVICE r13
+    * corrected the earlier claim that probes serialize too); the swap
+    * itself is the two-rename
     * [[swapIndexTables]] dance with `_old` backup — a crash at ANY
     * step leaves a complete copy recoverable by [[recoverSwap]],
     * which both this function and [[memoIndex]] run first, so the
@@ -272,31 +290,86 @@ object TextOps {
     swapIndexTables(s, table, tmp)
   }
 
-  /** TOMBSTONED DELETE — the lifecycle op the append-only indexes
-    * lacked (insert = append/ingest, retrain = refresh, rewrite =
-    * compact; removal had no story). `ids` (single column `idCol`)
-    * append to the small `<delTable>` list; probes subtract it via
+  /** GENERATION-BARRIER tombstones (r14): a `<delTable>` entry is
+    * (idCol, gen) and kills exactly the index rows of that id whose
+    * own `gen` column is STRICTLY BELOW the entry's — so one
+    * mechanism carries both lifecycle ops:
+    *   - DELETE tombstones at [[TerminalGen]] (Long.MaxValue): every
+    *     row of the id, at any generation past or future, is dead —
+    *     the terminal never-recycled-ids contract, unchanged;
+    *   - UPSERT tombstones at a finite barrier g and appends the
+    *     replacement rows stamped gen = g: the barrier kills every
+    *     OLDER generation while the new rows (gen = g, not < g)
+    *     survive. A plain tombstone could not express this — it
+    *     would kill the replacement content along with the old
+    *     (the r13 "ids are terminal, so nothing can be refreshed"
+    *     gap this design closes).
+    * Rows in index tables written before the gen column existed (and
+    * frames without one) read as gen 0; entries in a pre-r14 list
+    * read as terminal. Entries are deduped on (id, gen) — a replayed
+    * delete or upsert appends nothing new (idempotent; a double
+    * delete cannot double-subtract anything downstream).
+    */
+  private[graft] val TerminalGen: Long = Long.MaxValue
+
+  /** The next free upsert barrier for a family: one past the highest
+    * finite generation any entry in its tombstone list records (1 on
+    * a fresh family). Terminal entries don't advance it — they are
+    * ceilings, not versions. Driver-side O(|list|) agg; callers hold
+    * [[bm25BuildLock]] so the read-then-use is race-free in-process.
+    */
+  private[graft] def nextGen(s: org.apache.spark.sql.SparkSession,
+      delTable: String): Long =
+    if (!s.catalog.tableExists(delTable)) 1L
+    else {
+      val del = s.table(delTable)
+      if (!del.columns.contains("gen")) 1L
+      else {
+        val r = del.filter(col("gen") =!= lit(TerminalGen))
+          .agg(max("gen")).collect()(0)
+        if (r.isNullAt(0)) 1L else r.getLong(0) + 1L
+      }
+    }
+
+  /** TOMBSTONED DELETE/SUPERSEDE — the lifecycle op the append-only
+    * indexes lacked (insert = append/ingest, retrain = refresh,
+    * rewrite = compact). `ids` (single column `idCol`) append to the
+    * small `<delTable>` list as (id, `gen`) barrier entries (see the
+    * [[TerminalGen]] doc for the semantics); probes subtract them via
     * [[exceptTombstones]] (an anti-join the optimizer broadcasts
     * while the list is small), and [[vacuumIndex]] later folds the
-    * tombstones into the stored files and clears the list. Only ids
-    * NOT already tombstoned append (idempotent — a double delete
-    * cannot double-subtract anything downstream). ID SEMANTICS:
-    * deletion is terminal for an id — the ingest paths assume ids are
-    * never recycled (the same contract streamingDocumentIngest's
-    * dedup enforces), so re-appending a deleted id leaves it deleted.
+    * tombstones into the stored files and clears the list. Only
+    * (id, gen) pairs not already present append (idempotent). ID
+    * SEMANTICS: a [[TerminalGen]] delete is terminal for an id — the
+    * ingest paths assume ids are never recycled (the same contract
+    * streamingDocumentIngest's dedup enforces), so re-appending a
+    * deleted id leaves it deleted; only an explicit upsert (which
+    * stamps its rows AT its barrier) refreshes content, and even an
+    * upsert cannot resurrect a terminally deleted id (its rows stay
+    * below the terminal ceiling).
     */
   private[graft] def tombstone(s: org.apache.spark.sql.SparkSession,
       delTable: String, ids: org.apache.spark.sql.DataFrame,
-      idCol: String): Unit = bm25BuildLock.synchronized {
+      idCol: String, gen: Long = TerminalGen): Unit =
+    bm25BuildLock.synchronized {
     clearOrphanLocation(s, delTable)
     val fresh = ids.select(col(idCol)).distinct()
+      .withColumn("gen", lit(gen))
     val novel =
       if (s.catalog.tableExists(delTable))
-        fresh.join(s.table(delTable), Seq(idCol), "left_anti")
+        fresh.join(withEntryGen(s.table(delTable)),
+          Seq(idCol, "gen"), "left_anti")
       else fresh
     novel.coalesce(1).write.mode("append").saveAsTable(delTable)
     s.catalog.refreshTable(delTable)
   }
+
+  /** A tombstone list with its `gen` column guaranteed present —
+    * pre-r14 lists (id only) read as all-terminal. */
+  private def withEntryGen(del: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (del.columns.contains("gen")) del
+    else del.withColumn("gen", lit(TerminalGen))
 
   /** Subtract a tombstone list from an index scan — the probe-side
     * half of [[tombstone]]. When no list exists (the common case) the
@@ -304,14 +377,25 @@ object TextOps {
     * are byte-identical to the pre-delete engine. The existence check
     * runs at plan-build time on the driver; the anti-join's small
     * side is the tombstone list, which AQE broadcasts at the sizes a
-    * compaction cadence keeps it at.
+    * compaction cadence keeps it at. A row dies iff SOME entry of its
+    * id has a barrier strictly above the row's generation — an equi
+    * hash anti-join on the id with the gen comparison as its residual
+    * condition, so the plan shape (and broadcastability) is unchanged
+    * from the plain-id form.
     */
   private[graft] def exceptTombstones(
       df: org.apache.spark.sql.DataFrame,
       s: org.apache.spark.sql.SparkSession, delTable: String,
       idCol: String): org.apache.spark.sql.DataFrame =
     if (!s.catalog.tableExists(delTable)) df
-    else df.join(s.table(delTable), Seq(idCol), "left_anti")
+    else {
+      val del = withEntryGen(s.table(delTable))
+        .select(col(idCol).as("_del_id"), col("gen").as("_del_gen"))
+      val rowGen =
+        if (df.columns.contains("gen")) df("gen") else lit(0L)
+      df.join(del, df(idCol) === col("_del_id") &&
+        rowGen < col("_del_gen"), "left_anti")
+    }
 
   /** Fold a tombstone list into its index family's stored files and
     * clear it: each bucketed `member` is rewritten WITHOUT the
@@ -696,10 +780,16 @@ object TextOps {
     // a stage without a stats table is an ORPHAN: the family was reset
     // out from under a crashed delete (ledgeredIngest's member-loss
     // reset drops postings+stats but knows nothing of the stage). Its
-    // staged victims refer to rows that no longer exist — drop it
-    // rather than wedging every later entry on the stats read
-    // (review r13)
+    // stats subtraction is moot (the stats are gone), but the
+    // DELETION ITSELF must survive the reset (ADVICE r13 — dropping
+    // the stage outright lost it): tombstone the staged ids so the
+    // rebuilt index keeps excluding them, then retire the stage. The
+    // post-replay [[reconcileBm25Tombstones]] recomputes the rebuilt
+    // stats over the tombstone-filtered postings, which accounts for
+    // these ids along with every other surviving tombstone.
     if (!s.catalog.tableExists(statsTable)) {
+      tombstone(s, table + "_del", s.table(stage).select("doc_id"),
+        "doc_id")
       s.sql(s"DROP TABLE $stage")
       clearOrphanLocation(s, stage)
       return
@@ -728,6 +818,79 @@ object TextOps {
     }
     s.sql(s"DROP TABLE $stage")
     clearOrphanLocation(s, stage)
+  }
+
+  /** RESET-SIDE half of the tombstone/replay contract (ADVICE r13):
+    * called by the ingest loop's member-loss reset AFTER it drops the
+    * family's data members. The tombstone list deliberately SURVIVES
+    * a reset (deletion is terminal per id — dropping `_del` would
+    * resurrect deleted docs), but the replay then re-ingests those
+    * docs' postings and re-counts them into the rebuilt stats; since
+    * their ids stay tombstoned, a later delete intersects to zero
+    * victims and the overcount would be permanent. This marks the
+    * family for the post-replay [[reconcileBm25Tombstones]] via a
+    * `<table>_del_reconcile` marker table, and folds any orphaned
+    * `_del_stage` (a delete that crashed before the reset) into the
+    * tombstones first so that deletion survives too.
+    */
+  private[graft] def markBm25ResetReconcile(
+      s: org.apache.spark.sql.SparkSession, table: String): Unit =
+    bm25BuildLock.synchronized {
+      val stage = table + "_del_stage"
+      if (s.catalog.tableExists(stage)) {
+        tombstone(s, table + "_del", s.table(stage).select("doc_id"),
+          "doc_id")
+        s.sql(s"DROP TABLE $stage")
+        clearOrphanLocation(s, stage)
+      }
+      val del = table + "_del"
+      if (s.catalog.tableExists(del) && !s.table(del).isEmpty) {
+        val marker = table + "_del_reconcile"
+        clearOrphanLocation(s, marker)
+        val sp = s
+        import sp.implicits._
+        Seq(1).toDF("ok").coalesce(1)
+          .write.mode("overwrite").saveAsTable(marker)
+      }
+    }
+
+  /** REPLAY-SIDE half: once the reset's replay has re-ingested the
+    * source, rebuild the 1-row stats from the TOMBSTONE-FILTERED
+    * postings — n_docs / sum_dl over the surviving docs — and retire
+    * the marker. Recomputing from state (rather than subtracting a
+    * delta) makes the op absolutely idempotent: a crash anywhere
+    * re-runs it to the same result, and interleaved appends can never
+    * double-subtract. Cost is one pass over the rebuilt postings —
+    * proportionally free against the O(index) replay that preceded
+    * it. Runs at every ledgered-ingest completion (cheap no-op
+    * without the marker); a crash BETWEEN replay and reconcile leaves
+    * stats overcounted until the ingest is re-invoked (the documented
+    * crashed-ingest recovery), while probe ROW results stay correct
+    * throughout — the tombstone anti-join never lapses.
+    */
+  private[graft] def reconcileBm25Tombstones(
+      s: org.apache.spark.sql.SparkSession, table: String,
+      statsTable: String): Unit = bm25BuildLock.synchronized {
+    val marker = table + "_del_reconcile"
+    if (!s.catalog.tableExists(marker)) return
+    // heal any crashed delete first so the recompute sees final state
+    applyBm25DeleteStage(s, table, statsTable)
+    if (s.catalog.tableExists(table) && s.catalog.tableExists(statsTable)) {
+      val live = exceptTombstones(s.table(table), s, table + "_del",
+        "doc_id")
+      val r = live.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+        .collect()(0)
+      val sp = s
+      import sp.implicits._
+      Seq((r.getLong(0), r.getLong(1))).toDF("n_docs", "sum_dl")
+        .write.mode("overwrite").saveAsTable(statsTable)
+      s.sql(s"DROP TABLE $marker")
+      clearOrphanLocation(s, marker)
+    }
+    // table/stats still missing (a replay that delivered nothing):
+    // keep the marker — a later successful ingest reconciles
   }
 
   /** The tombstone-filtered serving view of an incremental BM25 index:
@@ -935,7 +1098,7 @@ object TextOps {
     ("^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
       "|sdd_idx|bq_idx|sq_idx)" +
       "_[0-9a-f]{10}_p([0-9]+)" +
-      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg|_swap|_del|_stage)*$").r
+      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg|_swap|_del|_stage|_reconcile)*$").r
 
   private var sweptDeadIndexes = false
   private[graft] def sweepDeadIndexes(

@@ -647,7 +647,15 @@ object StreamingOps {
             .bucketBy(8, "content_hash").sortBy("content_hash")
             .saveAsTable(hashT)
         } finally { novel.unpersist(); () }
-      })
+      },
+      // the BM25 member carries the family's only corpus stats — the
+      // band/hash members are doc-local and self-healing under a
+      // tombstone-surviving reset, but the rebuilt stats must be
+      // recomputed over the tombstone-filtered postings (ADVICE r13)
+      onReset = s => graft.operators.TextOps
+        .markBm25ResetReconcile(s, bm25T),
+      afterReplay = s => graft.operators.TextOps
+        .reconcileBm25Tombstones(s, bm25T, statsT))
   }
 
   /** ONE-CALL DOCUMENT DELETE — the removal twin of
@@ -818,7 +826,9 @@ object StreamingOps {
     * (or fail on an overwritten stats table's vanished part file). */
   private def ledgeredIngest(spark: SparkSession, path: String,
       table: String, refresh: Seq[String],
-      append: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
+      append: (org.apache.spark.sql.DataFrame, String) => Unit,
+      onReset: SparkSession => Unit = _ => (),
+      afterReplay: SparkSession => Unit = _ => ()): Unit = {
     val schema = spark.read.parquet(path).schema
     val ledger = table + "_ledger"
     graft.operators.TextOps.clearOrphanLocation(spark, ledger)
@@ -846,6 +856,13 @@ object StreamingOps {
         spark.sql(s"DROP TABLE IF EXISTS $t")
         graft.operators.TextOps.clearOrphanLocation(spark, t)
       }
+      // the family's TOMBSTONE siblings (`_del`, `_del_stage`) are
+      // deliberately NOT in the drop list — deletion is terminal per
+      // id, so tombstones must survive a reset. The family-specific
+      // hook records whatever reconciliation the replay will owe them
+      // (ADVICE r13: for stats-bearing families, the replay re-counts
+      // tombstoned docs and the stats must be recomputed afterwards)
+      onReset(spark)
     }
     val q = spark.readStream.schema(schema).parquet(path).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -865,6 +882,9 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // replay complete — settle any reset-owed reconciliation BEFORE
+    // the caller-session cache refresh (it may rewrite a member)
+    afterReplay(spark)
     refresh.foreach { t =>
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
     }
@@ -912,7 +932,14 @@ object StreamingOps {
     ledgeredIngest(spark, s"$sfDir/documents.parquet", table,
       refresh = Seq(table, statsTable),
       append = (batch, t) => graft.operators.TextOps
-        .appendBm25Postings(batch, t, statsTable))
+        .appendBm25Postings(batch, t, statsTable),
+      // tombstones survive a member-loss reset; the replay re-ingests
+      // tombstoned docs, so the rebuilt stats are recomputed over the
+      // tombstone-filtered postings once the replay lands (ADVICE r13)
+      onReset = s => graft.operators.TextOps
+        .markBm25ResetReconcile(s, table),
+      afterReplay = s => graft.operators.TextOps
+        .reconcileBm25Tombstones(s, table, statsTable))
 
   private def corpusPrep(docs: DataFrame): DataFrame =
     docs

@@ -184,6 +184,61 @@ class AnnIndexSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("a failed rebuild never pins a cfg describing unwritten data") {
+    // ADVICE r13: write() used to reset + re-pin `_cfg` BEFORE
+    // overwriting the data tables, so a crash mid-rebuild left a
+    // new-parameter cfg over old-parameter stored bands — and
+    // scoreExternal, which trusts the stored cfg, banded external
+    // queries with the wrong config and silently returned garbage.
+    // The pin now lands strictly AFTER both data tables: every
+    // failure state is cfg-absent (probes fall back to explicit
+    // caller parameters), never cfg-describing-unwritten-data.
+    val t = "ann_cfg_order_spec"
+    Seq(t, s"${t}_vec", s"${t}_cfg")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      AnnIndex.write(emb, t)
+      val pinned = spark.table(s"${t}_cfg").collect()(0)
+      assert(pinned.getAs[Int]("nbands") === AnnIndex.NBands)
+      // rebuild with DIFFERENT banding over a corpus that fails width
+      // enforcement mid-write (one row's embedding is truncated, so
+      // canonChecked throws inside the band-table job)
+      val bad = emb.select(col("vec_id"),
+        when(col("vec_id") === 5, expr("slice(embedding, 1, 10)"))
+          .otherwise(col("embedding")).as("embedding"))
+      intercept[Exception] {
+        AnnIndex.write(bad, t, nBands = 4, bits = 1)
+      }
+      assert(!spark.catalog.tableExists(s"${t}_cfg"),
+        "failed rebuild left a cfg pin over data it never wrote")
+      // a successful rebuild re-pins a cfg that matches its data
+      AnnIndex.write(emb, t, nBands = 4, bits = 1)
+      val repinned = spark.table(s"${t}_cfg").collect()(0)
+      assert(repinned.getAs[Int]("nbands") === 4)
+      assert(repinned.getAs[Int]("bits") === 1)
+      assert(AnnIndex.topK(spark, t, _ < 5, k = 3).count() > 0)
+    } finally Seq(t, s"${t}_vec", s"${t}_cfg")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("cfg with a missing key fails with the descriptive mismatch error") {
+    // ADVICE r13: a stored cfg lacking a requested key (older pin
+    // layout / different family's row) used to throw getAs's opaque
+    // field-not-found instead of the fixed-at-build-time message
+    val t = "ann_cfg_missing_key_spec"
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_cfg")
+    try {
+      graft.operators.TextOps.ensureIndexConfig(spark, t,
+        Seq("dim" -> 64))
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.TextOps.ensureIndexConfig(spark, t,
+          Seq("dim" -> 64, "nbands" -> 8))
+      }
+      assert(e.getMessage.contains("no 'nbands'"), e.getMessage)
+      assert(e.getMessage.contains("rebuild to change it"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${t}_cfg")
+  }
+
   test("append-built ANN index equals a from-scratch build (r12)") {
     val t2 = table + "_app"
     Seq(table, s"${table}_vec", t2, s"${t2}_vec")

@@ -137,6 +137,88 @@ class DeleteSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("BM25 reset replay: tombstones survive and rebuilt stats reconcile") {
+    // ADVICE r13: the ledgered ingest's member-loss reset dropped the
+    // data members but knew nothing of the tombstones — the replay
+    // re-ingested deleted docs and re-counted them into the rebuilt
+    // stats FOREVER (their ids stay tombstoned, so a re-delete
+    // intersects to zero victims and never re-subtracts). Gate: after
+    // delete → member loss → re-ingest, the family is bit-identical
+    // to a survivor-only index, including the stats row.
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq(
+      1L -> "spark join window fast",
+      2L -> "window window hash",
+      3L -> "hash scan merge fast",
+      4L -> "customer order data stream",
+      5L -> "spark data window join")
+    val dir = java.nio.file.Files.createTempDirectory("graft_reset").toString
+    corpus.map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = s"del_reset_p$pid"
+    val st = s"${t}_stats"
+    val t2 = s"del_reset_twin_p$pid"
+    val all = Seq(t, st, s"${t}_ledger", s"${t}_del", s"${t}_del_stage",
+      s"${t}_del_reconcile", t2, s"${t2}_stats", s"${t2}_del")
+    drop(all: _*)
+    def survivorStats(surviving: Seq[Long]): org.apache.spark.sql.Row = {
+      drop(t2, s"${t2}_stats")
+      TextOps.appendBm25Postings(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id").isin(surviving: _*)), t2, s"${t2}_stats")
+      spark.table(s"${t2}_stats").select("n_docs", "sum_dl").collect()(0)
+    }
+    val qt = Seq((1, "window"), (1, "spark"), (2, "data"), (2, "hash"))
+      .toDF("q_id", "token")
+    def scores(pt: DataFrame, stt: DataFrame) =
+      TextOps.bm25ScoreIncr(qt, pt, stt).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+    try {
+      streaming.StreamingOps.streamingBm25Ingest(spark, dir, t, st)
+      TextOps.deleteBm25Docs(spark, t, st, Seq(2L, 4L).toDF("doc_id"))
+      // MEMBER LOSS: the stats twin vanishes out from under the family
+      spark.sql(s"DROP TABLE $st")
+      streaming.StreamingOps.streamingBm25Ingest(spark, dir, t, st)
+      assert(!spark.catalog.tableExists(s"${t}_del_reconcile"),
+        "reconcile marker must retire with the replay")
+      val want = survivorStats(Seq(1L, 3L, 5L))
+      assert(spark.table(st).select("n_docs", "sum_dl").collect()(0)
+        === want, "rebuilt stats still count tombstoned docs")
+      val (lp, ls) = TextOps.liveBm25(spark, t, st)
+      val got = scores(lp, ls)
+      assert(got === scores(spark.table(t2), spark.table(s"${t2}_stats")))
+      assert(got.nonEmpty)
+      // a re-delete of the same ids must not move the reconciled stats
+      TextOps.deleteBm25Docs(spark, t, st, Seq(2L, 4L).toDF("doc_id"))
+      assert(spark.table(st).select("n_docs", "sum_dl").collect()(0)
+        === want)
+
+      // ORPHANED STAGE across a reset (the second ADVICE r13 leg): a
+      // delete that crashed right after its write-ahead, followed by
+      // a family reset, must not LOSE the deletion — the reset folds
+      // the staged ids into the tombstones and the replay reconciles
+      spark.table(t).select("doc_id", "dl").distinct()
+        .filter(col("doc_id") === 5L).write.saveAsTable(s"${t}_del_stage")
+      spark.sql(s"DROP TABLE $st")
+      streaming.StreamingOps.streamingBm25Ingest(spark, dir, t, st)
+      val want2 = survivorStats(Seq(1L, 3L))
+      assert(spark.table(st).select("n_docs", "sum_dl").collect()(0)
+        === want2, "staged deletion lost across the reset")
+      val (lp2, ls2) = TextOps.liveBm25(spark, t, st)
+      val got2 = scores(lp2, ls2)
+      assert(got2 === scores(spark.table(t2), spark.table(s"${t2}_stats")))
+      assert(!got2.keys.exists { case (_, d) => d == 2L || d == 4L || d == 5L })
+    } finally {
+      drop(all: _*)
+      val ck = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase + "_ck")
+      val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(ck, true)
+    }
+  }
+
   test("band index: deleted docs stop colliding; vacuum folds") {
     val t = s"del_band_p$pid"
     val t2 = s"del_band_scratch_p$pid"
