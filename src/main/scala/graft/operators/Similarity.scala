@@ -568,10 +568,11 @@ object AnnIndex {
     // form beats re-reading + re-folding norms for the band pass
     val e = prepPayload(emb, dim, payloadCols).persist()
     try {
-      bandRows(e, nBands, bits, dim).write.mode("overwrite")
+      bandRows(e, nBands, bits, dim).withColumn("gen", lit(0L))
+        .write.mode("overwrite")
         .bucketBy(nBuckets, "band_key").sortBy("band_key")
         .saveAsTable(table)
-      e.write.mode("overwrite")
+      e.withColumn("gen", lit(0L)).write.mode("overwrite")
         .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
         .saveAsTable(table + "_vec")
     } finally { e.unpersist(); () }
@@ -655,7 +656,8 @@ object AnnIndex {
     */
   def append(emb: DataFrame, table: String, nBands: Int = NBands,
       bits: Int = Bits, dim: Int = CosSim.EmbDim,
-      nBuckets: Int = 8, payloadCols: Seq[String] = Nil): Unit =
+      nBuckets: Int = 8, payloadCols: Seq[String] = Nil,
+      gen: Long = 0L): Unit =
     // under the shared build lock (review r13): a maintenance swap
     // (compact/vacuum/refresh) snapshots the file listing before its
     // rewrite — an append landing files between that snapshot and the
@@ -663,7 +665,7 @@ object AnnIndex {
     // reentrant, so memoized builds that append under it still work;
     // table names are per-process-unique, so in-process serialization
     // IS the full writer set.
-    TO.bm25BuildLock.synchronized {
+    TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.ensureIndexConfig(s, table,
@@ -672,14 +674,36 @@ object AnnIndex {
     TO.clearOrphanLocation(s, table + "_vec")
     val e = prepPayload(emb, dim, payloadCols).persist()
     try {
-      bandRows(e, nBands, bits, dim).write.mode("append")
+      bandRows(e, nBands, bits, dim).withColumn("gen", lit(gen))
+        .write.mode("append")
         .bucketBy(nBuckets, "band_key").sortBy("band_key")
         .saveAsTable(table)
-      e.write.mode("append")
+      e.withColumn("gen", lit(gen)).write.mode("append")
         .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
         .saveAsTable(table + "_vec")
     } finally { e.unpersist(); () }
   }
+
+  /** UPSERT vectors — the [[graft.operators.TextOps.upsertBm25Docs]]
+    * contract for the ANN family (no corpus stats, so the op is
+    * barrier + append over BOTH members): the incoming ids' old band
+    * postings and payload rows die under a fresh finite barrier, the
+    * batch's new rows ride above it at gen = barrier, pure inserts
+    * just append. One build-lock scope, O(batch), nothing rewritten;
+    * a terminally deleted id stays deleted. Config must match the
+    * stored `_cfg` pin (enforced by append).
+    */
+  def upsert(emb: DataFrame, table: String, nBands: Int = NBands,
+      bits: Int = Bits, dim: Int = CosSim.EmbDim,
+      nBuckets: Int = 8, payloadCols: Seq[String] = Nil): Unit =
+    TO.withBuildLock(emb.sparkSession) {
+      val s = emb.sparkSession
+      val g = TO.nextGen(s, table + "_del")
+      TO.tombstone(s, table + "_del", emb.select(col("vec_id")),
+        "vec_id", gen = g)
+      append(emb, table, nBands, bits, dim, nBuckets, payloadCols,
+        gen = g)
+    }
 
   /** TOMBSTONED DELETE for the ANN family: the ids stop answering (and
     * asking) immediately — every probe ([[topK]], [[topKFiltered]],
@@ -699,6 +723,17 @@ object AnnIndex {
   def vacuum(s: SparkSession, table: String): Unit =
     TO.vacuumIndex(s, table + "_del",
       Seq(table, table + "_vec"), "vec_id")
+
+  /** ONE maintenance policy pass for the family (r14 — see
+    * [[graft.operators.TextOps.maintainIndex]]): compacts whichever
+    * of the two bucketed members outgrew the per-bucket file bound,
+    * vacuums/compacts the tombstone list past its thresholds, no-ops
+    * when healthy. Returns the ops it ran. */
+  def maintain(s: SparkSession, table: String,
+      policy: TO.MaintenancePolicy = TO.MaintenancePolicy())
+      : Seq[String] =
+    TO.maintainIndex(s, Seq(table, table + "_vec"), table + "_del",
+      "vec_id", policy)
 
   /** METADATA-FILTERED banded ANN top-k — production "filtered vector
     * search": candidates must agree with the query on every column of
@@ -826,7 +861,8 @@ object IvfIndex {
     val e = Ann.prepStrict(emb, dim).persist()
     try {
       val cents = Ivf.kmeansCentroids(e, k, dim, iters)
-      Ivf.assignCells(e, cents).write.mode("overwrite")
+      Ivf.assignCells(e, cents).withColumn("gen", lit(0L))
+        .write.mode("overwrite")
         .bucketBy(nBuckets, "cell").sortBy("cell")
         .saveAsTable(table)
       val sp = s
@@ -852,10 +888,11 @@ object IvfIndex {
     * quantizer is the config store), so an append cannot canonicalize
     * to a width the index wasn't built at.
     */
-  def append(emb: DataFrame, table: String, nBuckets: Int = 8): Unit =
+  def append(emb: DataFrame, table: String, nBuckets: Int = 8,
+      gen: Long = 0L): Unit =
     // build-lock scope: the AnnIndex.append rationale (append vs
     // maintenance-swap file-listing race)
-    TO.bm25BuildLock.synchronized {
+    TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     require(s.catalog.tableExists(table + "_cent"),
@@ -863,10 +900,27 @@ object IvfIndex {
         "with IvfIndex.write first (append never retrains)")
     val cents = loadCentroids(s, table)
     val e = Ann.prepStrict(emb, cents.head._2.length)
-    Ivf.assignCells(e, cents).write.mode("append")
+    Ivf.assignCells(e, cents).withColumn("gen", lit(gen))
+      .write.mode("append")
       .bucketBy(nBuckets, "cell").sortBy("cell")
       .saveAsTable(table)
   }
+
+  /** UPSERT vectors — the [[AnnIndex.upsert]] contract for the IVF
+    * cells family: old assignments die under a fresh finite barrier,
+    * the batch re-assigns with the FROZEN stored quantizer (upsert
+    * changes what answers, never how it's routed — retraining stays
+    * [[refresh]]'s job) and appends at gen = barrier. One build-lock
+    * scope, O(batch·k).
+    */
+  def upsert(emb: DataFrame, table: String, nBuckets: Int = 8): Unit =
+    TO.withBuildLock(emb.sparkSession) {
+      val s = emb.sparkSession
+      val g = TO.nextGen(s, table + "_del")
+      TO.tombstone(s, table + "_del", emb.select(col("vec_id")),
+        "vec_id", gen = g)
+      append(emb, table, nBuckets, gen = g)
+    }
 
   /** ONE centroid decode for every consumer of the stored quantizer
     * (append, the stateless probe) — two copies could drift on a
@@ -885,6 +939,18 @@ object IvfIndex {
 
   def vacuum(s: SparkSession, table: String): Unit =
     TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+
+  /** ONE maintenance policy pass for the family (r14): file-pressure
+    * compaction + tombstone thresholds like every member, PLUS the
+    * drift leg — [[quantizationError]] above the policy bound runs
+    * [[refresh]] over `refreshWith` when supplied (retrain-and-swap
+    * needs the current corpus), else reports `refresh-due`. */
+  def maintain(s: SparkSession, table: String,
+      policy: TO.MaintenancePolicy = TO.MaintenancePolicy(),
+      refreshWith: Option[DataFrame] = None): Seq[String] =
+    TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy,
+      drift = Some(() => quantizationError(s, table)),
+      refresh = refreshWith.map(e => () => refresh(e, table)))
 
   /** The IVF drift gauge (the [[PqIndex.quantizationError]] sibling):
     * mean (1 − cos(v, centroid)) over the STORED assignments — how far
@@ -933,7 +999,7 @@ object IvfIndex {
       nBuckets: Int = 8): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
-    TO.bm25BuildLock.synchronized {
+    TO.withBuildLock(s) {
       TO.recoverGroupSwap(s, table)
       TO.recoverSwap(s, table)
       TO.recoverSwap(s, table + "_cent")
@@ -948,7 +1014,14 @@ object IvfIndex {
       val e = Ann.prepStrict(emb, dim).persist()
       try {
         val cents = Ivf.kmeansCentroids(e, k, dim, iters)
-        Ivf.assignCells(e, cents).write
+        // re-materialized rows land at the CURRENT top finite
+        // generation (r14): the family's upsert barriers survive a
+        // refresh, so rows stamped below them would read as
+        // superseded — the refreshed corpus is current by definition,
+        // so it rides at the top barrier (0 when no upserts ever ran;
+        // terminal deletions still kill their ids at any gen)
+        val gTop = TO.nextGen(s, table + "_del") - 1
+        Ivf.assignCells(e, cents).withColumn("gen", lit(gTop)).write
           .bucketBy(nBuckets, "cell").sortBy("cell")
           .saveAsTable(cellsTmp)
         val sp = s
@@ -1301,10 +1374,11 @@ object PqIndex {
     * codebook (frozen at build — the [[IvfIndex.append]] contract:
     * retrain periodically via [[write]] when drift warrants) and their
     * code rows appended; nothing rewritten. */
-  def append(emb: DataFrame, table: String, nBuckets: Int = 8): Unit =
+  def append(emb: DataFrame, table: String, nBuckets: Int = 8,
+      gen: Long = 0L): Unit =
     // build-lock scope: the AnnIndex.append rationale (append vs
     // maintenance-swap file-listing race)
-    TO.bm25BuildLock.synchronized {
+    TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     require(s.catalog.tableExists(table + "_cb"),
@@ -1315,10 +1389,25 @@ object PqIndex {
     TO.clearOrphanLocation(s, table)
     val cb = s.table(table + "_cb").select(col("sub"), col("cid"),
       col("c"))
-    encode(emb, cb)
+    encode(emb, cb).withColumn("gen", lit(gen))
       .write.mode("append").bucketBy(nBuckets, "vec_id").sortBy("vec_id")
       .saveAsTable(table)
   }
+
+  /** UPSERT vectors — the [[AnnIndex.upsert]] contract for the PQ
+    * codes family: old codes die under a fresh finite barrier, the
+    * batch re-encodes with the FROZEN stored codebook (retraining
+    * stays [[refresh]]'s job) and appends at gen = barrier. One
+    * build-lock scope, O(batch·M·Ks).
+    */
+  def upsert(emb: DataFrame, table: String, nBuckets: Int = 8): Unit =
+    TO.withBuildLock(emb.sparkSession) {
+      val s = emb.sparkSession
+      val g = TO.nextGen(s, table + "_del")
+      TO.tombstone(s, table + "_del", emb.select(col("vec_id")),
+        "vec_id", gen = g)
+      append(emb, table, nBuckets, gen = g)
+    }
 
   /** ADC top-k: `queries` = (vec_id, v) exact canon vectors. Builds the
     * per-query LUT (queries × codebook — |q|·M·Ks rows, broadcast),
@@ -1336,6 +1425,18 @@ object PqIndex {
 
   def vacuum(s: SparkSession, table: String): Unit =
     TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+
+  /** ONE maintenance policy pass (r14, the [[IvfIndex.maintain]]
+    * shape): the PQ drift gauge needs the exact vectors
+    * ([[quantizationError]] reconstructs against them), so BOTH the
+    * drift leg and the refresh require `refreshWith` — absent, the
+    * pass covers file pressure and tombstones only. */
+  def maintain(s: SparkSession, table: String,
+      policy: TO.MaintenancePolicy = TO.MaintenancePolicy(),
+      refreshWith: Option[DataFrame] = None): Seq[String] =
+    TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy,
+      drift = refreshWith.map(e => () => quantizationError(s, table, e)),
+      refresh = refreshWith.map(e => () => refresh(e, table)))
 
   def topK(s: SparkSession, table: String, queries: DataFrame,
       k: Int): DataFrame = adcTopK(s, table, queries, k, cand = None)
@@ -1485,7 +1586,7 @@ object PqIndex {
   def refresh(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
-    TO.bm25BuildLock.synchronized {
+    TO.withBuildLock(s) {
       TO.recoverGroupSwap(s, table)
       TO.recoverSwap(s, table)
       TO.recoverSwap(s, table + "_cb")
@@ -1498,7 +1599,12 @@ object PqIndex {
         s.sql(s"DROP TABLE IF EXISTS $x"); TO.clearOrphanLocation(s, x)
       }
       trainCodebookTo(emb, cbTmp, m, subDim, ks)
+      // re-encoded rows ride at the current top finite generation —
+      // the IvfIndex.refresh rationale (upsert barriers survive a
+      // refresh; the refreshed corpus is current by definition)
+      val gTop = TO.nextGen(s, table + "_del") - 1
       encode(emb, s.table(cbTmp).select(col("sub"), col("cid"), col("c")))
+        .withColumn("gen", lit(gTop))
         .write.bucketBy(nBuckets, "vec_id").sortBy("vec_id")
         .saveAsTable(codesTmp)
       TO.swapIndexTableGroup(s, table,
@@ -1685,19 +1791,34 @@ object BqIndex {
     * nothing retrained, O(batch) per ingest. The first append pins dim
     * in `<table>_cfg`; later appends must match it. */
   def append(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
-      nBuckets: Int = 8): Unit =
+      nBuckets: Int = 8, gen: Long = 0L): Unit =
     // build-lock scope: the AnnIndex.append rationale (append vs
     // maintenance-swap file-listing race)
-    TO.bm25BuildLock.synchronized {
+    TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.ensureIndexConfig(s, table, Seq("dim" -> dim))
     TO.clearOrphanLocation(s, table)
     Ann.prepStrict(emb, dim)
-      .select(col("vec_id"), expr(sigExpr).as("sig"))
+      .select(col("vec_id"), expr(sigExpr).as("sig"),
+        lit(gen).as("gen"))
       .write.mode("append").bucketBy(nBuckets, "vec_id").sortBy("vec_id")
       .saveAsTable(table)
   }
+
+  /** UPSERT vectors — the [[AnnIndex.upsert]] contract for the BQ
+    * signature family (stateless doc-local signatures: barrier +
+    * re-sign + append, one build-lock scope, O(batch)).
+    */
+  def upsert(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
+      nBuckets: Int = 8): Unit =
+    TO.withBuildLock(emb.sparkSession) {
+      val s = emb.sparkSession
+      val g = TO.nextGen(s, table + "_del")
+      TO.tombstone(s, table + "_del", emb.select(col("vec_id")),
+        "vec_id", gen = g)
+      append(emb, table, dim, nBuckets, gen = g)
+    }
 
   /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
     * the signature table ([[topK]] filters the sig side, which both
@@ -1707,6 +1828,13 @@ object BqIndex {
 
   def vacuum(s: SparkSession, table: String): Unit =
     TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+
+  /** ONE maintenance policy pass (r14): stateless signatures have no
+    * quantizer to drift, so the pass is file pressure + tombstones. */
+  def maintain(s: SparkSession, table: String,
+      policy: TO.MaintenancePolicy = TO.MaintenancePolicy())
+      : Seq[String] =
+    TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy)
 
   /** Hamming-prefiltered exact-reranked top-k. Phase 1 scans the
     * dim/8-byte signatures against the broadcast query signatures —
@@ -1898,10 +2026,10 @@ object SqIndex {
     * would reconstruct to different-length vectors whose cross-width
     * dot is NULL, silently vanishing candidates from [[topK]]. */
   def append(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
-      nBuckets: Int = 8): Unit =
+      nBuckets: Int = 8, gen: Long = 0L): Unit =
     // build-lock scope: the AnnIndex.append rationale (append vs
     // maintenance-swap file-listing race)
-    TO.bm25BuildLock.synchronized {
+    TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     TO.ensureIndexConfig(s, table, Seq("dim" -> dim))
     TO.clearOrphanLocation(s, table)
@@ -1910,10 +2038,25 @@ object SqIndex {
         CosSim.canonChecked(col("embedding"), dim).as("v"))
       .withColumn("sc",
         expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
-      .select(col("vec_id"), col("sc"), expr(codesExpr).as("codes"))
+      .select(col("vec_id"), col("sc"), expr(codesExpr).as("codes"),
+        lit(gen).as("gen"))
       .write.mode("append").bucketBy(nBuckets, "vec_id").sortBy("vec_id")
       .saveAsTable(table)
   }
+
+  /** UPSERT vectors — the [[AnnIndex.upsert]] contract for the SQ8
+    * codes family (stateless per-vector scales: barrier + re-quantize
+    * + append, one build-lock scope, O(batch)).
+    */
+  def upsert(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
+      nBuckets: Int = 8): Unit =
+    TO.withBuildLock(emb.sparkSession) {
+      val s = emb.sparkSession
+      val g = TO.nextGen(s, table + "_del")
+      TO.tombstone(s, table + "_del", emb.select(col("vec_id")),
+        "vec_id", gen = g)
+      append(emb, table, dim, nBuckets, gen = g)
+    }
 
   /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
     * the codes table. */
@@ -1922,6 +2065,13 @@ object SqIndex {
 
   def vacuum(s: SparkSession, table: String): Unit =
     TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+
+  /** ONE maintenance policy pass (r14): per-vector scales have no
+    * quantizer to drift, so the pass is file pressure + tombstones. */
+  def maintain(s: SparkSession, table: String,
+      policy: TO.MaintenancePolicy = TO.MaintenancePolicy())
+      : Seq[String] =
+    TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy)
 
   /** Brute top-k over DEQUANTIZED vectors served entirely from the
     * stored codes table — queries come off the same table by vec_id

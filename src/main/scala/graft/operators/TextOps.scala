@@ -225,7 +225,7 @@ object TextOps {
     * follow the clearOrphanLocation contract (per-process unique).
     */
   def compactIndex(s: org.apache.spark.sql.SparkSession,
-      table: String): Unit = bm25BuildLock.synchronized {
+      table: String): Unit = withBuildLock(s) {
     rewriteBucketed(s, table, identity)
   }
 
@@ -351,7 +351,7 @@ object TextOps {
   private[graft] def tombstone(s: org.apache.spark.sql.SparkSession,
       delTable: String, ids: org.apache.spark.sql.DataFrame,
       idCol: String, gen: Long = TerminalGen): Unit =
-    bm25BuildLock.synchronized {
+    withBuildLock(s) {
     clearOrphanLocation(s, delTable)
     val fresh = ids.select(col(idCol)).distinct()
       .withColumn("gen", lit(gen))
@@ -370,6 +370,19 @@ object TextOps {
       : org.apache.spark.sql.DataFrame =
     if (del.columns.contains("gen")) del
     else del.withColumn("gen", lit(TerminalGen))
+
+  /** Fold an orphaned/reset delete stage's ids into the tombstone
+    * list AT THE STAGE'S OWN BARRIER (terminal for a delete stage,
+    * finite for an upsert's — a pre-r14 gen-less stage reads as
+    * terminal), preserving the op's exact semantics across a family
+    * reset. */
+  private def foldStageTombstones(s: org.apache.spark.sql.SparkSession,
+      table: String, stage: String): Unit = {
+    val df = withEntryGen(s.table(stage))
+    val g = df.agg(coalesce(max("gen"), lit(TerminalGen)))
+      .collect()(0).getLong(0)
+    tombstone(s, table + "_del", df.select("doc_id"), "doc_id", gen = g)
+  }
 
   /** Subtract a tombstone list from an index scan — the probe-side
     * half of [[tombstone]]. When no list exists (the common case) the
@@ -398,25 +411,39 @@ object TextOps {
     }
 
   /** Fold a tombstone list into its index family's stored files and
-    * clear it: each bucketed `member` is rewritten WITHOUT the
-    * tombstoned rows (the [[compactIndex]] rewrite with a filter —
-    * same spec-preserving one-file-per-bucket layout, same atomic
-    * swap), then the list is dropped, so subsequent probes pay no
-    * anti-join at all. Members that don't exist are skipped; a member
-    * without the id column is a caller error (loud analysis failure).
+    * clear it: each bucketed `member` is rewritten WITHOUT the dead
+    * rows (the [[compactIndex]] rewrite with the gen-aware
+    * [[exceptTombstones]] filter — same spec-preserving
+    * one-file-per-bucket layout, same atomic swap), then the list is
+    * dropped, so subsequent probes pay no anti-join at all. Surviving
+    * rows' `gen` column RESETS TO 0 in the rewrite: with the barrier
+    * entries gone, a later upsert restarts its barriers from
+    * [[nextGen]]'s fresh count, and a stale high generation on stored
+    * rows would let superseded rows outlive the new barriers. Post-
+    * vacuum, the family is therefore byte-identical to a from-scratch
+    * build over the survivors — including the gen column. Members
+    * that don't exist are skipped; a member without the id column is
+    * a caller error (loud analysis failure).
     */
   def vacuumIndex(s: org.apache.spark.sql.SparkSession,
       delTable: String, members: Seq[String],
-      idCol: String): Unit = bm25BuildLock.synchronized {
+      idCol: String): Unit = withBuildLock(s) {
     if (s.catalog.tableExists(delTable)) {
       // an EMPTY list must not trigger the full O(index) rewrite — at
       // scale that's the difference between dropping one tiny table
       // and re-shuffling the whole corpus for nothing
       if (!s.table(delTable).isEmpty) {
         members.filter(s.catalog.tableExists).foreach { m =>
-          rewriteBucketed(s, m,
-            df => df.join(df.sparkSession.table(delTable),
-              Seq(idCol), "left_anti"))
+          rewriteBucketed(s, m, df => {
+            // resolve the list through the REWRITE session (the clone
+            // shares the catalog) — joining frames across sessions is
+            // undefined territory
+            val kept = exceptTombstones(df, df.sparkSession, delTable,
+              idCol)
+            if (kept.columns.contains("gen"))
+              kept.withColumn("gen", lit(0L))
+            else kept
+          })
         }
       }
       s.sql(s"DROP TABLE $delTable")
@@ -435,14 +462,48 @@ object TextOps {
     * metadata gauge. Pure driver-side metadata (catalog + one
     * directory listing) — no job, safe to poll.
     */
-  final case class IndexFileHealth(buckets: Int, files: Long) {
+  final case class IndexFileHealth(buckets: Int, files: Long,
+      siblingFiles: Long = 0L) {
     def filesPerBucket: Double =
       if (buckets == 0) 0.0 else files.toDouble / buckets
     /** True once probes pay more than `threshold` opens per bucket —
       * the compaction trigger a maintenance loop polls. */
     def needsCompaction(threshold: Double = 4.0): Boolean =
       filesPerBucket > threshold
+    /** Small-table pressure (r14, VERDICT item 5): every delete /
+      * upsert call appends one coalesced file to the `_del` sibling,
+      * so a delete-heavy cadence accumulates a file per call that the
+      * bucketed-member gauge never saw. True once the family's small
+      * siblings (`_del`, `_del_stage`, `_cfg`, `_stats`) carry more
+      * than `maxFiles` between them — the [[compactTombstones]] /
+      * [[vacuumIndex]] trigger. */
+    def needsSiblingCompaction(maxFiles: Long = 16L): Boolean =
+      siblingFiles > maxFiles
   }
+
+  /** Data-file count of one table's location — the shared listing
+    * behind the member and sibling gauges (metadata only, no job). */
+  private def tableFileCount(s: org.apache.spark.sql.SparkSession,
+      table: String): Long = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    if (!s.catalog.tableExists(table)) 0L
+    else {
+      val meta = s.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) 0L
+      else fs.listStatus(loc).count { st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")
+      }.toLong
+    }
+  }
+
+  /** The family's small-table sibling suffixes the gauge watches —
+    * the tables delete/upsert/config traffic lands in. */
+  private[graft] val HealthSiblings: Seq[String] =
+    Seq("_del", "_del_stage", "_cfg", "_stats")
 
   def indexFileHealth(s: org.apache.spark.sql.SparkSession,
       table: String): IndexFileHealth = {
@@ -450,16 +511,105 @@ object TextOps {
     val meta = s.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
     val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(0)
-    val loc = new org.apache.hadoop.fs.Path(meta.location)
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files =
-      if (!fs.exists(loc)) 0L
-      else fs.listStatus(loc).count { st =>
-        st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith(".")
-      }.toLong
-    IndexFileHealth(buckets, files)
+    IndexFileHealth(buckets, tableFileCount(s, table),
+      HealthSiblings.map(sf => tableFileCount(s, table + sf)).sum)
   }
+
+  /** Rewrite a tombstone list to ONE file (entries deduped on
+    * (id, gen)) — the cheap O(|list|) answer to delete-call file
+    * accumulation, for the cadence where a full [[vacuumIndex]]
+    * (O(index) member rewrites) isn't yet warranted. Promoted through
+    * the same `_compact`/swap/heal dance as the bucketed members.
+    */
+  def compactTombstones(s: org.apache.spark.sql.SparkSession,
+      delTable: String): Unit = withBuildLock(s) {
+    if (s.catalog.tableExists(delTable)) {
+      recoverSwap(s, delTable)
+      val tmp = delTable + "_compact"
+      s.sql(s"DROP TABLE IF EXISTS $tmp")
+      clearOrphanLocation(s, tmp)
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      val loc = s.sessionState.catalog
+        .getTableMetadata(TableIdentifier(delTable)).location.toString
+      s.read.parquet(loc).distinct().coalesce(1)
+        .write.saveAsTable(tmp)
+      swapIndexTables(s, delTable, tmp)
+    }
+  }
+
+  /** The maintenance policy (r14, VERDICT item 4) — the thresholds
+    * one [[maintainIndex]] pass composes the existing gauges under:
+    *   - `filesPerBucketMax` → [[compactIndex]] each bucketed member
+    *     whose [[indexFileHealth]] exceeds it;
+    *   - `delRowsMax` → [[vacuumIndex]] the family once the tombstone
+    *     list holds more entries than probes should keep anti-joining
+    *     (vacuum also resets the per-member file pressure for free);
+    *   - `delFilesMax` → [[compactTombstones]] when the LIST's file
+    *     count (one per delete/upsert call) outgrows it but its row
+    *     count doesn't yet warrant the O(index) vacuum;
+    *   - `driftMax` → the family's `refresh` once its quantization
+    *     error gauge exceeds it (frozen-quantizer families only).
+    */
+  final case class MaintenancePolicy(
+      filesPerBucketMax: Double = 4.0,
+      delFilesMax: Long = 16L,
+      delRowsMax: Long = 1024L,
+      driftMax: Double = 0.25)
+
+  /** ONE idempotent maintenance pass for an index family: poll every
+    * gauge, run exactly the ops whose thresholds trip, return their
+    * names (empty = healthy, nothing ran — gated in MaintainSpec).
+    * Vacuum subsumes member compaction (its rewrite IS the compacted
+    * layout), which the gauge ordering expresses naturally: members
+    * re-gauge after the tombstone step, so a vacuumed member reads
+    * healthy. `drift`/`refresh` are the family's quantizer gauges —
+    * drift above the bound runs `refresh` when the caller supplied
+    * one, else reports `refresh-due` so an operator (or the spec) can
+    * see the debt without the corpus frame in hand. The whole pass
+    * holds the build lock once.
+    */
+  private[graft] def maintainIndex(s: org.apache.spark.sql.SparkSession,
+      members: Seq[String], delTable: String, idCol: String,
+      policy: MaintenancePolicy,
+      drift: Option[() => Double] = None,
+      refresh: Option[() => Unit] = None): Seq[String] =
+    withBuildLock(s) {
+      val ran = scala.collection.mutable.ListBuffer.empty[String]
+      if (s.catalog.tableExists(delTable)) {
+        if (s.table(delTable).count() > policy.delRowsMax) {
+          vacuumIndex(s, delTable, members, idCol)
+          ran += "vacuum"
+        } else if (tableFileCount(s, delTable) > policy.delFilesMax) {
+          compactTombstones(s, delTable)
+          ran += "compact-tombstones"
+        }
+      }
+      members.filter(s.catalog.tableExists).foreach { m =>
+        if (indexFileHealth(s, m)
+            .needsCompaction(policy.filesPerBucketMax)) {
+          compactIndex(s, m)
+          ran += s"compact:$m"
+        }
+      }
+      drift.foreach { d =>
+        if (d() > policy.driftMax) refresh match {
+          case Some(f) => f(); ran += "refresh"
+          case None => ran += "refresh-due"
+        }
+      }
+      ran.toList
+    }
+
+  /** [[maintainIndex]] for the incremental BM25 family (postings
+    * member + stats sibling; no quantizer). */
+  def maintainBm25(s: org.apache.spark.sql.SparkSession, table: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): Seq[String] =
+    maintainIndex(s, Seq(table), table + "_del", "doc_id", policy)
+
+  /** [[maintainIndex]] for a band index family. */
+  def maintainBand(s: org.apache.spark.sql.SparkSession, table: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): Seq[String] =
+    maintainIndex(s, Seq(table), table + "_del", "old_id", policy)
 
   /** Promote a fully-written replacement table `tmp` to `table` with an
     * `_old` backup — the maintenance-swap primitive compaction and any
@@ -673,16 +823,17 @@ object TextOps {
     * this function under foreachBatch.
     */
   def appendBm25Postings(docs: org.apache.spark.sql.DataFrame,
-      table: String, statsTable: String, nBuckets: Int = 8): Unit =
+      table: String, statsTable: String, nBuckets: Int = 8,
+      gen: Long = 0L): Unit =
     // build-lock scope (review r13): a maintenance swap (compact/
     // vacuum) snapshots the file listing before its rewrite — an
     // append landing files between that snapshot and the swap would
     // be silently discarded with the old table. Reentrant for the
-    // memoized builds that append under the same lock; per-process-
-    // unique table names make in-process serialization the full
-    // writer set.
-    bm25BuildLock.synchronized {
-    val s = docs.sparkSession
+    // memoized builds that append under the same lock; the r14
+    // cross-process file pairs with per-process-unique table names to
+    // make the serialization the FULL writer set, both axes.
+    { val s = docs.sparkSession
+    withBuildLock(s) {
     // heal any crashed delete before touching stats: the append's
     // stats rewrite would otherwise drop the txn token an in-flight
     // delete needs for its exactly-once replay guard
@@ -696,7 +847,8 @@ object TextOps {
       // writeBm25Index's unconditional save — not TABLE_NOT_FOUND
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       tf.join(dl, "doc_id")
-        .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+          lit(gen).as("gen"))
         .write.mode("append")
         .bucketBy(nBuckets, "token").sortBy("token")
         .saveAsTable(table)
@@ -720,7 +872,7 @@ object TextOps {
       Seq((r.getLong(0), r.getLong(1))).toDF("n_docs", "sum_dl")
         .write.mode("overwrite").saveAsTable(statsTable)
     } finally tf.unpersist()
-  }
+  } }
 
   /** DELETE documents from an incremental BM25 index ([[
     * appendBm25Postings]] family): tombstone the doc ids and subtract
@@ -740,16 +892,21 @@ object TextOps {
   def deleteBm25Docs(s: org.apache.spark.sql.SparkSession,
       table: String, statsTable: String,
       ids: org.apache.spark.sql.DataFrame): Unit =
-    bm25BuildLock.synchronized {
+    withBuildLock(s) {
       // heal any in-flight delete FIRST: its staged victims are about
       // to be tombstoned, and this call's victim set must be computed
       // against the fully-applied state
       applyBm25DeleteStage(s, table, statsTable)
       val stage = table + "_del_stage"
-      val victims = exceptTombstones(
-          s.table(table).select("doc_id", "dl").distinct(), s,
+      // tombstone-filter BEFORE projecting away `gen` (r14): the
+      // barrier comparison needs the rows' own generation — a
+      // projected gen-less frame would read as gen 0 and an upserted
+      // doc's CURRENT rows would be mistaken for dead ones
+      val victims = exceptTombstones(s.table(table), s,
           table + "_del", "doc_id")
+        .select("doc_id", "dl").distinct()
         .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"))
+        .withColumn("gen", lit(TerminalGen))
       // WRITE-AHEAD stage (review r13): the victims-with-dl snapshot
       // commits BEFORE either downstream mutation. A crash anywhere
       // after this point replays through applyBm25DeleteStage, whose
@@ -761,6 +918,53 @@ object TextOps {
       clearOrphanLocation(s, stage)
       victims.coalesce(1).write.saveAsTable(stage)
       applyBm25DeleteStage(s, table, statsTable)
+    }
+
+  /** UPSERT documents into an incremental BM25 index — replace the
+    * stored content of each incoming id (and insert ids the index
+    * has never seen) in ONE build-lock scope, O(batch), no rewrite
+    * (r14, VERDICT item 1: the terminal-delete contract made content
+    * refresh impossible — a plain tombstone+append would kill the
+    * replacement rows along with the old, so upsert runs on the
+    * finite GENERATION BARRIERS [[tombstone]] grew for it):
+    *   1. staged delete of each incoming id's CURRENT live version
+    *      (the [[deleteBm25Docs]] WAL — stats subtraction stays
+    *      exactly-once across crashes) at a fresh finite barrier g;
+    *   2. a barrier entry for EVERY incoming id — the pure inserts
+    *      too: [[nextGen]] must see g, or a later upsert could reuse
+    *      the barrier and this batch's rows would survive it;
+    *   3. the standard append with rows stamped gen = g — old
+    *      generations die under the barrier, the gen-g rows ride
+    *      above it.
+    * A terminally deleted id stays deleted (its new rows remain
+    * below the terminal ceiling — ids are still never recycled). A
+    * replayed upsert of the same batch converges to the same served
+    * content at a higher barrier. `docs` carries at most one version
+    * per doc_id (the CDC-compacted contract every append path
+    * shares). Bit-parity with a from-scratch build over the final
+    * corpus state — probes AND stats — is gated in UpsertSpec.
+    */
+  def upsertBm25Docs(s: org.apache.spark.sql.SparkSession,
+      table: String, statsTable: String,
+      docs: org.apache.spark.sql.DataFrame): Unit =
+    withBuildLock(s) {
+      applyBm25DeleteStage(s, table, statsTable)
+      val g = nextGen(s, table + "_del")
+      if (s.catalog.tableExists(table)) {
+        val stage = table + "_del_stage"
+        val victims = exceptTombstones(s.table(table), s,
+            table + "_del", "doc_id")
+          .select("doc_id", "dl").distinct()
+          .join(docs.select(col("doc_id")).distinct(), Seq("doc_id"))
+          .withColumn("gen", lit(g))
+        s.sql(s"DROP TABLE IF EXISTS $stage")
+        clearOrphanLocation(s, stage)
+        victims.coalesce(1).write.saveAsTable(stage)
+        applyBm25DeleteStage(s, table, statsTable)
+      }
+      tombstone(s, table + "_del", docs.select(col("doc_id")),
+        "doc_id", gen = g)
+      appendBm25Postings(docs, table, statsTable, gen = g)
     }
 
   /** Apply (or re-apply after a crash) a staged BM25 delete: subtract
@@ -788,16 +992,26 @@ object TextOps {
     // stats over the tombstone-filtered postings, which accounts for
     // these ids along with every other surviving tombstone.
     if (!s.catalog.tableExists(statsTable)) {
-      tombstone(s, table + "_del", s.table(stage).select("doc_id"),
-        "doc_id")
+      foldStageTombstones(s, table, stage)
       s.sql(s"DROP TABLE $stage")
       clearOrphanLocation(s, stage)
       return
     }
-    val agg = s.table(stage)
+    // the stage's barrier generation rides in its `gen` column — a
+    // terminal delete stages TerminalGen, an upsert stages its finite
+    // barrier (and a pre-r14 stage without the column reads as
+    // terminal). The barrier participates in the txn token so two
+    // stages over the same ids at different barriers can never be
+    // mistaken for replays of each other.
+    val stageDf =
+      if (s.table(stage).columns.contains("gen")) s.table(stage)
+      else s.table(stage).withColumn("gen", lit(TerminalGen))
+    val agg = stageDf
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dl"),
         md5(concat_ws(",",
-          sort_array(collect_list(col("doc_id"))))).as("txn"))
+          sort_array(collect_list(col("doc_id"))),
+          max(col("gen")).cast("string"))).as("txn"),
+        coalesce(max(col("gen")), lit(TerminalGen)).as("gen"))
       .collect()(0)
     if (agg.getLong(0) > 0L) {
       val txn = agg.getString(2)
@@ -813,8 +1027,8 @@ object TextOps {
           .toDF("n_docs", "sum_dl", "txn")
           .write.mode("overwrite").saveAsTable(statsTable)
       }
-      tombstone(s, table + "_del", s.table(stage).select("doc_id"),
-        "doc_id")
+      tombstone(s, table + "_del", stageDf.select("doc_id"),
+        "doc_id", gen = agg.getLong(3))
     }
     s.sql(s"DROP TABLE $stage")
     clearOrphanLocation(s, stage)
@@ -835,11 +1049,10 @@ object TextOps {
     */
   private[graft] def markBm25ResetReconcile(
       s: org.apache.spark.sql.SparkSession, table: String): Unit =
-    bm25BuildLock.synchronized {
+    withBuildLock(s) {
       val stage = table + "_del_stage"
       if (s.catalog.tableExists(stage)) {
-        tombstone(s, table + "_del", s.table(stage).select("doc_id"),
-          "doc_id")
+        foldStageTombstones(s, table, stage)
         s.sql(s"DROP TABLE $stage")
         clearOrphanLocation(s, stage)
       }
@@ -870,9 +1083,15 @@ object TextOps {
     */
   private[graft] def reconcileBm25Tombstones(
       s: org.apache.spark.sql.SparkSession, table: String,
-      statsTable: String): Unit = bm25BuildLock.synchronized {
+      statsTable: String): Unit = withBuildLock(s) {
     val marker = table + "_del_reconcile"
     if (!s.catalog.tableExists(marker)) return
+    // the replay (and any per-batch maintenance hook) ran in CLONED
+    // sessions — this session's relation caches for the family may
+    // hold pre-swap file listings; refresh before reading (r14: the
+    // maintenance hook's tombstone compaction mid-ingest surfaced it)
+    Seq(table, table + "_del", statsTable)
+      .foreach(t => if (s.catalog.tableExists(t)) s.catalog.refreshTable(t))
     // heal any crashed delete first so the recompute sees final state
     applyBm25DeleteStage(s, table, statsTable)
     if (s.catalog.tableExists(table) && s.catalog.tableExists(statsTable)) {
@@ -904,7 +1123,7 @@ object TextOps {
     // heal-before-trust (the memoIndex discipline): a probe must never
     // see a half-applied delete's stats/tombstone mix
     if (s.catalog.tableExists(table + "_del_stage"))
-      bm25BuildLock.synchronized {
+      withBuildLock(s) {
         applyBm25DeleteStage(s, table, statsTable)
       }
     (exceptTombstones(s.table(table), s, table + "_del", "doc_id"),
@@ -1001,7 +1220,7 @@ object TextOps {
       (build: String => Unit): String = {
     val table = indexTableName(prefix, sfDir)
     val okTable = table + "_ok"
-    bm25BuildLock.synchronized {
+    withBuildLock(s) {
       sweepDeadIndexes(s)
       // heal any crashed maintenance swap BEFORE trusting the catalog:
       // a compaction (or retrain-swap) that died mid-swap must read as
@@ -1075,6 +1294,107 @@ object TextOps {
     * parent-before-child acquisition) is the refinement.
     */
   private[graft] val bm25BuildLock = new Object
+
+  /** CROSS-PROCESS build lock (r14, VERDICT item 2): [[bm25BuildLock]]
+    * serializes writers only within one JVM — two processes sharing a
+    * warehouse could still race an append against a maintenance
+    * swap's file-listing snapshot (exactly the in-process race the
+    * r13 lock scope closed). Every maintenance critical section now
+    * runs through [[withBuildLock]], which pairs the monitor with an
+    * ATOMIC-CREATE LOCK FILE beside the warehouse
+    * (`_graft_build.lock`, owner pid inside — path overridable via
+    * the `graft.buildLock.path` session conf for test isolation):
+    *   - the file is created on the outermost monitor entry and
+    *     deleted on its exit (a holds counter keeps nested critical
+    *     sections — memoIndex→append, delete→tombstone — reentrant);
+    *   - a lock held by a DEAD pid is swept and retaken (the
+    *     dead-pid-sweep semantics the index directories already use;
+    *     an unreadable/empty lock older than 5 s — a crash between
+    *     create and pid write — counts as dead);
+    *   - a lock held by a LIVE foreign pid is waited on (100 ms
+    *     polls) up to `graft.buildLock.timeoutMs` (default 30 000),
+    *     then refused LOUDLY with the holder's pid — never silent
+    *     file loss.
+    * Local-FS `create(overwrite=false)` is check-then-create rather
+    * than truly atomic; the residual two-process window is
+    * microseconds against maintenance sections measured in seconds,
+    * and a real deployment's object-store/HDFS create IS atomic.
+    */
+  private var buildLockHolds = 0
+  private[graft] def withBuildLock[T](
+      s: org.apache.spark.sql.SparkSession)(body: => T): T =
+    bm25BuildLock.synchronized {
+      if (buildLockHolds == 0) acquireProcessLock(s)
+      buildLockHolds += 1
+      try body
+      finally {
+        buildLockHolds -= 1
+        if (buildLockHolds == 0) releaseProcessLock(s)
+      }
+    }
+
+  private def processLockPath(s: org.apache.spark.sql.SparkSession) =
+    new org.apache.hadoop.fs.Path(
+      s.conf.getOption("graft.buildLock.path").getOrElse(
+        s.conf.get("spark.sql.warehouse.dir") + "/_graft_build.lock"))
+
+  private def acquireProcessLock(
+      s: org.apache.spark.sql.SparkSession): Unit = {
+    val p = processLockPath(s)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val timeoutMs = s.conf.getOption("graft.buildLock.timeoutMs")
+      .map(_.toLong).getOrElse(30000L)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    val me = java.lang.ProcessHandle.current().pid()
+    var acquired = false
+    while (!acquired) {
+      val created =
+        try {
+          val out = fs.create(p, false)
+          try out.write(me.toString.getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) acquired = true
+      else {
+        val holder =
+          try {
+            val in = fs.open(p)
+            val txt = try new String(
+                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                "UTF-8").trim
+              finally in.close()
+            txt.toLong
+          } catch { case scala.util.control.NonFatal(_) => -1L }
+        val dead =
+          if (holder > 0)
+            !java.lang.ProcessHandle.of(holder).isPresent
+          else // unreadable/empty: dead once past the write grace
+            (try System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime > 5000L
+            catch { case scala.util.control.NonFatal(_) => true })
+        if (dead) { try { fs.delete(p, false); () }
+          catch { case scala.util.control.NonFatal(_) => () } }
+        else if (holder == me) acquired = true // our own crashed leftover
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"build lock $p is held by live process $holder — a second " +
+              "writer on this warehouse; refusing rather than racing " +
+              s"its maintenance (waited ${timeoutMs}ms; raise " +
+              "graft.buildLock.timeoutMs to wait longer)")
+        else Thread.sleep(100)
+      }
+    }
+  }
+
+  private def releaseProcessLock(
+      s: org.apache.spark.sql.SparkSession): Unit = {
+    val p = processLockPath(s)
+    try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, false); ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** One-shot-per-JVM sweep of DEAD processes' leftover index
     * locations: the per-process table token (see [[bm25Index]]) makes
@@ -1412,6 +1732,7 @@ object TextOps {
       nBuckets: Int = 8): Unit = {
     clearOrphanLocation(docs.sparkSession, table)
     bandIndexRows(docs, "old_id", "old_toks")
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite")
       .bucketBy(nBuckets, "band_key").sortBy("band_key")
       .saveAsTable(table)
@@ -1430,12 +1751,13 @@ object TextOps {
     * as every builder here ([[clearOrphanLocation]]).
     */
   def appendBandIndex(docs: org.apache.spark.sql.DataFrame, table: String,
-      nBuckets: Int = 8): Unit =
+      nBuckets: Int = 8, gen: Long = 0L): Unit =
     // build-lock scope: the appendBm25Postings rationale (append vs
     // maintenance-swap file-listing race)
-    bm25BuildLock.synchronized {
+    withBuildLock(docs.sparkSession) {
       clearOrphanLocation(docs.sparkSession, table)
       bandIndexRows(docs, "old_id", "old_toks")
+        .withColumn("gen", lit(gen))
         .write.mode("append")
         .bucketBy(nBuckets, "band_key").sortBy("band_key")
         .saveAsTable(table)
@@ -1471,6 +1793,21 @@ object TextOps {
       table: String, ids: org.apache.spark.sql.DataFrame): Unit =
     tombstone(s, table + "_del",
       ids.select(col("doc_id").as("old_id")), "old_id")
+
+  /** UPSERT documents into a stored band index — the
+    * [[upsertBm25Docs]] contract for the near-dup family (no stats
+    * twin here, so the whole op is barrier + append): the incoming
+    * ids' old signatures stop colliding, the batch's new signatures
+    * start, pure inserts just append. One build-lock scope, O(batch).
+    */
+  def upsertBandDocs(s: org.apache.spark.sql.SparkSession,
+      table: String, docs: org.apache.spark.sql.DataFrame): Unit =
+    withBuildLock(s) {
+      val g = nextGen(s, table + "_del")
+      tombstone(s, table + "_del",
+        docs.select(col("doc_id").as("old_id")), "old_id", gen = g)
+      appendBandIndex(docs, table, gen = g)
+    }
 
   /** The tombstone-filtered serving view of a stored band index —
     * hand this to [[nearDupsAgainstIndex]] (it takes a frame, so the

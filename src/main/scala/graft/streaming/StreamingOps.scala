@@ -619,7 +619,9 @@ object StreamingOps {
     * it. Tables follow the per-process-unique-name contract.
     */
   def streamingDocumentIngest(spark: SparkSession, sfDir: String,
-      base: String): Unit = {
+      base: String,
+      maintain: Option[graft.operators.TextOps.MaintenancePolicy] =
+        None): Unit = {
     import org.apache.spark.sql.expressions.Window
     val bandT = s"${base}_band"
     val bm25T = s"${base}_bm25"
@@ -655,7 +657,20 @@ object StreamingOps {
       onReset = s => graft.operators.TextOps
         .markBm25ResetReconcile(s, bm25T),
       afterReplay = s => graft.operators.TextOps
-        .reconcileBm25Tombstones(s, bm25T, statsT))
+        .reconcileBm25Tombstones(s, bm25T, statsT),
+      // per-batch self-maintenance when a policy rides along (r14):
+      // the ingest loop compacts/vacuums its own families as their
+      // gauges trip, no separate maintenance scheduler required
+      afterBatch = s => maintain.foreach { p =>
+        graft.operators.TextOps.maintainBm25(s, bm25T, p)
+        graft.operators.TextOps.maintainBand(s, bandT, p)
+        ()
+      })
+    // the hook may have compacted/vacuumed the tombstone lists in the
+    // batch session — refresh the caller's view of them too
+    Seq(s"${bm25T}_del", s"${bandT}_del")
+      .foreach(t => if (spark.catalog.tableExists(t))
+        spark.catalog.refreshTable(t))
   }
 
   /** ONE-CALL DOCUMENT DELETE — the removal twin of
@@ -736,6 +751,74 @@ object StreamingOps {
         spark.catalog.refreshTable(t))
   }
 
+  /** STREAMING UPSERTS — the CDC refresh shape (VERDICT r13 #1's
+    * streaming twin): re-crawled documents arrive as a file stream of
+    * full document rows and each micro-batch drives
+    * [[graft.operators.TextOps.upsertBm25Docs]] +
+    * [[graft.operators.TextOps.upsertBandDocs]] behind its own replay
+    * ledger (`<base>_ups`) — ONE upsert definition with batch, so
+    * CDC-refreshed and batch-refreshed indexes cannot drift
+    * (UpsertSpec gates probe parity). maxFilesPerTrigger=1 makes each
+    * arriving file its own batch in listing order, so a later file's
+    * version of an id supersedes an earlier file's (each batch takes
+    * a fresh generation barrier); WITHIN one file the CDC-compacted
+    * contract applies — at most one version per id. On a checkpoint
+    * loss the ledger resets and everything replays: upserts converge
+    * by content (each replayed batch re-supersedes at a higher
+    * barrier), the delete-stream recovery argument in generation
+    * form. The dedup `_hashes` table is deliberately untouched — ids,
+    * not content hashes, drive an upsert, and hash-recognition of
+    * previously seen content must survive the refresh.
+    */
+  def streamingDocumentUpserts(spark: SparkSession, path: String,
+      base: String): Unit = {
+    resetDeleteLedgerIfCheckpointLost(spark, s"${base}_ups")
+    ledgeredIngest(spark, path, s"${base}_ups", refresh = Seq(),
+      (batch, _) => {
+        val s = batch.sparkSession
+        val b = batch.toDF().persist()
+        try {
+          graft.operators.TextOps.upsertBm25Docs(s, s"${base}_bm25",
+            s"${base}_bm25_stats", b)
+          graft.operators.TextOps.upsertBandDocs(s, s"${base}_band", b)
+        } finally { b.unpersist(); () }
+      },
+      maxFilesPerTrigger = Some(1))
+    Seq(s"${base}_band", s"${base}_band_del", s"${base}_bm25",
+      s"${base}_bm25_del", s"${base}_bm25_stats")
+      .foreach(t => if (spark.catalog.tableExists(t))
+        spark.catalog.refreshTable(t))
+  }
+
+  /** [[streamingDocumentUpserts]] for the vector families: a file
+    * stream of (vec_id, embedding) rows re-embeds across every index
+    * the unified ingest maintains, per batch, behind one ledger. */
+  def streamingVectorUpserts(spark: SparkSession, path: String,
+      base: String,
+      nBands: Int = graft.operators.AnnIndex.NBands,
+      bits: Int = graft.operators.AnnIndex.Bits,
+      dim: Int = graft.operators.AnnIndex.Dim): Unit = {
+    resetDeleteLedgerIfCheckpointLost(spark, s"${base}_vups")
+    ledgeredIngest(spark, path, s"${base}_vups", refresh = Seq(),
+      (batch, _) => {
+        val b = batch.toDF().persist()
+        try {
+          graft.operators.AnnIndex.upsert(b, s"${base}_ann", nBands,
+            bits, dim)
+          graft.operators.BqIndex.upsert(b, s"${base}_bq", dim)
+          graft.operators.SqIndex.upsert(b, s"${base}_sq", dim)
+          graft.operators.PqIndex.upsert(b, s"${base}_pq")
+          graft.operators.IvfIndex.upsert(b, s"${base}_ivf")
+        } finally { b.unpersist(); () }
+      },
+      maxFilesPerTrigger = Some(1))
+    Seq("_ann", "_ann_vec", "_ann_del", "_bq", "_bq_del", "_sq",
+      "_sq_del", "_pq", "_pq_del", "_ivf", "_ivf_del")
+      .map(base + _)
+      .foreach(t => if (spark.catalog.tableExists(t))
+        spark.catalog.refreshTable(t))
+  }
+
   /** Checkpoint/ledger PAIRING for the delete streams (review r13):
     * a lost checkpoint with a surviving ledger silently skips every
     * new deletion — batch ids restart at 0, the old ledger marks 0
@@ -775,7 +858,9 @@ object StreamingOps {
       base: String,
       nBands: Int = graft.operators.AnnIndex.NBands,
       bits: Int = graft.operators.AnnIndex.Bits,
-      dim: Int = graft.operators.AnnIndex.Dim): Unit = {
+      dim: Int = graft.operators.AnnIndex.Dim,
+      maintain: Option[graft.operators.TextOps.MaintenancePolicy] =
+        None): Unit = {
     val annT = s"${base}_ann"
     val bqT = s"${base}_bq"
     val sqT = s"${base}_sq"
@@ -799,7 +884,28 @@ object StreamingOps {
           graft.operators.PqIndex.append(b, pqT)
           graft.operators.IvfIndex.append(b, ivfT)
         } finally { b.unpersist(); () }
+      },
+      // per-batch self-maintenance across all five families (the
+      // streamingDocumentIngest hook, vector side). Only the
+      // METADATA-CHEAP legs run per batch — the drift gauges are
+      // O(index) reconstruction jobs, and drift-triggered refresh
+      // belongs to an operator pass with the training corpus in hand
+      // (IvfIndex/PqIndex.maintain with refreshWith), not to every
+      // arriving micro-batch.
+      afterBatch = s => maintain.foreach { p =>
+        graft.operators.AnnIndex.maintain(s, annT, p)
+        graft.operators.BqIndex.maintain(s, bqT, p)
+        graft.operators.SqIndex.maintain(s, sqT, p)
+        graft.operators.TextOps.maintainIndex(s, Seq(pqT),
+          pqT + "_del", "vec_id", p)
+        graft.operators.TextOps.maintainIndex(s, Seq(ivfT),
+          ivfT + "_del", "vec_id", p)
+        ()
       })
+    // refresh the caller's view of lists the hook may have rewritten
+    Seq(annT, bqT, sqT, pqT, ivfT).map(_ + "_del")
+      .foreach(t => if (spark.catalog.tableExists(t))
+        spark.catalog.refreshTable(t))
   }
 
   /** The shared vector-ingest loop (ANN bands, PQ codes): file-stream
@@ -828,7 +934,9 @@ object StreamingOps {
       table: String, refresh: Seq[String],
       append: (org.apache.spark.sql.DataFrame, String) => Unit,
       onReset: SparkSession => Unit = _ => (),
-      afterReplay: SparkSession => Unit = _ => ()): Unit = {
+      afterReplay: SparkSession => Unit = _ => (),
+      maxFilesPerTrigger: Option[Int] = None,
+      afterBatch: SparkSession => Unit = _ => ()): Unit = {
     val schema = spark.read.parquet(path).schema
     val ledger = table + "_ledger"
     graft.operators.TextOps.clearOrphanLocation(spark, ledger)
@@ -864,7 +972,13 @@ object StreamingOps {
       // tombstoned docs and the stats must be recomputed afterwards)
       onReset(spark)
     }
-    val q = spark.readStream.schema(schema).parquet(path).writeStream
+    // AvailableNow honors the source rate limit: with a cap the run
+    // still drains everything, split into ordered per-file batches —
+    // the upsert streams use 1 so version order = file order
+    val src = maxFilesPerTrigger.foldLeft(
+        spark.readStream.schema(schema))(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    val q = src.parquet(path).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
@@ -876,6 +990,12 @@ object StreamingOps {
           import sp.implicits._
           Seq(batchId).toDF("batch_id")
             .write.mode("append").saveAsTable(ledger)
+          // the maintenance hook (r14, VERDICT item 4): families wire
+          // their policy pass here so an ingest loop self-maintains —
+          // gauges are metadata-cheap and ops run only when tripped.
+          // AFTER the ledger commit: a maintenance swap must never
+          // make a completed append look unapplied on replay.
+          afterBatch(s)
         }
       }
       .option("checkpointLocation", ck.toString)

@@ -1,0 +1,186 @@
+package graft
+
+import graft.operators.{BqIndex, IvfIndex, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** maintain() — one policy entry per family (r14, VERDICT item 4):
+  * a single idempotent pass composes the existing gauges (per-bucket
+  * file pressure → compact; tombstone rows → vacuum; tombstone FILES
+  * → the cheap list compaction; quantizer drift → refresh) and runs
+  * exactly the ops whose thresholds trip — and NOTHING when healthy.
+  * Also gates VERDICT item 5: the health gauge now watches the small
+  * siblings (`_del` accumulates one file per delete call), and a
+  * 50-delete loop followed by the policy pass leaves O(1) files.
+  */
+class MaintainSpec extends AnyFunSuite with SparkSuite {
+
+  private val pid = ProcessHandle.current().pid()
+  private def emb = Tables(spark, sf, "embeddings")
+
+  private def drop(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def delFiles(t: String): Long =
+    TextOps.indexFileHealth(spark, t).siblingFiles
+
+  /** Raw file count of a managed table's location — for siblings
+    * whose MAIN table doesn't exist yet (the gauge needs it). */
+  private def filesIn(table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith(".")).toLong
+  }
+
+  test("healthy family: the pass runs nothing and changes nothing") {
+    val t = s"mnt_healthy_p$pid"
+    drop(t, s"${t}_cfg", s"${t}_del")
+    try {
+      BqIndex.write(emb, t)
+      val before = TextOps.indexFileHealth(spark, t)
+      assert(BqIndex.maintain(spark, t) === Nil)
+      assert(TextOps.indexFileHealth(spark, t) === before)
+    } finally drop(t, s"${t}_cfg", s"${t}_del")
+  }
+
+  test("append pressure trips exactly member compaction; idempotent") {
+    val t = s"mnt_compact_p$pid"
+    drop(t, s"${t}_cfg", s"${t}_del", s"${t}_compact", s"${t}_old")
+    try {
+      (0 to 5).foreach { m =>
+        BqIndex.append(emb.filter(pmod(col("vec_id"), lit(6)) === m), t)
+      }
+      assert(TextOps.indexFileHealth(spark, t).needsCompaction())
+      val ops = BqIndex.maintain(spark, t)
+      assert(ops === Seq(s"compact:$t"), ops.toString)
+      val h = TextOps.indexFileHealth(spark, t)
+      assert(h.files === h.buckets.toLong)
+      // second pass: healthy again, nothing runs
+      assert(BqIndex.maintain(spark, t) === Nil)
+    } finally drop(t, s"${t}_cfg", s"${t}_del", s"${t}_compact",
+      s"${t}_old")
+  }
+
+  test("50-delete loop: sibling gauge trips list compaction, then row " +
+      "threshold trips vacuum — O(1) files at the end") {
+    val t = s"mnt_del_p$pid"
+    val all = Seq(t, s"${t}_cfg", s"${t}_del", s"${t}_del_compact",
+      s"${t}_del_old", s"${t}_compact", s"${t}_old")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      BqIndex.write(emb, t)
+      // one delete CALL per id — each appends one coalesced file
+      (1000L until 1050L).foreach { id =>
+        BqIndex.delete(spark, t, Seq(id).toDF("vec_id"))
+      }
+      val grown = TextOps.indexFileHealth(spark, t)
+      assert(grown.siblingFiles >= 50L, grown.toString)
+      assert(grown.needsSiblingCompaction())
+      // pass 1: the file count trips the CHEAP list compaction (row
+      // count 50 sits under the vacuum threshold) — and only it
+      val ops1 = BqIndex.maintain(spark, t,
+        TextOps.MaintenancePolicy(delFilesMax = 16L, delRowsMax = 1024L))
+      assert(ops1 === Seq("compact-tombstones"), ops1.toString)
+      assert(delFiles(t) <= 2L, s"del files ${delFiles(t)}")
+      assert(spark.table(s"${t}_del").count() === 50L)
+      // pass 2: a tighter row threshold trips the full vacuum — list
+      // folded into the members and dropped
+      val ops2 = BqIndex.maintain(spark, t,
+        TextOps.MaintenancePolicy(delRowsMax = 40L))
+      assert(ops2 === Seq("vacuum"), ops2.toString)
+      assert(!spark.catalog.tableExists(s"${t}_del"))
+      val after = TextOps.indexFileHealth(spark, t)
+      assert(after.siblingFiles <= 1L, after.toString) // just _cfg
+      assert(after.files === after.buckets.toLong)
+      // pass 3: healthy
+      assert(BqIndex.maintain(spark, t) === Nil)
+    } finally drop(all: _*)
+  }
+
+  test("IVF drift trips refresh exactly when the corpus is supplied") {
+    val t = s"mnt_ivf_p$pid"
+    val all = Seq(t, s"${t}_cent", s"${t}_del", s"${t}_compact",
+      s"${t}_old", s"${t}_cent_compact", s"${t}_cent_old", s"${t}_swap")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val dim = 16
+      def vecs(ids: Range, shift: Int): DataFrame =
+        ids.map { i =>
+          (i.toLong, (0 until dim).map(j =>
+            (((i * 7 + j * 3 + shift * 97) % 13) + shift * 50).toDouble))
+        }.toDF("vec_id", "embedding")
+      val a = vecs(0 until 40, 0)
+      val b = vecs(40 until 80, 1) // far-shifted: lands badly in A's cells
+      IvfIndex.write(a, t, k = 4, dim = dim)
+      val errFit = IvfIndex.quantizationError(spark, t)
+      IvfIndex.append(b, t)
+      val errDrift = IvfIndex.quantizationError(spark, t)
+      assert(errDrift > errFit, s"drift gauge did not rise: " +
+        s"$errFit -> $errDrift")
+      val bound = (errFit + errDrift) / 2.0
+      val current = a.unionByName(b)
+      // without the corpus: the debt is REPORTED, never silently run
+      val due = IvfIndex.maintain(spark, t,
+        TextOps.MaintenancePolicy(driftMax = bound))
+      assert(due === Seq("refresh-due"), due.toString)
+      assert(IvfIndex.quantizationError(spark, t) === errDrift)
+      // with the corpus: refresh runs, the gauge drops under the bound
+      val ops = IvfIndex.maintain(spark, t,
+        TextOps.MaintenancePolicy(driftMax = bound),
+        refreshWith = Some(current))
+      assert(ops === Seq("refresh"), ops.toString)
+      val errAfter = IvfIndex.quantizationError(spark, t)
+      assert(errAfter <= bound, s"refresh left drift $errAfter > $bound")
+      // healthy again
+      assert(IvfIndex.maintain(spark, t,
+        TextOps.MaintenancePolicy(driftMax = bound),
+        refreshWith = Some(current)) === Nil)
+    } finally drop(all: _*)
+  }
+
+  test("ingest hook: the loop maintains its own family as gauges trip") {
+    val base = s"mnt_hook_p$pid"
+    val bm25T = s"${base}_bm25"
+    val all = Seq(bm25T, s"${bm25T}_stats", s"${bm25T}_del",
+      s"${bm25T}_del_compact", s"${bm25T}_del_old", s"${base}_band",
+      s"${base}_band_del", s"${base}_hashes", s"${base}_ledger")
+    drop(all: _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mnt_hook").toString
+    try {
+      val sp = spark
+      import sp.implicits._
+      // pre-accumulated delete files on the family the ingest owns
+      // (ids outside the corpus — content-neutral file pressure)
+      (5000L until 5005L).foreach { id =>
+        TextOps.tombstone(spark, s"${bm25T}_del",
+          Seq(id).toDF("doc_id"), "doc_id")
+      }
+      assert(filesIn(s"${bm25T}_del") >= 5L)
+      Seq((1L, "spark join window", "en", "s0", 18L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      streaming.StreamingOps.streamingDocumentIngest(spark, dir, base,
+        maintain = Some(TextOps.MaintenancePolicy(delFilesMax = 2L)))
+      // the hook's policy pass collapsed the list mid-ingest
+      assert(delFiles(bm25T) <= 2L, s"del files ${delFiles(bm25T)}")
+      assert(filesIn(s"${bm25T}_del") <= 1L)
+    } finally {
+      drop(all: _*)
+      val ck = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        base.toLowerCase + "_ck")
+      val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(ck, true)
+    }
+  }
+}
