@@ -937,34 +937,49 @@ object TextOps {
     *      generations die under the barrier, the gen-g rows ride
     *      above it.
     * A terminally deleted id stays deleted (its new rows remain
-    * below the terminal ceiling — ids are still never recycled). A
-    * replayed upsert of the same batch converges to the same served
-    * content at a higher barrier. `docs` carries at most one version
-    * per doc_id (the CDC-compacted contract every append path
-    * shares). Bit-parity with a from-scratch build over the final
-    * corpus state — probes AND stats — is gated in UpsertSpec.
+    * below the terminal ceiling — ids are still never recycled), and
+    * its incoming content is DROPPED AT THE DOOR: appendBm25Postings
+    * folds every appended doc's (count, dl) into the 1-row stats
+    * unconditionally, so letting a dead id's rows through would
+    * inflate n_docs/sum_dl — rows no probe can see would still skew
+    * every score's IDF and length normalization against a
+    * survivor-only build. A replayed upsert of the same batch
+    * converges to the same served content at a higher barrier. `docs`
+    * carries at most one version per doc_id (the CDC-compacted
+    * contract every append path shares). Bit-parity with a
+    * from-scratch build over the final corpus state — probes AND
+    * stats, including the terminal-immunity leg — is gated in
+    * UpsertSpec.
     */
   def upsertBm25Docs(s: org.apache.spark.sql.SparkSession,
       table: String, statsTable: String,
       docs: org.apache.spark.sql.DataFrame): Unit =
     withBuildLock(s) {
       applyBm25DeleteStage(s, table, statsTable)
-      val g = nextGen(s, table + "_del")
+      val delT = table + "_del"
+      val live =
+        if (s.catalog.tableExists(delT))
+          docs.join(withEntryGen(s.table(delT))
+              .filter(col("gen") === lit(TerminalGen))
+              .select("doc_id"),
+            Seq("doc_id"), "left_anti")
+        else docs
+      val g = nextGen(s, delT)
       if (s.catalog.tableExists(table)) {
         val stage = table + "_del_stage"
         val victims = exceptTombstones(s.table(table), s,
-            table + "_del", "doc_id")
+            delT, "doc_id")
           .select("doc_id", "dl").distinct()
-          .join(docs.select(col("doc_id")).distinct(), Seq("doc_id"))
+          .join(live.select(col("doc_id")).distinct(), Seq("doc_id"))
           .withColumn("gen", lit(g))
         s.sql(s"DROP TABLE IF EXISTS $stage")
         clearOrphanLocation(s, stage)
         victims.coalesce(1).write.saveAsTable(stage)
         applyBm25DeleteStage(s, table, statsTable)
       }
-      tombstone(s, table + "_del", docs.select(col("doc_id")),
+      tombstone(s, delT, live.select(col("doc_id")),
         "doc_id", gen = g)
-      appendBm25Postings(docs, table, statsTable, gen = g)
+      appendBm25Postings(live, table, statsTable, gen = g)
     }
 
   /** Apply (or re-apply after a crash) a staged BM25 delete: subtract

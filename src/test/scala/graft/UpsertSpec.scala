@@ -62,8 +62,10 @@ class UpsertSpec extends AnyFunSuite with SparkSuite {
   test("BM25 upsert equals a from-scratch build over the final corpus") {
     val t = s"ups_bm25_p$pid"
     val t2 = s"ups_bm25_twin_p$pid"
+    val t3 = s"ups_bm25_surv_p$pid"
     val all = Seq(t, s"${t}_stats", s"${t}_del", s"${t}_del_stage",
-      s"${t}_compact", s"${t}_old", t2, s"${t2}_stats")
+      s"${t}_compact", s"${t}_old", t2, s"${t2}_stats",
+      t3, s"${t3}_stats")
     drop(all: _*)
     try {
       val sp = spark
@@ -119,13 +121,23 @@ class UpsertSpec extends AnyFunSuite with SparkSuite {
       // 2 and 4 are gone, not shadowed
       assert(spark.table(t).count() === spark.table(t2).count())
 
-      // terminal delete STAYS terminal through an upsert attempt
+      // terminal delete STAYS terminal through an upsert attempt —
+      // and the dead content is dropped at the door: its rows never
+      // land AND its (count, dl) never touch the stats, so scores and
+      // stats stay bit-identical to a from-scratch build over the
+      // survivors (letting the rows through would leave probes clean
+      // but inflate n_docs/sum_dl, skewing every IDF)
       TextOps.deleteBm25Docs(spark, t, s"${t}_stats",
         Seq(6L).toDF("doc_id"))
       TextOps.upsertBm25Docs(spark, t, s"${t}_stats",
         docs(Seq(6L -> "resurrection attempt")))
       val (lp4, ls4) = TextOps.liveBm25(spark, t, s"${t}_stats")
       assert(!scores(lp4, ls4).keys.exists(_._2 == 6L))
+      TextOps.appendBm25Postings(
+        fin.filter(col("doc_id") =!= 6L), t3, s"${t3}_stats")
+      assert(scores(lp4, ls4) ===
+        scores(spark.table(t3), spark.table(s"${t3}_stats")))
+      assert(stats(s"${t}_stats") === stats(s"${t3}_stats"))
     } finally drop(all: _*)
   }
 
