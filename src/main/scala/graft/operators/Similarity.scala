@@ -735,6 +735,15 @@ object AnnIndex {
     TO.maintainIndex(s, Seq(table, table + "_vec"), table + "_del",
       "vec_id", policy)
 
+  /** Operational snapshot of the family (r14 — see
+    * [[graft.operators.TextOps.describeIndex]]): both bucketed
+    * members' file health, tombstone debt, the stored `_cfg` pins
+    * (dim/nbands/bits). Stateless signatures have no quantizer to
+    * drift. */
+  def describe(s: SparkSession, table: String): TO.IndexStatus =
+    TO.describeIndex(s, Seq(table, table + "_vec"), table + "_del",
+      cfgOf = Some(table))
+
   /** METADATA-FILTERED banded ANN top-k — production "filtered vector
     * search": candidates must agree with the query on every column of
     * `matchCols` (stored in the payload table at build time), compared
@@ -951,6 +960,20 @@ object IvfIndex {
     TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy,
       drift = Some(() => quantizationError(s, table)),
       refresh = refreshWith.map(e => () => refresh(e, table)))
+
+  /** Operational snapshot of the family (r14): cells-member file
+    * health, tombstone debt, and the quantizer's shape read off the
+    * stored centroids (k = centroid count, dim = their width). The
+    * drift gauge is an O(index) scan, so it only runs when asked. */
+  def describe(s: SparkSession, table: String,
+      withDrift: Boolean = false): TO.IndexStatus = {
+    val cents = loadCentroids(s, table)
+    TO.describeIndex(s, Seq(table), table + "_del",
+      drift = if (withDrift) Some(() => quantizationError(s, table))
+        else None)
+      .copy(cfg = Map("k" -> cents.size,
+        "dim" -> cents.headOption.map(_._2.length).getOrElse(0)))
+  }
 
   /** The IVF drift gauge (the [[PqIndex.quantizationError]] sibling):
     * mean (1 − cos(v, centroid)) over the STORED assignments — how far
@@ -1438,6 +1461,21 @@ object PqIndex {
       drift = refreshWith.map(e => () => quantizationError(s, table, e)),
       refresh = refreshWith.map(e => () => refresh(e, table)))
 
+  /** Operational snapshot of the family (r14): codes-member file
+    * health, tombstone debt, the codebook grid as the config (m
+    * subspaces × ks codewords of subDim — PQ's quantizer IS its
+    * config store). The drift gauge needs the exact vectors, so it
+    * runs only when `driftWith` supplies them. */
+  def describe(s: SparkSession, table: String,
+      driftWith: Option[DataFrame] = None): TO.IndexStatus = {
+    val cb = s.table(table + "_cb")
+    val (m, subDim) = cbGrid(cb)
+    val ks = cb.filter(col("sub") === 1).count().toInt
+    TO.describeIndex(s, Seq(table), table + "_del",
+      drift = driftWith.map(e => () => quantizationError(s, table, e)))
+      .copy(cfg = Map("m" -> m, "subDim" -> subDim, "ks" -> ks))
+  }
+
   def topK(s: SparkSession, table: String, queries: DataFrame,
       k: Int): DataFrame = adcTopK(s, table, queries, k, cand = None)
 
@@ -1836,6 +1874,12 @@ object BqIndex {
       : Seq[String] =
     TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy)
 
+  /** Operational snapshot of the family (r14): signature-member file
+    * health, tombstone debt, the stored `_cfg` dim pin. */
+  def describe(s: SparkSession, table: String): TO.IndexStatus =
+    TO.describeIndex(s, Seq(table), table + "_del",
+      cfgOf = Some(table))
+
   /** Hamming-prefiltered exact-reranked top-k. Phase 1 scans the
     * dim/8-byte signatures against the broadcast query signatures —
     * the per-candidate work is one xor+popcount per 64 coordinates
@@ -2072,6 +2116,12 @@ object SqIndex {
       policy: TO.MaintenancePolicy = TO.MaintenancePolicy())
       : Seq[String] =
     TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy)
+
+  /** Operational snapshot of the family (r14): codes-member file
+    * health, tombstone debt, the stored `_cfg` dim pin. */
+  def describe(s: SparkSession, table: String): TO.IndexStatus =
+    TO.describeIndex(s, Seq(table), table + "_del",
+      cfgOf = Some(table))
 
   /** Brute top-k over DEQUANTIZED vectors served entirely from the
     * stored codes table — queries come off the same table by vec_id

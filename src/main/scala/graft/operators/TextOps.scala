@@ -515,6 +515,94 @@ object TextOps {
       HealthSiblings.map(sf => tableFileCount(s, table + sf)).sum)
   }
 
+  /** One structured operational snapshot of an index family — the
+    * observability half of [[maintainIndex]] (maintain PAYS the debt,
+    * describe SHOWS it without mutating anything): per-member file
+    * health, the tombstone list's row and file debt split into
+    * terminal deletes vs finite upsert barriers (plus the current top
+    * barrier — 0 means no upsert ever ran), the stored `_cfg` pins,
+    * the stats row's numeric fields when the family keeps one, and
+    * the quantizer drift when the caller supplied the gauge.
+    */
+  final case class IndexStatus(
+      members: Seq[(String, IndexFileHealth)],
+      delRows: Long, delFiles: Long, terminalDeletes: Long,
+      topBarrier: Long, cfg: Map[String, Int],
+      stats: Map[String, Long], drift: Option[Double]) {
+    /** The ops ONE [[maintainIndex]] pass would run right now under
+      * `policy` — advisory, not a contract: maintain re-gauges
+      * between its steps (a vacuum resets the member file pressure
+      * before the member leg reads it), so the list maintain actually
+      * executes can be SHORTER than this one, never longer. Drift
+      * above the bound always reports as `refresh-due` here (describe
+      * never holds the corpus frame a refresh would need). */
+    def due(policy: MaintenancePolicy = MaintenancePolicy())
+        : Seq[String] = {
+      val b = scala.collection.mutable.ListBuffer.empty[String]
+      if (delRows > policy.delRowsMax) b += "vacuum"
+      else if (delFiles > policy.delFilesMax) b += "compact-tombstones"
+      members.foreach { case (m, h) =>
+        if (h.needsCompaction(policy.filesPerBucketMax))
+          b += s"compact:$m"
+      }
+      drift.foreach(d => if (d > policy.driftMax) b += "refresh-due")
+      b.toList
+    }
+    def healthy(policy: MaintenancePolicy = MaintenancePolicy())
+        : Boolean = due(policy).isEmpty
+  }
+
+  /** Build an [[IndexStatus]] for a family. Everything is driver-side
+    * metadata plus ONE O(|list|) aggregation over the small tombstone
+    * table; the `drift` thunk is the only potentially-expensive leg
+    * (an O(index) reconstruction job) and runs only when supplied —
+    * the per-family `describe` wrappers keep it opt-in.
+    */
+  private[graft] def describeIndex(s: org.apache.spark.sql.SparkSession,
+      members: Seq[String], delTable: String,
+      cfgOf: Option[String] = None, statsTable: Option[String] = None,
+      drift: Option[() => Double] = None): IndexStatus = {
+    val mh = members.filter(s.catalog.tableExists)
+      .map(m => m -> indexFileHealth(s, m))
+    val (rows, term, top) =
+      if (!s.catalog.tableExists(delTable)) (0L, 0L, 0L)
+      else {
+        val r = withEntryGen(s.table(delTable))
+          .agg(count(lit(1)),
+            coalesce(sum(when(col("gen") === lit(TerminalGen), 1L)
+              .otherwise(0L)), lit(0L)),
+            coalesce(max(when(col("gen") =!= lit(TerminalGen),
+              col("gen"))), lit(0L)))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+    val st = statsTable.filter(s.catalog.tableExists).map { t =>
+      val row = s.table(t).collect()(0)
+      row.schema.fields.collect {
+        case f if f.dataType ==
+            org.apache.spark.sql.types.LongType &&
+            !row.isNullAt(row.fieldIndex(f.name)) =>
+          f.name -> row.getLong(row.fieldIndex(f.name))
+      }.toMap
+    }.getOrElse(Map.empty[String, Long])
+    IndexStatus(mh, rows, tableFileCount(s, delTable), term, top,
+      cfgOf.flatMap(readIndexConfig(s, _))
+        .getOrElse(Map.empty[String, Int]),
+      st, drift.map(_()))
+  }
+
+  /** [[describeIndex]] for the incremental BM25 family (stats row
+    * included — n_docs/sum_dl read directly off the snapshot). */
+  def describeBm25(s: org.apache.spark.sql.SparkSession,
+      table: String): IndexStatus =
+    describeIndex(s, Seq(table), table + "_del",
+      statsTable = Some(table + "_stats"))
+
+  /** [[describeIndex]] for a band index family. */
+  def describeBand(s: org.apache.spark.sql.SparkSession,
+      table: String): IndexStatus =
+    describeIndex(s, Seq(table), table + "_del")
+
   /** Rewrite a tombstone list to ONE file (entries deduped on
     * (id, gen)) — the cheap O(|list|) answer to delete-call file
     * accumulation, for the cadence where a full [[vacuumIndex]]

@@ -771,7 +771,9 @@ object StreamingOps {
     * previously seen content must survive the refresh.
     */
   def streamingDocumentUpserts(spark: SparkSession, path: String,
-      base: String): Unit = {
+      base: String,
+      maintain: Option[graft.operators.TextOps.MaintenancePolicy] =
+        None): Unit = {
     resetDeleteLedgerIfCheckpointLost(spark, s"${base}_ups")
     ledgeredIngest(spark, path, s"${base}_ups", refresh = Seq(),
       (batch, _) => {
@@ -783,7 +785,15 @@ object StreamingOps {
           graft.operators.TextOps.upsertBandDocs(s, s"${base}_band", b)
         } finally { b.unpersist(); () }
       },
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1),
+      // an upsert cadence accrues the SAME debt as ingest+delete (a
+      // barrier entry and one `_del` file per batch) — the long-running
+      // CDC stream self-maintains exactly like the ingest loops
+      afterBatch = s => maintain.foreach { p =>
+        graft.operators.TextOps.maintainBm25(s, s"${base}_bm25", p)
+        graft.operators.TextOps.maintainBand(s, s"${base}_band", p)
+        ()
+      })
     Seq(s"${base}_band", s"${base}_band_del", s"${base}_bm25",
       s"${base}_bm25_del", s"${base}_bm25_stats")
       .foreach(t => if (spark.catalog.tableExists(t))
@@ -797,7 +807,9 @@ object StreamingOps {
       base: String,
       nBands: Int = graft.operators.AnnIndex.NBands,
       bits: Int = graft.operators.AnnIndex.Bits,
-      dim: Int = graft.operators.AnnIndex.Dim): Unit = {
+      dim: Int = graft.operators.AnnIndex.Dim,
+      maintain: Option[graft.operators.TextOps.MaintenancePolicy] =
+        None): Unit = {
     resetDeleteLedgerIfCheckpointLost(spark, s"${base}_vups")
     ledgeredIngest(spark, path, s"${base}_vups", refresh = Seq(),
       (batch, _) => {
@@ -811,7 +823,19 @@ object StreamingOps {
           graft.operators.IvfIndex.upsert(b, s"${base}_ivf")
         } finally { b.unpersist(); () }
       },
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1),
+      // metadata-cheap self-maintenance per batch, the ingest-loop
+      // hook's vector side (drift gauges stay in operator passes)
+      afterBatch = s => maintain.foreach { p =>
+        graft.operators.AnnIndex.maintain(s, s"${base}_ann", p)
+        graft.operators.BqIndex.maintain(s, s"${base}_bq", p)
+        graft.operators.SqIndex.maintain(s, s"${base}_sq", p)
+        graft.operators.TextOps.maintainIndex(s, Seq(s"${base}_pq"),
+          s"${base}_pq_del", "vec_id", p)
+        graft.operators.TextOps.maintainIndex(s, Seq(s"${base}_ivf"),
+          s"${base}_ivf_del", "vec_id", p)
+        ()
+      })
     Seq("_ann", "_ann_vec", "_ann_del", "_bq", "_bq_del", "_sq",
       "_sq_del", "_pq", "_pq_del", "_ivf", "_ivf_del")
       .map(base + _)

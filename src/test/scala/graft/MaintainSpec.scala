@@ -183,4 +183,98 @@ class MaintainSpec extends AnyFunSuite with SparkSuite {
       fs.delete(ck, true)
     }
   }
+
+  test("upsert-twin hook: the CDC upsert stream self-maintains too") {
+    val base = s"mnt_uhook_p$pid"
+    val bm25T = s"${base}_bm25"
+    val all = Seq(bm25T, s"${bm25T}_stats", s"${bm25T}_del",
+      s"${bm25T}_del_compact", s"${bm25T}_del_old", s"${base}_band",
+      s"${base}_band_del", s"${base}_ups_ledger")
+    drop(all: _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mnt_uhook").toString
+    try {
+      val sp = spark
+      import sp.implicits._
+      // seed the family, then pre-accumulate delete-file pressure the
+      // arriving upsert batch's hook must collapse
+      TextOps.appendBm25Postings(
+        Seq((1L, "spark join window"), (2L, "hash scan merge"))
+          .toDF("doc_id", "text"), bm25T, s"${bm25T}_stats")
+      TextOps.writeBandIndex(
+        Seq((1L, "spark join window", "en", "s0", 17L),
+          (2L, "hash scan merge", "en", "s0", 15L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        s"${base}_band")
+      (5000L until 5005L).foreach { id =>
+        TextOps.tombstone(spark, s"${bm25T}_del",
+          Seq(id).toDF("doc_id"), "doc_id")
+      }
+      assert(filesIn(s"${bm25T}_del") >= 5L)
+      Seq((1L, "spark window rewrite", "en", "s0", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      streaming.StreamingOps.streamingDocumentUpserts(spark, dir, base,
+        maintain = Some(TextOps.MaintenancePolicy(delFilesMax = 2L)))
+      assert(filesIn(s"${bm25T}_del") <= 1L)
+    } finally {
+      drop(all: _*)
+      val ck = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        base.toLowerCase + "_ups_ck")
+      val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(ck, true)
+    }
+  }
+
+  test("describe: the snapshot mirrors the gauges, due() predicts the " +
+      "pass, and the family reads healthy after it") {
+    val t = s"mnt_desc_p$pid"
+    val all = Seq(t, s"${t}_cfg", s"${t}_del", s"${t}_del_compact",
+      s"${t}_del_old", s"${t}_compact", s"${t}_old")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      BqIndex.write(emb, t)
+      // healthy family: no debt anywhere, nothing due
+      val h = BqIndex.describe(spark, t)
+      assert(h.healthy() && h.due() === Nil)
+      assert(h.cfg.get("dim").contains(64))
+      assert(h.delRows === 0L && h.terminalDeletes === 0L &&
+        h.topBarrier === 0L && h.drift.isEmpty)
+      assert(h.members.map(_._1) === Seq(t))
+
+      // a terminal delete and an upsert show up split by kind
+      BqIndex.delete(spark, t, Seq(3L, 4L).toDF("vec_id"))
+      BqIndex.upsert(emb.filter(col("vec_id") === 7L), t)
+      val d = BqIndex.describe(spark, t)
+      assert(d.terminalDeletes === 2L)
+      assert(d.delRows === 3L)
+      assert(d.topBarrier === 1L)
+
+      // trip the member file pressure: due() lists exactly the pass
+      // maintain then runs, and afterwards the family reads healthy
+      (0 to 5).foreach { m =>
+        BqIndex.append(emb.filter(pmod(col("vec_id"), lit(6)) === m), t)
+      }
+      val p = TextOps.MaintenancePolicy(delFilesMax = 64L)
+      val s2 = BqIndex.describe(spark, t)
+      assert(s2.due(p) === Seq(s"compact:$t"))
+      assert(BqIndex.maintain(spark, t, p) === s2.due(p))
+      assert(BqIndex.describe(spark, t).healthy(p))
+
+      // the BM25 describe carries the stats row's numeric fields
+      val bt = s"mnt_desc_bm25_p$pid"
+      drop(bt, s"${bt}_stats", s"${bt}_del")
+      try {
+        TextOps.appendBm25Postings(
+          Seq((1L, "spark window join"), (2L, "hash scan"))
+            .toDF("doc_id", "text"), bt, s"${bt}_stats")
+        val b = TextOps.describeBm25(spark, bt)
+        assert(b.stats.get("n_docs").contains(2L))
+        assert(b.stats.get("sum_dl").contains(5L))
+      } finally drop(bt, s"${bt}_stats", s"${bt}_del")
+    } finally drop(all: _*)
+  }
 }
