@@ -214,7 +214,10 @@ object TextOps {
     * NOT take the lock: a probe planned or executing concurrently
     * with a maintenance swap can transiently fail (TABLE_OR_VIEW_
     * NOT_FOUND in the rename-out window, or deleted files from the
-    * dropped `_old` location) and should be retried — the swap never
+    * dropped `_old` location) and should be retried — wrap serving
+    * paths in [[retryingProbe]], which classifies exactly those two
+    * failures, refreshes the family's relations, and re-plans; the
+    * swap never
     * corrupts data, only invalidates in-flight reads (ADVICE r13
     * corrected the earlier claim that probes serialize too); the swap
     * itself is the two-rename
@@ -423,7 +426,14 @@ object TextOps {
     * vacuum, the family is therefore byte-identical to a from-scratch
     * build over the survivors — including the gen column. Members
     * that don't exist are skipped; a member without the id column is
-    * a caller error (loud analysis failure).
+    * a caller error (loud analysis failure). HONESTY NOTE on terminal
+    * history: folding drops the terminal entries along with the dead
+    * rows — a from-scratch build over survivors knows nothing of past
+    * deletions, and neither does the vacuumed family. "Terminal" is
+    * therefore terminal against every op UP TO the next vacuum; a
+    * caller that must exclude an id forever (legal holds, poisoned
+    * content) owns that registry outside the index and filters its
+    * ingest/upsert batches against it.
     */
   def vacuumIndex(s: org.apache.spark.sql.SparkSession,
       delTable: String, members: Seq[String],
@@ -1497,6 +1507,56 @@ object TextOps {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, false); ()
     } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** True iff `e` (or anything in its cause chain) is one of the TWO
+    * failures a maintenance swap can inject into a concurrent probe:
+    * the table name unbound in the rename-out window, or the probe's
+    * snapshotted file listing pointing into the dropped `_old`
+    * location. Anything else — analysis errors, OOM, a genuinely
+    * missing index — is NOT transient and must propagate. */
+  private def maintenanceTransient(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists {
+        case _: java.io.FileNotFoundException => true
+        case t => Option(t.getMessage).exists(m =>
+          m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+            m.contains("FileNotFoundException"))
+      }
+
+  /** Run a probe with bounded retries across maintenance-swap windows
+    * — the serving-side companion of [[compactIndex]]'s contract
+    * ("concurrent direct probes during maintenance can transiently
+    * fail and should retry"). `body` must BUILD AND EXECUTE the probe
+    * (build-only would re-throw at the caller's action, outside the
+    * retry); on a [[maintenanceTransient]] failure the family's
+    * `tables` are refreshed (dropping the stale file-listing cache
+    * the failed plan snapshotted) and the thunk re-runs after a
+    * linear backoff. Non-transient failures and the final attempt's
+    * failure propagate unchanged. The swap keeps a complete
+    * catalog-registered copy at every instant, so one re-plan after
+    * the swap commits always succeeds — `attempts` only needs to
+    * cover back-to-back maintenance ops.
+    */
+  def retryingProbe[T](s: org.apache.spark.sql.SparkSession,
+      tables: Seq[String], attempts: Int = 4,
+      backoffMs: Long = 100L)(body: => T): T = {
+    require(attempts >= 1, "attempts must be >= 1")
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e)
+            if i < attempts - 1 && maintenanceTransient(e) =>
+          i += 1
+          Thread.sleep(backoffMs * i)
+          tables.foreach { t =>
+            try if (s.catalog.tableExists(t)) s.catalog.refreshTable(t)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** One-shot-per-JVM sweep of DEAD processes' leftover index

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{BqIndex, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** retryingProbe (r14): the serving-side half of the maintenance
+  * contract — compaction/vacuum swaps serialize WRITERS under the
+  * build lock, but a concurrent direct probe can transiently fail in
+  * the rename-out window or read the dropped `_old` location's files.
+  * The helper classifies exactly those two failures, refreshes the
+  * family's relations, and re-plans; everything else propagates
+  * unchanged on the first throw.
+  */
+class ProbeRetrySpec extends AnyFunSuite with SparkSuite {
+
+  private val pid = ProcessHandle.current().pid()
+  private def emb = Tables(spark, sf, "embeddings")
+
+  test("a transient table-unbound window is retried to success") {
+    val t = s"pr_tbl_p$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      BqIndex.write(emb, t)
+      var calls = 0
+      val n = TextOps.retryingProbe(spark, Seq(t), backoffMs = 1L) {
+        calls += 1
+        // first attempt hits the rename-out window (simulated: the
+        // name is unbound); the retry sees the committed swap
+        if (calls == 1) spark.table(s"${t}_renamed_out_p$pid").count()
+        else spark.table(t).count()
+      }
+      assert(calls === 2)
+      assert(n > 0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a stale file listing (FileNotFound mid-scan) is retried after " +
+      "a refresh") {
+    val t = s"pr_file_p$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      BqIndex.write(emb, t)
+      var calls = 0
+      val n = TextOps.retryingProbe(spark, Seq(t), backoffMs = 1L) {
+        calls += 1
+        if (calls == 1) throw new org.apache.spark.SparkException(
+          "Job aborted",
+          new java.io.FileNotFoundException(
+            "part-00000 of the dropped _old location does not exist"))
+        else spark.table(t).count()
+      }
+      assert(calls === 2)
+      assert(n > 0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("non-transient failures propagate on the FIRST attempt") {
+    var calls = 0
+    val e = intercept[IllegalArgumentException] {
+      TextOps.retryingProbe(spark, Seq(), backoffMs = 1L) {
+        calls += 1
+        throw new IllegalArgumentException("wrong query width")
+      }
+    }
+    assert(calls === 1)
+    assert(e.getMessage.contains("wrong query width"))
+  }
+
+  test("a persistent transient failure propagates after the budget") {
+    var calls = 0
+    intercept[java.io.FileNotFoundException] {
+      TextOps.retryingProbe(spark, Seq(), attempts = 3,
+        backoffMs = 1L) {
+        calls += 1
+        throw new java.io.FileNotFoundException("never heals")
+      }
+    }
+    assert(calls === 3)
+  }
+
+  test("probes under retryingProbe survive live repeated compaction") {
+    val t = s"pr_race_p$pid"
+    val all = Seq(t, s"${t}_cfg", s"${t}_del", s"${t}_compact",
+      s"${t}_old")
+    all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      BqIndex.write(emb, t)
+      // fragment the table so each compaction genuinely rewrites
+      (0 to 2).foreach { m =>
+        BqIndex.append(emb.filter(pmod(col("vec_id"), lit(3)) === m), t)
+      }
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val maintFail =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val maint = new Thread(() => {
+        try {
+          var i = 0
+          while (i < 4 && !stop.get()) {
+            TextOps.compactIndex(spark, t)
+            i += 1
+          }
+        } catch { case e: Throwable => maintFail.set(e) }
+        finally stop.set(true)
+      })
+      maint.start()
+      var probes = 0
+      try {
+        while (!stop.get() && probes < 200) {
+          val n = TextOps.retryingProbe(spark, Seq(t),
+            attempts = 8, backoffMs = 20L) {
+            spark.table(t).count()
+          }
+          assert(n > 0)
+          probes += 1
+        }
+      } finally { stop.set(true); maint.join(60000) }
+      assert(maintFail.get() === null,
+        s"maintenance thread failed: ${maintFail.get()}")
+      assert(probes > 0)
+    } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+}
