@@ -411,12 +411,18 @@ object StreamingOps {
     * instead of incremental emission (the right trade for top-k
     * serving, where each query's answer is complete within its own
     * batch). Ephemeral checkpoint: probe streams are stateless and
-    * re-proberable, so nothing needs replay protection.
+    * re-proberable, so nothing needs replay protection. Each batch's
+    * probe runs under [[graft.operators.TextOps.retryingProbe]] over
+    * `retryTables` (r14): a micro-batch racing a maintenance swap of
+    * its family — exactly the composition the self-maintaining
+    * ingest hooks introduce — re-plans instead of killing the serving
+    * stream.
     */
   private def microBatchProbe(spark: SparkSession, queriesDir: String,
       outTable: String,
       probe: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame): DataFrame = {
+        org.apache.spark.sql.DataFrame,
+      retryTables: Seq[String] = Nil): DataFrame = {
     graft.operators.TextOps.clearOrphanLocation(spark, outTable)
     spark.sql(s"DROP TABLE IF EXISTS $outTable")
     val schema = spark.read.parquet(queriesDir).schema
@@ -426,7 +432,10 @@ object StreamingOps {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
-        probe(batch.toDF()).write.mode("append").saveAsTable(outTable)
+        graft.operators.TextOps.retryingProbe(batch.sparkSession,
+          retryTables) {
+          probe(batch.toDF()).write.mode("append").saveAsTable(outTable)
+        }
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
@@ -452,7 +461,8 @@ object StreamingOps {
     val ann = graft.operators.AnnIndex.annIndex(spark, sfDir)
     microBatchProbe(spark, queriesDir, outTable,
       b => graft.operators.BqIndex.scoreExternal(b, b.sparkSession,
-        sig, ann + "_vec", k))
+        sig, ann + "_vec", k),
+      retryTables = Seq(sig, ann + "_vec"))
   }
 
   /** Streaming PQ probe: per micro-batch ADC top-k against the
@@ -473,7 +483,7 @@ object StreamingOps {
       val q = graft.operators.Ann.prepExternal(b, dim)
         .select(col("q_id").as("vec_id"), col("qv").as("v"))
       graft.operators.PqIndex.topK(s, table, q, k)
-    })
+    }, retryTables = Seq(table, table + "_cb"))
   }
 
   /** Streaming SQ8 probe: per micro-batch exact-query scan of the
@@ -484,7 +494,8 @@ object StreamingOps {
     val table = graft.operators.SqIndex.sqIndex(spark, sfDir)
     microBatchProbe(spark, queriesDir, outTable,
       b => graft.operators.SqIndex.scoreExternal(b, b.sparkSession,
-        table, k))
+        table, k),
+      retryTables = Seq(table))
   }
 
   /** Streaming ANN INDEX INGEST — the online half of the vector

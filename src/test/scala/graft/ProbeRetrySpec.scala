@@ -79,6 +79,40 @@ class ProbeRetrySpec extends AnyFunSuite with SparkSuite {
     assert(calls === 3)
   }
 
+  test("a micro-batch serving stream survives live compaction of its " +
+      "family (the self-maintaining-ingest composition)") {
+    // a PRIVATE sfDir → a private memoized SQ family, so compacting
+    // it cannot perturb the shared memo tables parallel suites probe
+    val sfDir = java.nio.file.Files
+      .createTempDirectory("graft_pr_sf").toString
+    val qdir = java.nio.file.Files
+      .createTempDirectory("graft_pr_q").toString
+    val out = s"pr_stream_out_p$pid"
+    emb.limit(40).write.parquet(s"$sfDir/embeddings.parquet")
+    emb.limit(5)
+      .select((col("vec_id") + 1000L).as("q_id"), col("embedding"))
+      .write.parquet(s"$qdir/queries.parquet")
+    val table = graft.operators.SqIndex.sqIndex(spark, sfDir)
+    val maintFail =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    try {
+      val maint = new Thread(() => {
+        try (0 until 3).foreach(_ => TextOps.compactIndex(spark, table))
+        catch { case e: Throwable => maintFail.set(e) }
+      })
+      maint.start()
+      try {
+        val res = streaming.StreamingOps.streamingSq(spark, sfDir,
+          s"$qdir/queries.parquet", k = 3, outTable = out)
+        assert(res.count() > 0)
+      } finally maint.join(60000)
+      assert(maintFail.get() === null,
+        s"maintenance thread failed: ${maintFail.get()}")
+    } finally Seq(out, table, s"${table}_ok", s"${table}_cfg",
+      s"${table}_compact", s"${table}_old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("probes under retryingProbe survive live repeated compaction") {
     val t = s"pr_race_p$pid"
     val all = Seq(t, s"${t}_cfg", s"${t}_del", s"${t}_compact",
