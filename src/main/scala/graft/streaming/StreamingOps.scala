@@ -339,7 +339,17 @@ object StreamingOps {
     * Term weight and score are TextOps.bm25Score — ONE definition with
     * batch, so stream and batch scoring cannot drift (exact parity
     * gated in RetrievalSpec).
-    */
+    *
+    * MAINTENANCE CAVEAT (r14, shared by every append-mode serving
+    * twin — [[streamingAnn]], [[streamingIvf]]): the stored index is
+    * the STATIC side of a stream-static join, resolved once when the
+    * streaming plan binds — a maintenance swap (compact/vacuum/
+    * refresh) mid-stream invalidates that snapshot and a per-batch
+    * retry cannot re-bind it; restart the serving stream after
+    * family maintenance. The MICRO-BATCH twins ([[streamingBq]]/
+    * [[streamingPq]]/[[streamingSq]]) re-plan every batch under
+    * retryingProbe and ride through maintenance without a restart —
+    * prefer them when the family self-maintains mid-stream. */
   def streamingBm25(spark: SparkSession, sfDir: String, queriesDir: String,
       queryName: String = "stream_bm25"): DataFrame = {
     val postings = graft.operators.TextOps.bm25Index(spark, sfDir)
