@@ -744,6 +744,41 @@ object AnnIndex {
     TO.describeIndex(s, Seq(table, table + "_vec"), table + "_del",
       cfgOf = Some(table))
 
+  /** STRUCTURAL AUDIT (fsck, r14 — the
+    * [[graft.operators.TextOps.fsckBm25]] sibling): recompute the
+    * family's invariants against production state and report
+    * violations (empty = healthy). O(index) by design; read-only;
+    * run quiesced (a racing swap can produce transient findings).
+    *   - every live vector carries exactly nbands band rows (a
+    *     partial append would silently shrink its candidate recall);
+    *   - every live payload vector has exactly the `_cfg` dim;
+    *   - one live generation per id in BOTH members.
+    */
+  def fsck(s: SparkSession, table: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    if (!s.catalog.tableExists(table)) return out.toList
+    TO.readIndexConfig(s, table) match {
+      case None => out += s"config pin ${table}_cfg missing"
+      case Some(cfg) =>
+        val bands = TO.exceptTombstones(s.table(table), s,
+          table + "_del", "vec_id")
+        out ++= bands.groupBy("vec_id").count()
+          .filter(col("count") =!= cfg("nbands")).limit(5).collect()
+          .map(r => s"vec_id ${r.getLong(0)} has ${r.getLong(1)} " +
+            s"band rows (expected ${cfg("nbands")})")
+        out ++= TO.multiGenViolations(bands, "vec_id")
+        if (s.catalog.tableExists(table + "_vec")) {
+          val vecs = TO.exceptTombstones(s.table(table + "_vec"), s,
+            table + "_del", "vec_id")
+          val bad = vecs.filter(size(col("v")) =!= cfg("dim")).count()
+          if (bad > 0)
+            out += s"$bad payload vectors are not dim ${cfg("dim")}"
+          out ++= TO.multiGenViolations(vecs, "vec_id")
+        } else out += s"payload member ${table}_vec missing"
+    }
+    out.toList
+  }
+
   /** METADATA-FILTERED banded ANN top-k — production "filtered vector
     * search": candidates must agree with the query on every column of
     * `matchCols` (stored in the payload table at build time), compared
@@ -973,6 +1008,31 @@ object IvfIndex {
         else None)
       .copy(cfg = Map("k" -> cents.size,
         "dim" -> cents.headOption.map(_._2.length).getOrElse(0)))
+  }
+
+  /** STRUCTURAL AUDIT (fsck, r14): every live assignment routes to a
+    * cell the stored quantizer actually has, carries a vector of the
+    * quantizer's width, and one live generation per id. */
+  def fsck(s: SparkSession, table: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    if (!s.catalog.tableExists(table)) return out.toList
+    if (!s.catalog.tableExists(table + "_cent")) {
+      out += s"quantizer ${table}_cent missing"
+      return out.toList
+    }
+    val cents = loadCentroids(s, table)
+    val cells = cents.map(_._1).toSet
+    val dim = cents.head._2.length
+    val live = TO.exceptTombstones(s.table(table), s, table + "_del",
+      "vec_id")
+    out ++= live.filter(!col("cell").isin(cells.toSeq: _*))
+      .select("vec_id", "cell").limit(5).collect()
+      .map(r => s"vec_id ${r.getLong(0)} routed to unknown cell " +
+        s"${r.get(1)}")
+    val bad = live.filter(size(col("v")) =!= dim).count()
+    if (bad > 0) out += s"$bad assigned vectors are not dim $dim"
+    out ++= TO.multiGenViolations(live, "vec_id")
+    out.toList
   }
 
   /** The IVF drift gauge (the [[PqIndex.quantizationError]] sibling):
@@ -1476,6 +1536,25 @@ object PqIndex {
       .copy(cfg = Map("m" -> m, "subDim" -> subDim, "ks" -> ks))
   }
 
+  /** STRUCTURAL AUDIT (fsck, r14): every live code row has exactly m
+    * subspace codes (a short row would silently drop ADC terms), and
+    * one live generation per id. */
+  def fsck(s: SparkSession, table: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    if (!s.catalog.tableExists(table)) return out.toList
+    if (!s.catalog.tableExists(table + "_cb")) {
+      out += s"codebook ${table}_cb missing"
+      return out.toList
+    }
+    val (m, _) = cbGrid(s.table(table + "_cb"))
+    val live = TO.exceptTombstones(s.table(table), s, table + "_del",
+      "vec_id")
+    val bad = live.filter(size(col("codes")) =!= m).count()
+    if (bad > 0) out += s"$bad code rows do not have m=$m codes"
+    out ++= TO.multiGenViolations(live, "vec_id")
+    out.toList
+  }
+
   def topK(s: SparkSession, table: String, queries: DataFrame,
       k: Int): DataFrame = adcTopK(s, table, queries, k, cand = None)
 
@@ -1880,6 +1959,25 @@ object BqIndex {
     TO.describeIndex(s, Seq(table), table + "_del",
       cfgOf = Some(table))
 
+  /** STRUCTURAL AUDIT (fsck, r14): every live signature packs exactly
+    * ⌈dim/64⌉ words for the `_cfg` dim, one live generation per id. */
+  def fsck(s: SparkSession, table: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    if (!s.catalog.tableExists(table)) return out.toList
+    TO.readIndexConfig(s, table) match {
+      case None => out += s"config pin ${table}_cfg missing"
+      case Some(cfg) =>
+        val words = (cfg("dim") + 63) / 64
+        val live = TO.exceptTombstones(s.table(table), s,
+          table + "_del", "vec_id")
+        val bad = live.filter(size(col("sig")) =!= words).count()
+        if (bad > 0)
+          out += s"$bad signatures do not pack $words words"
+        out ++= TO.multiGenViolations(live, "vec_id")
+    }
+    out.toList
+  }
+
   /** Hamming-prefiltered exact-reranked top-k. Phase 1 scans the
     * dim/8-byte signatures against the broadcast query signatures —
     * the per-candidate work is one xor+popcount per 64 coordinates
@@ -2122,6 +2220,27 @@ object SqIndex {
   def describe(s: SparkSession, table: String): TO.IndexStatus =
     TO.describeIndex(s, Seq(table), table + "_del",
       cfgOf = Some(table))
+
+  /** STRUCTURAL AUDIT (fsck, r14): every live code row carries
+    * exactly the `_cfg` dim codes and a positive scale, one live
+    * generation per id. */
+  def fsck(s: SparkSession, table: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    if (!s.catalog.tableExists(table)) return out.toList
+    TO.readIndexConfig(s, table) match {
+      case None => out += s"config pin ${table}_cfg missing"
+      case Some(cfg) =>
+        val live = TO.exceptTombstones(s.table(table), s,
+          table + "_del", "vec_id")
+        val bad = live.filter(size(col("codes")) =!= cfg("dim")).count()
+        if (bad > 0)
+          out += s"$bad code rows are not dim ${cfg("dim")}"
+        val badSc = live.filter(col("sc") < 0d).count()
+        if (badSc > 0) out += s"$badSc rows carry a negative scale"
+        out ++= TO.multiGenViolations(live, "vec_id")
+    }
+    out.toList
+  }
 
   /** Brute top-k over DEQUANTIZED vectors served entirely from the
     * stored codes table — queries come off the same table by vec_id

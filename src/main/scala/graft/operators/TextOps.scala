@@ -608,6 +608,58 @@ object TextOps {
     describeIndex(s, Seq(table), table + "_del",
       statsTable = Some(table + "_stats"))
 
+  /** STRUCTURAL AUDIT (fsck) for an incremental BM25 family — the
+    * tool an operator reaches for after a crash or a suspect migration:
+    * recompute every invariant the engine maintains incrementally and
+    * report violations (empty = healthy). Unlike the specs this runs
+    * against PRODUCTION state, and unlike [[describeIndex]] it is
+    * O(index) by design (a full recompute IS the audit):
+    *   - the 1-row stats (n_docs, sum_dl) must equal a recompute over
+    *     the tombstone-filtered postings — the exactly-once delete WAL
+    *     and the reset reconcile both promise this;
+    *   - every live doc must carry exactly ONE generation — two live
+    *     generations of one id means a barrier failed to supersede;
+    *   - a lingering `_del_stage` is reported (a crashed delete that
+    *     heals at the next entry — informational, not corruption).
+    * Read-only; racing a maintenance swap can produce transient
+    * findings — run it quiesced, or under [[retryingProbe]].
+    */
+  def fsckBm25(s: org.apache.spark.sql.SparkSession,
+      table: String, statsTable: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    if (!s.catalog.tableExists(table)) return out.toList
+    val live = exceptTombstones(s.table(table), s, table + "_del",
+      "doc_id")
+    if (s.catalog.tableExists(statsTable)) {
+      val r = live.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
+      val cur = s.table(statsTable).collect()(0)
+      if (cur.getLong(0) != r.getLong(0) ||
+          cur.getLong(1) != r.getLong(1))
+        out += s"stats drift: stored (n_docs=${cur.getLong(0)}, " +
+          s"sum_dl=${cur.getLong(1)}) != recomputed " +
+          s"(${r.getLong(0)}, ${r.getLong(1)})"
+    } else out += s"stats table $statsTable missing"
+    out ++= multiGenViolations(live, "doc_id")
+    if (s.catalog.tableExists(table + "_del_stage"))
+      out += "pending delete stage (crashed delete; heals at the " +
+        "next maintenance entry)"
+    out.toList
+  }
+
+  /** One live generation per id — the supersession invariant every
+    * gen-barrier family shares ([[fsckBm25]] and the vector fscks). */
+  private[graft] def multiGenViolations(
+      live: org.apache.spark.sql.DataFrame,
+      idCol: String): Seq[String] =
+    if (!live.columns.contains("gen")) Nil
+    else live.groupBy(idCol)
+      .agg(countDistinct(col("gen")).as("gens"))
+      .filter(col("gens") > 1).limit(5).collect()
+      .map(r => s"$idCol ${r.get(0)} has ${r.getLong(1)} live " +
+        "generations (a barrier failed to supersede)")
+      .toSeq
+
   /** [[describeIndex]] for a band index family. */
   def describeBand(s: org.apache.spark.sql.SparkSession,
       table: String): IndexStatus =
