@@ -647,6 +647,17 @@ object TextOps {
     out.toList
   }
 
+  /** [[fsckBm25]] for a band index family: the supersession invariant
+    * (band families store no corpus stats and no config pin — the
+    * slot-prefixed band keys are self-describing, so generation
+    * integrity is the one invariant to recompute). */
+  def fsckBand(s: org.apache.spark.sql.SparkSession,
+      table: String): Seq[String] =
+    if (!s.catalog.tableExists(table)) Nil
+    else multiGenViolations(
+      exceptTombstones(s.table(table), s, table + "_del", "old_id"),
+      "old_id")
+
   /** One live generation per id — the supersession invariant every
     * gen-barrier family shares ([[fsckBm25]] and the vector fscks). */
   private[graft] def multiGenViolations(

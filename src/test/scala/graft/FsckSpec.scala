@@ -53,6 +53,14 @@ class FsckSpec extends AnyFunSuite with SparkSuite {
       assert(PqIndex.fsck(spark, p) === Nil)
       IvfIndex.write(emb, iv, k = 4)
       assert(IvfIndex.fsck(spark, iv) === Nil)
+      val bd = s"fs_band_p$pid"
+      drop(bd, s"${bd}_del")
+      try {
+        TextOps.writeBandIndex(docs, bd)
+        TextOps.upsertBandDocs(spark, bd,
+          Seq((2L, "entirely rewritten text")).toDF("doc_id", "text"))
+        assert(TextOps.fsckBand(spark, bd) === Nil)
+      } finally drop(bd, s"${bd}_del")
       // a family that does not exist is silently healthy (nothing to
       // audit), not an error
       assert(TextOps.fsckBm25(spark, s"fs_none_p$pid",
