@@ -273,6 +273,65 @@ class UpsertSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("refresh after upserts: re-materialized rows ride at the top " +
+      "barrier (IVF + PQ), and terminal deletes survive the retrain") {
+    // the hazard this gates: refresh rewrites the whole member from
+    // the caller's corpus frame — if those rows were stamped gen 0
+    // (the naive choice) the surviving upsert BARRIERS in `_del`
+    // would kill every refreshed row of an upserted id, silently
+    // emptying it from probes. The engine stamps them at the top
+    // finite generation instead; this is the spec for that rule.
+    val dim = 64
+    val t = s"ups_rfr_ivf_p$pid"
+    val pt = s"ups_rfr_pq_p$pid"
+    val all = Seq(t, s"${t}_cent", s"${t}_del", s"${t}_swap",
+      s"${t}_compact", s"${t}_old", s"${t}_cent_compact",
+      s"${t}_cent_old", s"${t}2", s"${t}2_cent",
+      pt, s"${pt}_cb", s"${pt}_del", s"${pt}_swap", s"${pt}_compact",
+      s"${pt}_old", s"${pt}_cb_compact", s"${pt}_cb_old",
+      s"${pt}2", s"${pt}2_cb")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val v1 = vecsV1(dim)
+      val batch = vecsChanged(dim)
+      val fin = vecsFinal(dim)
+      val isQ: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = c => c < 3 || c === 21L
+
+      IvfIndex.write(v1, t, k = 4, dim = dim)
+      IvfIndex.upsert(batch, t)
+      IvfIndex.refresh(fin, t)
+      IvfIndex.write(fin, s"${t}2", k = 4, dim = dim)
+      def ivfProbe(x: String) = IvfIndex.topK(spark, x, isQ, k = 4)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+      val got = ivfProbe(t)
+      assert(got === ivfProbe(s"${t}2"), "ivf post-refresh")
+      // the upserted id still answers (gen-0 stamping would kill it)
+      assert(got.keys.exists(_._1 == 21L), got.keys.toString)
+      // a terminal delete lands on the refreshed rows too
+      IvfIndex.delete(spark, t, Seq(21L).toDF("vec_id"))
+      assert(!ivfProbe(t).keys.exists(_._1 == 21L))
+
+      PqIndex.write(v1, pt, m = 4, subDim = dim / 4, ks = 8)
+      PqIndex.upsert(batch, pt)
+      PqIndex.refresh(fin, pt)
+      PqIndex.write(fin, s"${pt}2", m = 4, subDim = dim / 4, ks = 8)
+      val qv = fin.filter(col("vec_id") < 3 || col("vec_id") === 21L)
+        .select(col("vec_id"),
+          expr(s"coalesce(CAST(embedding AS ARRAY<DOUBLE>), " +
+            s"array_repeat(CAST(0 AS DOUBLE), $dim))").as("v"))
+      def pqProbe(x: String) = PqIndex.topK(spark, x, qv, k = 4)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val gotPq = pqProbe(pt)
+      assert(gotPq === pqProbe(s"${pt}2"), "pq post-refresh")
+      assert(gotPq.keys.exists(_._1 == 21L))
+    } finally drop(all: _*)
+  }
+
   test("streaming CDC upserts: document + vector twins equal batch") {
     val base = s"ups_cdc_p$pid"
     val vbase = s"ups_vcdc_p$pid"
