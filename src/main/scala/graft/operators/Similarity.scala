@@ -547,11 +547,18 @@ object AnnIndex {
     */
   def write(emb: DataFrame, table: String, nBands: Int = NBands,
       bits: Int = Bits, dim: Int = CosSim.EmbDim, nBuckets: Int = 8,
-      payloadCols: Seq[String] = Nil): Unit = {
+      payloadCols: Seq[String] = Nil): Unit =
+      TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.clearOrphanLocation(s, table)
     TO.clearOrphanLocation(s, table + "_vec")
+    // rebuild-over-upserted-family: rebuilt rows ride at the top
+    // surviving finite barrier, not gen 0 — otherwise every
+    // previously-upserted id's rebuilt rows would sit below its
+    // surviving barrier and exceptTombstones would silently drop them
+    // (TextOps.rebuildGen — ADVICE r14; terminal deletes still kill)
+    val gTop = TO.rebuildGen(s, table + "_del")
     // a full rebuild may change the banding config — RETIRE the pin
     // before touching data, and re-pin only after BOTH data tables
     // land (ADVICE r13): pinning first left a direct-call crash window
@@ -568,11 +575,11 @@ object AnnIndex {
     // form beats re-reading + re-folding norms for the band pass
     val e = prepPayload(emb, dim, payloadCols).persist()
     try {
-      bandRows(e, nBands, bits, dim).withColumn("gen", lit(0L))
+      bandRows(e, nBands, bits, dim).withColumn("gen", lit(gTop))
         .write.mode("overwrite")
         .bucketBy(nBuckets, "band_key").sortBy("band_key")
         .saveAsTable(table)
-      e.withColumn("gen", lit(0L)).write.mode("overwrite")
+      e.withColumn("gen", lit(gTop)).write.mode("overwrite")
         .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
         .saveAsTable(table + "_vec")
     } finally { e.unpersist(); () }
@@ -895,17 +902,20 @@ object IvfIndex {
 
   def write(emb: DataFrame, table: String, k: Int = K,
       dim: Int = CosSim.EmbDim, iters: Int = Iters,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8): Unit = TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.clearOrphanLocation(s, table)
     TO.clearOrphanLocation(s, table + "_cent")
+    // rebuilt rows ride at the top surviving finite barrier, not
+    // gen 0 (TextOps.rebuildGen — ADVICE r14)
+    val gTop = TO.rebuildGen(s, table + "_del")
     // persisted: the seed collect, each Lloyd pass, and the final
     // assignment all rescan the normalized corpus
     val e = Ann.prepStrict(emb, dim).persist()
     try {
       val cents = Ivf.kmeansCentroids(e, k, dim, iters)
-      Ivf.assignCells(e, cents).withColumn("gen", lit(0L))
+      Ivf.assignCells(e, cents).withColumn("gen", lit(gTop))
         .write.mode("overwrite")
         .bucketBy(nBuckets, "cell").sortBy("cell")
         .saveAsTable(table)
@@ -1434,12 +1444,15 @@ object PqIndex {
     * codebook equals encoding under the in-flight one), and it keeps
     * ONE encode definition for build, append, and streaming ingest. */
   def write(emb: DataFrame, table: String, nBuckets: Int = 8,
-      m: Int = M, subDim: Int = SubDim, ks: Int = Ks): Unit = {
+      m: Int = M, subDim: Int = SubDim, ks: Int = Ks): Unit =
+      TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     TO.clearOrphanLocation(s, table)
     s.sql(s"DROP TABLE IF EXISTS $table")
     trainCodebook(emb, table, m, subDim, ks)
-    append(emb, table, nBuckets)
+    // rebuilt rows ride at the top surviving finite barrier, not
+    // gen 0 (TextOps.rebuildGen — ADVICE r14)
+    append(emb, table, nBuckets, gen = TO.rebuildGen(s, table + "_del"))
   }
 
   /** Encode vectors under a GIVEN codebook frame (sub, cid, c) — the
@@ -1894,12 +1907,15 @@ object BqIndex {
     * signatures. A rebuild may change dim, so the config row resets
     * with the table. */
   def write(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8): Unit = TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
     s.sql(s"DROP TABLE IF EXISTS ${table}_cfg")
     TO.clearOrphanLocation(s, table)
-    append(emb, table, dim, nBuckets)
+    // rebuilt rows ride at the top surviving finite barrier, not
+    // gen 0 (TextOps.rebuildGen — ADVICE r14)
+    append(emb, table, dim, nBuckets,
+      gen = TO.rebuildGen(s, table + "_del"))
   }
 
   /** APPEND-ONLY maintenance: signatures are doc-local (no corpus
@@ -2151,13 +2167,16 @@ object SqIndex {
   private val vqExpr = "transform(codes, c -> CAST(c AS DOUBLE) * sc)"
 
   def write(emb: DataFrame, table: String, dim: Int = CosSim.EmbDim,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8): Unit = TO.withBuildLock(emb.sparkSession) {
     val s = emb.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
     // a rebuild may change dim — the config row resets with the table
     s.sql(s"DROP TABLE IF EXISTS ${table}_cfg")
     TO.clearOrphanLocation(s, table)
-    append(emb, table, dim, nBuckets)
+    // rebuilt rows ride at the top surviving finite barrier, not
+    // gen 0 (TextOps.rebuildGen — ADVICE r14)
+    append(emb, table, dim, nBuckets,
+      gen = TO.rebuildGen(s, table + "_del"))
   }
 
   /** APPEND-ONLY maintenance: the per-vector scale depends only on the

@@ -334,6 +334,21 @@ object TextOps {
       }
     }
 
+  /** The generation a FULL-REBUILD overwrite must stamp its rows at:
+    * the family's current top finite barrier (0 on a family that
+    * never took an upsert — the classic fresh-build stamp). The
+    * refresh paths already ride this (commit "gTop" — re-materialized
+    * rows are current by definition, so they survive every surviving
+    * finite upsert barrier); ADVICE r14 found the write paths missed
+    * it: a rebuild stamped gen=0 over a previously-upserted family
+    * left every rebuilt row of an upserted id strictly below its
+    * surviving barrier, so exceptTombstones silently dropped those
+    * ids from all probes. Terminal deletes still kill their ids at
+    * any finite gen — rebuild preserves the never-recycled contract.
+    */
+  private[graft] def rebuildGen(s: org.apache.spark.sql.SparkSession,
+      delTable: String): Long = nextGen(s, delTable) - 1L
+
   /** TOMBSTONED DELETE/SUPERSEDE — the lifecycle op the append-only
     * indexes lacked (insert = append/ingest, retrain = refresh,
     * rewrite = compact). `ids` (single column `idCol`) append to the
@@ -954,10 +969,15 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
 
   def writeBm25Index(docs: org.apache.spark.sql.DataFrame, table: String,
-      nBuckets: Int = 8): Unit = {
-    clearOrphanLocation(docs.sparkSession, table)
+      nBuckets: Int = 8): Unit = withBuildLock(docs.sparkSession) {
+    val s = docs.sparkSession
+    clearOrphanLocation(s, table)
+    // rebuild-over-upserted-family: rows ride at the top surviving
+    // finite barrier, not gen 0 (see [[rebuildGen]] — ADVICE r14)
+    val gTop = rebuildGen(s, table + "_del")
     val tf = tokenTf(docs).persist()
-    try bm25PostingRows(tf).write.mode("overwrite")
+    try bm25PostingRows(tf).withColumn("gen", lit(gTop))
+      .write.mode("overwrite")
       .bucketBy(nBuckets, "token").sortBy("token")
       .saveAsTable(table)
     finally tf.unpersist()
@@ -1955,10 +1975,13 @@ object TextOps {
     * costs O(|batch| + collisions) with no second corpus-wide join.
     */
   def writeBandIndex(docs: org.apache.spark.sql.DataFrame, table: String,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8): Unit = withBuildLock(docs.sparkSession) {
     clearOrphanLocation(docs.sparkSession, table)
+    // rebuild-over-upserted-family: ride at the top surviving finite
+    // barrier, not gen 0 (see [[rebuildGen]] — ADVICE r14)
     bandIndexRows(docs, "old_id", "old_toks")
-      .withColumn("gen", lit(0L))
+      .withColumn("gen",
+        lit(rebuildGen(docs.sparkSession, table + "_del")))
       .write.mode("overwrite")
       .bucketBy(nBuckets, "band_key").sortBy("band_key")
       .saveAsTable(table)

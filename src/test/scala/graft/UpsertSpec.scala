@@ -455,6 +455,151 @@ class UpsertSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("full rebuild over an upserted family rides above surviving " +
+      "barriers (write-after-upsert, ADVICE r14)") {
+    // the hazard: write() rewrites the whole family from the caller's
+    // corpus frame, but the `_del` list — with its finite upsert
+    // barriers — SURVIVES the overwrite. Rows stamped gen 0 (the
+    // naive choice, and the pre-r15 behavior) sit strictly below
+    // every upserted id's surviving barrier, so exceptTombstones
+    // silently drops those ids from all probes. The engine stamps
+    // rebuilt rows at the top finite barrier (TextOps.rebuildGen);
+    // terminal deletes still kill their ids through any rebuild.
+    val dim = 64
+    val base = s"ups_rb_${dim}_p$pid"
+    val annv = s"${base}_annv"
+    val fams = Seq("ann", "bq", "sq", "pq", "ivf")
+    val all = (fams.flatMap { f =>
+      val t = s"${base}_$f"
+      Seq(t, s"${t}_vec", s"${t}_cent", s"${t}_cb", s"${t}_cfg",
+        s"${t}_del", s"${t}2", s"${t}2_vec", s"${t}2_cent",
+        s"${t}2_cb", s"${t}2_cfg")
+    }) ++ Seq(annv, s"${annv}_vec", s"${annv}_cfg")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val v1 = vecsV1(dim)
+      val batch = vecsChanged(dim)
+      val fin = vecsFinal(dim)
+      AnnIndex.write(fin, annv, nBands = 4, bits = 2, dim = dim)
+      val qv = fin.filter(col("vec_id") < 3 || col("vec_id") === 21L)
+        .select(col("vec_id"),
+          expr(s"coalesce(CAST(embedding AS ARRAY<DOUBLE>), " +
+            s"array_repeat(CAST(0 AS DOUBLE), $dim))").as("v"))
+      val isQ: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = c => c < 3 || c === 21L
+      val probes: Map[String, String => Map[(Long, Long), Double]] = Map(
+        "ann" -> (t => AnnIndex.topK(spark, t, isQ, k = 4).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap),
+        "bq" -> (t => BqIndex.topK(spark, t, s"${annv}_vec", isQ, k = 4)
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap),
+        "sq" -> (t => SqIndex.topK(spark, t, isQ, k = 4).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap),
+        "pq" -> (t => PqIndex.topK(spark, t, qv, k = 4).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap),
+        "ivf" -> (t => IvfIndex.topK(spark, t, isQ, k = 4).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap))
+      def write(f: String, t: String, e: DataFrame): Unit = f match {
+        case "ann" => AnnIndex.write(e, t, nBands = 4, bits = 2,
+          dim = dim)
+        case "bq" => BqIndex.write(e, t, dim = dim)
+        case "sq" => SqIndex.write(e, t, dim = dim)
+        case "pq" => PqIndex.write(e, t, m = 4, subDim = dim / 4,
+          ks = 8)
+        case "ivf" => IvfIndex.write(e, t, k = 4, dim = dim)
+      }
+      def upsert(f: String, t: String): Unit = f match {
+        case "ann" => AnnIndex.upsert(batch, t, nBands = 4, bits = 2,
+          dim = dim)
+        case "bq" => BqIndex.upsert(batch, t, dim = dim)
+        case "sq" => SqIndex.upsert(batch, t, dim = dim)
+        case "pq" => PqIndex.upsert(batch, t)
+        case "ivf" => IvfIndex.upsert(batch, t)
+      }
+      def delete(f: String, t: String, id: Long): Unit = {
+        val ids = Seq(id).toDF("vec_id")
+        f match {
+          case "ann" => AnnIndex.delete(spark, t, ids)
+          case "bq" => BqIndex.delete(spark, t, ids)
+          case "sq" => SqIndex.delete(spark, t, ids)
+          case "pq" => PqIndex.delete(spark, t, ids)
+          case "ivf" => IvfIndex.delete(spark, t, ids)
+        }
+      }
+      fams.foreach { f =>
+        val t = s"${base}_$f"
+        write(f, t, v1)
+        upsert(f, t)
+        // FULL REBUILD over the final corpus, barriers surviving
+        write(f, t, fin)
+        write(f, s"${t}2", fin) // fresh twin, no history
+        val got = probes(f)(t)
+        assert(got === probes(f)(s"${t}2"), s"family $f post-rebuild")
+        // the upserted id answers — gen-0 stamping would have dropped
+        // every rebuilt row of id 21 below its surviving barrier
+        assert(got.keys.exists(_._1 == 21L), s"family $f lost id 21")
+        // a terminal delete lands on rebuilt rows... (candidate side
+        // for every family; the query side too except PQ, whose
+        // queries are EXTERNAL vectors that keep asking post-delete)
+        def answers21(ks: Iterable[(Long, Long)]) =
+          ks.exists(p => p._2 == 21L || (f != "pq" && p._1 == 21L))
+        delete(f, t, 21L)
+        assert(!answers21(probes(f)(t).keys),
+          s"family $f delete post-rebuild")
+        // ...and SURVIVES the next rebuild even when the corpus still
+        // carries the id (rebuilt rows ride at a finite gen, below
+        // the terminal ceiling)
+        write(f, t, fin)
+        assert(!answers21(probes(f)(t).keys),
+          s"family $f resurrected id 21 through a rebuild")
+      }
+    } finally drop(all: _*)
+  }
+
+  test("band rebuild over an upserted index rides above surviving " +
+      "barriers (write-after-upsert, ADVICE r14)") {
+    val t = s"ups_rb_band_p$pid"
+    val t2 = s"ups_rb_band_twin_p$pid"
+    val all = Seq(t, s"${t}_del", t2)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val docs = Tables(spark, sf, "documents")
+      val v1 = docs.filter(col("doc_id") < 200)
+      val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+        .withColumn("doc_id", col("doc_id") - 290)
+        .unionByName(docs.filter(col("doc_id") >= 210 &&
+          col("doc_id") < 215))
+      val fin = v1.join(batch.select("doc_id"), Seq("doc_id"),
+        "left_anti").unionByName(batch)
+      // probe with the FINAL text of the low ids: probe doc 10 is
+      // bit-identical to the rebuilt index's (upserted) doc 10, so
+      // the (10, 10) self-pair is guaranteed — the delete leg below
+      // cannot pass vacuously
+      val probeDocs = fin.filter(col("doc_id") < 30)
+      def pairs(index: DataFrame) =
+        TextOps.nearDupsAgainstIndex(probeDocs, index).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      TextOps.writeBandIndex(v1, t)
+      TextOps.upsertBandDocs(spark, t, batch)
+      TextOps.writeBandIndex(fin, t) // rebuild, barriers surviving
+      TextOps.writeBandIndex(fin, t2)
+      val got = pairs(TextOps.liveBandIndex(spark, t))
+      assert(got === pairs(spark.table(t2)))
+      // the upserted id collides (gen-0 stamping would have dropped
+      // every rebuilt row of id 10 below its surviving barrier)
+      assert(got.contains((10L, 10L)), got.toString)
+      // terminal delete survives a further rebuild
+      TextOps.deleteBandDocs(spark, t, Seq(10L).toDF("doc_id"))
+      TextOps.writeBandIndex(fin, t)
+      assert(!pairs(TextOps.liveBandIndex(spark, t))
+        .exists(_._2 == 10L))
+    } finally drop(all: _*)
+  }
+
   private def fams2(b: String): Seq[String] =
     Seq(s"${b}_ann", s"${b}_ann_vec", s"${b}_ann_cfg", s"${b}_ann_del",
       s"${b}_sq", s"${b}_sq_cfg", s"${b}_sq_del",
