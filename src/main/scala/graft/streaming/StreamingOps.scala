@@ -674,9 +674,15 @@ object StreamingOps {
       // the BM25 member carries the family's only corpus stats — the
       // band/hash members are doc-local and self-healing under a
       // tombstone-surviving reset, but the rebuilt stats must be
-      // recomputed over the tombstone-filtered postings (ADVICE r13)
-      onReset = s => graft.operators.TextOps
-        .markBm25ResetReconcile(s, bm25T),
+      // recomputed over the tombstone-filtered postings (ADVICE r13).
+      // The sibling CDC upsert stream resets WITH the members
+      // (ADVICE r14): the replayed originals are dead under the
+      // surviving upsert barriers by design, and only a full CDC
+      // replay restores the superseding content.
+      onReset = s => {
+        graft.operators.TextOps.markBm25ResetReconcile(s, bm25T)
+        resetSiblingCdcStream(s, s"${base}_ups")
+      },
       afterReplay = s => graft.operators.TextOps
         .reconcileBm25Tombstones(s, bm25T, statsT),
       // per-batch self-maintenance when a policy rides along (r14):
@@ -888,6 +894,32 @@ object StreamingOps {
     }
   }
 
+  /** Drop a SIBLING CDC stream's ledger + checkpoint so its files
+    * replay on the next invocation (ADVICE r14): when an ingest
+    * loop's member-loss reset fires, it drops the members and replays
+    * the ORIGINAL corpus at gen 0 — but the upsert twin's `_ups`
+    * ledger and checkpoint would survive, so the CDC files that
+    * superseded those originals would never replay. The replacement
+    * rows are gone with the dropped member while the replayed gen-0
+    * originals stay dead under the surviving finite barriers — the
+    * upserted documents would vanish entirely. Upserts converge by
+    * content (each replayed batch re-supersedes at a fresh barrier),
+    * so a full CDC replay is exactly the delete-stream recovery
+    * argument in generation form: safe, idempotent, and the only
+    * state that restores the superseded content. The delete twin
+    * needs no such reset (its tombstones survive in `_del`).
+    */
+  private def resetSiblingCdcStream(spark: SparkSession,
+      table: String): Unit = {
+    val ck = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase + "_ck")
+    val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ck)) { fs.delete(ck, true); () }
+    val ledger = table + "_ledger"
+    spark.sql(s"DROP TABLE IF EXISTS $ledger")
+    graft.operators.TextOps.clearOrphanLocation(spark, ledger)
+  }
+
   /** ONE-CALL VECTOR INGEST (VERDICT r12 #7, the vector twin): a
     * single file-streamed loop that maintains EVERY stored vector
     * index — ANN band postings + payload, BQ signatures, SQ8 codes,
@@ -930,6 +962,9 @@ object StreamingOps {
           graft.operators.IvfIndex.append(b, ivfT)
         } finally { b.unpersist(); () }
       },
+      // member-loss reset also replays the sibling CDC upsert stream
+      // (ADVICE r14 — the streamingDocumentIngest rationale)
+      onReset = s => resetSiblingCdcStream(s, s"${base}_vups"),
       // per-batch self-maintenance across all five families (the
       // streamingDocumentIngest hook, vector side). Only the
       // METADATA-CHEAP legs run per batch — the drift gauges are

@@ -168,6 +168,87 @@ class UnifiedIngestSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("member-loss reset replays the sibling CDC upsert stream " +
+      "(ADVICE r14): upserted content survives the reset") {
+    // the hazard: the ingest reset drops the members and replays the
+    // ORIGINAL corpus — but a sibling upsert stream's ledger and
+    // checkpoint would survive, so its CDC files never replay. The
+    // replacement rows are gone with the dropped member while the
+    // replayed gen-0 originals stay dead under the surviving finite
+    // barriers: upserted docs would vanish entirely. The reset now
+    // clears the `_ups` pair too, so the next upsert-stream run
+    // replays every CDC file and re-supersedes by content.
+    val base = s"uni_rst_p$pid"
+    val dir = java.nio.file.Files.createTempDirectory("graft_unirst")
+      .toString
+    val upsDir = java.nio.file.Files.createTempDirectory("graft_unirstu")
+      .toString
+    val members = Seq(s"${base}_band", s"${base}_band_del",
+      s"${base}_bm25", s"${base}_bm25_del", s"${base}_bm25_del_stage",
+      s"${base}_bm25_stats", s"${base}_hashes", s"${base}_ledger",
+      s"${base}_ups_ledger")
+    val ref = Seq(s"${base}_rbm25", s"${base}_rbm25_stats",
+      s"${base}_rbm25_del", s"${base}_rbm25_del_stage")
+    drop(members ++ ref: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      docs.write.mode("append").parquet(s"$dir/documents.parquet")
+      streaming.StreamingOps.streamingDocumentIngest(spark, dir, base)
+      // CDC refresh: docs 10-19 re-crawled with the text of 300-309,
+      // doc 9000 never seen before (the insert leg)
+      val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+        .withColumn("doc_id", col("doc_id") - 290)
+        .unionByName(docs.filter(col("doc_id") === 5)
+          .withColumn("doc_id", lit(9000L)))
+        .select("doc_id", "text")
+      batch.coalesce(1).write.mode("append").parquet(upsDir)
+      streaming.StreamingOps.streamingDocumentUpserts(spark, upsDir, base)
+
+      // MEMBER LOSS: the band member vanishes; the next ingest call
+      // resets the family and replays the original corpus
+      spark.sql(s"DROP TABLE ${base}_band")
+      streaming.StreamingOps.streamingDocumentIngest(spark, dir, base)
+      // ...and the upsert stream, re-invoked with NO new files, must
+      // replay its CDC files (its ledger/checkpoint were reset too)
+      streaming.StreamingOps.streamingDocumentUpserts(spark, upsDir, base)
+
+      // reference: independent build over the gated corpus + the same
+      // upsert applied directly
+      val gated = TrainingData.curateGate(docs).select("doc_id", "text")
+      TextOps.appendBm25Postings(gated, s"${base}_rbm25",
+        s"${base}_rbm25_stats")
+      TextOps.upsertBm25Docs(spark, s"${base}_rbm25",
+        s"${base}_rbm25_stats", batch)
+      val qt = Seq((1, "the"), (2, "data"), (3, "a")).toDF("q_id", "token")
+      def scores(t: String) = {
+        val (p, st) = TextOps.liveBm25(spark, t, s"${t}_stats")
+        TextOps.bm25ScoreIncr(qt, p, st).collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+      }
+      def stats(t: String) =
+        spark.table(t).select("n_docs", "sum_dl").collect()(0)
+      val got = scores(s"${base}_bm25")
+      assert(got === scores(s"${base}_rbm25"))
+      assert(got.nonEmpty)
+      assert(stats(s"${base}_bm25_stats") === stats(s"${base}_rbm25_stats"))
+      // the upserted + inserted docs ANSWER (the vanishing hazard):
+      // their postings are live in the recovered index
+      val (lp, _) = TextOps.liveBm25(spark, s"${base}_bm25",
+        s"${base}_bm25_stats")
+      assert(lp.filter(col("doc_id") === 10L).count() > 0,
+        "upserted doc vanished after member-loss recovery")
+      assert(lp.filter(col("doc_id") === 9000L).count() > 0,
+        "inserted doc vanished after member-loss recovery")
+      // and the band member serves the upserted signature again
+      assert(TextOps.liveBandIndex(spark, s"${base}_band")
+        .filter(col("old_id") === 10L).count() > 0)
+    } finally {
+      drop(members ++ ref: _*)
+      rmCk(base, s"${base}_ups")
+    }
+  }
+
   test("streamingAllIndexIngest equals per-family independent appends") {
     val base = s"uni_vec_p$pid"
     val fams = Seq(s"${base}_ann", s"${base}_ann_vec", s"${base}_ann_cfg",
