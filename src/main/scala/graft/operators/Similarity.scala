@@ -781,6 +781,18 @@ object AnnIndex {
           if (bad > 0)
             out += s"$bad payload vectors are not dim ${cfg("dim")}"
           out ++= TO.multiGenViolations(vecs, "vec_id")
+          // TOTAL-loss band audit (ADVICE r14): the per-id count above
+          // groups over the bands table, so a live payload vector with
+          // ZERO band rows — every posting lost, the worst case of the
+          // partial-append invariant — is invisible to it. Anti-join
+          // the live payloads against the live band ids; NULL-embedding
+          // vectors legitimately store a payload row and no bands.
+          out ++= vecs.filter(col("v").isNotNull).select("vec_id")
+            .join(bands.select("vec_id").distinct(),
+              Seq("vec_id"), "left_anti")
+            .limit(5).collect()
+            .map(r => s"vec_id ${r.getLong(0)} has 0 band rows " +
+              s"(expected ${cfg("nbands")})")
         } else out += s"payload member ${table}_vec missing"
     }
     out.toList

@@ -371,6 +371,14 @@ object TextOps {
       idCol: String, gen: Long = TerminalGen): Unit =
     withBuildLock(s) {
     clearOrphanLocation(s, delTable)
+    // pre-r14 lists (id only) were read-compatible but WRITE-broken
+    // (ADVICE r14): appending an (id, gen) frame into a gen-less
+    // table fails loudly on the extra column. First write migrates
+    // the list once — every existing entry rewritten at TerminalGen,
+    // exactly how the read side already interprets it — so the
+    // "entries in a pre-r14 list read as terminal" claim holds for
+    // writes too.
+    migrateGenlessDelList(s, delTable)
     val fresh = ids.select(col(idCol)).distinct()
       .withColumn("gen", lit(gen))
     val novel =
@@ -381,6 +389,22 @@ object TextOps {
     novel.coalesce(1).write.mode("append").saveAsTable(delTable)
     s.catalog.refreshTable(delTable)
   }
+
+  /** One-time write-side migration of a pre-r14 gen-less tombstone
+    * list: rewrite with every entry at [[TerminalGen]] (the read
+    * interpretation, materialized) behind the standard tmp-and-swap.
+    * No-op on fresh families and already-migrated lists. Caller
+    * holds the build lock. */
+  private def migrateGenlessDelList(s: org.apache.spark.sql.SparkSession,
+      delTable: String): Unit =
+    if (s.catalog.tableExists(delTable) &&
+        !s.table(delTable).columns.contains("gen")) {
+      val tmp = delTable + "_mig"
+      s.sql(s"DROP TABLE IF EXISTS $tmp")
+      clearOrphanLocation(s, tmp)
+      withEntryGen(s.table(delTable)).coalesce(1).write.saveAsTable(tmp)
+      swapIndexTables(s, delTable, tmp)
+    }
 
   /** A tombstone list with its `gen` column guaranteed present —
     * pre-r14 lists (id only) read as all-terminal. */
@@ -1199,22 +1223,31 @@ object TextOps {
     // terminal). The barrier participates in the txn token so two
     // stages over the same ids at different barriers can never be
     // mistaken for replays of each other.
+    val hadGen = s.table(stage).columns.contains("gen")
     val stageDf =
-      if (s.table(stage).columns.contains("gen")) s.table(stage)
+      if (hadGen) s.table(stage)
       else s.table(stage).withColumn("gen", lit(TerminalGen))
     val agg = stageDf
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dl"),
         md5(concat_ws(",",
           sort_array(collect_list(col("doc_id"))),
           max(col("gen")).cast("string"))).as("txn"),
-        coalesce(max(col("gen")), lit(TerminalGen)).as("gen"))
+        coalesce(max(col("gen")), lit(TerminalGen)).as("gen"),
+        // the pre-r14 token omitted the barrier — a crashed stage of
+        // that era may sit in the stats row under the OLD format, and
+        // matching only the new one would re-subtract on replay
+        // (ADVICE r14). Computed only to recognize, never written.
+        md5(concat_ws(",",
+          sort_array(collect_list(col("doc_id"))))).as("txn_legacy"))
       .collect()(0)
     if (agg.getLong(0) > 0L) {
       val txn = agg.getString(2)
       val cur = s.table(statsTable).collect()(0)
-      val applied = cur.schema.fieldNames.contains("txn") &&
+      def matches(t: String) = cur.schema.fieldNames.contains("txn") &&
         !cur.isNullAt(cur.fieldIndex("txn")) &&
-        cur.getAs[String]("txn") == txn
+        cur.getAs[String]("txn") == t
+      val applied = matches(txn) ||
+        (!hadGen && matches(agg.getString(4)))
       if (!applied) {
         val sp = s
         import sp.implicits._

@@ -113,4 +113,29 @@ class FsckSpec extends AnyFunSuite with SparkSuite {
       assert(v.exists(_.contains("band rows")), v.toString)
     } finally drop(a, s"${a}_vec", s"${a}_cfg", s"${a}_del")
   }
+
+  test("ANN: a live vector with ZERO band rows is flagged (total loss)") {
+    val a = s"fs_zb_ann_p$pid"
+    val tmp = s"${a}_tmp"
+    drop(a, s"${a}_vec", s"${a}_cfg", s"${a}_del", tmp)
+    try {
+      val sp = spark
+      import sp.implicits._
+      AnnIndex.write(emb, a, nBands = 4, bits = 2)
+      // a NON-NULL-embedding victim: NULL vectors legitimately store
+      // a payload row and no bands, and must stay un-flagged
+      val victim = spark.table(s"${a}_vec")
+        .filter(col("v").isNotNull).select("vec_id").head().getLong(0)
+      // lose EVERY band row of the victim — the total-loss case the
+      // per-id count audit (bands-side groupBy) cannot see
+      spark.table(a).filter(col("vec_id") =!= victim)
+        .write.bucketBy(8, "band_key").sortBy("band_key")
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $a")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $a")
+      val v = AnnIndex.fsck(spark, a)
+      assert(v.exists(x => x.contains(s"vec_id $victim") &&
+        x.contains("0 band rows")), v.toString)
+    } finally drop(a, s"${a}_vec", s"${a}_cfg", s"${a}_del", tmp)
+  }
 }
