@@ -798,6 +798,58 @@ object AnnIndex {
     out.toList
   }
 
+  /** REPAIR the family ([[graft.operators.TextOps.runRepair]]
+    * instance — r15, "close the fsck loop"):
+    *   - multi-generation ids re-barrier at their top live gen
+    *     (BOTH members share the one `_del` list);
+    *   - band-cardinality violations — short, long, or ZERO rows —
+    *     heal by REBUILDING the bands member from the surviving
+    *     payload sibling: `_vec` carries the exact vectors, the
+    *     `_cfg` pin carries the banding config, so the rebuilt
+    *     postings are definitionally correct, stamped at each id's
+    *     own live generation. The spec-preserving bucketed rewrite
+    *     keeps the zero-Exchange probe layout.
+    * A missing config pin, wrong-width payload vectors, or a lost
+    * payload member have no safe heal (the bands carry no vectors to
+    * rebuild from) — repair refuses loudly. Clean family = Nil.
+    */
+  def repair(s: SparkSession, table: String): Seq[String] =
+    TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.contains("live generations"),
+        "re-barriered multi-generation ids",
+        () => TO.rebarrierMultiGen(s, Seq(table, table + "_vec"),
+          table + "_del", "vec_id")),
+      (_.contains("band rows"),
+        "rebuilt band postings from the payload member",
+        () => rebuildBandsFromPayload(s, table))))
+
+  /** The band-cardinality heal: re-derive the ENTIRE bands member
+    * from the live payload rows under the `_cfg` pin, each id's
+    * postings stamped at its own live generation. Physically drops
+    * any dead rows the member still held (they were probe-invisible
+    * already — the vacuum argument). */
+  private def rebuildBandsFromPayload(s: SparkSession,
+      table: String): Unit = {
+    graft.functions.VectorFunctions.register(s)
+    val cfg = TO.readIndexConfig(s, table).getOrElse(
+      throw new IllegalStateException(
+        s"rebuildBandsFromPayload: no config pin ${table}_cfg"))
+    TO.rewriteBucketed(s, table, df => {
+      val s2 = df.sparkSession
+      graft.functions.VectorFunctions.register(s2)
+      val live = TO.exceptTombstones(s2.table(table + "_vec"), s2,
+        table + "_del", "vec_id")
+      val gen =
+        if (live.columns.contains("gen")) live.select(col("vec_id"),
+          col("gen"))
+        else live.select(col("vec_id")).withColumn("gen", lit(0L))
+      bandRows(live.select(col("vec_id"), col("v")),
+          cfg("nbands"), cfg("bits"), cfg("dim"))
+        .join(gen, "vec_id")
+        .select(col("band_key"), col("vec_id"), col("gen"))
+    })
+  }
+
   /** METADATA-FILTERED banded ANN top-k — production "filtered vector
     * search": candidates must agree with the query on every column of
     * `matchCols` (stored in the payload table at build time), compared
@@ -1056,6 +1108,37 @@ object IvfIndex {
     out ++= TO.multiGenViolations(live, "vec_id")
     out.toList
   }
+
+  /** REPAIR the family ([[graft.operators.TextOps.runRepair]]
+    * instance): multi-generation ids re-barrier at their top live
+    * gen; rows routed to a cell the stored quantizer doesn't have
+    * heal by RE-ASSIGNING every row with that quantizer (the member
+    * retains the exact vectors, so re-routing is definitionally
+    * correct and changes no content). A missing quantizer or
+    * wrong-width vectors have no safe heal — refuse loudly. Clean
+    * family = Nil.
+    */
+  def repair(s: SparkSession, table: String): Seq[String] =
+    TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.contains("live generations"),
+        "re-barriered multi-generation ids",
+        () => TO.rebarrierMultiGen(s, Seq(table), table + "_del",
+          "vec_id")),
+      (_.contains("unknown cell"),
+        "re-assigned rows with the stored quantizer",
+        () => {
+          graft.functions.VectorFunctions.register(s)
+          val cents = loadCentroids(s, table)
+          TO.rewriteBucketed(s, table, df => {
+            graft.functions.VectorFunctions.register(df.sparkSession)
+            val withG =
+              if (df.columns.contains("gen")) df
+              else df.withColumn("gen", lit(0L))
+            Ivf.assignCells(withG.drop("cell"), cents)
+              .select(col("vec_id"), col("v"), col("nrm"),
+                col("cell"), col("gen"))
+          })
+        })))
 
   /** The IVF drift gauge (the [[PqIndex.quantizationError]] sibling):
     * mean (1 − cos(v, centroid)) over the STORED assignments — how far
@@ -1580,6 +1663,18 @@ object PqIndex {
     out.toList
   }
 
+  /** REPAIR the family: multi-generation ids re-barrier at their top
+    * live gen — the one healable class. Short code rows cannot be
+    * recomputed (the codes member stores no original vectors) and a
+    * missing codebook cannot be guessed — refuse loudly. Clean
+    * family = Nil. */
+  def repair(s: SparkSession, table: String): Seq[String] =
+    TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.contains("live generations"),
+        "re-barriered multi-generation ids",
+        () => TO.rebarrierMultiGen(s, Seq(table), table + "_del",
+          "vec_id"))))
+
   def topK(s: SparkSession, table: String, queries: DataFrame,
       k: Int): DataFrame = adcTopK(s, table, queries, k, cand = None)
 
@@ -2006,6 +2101,17 @@ object BqIndex {
     out.toList
   }
 
+  /** REPAIR the family: multi-generation ids re-barrier at their top
+    * live gen — the one healable class (signatures cannot be
+    * recomputed without the original vectors; a lost `_cfg` pin
+    * cannot be guessed). Refuses loudly otherwise; clean = Nil. */
+  def repair(s: SparkSession, table: String): Seq[String] =
+    TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.contains("live generations"),
+        "re-barriered multi-generation ids",
+        () => TO.rebarrierMultiGen(s, Seq(table), table + "_del",
+          "vec_id"))))
+
   /** Hamming-prefiltered exact-reranked top-k. Phase 1 scans the
     * dim/8-byte signatures against the broadcast query signatures —
     * the per-candidate work is one xor+popcount per 64 coordinates
@@ -2272,6 +2378,18 @@ object SqIndex {
     }
     out.toList
   }
+
+  /** REPAIR the family: multi-generation ids re-barrier at their top
+    * live gen — the one healable class (SQ8 codes cannot be
+    * recomputed without the original vectors; a lost `_cfg` pin or a
+    * negative scale cannot be fixed by guesswork). Refuses loudly
+    * otherwise; clean = Nil. */
+  def repair(s: SparkSession, table: String): Seq[String] =
+    TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.contains("live generations"),
+        "re-barriered multi-generation ids",
+        () => TO.rebarrierMultiGen(s, Seq(table), table + "_del",
+          "vec_id"))))
 
   /** Brute top-k over DEQUANTIZED vectors served entirely from the
     * stored codes table — queries come off the same table by vec_id

@@ -238,7 +238,7 @@ object TextOps {
     * with the IDENTICAL bucket/sort spec read from the catalog, then
     * promote it via the atomic swap. Callers hold [[bm25BuildLock]].
     */
-  private def rewriteBucketed(s: org.apache.spark.sql.SparkSession,
+  private[graft] def rewriteBucketed(s: org.apache.spark.sql.SparkSession,
       table: String,
       transform: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame): Unit = {
@@ -714,6 +714,137 @@ object TextOps {
   def describeBand(s: org.apache.spark.sql.SparkSession,
       table: String): IndexStatus =
     describeIndex(s, Seq(table), table + "_del")
+
+  /** REPAIR SKELETON (r15 — VERDICT item 1, "close the fsck loop"):
+    * one idempotent pass mapping each fsck violation class to its
+    * existing heal. Protocol, under the caller-held build lock:
+    *   1. audit — a CLEAN family returns Nil having mutated NOTHING;
+    *   2. refuse loudly BEFORE touching anything if any violation
+    *     matches no registered heal (default-refuse: an unknown
+    *     corruption class must never be "healed" by guesswork, and a
+    *     partial repair that fixed the easy half would mask it);
+    *   3. run each heal whose class appeared, in registration order
+    *     (order is part of the contract — e.g. BM25 re-barriers
+    *     before recomputing stats, because the re-barrier itself
+    *     changes what the stats must say);
+    *   4. re-audit and THROW if violations remain — repair either
+    *     converges in one call or says so, never reports success
+    *     over a still-broken family.
+    * Returns the descriptions of the heals it ran.
+    */
+  private[graft] def runRepair(s: org.apache.spark.sql.SparkSession,
+      fsck: () => Seq[String],
+      heals: Seq[(String => Boolean, String, () => Unit)])
+      : Seq[String] = withBuildLock(s) {
+    val v0 = fsck()
+    if (v0.isEmpty) Nil
+    else {
+      val unmatched = v0.filterNot(v => heals.exists(_._1(v)))
+      if (unmatched.nonEmpty)
+        throw new IllegalStateException(
+          "repair: no safe heal for: " + unmatched.mkString("; "))
+      val fixed = heals.collect {
+        case (matches, desc, run) if v0.exists(matches) => run(); desc
+      }
+      val left = fsck()
+      if (left.nonEmpty)
+        throw new IllegalStateException(
+          "repair did not converge: " + left.mkString("; "))
+      fixed
+    }
+  }
+
+  /** SUPERSESSION HEAL: every id holding more than one live
+    * generation across `members` gets a fresh barrier entry at its
+    * TOP live generation — the newest content survives (exactly the
+    * upsert contract the lost barrier was supposed to enforce), every
+    * older generation dies. Distributed: only the distinct top-gen
+    * values (the generation counter's range — small by construction)
+    * reach the driver, never the violating ids themselves; each
+    * barrier append is one [[tombstone]] call (idempotent (id, gen)
+    * dedup). A later [[vacuumIndex]] folds the superseded rows
+    * physically; probes are already clean without it.
+    */
+  private[graft] def rebarrierMultiGen(
+      s: org.apache.spark.sql.SparkSession, members: Seq[String],
+      delTable: String, idCol: String): Unit = withBuildLock(s) {
+    val frames = members.filter(s.catalog.tableExists).map { m =>
+      val df = exceptTombstones(s.table(m), s, delTable, idCol)
+      val g = if (df.columns.contains("gen")) col("gen") else lit(0L)
+      df.select(col(idCol), g.as("gen"))
+    }
+    if (frames.nonEmpty) {
+      val bad = frames.reduce(_ unionByName _)
+        .groupBy(idCol)
+        .agg(countDistinct(col("gen")).as("gens"),
+          max(col("gen")).as("mg"))
+        .filter(col("gens") > 1)
+        .persist()
+      try {
+        val gens = bad.select("mg").distinct().collect()
+          .map(_.getLong(0))
+        gens.foreach { g =>
+          tombstone(s, delTable,
+            bad.filter(col("mg") === g).select(idCol), idCol, gen = g)
+        }
+      } finally { bad.unpersist(); () }
+    }
+  }
+
+  /** Overwrite the 1-row stats table with a recompute over the live
+    * (tombstone-filtered) postings — the one true heal for stats
+    * drift, shared by [[reconcileBm25Tombstones]] and
+    * [[repairBm25]]. Caller holds the build lock. */
+  private def recomputeBm25Stats(s: org.apache.spark.sql.SparkSession,
+      table: String, statsTable: String): Unit = {
+    val live = exceptTombstones(s.table(table), s, table + "_del",
+      "doc_id")
+    val r = live.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("sum_dl"))
+      .collect()(0)
+    val sp = s
+    import sp.implicits._
+    Seq((r.getLong(0), r.getLong(1))).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").saveAsTable(statsTable)
+  }
+
+  /** REPAIR an incremental BM25 family ([[runRepair]] instance):
+    *   - a pending `_del_stage` applies through the standard WAL
+    *     replay (exactly-once by txn token);
+    *   - multi-generation ids re-barrier at their top live gen, THEN
+    *     the stats recompute — the re-barrier kills the superseded
+    *     postings, whose (count, dl) the stored stats still carry;
+    *   - plain stats drift (or a lost stats table) recomputes from
+    *     the live postings.
+    * Anything else refuses loudly. Clean family = no-op Nil.
+    */
+  def repairBm25(s: org.apache.spark.sql.SparkSession, table: String,
+      statsTable: String): Seq[String] =
+    runRepair(s, () => fsckBm25(s, table, statsTable), Seq(
+      (_.contains("pending delete stage"),
+        "applied crashed delete stage",
+        () => applyBm25DeleteStage(s, table, statsTable)),
+      (_.contains("live generations"),
+        "re-barriered multi-generation ids; recomputed stats",
+        () => {
+          rebarrierMultiGen(s, Seq(table), table + "_del", "doc_id")
+          recomputeBm25Stats(s, table, statsTable)
+        }),
+      (v => v.contains("stats drift") || v.contains("stats table"),
+        "recomputed stats from live postings",
+        () => recomputeBm25Stats(s, table, statsTable))))
+
+  /** REPAIR a band index family: the supersession invariant is the
+    * family's one recomputable invariant, so the one heal is the
+    * re-barrier. Clean family = no-op Nil. */
+  def repairBand(s: org.apache.spark.sql.SparkSession,
+      table: String): Seq[String] =
+    runRepair(s, () => fsckBand(s, table), Seq(
+      (_.contains("live generations"),
+        "re-barriered multi-generation ids",
+        () => rebarrierMultiGen(s, Seq(table), table + "_del",
+          "old_id"))))
 
   /** Rewrite a tombstone list to ONE file (entries deduped on
     * (id, gen)) — the cheap O(|list|) answer to delete-call file
@@ -1324,16 +1455,7 @@ object TextOps {
     // heal any crashed delete first so the recompute sees final state
     applyBm25DeleteStage(s, table, statsTable)
     if (s.catalog.tableExists(table) && s.catalog.tableExists(statsTable)) {
-      val live = exceptTombstones(s.table(table), s, table + "_del",
-        "doc_id")
-      val r = live.select("doc_id", "dl").distinct()
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("dl"), lit(0L)).as("sum_dl"))
-        .collect()(0)
-      val sp = s
-      import sp.implicits._
-      Seq((r.getLong(0), r.getLong(1))).toDF("n_docs", "sum_dl")
-        .write.mode("overwrite").saveAsTable(statsTable)
+      recomputeBm25Stats(s, table, statsTable)
       s.sql(s"DROP TABLE $marker")
       clearOrphanLocation(s, marker)
     }
