@@ -1759,7 +1759,12 @@ object TextOps {
         case _: java.io.FileNotFoundException => true
         case t => Option(t.getMessage).exists(m =>
           m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
-            m.contains("FileNotFoundException"))
+            m.contains("FileNotFoundException") ||
+            // a PATH-based reader (a foreign process probing another
+            // process's family directory — ForkedProcessSpec's shape)
+            // sees the swap's rename window as a missing path, not a
+            // missing catalog table
+            m.contains("PATH_NOT_FOUND"))
       }
 
   /** Run a probe with bounded retries across maintenance-swap windows
