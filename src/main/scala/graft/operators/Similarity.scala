@@ -27,22 +27,18 @@ import org.apache.spark.sql.functions._
   *
   * Planes are deterministic integer-weight vectors so the DuckDB oracle
   * and a recall test can reproduce them exactly:
-  * w(p, i) = ((1 + 37p + 61i + 11pi) mod 29) - 14. The formula is
-  * linear in p for each i, so the family's period in p equals the
-  * modulus — it must EXCEED the total plane count in use, or the last
-  * bands silently recombine the first bands' bits (the original mod-13
-  * family did exactly that at 8 bands × 2 bits: planes 14..16 ≡ 1..3,
-  * making band 8 pure recombination and costing real recall). 29 covers
-  * up to 28 planes; raise it (prime, > nBands·bits) before configuring
-  * more.
-  *
-  * Known residual bias: the p-coefficient (37 + 11i) ≡ 0 (mod 29) at
-  * i = 23 and i = 52, so at dim 64 those two coordinates are the same
-  * constant across ALL planes (w = -2 here) — a fixed shared component,
-  * not full per-plane independence. Measured recall at the current
-  * configuration is 0.96 against the 0.9 gate (AnnRecallSpec), so it's
-  * accepted; when raising the modulus, also require
-  * (37 + 11i) % modulus != 0 for i < dim to eliminate it.
+  * w(p, i) = ((1 + 37p + 61i + 11pi) mod m) - m/2, where m is the
+  * DERIVED modulus [[Ann.planeModulus]] (r15 — the rule earlier rounds
+  * only documented): the smallest prime > max(planes, dim) with
+  * (37 + 11i) % m != 0 for every i < dim. History of why each clause
+  * exists: the original mod-13 family recombined bands at 16 planes
+  * (period in p = modulus); its mod-29 successor fixed that but kept
+  * TWO residual hazards — the i-period fold (at dim 768 all 16 planes
+  * acted on 29-bucket folded sums, which a kernel-concentrated corpus
+  * defeats entirely: WideRecallSpec's fold-defeating fixture) and the
+  * p-coefficient roots (i = 23, 52 constant across all planes at dim
+  * 64). The derived modulus eliminates all three by construction, per
+  * stored dim, with the DuckDB twins deriving the identical value.
   */
 /** THE rounded cosine — one Spark definition and one SQL-builder twin
   * for every similarity site in this file, so the zero-norm rule cannot
@@ -142,26 +138,70 @@ private[operators] object CosSim {
 object Ann {
   import org.apache.spark.sql.{Column, DataFrame}
 
-  /** Plane p's integer weights, computed ONCE on the driver and shipped
-    * as a literal array — the equivalent `transform(sequence(...), ...)`
-    * expression is a higher-order function that would rebuild the plane
-    * per ROW per BIT (interpreted), dominating the banding cost.
+  /** THE DERIVED PLANE MODULUS (r15, VERDICT item 3 — the scaling
+    * rule WideRecallSpec pinned as documentation, now applied in
+    * code): the smallest prime m exceeding max(planes, dim) whose
+    * p-coefficient root avoids every coordinate — (37 + 11i) % m != 0
+    * for all i < dim. Why each clause matters:
+    *   - m > planes: w(p, i) is linear in p, so the family's period
+    *     in p equals m — a modulus at or below the plane count makes
+    *     the last bands silently RECOMBINE the first bands' bits (the
+    *     original mod-13 family did exactly that);
+    *   - m > dim: w(p, i) is periodic in i with period m, so a
+    *     modulus below the width makes every plane act on the
+    *     m-bucket FOLDED sums of the vector — a corpus whose neighbor
+    *     structure lives in the fold's kernel defeats the banding
+    *     entirely (WideRecallSpec's fold-defeating fixture proves the
+    *     old fixed-29 family loses those pairs at dim 768);
+    *   - (37 + 11i) % m != 0 for i < dim: at a root coordinate the
+    *     p-coefficient vanishes and that coordinate's weight is the
+    *     SAME constant across all planes — a shared component, not
+    *     per-plane independence (the fixed-29 family carried this
+    *     bias at i = 23 and 52).
+    * Pure function of (planes, dim): every engine site and the DuckDB
+    * oracle twins derive the identical value — nothing to configure,
+    * nothing to drift.
     */
-  def planeVec(p: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(i =>
-      (((1 + p * 37 + i * 61 + p * i * 11) % 29) - 14).toDouble)
+  def planeModulus(planes: Int, dim: Int): Int = {
+    def isPrime(n: Int): Boolean =
+      n > 1 && (2 to math.sqrt(n.toDouble).toInt).forall(n % _ != 0)
+    Iterator.from(math.max(planes, dim) + 1)
+      .filter(isPrime)
+      .find(m => (0 until dim).forall(i => (37 + 11 * i) % m != 0))
+      .get
+  }
 
-  private def bit(v: Column, p: Int, dim: Int): Column =
-    when(call_function("graft_dot", v, typedlit(planeVec(p, dim))) >= 0d,
-      "1").otherwise("0")
+  /** Plane p's integer weights under `modulus`, computed ONCE on the
+    * driver and shipped as a literal array — the equivalent
+    * `transform(sequence(...), ...)` expression is a higher-order
+    * function that would rebuild the plane per ROW per BIT
+    * (interpreted), dominating the banding cost.
+    */
+  def planeVec(p: Int, dim: Int, modulus: Int): Seq[Double] =
+    (0 until dim).map(i =>
+      (((1 + p * 37 + i * 61 + p * i * 11) % modulus) - modulus / 2)
+        .toDouble)
+
+  private def bit(v: Column, p: Int, dim: Int, modulus: Int): Column =
+    when(call_function("graft_dot", v,
+      typedlit(planeVec(p, dim, modulus))) >= 0d, "1").otherwise("0")
 
   /** Band `band` (1-based) = concat of its `bits` sign bits. */
-  def bandKey(v: Column, band: Int, bits: Int, dim: Int): Column =
-    concat((1 to bits).map(j => bit(v, (band - 1) * bits + j, dim)): _*)
+  def bandKey(v: Column, band: Int, bits: Int, dim: Int,
+      modulus: Int): Column =
+    concat((1 to bits).map(j =>
+      bit(v, (band - 1) * bits + j, dim, modulus)): _*)
 
-  /** All band keys as array<string> (index = band - 1). */
-  def bandKeys(v: Column, nBands: Int, bits: Int, dim: Int): Column =
-    array((1 to nBands).map(b => bandKey(v, b, bits, dim)): _*)
+  /** All band keys as array<string> (index = band - 1). `modulus`
+    * defaults to 0 = derive via [[planeModulus]] — the production
+    * path; an explicit value exists for the WideRecallSpec leg that
+    * demonstrates what a fixed modulus would have lost. */
+  def bandKeys(v: Column, nBands: Int, bits: Int, dim: Int,
+      modulus: Int = 0): Column = {
+    val m = if (modulus > 0) modulus
+      else planeModulus(nBands * bits, dim)
+    array((1 to nBands).map(b => bandKey(v, b, bits, dim, m)): _*)
+  }
 
   /** Normalized view of the embeddings table: (vec_id, v, nrm).
     * `dim` sizes the zero vector NULL embeddings canonicalize to — it
@@ -573,7 +613,9 @@ object AnnIndex {
     s.sql(s"DROP TABLE IF EXISTS ${table}_cfg")
     // the prep scan feeds both writes; persisting the narrow normalized
     // form beats re-reading + re-folding norms for the band pass
-    val e = prepPayload(emb, dim, payloadCols).persist()
+    // legal holds gate the ingest door (r15)
+    val e = prepPayload(TO.exceptHeld(emb, s, table + "_hold",
+      "vec_id"), dim, payloadCols).persist()
     try {
       bandRows(e, nBands, bits, dim).withColumn("gen", lit(gTop))
         .write.mode("overwrite")
@@ -584,7 +626,8 @@ object AnnIndex {
         .saveAsTable(table + "_vec")
     } finally { e.unpersist(); () }
     TO.ensureIndexConfig(s, table,
-      Seq("dim" -> dim, "nbands" -> nBands, "bits" -> bits))
+      Seq("dim" -> dim, "nbands" -> nBands, "bits" -> bits,
+        "planemod" -> Ann.planeModulus(nBands * bits, dim)))
   }
 
   /** Banded ANN top-k served ENTIRELY from the stored index: query band
@@ -676,10 +719,13 @@ object AnnIndex {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.ensureIndexConfig(s, table,
-      Seq("dim" -> dim, "nbands" -> nBands, "bits" -> bits))
+      Seq("dim" -> dim, "nbands" -> nBands, "bits" -> bits,
+        "planemod" -> Ann.planeModulus(nBands * bits, dim)))
     TO.clearOrphanLocation(s, table)
     TO.clearOrphanLocation(s, table + "_vec")
-    val e = prepPayload(emb, dim, payloadCols).persist()
+    // legal holds gate the ingest door (r15)
+    val e = prepPayload(TO.exceptHeld(emb, s, table + "_hold",
+      "vec_id"), dim, payloadCols).persist()
     try {
       bandRows(e, nBands, bits, dim).withColumn("gen", lit(gen))
         .write.mode("append")
@@ -711,6 +757,14 @@ object AnnIndex {
       append(emb, table, nBands, bits, dim, nBuckets, payloadCols,
         gen = g)
     }
+
+  /** Place a LEGAL HOLD on vector ids (r15 — see
+    * [[graft.operators.TextOps.holdIds]]): the `<table>_hold` sibling
+    * is an append-only id set filtered at every write/append/upsert/
+    * refresh entry of this family, surviving vacuum by construction.
+    * Pair with [[delete]] to remove already-stored content. */
+  def hold(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.holdIds(s, table + "_hold", ids, "vec_id")
 
   /** TOMBSTONED DELETE for the ANN family: the ids stop answering (and
     * asking) immediately — every probe ([[topK]], [[topKFiltered]],
@@ -975,8 +1029,10 @@ object IvfIndex {
     // gen 0 (TextOps.rebuildGen — ADVICE r14)
     val gTop = TO.rebuildGen(s, table + "_del")
     // persisted: the seed collect, each Lloyd pass, and the final
-    // assignment all rescan the normalized corpus
-    val e = Ann.prepStrict(emb, dim).persist()
+    // assignment all rescan the normalized corpus. Legal holds gate
+    // the build door — held vectors neither train nor store (r15).
+    val e = Ann.prepStrict(TO.exceptHeld(emb, s, table + "_hold",
+      "vec_id"), dim).persist()
     try {
       val cents = Ivf.kmeansCentroids(e, k, dim, iters)
       Ivf.assignCells(e, cents).withColumn("gen", lit(gTop))
@@ -1017,7 +1073,8 @@ object IvfIndex {
       s"IvfIndex.append: no stored quantizer ${table}_cent — build " +
         "with IvfIndex.write first (append never retrains)")
     val cents = loadCentroids(s, table)
-    val e = Ann.prepStrict(emb, cents.head._2.length)
+    val e = Ann.prepStrict(TO.exceptHeld(emb, s,
+      table + "_hold", "vec_id"), cents.head._2.length)
     Ivf.assignCells(e, cents).withColumn("gen", lit(gen))
       .write.mode("append")
       .bucketBy(nBuckets, "cell").sortBy("cell")
@@ -1048,6 +1105,14 @@ object IvfIndex {
     s.table(table + "_cent").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
+
+  /** Place a LEGAL HOLD on vector ids (r15 — see
+    * [[graft.operators.TextOps.holdIds]]): the `<table>_hold` sibling
+    * is an append-only id set filtered at every write/append/upsert/
+    * refresh entry of this family, surviving vacuum by construction.
+    * Pair with [[delete]] to remove already-stored content. */
+  def hold(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.holdIds(s, table + "_hold", ids, "vec_id")
 
   /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
     * the one-member cells family; probes subtract the list, vacuum
@@ -1199,7 +1264,8 @@ object IvfIndex {
       Seq(cellsTmp, centTmp).foreach { x =>
         s.sql(s"DROP TABLE IF EXISTS $x"); TO.clearOrphanLocation(s, x)
       }
-      val e = Ann.prepStrict(emb, dim).persist()
+      val e = Ann.prepStrict(TO.exceptHeld(emb, s,
+        table + "_hold", "vec_id"), dim).persist()
       try {
         val cents = Ivf.kmeansCentroids(e, k, dim, iters)
         // re-materialized rows land at the CURRENT top finite
@@ -1544,7 +1610,10 @@ object PqIndex {
     val s = emb.sparkSession
     TO.clearOrphanLocation(s, table)
     s.sql(s"DROP TABLE IF EXISTS $table")
-    trainCodebook(emb, table, m, subDim, ks)
+    // legal holds gate the build door — held vectors neither train
+    // the codebook nor store codes (append filters the store) (r15)
+    trainCodebook(TO.exceptHeld(emb, s, table + "_hold", "vec_id"),
+      table, m, subDim, ks)
     // rebuilt rows ride at the top surviving finite barrier, not
     // gen 0 (TextOps.rebuildGen — ADVICE r14)
     append(emb, table, nBuckets, gen = TO.rebuildGen(s, table + "_del"))
@@ -1580,7 +1649,8 @@ object PqIndex {
     TO.clearOrphanLocation(s, table)
     val cb = s.table(table + "_cb").select(col("sub"), col("cid"),
       col("c"))
-    encode(emb, cb).withColumn("gen", lit(gen))
+    encode(TO.exceptHeld(emb, s, table + "_hold", "vec_id"),
+        cb).withColumn("gen", lit(gen))
       .write.mode("append").bucketBy(nBuckets, "vec_id").sortBy("vec_id")
       .saveAsTable(table)
   }
@@ -1599,6 +1669,14 @@ object PqIndex {
         "vec_id", gen = g)
       append(emb, table, nBuckets, gen = g)
     }
+
+  /** Place a LEGAL HOLD on vector ids (r15 — see
+    * [[graft.operators.TextOps.holdIds]]): the `<table>_hold` sibling
+    * is an append-only id set filtered at every write/append/upsert/
+    * refresh entry of this family, surviving vacuum by construction.
+    * Pair with [[delete]] to remove already-stored content. */
+  def hold(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.holdIds(s, table + "_hold", ids, "vec_id")
 
   /** ADC top-k: `queries` = (vec_id, v) exact canon vectors. Builds the
     * per-query LUT (queries × codebook — |q|·M·Ks rows, broadcast),
@@ -1835,12 +1913,14 @@ object PqIndex {
       Seq(cbTmp, codesTmp).foreach { x =>
         s.sql(s"DROP TABLE IF EXISTS $x"); TO.clearOrphanLocation(s, x)
       }
-      trainCodebookTo(emb, cbTmp, m, subDim, ks)
+      // legal holds gate the retrain door too (r15)
+      val live = TO.exceptHeld(emb, s, table + "_hold", "vec_id")
+      trainCodebookTo(live, cbTmp, m, subDim, ks)
       // re-encoded rows ride at the current top finite generation —
       // the IvfIndex.refresh rationale (upsert barriers survive a
       // refresh; the refreshed corpus is current by definition)
       val gTop = TO.nextGen(s, table + "_del") - 1
-      encode(emb, s.table(cbTmp).select(col("sub"), col("cid"), col("c")))
+      encode(live, s.table(cbTmp).select(col("sub"), col("cid"), col("c")))
         .withColumn("gen", lit(gTop))
         .write.bucketBy(nBuckets, "vec_id").sortBy("vec_id")
         .saveAsTable(codesTmp)
@@ -2039,7 +2119,8 @@ object BqIndex {
     graft.functions.VectorFunctions.register(s)
     TO.ensureIndexConfig(s, table, Seq("dim" -> dim))
     TO.clearOrphanLocation(s, table)
-    Ann.prepStrict(emb, dim)
+    Ann.prepStrict(TO.exceptHeld(emb, s, table + "_hold",
+        "vec_id"), dim)
       .select(col("vec_id"), expr(sigExpr).as("sig"),
         lit(gen).as("gen"))
       .write.mode("append").bucketBy(nBuckets, "vec_id").sortBy("vec_id")
@@ -2059,6 +2140,14 @@ object BqIndex {
         "vec_id", gen = g)
       append(emb, table, dim, nBuckets, gen = g)
     }
+
+  /** Place a LEGAL HOLD on vector ids (r15 — see
+    * [[graft.operators.TextOps.holdIds]]): the `<table>_hold` sibling
+    * is an append-only id set filtered at every write/append/upsert/
+    * refresh entry of this family, surviving vacuum by construction.
+    * Pair with [[delete]] to remove already-stored content. */
+  def hold(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.holdIds(s, table + "_hold", ids, "vec_id")
 
   /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
     * the signature table ([[topK]] filters the sig side, which both
@@ -2312,8 +2401,10 @@ object SqIndex {
     val s = emb.sparkSession
     TO.ensureIndexConfig(s, table, Seq("dim" -> dim))
     TO.clearOrphanLocation(s, table)
-    // ingest-side width enforcement — the canonChecked contract
-    emb.select(col("vec_id"),
+    // ingest-side width enforcement — the canonChecked contract;
+    // legal holds gate the ingest door (r15)
+    TO.exceptHeld(emb, s, table + "_hold", "vec_id")
+      .select(col("vec_id"),
         CosSim.canonChecked(col("embedding"), dim).as("v"))
       .withColumn("sc",
         expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
@@ -2336,6 +2427,14 @@ object SqIndex {
         "vec_id", gen = g)
       append(emb, table, dim, nBuckets, gen = g)
     }
+
+  /** Place a LEGAL HOLD on vector ids (r15 — see
+    * [[graft.operators.TextOps.holdIds]]): the `<table>_hold` sibling
+    * is an append-only id set filtered at every write/append/upsert/
+    * refresh entry of this family, surviving vacuum by construction.
+    * Pair with [[delete]] to remove already-stored content. */
+  def hold(s: SparkSession, table: String, ids: DataFrame): Unit =
+    TO.holdIds(s, table + "_hold", ids, "vec_id")
 
   /** TOMBSTONED DELETE / fold — the [[AnnIndex.delete]] contract over
     * the codes table. */
@@ -2507,10 +2606,14 @@ object Similarity {
     * into its own WITH list.
     */
   private def bandedCtes(maxQueryId: Int): String = {
+    // keep in lockstep with Ann.planeVec — same integer family under
+    // the SAME derived modulus (8 bands × 2 bits over the testdata
+    // width); the offset m/2 is integer division, computed here so
+    // both engines use the identical literal
+    val m = Ann.planeModulus(16, CosSim.EmbDim)
     def plane(p: Int) =
-      // keep in lockstep with Ann.planeVec — same integer family
-      s"[CAST(((1 + $p * 37 + i * 61 + $p * i * 11) % 29) - 14 " +
-        "AS DOUBLE) for i in generate_series(0, 63)]"
+      s"[CAST(((1 + $p * 37 + i * 61 + $p * i * 11) % $m) - ${m / 2} " +
+        s"AS DOUBLE) for i in generate_series(0, ${CosSim.EmbDim - 1})]"
     def bit(p: Int) =
       s"CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 " +
         "THEN '1' ELSE '0' END"

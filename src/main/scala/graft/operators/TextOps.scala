@@ -406,6 +406,55 @@ object TextOps {
       swapIndexTables(s, delTable, tmp)
     }
 
+  /** LEGAL-HOLD registry (r15, VERDICT item 4 — the vacuumIndex
+    * HONESTY NOTE's "caller owns that registry" gap, closed in the
+    * engine): `<family>_hold` is an APPEND-ONLY id set filtered at
+    * every append/upsert/ingest entry of its family, so held content
+    * can never (re-)enter the index — and because it is a SIBLING
+    * table that no vacuum/compact/reset path ever touches, it
+    * survives the vacuum that folds terminal tombstones away (the
+    * exact hazard: "terminal" deletion is terminal only up to the
+    * next vacuum; a hold is terminal, period). Holds are ingest-side
+    * gates, not probe-side filters — pair a hold with the family's
+    * delete to remove already-indexed content, then vacuum freely.
+    * Ids only ever append (no release op — an un-holdable registry is
+    * the point; drop the table deliberately to clear it).
+    * [[describeIndex]] reports the count.
+    */
+  private[graft] def holdIds(s: org.apache.spark.sql.SparkSession,
+      holdTable: String, ids: org.apache.spark.sql.DataFrame,
+      idCol: String): Unit = withBuildLock(s) {
+    clearOrphanLocation(s, holdTable)
+    val fresh = ids.select(col(idCol)).distinct()
+    val novel =
+      if (s.catalog.tableExists(holdTable))
+        fresh.join(s.table(holdTable), Seq(idCol), "left_anti")
+      else fresh
+    novel.coalesce(1).write.mode("append").saveAsTable(holdTable)
+    s.catalog.refreshTable(holdTable)
+  }
+
+  /** Ingest-side hold gate: subtract the family's hold registry from
+    * an incoming batch. No registry (the common case) = the frame
+    * passes through untouched, plans unchanged. */
+  private[graft] def exceptHeld(df: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.SparkSession, holdTable: String,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    if (!s.catalog.tableExists(holdTable)) df
+    else df.join(s.table(holdTable).select(col(idCol)), Seq(idCol),
+      "left_anti")
+
+  /** Place a legal hold on document ids for an incremental BM25
+    * family — see [[holdIds]]. */
+  def holdBm25Docs(s: org.apache.spark.sql.SparkSession, table: String,
+      ids: org.apache.spark.sql.DataFrame): Unit =
+    holdIds(s, table + "_hold", ids, "doc_id")
+
+  /** Place a legal hold on document ids for a band index family. */
+  def holdBandDocs(s: org.apache.spark.sql.SparkSession, table: String,
+      ids: org.apache.spark.sql.DataFrame): Unit =
+    holdIds(s, table + "_hold", ids, "doc_id")
+
   /** A tombstone list with its `gen` column guaranteed present —
     * pre-r14 lists (id only) read as all-terminal. */
   private def withEntryGen(del: org.apache.spark.sql.DataFrame)
@@ -577,7 +626,8 @@ object TextOps {
       members: Seq[(String, IndexFileHealth)],
       delRows: Long, delFiles: Long, terminalDeletes: Long,
       topBarrier: Long, cfg: Map[String, Int],
-      stats: Map[String, Long], drift: Option[Double]) {
+      stats: Map[String, Long], drift: Option[Double],
+      holds: Long = 0L) {
     /** The ops ONE [[maintainIndex]] pass would run right now under
       * `policy` — advisory, not a contract: maintain re-gauges
       * between its steps (a vacuum resets the member file pressure
@@ -634,10 +684,15 @@ object TextOps {
           f.name -> row.getLong(row.fieldIndex(f.name))
       }.toMap
     }.getOrElse(Map.empty[String, Long])
+    // the legal-hold sibling rides the same `<family>_` base as the
+    // tombstone list (r15, VERDICT item 4)
+    val holdT = delTable.stripSuffix("_del") + "_hold"
+    val holds =
+      if (s.catalog.tableExists(holdT)) s.table(holdT).count() else 0L
     IndexStatus(mh, rows, tableFileCount(s, delTable), term, top,
       cfgOf.flatMap(readIndexConfig(s, _))
         .getOrElse(Map.empty[String, Int]),
-      st, drift.map(_()))
+      st, drift.map(_()), holds)
   }
 
   /** [[describeIndex]] for the incremental BM25 family (stats row
@@ -1130,7 +1185,8 @@ object TextOps {
     // rebuild-over-upserted-family: rows ride at the top surviving
     // finite barrier, not gen 0 (see [[rebuildGen]] — ADVICE r14)
     val gTop = rebuildGen(s, table + "_del")
-    val tf = tokenTf(docs).persist()
+    val tf = tokenTf(
+      exceptHeld(docs, s, table + "_hold", "doc_id")).persist()
     try bm25PostingRows(tf).withColumn("gen", lit(gTop))
       .write.mode("overwrite")
       .bucketBy(nBuckets, "token").sortBy("token")
@@ -1176,7 +1232,10 @@ object TextOps {
     applyBm25DeleteStage(s, table, statsTable)
     clearOrphanLocation(s, table)
     clearOrphanLocation(s, statsTable)
-    val tf = tokenTf(docs).persist()
+    // legal holds gate the ingest door: held ids' rows never land and
+    // their (count, dl) never touch the stats (r15)
+    val tf = tokenTf(
+      exceptHeld(docs, s, table + "_hold", "doc_id")).persist()
     try {
       // an EMPTY batch still creates/keeps the tables (coalesced sums):
       // an empty corpus must yield an empty probe result, exactly like
@@ -2138,8 +2197,10 @@ object TextOps {
       nBuckets: Int = 8): Unit = withBuildLock(docs.sparkSession) {
     clearOrphanLocation(docs.sparkSession, table)
     // rebuild-over-upserted-family: ride at the top surviving finite
-    // barrier, not gen 0 (see [[rebuildGen]] — ADVICE r14)
-    bandIndexRows(docs, "old_id", "old_toks")
+    // barrier, not gen 0 (see [[rebuildGen]] — ADVICE r14). Legal
+    // holds gate the rebuild door too (r15).
+    bandIndexRows(exceptHeld(docs, docs.sparkSession,
+        table + "_hold", "doc_id"), "old_id", "old_toks")
       .withColumn("gen",
         lit(rebuildGen(docs.sparkSession, table + "_del")))
       .write.mode("overwrite")
@@ -2165,7 +2226,9 @@ object TextOps {
     // maintenance-swap file-listing race)
     withBuildLock(docs.sparkSession) {
       clearOrphanLocation(docs.sparkSession, table)
-      bandIndexRows(docs, "old_id", "old_toks")
+      // legal holds gate the ingest door (r15)
+      bandIndexRows(exceptHeld(docs, docs.sparkSession,
+          table + "_hold", "doc_id"), "old_id", "old_toks")
         .withColumn("gen", lit(gen))
         .write.mode("append")
         .bucketBy(nBuckets, "band_key").sortBy("band_key")

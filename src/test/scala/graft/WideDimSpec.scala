@@ -66,7 +66,8 @@ class WideDimSpec extends AnyFunSuite with SparkSuite {
         AnnIndex.write(emb, t, nBands = 4, bits = 2, dim = dim,
           payloadCols = Seq("label"))
         assert(TextOps.readIndexConfig(spark, t) ===
-          Some(Map("dim" -> dim, "nbands" -> 4, "bits" -> 2)))
+          Some(Map("dim" -> dim, "nbands" -> 4, "bits" -> 2,
+            "planemod" -> Ann.planeModulus(8, dim))))
         def rows(df: DataFrame) = df.collect()
           .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
         val stored = rows(AnnIndex.topK(spark, t, _ < 13, k = 3))

@@ -115,6 +115,99 @@ class WideRecallSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  /** The FOLD-DEFEATING fixture (r15, VERDICT item 3): a corpus whose
+    * neighbor structure is concentrated in the kernel of the old
+    * fixed-29 modulus's i-period fold. Each vector = K_id + ε·e0,
+    * where K_id is a large pseudo-random vector whose 29-residue
+    * class sums are ALL ZERO (members of each class paired +a/−a) and
+    * ε·e0 a tiny non-kernel nudge. Under modulus 29 every plane sees
+    * only the folded sums, so dot(w_p, K + ε·e0) = ε·w_p(0): the
+    * true-neighbor pair (K + ε·e0, K − ε·e0) — cosine ≈ 1 — flips
+    * EVERY sign bit and never collides on any band, while half the
+    * corpus (same ε sign, unrelated K) collides on every band. The
+    * derived modulus has period > dim, so the planes see the actual
+    * coordinates, K dominates, and the pair collides. */
+  private def foldKernelCorpus(dim: Int, nPairs: Int): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    def kernel(seed: Long): Array[Double] = {
+      val v = new Array[Double](dim)
+      for (r <- 0 until 29) {
+        val members = (r until dim by 29).toArray
+        var idx = 0
+        while (idx + 1 < members.length) {
+          // mixed 64-bit hash — a small-modulus formula here would be
+          // periodic in the seed and alias distinct ids' kernels
+          val h = (seed * 6364136223846793005L +
+            members(idx) * 1442695040888963407L) >>> 33
+          val a = (h % 13L + 3L).toDouble
+          v(members(idx)) = a
+          v(members(idx + 1)) = -a
+          idx += 2
+        }
+      }
+      v
+    }
+    (0L until nPairs.toLong).flatMap { q =>
+      val k = kernel(q)
+      val plus = k.clone(); plus(0) += 0.5
+      val minus = k.clone(); minus(0) -= 0.5
+      Seq((q, plus.toSeq), (q + 100L, minus.toSeq))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("dim 768: the fold-defeating corpus — the old fixed-29 modulus " +
+      "loses every true pair; the derived modulus finds them") {
+    VectorFunctions.register(spark)
+    val dim = 768
+    val nPairs = 16
+    val emb = foldKernelCorpus(dim, nPairs)
+    val isQ: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column = _ < nPairs.toLong
+
+    // ground truth: each query's rank-1 neighbor is its partner
+    val brute = bruteTopK(emb, dim, isQ, k = 1)
+    val truth = brute.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(truth.length === nPairs)
+    assert(truth.forall { case (q, n) => n == q + 100L },
+      s"fixture broken: ${truth.mkString(",")}")
+
+    // band-collision candidate sets under each modulus
+    def candPairs(modulus: Int): Set[(Long, Long)] = {
+      val banded = Ann.prep(emb, dim).withColumn("bands",
+        Ann.bandKeys(col("v"), 8, 2, dim, modulus = modulus))
+      val c = banded.select(col("vec_id"), posexplode(col("bands")))
+        .toDF("vec_id", "band_idx", "band_key")
+      val q = c.filter(col("vec_id") < nPairs.toLong)
+        .toDF("q_id", "q_band_idx", "q_band_key")
+      c.join(broadcast(q), col("band_idx") === col("q_band_idx") &&
+          col("band_key") === col("q_band_key") &&
+          col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // THE PROOF the rule is load-bearing: under the old fixed 29,
+    // not one true pair survives banding — recall 0, against 0.9
+    val old = candPairs(29)
+    val oldHits = truth.count(old.contains)
+    assert(oldHits.toDouble / nPairs < 0.9,
+      s"fixed-29 unexpectedly found $oldHits/$nPairs — fixture no " +
+        "longer adversarial")
+    assert(oldHits === 0, s"$oldHits")
+    // ...and the derived modulus (the production path) finds them all
+    val derived = candPairs(0)
+    val newHits = truth.count(derived.contains)
+    assert(newHits.toDouble / nPairs >= 0.9,
+      s"derived modulus found only $newHits/$nPairs")
+    // end-to-end: the production topK (derived path) returns the
+    // partner as every query's rank-1 neighbor
+    val ann = Ann.topK(emb, isQ, k = 1, nBands = 8, bits = 2,
+      dim = dim).select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.count(ann.contains).toDouble / nPairs >= 0.9,
+      ann.toString)
+  }
+
   for (dim <- Seq(128, 768)) {
     test(s"dim $dim: IVF (k=4, nprobe=2) recall >= 0.9 vs brute force " +
         "on a clustered corpus") {
