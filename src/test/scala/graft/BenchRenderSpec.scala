@@ -279,6 +279,41 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     } finally java.util.Locale.setDefault(prev)
   }
 
+  test("idleWait: waits while loaded, proceeds at the cap, never waits " +
+      "on idle or unreadable load") {
+    // idle at first read: zero wait, zero sleeps
+    var sleeps = 0L
+    assert(Bench.idleWait(() => 0.4, ms => sleeps += ms) === 0L)
+    assert(sleeps === 0L)
+    // unreadable loadavg (-1 sentinel): never waits
+    assert(Bench.idleWait(() => -1.0, ms => sleeps += ms) === 0L)
+    assert(sleeps === 0L)
+    // loaded then draining: waits exactly until the threshold clears
+    val loads = Iterator(4.5, 3.0, 1.2)
+    val waited = Bench.idleWait(() => loads.next(), ms => sleeps += ms)
+    assert(waited === 4L) // two 2s polls
+    assert(sleeps === 4000L)
+    // permanently loaded: proceeds regardless at the 60s cap
+    sleeps = 0L
+    assert(Bench.idleWait(() => 9.9, ms => sleeps += ms) === 60L)
+    assert(sleeps === 60000L)
+  }
+
+  test("compact line: iw renders only when an idle wait happened; " +
+      "full record always carries idle_wait_sec") {
+    val r = Seq(("q_a", 0.42, Seq(0.42)))
+    val none = Bench.renderCompact(r, 3, "/tmp/sf0.1", "0.5", "0.5")
+    assert(!none.contains("\"iw\""), none)
+    val some = Bench.renderCompact(r, 3, "/tmp/sf0.1", "0.5", "0.5",
+      idleWaitSec = 42L)
+    assert(some.contains("\"iw\":42,"), some)
+    val full = Bench.render(r, 3, "0.5", "0.5", "/tmp/sf0.1",
+      idleWaitSec = 17L)
+    assert(full.contains("\"idle_wait_sec\":17,"), full)
+    assert(Bench.render(r, 3, "0.5", "0.5", "/tmp/sf0.1")
+      .contains("\"idle_wait_sec\":0,"))
+  }
+
   test("sf field: driver basenames splice numeric, others stay quoted") {
     def sfOf(dir: String) = {
       val line = Bench.renderCompact(

@@ -147,6 +147,38 @@ class MaintainSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("ingest-hook form never gauges drift: maintainIndex without a " +
+      "drift fn reports nothing even under a hair-trigger driftMax") {
+    // the runbook's drift-leg scheduling contract (r15, VERDICT item
+    // 8): the per-batch hooks on the streaming ingest loops call the
+    // BASE maintainIndex with NO drift gauge — so a self-maintaining
+    // ingest can never launch the O(index) reconstruction, let alone
+    // refresh a quantizer without the training corpus in hand. A
+    // driftMax any gauged pass would trip must report nothing here.
+    val t = s"mnt_nodrift_p$pid"
+    val all = Seq(t, s"${t}_cent", s"${t}_del")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val dim = 16
+      val a = (0 until 40).map { i =>
+        (i.toLong, (0 until dim).map(j =>
+          (((i * 7 + j * 3) % 13) + 1).toDouble))
+      }.toDF("vec_id", "embedding")
+      IvfIndex.write(a, t, k = 4, dim = dim)
+      assert(IvfIndex.quantizationError(spark, t) > 1e-9,
+        "corpus quantizes exactly — the hair trigger is vacuous")
+      val before = spark.table(s"${t}_cent").collect().toSet
+      // the exact call streamingAllIndexIngest's afterBatch hook makes
+      val ops = TextOps.maintainIndex(spark, Seq(t), s"${t}_del",
+        "vec_id", TextOps.MaintenancePolicy(driftMax = 1e-9))
+      assert(!ops.exists(_.contains("refresh")), ops.toString)
+      assert(spark.table(s"${t}_cent").collect().toSet === before,
+        "the hook-form pass touched the quantizer")
+    } finally drop(all: _*)
+  }
+
   test("ingest hook: the loop maintains its own family as gauges trip") {
     val base = s"mnt_hook_p$pid"
     val bm25T = s"${base}_bm25"
