@@ -634,6 +634,16 @@ object StreamingOps {
     *      unified and independent maintenance cannot drift (parity
     *      gated in UnifiedIngestSpec);
     *   4. appends the hash rows, closing the dedup loop.
+    * LEGAL HOLDS are filtered FIRST — before the hash dedup, not just
+    * inside the member appends (which re-filter as a backstop): a held
+    * document must leave NO trace, including the `_hashes` row. If the
+    * hash row landed, a deliberately cleared registry (the documented
+    * un-hold: drop the table) followed by a re-delivery would be
+    * silently skipped as "already ingested" — content lost with no
+    * record. Contrast the DELETE contract, where keeping the hash row
+    * is the point (a redelivered copy of deleted content must not
+    * re-index). Filtered against BOTH member registries; stamp them
+    * together with [[holdDocuments]].
     * Atomicity caveat scales with the table count (the
     * streamingAnnIngest note): a crash mid-batch can leave a partial
     * family until the ledger replays; a transactional format closes
@@ -652,7 +662,11 @@ object StreamingOps {
       refresh = Seq(bandT, bm25T, statsT, hashT),
       append = (batch, _) => {
         val s = batch.sparkSession
-        val gated = graft.operators.TrainingData.curateGate(batch)
+        val unheld = graft.operators.TextOps.exceptHeld(
+          graft.operators.TextOps.exceptHeld(batch.toDF(), s,
+            bm25T + "_hold", "doc_id"),
+          s, bandT + "_hold", "doc_id")
+        val gated = graft.operators.TrainingData.curateGate(unheld)
           .withColumn("content_hash", md5(col("text")))
         val w = Window.partitionBy("content_hash").orderBy(col("doc_id"))
         val inBatch = gated.withColumn("_rn", row_number().over(w))
@@ -715,6 +729,19 @@ object StreamingOps {
       s"${base}_bm25_stats", ids)
   }
 
+  /** ONE-CALL DOCUMENT HOLD — the legal-hold twin of
+    * [[deleteDocuments]]: stamp the id set into BOTH member
+    * registries (`<base>_band_hold`, `<base>_bm25_hold`) so the
+    * unified ingest's top-of-loop gate and every member-level
+    * append/upsert entry agree. Holds gate INGEST; pair with
+    * [[deleteDocuments]] to remove already-indexed content, then
+    * vacuum freely — the hold survives the fold. */
+  def holdDocuments(spark: SparkSession, base: String,
+      ids: org.apache.spark.sql.DataFrame): Unit = {
+    graft.operators.TextOps.holdBandDocs(spark, s"${base}_band", ids)
+    graft.operators.TextOps.holdBm25Docs(spark, s"${base}_bm25", ids)
+  }
+
   /** Fold both document-index tombstone lists into the stored files. */
   def vacuumDocuments(spark: SparkSession, base: String): Unit = {
     graft.operators.TextOps.vacuumBandIndex(spark, s"${base}_band")
@@ -732,6 +759,19 @@ object StreamingOps {
     graft.operators.SqIndex.delete(spark, s"${base}_sq", ids)
     graft.operators.PqIndex.delete(spark, s"${base}_pq", ids)
     graft.operators.IvfIndex.delete(spark, s"${base}_ivf", ids)
+  }
+
+  /** ONE-CALL VECTOR HOLD — the legal-hold twin of [[deleteVectors]]:
+    * stamp the id set into every family's registry so a held vec_id
+    * can never (re-)enter any of the five indexes the unified ingest
+    * maintains. */
+  def holdVectors(spark: SparkSession, base: String,
+      ids: org.apache.spark.sql.DataFrame): Unit = {
+    graft.operators.AnnIndex.hold(spark, s"${base}_ann", ids)
+    graft.operators.BqIndex.hold(spark, s"${base}_bq", ids)
+    graft.operators.SqIndex.hold(spark, s"${base}_sq", ids)
+    graft.operators.PqIndex.hold(spark, s"${base}_pq", ids)
+    graft.operators.IvfIndex.hold(spark, s"${base}_ivf", ids)
   }
 
   /** Fold every vector family's tombstones into the stored files. */

@@ -171,4 +171,123 @@ class HoldSpec extends AnyFunSuite with SparkSuite {
       }
     } finally drop(all: _*)
   }
+
+  private def rmCk(bases: String*): Unit = bases.foreach { t =>
+    val ck = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase + "_ck")
+    ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ck, true)
+  }
+
+  test("streaming ingest + CDC upserts honor holds: a held doc leaves " +
+      "NO trace (members, hash store) and cannot be resurrected") {
+    val base = s"hold_sdoc_p${pid}"
+    val members = Seq(s"${base}_band", s"${base}_band_del",
+      s"${base}_band_hold", s"${base}_bm25", s"${base}_bm25_del",
+      s"${base}_bm25_del_stage", s"${base}_bm25_stats",
+      s"${base}_bm25_hold", s"${base}_hashes", s"${base}_ledger",
+      s"${base}_ups_ledger")
+    val dir = java.nio.file.Files.createTempDirectory("graft_holdsdoc")
+      .toString
+    val upsDir = java.nio.file.Files
+      .createTempDirectory("graft_holdsups").toString
+    drop(members: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val docsT = Tables(spark, sf, "documents")
+      val sub = docsT.filter(col("doc_id") < 40)
+      // held ids must come from the CURATE-GATED population (else the
+      // gate, not the hold, explains the exclusion) and be
+      // hash-unique within the batch (else the in-batch dedup winner
+      // is ambiguous)
+      val hashUniq = graft.operators.TrainingData.curateGate(sub)
+        .withColumn("h", md5(col("text")))
+        .groupBy("h").agg(count(lit(1)).as("n"),
+          min("doc_id").as("doc_id"))
+        .filter(col("n") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(hashUniq.length >= 3, "fixture: need hash-unique gated docs")
+      val held = hashUniq.take(2)
+      // ONE call stamps both member registries — before any ingest
+      streaming.StreamingOps.holdDocuments(spark, base,
+        held.toDF("doc_id"))
+      sub.write.mode("append").parquet(s"$dir/documents.parquet")
+      streaming.StreamingOps.streamingDocumentIngest(spark, dir, base)
+      def ids(t: String, c: String): Set[Long] =
+        spark.table(t).select(col(c)).distinct()
+          .collect().map(_.getLong(0)).toSet
+      val bm = ids(s"${base}_bm25", "doc_id")
+      val bd = ids(s"${base}_band", "old_id")
+      val hs = ids(s"${base}_hashes", "doc_id")
+      held.foreach { h =>
+        assert(!bm.contains(h), s"held $h reached the bm25 postings")
+        assert(!bd.contains(h), s"held $h reached the band index")
+        // the no-trace contract: no hash row either, so clearing the
+        // registry + re-delivering genuinely re-ingests
+        assert(!hs.contains(h), s"held $h left a _hashes row")
+      }
+      // the hold is the ONLY exclusion: every other hash-unique gated
+      // doc landed
+      assert((hashUniq.drop(2).toSet -- bm).isEmpty,
+        s"unheld gated docs missing: ${hashUniq.drop(2).toSet -- bm}")
+      // CDC upserts route through the same registries: one file
+      // carrying a held id's "update" and an unheld control — the
+      // control's novel token lands, the held id stays out
+      Seq(held.head -> "zzzheldtok data merge window spark",
+        hashUniq(2) -> "zzzctrltok data merge window spark")
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(upsDir)
+      streaming.StreamingOps.streamingDocumentUpserts(spark, upsDir,
+        base)
+      val toks = spark.table(s"${base}_bm25").select("token")
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(toks.contains("zzzctrltok"), "control upsert did not land")
+      assert(!toks.contains("zzzheldtok"),
+        "a CDC upsert resurrected a held doc")
+      assert(!ids(s"${base}_bm25", "doc_id").contains(held.head))
+      assert(!ids(s"${base}_band", "old_id").contains(held.head))
+    } finally {
+      drop(members: _*)
+      rmCk(base, s"${base}_ups")
+    }
+  }
+
+  test("streaming vector ingest honors holds: held vec_ids never land " +
+      "in bands or payload") {
+    val vb = s"hold_svec_p${pid}"
+    val t = s"${vb}_ann"
+    val all = Seq(t, s"${t}_vec", s"${t}_cfg", s"${t}_del",
+      s"${t}_ledger") ++
+      Seq("ann", "bq", "sq", "pq", "ivf").map(f => s"${vb}_${f}_hold")
+    val dir = java.nio.file.Files.createTempDirectory("graft_holdsvec")
+      .toString
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val held = Seq(3L, 7L)
+      // the one-call twin stamps all five family registries; this
+      // stream maintains only the ANN member, which reads its own
+      streaming.StreamingOps.holdVectors(spark, vb, held.toDF("vec_id"))
+      emb.filter(col("vec_id") < 30).select("vec_id", "embedding")
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      streaming.StreamingOps.streamingAnnIngest(spark, dir, t)
+      def ids(tab: String): Set[Long] =
+        spark.table(tab).select("vec_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+      val bands = ids(t)
+      val payload = ids(s"${t}_vec")
+      held.foreach { h =>
+        assert(!bands.contains(h), s"held $h reached the band postings")
+        assert(!payload.contains(h), s"held $h reached the payload")
+      }
+      assert(bands.contains(4L) && payload.contains(4L),
+        "unheld vectors missing — the stream itself broke")
+      assert(AnnIndex.describe(spark, t).holds === 2L)
+    } finally {
+      drop(all: _*)
+      rmCk(t)
+    }
+  }
 }
