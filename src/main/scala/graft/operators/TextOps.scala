@@ -1020,6 +1020,98 @@ object TextOps {
     s.catalog.refreshTable(table)
   }
 
+  /** Sibling suffixes a BACKUP covers — a SUPERSET across all stored
+    * families (absent members are simply skipped), so ONE generic
+    * backup/restore pair serves BM25, band, ANN, IVF, PQ, BQ and SQ
+    * alike. Deliberately NOT here:
+    *   - `_hold` — the legal-hold registry is append-only FOREVER;
+    *     a restore must never roll a hold back (held content would
+    *     re-enter through the next ingest), so backup skips it and
+    *     restore leaves it untouched;
+    *   - `_ledger`/`_ck` — stream replay state; a restore rewinds
+    *     INDEX content, not delivery history. After restoring a
+    *     stream-fed family, re-deliver the lost batches (the
+    *     member-loss protocol) or reset the stream's ledger.
+    */
+  private[graft] val BackupSiblings: Seq[String] =
+    Seq("_vec", "_cent", "_cb", "_cfg", "_stats", "_del", "_del_stage")
+
+  /** Bucketing-preserving table copy: definition via CREATE TABLE
+    * LIKE (provider + bucket spec ride along), rows via INSERT
+    * SELECT — inserting into the bucketed definition re-buckets, so
+    * the copy probes with the same zero-Exchange plans as the
+    * original. */
+  private def copyTable(s: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $dst")
+    clearOrphanLocation(s, dst)
+    s.sql(s"CREATE TABLE $dst LIKE $src")
+    s.sql(s"INSERT INTO $dst SELECT * FROM $src")
+    s.catalog.refreshTable(dst)
+  }
+
+  /** BACKUP an index family — the way OUT when [[repairIndex]]
+    * refuses (lost config pins, wrong-width stored rows, a missing
+    * payload member have no safe in-place heal; a snapshot does).
+    * Copies the base table and every existing [[BackupSiblings]]
+    * member to `<member>_bak_<tag>` under the build lock, so the
+    * snapshot is point-in-time consistent against concurrent writers
+    * in this or any other process. Copies preserve bucketing
+    * ([[copyTable]]); the family's `<table>_hold` registry is NOT
+    * part of the snapshot by design (see [[BackupSiblings]]). Cost is
+    * O(index) — one bucketed rewrite per member; run it like fsck,
+    * quiesced or on a maintenance cadence. Returns the backup tables
+    * written. */
+  def backupIndex(s: org.apache.spark.sql.SparkSession, table: String,
+      tag: String = "bak"): Seq[String] = withBuildLock(s) {
+    require(tag.matches("[A-Za-z0-9]+"),
+      s"backupIndex: tag must be alphanumeric, got '$tag'")
+    require(s.catalog.tableExists(table),
+      s"backupIndex: no family base table $table")
+    (table +: BackupSiblings.map(table + _))
+      .filter(s.catalog.tableExists)
+      .map { m =>
+        val b = s"${m}_bak_$tag"
+        copyTable(s, m, b)
+        b
+      }
+  }
+
+  /** RESTORE an index family to its `<tag>` snapshot: every member
+    * with a backup copy is overwritten from it; a live member with NO
+    * backup copy is DROPPED (it did not exist at snapshot time) — so
+    * the family converges to exactly the snapshot state. Refuses
+    * loudly before mutating anything when the base table's backup is
+    * missing (a restore without its snapshot would just drop the live
+    * family). The backup itself is KEPT — restore is repeatable, and
+    * a crash mid-restore (copies, not renames) converges by simply
+    * re-running it. `<table>_hold` is never touched: holds placed
+    * after the backup stay in force across the restore (the
+    * append-only-forever registry contract). Returns what it did. */
+  def restoreIndex(s: org.apache.spark.sql.SparkSession, table: String,
+      tag: String = "bak"): Seq[String] = withBuildLock(s) {
+    require(s.catalog.tableExists(s"${table}_bak_$tag"),
+      s"restoreIndex: no backup ${table}_bak_$tag — refusing to " +
+        "touch the live family without its snapshot")
+    (table +: BackupSiblings.map(table + _)).flatMap { m =>
+      val b = s"${m}_bak_$tag"
+      if (s.catalog.tableExists(b)) {
+        copyTable(s, b, m)
+        Some(s"restored $m")
+      } else if (s.catalog.tableExists(m)) {
+        s.sql(s"DROP TABLE $m")
+        Some(s"dropped $m (absent at snapshot)")
+      } else None
+    }
+  }
+
+  /** Drop a family's `<tag>` backup set. */
+  def dropBackup(s: org.apache.spark.sql.SparkSession, table: String,
+      tag: String = "bak"): Unit = withBuildLock(s) {
+    (table +: BackupSiblings.map(table + _))
+      .foreach(m => s.sql(s"DROP TABLE IF EXISTS ${m}_bak_$tag"))
+  }
+
   /** Promote a GROUP of replacement tables atomically-enough that a
     * crash at ANY step converges to the all-new group on recovery —
     * closing the "the PAIR isn't atomic" caveat the refresh ops
