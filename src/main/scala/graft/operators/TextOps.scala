@@ -1069,12 +1069,46 @@ object TextOps {
     require(s.catalog.tableExists(table),
       s"backupIndex: no family base table $table")
     (table +: BackupSiblings.map(table + _))
-      .filter(s.catalog.tableExists)
-      .map { m =>
-        val b = s"${m}_bak_$tag"
-        copyTable(s, m, b)
-        b
-      }
+      .flatMap(backupTable(s, _, tag))
+  }
+
+  /** Snapshot ONE standalone table (a replay ledger, the ingest hash
+    * store) to `<table>_bak_<tag>` — the stream-level backup verbs
+    * compose this with [[backupIndex]] for family members. No-op
+    * (None) when the table does not exist, so absent-at-snapshot
+    * members are recorded by their missing backup copy. */
+  private[graft] def backupTable(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String): Option[String] = {
+    val b = s"${table}_bak_$tag"
+    if (s.catalog.tableExists(table)) {
+      copyTable(s, table, b)
+      Some(b)
+    } else {
+      // clear any STALE copy from a previous backup under this tag:
+      // the member is gone from the live family, so the re-taken
+      // snapshot must record its absence, or a later restore would
+      // resurrect it
+      s.sql(s"DROP TABLE IF EXISTS $b")
+      clearOrphanLocation(s, b)
+      None
+    }
+  }
+
+  /** Converge ONE table to its `<tag>` snapshot: overwrite from the
+    * backup copy when one exists, DROP the live table when it has no
+    * copy (it did not exist at snapshot time), no-op when neither
+    * exists. The single-member primitive [[restoreIndex]] and the
+    * stream-level restore verbs share. */
+  private[graft] def restoreTable(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String): Option[String] = {
+    val b = s"${table}_bak_$tag"
+    if (s.catalog.tableExists(b)) {
+      copyTable(s, b, table)
+      Some(s"restored $table")
+    } else if (s.catalog.tableExists(table)) {
+      s.sql(s"DROP TABLE $table")
+      Some(s"dropped $table (absent at snapshot)")
+    } else None
   }
 
   /** RESTORE an index family to its `<tag>` snapshot: every member
@@ -1093,16 +1127,8 @@ object TextOps {
     require(s.catalog.tableExists(s"${table}_bak_$tag"),
       s"restoreIndex: no backup ${table}_bak_$tag — refusing to " +
         "touch the live family without its snapshot")
-    (table +: BackupSiblings.map(table + _)).flatMap { m =>
-      val b = s"${m}_bak_$tag"
-      if (s.catalog.tableExists(b)) {
-        copyTable(s, b, m)
-        Some(s"restored $m")
-      } else if (s.catalog.tableExists(m)) {
-        s.sql(s"DROP TABLE $m")
-        Some(s"dropped $m (absent at snapshot)")
-      } else None
-    }
+    (table +: BackupSiblings.map(table + _))
+      .flatMap(restoreTable(s, _, tag))
   }
 
   /** Drop a family's `<tag>` backup set. */

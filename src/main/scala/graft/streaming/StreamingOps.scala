@@ -783,6 +783,163 @@ object StreamingOps {
     graft.operators.IvfIndex.vacuum(spark, s"${base}_ivf")
   }
 
+  // ---- point-in-time backup/restore for stream-fed families (r15) --
+
+  /** The three replay streams a unified DOCUMENT family owes state
+    * to: the corpus ingest itself, its CDC upsert twin, its CDC
+    * delete twin. Each owns `<name>_ledger` + the `<name>_ck`
+    * checkpoint directory. */
+  private def docStreams(base: String): Seq[String] =
+    Seq(base, s"${base}_ups", s"${base}_dels")
+
+  /** Vector twin of [[docStreams]]. */
+  private def vecStreams(base: String): Seq[String] =
+    Seq(base, s"${base}_vups", s"${base}_vdels")
+
+  private val vecFamilies = Seq("_ann", "_bq", "_sq", "_pq", "_ivf")
+
+  private def ckDir(spark: SparkSession, name: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      name.toLowerCase + "_ck")
+
+  /** Snapshot a stream's checkpoint DIRECTORY to `<ck>_bak_<tag>` —
+    * the piece TableOps-level backup can't cover. Checkpoint and
+    * ledger are a PAIR ([[ledgeredIngest]]'s reset rationale), so the
+    * stream-level verbs always snapshot/restore them together. */
+  private def backupCk(spark: SparkSession, name: String,
+      tag: String): Option[String] = {
+    val src = ckDir(spark, name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = src.getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(src.getParent,
+      s"${src.getName}_bak_$tag")
+    if (fs.exists(dst)) { fs.delete(dst, true); () }
+    if (fs.exists(src)) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+      Some(dst.toString)
+    } else None
+  }
+
+  /** Converge a stream's checkpoint directory to its snapshot:
+    * overwrite from the backup copy, or delete it when it has no copy
+    * (the stream did not exist at snapshot time — with ledger gone
+    * too, a delete/upsert stream replays everything, which is its
+    * documented idempotent recovery). */
+  private def restoreCk(spark: SparkSession, name: String,
+      tag: String): Option[String] = {
+    val live = ckDir(spark, name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = live.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(live.getParent,
+      s"${live.getName}_bak_$tag")
+    val hadLive = fs.exists(live)
+    if (hadLive) { fs.delete(live, true); () }
+    if (fs.exists(bak)) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, bak, fs, live, false, conf)
+      Some(s"restored ck $name")
+    } else if (hadLive) Some(s"dropped ck $name (absent at snapshot)")
+    else None
+  }
+
+  /** POINT-IN-TIME BACKUP of a unified document family — the
+    * stream-aware composition of [[graft.operators.TextOps.backupIndex]]:
+    * both member families (band + BM25, every existing sibling), the
+    * shared `_hashes` exact-dedup store, and each replay stream's
+    * ledger TABLE + checkpoint DIRECTORY as a pair. With the
+    * checkpoints inside the snapshot, [[restoreDocuments]] +
+    * re-invoking the three streams replays EXACTLY the files that
+    * arrived after the snapshot — no duplicate appends (pre-snapshot
+    * files stay consumed in the restored checkpoint), no lost CDC
+    * (post-snapshot upserts/deletes re-deliver) — converging to the
+    * state a never-crashed family would hold. Run it like fsck:
+    * between stream invocations (AvailableNow streams terminate per
+    * call, so "quiesced" is the natural state) under the build lock.
+    * The `_hold` registries stay OUTSIDE ([[graft.operators.TextOps.BackupSiblings]]).
+    */
+  def backupDocuments(spark: SparkSession, base: String,
+      tag: String = "bak"): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      require(spark.catalog.tableExists(s"${base}_bm25") ||
+        spark.catalog.tableExists(s"${base}_band"),
+        s"backupDocuments: no document family at base $base")
+      val fams = Seq(s"${base}_band", s"${base}_bm25")
+        .filter(spark.catalog.tableExists)
+        .flatMap(graft.operators.TextOps.backupIndex(spark, _, tag))
+      val state = (s"${base}_hashes" +:
+          docStreams(base).map(_ + "_ledger"))
+        .flatMap(graft.operators.TextOps.backupTable(spark, _, tag))
+      val cks = docStreams(base).flatMap(backupCk(spark, _, tag))
+      fams ++ state ++ cks
+    }
+
+  /** RESTORE a unified document family to its `<tag>` snapshot —
+    * members, hash store, ledgers and checkpoints together (see
+    * [[backupDocuments]] for why re-invoking the streams afterwards
+    * converges on the never-crashed state). Members, ledgers or
+    * checkpoints created AFTER the snapshot are dropped; the `_hold`
+    * registries are never touched. Refuses before mutating anything
+    * without the snapshot. */
+  def restoreDocuments(spark: SparkSession, base: String,
+      tag: String = "bak"): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      require(spark.catalog.tableExists(s"${base}_bm25_bak_$tag") ||
+        spark.catalog.tableExists(s"${base}_band_bak_$tag"),
+        s"restoreDocuments: no backup for base $base tag $tag — " +
+          "refusing to touch the live family without its snapshot")
+      val members = Seq(s"${base}_band", s"${base}_bm25").flatMap(f =>
+        (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
+          .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag)))
+      val state = (s"${base}_hashes" +:
+          docStreams(base).map(_ + "_ledger"))
+        .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag))
+      val cks = docStreams(base).flatMap(restoreCk(spark, _, tag))
+      members ++ state ++ cks
+    }
+
+  /** POINT-IN-TIME BACKUP of a unified vector family: every existing
+    * member family (ANN band+payload, BQ, SQ8, PQ incl. codebook, IVF
+    * incl. centroids — [[graft.operators.TextOps.BackupSiblings]]
+    * covers the trained artifacts) plus the ingest/CDC ledgers and
+    * checkpoints as pairs. Same replay-convergence contract as
+    * [[backupDocuments]] — and for vectors the checkpoint-in-snapshot
+    * design is what makes restore SAFE at all: vector appends have no
+    * content-hash dedup, so a full replay against restored members
+    * would duplicate rows; the restored checkpoint replays only
+    * post-snapshot files. */
+  def backupVectors(spark: SparkSession, base: String,
+      tag: String = "bak"): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      val fams = vecFamilies.map(base + _)
+        .filter(spark.catalog.tableExists)
+      require(fams.nonEmpty,
+        s"backupVectors: no vector family at base $base")
+      val members =
+        fams.flatMap(graft.operators.TextOps.backupIndex(spark, _, tag))
+      val state = vecStreams(base).map(_ + "_ledger")
+        .flatMap(graft.operators.TextOps.backupTable(spark, _, tag))
+      val cks = vecStreams(base).flatMap(backupCk(spark, _, tag))
+      members ++ state ++ cks
+    }
+
+  /** RESTORE a unified vector family to its `<tag>` snapshot; the
+    * vector twin of [[restoreDocuments]]. */
+  def restoreVectors(spark: SparkSession, base: String,
+      tag: String = "bak"): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      require(vecFamilies.exists(f =>
+        spark.catalog.tableExists(s"$base${f}_bak_$tag")),
+        s"restoreVectors: no backup for base $base tag $tag — " +
+          "refusing to touch the live family without its snapshot")
+      val members = vecFamilies.map(base + _).flatMap(f =>
+        (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
+          .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag)))
+      val state = vecStreams(base).map(_ + "_ledger")
+        .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag))
+      val cks = vecStreams(base).flatMap(restoreCk(spark, _, tag))
+      members ++ state ++ cks
+    }
+
   /** STREAMING DELETES — the CDC shape: deletion requests arrive as a
     * file stream of (doc_id) rows and each micro-batch drives
     * [[deleteDocuments]] behind the shared replay ledger (its own

@@ -176,6 +176,35 @@ class BackupSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("re-taking a backup under the same tag records member absence: " +
+      "the stale copy is cleared, restore does not resurrect it") {
+    val t = s"bak_stale_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        Seq(1L -> "spark join window", 2L -> "hash scan merge")
+          .toDF("doc_id", "text"), t, s"${t}_stats")
+      TextOps.deleteBm25Docs(spark, t, s"${t}_stats",
+        Seq(2L).toDF("doc_id"))
+      assert(spark.catalog.tableExists(s"${t}_del"))
+      TextOps.backupIndex(spark, t)
+      assert(spark.catalog.tableExists(s"${t}_del_bak_bak"))
+      // the member retires between snapshots (a vacuum cadence that
+      // drops an empty list, an operator cleanup — the mechanism
+      // doesn't matter, the re-taken snapshot must record absence)
+      spark.sql(s"DROP TABLE ${t}_del")
+      TextOps.backupIndex(spark, t)
+      assert(!spark.catalog.tableExists(s"${t}_del_bak_bak"),
+        "re-taken backup kept a stale copy of a retired member")
+      TextOps.restoreIndex(spark, t)
+      assert(!spark.catalog.tableExists(s"${t}_del"),
+        "restore resurrected a member absent at the re-taken snapshot")
+    } finally drop(all: _*)
+  }
+
   test("restore without a snapshot refuses before touching anything; " +
       "backup requires the base table; dropBackup clears the set") {
     val t = s"bak_refuse_p$pid"
