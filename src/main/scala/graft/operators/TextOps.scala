@@ -1138,6 +1138,189 @@ object TextOps {
       .foreach(m => s.sql(s"DROP TABLE IF EXISTS ${m}_bak_$tag"))
   }
 
+  private def tableLocation(s: org.apache.spark.sql.SparkSession,
+      t: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+
+  /** (relative path, length) of every DATA file under a member's
+    * location — hidden/metadata files (`_SUCCESS`, `.crc`) excluded,
+    * exactly the set the parquet scan lists. Part-file names carry
+    * write-UUIDs, so (name, length) identifies a file's CONTENT for
+    * snapshot purposes: an append adds names, any rewrite (compact,
+    * vacuum fold, rebuild) produces different names. */
+  private def listDataFiles(s: org.apache.spark.sql.SparkSession,
+      t: String): Seq[(String, Long)] = {
+    val loc = tableLocation(s, t)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) Seq.empty
+    else {
+      def walk(p: org.apache.hadoop.fs.Path)
+          : Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f.getPath) else Seq(f))
+      val prefix = loc.toString
+      walk(loc)
+        .filterNot(f => f.getPath.getName.startsWith("_") ||
+          f.getPath.getName.startsWith("."))
+        .map(f => (f.getPath.toString.stripPrefix(prefix)
+          .stripPrefix("/"), f.getLen))
+    }
+  }
+
+  /** Member split for the MANIFEST snapshot: the payload-scale
+    * members (postings/codes/payload base, `_vec`, tombstone lists)
+    * only gain part-files between maintenance folds — manifest them.
+    * The metadata members (`_cfg`, the 1-row `_stats`, trained
+    * `_cent`/`_cb`) are OVERWRITTEN in place by ordinary appends and
+    * deletes (the stats fold is a 1-row rewrite), so a manifest over
+    * them would refuse after every batch — they get copy-based
+    * snapshots instead, which is O(1) by construction (they are tiny
+    * BECAUSE they are the rewritten-in-place members: a table cheap
+    * enough to rewrite per batch is cheap enough to copy per
+    * snapshot). */
+  private[graft] val SnapshotManifestSiblings: Seq[String] =
+    Seq("_vec", "_del", "_del_stage")
+  private[graft] val SnapshotCopySiblings: Seq[String] =
+    Seq("_cfg", "_stats", "_cent", "_cb")
+
+  /** MANIFEST SNAPSHOT — the O(metadata) sibling of [[backupIndex]]
+    * for append-dominated windows. [[backupIndex]] is an O(index)
+    * bucketed rewrite per member: correct always, affordable rarely
+    * (at 100 TB a daily full copy IS a daily rebuild). Between
+    * maintenance folds the payload-scale members only APPEND
+    * part-files (appends, upserts, tombstones — rewrites happen only
+    * in compact/vacuum/refresh), so their snapshot needs nothing but
+    * the FILE MANIFEST: (member, relative path, length) rows in
+    * `<table>_mf_<tag>` — one file listing per member, the same
+    * metadata the next parquet scan lists anyway, regardless of
+    * index size. The tiny rewritten-in-place members
+    * ([[SnapshotCopySiblings]]) ride along as O(1) table copies
+    * under the same tag. [[restoreSnapshot]] converges by PRUNING
+    * files that arrived after the snapshot, and refuses loudly when
+    * any manifest file is gone or resized (a compaction/vacuum/
+    * rebuild rewrote history — pruning can no longer reach the
+    * snapshot; use the copy-based pair for that). A manifest member
+    * with no files at snapshot is recorded by a null-path sentinel
+    * so "present but empty" and "absent" restore differently. */
+  def snapshotIndex(s: org.apache.spark.sql.SparkSession, table: String,
+      tag: String = "snap"): Seq[String] = withBuildLock(s) {
+    require(tag.matches("[A-Za-z0-9]+"),
+      s"snapshotIndex: tag must be alphanumeric, got '$tag'")
+    require(s.catalog.tableExists(table),
+      s"snapshotIndex: no family base table $table")
+    val rows = (table +: SnapshotManifestSiblings.map(table + _))
+      .filter(s.catalog.tableExists)
+      .flatMap { m =>
+        val files = listDataFiles(s, m)
+        if (files.isEmpty) Seq((m, null: String, 0L))
+        else files.map { case (p, l) => (m, p, l) }
+      }
+    val copies = SnapshotCopySiblings.map(table + _)
+      .flatMap(backupTable(s, _, s"mf$tag"))
+    val mf = s"${table}_mf_$tag"
+    s.sql(s"DROP TABLE IF EXISTS $mf")
+    clearOrphanLocation(s, mf)
+    val sp = s
+    import sp.implicits._
+    rows.toDF("member", "path", "len").coalesce(1).write.saveAsTable(mf)
+    Seq(s"manifest $mf: ${rows.count(_._2 != null)} files across " +
+      s"${rows.map(_._1).distinct.size} members") ++ copies
+  }
+
+  /** Converge a family to its `<tag>` MANIFEST snapshot — or refuse
+    * before touching anything. Phases:
+    *   1. VALIDATE: every manifest file must still exist at its
+    *      recorded length and every manifest member's table must
+    *      still exist — otherwise a compact/vacuum/rebuild (or a
+    *      drop) rewrote history since the snapshot, pruning cannot
+    *      reach the snapshot state, and the whole restore REFUSES
+    *      with the evidence (the copy-based [[restoreIndex]] is the
+    *      documented fallback for exactly this);
+    *   2. PRUNE: delete live data files not in the manifest (the
+    *      appends/upserts/tombstones that arrived after it), DROP
+    *      live manifest-class members absent at snapshot, refresh
+    *      relation caches;
+    *   3. copy-restore the metadata members ([[SnapshotCopySiblings]]
+    *      — stats/config/trained artifacts) from their O(1) copies.
+    * Idempotent — a second call finds nothing to prune; the manifest
+    * and copies are kept. Holds are untouched (no manifest rows, not
+    * a snapshot member). */
+  def restoreSnapshot(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String = "snap"): Seq[String] =
+    withBuildLock(s) {
+      val mf = s"${table}_mf_$tag"
+      require(s.catalog.tableExists(mf),
+        s"restoreSnapshot: no manifest $mf — refusing to touch the " +
+          "live family without its snapshot")
+      val manifest: Map[String, Seq[(String, Long)]] =
+        s.table(mf).collect()
+          .map(r => (r.getString(0), Option(r.getString(1)),
+            r.getLong(2)))
+          .groupBy(_._1)
+          .map { case (m, rs) =>
+            m -> rs.toSeq.collect { case (_, Some(p), l) => (p, l) }
+          }
+      // phase 1 — validate everything BEFORE mutating anything
+      val live: Map[String, Map[String, Long]] = manifest.keys.map(m =>
+        m -> (if (s.catalog.tableExists(m)) listDataFiles(s, m).toMap
+        else Map.empty[String, Long])).toMap
+      val problems = manifest.toSeq.sortBy(_._1).flatMap {
+        case (m, files) =>
+          if (!s.catalog.tableExists(m))
+            Seq(s"$m: table missing (dropped since snapshot)")
+          else files.flatMap { case (p, l) =>
+            live(m).get(p) match {
+              case Some(ll) if ll == l => None
+              case Some(ll) =>
+                Some(s"$m/$p: length $ll != snapshot $l (rewritten)")
+              case None =>
+                Some(s"$m/$p: missing (compacted/vacuumed/rebuilt)")
+            }
+          }
+      }
+      require(problems.isEmpty,
+        "restoreSnapshot: history was rewritten since the snapshot — " +
+          s"${problems.take(5).mkString("; ")}" +
+          (if (problems.size > 5) s" (+${problems.size - 5} more)"
+          else "") +
+          " — file pruning cannot converge; use the copy-based " +
+          "backupIndex/restoreIndex path")
+      // phase 2 — prune extras, drop post-snapshot members, refresh
+      val pruned = manifest.toSeq.sortBy(_._1).map { case (m, files) =>
+        val keep = files.map(_._1).toSet
+        val loc = tableLocation(s, m)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val extras = live(m).keys.filterNot(keep).toSeq.sorted
+        extras.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(loc, p), false))
+        s.catalog.refreshTable(m)
+        s"pruned $m: ${extras.size} post-snapshot files"
+      }
+      val dropped = (table +: SnapshotManifestSiblings.map(table + _))
+        .filterNot(manifest.contains)
+        .filter(s.catalog.tableExists)
+        .map { m =>
+          s.sql(s"DROP TABLE $m")
+          s"dropped $m (absent at snapshot)"
+        }
+      // phase 3 — the rewritten-in-place metadata members come back
+      // from their O(1) copies (absent copy = absent at snapshot =
+      // dropped, the restoreTable contract)
+      val meta = SnapshotCopySiblings.map(table + _)
+        .flatMap(restoreTable(s, _, s"mf$tag"))
+      pruned ++ dropped ++ meta
+    }
+
+  /** Drop a family's `<tag>` manifest + the metadata-member copies. */
+  def dropSnapshot(s: org.apache.spark.sql.SparkSession, table: String,
+      tag: String = "snap"): Unit = withBuildLock(s) {
+    s.sql(s"DROP TABLE IF EXISTS ${table}_mf_$tag")
+    SnapshotCopySiblings.map(table + _).foreach(m =>
+      s.sql(s"DROP TABLE IF EXISTS ${m}_bak_mf$tag"))
+  }
+
   /** Promote a GROUP of replacement tables atomically-enough that a
     * crash at ANY step converges to the all-new group on recovery —
     * closing the "the PAIR isn't atomic" caveat the refresh ops
