@@ -940,6 +940,126 @@ object StreamingOps {
       members ++ state ++ cks
     }
 
+  // ---- one-call observe/audit/heal twins (r15): the unified verb --
+  // ---- table is TOTAL - ingest/upsert/delete/vacuum/hold/backup/ --
+  // ---- restore all had one-call twins; these close the last rows --
+
+  /** One-call [[graft.operators.TextOps.describeBm25]]/`describeBand`
+    * over a unified document family: member-family name → status. */
+  def describeDocuments(spark: SparkSession,
+      base: String): Map[String, graft.operators.TextOps.IndexStatus] =
+    Map(
+      s"${base}_band" ->
+        graft.operators.TextOps.describeBand(spark, s"${base}_band"),
+      s"${base}_bm25" ->
+        graft.operators.TextOps.describeBm25(spark, s"${base}_bm25"))
+
+  /** One-call structural audit over a unified document family —
+    * violations prefixed with the member family, Nil = healthy. */
+  def fsckDocuments(spark: SparkSession, base: String): Seq[String] =
+    graft.operators.TextOps.fsckBand(spark, s"${base}_band")
+      .map(v => s"${base}_band: $v") ++
+      graft.operators.TextOps.fsckBm25(spark, s"${base}_bm25",
+        s"${base}_bm25_stats").map(v => s"${base}_bm25: $v")
+
+  /** One-call repair over a unified document family: each member
+    * family's idempotent fsck-mapped heal pass, in the ingest loop's
+    * member order. Same contract as the per-family verbs — a clean
+    * family is a no-op, an unhealable violation refuses loudly. */
+  def repairDocuments(spark: SparkSession, base: String): Seq[String] =
+    graft.operators.TextOps.repairBand(spark, s"${base}_band")
+      .map(v => s"${base}_band: $v") ++
+      graft.operators.TextOps.repairBm25(spark, s"${base}_bm25",
+        s"${base}_bm25_stats").map(v => s"${base}_bm25: $v")
+
+  /** One-call maintenance pass over a unified document family. */
+  def maintainDocuments(spark: SparkSession, base: String,
+      policy: graft.operators.TextOps.MaintenancePolicy =
+        graft.operators.TextOps.MaintenancePolicy()): Seq[String] =
+    graft.operators.TextOps.maintainBand(spark, s"${base}_band", policy)
+      .map(v => s"${base}_band: $v") ++
+      graft.operators.TextOps.maintainBm25(spark, s"${base}_bm25",
+        policy).map(v => s"${base}_bm25: $v")
+
+  /** One-call `describe` over every EXISTING member family of a
+    * unified vector base (a family absent from this deployment is
+    * skipped, matching the backup verbs). Drift gauges stay off —
+    * they are O(index); ask the per-family describe when needed. */
+  def describeVectors(spark: SparkSession,
+      base: String): Map[String, graft.operators.TextOps.IndexStatus] = {
+    val fams: Seq[(String, () => graft.operators.TextOps.IndexStatus)] =
+      Seq(
+        s"${base}_ann" -> (() =>
+          graft.operators.AnnIndex.describe(spark, s"${base}_ann")),
+        s"${base}_bq" -> (() =>
+          graft.operators.BqIndex.describe(spark, s"${base}_bq")),
+        s"${base}_sq" -> (() =>
+          graft.operators.SqIndex.describe(spark, s"${base}_sq")),
+        s"${base}_pq" -> (() =>
+          graft.operators.PqIndex.describe(spark, s"${base}_pq")),
+        s"${base}_ivf" -> (() =>
+          graft.operators.IvfIndex.describe(spark, s"${base}_ivf")))
+    fams.filter(f => spark.catalog.tableExists(f._1))
+      .map { case (t, d) => t -> d() }.toMap
+  }
+
+  /** One-call structural audit over every existing member family of
+    * a unified vector base — prefixed violations, Nil = healthy. */
+  def fsckVectors(spark: SparkSession, base: String): Seq[String] =
+    Seq(
+      s"${base}_ann" -> (() =>
+        graft.operators.AnnIndex.fsck(spark, s"${base}_ann")),
+      s"${base}_bq" -> (() =>
+        graft.operators.BqIndex.fsck(spark, s"${base}_bq")),
+      s"${base}_sq" -> (() =>
+        graft.operators.SqIndex.fsck(spark, s"${base}_sq")),
+      s"${base}_pq" -> (() =>
+        graft.operators.PqIndex.fsck(spark, s"${base}_pq")),
+      s"${base}_ivf" -> (() =>
+        graft.operators.IvfIndex.fsck(spark, s"${base}_ivf")))
+      .filter(f => spark.catalog.tableExists(f._1))
+      .flatMap { case (t, f) => f().map(v => s"$t: $v") }
+
+  /** One-call repair over every existing member family of a unified
+    * vector base. */
+  def repairVectors(spark: SparkSession, base: String): Seq[String] =
+    Seq(
+      s"${base}_ann" -> (() =>
+        graft.operators.AnnIndex.repair(spark, s"${base}_ann")),
+      s"${base}_bq" -> (() =>
+        graft.operators.BqIndex.repair(spark, s"${base}_bq")),
+      s"${base}_sq" -> (() =>
+        graft.operators.SqIndex.repair(spark, s"${base}_sq")),
+      s"${base}_pq" -> (() =>
+        graft.operators.PqIndex.repair(spark, s"${base}_pq")),
+      s"${base}_ivf" -> (() =>
+        graft.operators.IvfIndex.repair(spark, s"${base}_ivf")))
+      .filter(f => spark.catalog.tableExists(f._1))
+      .flatMap { case (t, f) => f().map(v => s"$t: $v") }
+
+  /** One-call maintenance pass over every existing member family of
+    * a unified vector base. `refreshWith` supplies the corpus for the
+    * quantizer families' opt-in drift leg (the runbook's scheduling
+    * note: without it, drift is never gauged — by design). */
+  def maintainVectors(spark: SparkSession, base: String,
+      policy: graft.operators.TextOps.MaintenancePolicy =
+        graft.operators.TextOps.MaintenancePolicy(),
+      refreshWith: Option[org.apache.spark.sql.DataFrame] = None)
+      : Seq[String] =
+    Seq(
+      s"${base}_ann" -> (() => graft.operators.AnnIndex.maintain(
+        spark, s"${base}_ann", policy)),
+      s"${base}_bq" -> (() => graft.operators.BqIndex.maintain(
+        spark, s"${base}_bq", policy)),
+      s"${base}_sq" -> (() => graft.operators.SqIndex.maintain(
+        spark, s"${base}_sq", policy)),
+      s"${base}_pq" -> (() => graft.operators.PqIndex.maintain(
+        spark, s"${base}_pq", policy, refreshWith)),
+      s"${base}_ivf" -> (() => graft.operators.IvfIndex.maintain(
+        spark, s"${base}_ivf", policy, refreshWith)))
+      .filter(f => spark.catalog.tableExists(f._1))
+      .flatMap { case (t, f) => f().map(v => s"$t: $v") }
+
   /** STREAMING DELETES — the CDC shape: deletion requests arrive as a
     * file stream of (doc_id) rows and each micro-batch drives
     * [[deleteDocuments]] behind the shared replay ledger (its own
