@@ -1138,21 +1138,21 @@ object TextOps {
       .foreach(m => s.sql(s"DROP TABLE IF EXISTS ${m}_bak_$tag"))
   }
 
-  private def tableLocation(s: org.apache.spark.sql.SparkSession,
+  private[graft] def tableLocation(s: org.apache.spark.sql.SparkSession,
       t: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
 
-  /** (relative path, length) of every DATA file under a member's
-    * location — hidden/metadata files (`_SUCCESS`, `.crc`) excluded,
-    * exactly the set the parquet scan lists. Part-file names carry
-    * write-UUIDs, so (name, length) identifies a file's CONTENT for
-    * snapshot purposes: an append adds names, any rewrite (compact,
-    * vacuum fold, rebuild) produces different names. */
-  private def listDataFiles(s: org.apache.spark.sql.SparkSession,
-      t: String): Seq[(String, Long)] = {
-    val loc = tableLocation(s, t)
+  /** (relative path, length) of every file under `loc` —
+    * hidden/metadata files (`_SUCCESS`, `.crc`, in-flight temps)
+    * excluded. Part-file names carry write-UUIDs and stream-log
+    * entries are write-once, so (name, length) identifies a file's
+    * CONTENT for snapshot purposes: an append adds names, any
+    * rewrite (compact, vacuum fold, rebuild) produces different
+    * names. */
+  private[graft] def listFilesUnder(s: org.apache.spark.sql.SparkSession,
+      loc: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(loc)) Seq.empty
     else {
@@ -1168,6 +1168,76 @@ object TextOps {
           .stripPrefix("/"), f.getLen))
     }
   }
+
+  /** [[listFilesUnder]] a TABLE's location. */
+  private[graft] def listDataFiles(s: org.apache.spark.sql.SparkSession,
+      t: String): Seq[(String, Long)] =
+    listFilesUnder(s, tableLocation(s, t))
+
+  /** Read a manifest table back: entry name → (path, len) files.
+    * Null-path sentinel rows (present-but-empty entries) collapse to
+    * an entry with zero files — still IN the map, distinguishing
+    * "empty at snapshot" from "absent at snapshot". */
+  private[graft] def readManifest(s: org.apache.spark.sql.SparkSession,
+      mf: String): Map[String, Seq[(String, Long)]] =
+    s.table(mf).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (m, rs) =>
+        m -> rs.toSeq.collect { case (_, Some(p), l) => (p, l) }
+      }
+
+  /** Phase-1 VALIDATION shared by every manifest-restore: each entry
+    * must still resolve (`locate` returns its live location) and each
+    * manifest file must still exist at its recorded length. Returns
+    * the violations; empty = pruning can converge. Read-only. */
+  private[graft] def manifestProblems(
+      s: org.apache.spark.sql.SparkSession,
+      manifest: Map[String, Seq[(String, Long)]],
+      locate: String => Option[org.apache.hadoop.fs.Path])
+      : Seq[String] =
+    manifest.toSeq.sortBy(_._1).flatMap { case (m, files) =>
+      locate(m) match {
+        case None => Seq(s"$m: missing (dropped since snapshot)")
+        case Some(loc) =>
+          val live = listFilesUnder(s, loc).toMap
+          files.flatMap { case (p, l) =>
+            live.get(p) match {
+              case Some(ll) if ll == l => None
+              case Some(ll) =>
+                Some(s"$m/$p: length $ll != snapshot $l (rewritten)")
+              case None =>
+                Some(s"$m/$p: missing (compacted/vacuumed/rebuilt)")
+            }
+          }
+      }
+    }
+
+  /** Phase-2 PRUNE shared by every manifest-restore: delete live
+    * files not in the manifest, then let `refresh` invalidate any
+    * cache over the entry. Callers validate FIRST. */
+  private[graft] def pruneToManifest(
+      s: org.apache.spark.sql.SparkSession,
+      manifest: Map[String, Seq[(String, Long)]],
+      locate: String => Option[org.apache.hadoop.fs.Path],
+      refresh: String => Unit): Seq[String] =
+    manifest.toSeq.sortBy(_._1).map { case (m, files) =>
+      val keep = files.map(_._1).toSet
+      val loc = locate(m).get
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val extras = listFilesUnder(s, loc).map(_._1)
+        .filterNot(keep).sorted
+      extras.foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(loc, p), false))
+      refresh(m)
+      s"pruned $m: ${extras.size} post-snapshot files"
+    }
+
+  /** The table-entry `locate` every family-level manifest verb uses. */
+  private[graft] def locateTable(s: org.apache.spark.sql.SparkSession)
+      : String => Option[org.apache.hadoop.fs.Path] =
+    m => if (s.catalog.tableExists(m)) Some(tableLocation(s, m))
+    else None
 
   /** Member split for the MANIFEST snapshot: the payload-scale
     * members (postings/codes/payload base, `_vec`, tombstone lists)
@@ -1254,32 +1324,9 @@ object TextOps {
       require(s.catalog.tableExists(mf),
         s"restoreSnapshot: no manifest $mf — refusing to touch the " +
           "live family without its snapshot")
-      val manifest: Map[String, Seq[(String, Long)]] =
-        s.table(mf).collect()
-          .map(r => (r.getString(0), Option(r.getString(1)),
-            r.getLong(2)))
-          .groupBy(_._1)
-          .map { case (m, rs) =>
-            m -> rs.toSeq.collect { case (_, Some(p), l) => (p, l) }
-          }
+      val manifest = readManifest(s, mf)
       // phase 1 — validate everything BEFORE mutating anything
-      val live: Map[String, Map[String, Long]] = manifest.keys.map(m =>
-        m -> (if (s.catalog.tableExists(m)) listDataFiles(s, m).toMap
-        else Map.empty[String, Long])).toMap
-      val problems = manifest.toSeq.sortBy(_._1).flatMap {
-        case (m, files) =>
-          if (!s.catalog.tableExists(m))
-            Seq(s"$m: table missing (dropped since snapshot)")
-          else files.flatMap { case (p, l) =>
-            live(m).get(p) match {
-              case Some(ll) if ll == l => None
-              case Some(ll) =>
-                Some(s"$m/$p: length $ll != snapshot $l (rewritten)")
-              case None =>
-                Some(s"$m/$p: missing (compacted/vacuumed/rebuilt)")
-            }
-          }
-      }
+      val problems = manifestProblems(s, manifest, locateTable(s))
       require(problems.isEmpty,
         "restoreSnapshot: history was rewritten since the snapshot — " +
           s"${problems.take(5).mkString("; ")}" +
@@ -1288,16 +1335,8 @@ object TextOps {
           " — file pruning cannot converge; use the copy-based " +
           "backupIndex/restoreIndex path")
       // phase 2 — prune extras, drop post-snapshot members, refresh
-      val pruned = manifest.toSeq.sortBy(_._1).map { case (m, files) =>
-        val keep = files.map(_._1).toSet
-        val loc = tableLocation(s, m)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val extras = live(m).keys.filterNot(keep).toSeq.sorted
-        extras.foreach(p =>
-          fs.delete(new org.apache.hadoop.fs.Path(loc, p), false))
-        s.catalog.refreshTable(m)
-        s"pruned $m: ${extras.size} post-snapshot files"
-      }
+      val pruned = pruneToManifest(s, manifest, locateTable(s),
+        m => s.catalog.refreshTable(m))
       val dropped = (table +: SnapshotManifestSiblings.map(table + _))
         .filterNot(manifest.contains)
         .filter(s.catalog.tableExists)

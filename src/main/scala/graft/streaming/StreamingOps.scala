@@ -940,6 +940,172 @@ object StreamingOps {
       members ++ state ++ cks
     }
 
+  // ---- O(metadata) stream-level snapshots (r15): manifest twins --
+  // ---- of backupDocuments/backupVectors for append windows      --
+
+  /** The stream-state manifest rows for a set of append-only tables
+    * (hash store, replay ledgers) and checkpoint DIRECTORIES: entry
+    * name → (relative path, length), null-path sentinel for a
+    * present-but-empty entry. Written to `<base>_mf_<tag>`. */
+  private def writeStreamManifest(spark: SparkSession, mf: String,
+      tables: Seq[String], streams: Seq[String]): Seq[String] = {
+    val tblRows = tables.filter(spark.catalog.tableExists).flatMap { m =>
+      val files = graft.operators.TextOps.listDataFiles(spark, m)
+      if (files.isEmpty) Seq((m, null: String, 0L))
+      else files.map { case (p, l) => (m, p, l) }
+    }
+    val ckRows = streams.flatMap { n =>
+      val dir = ckDir(spark, n)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Seq.empty
+      else {
+        val files = graft.operators.TextOps.listFilesUnder(spark, dir)
+        if (files.isEmpty) Seq((dir.getName, null: String, 0L))
+        else files.map { case (p, l) => (dir.getName, p, l) }
+      }
+    }
+    val rows = tblRows ++ ckRows
+    spark.sql(s"DROP TABLE IF EXISTS $mf")
+    graft.operators.TextOps.clearOrphanLocation(spark, mf)
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("member", "path", "len").coalesce(1).write.saveAsTable(mf)
+    Seq(s"manifest $mf: ${rows.count(_._2 != null)} stream-state " +
+      s"files across ${rows.map(_._1).distinct.size} entries")
+  }
+
+  /** `locate` for stream-state manifest entries: a `<stream>_ck`
+    * entry resolves to the checkpoint directory, anything else to
+    * its table location. */
+  private def streamLocate(spark: SparkSession, streams: Seq[String])
+      : String => Option[org.apache.hadoop.fs.Path] = {
+    val cks = streams.map(n => ckDir(spark, n).getName -> n).toMap
+    m => cks.get(m) match {
+      case Some(n) =>
+        val d = ckDir(spark, n)
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(d)) Some(d) else None
+      case None => graft.operators.TextOps.locateTable(spark)(m)
+    }
+  }
+
+  private def snapshotStreamFamily(spark: SparkSession, base: String,
+      tag: String, fams: Seq[String], tables: Seq[String],
+      streams: Seq[String], what: String): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      val present = fams.filter(spark.catalog.tableExists)
+      require(present.nonEmpty, s"$what: no family at base $base")
+      present.flatMap(
+        graft.operators.TextOps.snapshotIndex(spark, _, tag)) ++
+        writeStreamManifest(spark, s"${base}_mf_$tag", tables, streams)
+    }
+
+  private def restoreStreamFamilySnapshot(spark: SparkSession,
+      base: String, tag: String, fams: Seq[String],
+      tables: Seq[String], streams: Seq[String],
+      what: String): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      val mfT = s"${base}_mf_$tag"
+      require(spark.catalog.tableExists(mfT),
+        s"$what: no stream manifest $mfT — refusing to touch the " +
+          "live family without its snapshot")
+      val snapped = fams.filter(f =>
+        spark.catalog.tableExists(s"${f}_mf_$tag"))
+      require(snapped.nonEmpty,
+        s"$what: no member-family manifests under tag $tag")
+      // GLOBAL phase 1 — every member family AND the stream state
+      // validate before anything mutates, so a refusal can never
+      // leave a half-restored group (family A pruned, family B's
+      // compaction refused)
+      val loc = streamLocate(spark, streams)
+      val sm = graft.operators.TextOps.readManifest(spark, mfT)
+      val problems = snapped.flatMap(f =>
+        graft.operators.TextOps.manifestProblems(spark,
+          graft.operators.TextOps.readManifest(spark, s"${f}_mf_$tag"),
+          graft.operators.TextOps.locateTable(spark))) ++
+        graft.operators.TextOps.manifestProblems(spark, sm, loc)
+      require(problems.isEmpty,
+        s"$what: history was rewritten since the snapshot — " +
+          s"${problems.take(5).mkString("; ")}" +
+          (if (problems.size > 5) s" (+${problems.size - 5} more)"
+          else "") + " — file pruning cannot converge; use the " +
+          "copy-based stream backup/restore pair")
+      // phase 2 — member families (their own validation re-passes),
+      // then the stream state: prune manifest entries, remove
+      // entries born after the snapshot (ledger + checkpoint rewind
+      // as a PAIR, the ledgeredIngest contract)
+      val famOut = snapped.flatMap(
+        graft.operators.TextOps.restoreSnapshot(spark, _, tag))
+      val pruned = graft.operators.TextOps.pruneToManifest(spark, sm,
+        loc, m => if (spark.catalog.tableExists(m))
+          spark.catalog.refreshTable(m))
+      val droppedT = tables.filterNot(sm.contains)
+        .filter(spark.catalog.tableExists).map { m =>
+          spark.sql(s"DROP TABLE $m")
+          s"dropped $m (absent at snapshot)"
+        }
+      val droppedCk = streams.map(n => ckDir(spark, n))
+        .filter(d => !sm.contains(d.getName))
+        .filter(d => d.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(d))
+        .map { d =>
+          d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(d, true)
+          s"deleted ck ${d.getName} (absent at snapshot)"
+        }
+      famOut ++ pruned ++ droppedT ++ droppedCk
+    }
+
+  /** O(METADATA) SNAPSHOT of a unified document family — the
+    * manifest twin of [[backupDocuments]] for append-dominated
+    * windows: member families via
+    * [[graft.operators.TextOps.snapshotIndex]] (file manifests +
+    * O(1) copies of the rewritten-in-place stats/config members),
+    * PLUS a stream-state manifest over the hash store, the replay
+    * ledgers, and the checkpoint DIRECTORIES — ledger and checkpoint
+    * snapshot as a pair, so [[restoreDocumentsSnapshot]] keeps the
+    * replay-exactness contract the copy-based twins prove
+    * (StreamRestoreSpec): re-invoking the streams after a restore
+    * replays exactly the post-snapshot files. Checkpoint logs are
+    * write-once per batch, so they manifest like data files; a
+    * stream-log compaction (like a member compaction) makes the
+    * manifest unrestorable and the restore refuses to the copy-based
+    * pair. */
+  def snapshotDocuments(spark: SparkSession, base: String,
+      tag: String = "snap"): Seq[String] =
+    snapshotStreamFamily(spark, base, tag,
+      fams = Seq(s"${base}_band", s"${base}_bm25"),
+      tables = s"${base}_hashes" +: docStreams(base).map(_ + "_ledger"),
+      streams = docStreams(base), what = "snapshotDocuments")
+
+  /** Converge a unified document family to its `<tag>` manifest
+    * snapshot — all member families and the stream state validate
+    * BEFORE anything mutates (no half-restored groups), then prune.
+    * Refuses to the copy-based pair when history was rewritten. */
+  def restoreDocumentsSnapshot(spark: SparkSession, base: String,
+      tag: String = "snap"): Seq[String] =
+    restoreStreamFamilySnapshot(spark, base, tag,
+      fams = Seq(s"${base}_band", s"${base}_bm25"),
+      tables = s"${base}_hashes" +: docStreams(base).map(_ + "_ledger"),
+      streams = docStreams(base), what = "restoreDocumentsSnapshot")
+
+  /** [[snapshotDocuments]] for a unified vector base: every existing
+    * member family + the vector streams' ledgers and checkpoints. */
+  def snapshotVectors(spark: SparkSession, base: String,
+      tag: String = "snap"): Seq[String] =
+    snapshotStreamFamily(spark, base, tag,
+      fams = vecFamilies.map(base + _),
+      tables = vecStreams(base).map(_ + "_ledger"),
+      streams = vecStreams(base), what = "snapshotVectors")
+
+  /** [[restoreDocumentsSnapshot]] for a unified vector base. */
+  def restoreVectorsSnapshot(spark: SparkSession, base: String,
+      tag: String = "snap"): Seq[String] =
+    restoreStreamFamilySnapshot(spark, base, tag,
+      fams = vecFamilies.map(base + _),
+      tables = vecStreams(base).map(_ + "_ledger"),
+      streams = vecStreams(base), what = "restoreVectorsSnapshot")
+
   // ---- one-call observe/audit/heal twins (r15): the unified verb --
   // ---- table is TOTAL - ingest/upsert/delete/vacuum/hold/backup/ --
   // ---- restore all had one-call twins; these close the last rows --
