@@ -116,6 +116,45 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("a crash mid-prune converges by re-running: a half-pruned " +
+      "family is still a valid restore target") {
+    val t = s"snap_crash_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        Seq(1L -> "spark join window", 2L -> "hash scan merge")
+          .toDF("doc_id", "text"), t, s"${t}_stats")
+      val snapRows = spark.table(t).collect().map(_.toString).sorted
+      TextOps.snapshotIndex(spark, t)
+      TextOps.appendBm25Postings(
+        Seq(8L -> "first post snapshot doc").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      TextOps.appendBm25Postings(
+        Seq(9L -> "second post snapshot doc").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      // simulate the crash: a restore that died after deleting SOME
+      // extras — by hand-deleting one post-snapshot file (an extra,
+      // not a manifest member, so validation is unaffected)
+      val mf = TextOps.readManifest(spark, s"${t}_mf_snap")
+      val keep = mf(t).map(_._1).toSet
+      val loc = TextOps.tableLocation(spark, t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val extras = TextOps.listFilesUnder(spark, loc).map(_._1)
+        .filterNot(keep)
+      assert(extras.size >= 2, s"fixture: want >=2 extras, $extras")
+      fs.delete(new org.apache.hadoop.fs.Path(loc, extras.head), false)
+      spark.catalog.refreshTable(t)
+      // the half-pruned family restores by just re-running
+      TextOps.restoreSnapshot(spark, t)
+      assert(spark.table(t).collect().map(_.toString).sorted.toSeq
+        === snapRows.toSeq, "re-run after mid-prune crash diverged")
+      assert(TextOps.fsckBm25(spark, t, s"${t}_stats").isEmpty)
+    } finally drop(all: _*)
+  }
+
   test("a compaction between snapshot and restore refuses LOUDLY " +
       "before mutating anything, naming the rewritten file and the " +
       "copy-based fallback") {
