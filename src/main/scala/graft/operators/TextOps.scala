@@ -1360,6 +1360,49 @@ object TextOps {
       s.sql(s"DROP TABLE IF EXISTS ${m}_bak_mf$tag"))
   }
 
+  /** The family's manifest snapshots, NEWEST FIRST: (tag, manifest
+    * mtime ms). Age comes from the manifest table's own location
+    * mtime — no clock rides in the data. */
+  def listSnapshots(s: org.apache.spark.sql.SparkSession,
+      table: String): Seq[(String, Long)] = {
+    val prefix = s"${table.toLowerCase}_mf_"
+    s.sessionState.catalog
+      .listTables("default", s"$prefix*").map(_.table)
+      .map { n =>
+        val loc = tableLocation(s, n)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        (n.stripPrefix(prefix), fs.getFileStatus(loc).getModificationTime)
+      }
+      .sortBy(-_._2)
+  }
+
+  /** The family's copy-based backups, by tag (the base-table copy is
+    * the marker — [[restoreIndex]] refuses without it, so a tag
+    * listed here is restorable). */
+  def listBackups(s: org.apache.spark.sql.SparkSession,
+      table: String): Seq[String] = {
+    val prefix = s"${table.toLowerCase}_bak_"
+    s.sessionState.catalog
+      .listTables("default", s"$prefix*").map(_.table)
+      .map(_.stripPrefix(prefix))
+      // manifest-snapshot meta copies ride under mf<tag> on SIBLING
+      // tables, never the base, so no filtering is needed — but keep
+      // tags alphanumeric-clean for the eye
+      .sorted
+  }
+
+  /** RETENTION: keep the newest `keep` manifest snapshots, drop the
+    * rest (manifest + meta copies). A tight snapshot cadence without
+    * this grows one tiny manifest table per tag forever. */
+  def pruneSnapshots(s: org.apache.spark.sql.SparkSession,
+      table: String, keep: Int): Seq[String] = withBuildLock(s) {
+    require(keep >= 1, "pruneSnapshots: keep must be >= 1")
+    listSnapshots(s, table).drop(keep).map { case (tag, _) =>
+      dropSnapshot(s, table, tag)
+      s"dropped snapshot $tag"
+    }
+  }
+
   /** Promote a GROUP of replacement tables atomically-enough that a
     * crash at ANY step converges to the all-new group on recovery —
     * closing the "the PAIR isn't atomic" caveat the refresh ops

@@ -116,6 +116,44 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("listSnapshots is newest-first, pruneSnapshots retention " +
+      "drops manifest + meta copies, listBackups lists copy tags") {
+    val t = s"snap_list_p$pid"
+    val all = famAll(t) ++ Seq(s"${t}_mf_a", s"${t}_mf_b",
+      s"${t}_stats_bak_mfa", s"${t}_stats_bak_mfb",
+      s"${t}_bak_bak", s"${t}_stats_bak_bak")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        Seq(1L -> "spark join window").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      TextOps.snapshotIndex(spark, t, tag = "a")
+      Thread.sleep(50) // mtime separates the tags
+      TextOps.appendBm25Postings(
+        Seq(2L -> "hash scan merge").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      TextOps.snapshotIndex(spark, t, tag = "b")
+      assert(TextOps.listSnapshots(spark, t).map(_._1) === Seq("b", "a"))
+      TextOps.backupIndex(spark, t)
+      assert(TextOps.listBackups(spark, t) === Seq("bak"),
+        "sibling meta copies must not masquerade as backup tags")
+      val pruned = TextOps.pruneSnapshots(spark, t, keep = 1)
+      assert(pruned === Seq("dropped snapshot a"), pruned.toString)
+      assert(!spark.catalog.tableExists(s"${t}_mf_a") &&
+        !spark.catalog.tableExists(s"${t}_stats_bak_mfa"))
+      // the kept snapshot still restores
+      TextOps.appendBm25Postings(
+        Seq(9L -> "post snapshot doc").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      TextOps.restoreSnapshot(spark, t, tag = "b")
+      val (p, _) = TextOps.liveBm25(spark, t, s"${t}_stats")
+      assert(p.select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L))
+    } finally drop(all: _*)
+  }
+
   test("a crash mid-prune converges by re-running: a half-pruned " +
       "family is still a valid restore target") {
     val t = s"snap_crash_p$pid"
