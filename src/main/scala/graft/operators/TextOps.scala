@@ -1360,6 +1360,33 @@ object TextOps {
       s.sql(s"DROP TABLE IF EXISTS ${m}_bak_mf$tag"))
   }
 
+  /** READ-ONLY restorability audit of a `<tag>` manifest snapshot —
+    * [[restoreSnapshot]]'s phase-1 validation exposed as its own
+    * verb, so "would this snapshot still restore?" is a cadence
+    * check instead of a discovery at recovery time (the classic
+    * failure is a backup nobody ever test-restored). Returns the
+    * violations a restore would refuse on, PLUS a warning for any
+    * live copy-class member the snapshot has no copy of (restore
+    * would drop it — correct by the absence contract, but a bm25
+    * family "restoring" to no stats table is worth knowing before
+    * recovery day). Nil = restores clean NOW; each maintenance fold
+    * flips this — re-check after compact/vacuum/refresh, and take a
+    * fresh copy-based anchor. */
+  def checkSnapshot(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String = "snap"): Seq[String] = {
+    val mf = s"${table}_mf_$tag"
+    if (!s.catalog.tableExists(mf))
+      return Seq(s"no manifest $mf")
+    val fileProblems =
+      manifestProblems(s, readManifest(s, mf), locateTable(s))
+    val copyProblems = SnapshotCopySiblings.map(table + _)
+      .filter(m => s.catalog.tableExists(m) &&
+        !s.catalog.tableExists(s"${m}_bak_mf$tag"))
+      .map(m => s"$m: live member has no meta copy under tag $tag " +
+        "(snapshot taken before it existed? restore would drop it)")
+    fileProblems ++ copyProblems
+  }
+
   /** The family's manifest snapshots, NEWEST FIRST: (tag, manifest
     * mtime ms). Age comes from the manifest table's own location
     * mtime — no clock rides in the data. */

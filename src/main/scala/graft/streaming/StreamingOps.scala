@@ -1089,6 +1089,44 @@ object StreamingOps {
       tables = s"${base}_hashes" +: docStreams(base).map(_ + "_ledger"),
       streams = docStreams(base), what = "restoreDocumentsSnapshot")
 
+  /** READ-ONLY restorability audit of a stream-level snapshot — the
+    * unified twin of [[graft.operators.TextOps.checkSnapshot]]: every
+    * member family's file manifest + meta copies, plus the
+    * stream-state manifest (hash store, ledgers, checkpoints). Run it
+    * on the snapshot cadence; a maintenance fold or a stream-log
+    * compaction flips a family to non-restorable, which should be
+    * discovered NOW, not on recovery day. Nil = restores clean. */
+  def checkDocumentsSnapshot(spark: SparkSession, base: String,
+      tag: String = "snap"): Seq[String] =
+    streamSnapshotProblems(spark, base, tag,
+      Seq(s"${base}_band", s"${base}_bm25"), docStreams(base))
+
+  /** [[checkDocumentsSnapshot]] for a unified vector base. */
+  def checkVectorsSnapshot(spark: SparkSession, base: String,
+      tag: String = "snap"): Seq[String] =
+    streamSnapshotProblems(spark, base, tag,
+      vecFamilies.map(base + _), vecStreams(base))
+
+  private def streamSnapshotProblems(spark: SparkSession, base: String,
+      tag: String, fams: Seq[String],
+      streams: Seq[String]): Seq[String] = {
+    val mfT = s"${base}_mf_$tag"
+    if (!spark.catalog.tableExists(mfT))
+      return Seq(s"no stream manifest $mfT")
+    val snapped = fams.filter(f =>
+      spark.catalog.tableExists(s"${f}_mf_$tag"))
+    val header =
+      if (snapped.isEmpty)
+        Seq(s"no member-family manifests under tag $tag")
+      else Seq.empty[String]
+    header ++
+      snapped.flatMap(f =>
+        graft.operators.TextOps.checkSnapshot(spark, f, tag)) ++
+      graft.operators.TextOps.manifestProblems(spark,
+        graft.operators.TextOps.readManifest(spark, mfT),
+        streamLocate(spark, streams))
+  }
+
   /** [[snapshotDocuments]] for a unified vector base: every existing
     * member family + the vector streams' ledgers and checkpoints. */
   def snapshotVectors(spark: SparkSession, base: String,

@@ -116,6 +116,39 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("checkSnapshot: restorable now, flips after a compaction, " +
+      "warns on a live member the snapshot would drop — all without " +
+      "mutating anything") {
+    val t = s"snap_check_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      assert(TextOps.checkSnapshot(spark, t) ===
+        Seq(s"no manifest ${t}_mf_snap"))
+      TextOps.appendBm25Postings(
+        Seq(1L -> "spark join window").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      TextOps.snapshotIndex(spark, t)
+      assert(TextOps.checkSnapshot(spark, t).isEmpty,
+        "a fresh snapshot must check clean")
+      // appends keep it restorable...
+      TextOps.appendBm25Postings(
+        Seq(2L -> "hash scan merge").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      assert(TextOps.checkSnapshot(spark, t).isEmpty)
+      // ...a fold does not — and the check says so WITHOUT mutating
+      TextOps.compactIndex(spark, t)
+      val v = TextOps.checkSnapshot(spark, t)
+      assert(v.exists(_.contains("missing")), v.toString)
+      // the stale check is read-only: restore still refuses on its own
+      intercept[IllegalArgumentException] {
+        TextOps.restoreSnapshot(spark, t)
+      }
+    } finally drop(all: _*)
+  }
+
   test("listSnapshots is newest-first, pruneSnapshots retention " +
       "drops manifest + meta copies, listBackups lists copy tags") {
     val t = s"snap_list_p$pid"

@@ -146,6 +146,8 @@ class StreamSnapshotSpec extends AnyFunSuite with SparkSuite {
         .write.mode("append").parquet(s"$dir/documents.parquet")
       streaming.StreamingOps.streamingDocumentIngest(spark, dir, base)
       streaming.StreamingOps.snapshotDocuments(spark, base)
+      assert(streaming.StreamingOps.checkDocumentsSnapshot(spark, base)
+        .isEmpty, "a fresh stream snapshot must check clean")
       // post-snapshot: more corpus AND a compaction of ONE member —
       // the group restore must refuse as a unit even though the band
       // member alone would have pruned fine
@@ -158,6 +160,11 @@ class StreamSnapshotSpec extends AnyFunSuite with SparkSuite {
         new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"),
           base.toLowerCase + "_ck")).toSet
+      // the cadence check names the problem BEFORE recovery day...
+      val chk = streaming.StreamingOps.checkDocumentsSnapshot(spark,
+        base)
+      assert(chk.exists(_.contains("missing")), chk.toString)
+      // ...and the restore refuses on the same evidence
       val e = intercept[IllegalArgumentException] {
         streaming.StreamingOps.restoreDocumentsSnapshot(spark, base)
       }
