@@ -1430,6 +1430,113 @@ object TextOps {
     }
   }
 
+  /** What travels on a MIGRATION, vs a backup: the legal-hold
+    * registry. Backups deliberately leave `_hold` outside (holds
+    * never roll back); an export is the family MOVING, and legal
+    * obligations move with the data. Replay ledgers/checkpoints stay
+    * home either way — delivery history is warehouse-local (a
+    * re-pointed ingest stream starts a fresh ledger; for document
+    * families the hash store keeps redelivered content from
+    * double-indexing). */
+  private[graft] val ExportSiblings: Seq[String] =
+    BackupSiblings :+ "_hold"
+
+  /** EXPORT a family to a portable directory — the MIGRATE verb: the
+    * way an index moves to another warehouse or cluster WITHOUT a
+    * rebuild (at 100 TB, "re-ingest the corpus on the new cluster"
+    * is weeks; a file copy is hours and exact). Layout under `dest`:
+    * one `m<suffix>` directory of raw member data files per existing
+    * member, plus a `_graft_export` parquet manifest carrying each
+    * member's schema DDL and bucket spec — everything
+    * [[importIndex]] needs to re-register the family with identical
+    * zero-Exchange probe plans. Runs under the build lock for a
+    * point-in-time-consistent copy. */
+  def exportIndex(s: org.apache.spark.sql.SparkSession, table: String,
+      dest: String): Seq[String] = withBuildLock(s) {
+    require(s.catalog.tableExists(table),
+      s"exportIndex: no family base table $table")
+    val conf = s.sparkContext.hadoopConfiguration
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val dfs = destP.getFileSystem(conf)
+    require(!dfs.exists(destP) || dfs.listStatus(destP).isEmpty,
+      s"exportIndex: destination $dest is not empty — refusing to " +
+        "mix exports")
+    val members = (table +: ExportSiblings.map(table + _))
+      .filter(s.catalog.tableExists)
+    val rows = members.map { m =>
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(m))
+      val suffix = m.stripPrefix(table)
+      val loc = tableLocation(s, m)
+      val sfs = loc.getFileSystem(conf)
+      val mDest = new org.apache.hadoop.fs.Path(destP, s"m$suffix")
+      if (sfs.exists(loc))
+        org.apache.hadoop.fs.FileUtil.copy(sfs, loc, dfs, mDest,
+          false, conf)
+      else { dfs.mkdirs(mDest); () }
+      (suffix, meta.schema.toDDL,
+        meta.bucketSpec.map(_.numBuckets).getOrElse(0),
+        meta.bucketSpec.map(_.bucketColumnNames.mkString(","))
+          .getOrElse(""),
+        meta.bucketSpec.map(_.sortColumnNames.mkString(","))
+          .getOrElse(""))
+    }
+    val sp = s
+    import sp.implicits._
+    rows.toDF("suffix", "ddl", "n_buckets", "bucket_cols", "sort_cols")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dest/_graft_export")
+    Seq(s"exported ${members.size} members to $dest")
+  }
+
+  /** IMPORT an exported family under `table` (any name — import IS
+    * also the clone/rename verb). Bucketed members are re-bucketed
+    * through the exact maintenance-write discipline
+    * ([[rewriteBucketed]]'s rationale): repartition on the bucket
+    * columns so shuffle partition i holds exactly bucket i, AQE off
+    * for the one fixed-partitioning write, `bucketBy` + `sortBy`
+    * from the manifest — so the imported family's probe plans are
+    * Exchange-free exactly like the original's. Refuses if ANY
+    * target member already exists (no silent overwrite — drop
+    * first). */
+  def importIndex(s: org.apache.spark.sql.SparkSession, src: String,
+      table: String): Seq[String] = withBuildLock(s) {
+    val manifest = s.read.parquet(s"$src/_graft_export").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getString(4)))
+      .sortBy(_._1)
+    require(manifest.nonEmpty, s"importIndex: empty manifest at $src")
+    val clashes = manifest.map(table + _._1)
+      .filter(s.catalog.tableExists)
+    require(clashes.isEmpty,
+      s"importIndex: target members exist (${clashes.mkString(", ")})" +
+        " — drop them first; import never overwrites")
+    manifest.map { case (suffix, ddl, nBuckets, bCols, sCols) =>
+      val t = table + suffix
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      val dataDir = s"$src/m$suffix"
+      if (nBuckets > 0) {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        val cols = bCols.split(",").toSeq
+        val df = s2.read.schema(schema).parquet(dataDir)
+          .repartition(nBuckets, cols.map(org.apache.spark.sql
+            .functions.col): _*)
+        val w = df.write.bucketBy(nBuckets, cols.head, cols.tail: _*)
+        val ws =
+          if (sCols.nonEmpty) {
+            val sc = sCols.split(",").toSeq
+            w.sortBy(sc.head, sc.tail: _*)
+          } else w
+        ws.saveAsTable(t)
+      } else
+        s.read.schema(schema).parquet(dataDir).write.saveAsTable(t)
+      s.catalog.refreshTable(t)
+      s"imported $t" + (if (nBuckets > 0) s" ($nBuckets buckets)"
+        else "")
+    }.toSeq
+  }
+
   /** Promote a GROUP of replacement tables atomically-enough that a
     * crash at ANY step converges to the all-new group on recovery —
     * closing the "the PAIR isn't atomic" caveat the refresh ops
