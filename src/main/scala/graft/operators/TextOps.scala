@@ -1273,7 +1273,13 @@ object TextOps {
     * rebuild rewrote history — pruning can no longer reach the
     * snapshot; use the copy-based pair for that). A manifest member
     * with no files at snapshot is recorded by a null-path sentinel
-    * so "present but empty" and "absent" restore differently. */
+    * so "present but empty" and "absent" restore differently.
+    * Scale note: the listing (and restore's validation) is
+    * driver-side O(#files) — the same order as the file listing
+    * Spark's own scan planning performs on these tables, and
+    * manifests shard naturally per FAMILY; at extreme file counts
+    * the compaction cadence that keeps probe plans healthy keeps
+    * manifests small for the same reason. */
   def snapshotIndex(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "snap"): Seq[String] = withBuildLock(s) {
     require(tag.matches("[A-Za-z0-9]+"),
