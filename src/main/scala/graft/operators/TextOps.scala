@@ -1496,15 +1496,20 @@ object TextOps {
   }
 
   /** IMPORT an exported family under `table` (any name — import IS
-    * also the clone/rename verb). Bucketed members are re-bucketed
-    * through the exact maintenance-write discipline
-    * ([[rewriteBucketed]]'s rationale): repartition on the bucket
-    * columns so shuffle partition i holds exactly bucket i, AQE off
-    * for the one fixed-partitioning write, `bucketBy` + `sortBy`
-    * from the manifest — so the imported family's probe plans are
-    * Exchange-free exactly like the original's. Refuses if ANY
-    * target member already exists (no silent overwrite — drop
-    * first). */
+    * also the clone/rename verb) — ZERO-SHUFFLE: the exported files
+    * came from a bucketed table and keep Spark's bucket-id file
+    * naming (`..._0000N.`), so a bucketed member re-registers by
+    * creating an EMPTY table with the manifest's exact spec and
+    * copying the data files into its location — a file copy, not a
+    * re-bucket. At 100 TB that's the whole point of the verb: the
+    * shuffle-through-`bucketBy` alternative re-indexes the corpus;
+    * this is an rsync, and the bucket ids are correct by
+    * construction (same columns, same count, same murmur3 — the
+    * file NAME carries the id, which is what the bucketed scan
+    * reads). Probe-parity + score-parity gates in ExportSpec would
+    * catch any misassignment (a bucketed join over misplaced rows
+    * returns wrong results, not an error). Refuses if ANY target
+    * member already exists (no silent overwrite — drop first). */
   def importIndex(s: org.apache.spark.sql.SparkSession, src: String,
       table: String): Seq[String] = withBuildLock(s) {
     val manifest = s.read.parquet(s"$src/_graft_export").collect()
@@ -1517,29 +1522,39 @@ object TextOps {
     require(clashes.isEmpty,
       s"importIndex: target members exist (${clashes.mkString(", ")})" +
         " — drop them first; import never overwrites")
+    val conf = s.sparkContext.hadoopConfiguration
     manifest.map { case (suffix, ddl, nBuckets, bCols, sCols) =>
       val t = table + suffix
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-      val dataDir = s"$src/m$suffix"
-      if (nBuckets > 0) {
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.adaptive.enabled", "false")
-        val cols = bCols.split(",").toSeq
-        val df = s2.read.schema(schema).parquet(dataDir)
-          .repartition(nBuckets, cols.map(org.apache.spark.sql
-            .functions.col): _*)
-        val w = df.write.bucketBy(nBuckets, cols.head, cols.tail: _*)
-        val ws =
-          if (sCols.nonEmpty) {
-            val sc = sCols.split(",").toSeq
-            w.sortBy(sc.head, sc.tail: _*)
-          } else w
-        ws.saveAsTable(t)
-      } else
-        s.read.schema(schema).parquet(dataDir).write.saveAsTable(t)
+      val dataDir = new org.apache.hadoop.fs.Path(s"$src/m$suffix")
+      val bucketed =
+        if (nBuckets > 0) {
+          val cols = bCols.split(",").toSeq
+          val sorted =
+            if (sCols.nonEmpty)
+              s" SORTED BY (${sCols.split(",").mkString(", ")})"
+            else ""
+          s.sql(s"CREATE TABLE $t ($ddl) USING PARQUET CLUSTERED BY " +
+            s"(${cols.mkString(", ")})$sorted INTO $nBuckets BUCKETS")
+          true
+        } else {
+          s.sql(s"CREATE TABLE $t ($ddl) USING PARQUET")
+          false
+        }
+      // move the data in as a FILE COPY into the fresh table's
+      // location — no read, no shuffle, no rewrite
+      val dst = tableLocation(s, t)
+      val sfs = dataDir.getFileSystem(conf)
+      val dfs = dst.getFileSystem(conf)
+      if (sfs.exists(dataDir))
+        sfs.listStatus(dataDir).toSeq
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith("."))
+          .foreach(f => org.apache.hadoop.fs.FileUtil.copy(
+            sfs, f.getPath, dfs, new org.apache.hadoop.fs.Path(dst,
+              f.getPath.getName), false, conf))
       s.catalog.refreshTable(t)
-      s"imported $t" + (if (nBuckets > 0) s" ($nBuckets buckets)"
-        else "")
+      s"imported $t" + (if (bucketed) s" ($nBuckets buckets, " +
+        "zero-shuffle)" else "")
     }.toSeq
   }
 

@@ -63,6 +63,21 @@ class ExportSpec extends AnyFunSuite with SparkSuite {
         .getTableMetadata(TableIdentifier(x)).bucketSpec
       assert(spec(dst).isDefined && spec(dst) === spec(src),
         "bucket spec did not survive the migration")
+      // and the bucketing is USED, not just declared: a self-join of
+      // the imported postings on the bucket column plans with zero
+      // Exchange on either side (the zero-shuffle import's file-name
+      // bucket ids are what the scan reads — a misregistered table
+      // would shuffle). Broadcast off in a cloned session: on this
+      // tiny fixture the planner would otherwise broadcast and skip
+      // the bucketed read entirely
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = s2.table(dst).as("a")
+        .join(s2.table(dst).as("b"), "token")
+        .queryExecution.executedPlan.toString
+      assert(!j.contains("Exchange"),
+        s"imported bucketing not used by the scan:\n$j")
+      assert(j.contains("Bucketed: true"), j)
       // the hold travelled: held content stays out of the NEW family
       TextOps.appendBm25Postings(
         Seq(7L -> "held content arriving").toDF("doc_id", "text"),
