@@ -116,6 +116,60 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("time travel: six tagged snapshots through an append/upsert/" +
+      "delete storm restore BACKWARDS, each bit-exact — earlier tags " +
+      "stay restorable because pruning to tag k keeps every file of " +
+      "tags < k") {
+    val t = s"snap_tt_p$pid"
+    val tags = (1 to 6).map(r => s"t$r")
+    val all = famAll(t) ++ tags.flatMap(tg =>
+      s"${t}_mf_$tg" +: TextOps.SnapshotCopySiblings.map(c =>
+        s"$t${c}_bak_mf$tg"))
+    drop(all.distinct: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      val qt = Seq((1, "window"), (1, "alpha"), (2, "merge"),
+        (2, "round4")).toDF("q_id", "token")
+      def scores(): Map[(Int, Long), Double] = {
+        val (p, st) = TextOps.liveBm25(spark, t, s"${t}_stats")
+        TextOps.bm25ScoreIncr(qt, p, st).collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+      }
+      // the storm: a rotating append/upsert/delete per round — all
+      // part-file growth (no folds), one snapshot after each
+      val at = scala.collection.mutable.Map.empty[String,
+        Map[(Int, Long), Double]]
+      (1 to 6).foreach { r =>
+        r % 3 match {
+          case 1 => TextOps.appendBm25Postings(
+            docs((r * 10).toLong -> s"alpha window round$r merge"),
+            t, s"${t}_stats")
+          case 2 => TextOps.upsertBm25Docs(spark, t, s"${t}_stats",
+            docs(((r - 1) * 10).toLong ->
+              s"rewritten in round$r alpha"))
+          case 0 => TextOps.deleteBm25Docs(spark, t, s"${t}_stats",
+            Seq(((r - 2) * 10).toLong).toDF("doc_id"))
+        }
+        TextOps.snapshotIndex(spark, t, tag = s"t$r")
+        at(s"t$r") = scores()
+      }
+      assert(TextOps.listSnapshots(spark, t).map(_._1)
+        === tags.reverse, "listSnapshots must be newest-first")
+      // walk BACKWARDS through time: each restore prunes further,
+      // and every earlier tag's files survive it (subset property)
+      tags.reverse.foreach { tg =>
+        assert(TextOps.checkSnapshot(spark, t, tg).isEmpty,
+          s"$tg not restorable before its turn")
+        TextOps.restoreSnapshot(spark, t, tg)
+        assert(scores() === at(tg), s"time travel to $tg diverged")
+        assert(TextOps.fsckBm25(spark, t, s"${t}_stats").isEmpty,
+          s"$tg restored to an unhealthy family")
+      }
+    } finally drop(all.distinct: _*)
+  }
+
   test("checkSnapshot: restorable now, flips after a compaction, " +
       "warns on a live member the snapshot would drop — all without " +
       "mutating anything") {
