@@ -1053,7 +1053,17 @@ object StreamingOps {
             .delete(d, true)
           s"deleted ck ${d.getName} (absent at snapshot)"
         }
-      famOut ++ pruned ++ droppedT ++ droppedCk
+      // a whole member FAMILY born after the snapshot (no manifest
+      // under this tag) converges by dropping — same absence
+      // contract as a member table, one level up
+      val droppedFams = fams.filterNot(snapped.contains).flatMap(f =>
+        (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
+          .filter(spark.catalog.tableExists)
+          .map { m =>
+            spark.sql(s"DROP TABLE $m")
+            s"dropped $m (family absent at snapshot)"
+          })
+      famOut ++ pruned ++ droppedT ++ droppedCk ++ droppedFams
     }
 
   /** O(METADATA) SNAPSHOT of a unified document family — the
