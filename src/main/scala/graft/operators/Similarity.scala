@@ -171,6 +171,17 @@ object Ann {
       .get
   }
 
+  /** The FIXED plane modulus every pre-r15 build used (the family
+    * [[planeModulus]]'s doc dissects). A stored `_cfg` row that
+    * predates the `planemod` pin describes bands computed under THIS
+    * constant — the serving path must band external queries under it
+    * too, or query and stored keys live in different hash families
+    * and candidates become uncorrelated with similarity (recall
+    * collapses with no error; ADVICE r15 #1). Legacy families keep
+    * their (fold-prone but self-consistent) collision property until
+    * [[AnnIndex.repair]] rebuilds them into the derived family. */
+  val LegacyPlaneModulus = 29
+
   /** Plane p's integer weights under `modulus`, computed ONCE on the
     * driver and shipped as a literal array — the equivalent
     * `transform(sequence(...), ...)` expression is a higher-order
@@ -821,6 +832,23 @@ object AnnIndex {
     TO.readIndexConfig(s, table) match {
       case None => out += s"config pin ${table}_cfg missing"
       case Some(cfg) =>
+        // planemod pin audit (ADVICE r15 #2): a cfg lacking the pin
+        // is a pre-r15 legacy family (bands under the fixed
+        // LegacyPlaneModulus — served correctly by scoreExternal's
+        // legacy fallback, but fold-prone and append-refused); a pin
+        // differing from the derived value means the stored bands and
+        // the derived family have forked. Both heal by rebuilding the
+        // bands member under the derived modulus + re-pinning.
+        val wantPm = Ann.planeModulus(cfg("nbands") * cfg("bits"),
+          cfg("dim"))
+        cfg.get("planemod") match {
+          case None => out += "planemod pin missing (legacy banding " +
+            s"family under modulus ${Ann.LegacyPlaneModulus}; " +
+            s"derived is $wantPm)"
+          case Some(pm) if pm != wantPm =>
+            out += s"planemod pin $pm != derived $wantPm"
+          case _ => ()
+        }
         val bands = TO.exceptTombstones(s.table(table), s,
           table + "_del", "vec_id")
         out ++= bands.groupBy("vec_id").count()
@@ -875,13 +903,28 @@ object AnnIndex {
           table + "_del", "vec_id")),
       (_.contains("band rows"),
         "rebuilt band postings from the payload member",
+        () => rebuildBandsFromPayload(s, table)),
+      // legacy / forked plane modulus (ADVICE r15 #2): same heal —
+      // the payload member carries the exact vectors, so rebuilding
+      // under the derived modulus + re-pinning converges the family.
+      // Idempotent with the band-rows heal (rebuild runs at most
+      // twice, both producing the identical member).
+      (_.contains("planemod"),
+        "rebuilt band postings under the derived plane modulus",
         () => rebuildBandsFromPayload(s, table))))
 
-  /** The band-cardinality heal: re-derive the ENTIRE bands member
-    * from the live payload rows under the `_cfg` pin, each id's
-    * postings stamped at its own live generation. Physically drops
-    * any dead rows the member still held (they were probe-invisible
-    * already — the vacuum argument). */
+  /** The band-cardinality AND plane-modulus heal: re-derive the
+    * ENTIRE bands member from the live payload rows under the `_cfg`
+    * pin's (nbands, bits, dim) — always banded under the DERIVED
+    * modulus, which is what upgrades a legacy family — each id's
+    * postings stamped at its own live generation, then re-pin
+    * `planemod` to the derived value. Physically drops any dead rows
+    * the member still held (they were probe-invisible already — the
+    * vacuum argument). Rebuild FIRST, re-pin LAST: a crash between
+    * the two leaves a legacy pin over derived bands, which fsck still
+    * flags (pin != derived) and a re-run converges — the reverse
+    * order would leave a pin that PASSES fsck over bands it does not
+    * describe. */
   private def rebuildBandsFromPayload(s: SparkSession,
       table: String): Unit = {
     graft.functions.VectorFunctions.register(s)
@@ -902,6 +945,12 @@ object AnnIndex {
         .join(gen, "vec_id")
         .select(col("band_key"), col("vec_id"), col("gen"))
     })
+    val wantPm = Ann.planeModulus(cfg("nbands") * cfg("bits"),
+      cfg("dim"))
+    if (!cfg.get("planemod").contains(wantPm))
+      TO.overwriteIndexConfig(s, table,
+        Seq("dim" -> cfg("dim"), "nbands" -> cfg("nbands"),
+          "bits" -> cfg("bits"), "planemod" -> wantPm))
   }
 
   /** METADATA-FILTERED banded ANN top-k — production "filtered vector
@@ -943,7 +992,16 @@ object AnnIndex {
     * Banding config: the STORED `<table>_cfg` row wins when present
     * (r13 — the serving path no longer trusts the caller to repeat
     * the build parameters); the parameters are the fallback for an
-    * index predating the config pin.
+    * index predating the config pin. The plane MODULUS follows the
+    * same rule (ADVICE r15 #1): a cfg carrying `planemod` bands
+    * queries under that pin; a cfg LACKING the key is a pre-r15
+    * family whose stored bands were computed under the fixed
+    * [[Ann.LegacyPlaneModulus]] — band under that constant (the
+    * collision property holds; the family is merely the fold-prone
+    * legacy one until [[repair]] rebuilds it); no cfg at all falls
+    * back to deriving from the parameters, matching [[write]]'s
+    * crash-window contract (pin written last, so cfg-absent data is
+    * always current-code, derived-modulus data).
     */
   def scoreExternal(queries: DataFrame, s: SparkSession, table: String,
       nBands: Int = NBands, bits: Int = Bits,
@@ -954,12 +1012,16 @@ object AnnIndex {
       case Some(c) => (c("nbands"), c("bits"), c("dim"))
       case None => (nBands, bits, dim)
     }
+    val pm = cfg match {
+      case Some(c) => c.getOrElse("planemod", Ann.LegacyPlaneModulus)
+      case None => 0 // 0 = derive (Ann.bandKeys)
+    }
     val bands = TO.exceptTombstones(s.table(table), s,
       table + "_del", "vec_id")
     val vecs = TO.exceptTombstones(s.table(table + "_vec"), s,
       table + "_del", "vec_id")
     val qb = Ann.prepExternal(queries, dm)
-      .withColumn("bands", Ann.bandKeys(col("qv"), nb, bt, dm))
+      .withColumn("bands", Ann.bandKeys(col("qv"), nb, bt, dm, pm))
       .select(col("q_id"), col("qv"), col("qn"),
         posexplode(col("bands")))
       .toDF("q_id", "qv", "qn", "band_idx", "bits")

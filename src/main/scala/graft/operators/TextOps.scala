@@ -171,13 +171,32 @@ object TextOps {
       }
     } else {
       clearOrphanLocation(s, t)
-      val sp = s
-      import sp.implicits._
-      cfg.foldLeft(Seq(1).toDF("_one")) { case (d, (k, v)) =>
-          d.withColumn(k, org.apache.spark.sql.functions.lit(v))
-        }.drop("_one")
-        .write.mode("overwrite").saveAsTable(t)
+      writeIndexConfig(s, table, cfg)
     }
+  }
+
+  private def writeIndexConfig(s: org.apache.spark.sql.SparkSession,
+      table: String, cfg: Seq[(String, Int)]): Unit = {
+    val sp = s
+    import sp.implicits._
+    cfg.foldLeft(Seq(1).toDF("_one")) { case (d, (k, v)) =>
+        d.withColumn(k, org.apache.spark.sql.functions.lit(v))
+      }.drop("_one")
+      .write.mode("overwrite").saveAsTable(table + "_cfg")
+  }
+
+  /** RE-PIN a family's config — the heal-path escape hatch from
+    * [[ensureIndexConfig]]'s exact-match contract (which exists to
+    * refuse mismatched INGEST; a repair that just rebuilt the data to
+    * a new parameter legitimately rewrites the pin afterwards —
+    * AnnIndex.rebuildBandsFromPayload's plane-modulus upgrade). One
+    * overwrite command, no deliberate drop-first window: a crash
+    * leaves either the old pin (re-run converges) or the new one. */
+  private[graft] def overwriteIndexConfig(
+      s: org.apache.spark.sql.SparkSession, table: String,
+      cfg: Seq[(String, Int)]): Unit = withBuildLock(s) {
+    clearOrphanLocation(s, table + "_cfg")
+    writeIndexConfig(s, table, cfg)
   }
 
   /** The stored config row as a map, for probes that need the build

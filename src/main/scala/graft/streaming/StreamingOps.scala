@@ -807,18 +807,31 @@ object StreamingOps {
     * the piece TableOps-level backup can't cover. Checkpoint and
     * ledger are a PAIR ([[ledgeredIngest]]'s reset rationale), so the
     * stream-level verbs always snapshot/restore them together. */
-  private def backupCk(spark: SparkSession, name: String,
+  private[graft] def backupCk(spark: SparkSession, name: String,
       tag: String): Option[String] = {
     val src = ckDir(spark, name)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = src.getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(src.getParent,
       s"${src.getName}_bak_$tag")
-    if (fs.exists(dst)) { fs.delete(dst, true); () }
     if (fs.exists(src)) {
-      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+      // stage the copy, promote by rename (ADVICE r15 #3 applied to
+      // the backup side too): a crash mid-copy must never leave a
+      // PARTIAL directory under the `_bak_<tag>` name a later restore
+      // would trust as complete. The staging dir is swept on re-run
+      // and never read by restore.
+      val tmp = new org.apache.hadoop.fs.Path(src.getParent,
+        s"${src.getName}_bak_${tag}_staging")
+      if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+      if (fs.exists(dst)) { fs.delete(dst, true); () }
+      require(fs.rename(tmp, dst),
+        s"backupCk: rename $tmp -> $dst failed")
       Some(dst.toString)
-    } else None
+    } else {
+      if (fs.exists(dst)) { fs.delete(dst, true); () }
+      None
+    }
   }
 
   /** Converge a stream's checkpoint directory to its snapshot:
@@ -826,7 +839,7 @@ object StreamingOps {
     * (the stream did not exist at snapshot time — with ledger gone
     * too, a delete/upsert stream replays everything, which is its
     * documented idempotent recovery). */
-  private def restoreCk(spark: SparkSession, name: String,
+  private[graft] def restoreCk(spark: SparkSession, name: String,
       tag: String): Option[String] = {
     val live = ckDir(spark, name)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -834,12 +847,28 @@ object StreamingOps {
     val bak = new org.apache.hadoop.fs.Path(live.getParent,
       s"${live.getName}_bak_$tag")
     val hadLive = fs.exists(live)
-    if (hadLive) { fs.delete(live, true); () }
     if (fs.exists(bak)) {
-      org.apache.hadoop.fs.FileUtil.copy(fs, bak, fs, live, false, conf)
+      // stage the copy NEXT TO the live directory, then promote by
+      // rename (ADVICE r15 #3): the old delete-live-then-copy order
+      // left a crash window the LENGTH OF THE COPY with no checkpoint
+      // at all — for a vector family (no content-hash dedup) the next
+      // stream invocation would replay every source file against the
+      // restored members, silently duplicating rows. Now the
+      // checkpoint-less window is one delete + one rename, and a
+      // crash inside it still converges by re-running the restore
+      // (the stale staging dir is swept first).
+      val tmp = new org.apache.hadoop.fs.Path(live.getParent,
+        s"${live.getName}_restoretmp")
+      if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+      org.apache.hadoop.fs.FileUtil.copy(fs, bak, fs, tmp, false, conf)
+      if (fs.exists(live)) { fs.delete(live, true); () }
+      require(fs.rename(tmp, live),
+        s"restoreCk: rename $tmp -> $live failed")
       Some(s"restored ck $name")
-    } else if (hadLive) Some(s"dropped ck $name (absent at snapshot)")
-    else None
+    } else if (hadLive) {
+      fs.delete(live, true)
+      Some(s"dropped ck $name (absent at snapshot)")
+    } else None
   }
 
   /** POINT-IN-TIME BACKUP of a unified document family — the
