@@ -1087,8 +1087,73 @@ object TextOps {
       s"backupIndex: tag must be alphanumeric, got '$tag'")
     require(s.catalog.tableExists(table),
       s"backupIndex: no family base table $table")
-    (table +: BackupSiblings.map(table + _))
+    // retire the commit marker FIRST: from here until the last copy
+    // lands the set is officially incomplete, so a crash mid-set (or
+    // mid-RE-TAKE, where fresh copies mix with a previous tag's) can
+    // never leave a marker over copies it does not describe —
+    // restoreIndex refuses marker-less sets instead of restoring a
+    // mixed family (r16; the r15 "base copy is the marker" convention
+    // was false under exactly that crash: the base is copied first)
+    val marker = s"${table}_bakok_$tag"
+    s.sql(s"DROP TABLE IF EXISTS $marker")
+    clearOrphanLocation(s, marker)
+    val written = (table +: BackupSiblings.map(table + _))
       .flatMap(backupTable(s, _, tag))
+    writeBackupMarker(s, marker, written)
+    written :+ marker
+  }
+
+  /** Commit a backup set: one row per copy written, LAST. */
+  private def writeBackupMarker(s: org.apache.spark.sql.SparkSession,
+      marker: String, members: Seq[String]): Unit = {
+    val sp = s
+    import sp.implicits._
+    members.toDF("member").coalesce(1).write.mode("overwrite")
+      .saveAsTable(marker)
+  }
+
+  /** Declare a marker-less backup set complete — the operator escape
+    * hatch for a pre-r16 backup (taken before the commit marker
+    * existed) that is KNOWN whole. Records whatever copies currently
+    * exist under the tag; never use it on a backup that may have
+    * crashed mid-set — re-take that one instead. */
+  def markBackupComplete(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String = "bak"): Seq[String] =
+      withBuildLock(s) {
+    require(s.catalog.tableExists(s"${table}_bak_$tag"),
+      s"markBackupComplete: no base copy ${table}_bak_$tag — nothing " +
+        "to vouch for")
+    val members = (table +: BackupSiblings.map(table + _))
+      .map(m => s"${m}_bak_$tag").filter(s.catalog.tableExists)
+    writeBackupMarker(s, s"${table}_bakok_$tag", members)
+    members
+  }
+
+  /** READ-ONLY audit of a copy-based backup set: the marker must
+    * exist, every copy it records must still exist, and no
+    * unrecorded copy may sit under the tag (a crashed re-take's
+    * leftovers). Nil = the set restores as taken. */
+  def checkBackup(s: org.apache.spark.sql.SparkSession, table: String,
+      tag: String = "bak"): Seq[String] = {
+    val marker = s"${table}_bakok_$tag"
+    if (!s.catalog.tableExists(marker))
+      return Seq(
+        if (s.catalog.tableExists(s"${table}_bak_$tag"))
+          s"backup $table/$tag has copies but no commit marker " +
+            "(crashed mid-set, or pre-r16) — re-take it, or " +
+            "markBackupComplete if you can vouch for it"
+        else s"no backup $table/$tag")
+    val recorded = s.table(marker).collect()
+      .map(_.getString(0)).toSet
+    val missing = recorded.toSeq.sorted
+      .filterNot(s.catalog.tableExists)
+      .map(m => s"$m: recorded in the commit marker but missing")
+    val extras = (table +: BackupSiblings.map(table + _))
+      .map(m => s"${m}_bak_$tag")
+      .filter(m => s.catalog.tableExists(m) && !recorded.contains(m))
+      .map(m => s"$m: copy exists but is not in the commit marker " +
+        "(crashed re-take leftovers?)")
+    missing ++ extras
   }
 
   /** Snapshot ONE standalone table (a replay ledger, the ingest hash
@@ -1143,6 +1208,16 @@ object TextOps {
     * append-only-forever registry contract). Returns what it did. */
   def restoreIndex(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "bak"): Seq[String] = withBuildLock(s) {
+    // the marker is the ONLY proof the set is whole (written last by
+    // backupIndex): copies without it are a crashed backup — restoring
+    // them would build a frankenstein family (fresh base over a
+    // previous tag's siblings) with no error
+    require(s.catalog.tableExists(s"${table}_bakok_$tag") ||
+        !s.catalog.tableExists(s"${table}_bak_$tag"),
+      s"restoreIndex: backup $table/$tag has copies but no commit " +
+        "marker — the backup crashed mid-set (or predates the marker," +
+        " r16); re-take it, or markBackupComplete if you can vouch " +
+        "for it")
     require(s.catalog.tableExists(s"${table}_bak_$tag"),
       s"restoreIndex: no backup ${table}_bak_$tag — refusing to " +
         "touch the live family without its snapshot")
@@ -1150,9 +1225,11 @@ object TextOps {
       .flatMap(restoreTable(s, _, tag))
   }
 
-  /** Drop a family's `<tag>` backup set. */
+  /** Drop a family's `<tag>` backup set — marker FIRST, so a crash
+    * mid-drop leaves a set restore already refuses. */
   def dropBackup(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "bak"): Unit = withBuildLock(s) {
+    s.sql(s"DROP TABLE IF EXISTS ${table}_bakok_$tag")
     (table +: BackupSiblings.map(table + _))
       .foreach(m => s.sql(s"DROP TABLE IF EXISTS ${m}_bak_$tag"))
   }
@@ -1305,6 +1382,16 @@ object TextOps {
       s"snapshotIndex: tag must be alphanumeric, got '$tag'")
     require(s.catalog.tableExists(table),
       s"snapshotIndex: no family base table $table")
+    // retire the manifest FIRST (r16 — the backupIndex marker
+    // discipline): the manifest is this snapshot's commit marker
+    // (written last), and on a RE-TAKE the meta-member copies below
+    // are rewritten in place — a crash mid-copies must not leave the
+    // PREVIOUS manifest describing a file set whose stats/config
+    // copies are already the new ones; with the manifest retired,
+    // every crash state refuses at restoreSnapshot's require
+    val mf = s"${table}_mf_$tag"
+    s.sql(s"DROP TABLE IF EXISTS $mf")
+    clearOrphanLocation(s, mf)
     val rows = (table +: SnapshotManifestSiblings.map(table + _))
       .filter(s.catalog.tableExists)
       .flatMap { m =>
@@ -1314,9 +1401,6 @@ object TextOps {
       }
     val copies = SnapshotCopySiblings.map(table + _)
       .flatMap(backupTable(s, _, s"mf$tag"))
-    val mf = s"${table}_mf_$tag"
-    s.sql(s"DROP TABLE IF EXISTS $mf")
-    clearOrphanLocation(s, mf)
     val sp = s
     import sp.implicits._
     rows.toDF("member", "path", "len").coalesce(1).write.saveAsTable(mf)
@@ -1428,18 +1512,17 @@ object TextOps {
       .sortBy(-_._2)
   }
 
-  /** The family's copy-based backups, by tag (the base-table copy is
-    * the marker — [[restoreIndex]] refuses without it, so a tag
-    * listed here is restorable). */
+  /** The family's copy-based backups, by tag — COMMITTED sets only
+    * (the `_bakok_<tag>` marker is written last by [[backupIndex]]
+    * and required by [[restoreIndex]], so a tag listed here is
+    * restorable; a crashed backup's marker-less copies do NOT list —
+    * [[checkBackup]] names them). */
   def listBackups(s: org.apache.spark.sql.SparkSession,
       table: String): Seq[String] = {
-    val prefix = s"${table.toLowerCase}_bak_"
+    val prefix = s"${table.toLowerCase}_bakok_"
     s.sessionState.catalog
       .listTables("default", s"$prefix*").map(_.table)
       .map(_.stripPrefix(prefix))
-      // manifest-snapshot meta copies ride under mf<tag> on SIBLING
-      // tables, never the base, so no filtering is needed — but keep
-      // tags alphanumeric-clean for the eye
       .sorted
   }
 

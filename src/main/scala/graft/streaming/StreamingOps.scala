@@ -892,6 +892,13 @@ object StreamingOps {
       require(spark.catalog.tableExists(s"${base}_bm25") ||
         spark.catalog.tableExists(s"${base}_band"),
         s"backupDocuments: no document family at base $base")
+      // group commit marker (r16, the backupIndex discipline one
+      // level up): retired FIRST, written LAST, required by
+      // restoreDocuments — a crash anywhere in between leaves a
+      // marker-less group restore refuses, never a mix of this
+      // tag's fresh copies and a previous take's stale ones
+      val marker = s"${base}_dbakok_$tag"
+      dropGroupMarker(spark, marker)
       val fams = Seq(s"${base}_band", s"${base}_bm25")
         .filter(spark.catalog.tableExists)
         .flatMap(graft.operators.TextOps.backupIndex(spark, _, tag))
@@ -899,8 +906,69 @@ object StreamingOps {
           docStreams(base).map(_ + "_ledger"))
         .flatMap(graft.operators.TextOps.backupTable(spark, _, tag))
       val cks = docStreams(base).flatMap(backupCk(spark, _, tag))
-      fams ++ state ++ cks
+      writeGroupMarker(spark, marker, fams ++ state, cks)
+      fams ++ state ++ cks :+ marker
     }
+
+  private def dropGroupMarker(spark: SparkSession,
+      marker: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $marker")
+    graft.operators.TextOps.clearOrphanLocation(spark, marker)
+  }
+
+  /** Commit a stream-level backup group: (kind, name) rows — 'table'
+    * entries are catalog tables, 'ck' entries checkpoint backup
+    * directory paths — written LAST. */
+  private def writeGroupMarker(spark: SparkSession, marker: String,
+      tables: Seq[String], cks: Seq[String]): Unit = {
+    val sp = spark
+    import sp.implicits._
+    (tables.map(("table", _)) ++ cks.map(("ck", _)))
+      .toDF("kind", "name").coalesce(1).write.mode("overwrite")
+      .saveAsTable(marker)
+  }
+
+  /** READ-ONLY audit of a stream-level copy backup group: the group
+    * marker must exist and every table/checkpoint directory it
+    * records must still be there. Nil = the group restores as
+    * taken. */
+  private def checkGroupBackup(spark: SparkSession, marker: String,
+      anyCopy: Boolean): Seq[String] = {
+    if (!spark.catalog.tableExists(marker))
+      return Seq(
+        if (anyCopy) s"copies exist but no group marker $marker — " +
+          "the backup crashed mid-group (or predates the marker, " +
+          "r16); re-take it"
+        else s"no backup (no group marker $marker)")
+    spark.table(marker).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .flatMap {
+        case ("table", n) =>
+          if (spark.catalog.tableExists(n)) None
+          else Some(s"$n: recorded in the group marker but missing")
+        case (_, p) =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(path)) None
+          else Some(s"$p: checkpoint backup recorded in the group " +
+            "marker but missing")
+      }.toSeq
+  }
+
+  /** [[checkGroupBackup]] for a unified document base. */
+  def checkDocumentsBackup(spark: SparkSession, base: String,
+      tag: String = "bak"): Seq[String] =
+    checkGroupBackup(spark, s"${base}_dbakok_$tag",
+      anyCopy = Seq(s"${base}_bm25", s"${base}_band")
+        .exists(f => spark.catalog.tableExists(s"${f}_bak_$tag")))
+
+  /** [[checkGroupBackup]] for a unified vector base. */
+  def checkVectorsBackup(spark: SparkSession, base: String,
+      tag: String = "bak"): Seq[String] =
+    checkGroupBackup(spark, s"${base}_vbakok_$tag",
+      anyCopy = vecFamilies.exists(f =>
+        spark.catalog.tableExists(s"$base${f}_bak_$tag")))
 
   /** RESTORE a unified document family to its `<tag>` snapshot —
     * members, hash store, ledgers and checkpoints together (see
@@ -912,8 +980,14 @@ object StreamingOps {
   def restoreDocuments(spark: SparkSession, base: String,
       tag: String = "bak"): Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
-      require(spark.catalog.tableExists(s"${base}_bm25_bak_$tag") ||
-        spark.catalog.tableExists(s"${base}_band_bak_$tag"),
+      val anyCopy = spark.catalog.tableExists(s"${base}_bm25_bak_$tag") ||
+        spark.catalog.tableExists(s"${base}_band_bak_$tag")
+      require(spark.catalog.tableExists(s"${base}_dbakok_$tag") ||
+          !anyCopy,
+        s"restoreDocuments: backup $base/$tag has copies but no " +
+          "group marker — the backup crashed mid-group (or predates " +
+          "the marker, r16); re-take it")
+      require(anyCopy,
         s"restoreDocuments: no backup for base $base tag $tag — " +
           "refusing to touch the live family without its snapshot")
       val members = Seq(s"${base}_band", s"${base}_bm25").flatMap(f =>
@@ -943,12 +1017,17 @@ object StreamingOps {
         .filter(spark.catalog.tableExists)
       require(fams.nonEmpty,
         s"backupVectors: no vector family at base $base")
+      // group marker: retired first, written last (see
+      // backupDocuments)
+      val marker = s"${base}_vbakok_$tag"
+      dropGroupMarker(spark, marker)
       val members =
         fams.flatMap(graft.operators.TextOps.backupIndex(spark, _, tag))
       val state = vecStreams(base).map(_ + "_ledger")
         .flatMap(graft.operators.TextOps.backupTable(spark, _, tag))
       val cks = vecStreams(base).flatMap(backupCk(spark, _, tag))
-      members ++ state ++ cks
+      writeGroupMarker(spark, marker, members ++ state, cks)
+      members ++ state ++ cks :+ marker
     }
 
   /** RESTORE a unified vector family to its `<tag>` snapshot; the
@@ -956,8 +1035,14 @@ object StreamingOps {
   def restoreVectors(spark: SparkSession, base: String,
       tag: String = "bak"): Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
-      require(vecFamilies.exists(f =>
-        spark.catalog.tableExists(s"$base${f}_bak_$tag")),
+      val anyCopy = vecFamilies.exists(f =>
+        spark.catalog.tableExists(s"$base${f}_bak_$tag"))
+      require(spark.catalog.tableExists(s"${base}_vbakok_$tag") ||
+          !anyCopy,
+        s"restoreVectors: backup $base/$tag has copies but no group " +
+          "marker — the backup crashed mid-group (or predates the " +
+          "marker, r16); re-take it")
+      require(anyCopy,
         s"restoreVectors: no backup for base $base tag $tag — " +
           "refusing to touch the live family without its snapshot")
       val members = vecFamilies.map(base + _).flatMap(f =>
@@ -1024,6 +1109,11 @@ object StreamingOps {
     graft.operators.TextOps.withBuildLock(spark) {
       val present = fams.filter(spark.catalog.tableExists)
       require(present.nonEmpty, s"$what: no family at base $base")
+      // the stream manifest is the GROUP's commit marker (required by
+      // the restore, written last) — retire it before re-snapshotting
+      // the member families, so a crashed re-take never leaves the
+      // previous group manifest over fresh member snapshots (r16)
+      dropGroupMarker(spark, s"${base}_mf_$tag")
       present.flatMap(
         graft.operators.TextOps.snapshotIndex(spark, _, tag)) ++
         writeStreamManifest(spark, s"${base}_mf_$tag", tables, streams)
