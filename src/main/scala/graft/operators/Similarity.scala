@@ -827,6 +827,9 @@ object AnnIndex {
     *   - one live generation per id in BOTH members.
     */
   def fsck(s: SparkSession, table: String): Seq[String] = {
+    val swaps = TO.swapCrashViolations(s,
+      Seq(table, table + "_vec", table + "_del"))
+    if (swaps.nonEmpty) return swaps
     val out = scala.collection.mutable.ListBuffer.empty[String]
     if (!s.catalog.tableExists(table)) return out.toList
     TO.readIndexConfig(s, table) match {
@@ -897,6 +900,10 @@ object AnnIndex {
     */
   def repair(s: SparkSession, table: String): Seq[String] =
     TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.startsWith("crashed swap"),
+        "recovered crashed swap renames",
+        () => TO.healCrashedSwaps(s,
+          Seq(table, table + "_vec", table + "_del"))),
       (_.contains("live generations"),
         "re-barriered multi-generation ids",
         () => TO.rebarrierMultiGen(s, Seq(table, table + "_vec"),
@@ -1215,6 +1222,9 @@ object IvfIndex {
     * cell the stored quantizer actually has, carries a vector of the
     * quantizer's width, and one live generation per id. */
   def fsck(s: SparkSession, table: String): Seq[String] = {
+    val swaps = TO.swapCrashViolations(s,
+      Seq(table, table + "_cent", table + "_del"))
+    if (swaps.nonEmpty) return swaps
     val out = scala.collection.mutable.ListBuffer.empty[String]
     if (!s.catalog.tableExists(table)) return out.toList
     if (!s.catalog.tableExists(table + "_cent")) {
@@ -1247,6 +1257,10 @@ object IvfIndex {
     */
   def repair(s: SparkSession, table: String): Seq[String] =
     TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.startsWith("crashed swap"),
+        "recovered crashed swap renames",
+        () => TO.healCrashedSwaps(s,
+          Seq(table, table + "_cent", table + "_del"))),
       (_.contains("live generations"),
         "re-barriered multi-generation ids",
         () => TO.rebarrierMultiGen(s, Seq(table), table + "_del",
@@ -1788,6 +1802,9 @@ object PqIndex {
     * subspace codes (a short row would silently drop ADC terms), and
     * one live generation per id. */
   def fsck(s: SparkSession, table: String): Seq[String] = {
+    val swaps = TO.swapCrashViolations(s,
+      Seq(table, table + "_cb", table + "_del"))
+    if (swaps.nonEmpty) return swaps
     val out = scala.collection.mutable.ListBuffer.empty[String]
     if (!s.catalog.tableExists(table)) return out.toList
     if (!s.catalog.tableExists(table + "_cb")) {
@@ -1803,13 +1820,17 @@ object PqIndex {
     out.toList
   }
 
-  /** REPAIR the family: multi-generation ids re-barrier at their top
-    * live gen — the one healable class. Short code rows cannot be
-    * recomputed (the codes member stores no original vectors) and a
-    * missing codebook cannot be guessed — refuse loudly. Clean
-    * family = Nil. */
+  /** REPAIR the family: crashed swap renames recover; multi-
+    * generation ids re-barrier at their top live gen. Short code
+    * rows cannot be recomputed (the codes member stores no original
+    * vectors) and a missing codebook cannot be guessed — refuse
+    * loudly. Clean family = Nil. */
   def repair(s: SparkSession, table: String): Seq[String] =
     TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.startsWith("crashed swap"),
+        "recovered crashed swap renames",
+        () => TO.healCrashedSwaps(s,
+          Seq(table, table + "_cb", table + "_del"))),
       (_.contains("live generations"),
         "re-barriered multi-generation ids",
         () => TO.rebarrierMultiGen(s, Seq(table), table + "_del",
@@ -2236,6 +2257,8 @@ object BqIndex {
   /** STRUCTURAL AUDIT (fsck, r14): every live signature packs exactly
     * ⌈dim/64⌉ words for the `_cfg` dim, one live generation per id. */
   def fsck(s: SparkSession, table: String): Seq[String] = {
+    val swaps = TO.swapCrashViolations(s, Seq(table, table + "_del"))
+    if (swaps.nonEmpty) return swaps
     val out = scala.collection.mutable.ListBuffer.empty[String]
     if (!s.catalog.tableExists(table)) return out.toList
     TO.readIndexConfig(s, table) match {
@@ -2252,12 +2275,16 @@ object BqIndex {
     out.toList
   }
 
-  /** REPAIR the family: multi-generation ids re-barrier at their top
-    * live gen — the one healable class (signatures cannot be
-    * recomputed without the original vectors; a lost `_cfg` pin
-    * cannot be guessed). Refuses loudly otherwise; clean = Nil. */
+  /** REPAIR the family: crashed swap renames recover; multi-
+    * generation ids re-barrier at their top live gen (signatures
+    * cannot be recomputed without the original vectors; a lost
+    * `_cfg` pin cannot be guessed). Refuses loudly otherwise;
+    * clean = Nil. */
   def repair(s: SparkSession, table: String): Seq[String] =
     TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.startsWith("crashed swap"),
+        "recovered crashed swap renames",
+        () => TO.healCrashedSwaps(s, Seq(table, table + "_del"))),
       (_.contains("live generations"),
         "re-barriered multi-generation ids",
         () => TO.rebarrierMultiGen(s, Seq(table), table + "_del",
@@ -2523,6 +2550,8 @@ object SqIndex {
     * exactly the `_cfg` dim codes and a positive scale, one live
     * generation per id. */
   def fsck(s: SparkSession, table: String): Seq[String] = {
+    val swaps = TO.swapCrashViolations(s, Seq(table, table + "_del"))
+    if (swaps.nonEmpty) return swaps
     val out = scala.collection.mutable.ListBuffer.empty[String]
     if (!s.catalog.tableExists(table)) return out.toList
     TO.readIndexConfig(s, table) match {
@@ -2540,13 +2569,16 @@ object SqIndex {
     out.toList
   }
 
-  /** REPAIR the family: multi-generation ids re-barrier at their top
-    * live gen — the one healable class (SQ8 codes cannot be
-    * recomputed without the original vectors; a lost `_cfg` pin or a
-    * negative scale cannot be fixed by guesswork). Refuses loudly
-    * otherwise; clean = Nil. */
+  /** REPAIR the family: crashed swap renames recover; multi-
+    * generation ids re-barrier at their top live gen (SQ8 codes
+    * cannot be recomputed without the original vectors; a lost
+    * `_cfg` pin or a negative scale cannot be fixed by guesswork).
+    * Refuses loudly otherwise; clean = Nil. */
   def repair(s: SparkSession, table: String): Seq[String] =
     TO.runRepair(s, () => fsck(s, table), Seq(
+      (_.startsWith("crashed swap"),
+        "recovered crashed swap renames",
+        () => TO.healCrashedSwaps(s, Seq(table, table + "_del"))),
       (_.contains("live generations"),
         "re-barriered multi-generation ids",
         () => TO.rebarrierMultiGen(s, Seq(table), table + "_del",

@@ -739,6 +739,8 @@ object TextOps {
     */
   def fsckBm25(s: org.apache.spark.sql.SparkSession,
       table: String, statsTable: String): Seq[String] = {
+    val swaps = swapCrashViolations(s, Seq(table, table + "_del"))
+    if (swaps.nonEmpty) return swaps
     val out = scala.collection.mutable.ListBuffer.empty[String]
     if (!s.catalog.tableExists(table)) return out.toList
     val live = exceptTombstones(s.table(table), s, table + "_del",
@@ -765,11 +767,14 @@ object TextOps {
     * slot-prefixed band keys are self-describing, so generation
     * integrity is the one invariant to recompute). */
   def fsckBand(s: org.apache.spark.sql.SparkSession,
-      table: String): Seq[String] =
-    if (!s.catalog.tableExists(table)) Nil
+      table: String): Seq[String] = {
+    val swaps = swapCrashViolations(s, Seq(table, table + "_del"))
+    if (swaps.nonEmpty) swaps
+    else if (!s.catalog.tableExists(table)) Nil
     else multiGenViolations(
       exceptTombstones(s.table(table), s, table + "_del", "old_id"),
       "old_id")
+  }
 
   /** One live generation per id — the supersession invariant every
     * gen-barrier family shares ([[fsckBm25]] and the vector fscks). */
@@ -813,19 +818,79 @@ object TextOps {
     val v0 = fsck()
     if (v0.isEmpty) Nil
     else {
-      val unmatched = v0.filterNot(v => heals.exists(_._1(v)))
-      if (unmatched.nonEmpty)
-        throw new IllegalStateException(
-          "repair: no safe heal for: " + unmatched.mkString("; "))
-      val fixed = heals.collect {
-        case (matches, desc, run) if v0.exists(matches) => run(); desc
+      // iterate to convergence (r16): a heal can REVEAL violations
+      // the broken state masked — fsck returns crashed-swap evidence
+      // ALONE (content audits against a half-swapped family are
+      // meaningless), so only the post-recovery round can see, say,
+      // the stats drift the crash also caused. Each round still
+      // refuses on any unknown class BEFORE touching anything
+      // further; the bound keeps a non-converging heal from looping.
+      val fixed = scala.collection.mutable.ListBuffer.empty[String]
+      var v = v0
+      var rounds = 0
+      while (v.nonEmpty && rounds < 4) {
+        val unmatched = v.filterNot(x => heals.exists(_._1(x)))
+        if (unmatched.nonEmpty)
+          throw new IllegalStateException(
+            "repair: no safe heal for: " + unmatched.mkString("; "))
+        heals.foreach { case (matches, desc, run) =>
+          if (v.exists(matches)) { run(); fixed += desc; () }
+        }
+        v = fsck()
+        rounds += 1
       }
-      val left = fsck()
-      if (left.nonEmpty)
+      if (v.nonEmpty)
         throw new IllegalStateException(
-          "repair did not converge: " + left.mkString("; "))
-      fixed
+          "repair did not converge: " + v.mkString("; "))
+      fixed.toList.distinct
     }
+  }
+
+  /** Crashed-swap evidence across a family's swap-promoted members:
+    * a member unbound while its `_compact`/`_old` twin holds the
+    * content (a [[swapIndexTables]] that died between renames), a
+    * leftover `_old` backup (died before cleanup), or a pinned
+    * group-swap intent marker (a [[swapIndexTableGroup]] that died
+    * mid-promotion). These states previously hid behind fsck's
+    * family-does-not-exist early return — a crashed swap read as
+    * HEALTHY while every probe failed, and repair had nothing to
+    * heal (r16). `members.head` is the family base (the group-swap
+    * marker's name). Callers return these ALONE when nonempty:
+    * content audits against a half-swapped family are meaningless,
+    * and a coexisting unhealable-looking symptom ("quantizer
+    * missing" for a mid-swap `_cent`) would make repair refuse the
+    * very state its swap heal fixes. */
+  private[graft] def swapCrashViolations(
+      s: org.apache.spark.sql.SparkSession,
+      members: Seq[String]): Seq[String] = {
+    val group =
+      if (s.catalog.tableExists(members.head + "_swap"))
+        Seq(s"crashed swap: intent marker ${members.head}_swap " +
+          "still pinned (a group refresh died mid-promotion)")
+      else Nil
+    group ++ members.flatMap { m =>
+      val hasT = s.catalog.tableExists(m)
+      val hasTmp = s.catalog.tableExists(m + "_compact")
+      val hasOld = s.catalog.tableExists(m + "_old")
+      if (!hasT && (hasTmp || hasOld))
+        Some(s"crashed swap: $m unbound (content survives in " +
+          (if (hasTmp) s"${m}_compact" else s"${m}_old") + ")")
+      else if (hasT && hasOld)
+        Some(s"crashed swap: leftover backup ${m}_old")
+      else None
+    }
+  }
+
+  /** The crashed-swap heal: group-marker replay FIRST (per-member
+    * recovery alone would promote a phase-1-crashed refresh into a
+    * MIXED family — the memoIndex ordering), then per-member rename
+    * recovery. Idempotent catalog ops; `members.head` is the family
+    * base. */
+  private[graft] def healCrashedSwaps(
+      s: org.apache.spark.sql.SparkSession,
+      members: Seq[String]): Unit = {
+    recoverGroupSwap(s, members.head)
+    members.foreach(recoverSwap(s, _))
   }
 
   /** SUPERSESSION HEAL: every id holding more than one live
@@ -896,6 +961,9 @@ object TextOps {
   def repairBm25(s: org.apache.spark.sql.SparkSession, table: String,
       statsTable: String): Seq[String] =
     runRepair(s, () => fsckBm25(s, table, statsTable), Seq(
+      (_.startsWith("crashed swap"),
+        "recovered crashed swap renames",
+        () => healCrashedSwaps(s, Seq(table, table + "_del"))),
       (_.contains("pending delete stage"),
         "applied crashed delete stage",
         () => applyBm25DeleteStage(s, table, statsTable)),
@@ -915,6 +983,9 @@ object TextOps {
   def repairBand(s: org.apache.spark.sql.SparkSession,
       table: String): Seq[String] =
     runRepair(s, () => fsckBand(s, table), Seq(
+      (_.startsWith("crashed swap"),
+        "recovered crashed swap renames",
+        () => healCrashedSwaps(s, Seq(table, table + "_del"))),
       (_.contains("live generations"),
         "re-barriered multi-generation ids",
         () => rebarrierMultiGen(s, Seq(table), table + "_del",
