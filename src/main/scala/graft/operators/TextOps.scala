@@ -1174,13 +1174,24 @@ object TextOps {
     written :+ marker
   }
 
-  /** Commit a backup set: one row per copy written, LAST. */
+  /** Commit a backup set, LAST: one row per DATA FILE of each copy
+    * written ((member, path, len); null-path sentinel for an empty
+    * copy), so the marker doubles as the set's integrity manifest —
+    * [[checkBackup]] re-lists and diffs (O(metadata)), catching a
+    * copy damaged AFTER commit, and [[restoreIndex]] refuses
+    * pre-mutation instead of silently restoring less than was
+    * backed up. */
   private def writeBackupMarker(s: org.apache.spark.sql.SparkSession,
       marker: String, members: Seq[String]): Unit = {
+    val rows = members.flatMap { m =>
+      val files = listDataFiles(s, m)
+      if (files.isEmpty) Seq((m, null: String, 0L))
+      else files.map { case (p, l) => (m, p, l) }
+    }
     val sp = s
     import sp.implicits._
-    members.toDF("member").coalesce(1).write.mode("overwrite")
-      .saveAsTable(marker)
+    rows.toDF("member", "path", "len").coalesce(1)
+      .write.mode("overwrite").saveAsTable(marker)
   }
 
   /** Declare a marker-less backup set complete — the operator escape
@@ -1201,9 +1212,11 @@ object TextOps {
   }
 
   /** READ-ONLY audit of a copy-based backup set: the marker must
-    * exist, every copy it records must still exist, and no
-    * unrecorded copy may sit under the tag (a crashed re-take's
-    * leftovers). Nil = the set restores as taken. */
+    * exist, every copy it records must still exist WITH EXACTLY the
+    * data files it committed with ((name, len) identity — the
+    * manifest-snapshot convention), and no unrecorded copy may sit
+    * under the tag (restore would resurrect it as a member). All
+    * O(metadata). Nil = the set restores as taken. */
   def checkBackup(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "bak"): Seq[String] = {
     val marker = s"${table}_bakok_$tag"
@@ -1214,17 +1227,37 @@ object TextOps {
             "(crashed mid-set, or pre-r16) — re-take it, or " +
             "markBackupComplete if you can vouch for it"
         else s"no backup $table/$tag")
-    val recorded = s.table(marker).collect()
-      .map(_.getString(0)).toSet
-    val missing = recorded.toSeq.sorted
-      .filterNot(s.catalog.tableExists)
-      .map(m => s"$m: recorded in the commit marker but missing")
+    val recorded: Map[String, Set[(String, Long)]] =
+      s.table(marker).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)),
+          r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (m, rows) =>
+          m -> rows.flatMap(r => r._2.map(p => (p, r._3))).toSet
+        }
+    val fileProblems = recorded.toSeq.sortBy(_._1).flatMap {
+      case (m, files) =>
+        if (!s.catalog.tableExists(m))
+          Seq(s"$m: recorded in the commit marker but missing")
+        else {
+          val now = listDataFiles(s, m).toSet
+          (files -- now).toSeq.sorted.map { case (p, l) =>
+            s"$m: committed file $p ($l bytes) lost or changed " +
+              "since the backup"
+          } ++
+          (now -- files).toSeq.sorted.map { case (p, _) =>
+            s"$m: file $p not in the commit marker (written into " +
+              "the copy after commit?)"
+          }
+        }
+    }
     val extras = (table +: BackupSiblings.map(table + _))
       .map(m => s"${m}_bak_$tag")
       .filter(m => s.catalog.tableExists(m) && !recorded.contains(m))
       .map(m => s"$m: copy exists but is not in the commit marker " +
-        "(crashed re-take leftovers?)")
-    missing ++ extras
+        "(restore would resurrect it as a member) — re-take the " +
+        "backup")
+    fileProblems ++ extras
   }
 
   /** Snapshot ONE standalone table (a replay ledger, the ingest hash
@@ -1292,6 +1325,15 @@ object TextOps {
     require(s.catalog.tableExists(s"${table}_bak_$tag"),
       s"restoreIndex: no backup ${table}_bak_$tag — refusing to " +
         "touch the live family without its snapshot")
+    // pre-mutation integrity audit (r16): the copies must still hold
+    // exactly the files the marker committed — restoring a copy that
+    // lost files would silently converge to LESS than the snapshot
+    val audit = checkBackup(s, table, tag)
+    require(audit.isEmpty,
+      s"restoreIndex: backup $table/$tag failed its integrity " +
+        s"audit — ${audit.take(5).mkString("; ")}" +
+        (if (audit.size > 5) s" (+${audit.size - 5} more)" else "") +
+        " — re-take the backup")
     (table +: BackupSiblings.map(table + _))
       .flatMap(restoreTable(s, _, tag))
   }

@@ -916,22 +916,37 @@ object StreamingOps {
     graft.operators.TextOps.clearOrphanLocation(spark, marker)
   }
 
-  /** Commit a stream-level backup group: (kind, name) rows — 'table'
-    * entries are catalog tables, 'ck' entries checkpoint backup
-    * directory paths — written LAST. */
+  /** Commit a stream-level backup group, LAST: one row per DATA FILE
+    * of every table copy and checkpoint backup directory ((kind,
+    * name, path, len); null-path sentinel for an empty entry), so
+    * the marker doubles as the group's integrity manifest — the
+    * checkpoint trees especially are many small loss-prone files,
+    * and a restore from a damaged copy would silently replay the
+    * wrong window. */
   private def writeGroupMarker(spark: SparkSession, marker: String,
       tables: Seq[String], cks: Seq[String]): Unit = {
+    def fileRows(kind: String, name: String,
+        files: Seq[(String, Long)]) =
+      if (files.isEmpty) Seq((kind, name, null: String, 0L))
+      else files.map { case (p, l) => (kind, name, p, l) }
+    val rows =
+      tables.flatMap(t => fileRows("table", t,
+        graft.operators.TextOps.listDataFiles(spark, t))) ++
+      cks.flatMap { p =>
+        fileRows("ck", p, graft.operators.TextOps.listFilesUnder(
+          spark, new org.apache.hadoop.fs.Path(p)))
+      }
     val sp = spark
     import sp.implicits._
-    (tables.map(("table", _)) ++ cks.map(("ck", _)))
-      .toDF("kind", "name").coalesce(1).write.mode("overwrite")
-      .saveAsTable(marker)
+    rows.toDF("kind", "name", "path", "len").coalesce(1)
+      .write.mode("overwrite").saveAsTable(marker)
   }
 
   /** READ-ONLY audit of a stream-level copy backup group: the group
-    * marker must exist and every table/checkpoint directory it
-    * records must still be there. Nil = the group restores as
-    * taken. */
+    * marker must exist and every table copy / checkpoint backup
+    * directory it records must still hold EXACTLY the files it
+    * committed with ((name, len) identity). All O(metadata). Nil =
+    * the group restores as taken. */
   private def checkGroupBackup(spark: SparkSession, marker: String,
       anyCopy: Boolean): Seq[String] = {
     if (!spark.catalog.tableExists(marker))
@@ -940,20 +955,42 @@ object StreamingOps {
           "the backup crashed mid-group (or predates the marker, " +
           "r16); re-take it"
         else s"no backup (no group marker $marker)")
-    spark.table(marker).collect()
-      .map(r => (r.getString(0), r.getString(1)))
-      .flatMap {
-        case ("table", n) =>
-          if (spark.catalog.tableExists(n)) None
-          else Some(s"$n: recorded in the group marker but missing")
-        case (_, p) =>
-          val path = new org.apache.hadoop.fs.Path(p)
+    val recorded = spark.table(marker).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        Option(r.getString(2)), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        k -> rows.flatMap(r => r._2.map(p => (p, r._3))).toSet
+      }
+    recorded.toSeq.sortBy(_._1).flatMap { case ((kind, n), files) =>
+      val now: Option[Set[(String, Long)]] = kind match {
+        case "table" =>
+          if (spark.catalog.tableExists(n))
+            Some(graft.operators.TextOps.listDataFiles(spark, n).toSet)
+          else None
+        case _ =>
+          val path = new org.apache.hadoop.fs.Path(n)
           val fs = path.getFileSystem(
             spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(path)) None
-          else Some(s"$p: checkpoint backup recorded in the group " +
-            "marker but missing")
-      }.toSeq
+          if (fs.exists(path))
+            Some(graft.operators.TextOps
+              .listFilesUnder(spark, path).toSet)
+          else None
+      }
+      now match {
+        case None =>
+          Seq(s"$n: recorded in the group marker but missing")
+        case Some(cur) =>
+          (files -- cur).toSeq.sorted.map { case (p, l) =>
+            s"$n: committed file $p ($l bytes) lost or changed " +
+              "since the backup"
+          } ++
+          (cur -- files).toSeq.sorted.map { case (p, _) =>
+            s"$n: file $p not in the group marker (written into " +
+              "the copy after commit?)"
+          }
+      }
+    }
   }
 
   /** [[checkGroupBackup]] for a unified document base. */
@@ -990,6 +1027,13 @@ object StreamingOps {
       require(anyCopy,
         s"restoreDocuments: no backup for base $base tag $tag — " +
           "refusing to touch the live family without its snapshot")
+      val audit = checkGroupBackup(spark, s"${base}_dbakok_$tag",
+        anyCopy)
+      require(audit.isEmpty,
+        s"restoreDocuments: backup $base/$tag failed its integrity " +
+          s"audit — ${audit.take(5).mkString("; ")}" +
+          (if (audit.size > 5) s" (+${audit.size - 5} more)" else "") +
+          " — re-take the backup")
       val members = Seq(s"${base}_band", s"${base}_bm25").flatMap(f =>
         (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
           .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag)))
@@ -1045,6 +1089,13 @@ object StreamingOps {
       require(anyCopy,
         s"restoreVectors: no backup for base $base tag $tag — " +
           "refusing to touch the live family without its snapshot")
+      val audit = checkGroupBackup(spark, s"${base}_vbakok_$tag",
+        anyCopy)
+      require(audit.isEmpty,
+        s"restoreVectors: backup $base/$tag failed its integrity " +
+          s"audit — ${audit.take(5).mkString("; ")}" +
+          (if (audit.size > 5) s" (+${audit.size - 5} more)" else "") +
+          " — re-take the backup")
       val members = vecFamilies.map(base + _).flatMap(f =>
         (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
           .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag)))

@@ -139,6 +139,46 @@ class CommitMarkerSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("file-level integrity: a copy that loses a data file after " +
+      "commit is flagged by checkBackup and refused by restore") {
+    val t = s"cm_files_p$pid"
+    val all = famAll(t) ++ Seq(s"${t}_stats")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        Seq(1L -> "spark join window", 2L -> "hash scan merge")
+          .toDF("doc_id", "text"), t, s"${t}_stats")
+      TextOps.backupIndex(spark, t)
+      assert(TextOps.checkBackup(spark, t) === Nil)
+      // damage the committed copy: delete one data file from the
+      // stats copy's location (the smallest member — one file)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"${t}_stats_bak_bak".toLowerCase)
+      val fs = loc.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(loc)
+        .map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") ||
+          p.getName.startsWith("."))
+        .head
+      fs.delete(part, false)
+      val v = TextOps.checkBackup(spark, t)
+      assert(v.exists(_.contains("lost or changed")), v.toString)
+      val e = intercept[IllegalArgumentException] {
+        TextOps.restoreIndex(spark, t)
+      }
+      assert(e.getMessage.contains("integrity audit"), e.getMessage)
+      // re-taking the backup re-commits a clean manifest
+      TextOps.backupIndex(spark, t)
+      assert(TextOps.checkBackup(spark, t) === Nil)
+      assert(TextOps.restoreIndex(spark, t)
+        .exists(_.startsWith("restored ")))
+    } finally drop(all: _*)
+  }
+
   test("stream-level vector group: same contract") {
     val base = s"cm_vec_p$pid"
     val t = s"${base}_ann"
@@ -160,6 +200,23 @@ class CommitMarkerSpec extends AnyFunSuite with SparkSuite {
       assert(StreamingOps.restoreVectors(spark, base)
         .exists(_.startsWith("restored ")))
       assert(StreamingOps.checkVectorsBackup(spark, base) === Nil)
+      // group-level file integrity: damage one committed copy file
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"${t}_vec_bak_bak".toLowerCase)
+      val fs = loc.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(loc).map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") ||
+          p.getName.startsWith("."))
+        .head
+      fs.delete(part, false)
+      assert(StreamingOps.checkVectorsBackup(spark, base)
+        .exists(_.contains("lost or changed")))
+      val e2 = intercept[IllegalArgumentException] {
+        StreamingOps.restoreVectors(spark, base)
+      }
+      assert(e2.getMessage.contains("integrity audit"), e2.getMessage)
     } finally drop(all: _*)
   }
 }
