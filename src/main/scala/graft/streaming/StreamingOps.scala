@@ -916,6 +916,128 @@ object StreamingOps {
     graft.operators.TextOps.clearOrphanLocation(spark, marker)
   }
 
+  // ---- stream-level retention (r16): the unified twins of      --
+  // ---- listBackups/dropBackup/listSnapshots/dropSnapshot/      --
+  // ---- pruneSnapshots — without these, every snapshot cadence  --
+  // ---- tag accumulates group markers, member manifests, meta   --
+  // ---- copies, ledger copies, and checkpoint backup trees      --
+  // ---- FOREVER at the unified level                            --
+
+  /** Drop a unified family's `<tag>` COPY backup group: group marker
+    * FIRST (a half-dropped group is a set restore already refuses),
+    * then per-family copy sets, state-table copies, and checkpoint
+    * backup directories. */
+  private def dropStreamBackup(spark: SparkSession, base: String,
+      marker: String, fams: Seq[String], tables: Seq[String],
+      streams: Seq[String], tag: String): Unit =
+    graft.operators.TextOps.withBuildLock(spark) {
+      dropGroupMarker(spark, marker)
+      fams.foreach(graft.operators.TextOps.dropBackup(spark, _, tag))
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_bak_$tag")
+        graft.operators.TextOps.clearOrphanLocation(spark,
+          s"${t}_bak_$tag")
+      }
+      streams.foreach { n =>
+        val d = ckDir(spark, n)
+        val bak = new org.apache.hadoop.fs.Path(d.getParent,
+          s"${d.getName}_bak_$tag")
+        val fs = bak.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(bak)) { fs.delete(bak, true); () }
+      }
+    }
+
+  /** [[dropStreamBackup]] for a document base. */
+  def dropDocumentsBackup(spark: SparkSession, base: String,
+      tag: String = "bak"): Unit =
+    dropStreamBackup(spark, base, s"${base}_dbakok_$tag",
+      Seq(s"${base}_band", s"${base}_bm25"),
+      s"${base}_hashes" +: docStreams(base).map(_ + "_ledger"),
+      docStreams(base), tag)
+
+  /** [[dropStreamBackup]] for a vector base. */
+  def dropVectorsBackup(spark: SparkSession, base: String,
+      tag: String = "bak"): Unit =
+    dropStreamBackup(spark, base, s"${base}_vbakok_$tag",
+      vecFamilies.map(base + _),
+      vecStreams(base).map(_ + "_ledger"),
+      vecStreams(base), tag)
+
+  /** COMMITTED copy-backup tags of a unified family, by its group
+    * markers (the listBackups convention one level up: a listed tag
+    * is restorable; a crashed group's marker-less copies do not
+    * list). */
+  private def listStreamBackups(spark: SparkSession,
+      markerPrefix: String): Seq[String] = {
+    val p = markerPrefix.toLowerCase
+    spark.sessionState.catalog
+      .listTables("default", s"$p*").map(_.table)
+      .map(_.stripPrefix(p)).sorted
+  }
+
+  def listDocumentsBackups(spark: SparkSession,
+      base: String): Seq[String] =
+    listStreamBackups(spark, s"${base}_dbakok_")
+
+  def listVectorsBackups(spark: SparkSession,
+      base: String): Seq[String] =
+    listStreamBackups(spark, s"${base}_vbakok_")
+
+  /** Drop a unified family's `<tag>` MANIFEST snapshot: the stream
+    * manifest (the group's commit marker) FIRST, then each member
+    * family's manifest + meta copies. */
+  private def dropStreamSnapshot(spark: SparkSession, base: String,
+      fams: Seq[String], tag: String): Unit =
+    graft.operators.TextOps.withBuildLock(spark) {
+      dropGroupMarker(spark, s"${base}_mf_$tag")
+      fams.foreach(
+        graft.operators.TextOps.dropSnapshot(spark, _, tag))
+    }
+
+  def dropDocumentsSnapshot(spark: SparkSession, base: String,
+      tag: String = "snap"): Unit =
+    dropStreamSnapshot(spark, base,
+      Seq(s"${base}_band", s"${base}_bm25"), tag)
+
+  def dropVectorsSnapshot(spark: SparkSession, base: String,
+      tag: String = "snap"): Unit =
+    dropStreamSnapshot(spark, base, vecFamilies.map(base + _), tag)
+
+  /** A unified family's manifest snapshots, NEWEST FIRST — the
+    * stream manifest IS the group's tag record, so this is
+    * [[graft.operators.TextOps.listSnapshots]] on the base name. */
+  def listDocumentsSnapshots(spark: SparkSession,
+      base: String): Seq[(String, Long)] =
+    graft.operators.TextOps.listSnapshots(spark, base)
+
+  def listVectorsSnapshots(spark: SparkSession,
+      base: String): Seq[(String, Long)] =
+    graft.operators.TextOps.listSnapshots(spark, base)
+
+  /** RETENTION for a unified family's manifest snapshots: keep the
+    * newest `keep`, drop the rest (group manifest, member manifests,
+    * meta copies). */
+  def pruneDocumentsSnapshots(spark: SparkSession, base: String,
+      keep: Int): Seq[String] =
+    pruneStreamSnapshots(spark, base,
+      Seq(s"${base}_band", s"${base}_bm25"), keep)
+
+  def pruneVectorsSnapshots(spark: SparkSession, base: String,
+      keep: Int): Seq[String] =
+    pruneStreamSnapshots(spark, base, vecFamilies.map(base + _), keep)
+
+  private def pruneStreamSnapshots(spark: SparkSession, base: String,
+      fams: Seq[String], keep: Int): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      require(keep >= 1, "pruneStreamSnapshots: keep must be >= 1")
+      graft.operators.TextOps.listSnapshots(spark, base)
+        .drop(keep).map { case (tag, _) =>
+          dropStreamSnapshot(spark, base, fams, tag)
+          s"dropped snapshot $tag"
+        }
+    }
+
   /** Commit a stream-level backup group, LAST: one row per DATA FILE
     * of every table copy and checkpoint backup directory ((kind,
     * name, path, len); null-path sentinel for an empty entry), so
