@@ -1,6 +1,5 @@
 package graft
 
-import graft.operators.TextOps
 import org.scalatest.funsuite.AnyFunSuite
 
 /** KILL -9 A REAL LOCK HOLDER (r16): CrossProcessLockSpec proves the
@@ -29,7 +28,12 @@ class ForkedKillSpec extends AnyFunSuite with SparkSuite {
   test("a child JVM killed while HOLDING the shared build lock does " +
       "not wedge the warehouse: the parent's next maintenance sweeps " +
       "the dead pid and proceeds") {
-    val t = s"fk_parent_p$pid"
+    // a PRIVATE lock file for this test (same acquire/sweep code
+    // path): the child deliberately holds for seconds, and doing
+    // that on the default warehouse lock would starve the parallel
+    // suites in this JVM into their live-holder timeout
+    val lockPath = s"${spark.conf.get("spark.sql.warehouse.dir")}" +
+      s"/_graft_fk_p$pid.lock"
     val out = java.nio.file.Files.createTempFile("graft_hold", ".log")
     val javaBin = sys.props("java.home") + "/bin/java"
     val cmd: Seq[String] = Seq(javaBin) ++
@@ -37,7 +41,7 @@ class ForkedKillSpec extends AnyFunSuite with SparkSuite {
       Seq("-Xmx1g", "-Dspark.ui.enabled=false",
         "-Dfile.encoding=UTF-8",
         "-cp", sys.props("java.class.path"),
-        "graft.ChildHold", "120000")
+        "graft.ChildHold", lockPath, "120000")
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(out.toFile)
@@ -62,22 +66,46 @@ class ForkedKillSpec extends AnyFunSuite with SparkSuite {
       child.destroyForcibly()
       assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
       assert(child.exitValue() !== 0)
-      // the dead child's lock file may still be pinned (another
-      // parallel suite's acquire can sweep it first — both orders are
-      // legal). The contract: the parent's own lock-taking op
-      // SUCCEEDS rather than throwing the live-holder refusal or
-      // hanging — the sweep path, driven by a real process death.
-      val sp = spark
-      import sp.implicits._
-      TextOps.appendBm25Postings(
-        Seq(1L -> "alpha beta gamma").toDF("doc_id", "text"),
-        t, s"${t}_stats")
-      assert(spark.table(s"${t}_stats")
-        .select("n_docs").head().getLong(0) === 1L)
+      // the dead child's lock FILE is still pinned with its pid (no
+      // one else uses this path). The contract: a SECOND real
+      // process acquiring the same path sweeps the dead pid and
+      // proceeds — never the live-holder refusal, never a hang.
+      val lockP = new org.apache.hadoop.fs.Path(lockPath)
+      val fs = lockP.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(lockP),
+        "the killed child's lock file should still be pinned")
+      val out2 = java.nio.file.Files.createTempFile("graft_sweep",
+        ".log")
+      try {
+        val cmd2: Seq[String] = Seq(javaBin) ++
+          addOpensPkgs.flatMap(p =>
+            Seq("--add-opens", s"$p=ALL-UNNAMED")) ++
+          Seq("-Xmx1g", "-Dspark.ui.enabled=false",
+            "-Dfile.encoding=UTF-8",
+            "-cp", sys.props("java.class.path"),
+            "graft.ChildSweep", lockPath)
+        val pb2 = new ProcessBuilder(cmd2: _*)
+        pb2.redirectErrorStream(true)
+        pb2.redirectOutput(out2.toFile)
+        val sweeper = pb2.start()
+        assert(sweeper.waitFor(120,
+          java.util.concurrent.TimeUnit.SECONDS),
+          "sweeper JVM hung on the dead holder's lock")
+        val log2 = new String(
+          java.nio.file.Files.readAllBytes(out2), "UTF-8")
+        assert(sweeper.exitValue() === 0, log2.takeRight(2000))
+        assert(log2.contains("SWEPT_OK"), log2.takeRight(2000))
+        // the sweeper released cleanly: the path is free again
+        assert(!fs.exists(lockP),
+          "lock file still pinned after the sweeping process exited")
+      } finally java.nio.file.Files.deleteIfExists(out2)
     } finally {
       if (child.isAlive) child.destroyForcibly()
-      Seq(t, s"${t}_stats").foreach(x =>
-        spark.sql(s"DROP TABLE IF EXISTS $x"))
+      val lp = new org.apache.hadoop.fs.Path(lockPath)
+      val lfs = lp.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (lfs.exists(lp)) { lfs.delete(lp, false); () }
       java.nio.file.Files.deleteIfExists(out)
     }
   }
