@@ -34,7 +34,7 @@ class StreamRetentionSpec extends AnyFunSuite with SparkSuite {
 
   test("documents: snapshots list newest-first, prune keeps the " +
       "newest, the survivor still restores") {
-    val base = s"sr_doc_p$pid"
+    val base = s"srt_doc_p$pid"
     val t = s"${base}_bm25"
     drop(docArtifacts(base): _*)
     try {
@@ -71,7 +71,7 @@ class StreamRetentionSpec extends AnyFunSuite with SparkSuite {
 
   test("documents: committed backup tags list; dropping one removes " +
       "marker + copies; the other still restores") {
-    val base = s"sr_bak_p$pid"
+    val base = s"srt_bak_p$pid"
     val t = s"${base}_bm25"
     drop(docArtifacts(base): _*)
     try {
@@ -100,7 +100,7 @@ class StreamRetentionSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("vectors: backup tags list and drop cleanly") {
-    val base = s"sr_vec_p$pid"
+    val base = s"srt_vec_p$pid"
     val t = s"${base}_ann"
     val all = Seq(t, s"${t}_vec", s"${t}_cfg", s"${t}_del") ++
       (t +: TextOps.BackupSiblings.map(t + _))
