@@ -1609,6 +1609,88 @@ object TextOps {
     fileProblems ++ copyProblems
   }
 
+  /** TIME-TRAVEL READ — query a member AS OF a `<tag>` manifest
+    * snapshot WITHOUT restoring anything: manifest-class members
+    * read exactly the manifested files from the member's live
+    * location (between folds those files are immutable — append-only
+    * maintenance never rewrites a stored part-file, which is the
+    * same property the restore path prunes by); copy-class members
+    * ([[SnapshotCopySiblings]]) read their O(1) `_bak_mf<tag>`
+    * copies. Refuses loudly when a fold rewrote history (a
+    * manifested file is gone or changed) — restoreSnapshot's honesty
+    * rule, with nothing mutated. The returned frame is a plain
+    * parquet read of the snapshot's files (no bucket metadata), so
+    * it serves AS-OF analytics and audits ("what did the corpus look
+    * like last Tuesday"), not the zero-Exchange probe plans —
+    * restore for those. */
+  def readSnapshot(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String = "snap", member: String = "")
+      : org.apache.spark.sql.DataFrame = {
+    val m = table + member
+    if (SnapshotCopySiblings.contains(member)) {
+      val b = s"${m}_bak_mf$tag"
+      require(s.catalog.tableExists(b),
+        s"readSnapshot: no meta copy $b (member absent at snapshot, " +
+          s"or no snapshot under tag $tag)")
+      return s.table(b)
+    }
+    val mf = s"${table}_mf_$tag"
+    require(s.catalog.tableExists(mf),
+      s"readSnapshot: no manifest $mf")
+    val manifest = readManifest(s, mf)
+    require(manifest.contains(m),
+      s"readSnapshot: member $m not in snapshot $tag")
+    val problems = manifestProblems(s, Map(m -> manifest(m)),
+      locateTable(s))
+    require(problems.isEmpty,
+      "readSnapshot: history was rewritten since the snapshot — " +
+        s"${problems.take(5).mkString("; ")} — these files are gone; " +
+        "only the copy-based backup can serve this state now")
+    val files = manifest(m)
+    if (files.isEmpty) s.table(m).limit(0)
+    else {
+      val loc = tableLocation(s, m)
+      // pin the live schema: a subset-file read must not re-infer
+      // (e.g. drop a gen column absent from the sampled footer)
+      s.read.schema(s.table(m).schema)
+        .parquet(files.map { case (p, _) =>
+          new org.apache.hadoop.fs.Path(loc, p).toString }: _*)
+    }
+  }
+
+  /** O(metadata) DIFF between two manifest snapshots — per member:
+    * files and bytes added/removed from `tagA` to `tagB` — the
+    * cadence signal for what a snapshot window accumulated (when to
+    * fold, how big the next restore-prune would be). Members present
+    * in only one tag report as added/dropped. Nil = identical. */
+  def snapshotDiff(s: org.apache.spark.sql.SparkSession,
+      table: String, tagA: String, tagB: String): Seq[String] = {
+    def load(tag: String): Map[String, Seq[(String, Long)]] = {
+      val mf = s"${table}_mf_$tag"
+      require(s.catalog.tableExists(mf),
+        s"snapshotDiff: no manifest $mf")
+      readManifest(s, mf)
+    }
+    val a = load(tagA)
+    val b = load(tagB)
+    (a.keySet ++ b.keySet).toSeq.sorted.flatMap { m =>
+      (a.get(m), b.get(m)) match {
+        case (None, Some(_)) => Seq(s"$m: member added in $tagB")
+        case (Some(_), None) => Seq(s"$m: member dropped in $tagB")
+        case (Some(fa), Some(fb)) =>
+          val sa = fa.toSet
+          val sb = fb.toSet
+          val add = sb -- sa
+          val rem = sa -- sb
+          if (add.isEmpty && rem.isEmpty) Nil
+          else Seq(s"$m: +${add.size} files (${add.toSeq.map(_._2)
+            .sum} bytes), -${rem.size} files (${rem.toSeq.map(_._2)
+            .sum} bytes)")
+        case _ => Nil
+      }
+    }
+  }
+
   /** The family's manifest snapshots, NEWEST FIRST: (tag, manifest
     * mtime ms). Age comes from the manifest table's own location
     * mtime — no clock rides in the data. */
