@@ -128,6 +128,59 @@ class CrashedSwapSpec extends AnyFunSuite with SparkSuite {
     } finally drop(bm25All(t): _*)
   }
 
+  test("composed corruption: crashed swap + lost barrier + stats " +
+      "drift ALL AT ONCE converge in one repair() call") {
+    val t = s"cs_all_p$pid"
+    drop(bm25All(t): _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      freshBm25(t)
+      // corruption 1: a lost barrier — doc 2's replacement landed at
+      // gen 2 but the barrier entry never committed
+      TextOps.appendBm25Postings(
+        docsDf(Seq(2L -> "stream order customer")), t, s"${t}_stats",
+        gen = 2L)
+      // corruption 2: the stored stats lie
+      Seq((99L, 9999L)).toDF("n_docs", "sum_dl")
+        .write.mode("overwrite").saveAsTable(s"${t}_stats")
+      // corruption 3: a swap crashed mid-rename on top of it all
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+      // fsck sees ONLY the swap (content audits against a
+      // half-swapped family are meaningless)...
+      val v0 = TextOps.fsckBm25(spark, t, s"${t}_stats")
+      assert(v0.forall(_.startsWith("crashed swap")), v0.toString)
+      // ...and ONE repair() converges through all three classes —
+      // the convergence loop re-audits after each round, so the
+      // violations the crash masked surface and heal in the same call
+      val fixed = TextOps.repairBm25(spark, t, s"${t}_stats")
+      assert(fixed.contains("recovered crashed swap renames") &&
+        fixed.exists(_.contains("re-barriered")), fixed.toString)
+      assert(TextOps.fsckBm25(spark, t, s"${t}_stats") === Nil)
+      // the healed family equals a from-scratch build over the FINAL
+      // content (doc 2 replaced — the newest generation survives)
+      val t2 = s"cs_all_twin_p$pid"
+      drop(t2, s"${t2}_stats")
+      try {
+        TextOps.appendBm25Postings(docsDf(Seq(
+          1L -> "spark join window", 2L -> "stream order customer",
+          3L -> "window fast data")), t2, s"${t2}_stats")
+        val qt = Seq((1, "window"), (2, "stream"), (2, "order"))
+          .toDF("q_id", "token")
+        def scores(pt: org.apache.spark.sql.DataFrame,
+            st: org.apache.spark.sql.DataFrame) =
+          TextOps.bm25ScoreIncr(qt, pt, st).collect()
+            .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2)))
+            .toMap
+        val (lp, ls) = TextOps.liveBm25(spark, t, s"${t}_stats")
+        val want = scores(spark.table(t2), spark.table(s"${t2}_stats"))
+        assert(want.nonEmpty)
+        assert(scores(lp, ls) === want)
+      } finally drop(t2, s"${t2}_stats")
+      assert(TextOps.repairBm25(spark, t, s"${t}_stats") === Nil)
+    } finally drop(bm25All(t): _*)
+  }
+
   test("ANN: a payload member stranded mid-swap heals through the " +
       "same verb and the probe returns the pre-crash answer") {
     val a = s"cs_ann_p$pid"
