@@ -908,16 +908,16 @@ object AnnIndex {
         "re-barriered multi-generation ids",
         () => TO.rebarrierMultiGen(s, Seq(table, table + "_vec"),
           table + "_del", "vec_id")),
-      (_.contains("band rows"),
-        "rebuilt band postings from the payload member",
-        () => rebuildBandsFromPayload(s, table)),
-      // legacy / forked plane modulus (ADVICE r15 #2): same heal —
-      // the payload member carries the exact vectors, so rebuilding
-      // under the derived modulus + re-pinning converges the family.
-      // Idempotent with the band-rows heal (rebuild runs at most
-      // twice, both producing the identical member).
-      (_.contains("planemod"),
-        "rebuilt band postings under the derived plane modulus",
+      // band-cardinality violations AND legacy/forked plane modulus
+      // (ADVICE r15 #2) share ONE heal — the payload member carries
+      // the exact vectors, so rebuilding under the derived modulus +
+      // re-pinning converges both classes. ONE entry matching either
+      // message (ADVICE r16 #4): two entries with the same runner ran
+      // the full O(index) bands rewrite twice back-to-back when a
+      // family carried both violations in the same round.
+      (v => v.contains("band rows") || v.contains("planemod"),
+        "rebuilt band postings from the payload member under the " +
+          "derived plane modulus",
         () => rebuildBandsFromPayload(s, table))))
 
   /** The band-cardinality AND plane-modulus heal: re-derive the

@@ -968,12 +968,18 @@ object TextOps {
         "applied crashed delete stage",
         () => applyBm25DeleteStage(s, table, statsTable)),
       (_.contains("live generations"),
-        "re-barriered multi-generation ids; recomputed stats",
-        () => {
-          rebarrierMultiGen(s, Seq(table), table + "_del", "doc_id")
-          recomputeBm25Stats(s, table, statsTable)
-        }),
-      (v => v.contains("stats drift") || v.contains("stats table"),
+        "re-barriered multi-generation ids",
+        () => rebarrierMultiGen(s, Seq(table), table + "_del",
+          "doc_id")),
+      // the stats recompute is ONE entry matching every class that
+      // needs it (ADVICE r16 #4 applied here too: the re-barrier
+      // entry used to ALSO recompute stats, so a round carrying both
+      // a multi-gen id and stats drift ran the O(index) recompute
+      // twice). Ordered after the re-barrier — runRepair runs heals
+      // in sequence, so the recompute always sees the re-barriered
+      // postings.
+      (v => v.contains("stats drift") || v.contains("stats table") ||
+          v.contains("live generations"),
         "recomputed stats from live postings",
         () => recomputeBm25Stats(s, table, statsTable))))
 
@@ -1152,10 +1158,19 @@ object TextOps {
     * O(index) — one bucketed rewrite per member; run it like fsck,
     * quiesced or on a maintenance cadence. Returns the backup tables
     * written. */
+  /** Tag hygiene shared by EVERY backup/snapshot verb (ADVICE r16
+    * #3): tags are interpolated into table names and raw SQL, so a
+    * tag with underscores or quote characters would address
+    * unintended tables (`a_bak_b` parses as member `a` under tag `b`
+    * AND member `a_bak` under... ) or fail opaquely mid-verb. One
+    * guard at every entry point, not just the take-side. */
+  private[graft] def requireTag(verb: String, tag: String): Unit =
+    require(tag.matches("[A-Za-z0-9]+"),
+      s"$verb: tag must be alphanumeric, got '$tag'")
+
   def backupIndex(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "bak"): Seq[String] = withBuildLock(s) {
-    require(tag.matches("[A-Za-z0-9]+"),
-      s"backupIndex: tag must be alphanumeric, got '$tag'")
+    requireTag("backupIndex", tag)
     require(s.catalog.tableExists(table),
       s"backupIndex: no family base table $table")
     // retire the commit marker FIRST: from here until the last copy
@@ -1202,6 +1217,7 @@ object TextOps {
   def markBackupComplete(s: org.apache.spark.sql.SparkSession,
       table: String, tag: String = "bak"): Seq[String] =
       withBuildLock(s) {
+    requireTag("markBackupComplete", tag)
     require(s.catalog.tableExists(s"${table}_bak_$tag"),
       s"markBackupComplete: no base copy ${table}_bak_$tag — nothing " +
         "to vouch for")
@@ -1219,6 +1235,7 @@ object TextOps {
     * O(metadata). Nil = the set restores as taken. */
   def checkBackup(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "bak"): Seq[String] = {
+    requireTag("checkBackup", tag)
     val marker = s"${table}_bakok_$tag"
     if (!s.catalog.tableExists(marker))
       return Seq(
@@ -1312,6 +1329,7 @@ object TextOps {
     * append-only-forever registry contract). Returns what it did. */
   def restoreIndex(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "bak"): Seq[String] = withBuildLock(s) {
+    requireTag("restoreIndex", tag)
     // the marker is the ONLY proof the set is whole (written last by
     // backupIndex): copies without it are a crashed backup — restoring
     // them would build a frankenstein family (fresh base over a
@@ -1342,6 +1360,7 @@ object TextOps {
     * mid-drop leaves a set restore already refuses. */
   def dropBackup(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "bak"): Unit = withBuildLock(s) {
+    requireTag("dropBackup", tag)
     s.sql(s"DROP TABLE IF EXISTS ${table}_bakok_$tag")
     (table +: BackupSiblings.map(table + _))
       .foreach(m => s.sql(s"DROP TABLE IF EXISTS ${m}_bak_$tag"))
@@ -1491,8 +1510,7 @@ object TextOps {
     * manifests small for the same reason. */
   def snapshotIndex(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "snap"): Seq[String] = withBuildLock(s) {
-    require(tag.matches("[A-Za-z0-9]+"),
-      s"snapshotIndex: tag must be alphanumeric, got '$tag'")
+    requireTag("snapshotIndex", tag)
     require(s.catalog.tableExists(table),
       s"snapshotIndex: no family base table $table")
     // retire the manifest FIRST (r16 — the backupIndex marker
@@ -1542,6 +1560,7 @@ object TextOps {
   def restoreSnapshot(s: org.apache.spark.sql.SparkSession,
       table: String, tag: String = "snap"): Seq[String] =
     withBuildLock(s) {
+      requireTag("restoreSnapshot", tag)
       val mf = s"${table}_mf_$tag"
       require(s.catalog.tableExists(mf),
         s"restoreSnapshot: no manifest $mf — refusing to touch the " +
@@ -1577,6 +1596,7 @@ object TextOps {
   /** Drop a family's `<tag>` manifest + the metadata-member copies. */
   def dropSnapshot(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "snap"): Unit = withBuildLock(s) {
+    requireTag("dropSnapshot", tag)
     s.sql(s"DROP TABLE IF EXISTS ${table}_mf_$tag")
     SnapshotCopySiblings.map(table + _).foreach(m =>
       s.sql(s"DROP TABLE IF EXISTS ${m}_bak_mf$tag"))

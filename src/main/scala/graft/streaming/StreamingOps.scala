@@ -889,6 +889,7 @@ object StreamingOps {
   def backupDocuments(spark: SparkSession, base: String,
       tag: String = "bak"): Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
+      graft.operators.TextOps.requireTag("backupDocuments", tag)
       require(spark.catalog.tableExists(s"${base}_bm25") ||
         spark.catalog.tableExists(s"${base}_band"),
         s"backupDocuments: no document family at base $base")
@@ -931,6 +932,7 @@ object StreamingOps {
       marker: String, fams: Seq[String], tables: Seq[String],
       streams: Seq[String], tag: String): Unit =
     graft.operators.TextOps.withBuildLock(spark) {
+      graft.operators.TextOps.requireTag("dropStreamBackup", tag)
       dropGroupMarker(spark, marker)
       fams.foreach(graft.operators.TextOps.dropBackup(spark, _, tag))
       tables.foreach { t =>
@@ -940,11 +942,17 @@ object StreamingOps {
       }
       streams.foreach { n =>
         val d = ckDir(spark, n)
-        val bak = new org.apache.hadoop.fs.Path(d.getParent,
-          s"${d.getName}_bak_$tag")
-        val fs = bak.getFileSystem(
+        val fs = d.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(bak)) { fs.delete(bak, true); () }
+        // the `_staging` tree too (ADVICE r16 #2): a backupCk that
+        // crashed mid-copy leaves it, and only the next backupCk
+        // under the SAME tag would sweep it — retiring the tag after
+        // a crash must not leak the staging tree forever
+        Seq(s"${d.getName}_bak_$tag", s"${d.getName}_bak_${tag}_staging")
+          .foreach { name =>
+            val p = new org.apache.hadoop.fs.Path(d.getParent, name)
+            if (fs.exists(p)) { fs.delete(p, true); () }
+          }
       }
     }
 
@@ -1065,12 +1073,18 @@ object StreamingOps {
   }
 
   /** READ-ONLY audit of a stream-level copy backup group: the group
-    * marker must exist and every table copy / checkpoint backup
+    * marker must exist, every table copy / checkpoint backup
     * directory it records must still hold EXACTLY the files it
-    * committed with ((name, len) identity). All O(metadata). Nil =
-    * the group restores as taken. */
+    * committed with ((name, len) identity), and no unrecorded copy
+    * may sit under the tag among `expectedTables`/`expectedCks` —
+    * the names the restore verbs would resurrect as live members
+    * (ADVICE r16 #1: family-level checkBackup had this extras pass,
+    * the group level did not, so an out-of-band `_bak_<tag>` copy
+    * restored silently). All O(metadata). Nil = the group restores
+    * as taken. */
   private def checkGroupBackup(spark: SparkSession, marker: String,
-      anyCopy: Boolean): Seq[String] = {
+      anyCopy: Boolean, expectedTables: Seq[String] = Nil,
+      expectedCks: Seq[String] = Nil): Seq[String] = {
     if (!spark.catalog.tableExists(marker))
       return Seq(
         if (anyCopy) s"copies exist but no group marker $marker — " +
@@ -1084,6 +1098,21 @@ object StreamingOps {
       .map { case (k, rows) =>
         k -> rows.flatMap(r => r._2.map(p => (p, r._3))).toSet
       }
+    val recordedNames = recorded.keySet
+      .map { case (kind, n) => (kind, n.toLowerCase) }
+    val tableExtras = expectedTables
+      .filter(t => spark.catalog.tableExists(t) &&
+        !recordedNames(("table", t.toLowerCase)))
+      .map(t => s"$t: copy exists but is not in the group marker " +
+        "(restore would resurrect it as a member) — re-take the " +
+        "backup")
+    val ckExtras = expectedCks.filter { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(path) && !recordedNames(("ck", p.toLowerCase))
+    }.map(p => s"$p: checkpoint backup exists but is not in the " +
+      "group marker (restore would resurrect it) — re-take the " +
+      "backup")
     recorded.toSeq.sortBy(_._1).flatMap { case ((kind, n), files) =>
       val now: Option[Set[(String, Long)]] = kind match {
         case "table" =>
@@ -1112,22 +1141,54 @@ object StreamingOps {
               "the copy after commit?)"
           }
       }
+    } ++ tableExtras ++ ckExtras
+  }
+
+  /** The copy names a document-group restore would resurrect —
+    * [[checkGroupBackup]]'s extras universe: every member family's
+    * base + sibling copies, the state-table copies, and the
+    * checkpoint backup dirs. */
+  private def expectedGroupCopies(spark: SparkSession,
+      fams: Seq[String], tables: Seq[String], streams: Seq[String],
+      tag: String): (Seq[String], Seq[String]) = {
+    val tbls = (fams.flatMap(f =>
+        f +: graft.operators.TextOps.BackupSiblings.map(f + _)) ++
+      tables).map(t => s"${t}_bak_$tag")
+    val cks = streams.map { n =>
+      val d = ckDir(spark, n)
+      new org.apache.hadoop.fs.Path(d.getParent,
+        s"${d.getName}_bak_$tag").toString
     }
+    (tbls, cks)
   }
 
   /** [[checkGroupBackup]] for a unified document base. */
   def checkDocumentsBackup(spark: SparkSession, base: String,
-      tag: String = "bak"): Seq[String] =
+      tag: String = "bak"): Seq[String] = {
+    graft.operators.TextOps.requireTag("checkDocumentsBackup", tag)
+    val (tbls, cks) = expectedGroupCopies(spark,
+      Seq(s"${base}_band", s"${base}_bm25"),
+      s"${base}_hashes" +: docStreams(base).map(_ + "_ledger"),
+      docStreams(base), tag)
     checkGroupBackup(spark, s"${base}_dbakok_$tag",
       anyCopy = Seq(s"${base}_bm25", s"${base}_band")
-        .exists(f => spark.catalog.tableExists(s"${f}_bak_$tag")))
+        .exists(f => spark.catalog.tableExists(s"${f}_bak_$tag")),
+      expectedTables = tbls, expectedCks = cks)
+  }
 
   /** [[checkGroupBackup]] for a unified vector base. */
   def checkVectorsBackup(spark: SparkSession, base: String,
-      tag: String = "bak"): Seq[String] =
+      tag: String = "bak"): Seq[String] = {
+    graft.operators.TextOps.requireTag("checkVectorsBackup", tag)
+    val (tbls, cks) = expectedGroupCopies(spark,
+      vecFamilies.map(base + _),
+      vecStreams(base).map(_ + "_ledger"),
+      vecStreams(base), tag)
     checkGroupBackup(spark, s"${base}_vbakok_$tag",
       anyCopy = vecFamilies.exists(f =>
-        spark.catalog.tableExists(s"$base${f}_bak_$tag")))
+        spark.catalog.tableExists(s"$base${f}_bak_$tag")),
+      expectedTables = tbls, expectedCks = cks)
+  }
 
   /** RESTORE a unified document family to its `<tag>` snapshot —
     * members, hash store, ledgers and checkpoints together (see
@@ -1149,8 +1210,10 @@ object StreamingOps {
       require(anyCopy,
         s"restoreDocuments: no backup for base $base tag $tag — " +
           "refusing to touch the live family without its snapshot")
-      val audit = checkGroupBackup(spark, s"${base}_dbakok_$tag",
-        anyCopy)
+      // the full audit incl. the extras pass: an out-of-band copy
+      // under the tag would be resurrected as a member by the
+      // restoreTable sweep below
+      val audit = checkDocumentsBackup(spark, base, tag)
       require(audit.isEmpty,
         s"restoreDocuments: backup $base/$tag failed its integrity " +
           s"audit — ${audit.take(5).mkString("; ")}" +
@@ -1179,6 +1242,7 @@ object StreamingOps {
   def backupVectors(spark: SparkSession, base: String,
       tag: String = "bak"): Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
+      graft.operators.TextOps.requireTag("backupVectors", tag)
       val fams = vecFamilies.map(base + _)
         .filter(spark.catalog.tableExists)
       require(fams.nonEmpty,
@@ -1211,8 +1275,8 @@ object StreamingOps {
       require(anyCopy,
         s"restoreVectors: no backup for base $base tag $tag — " +
           "refusing to touch the live family without its snapshot")
-      val audit = checkGroupBackup(spark, s"${base}_vbakok_$tag",
-        anyCopy)
+      // full audit incl. the extras pass (see restoreDocuments)
+      val audit = checkVectorsBackup(spark, base, tag)
       require(audit.isEmpty,
         s"restoreVectors: backup $base/$tag failed its integrity " +
           s"audit — ${audit.take(5).mkString("; ")}" +
@@ -1280,6 +1344,7 @@ object StreamingOps {
       tag: String, fams: Seq[String], tables: Seq[String],
       streams: Seq[String], what: String): Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
+      graft.operators.TextOps.requireTag(what, tag)
       val present = fams.filter(spark.catalog.tableExists)
       require(present.nonEmpty, s"$what: no family at base $base")
       // the stream manifest is the GROUP's commit marker (required by
@@ -1297,6 +1362,7 @@ object StreamingOps {
       tables: Seq[String], streams: Seq[String],
       what: String): Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
+      graft.operators.TextOps.requireTag(what, tag)
       val mfT = s"${base}_mf_$tag"
       require(spark.catalog.tableExists(mfT),
         s"$what: no stream manifest $mfT — refusing to touch the " +
