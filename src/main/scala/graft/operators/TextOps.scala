@@ -1133,18 +1133,58 @@ object TextOps {
     Seq("_vec", "_cent", "_cb", "_cfg", "_stats", "_del", "_del_stage")
 
   /** Bucketing-preserving table copy: definition via CREATE TABLE
-    * LIKE (provider + bucket spec ride along), rows via INSERT
-    * SELECT — inserting into the bucketed definition re-buckets, so
-    * the copy probes with the same zero-Exchange plans as the
-    * original. */
+    * LIKE (provider + bucket spec ride along), rows via a raw DATA
+    * FILE copy into the fresh definition's location — the
+    * [[importIndex]] mechanism. The file names carry Spark's
+    * bucket-id prefixes, so the copy probes with the same
+    * zero-Exchange plans as the original, and the copy itself is
+    * O(bytes) with NO job, no shuffle, no rewrite (r17 — the former
+    * INSERT SELECT was a full bucketed rewrite per member: correct,
+    * but at 100 TB a backup that re-shuffles the corpus is a
+    * rebuild). Name preservation is also what makes DIFFERENTIAL
+    * backups possible: a copy's (name, len) file identity now equals
+    * the live member's, so a later backup can diff against a
+    * committed base manifest. */
   private def copyTable(s: org.apache.spark.sql.SparkSession,
       src: String, dst: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $dst")
     clearOrphanLocation(s, dst)
     s.sql(s"CREATE TABLE $dst LIKE $src")
-    s.sql(s"INSERT INTO $dst SELECT * FROM $src")
+    copyDataFiles(s, tableLocation(s, src), tableLocation(s, dst),
+      listDataFiles(s, src).map(_._1))
     s.catalog.refreshTable(dst)
   }
+
+  /** Copy `relPaths` data files from under `srcLoc` to the same
+    * relative names under `dstLoc` (parents created as needed). */
+  private[graft] def copyDataFiles(s: org.apache.spark.sql.SparkSession,
+      srcLoc: org.apache.hadoop.fs.Path,
+      dstLoc: org.apache.hadoop.fs.Path,
+      relPaths: Seq[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sfs = srcLoc.getFileSystem(conf)
+    val dfs = dstLoc.getFileSystem(conf)
+    dfs.mkdirs(dstLoc)
+    relPaths.foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(dstLoc, p)
+      val parent = dst.getParent
+      if (parent != null) { dfs.mkdirs(parent); () }
+      org.apache.hadoop.fs.FileUtil.copy(sfs,
+        new org.apache.hadoop.fs.Path(srcLoc, p), dfs, dst,
+        false, conf)
+      ()
+    }
+  }
+
+  /** Tag hygiene shared by EVERY backup/snapshot verb (ADVICE r16
+    * #3): tags are interpolated into table names and raw SQL, so a
+    * tag with underscores or quote characters would address
+    * unintended tables (`a_bak_b` parses as member `a` under tag `b`
+    * AND member `a_bak` under tag `b`) or fail opaquely mid-verb.
+    * One guard at every entry point, not just the take-side. */
+  private[graft] def requireTag(verb: String, tag: String): Unit =
+    require(tag.matches("[A-Za-z0-9]+"),
+      s"$verb: tag must be alphanumeric, got '$tag'")
 
   /** BACKUP an index family — the way OUT when [[repairIndex]]
     * refuses (lost config pins, wrong-width stored rows, a missing
@@ -1152,27 +1192,55 @@ object TextOps {
     * Copies the base table and every existing [[BackupSiblings]]
     * member to `<member>_bak_<tag>` under the build lock, so the
     * snapshot is point-in-time consistent against concurrent writers
-    * in this or any other process. Copies preserve bucketing
-    * ([[copyTable]]); the family's `<table>_hold` registry is NOT
-    * part of the snapshot by design (see [[BackupSiblings]]). Cost is
-    * O(index) — one bucketed rewrite per member; run it like fsck,
-    * quiesced or on a maintenance cadence. Returns the backup tables
-    * written. */
-  /** Tag hygiene shared by EVERY backup/snapshot verb (ADVICE r16
-    * #3): tags are interpolated into table names and raw SQL, so a
-    * tag with underscores or quote characters would address
-    * unintended tables (`a_bak_b` parses as member `a` under tag `b`
-    * AND member `a_bak` under... ) or fail opaquely mid-verb. One
-    * guard at every entry point, not just the take-side. */
-  private[graft] def requireTag(verb: String, tag: String): Unit =
-    require(tag.matches("[A-Za-z0-9]+"),
-      s"$verb: tag must be alphanumeric, got '$tag'")
-
+    * in this or any other process. Copies preserve bucketing and are
+    * raw file copies ([[copyTable]] — O(bytes), no job, no shuffle);
+    * the family's `<table>_hold` registry is NOT part of the
+    * snapshot by design (see [[BackupSiblings]]). Returns the backup
+    * tables written.
+    *
+    * DIFFERENTIAL (r17): with `baseTag = Some(b)`, only files ABSENT
+    * from tag `b`'s committed manifest are physically copied; the
+    * rest are recorded in this tag's marker BY REFERENCE to the tag
+    * whose copy holds the bytes. References are FLAT — a chained
+    * differential records each borrowed file's physical tag
+    * directly, so restore/check never walk intermediate markers.
+    * Between maintenance folds members only append part-files, so a
+    * daily differential copies one day of appends, not the corpus;
+    * after a fold the file names all differ and the differential
+    * degrades to a full copy — correct automatically, and the cue to
+    * re-anchor. [[dropBackup]] refuses to drop a tag that live tags
+    * borrow from ([[dependentBackups]]). */
   def backupIndex(s: org.apache.spark.sql.SparkSession, table: String,
-      tag: String = "bak"): Seq[String] = withBuildLock(s) {
+      tag: String = "bak", baseTag: Option[String] = None)
+      : Seq[String] = withBuildLock(s) {
     requireTag("backupIndex", tag)
     require(s.catalog.tableExists(table),
       s"backupIndex: no family base table $table")
+    // resolve the base manifest BEFORE retiring this tag's marker: a
+    // differential against a damaged or uncommitted base would
+    // record references that can never restore
+    val baseHeld: Map[String, Map[(String, Long), String]] =
+      baseTag match {
+        case None => Map.empty
+        case Some(b) =>
+          requireTag("backupIndex(baseTag)", b)
+          require(b != tag,
+            "backupIndex: baseTag must differ from tag")
+          require(s.catalog.tableExists(s"${table}_bakok_$b"),
+            s"backupIndex: no committed base backup $table/$b to " +
+              "diff against")
+          val audit = checkBackup(s, table, b)
+          require(audit.isEmpty,
+            s"backupIndex: base backup $table/$b failed its " +
+              s"integrity audit — ${audit.take(3).mkString("; ")} — " +
+              "a differential against it would not restore")
+          readBackupMarker(s, s"${table}_bakok_$b")
+            .groupBy(_._1)
+            .map { case (m, rows) =>
+              m -> rows.collect { case (_, Some(p), l, src) =>
+                (p, l) -> src.getOrElse(b) }.toMap
+            }
+      }
     // retire the commit marker FIRST: from here until the last copy
     // lands the set is officially incomplete, so a crash mid-set (or
     // mid-RE-TAKE, where fresh copies mix with a previous tag's) can
@@ -1183,30 +1251,77 @@ object TextOps {
     val marker = s"${table}_bakok_$tag"
     s.sql(s"DROP TABLE IF EXISTS $marker")
     clearOrphanLocation(s, marker)
-    val written = (table +: BackupSiblings.map(table + _))
-      .flatMap(backupTable(s, _, tag))
-    writeBackupMarker(s, marker, written)
-    written :+ marker
+    val results = (table +: BackupSiblings.map(table + _))
+      .flatMap { m =>
+        val held = baseTag.map(b => baseHeld.getOrElse(
+            s"${m}_bak_$b", Map.empty[(String, Long), String]))
+          .getOrElse(Map.empty[(String, Long), String])
+        backupMember(s, m, tag, held)
+      }
+    writeBackupMarker(s, marker, results.flatMap(_._2))
+    results.map(_._1) :+ marker
+  }
+
+  /** Copy ONE member into a backup set: definition LIKE the live
+    * member (bucket spec rides along), data files = the live files
+    * NOT already held by the base manifest (`baseHeld` maps
+    * (path, len) → the tag physically holding the bytes; empty for
+    * a full backup). Returns (copy name, marker rows) — a borrowed
+    * file's row records its physical tag. An absent member clears
+    * any stale copy under the tag and records nothing. */
+  private def backupMember(s: org.apache.spark.sql.SparkSession,
+      m: String, tag: String, baseHeld: Map[(String, Long), String])
+      : Option[(String, Seq[(String, String, Long, String)])] = {
+    val c = s"${m}_bak_$tag"
+    if (!s.catalog.tableExists(m)) {
+      s.sql(s"DROP TABLE IF EXISTS $c")
+      clearOrphanLocation(s, c)
+      None
+    } else {
+      val live = listDataFiles(s, m)
+      s.sql(s"DROP TABLE IF EXISTS $c")
+      clearOrphanLocation(s, c)
+      s.sql(s"CREATE TABLE $c LIKE $m")
+      copyDataFiles(s, tableLocation(s, m), tableLocation(s, c),
+        live.collect { case (p, l) if !baseHeld.contains((p, l)) => p })
+      s.catalog.refreshTable(c)
+      val rows =
+        if (live.isEmpty) Seq((c, null: String, 0L, null: String))
+        else live.map { case (p, l) =>
+          (c, p, l, baseHeld.get((p, l)).orNull) }
+      Some((c, rows))
+    }
   }
 
   /** Commit a backup set, LAST: one row per DATA FILE of each copy
-    * written ((member, path, len); null-path sentinel for an empty
-    * copy), so the marker doubles as the set's integrity manifest —
-    * [[checkBackup]] re-lists and diffs (O(metadata)), catching a
-    * copy damaged AFTER commit, and [[restoreIndex]] refuses
-    * pre-mutation instead of silently restoring less than was
-    * backed up. */
+    * written ((member, path, len, src); null-path sentinel for an
+    * empty copy; `src` = the tag physically holding a borrowed
+    * file's bytes, null for files in this tag's own copy), so the
+    * marker doubles as the set's integrity manifest — [[checkBackup]]
+    * re-lists and diffs (O(metadata)), catching a copy damaged AFTER
+    * commit, and [[restoreIndex]] refuses pre-mutation instead of
+    * silently restoring less than was backed up. */
   private def writeBackupMarker(s: org.apache.spark.sql.SparkSession,
-      marker: String, members: Seq[String]): Unit = {
-    val rows = members.flatMap { m =>
-      val files = listDataFiles(s, m)
-      if (files.isEmpty) Seq((m, null: String, 0L))
-      else files.map { case (p, l) => (m, p, l) }
-    }
+      marker: String,
+      rows: Seq[(String, String, Long, String)]): Unit = {
     val sp = s
     import sp.implicits._
-    rows.toDF("member", "path", "len").coalesce(1)
+    rows.toDF("member", "path", "len", "src").coalesce(1)
       .write.mode("overwrite").saveAsTable(marker)
+  }
+
+  /** Marker rows back: (copy name, file path, len, physical tag for
+    * a borrowed file — differential references, r17). Pre-r17
+    * 3-column markers read with src = None throughout (full sets). */
+  private[graft] def readBackupMarker(
+      s: org.apache.spark.sql.SparkSession, marker: String)
+      : Seq[(String, Option[String], Long, Option[String])] = {
+    val df = s.table(marker)
+    val hasSrc = df.columns.contains("src")
+    df.collect().toSeq.map { r =>
+      (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        if (hasSrc) Option(r.getString(3)) else None)
+    }
   }
 
   /** Declare a marker-less backup set complete — the operator escape
@@ -1223,7 +1338,11 @@ object TextOps {
         "to vouch for")
     val members = (table +: BackupSiblings.map(table + _))
       .map(m => s"${m}_bak_$tag").filter(s.catalog.tableExists)
-    writeBackupMarker(s, s"${table}_bakok_$tag", members)
+    writeBackupMarker(s, s"${table}_bakok_$tag", members.flatMap { m =>
+      val files = listDataFiles(s, m)
+      if (files.isEmpty) Seq((m, null: String, 0L, null: String))
+      else files.map { case (p, l) => (m, p, l, null: String) }
+    })
     members
   }
 
@@ -1244,28 +1363,47 @@ object TextOps {
             "(crashed mid-set, or pre-r16) — re-take it, or " +
             "markBackupComplete if you can vouch for it"
         else s"no backup $table/$tag")
-    val recorded: Map[String, Set[(String, Long)]] =
-      s.table(marker).collect()
-        .map(r => (r.getString(0), Option(r.getString(1)),
-          r.getLong(2)))
-        .groupBy(_._1)
-        .map { case (m, rows) =>
-          m -> rows.flatMap(r => r._2.map(p => (p, r._3))).toSet
-        }
+    val recorded = readBackupMarker(s, marker).groupBy(_._1)
     val fileProblems = recorded.toSeq.sortBy(_._1).flatMap {
-      case (m, files) =>
+      case (m, rows) =>
         if (!s.catalog.tableExists(m))
           Seq(s"$m: recorded in the commit marker but missing")
         else {
+          // files this tag physically owns audit against the copy's
+          // own location; borrowed files (differential references)
+          // audit against the base tag's copy that holds the bytes
+          val own = rows.collect {
+            case (_, Some(p), l, None) => (p, l) }.toSet
           val now = listDataFiles(s, m).toSet
-          (files -- now).toSeq.sorted.map { case (p, l) =>
+          val lost = (own -- now).toSeq.sorted.map { case (p, l) =>
             s"$m: committed file $p ($l bytes) lost or changed " +
               "since the backup"
-          } ++
-          (now -- files).toSeq.sorted.map { case (p, _) =>
-            s"$m: file $p not in the commit marker (written into " +
-              "the copy after commit?)"
           }
+          val unrecorded = (now -- own).toSeq.sorted.map {
+            case (p, _) =>
+              s"$m: file $p not in the commit marker (written into " +
+                "the copy after commit?)"
+          }
+          val borrowed = rows.collect {
+            case (_, Some(p), l, Some(b)) => (p, l, b) }
+          val borrowProblems = borrowed.groupBy(_._3).toSeq
+            .sortBy(_._1).flatMap { case (b, fs3) =>
+              val baseCopy =
+                m.stripSuffix(s"_bak_$tag") + s"_bak_$b"
+              if (!s.catalog.tableExists(baseCopy))
+                Seq(s"$m: borrows ${fs3.size} file(s) from base " +
+                  s"backup tag $b, but $baseCopy is missing (base " +
+                  "dropped out-of-band?)")
+              else {
+                val baseNow = listDataFiles(s, baseCopy).toSet
+                fs3.sortBy(_._1).collect {
+                  case (p, l, _) if !baseNow.contains((p, l)) =>
+                    s"$m: borrowed file $p ($l bytes) lost or " +
+                      s"changed in base copy $baseCopy"
+                }
+              }
+            }
+          lost ++ unrecorded ++ borrowProblems
         }
     }
     val extras = (table +: BackupSiblings.map(table + _))
@@ -1352,15 +1490,77 @@ object TextOps {
         s"audit — ${audit.take(5).mkString("; ")}" +
         (if (audit.size > 5) s" (+${audit.size - 5} more)" else "") +
         " — re-take the backup")
-    (table +: BackupSiblings.map(table + _))
-      .flatMap(restoreTable(s, _, tag))
+    // marker-aware restore (r17): the marker is the membership AND
+    // file-set truth — a differential member's files resolve across
+    // its own copy and the base copies holding its borrowed bytes
+    // (all audited present above)
+    val entries = readBackupMarker(s, s"${table}_bakok_$tag")
+      .groupBy(_._1)
+    (table +: BackupSiblings.map(table + _)).flatMap { m =>
+      entries.get(s"${m}_bak_$tag") match {
+        case Some(rows) =>
+          restoreMemberFromMarker(s, m, tag, rows)
+          Some(s"restored $m")
+        case None =>
+          if (s.catalog.tableExists(m)) {
+            s.sql(s"DROP TABLE $m")
+            Some(s"dropped $m (absent at snapshot)")
+          } else None
+      }
+    }
   }
 
+  /** Converge ONE member to its marker-recorded file set: definition
+    * LIKE the tag's own copy (bucket spec rides along), then copy
+    * each recorded file from the copy that physically holds it (own
+    * copy for src-null rows, the base tag's copy for borrowed rows).
+    * Copies, not renames — a crash mid-restore converges by
+    * re-running. */
+  private def restoreMemberFromMarker(
+      s: org.apache.spark.sql.SparkSession, live: String, tag: String,
+      rows: Seq[(String, Option[String], Long, Option[String])])
+      : Unit = {
+    val own = s"${live}_bak_$tag"
+    s.sql(s"DROP TABLE IF EXISTS $live")
+    clearOrphanLocation(s, live)
+    s.sql(s"CREATE TABLE $live LIKE $own")
+    val dst = tableLocation(s, live)
+    rows.collect { case (_, Some(p), _, src) => (p, src) }
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .foreach { case (src, ps) =>
+        val holder = src match {
+          case None => own
+          case Some(b) => s"${live}_bak_$b"
+        }
+        copyDataFiles(s, tableLocation(s, holder), dst, ps.map(_._1))
+      }
+    s.catalog.refreshTable(live)
+  }
+
+  /** Committed tags whose markers borrow at least one file
+    * physically held by `tag` — the tags [[dropBackup]] protects
+    * `tag` for. O(#tags) tiny marker reads. */
+  def dependentBackups(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String): Seq[String] =
+    listBackups(s, table).filterNot(_ == tag).filter { other =>
+      readBackupMarker(s, s"${table}_bakok_$other")
+        .exists(_._4.contains(tag))
+    }
+
   /** Drop a family's `<tag>` backup set — marker FIRST, so a crash
-    * mid-drop leaves a set restore already refuses. */
+    * mid-drop leaves a set restore already refuses. REFUSES when
+    * other committed tags borrow files from this one (differential
+    * dependents, r17): dropping the base would strand their borrowed
+    * bytes and turn restorable tags into audit failures — drop the
+    * dependents first (or re-take them as full backups). */
   def dropBackup(s: org.apache.spark.sql.SparkSession, table: String,
       tag: String = "bak"): Unit = withBuildLock(s) {
     requireTag("dropBackup", tag)
+    val deps = dependentBackups(s, table, tag)
+    require(deps.isEmpty,
+      s"dropBackup: backup $table/$tag is the differential base of " +
+        s"live tag(s) ${deps.mkString(", ")} — dropping it would " +
+        "strand their borrowed files; drop the dependents first")
     s.sql(s"DROP TABLE IF EXISTS ${table}_bakok_$tag")
     (table +: BackupSiblings.map(table + _))
       .foreach(m => s.sql(s"DROP TABLE IF EXISTS ${m}_bak_$tag"))
