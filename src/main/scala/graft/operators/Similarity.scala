@@ -792,9 +792,10 @@ object AnnIndex {
     * rewritten without the deleted rows, spec-preserving atomic swap)
     * and clear the list — post-vacuum probes pay no anti-join.
     */
-  def vacuum(s: SparkSession, table: String): Unit =
+  def vacuum(s: SparkSession, table: String,
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Unit =
     TO.vacuumIndex(s, table + "_del",
-      Seq(table, table + "_vec"), "vec_id")
+      Seq(table, table + "_vec"), "vec_id", guard)
 
   /** ONE maintenance policy pass for the family (r14 — see
     * [[graft.operators.TextOps.maintainIndex]]): compacts whichever
@@ -802,10 +803,10 @@ object AnnIndex {
     * vacuums/compacts the tombstone list past its thresholds, no-ops
     * when healthy. Returns the ops it ran. */
   def maintain(s: SparkSession, table: String,
-      policy: TO.MaintenancePolicy = TO.MaintenancePolicy())
-      : Seq[String] =
+      policy: TO.MaintenancePolicy = TO.MaintenancePolicy(),
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Seq[String] =
     TO.maintainIndex(s, Seq(table, table + "_vec"), table + "_del",
-      "vec_id", policy)
+      "vec_id", policy, guard = guard)
 
   /** Operational snapshot of the family (r14 — see
     * [[graft.operators.TextOps.describeIndex]]): both bucketed
@@ -938,7 +939,12 @@ object AnnIndex {
     val cfg = TO.readIndexConfig(s, table).getOrElse(
       throw new IllegalStateException(
         s"rebuildBandsFromPayload: no config pin ${table}_cfg"))
-    TO.rewriteBucketed(s, table, df => {
+    // a REPAIR rewrite runs under FoldGuard.Orphan: the family is
+    // corrupt, so any manifest snapshot pinning its current files
+    // pins the corrupt state — healing the live family wins, and
+    // checkSnapshot names whatever the rewrite orphaned
+    TO.rewriteBucketed(s, table, guard = TO.FoldGuard.Orphan,
+        transform = df => {
       val s2 = df.sparkSession
       graft.functions.VectorFunctions.register(s2)
       val live = TO.exceptTombstones(s2.table(table + "_vec"), s2,
@@ -1189,8 +1195,9 @@ object IvfIndex {
   def delete(s: SparkSession, table: String, ids: DataFrame): Unit =
     TO.tombstone(s, table + "_del", ids, "vec_id")
 
-  def vacuum(s: SparkSession, table: String): Unit =
-    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+  def vacuum(s: SparkSession, table: String,
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Unit =
+    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id", guard)
 
   /** ONE maintenance policy pass for the family (r14): file-pressure
     * compaction + tombstone thresholds like every member, PLUS the
@@ -1199,10 +1206,13 @@ object IvfIndex {
     * needs the current corpus), else reports `refresh-due`. */
   def maintain(s: SparkSession, table: String,
       policy: TO.MaintenancePolicy = TO.MaintenancePolicy(),
-      refreshWith: Option[DataFrame] = None): Seq[String] =
+      refreshWith: Option[DataFrame] = None,
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Seq[String] =
     TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy,
       drift = Some(() => quantizationError(s, table)),
-      refresh = refreshWith.map(e => () => refresh(e, table)))
+      refresh = refreshWith.map(e => () => refresh(e, table,
+        guard = guard)),
+      guard = guard)
 
   /** Operational snapshot of the family (r14): cells-member file
     * health, tombstone debt, and the quantizer's shape read off the
@@ -1270,7 +1280,9 @@ object IvfIndex {
         () => {
           graft.functions.VectorFunctions.register(s)
           val cents = loadCentroids(s, table)
-          TO.rewriteBucketed(s, table, df => {
+          // repair rewrite: FoldGuard.Orphan (see the Ann heal)
+          TO.rewriteBucketed(s, table, guard = TO.FoldGuard.Orphan,
+            transform = df => {
             graft.functions.VectorFunctions.register(df.sparkSession)
             val withG =
               if (df.columns.contains("gen")) df
@@ -1325,13 +1337,17 @@ object IvfIndex {
     * (GroupSwapSpec); new centers can no longer serve old assignments.
     */
   def refresh(emb: DataFrame, table: String, iters: Int = Iters,
-      nBuckets: Int = 8): Unit = {
+      nBuckets: Int = 8,
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.withBuildLock(s) {
       TO.recoverGroupSwap(s, table)
       TO.recoverSwap(s, table)
       TO.recoverSwap(s, table + "_cent")
+      // a retrain-and-swap rewrites every cells file — fold-aware
+      // snapshot check first (r17)
+      TO.guardFold(s, s"IvfIndex.refresh of $table", Seq(table), guard)
       val stored = s.table(table + "_cent").collect()
       val k = stored.length
       val dim = stored.head.getSeq[Double](1).length
@@ -1768,8 +1784,9 @@ object PqIndex {
   def delete(s: SparkSession, table: String, ids: DataFrame): Unit =
     TO.tombstone(s, table + "_del", ids, "vec_id")
 
-  def vacuum(s: SparkSession, table: String): Unit =
-    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+  def vacuum(s: SparkSession, table: String,
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Unit =
+    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id", guard)
 
   /** ONE maintenance policy pass (r14, the [[IvfIndex.maintain]]
     * shape): the PQ drift gauge needs the exact vectors
@@ -1778,10 +1795,12 @@ object PqIndex {
     * pass covers file pressure and tombstones only. */
   def maintain(s: SparkSession, table: String,
       policy: TO.MaintenancePolicy = TO.MaintenancePolicy(),
-      refreshWith: Option[DataFrame] = None): Seq[String] =
+      refreshWith: Option[DataFrame] = None,
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Seq[String] =
     TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy,
       drift = refreshWith.map(e => () => quantizationError(s, table, e)),
-      refresh = refreshWith.map(e => () => refresh(e, table)))
+      refresh = refreshWith.map(e => () => refresh(e, table, guard = guard)),
+      guard = guard)
 
   /** Operational snapshot of the family (r14): codes-member file
     * health, tombstone debt, the codebook grid as the config (m
@@ -1981,13 +2000,17 @@ object PqIndex {
     * .recoverGroupSwap]] (gated in GroupSwapSpec); new codewords can
     * no longer serve old codes.
     */
-  def refresh(emb: DataFrame, table: String, nBuckets: Int = 8): Unit = {
+  def refresh(emb: DataFrame, table: String, nBuckets: Int = 8,
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Unit = {
     val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     TO.withBuildLock(s) {
       TO.recoverGroupSwap(s, table)
       TO.recoverSwap(s, table)
       TO.recoverSwap(s, table + "_cb")
+      // a retrain-and-swap rewrites every codes file — fold-aware
+      // snapshot check first (r17)
+      TO.guardFold(s, s"PqIndex.refresh of $table", Seq(table), guard)
       val cb = s.table(table + "_cb")
       val (m, subDim) = cbGrid(cb)
       val ks = (cb.count() / m).toInt
@@ -2238,15 +2261,17 @@ object BqIndex {
   def delete(s: SparkSession, table: String, ids: DataFrame): Unit =
     TO.tombstone(s, table + "_del", ids, "vec_id")
 
-  def vacuum(s: SparkSession, table: String): Unit =
-    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+  def vacuum(s: SparkSession, table: String,
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Unit =
+    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id", guard)
 
   /** ONE maintenance policy pass (r14): stateless signatures have no
     * quantizer to drift, so the pass is file pressure + tombstones. */
   def maintain(s: SparkSession, table: String,
-      policy: TO.MaintenancePolicy = TO.MaintenancePolicy())
-      : Seq[String] =
-    TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy)
+      policy: TO.MaintenancePolicy = TO.MaintenancePolicy(),
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Seq[String] =
+    TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy,
+      guard = guard)
 
   /** Operational snapshot of the family (r14): signature-member file
     * health, tombstone debt, the stored `_cfg` dim pin. */
@@ -2530,15 +2555,17 @@ object SqIndex {
   def delete(s: SparkSession, table: String, ids: DataFrame): Unit =
     TO.tombstone(s, table + "_del", ids, "vec_id")
 
-  def vacuum(s: SparkSession, table: String): Unit =
-    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id")
+  def vacuum(s: SparkSession, table: String,
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Unit =
+    TO.vacuumIndex(s, table + "_del", Seq(table), "vec_id", guard)
 
   /** ONE maintenance policy pass (r14): per-vector scales have no
     * quantizer to drift, so the pass is file pressure + tombstones. */
   def maintain(s: SparkSession, table: String,
-      policy: TO.MaintenancePolicy = TO.MaintenancePolicy())
-      : Seq[String] =
-    TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy)
+      policy: TO.MaintenancePolicy = TO.MaintenancePolicy(),
+      guard: TO.FoldGuard = TO.FoldGuard.Refuse): Seq[String] =
+    TO.maintainIndex(s, Seq(table), table + "_del", "vec_id", policy,
+      guard = guard)
 
   /** Operational snapshot of the family (r14): codes-member file
     * health, tombstone debt, the stored `_cfg` dim pin. */

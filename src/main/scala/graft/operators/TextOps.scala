@@ -247,9 +247,10 @@ object TextOps {
     * follow the clearOrphanLocation contract (per-process unique).
     */
   def compactIndex(s: org.apache.spark.sql.SparkSession,
-      table: String): Unit = withBuildLock(s) {
-    rewriteBucketed(s, table, identity)
-  }
+      table: String, guard: FoldGuard = FoldGuard.Refuse): Unit =
+    withBuildLock(s) {
+      rewriteBucketed(s, table, identity, guard)
+    }
 
   /** The shared spec-preserving rewrite behind [[compactIndex]] and
     * [[vacuumIndex]]: re-materialize a bucketed table (content
@@ -260,7 +261,8 @@ object TextOps {
   private[graft] def rewriteBucketed(s: org.apache.spark.sql.SparkSession,
       table: String,
       transform: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame): Unit = {
+        org.apache.spark.sql.DataFrame,
+      guard: FoldGuard = FoldGuard.Refuse): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     // a crashed GROUP swap (a refresh died mid-promotion) must heal
     // before compaction stages its own `_compact` tmp — otherwise the
@@ -268,6 +270,10 @@ object TextOps {
     // refresh replacement
     recoverGroupSwap(s, table)
     recoverSwap(s, table)
+    // fold-aware snapshots (r17): this rewrite replaces every data
+    // file of `table` — check the manifest snapshots pinning them
+    // BEFORE staging anything
+    guardFold(s, s"rewrite of $table", Seq(table), guard)
     val meta = s.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -543,15 +549,21 @@ object TextOps {
     * ingest/upsert batches against it.
     */
   def vacuumIndex(s: org.apache.spark.sql.SparkSession,
-      delTable: String, members: Seq[String],
-      idCol: String): Unit = withBuildLock(s) {
+      delTable: String, members: Seq[String], idCol: String,
+      guard: FoldGuard = FoldGuard.Refuse): Unit = withBuildLock(s) {
     if (s.catalog.tableExists(delTable)) {
+      // fold-aware snapshots (r17): ONE guard pass over everything
+      // this vacuum rewrites (members) or drops (the tombstone
+      // list) — the inner rewrites then run unguarded (Orphan), so
+      // an Anchor pass anchors once, up front
+      guardFold(s, s"vacuumIndex of $delTable",
+        delTable +: members, guard)
       // an EMPTY list must not trigger the full O(index) rewrite — at
       // scale that's the difference between dropping one tiny table
       // and re-shuffling the whole corpus for nothing
       if (!s.table(delTable).isEmpty) {
         members.filter(s.catalog.tableExists).foreach { m =>
-          rewriteBucketed(s, m, df => {
+          rewriteBucketed(s, m, guard = FoldGuard.Orphan, transform = df => {
             // resolve the list through the REWRITE session (the clone
             // shares the catalog) — joining frames across sessions is
             // undefined territory
@@ -646,7 +658,12 @@ object TextOps {
       delRows: Long, delFiles: Long, terminalDeletes: Long,
       topBarrier: Long, cfg: Map[String, Int],
       stats: Map[String, Long], drift: Option[Double],
-      holds: Long = 0L) {
+      holds: Long = 0L,
+      /** `base/tag` manifest snapshots currently pinning live files
+        * of this family's members — the tags a fold would orphan
+        * (r17). Surfaced so the operator sees the conflict in
+        * `describe`/`due` BEFORE the fold refuses (or anchors). */
+      pinnedSnapshots: Seq[String] = Nil) {
     /** The ops ONE [[maintainIndex]] pass would run right now under
       * `policy` — advisory, not a contract: maintain re-gauges
       * between its steps (a vacuum resets the member file pressure
@@ -664,6 +681,12 @@ object TextOps {
           b += s"compact:$m"
       }
       drift.foreach(d => if (d > policy.driftMax) b += "refresh-due")
+      // fold-aware snapshots (r17): when any due op is a fold AND
+      // live manifest tags pin this family's files, say so HERE —
+      // the operator learns the conflict from the cadence check, not
+      // from the fold's refusal
+      if (b.nonEmpty && pinnedSnapshots.nonEmpty)
+        b += s"fold-orphans-snapshots:${pinnedSnapshots.mkString(",")}"
       b.toList
     }
     def healthy(policy: MaintenancePolicy = MaintenancePolicy())
@@ -708,10 +731,16 @@ object TextOps {
     val holdT = delTable.stripSuffix("_del") + "_hold"
     val holds =
       if (s.catalog.tableExists(holdT)) s.table(holdT).count() else 0L
+    // manifest tags pinning live files of members a fold rewrites
+    // (or of the tombstone list a vacuum drops) — O(metadata)
+    val pinned = (members :+ delTable).distinct
+      .filter(s.catalog.tableExists)
+      .flatMap(snapshotOrphans(s, _))
+      .map { case (b, t) => s"$b/$t" }.distinct.sorted
     IndexStatus(mh, rows, tableFileCount(s, delTable), term, top,
       cfgOf.flatMap(readIndexConfig(s, _))
         .getOrElse(Map.empty[String, Int]),
-      st, drift.map(_()), holds)
+      st, drift.map(_()), holds, pinned)
   }
 
   /** [[describeIndex]] for the incremental BM25 family (stats row
@@ -1004,9 +1033,12 @@ object TextOps {
     * the same `_compact`/swap/heal dance as the bucketed members.
     */
   def compactTombstones(s: org.apache.spark.sql.SparkSession,
-      delTable: String): Unit = withBuildLock(s) {
+      delTable: String, guard: FoldGuard = FoldGuard.Refuse): Unit =
+      withBuildLock(s) {
     if (s.catalog.tableExists(delTable)) {
       recoverSwap(s, delTable)
+      guardFold(s, s"compactTombstones of $delTable", Seq(delTable),
+        guard)
       val tmp = delTable + "_compact"
       s.sql(s"DROP TABLE IF EXISTS $tmp")
       clearOrphanLocation(s, tmp)
@@ -1054,22 +1086,23 @@ object TextOps {
       members: Seq[String], delTable: String, idCol: String,
       policy: MaintenancePolicy,
       drift: Option[() => Double] = None,
-      refresh: Option[() => Unit] = None): Seq[String] =
+      refresh: Option[() => Unit] = None,
+      guard: FoldGuard = FoldGuard.Refuse): Seq[String] =
     withBuildLock(s) {
       val ran = scala.collection.mutable.ListBuffer.empty[String]
       if (s.catalog.tableExists(delTable)) {
         if (s.table(delTable).count() > policy.delRowsMax) {
-          vacuumIndex(s, delTable, members, idCol)
+          vacuumIndex(s, delTable, members, idCol, guard)
           ran += "vacuum"
         } else if (tableFileCount(s, delTable) > policy.delFilesMax) {
-          compactTombstones(s, delTable)
+          compactTombstones(s, delTable, guard)
           ran += "compact-tombstones"
         }
       }
       members.filter(s.catalog.tableExists).foreach { m =>
         if (indexFileHealth(s, m)
             .needsCompaction(policy.filesPerBucketMax)) {
-          compactIndex(s, m)
+          compactIndex(s, m, guard)
           ran += s"compact:$m"
         }
       }
@@ -1085,13 +1118,17 @@ object TextOps {
   /** [[maintainIndex]] for the incremental BM25 family (postings
     * member + stats sibling; no quantizer). */
   def maintainBm25(s: org.apache.spark.sql.SparkSession, table: String,
-      policy: MaintenancePolicy = MaintenancePolicy()): Seq[String] =
-    maintainIndex(s, Seq(table), table + "_del", "doc_id", policy)
+      policy: MaintenancePolicy = MaintenancePolicy(),
+      guard: FoldGuard = FoldGuard.Refuse): Seq[String] =
+    maintainIndex(s, Seq(table), table + "_del", "doc_id", policy,
+      guard = guard)
 
   /** [[maintainIndex]] for a band index family. */
   def maintainBand(s: org.apache.spark.sql.SparkSession, table: String,
-      policy: MaintenancePolicy = MaintenancePolicy()): Seq[String] =
-    maintainIndex(s, Seq(table), table + "_del", "old_id", policy)
+      policy: MaintenancePolicy = MaintenancePolicy(),
+      guard: FoldGuard = FoldGuard.Refuse): Seq[String] =
+    maintainIndex(s, Seq(table), table + "_del", "old_id", policy,
+      guard = guard)
 
   /** Promote a fully-written replacement table `tmp` to `table` with an
     * `_old` backup — the maintenance-swap primitive compaction and any
@@ -1683,6 +1720,174 @@ object TextOps {
   private[graft] val SnapshotCopySiblings: Seq[String] =
     Seq("_cfg", "_stats", "_cent", "_cb")
 
+  /** What a FOLD (compact / vacuum / retrain-rebuild) does about the
+    * manifest snapshots its rewrite would orphan (r17, VERDICT #1).
+    * A manifest snapshot pins live FILE NAMES; a fold rewrites them,
+    * so every pinned tag silently stopped restoring — and until now
+    * the refusal only fired at readSnapshot/restoreSnapshot time,
+    * after the anchor window was gone. Folds now check FIRST. */
+  sealed trait FoldGuard
+  object FoldGuard {
+    /** Default: REFUSE, naming the pinned tags — the operator
+      * decides (anchor them, orphan them, or prune them). */
+    case object Refuse extends FoldGuard
+    /** Proceed knowingly; the pinned tags stop serving and
+      * [[checkSnapshot]] names exactly them afterwards. */
+    case object Orphan extends FoldGuard
+    /** Copy each pinned tag's still-live manifested files into the
+      * tag's fold ANCHOR first (O(pinned bytes), driver-side file
+      * copy), then fold — [[readSnapshot]]/[[restoreSnapshot]]/
+      * [[checkSnapshot]] resolve a manifested file from the live
+      * location OR the anchor, so the snapshot keeps serving across
+      * the fold. This converts the O(metadata) snapshot into a
+      * copy-backed one for exactly the affected members — the
+      * copy-backup-anchor cost, paid only when a fold actually
+      * crosses a live restore point. */
+    case object Anchor extends FoldGuard
+  }
+
+  /** The fold-anchor directory for one member under one snapshot
+    * tag: `<warehouse>/<member>_mfanchor_<tag>`. Not a catalog
+    * table — just the pinned data files at their manifested relative
+    * names. Dropped with the snapshot ([[dropSnapshot]]). */
+  private[graft] def anchorDir(s: org.apache.spark.sql.SparkSession,
+      member: String, tag: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"${member.toLowerCase}_mfanchor_$tag")
+
+  /** Manifest-snapshot (family base, tag) pairs a rewrite or drop of
+    * `member`'s data files would NEWLY orphan: every live manifest
+    * recording `member` with at least one file still served from the
+    * member's live location. Tags already fully anchored (or already
+    * broken) are not newly orphaned. O(metadata). */
+  private[graft] def snapshotOrphans(
+      s: org.apache.spark.sql.SparkSession, member: String)
+      : Seq[(String, String)] = {
+    if (!s.catalog.tableExists(member)) return Nil
+    val live = listFilesUnder(s, tableLocation(s, member)).toSet
+    if (live.isEmpty) return Nil
+    val bases = (member +: SnapshotManifestSiblings.collect {
+      case suf if member.endsWith(suf) => member.stripSuffix(suf)
+    }).distinct
+    bases.flatMap { b =>
+      listSnapshots(s, b).map(_._1).flatMap { tag =>
+        val mf = s"${b}_mf_$tag"
+        val files = readManifest(s, mf).getOrElse(member, Nil)
+        if (files.exists(live.contains)) Some((b, tag)) else None
+      }
+    }
+  }
+
+  /** Copy `member`'s still-live manifested files for `(base, tag)`
+    * into the member's fold anchor (files already anchored are
+    * skipped — anchoring is idempotent and incremental across
+    * repeated folds). */
+  private def anchorMemberFiles(s: org.apache.spark.sql.SparkSession,
+      member: String, base: String, tag: String): Int = {
+    val mf = s"${base}_mf_$tag"
+    val files = readManifest(s, mf).getOrElse(member, Nil)
+    if (files.isEmpty || !s.catalog.tableExists(member)) 0
+    else {
+      val liveLoc = tableLocation(s, member)
+      val live = listFilesUnder(s, liveLoc).toSet
+      val aDir = anchorDir(s, member, tag)
+      val anchored = listFilesUnder(s, aDir).toSet
+      val need = files.filter(f =>
+        live.contains(f) && !anchored.contains(f))
+      copyDataFiles(s, liveLoc, aDir, need.map(_._1))
+      need.size
+    }
+  }
+
+  /** The fold-side snapshot check every rewriting maintenance verb
+    * runs before touching `members`' files (r17): find the manifest
+    * tags the fold would newly orphan, then do what `guard` says —
+    * refuse naming them (default), anchor their pinned files first,
+    * or proceed knowingly. Callers hold the build lock. */
+  private[graft] def guardFold(s: org.apache.spark.sql.SparkSession,
+      verb: String, members: Seq[String], guard: FoldGuard): Unit =
+    guard match {
+      case FoldGuard.Orphan => ()
+      case _ =>
+        val pinned = members.distinct.flatMap(m =>
+          snapshotOrphans(s, m).map { case (b, t) => (m, b, t) })
+        if (pinned.nonEmpty) guard match {
+          case FoldGuard.Refuse =>
+            val tags = pinned.map { case (_, b, t) => s"$b/$t" }
+              .distinct.sorted
+            throw new IllegalStateException(
+              s"$verb: rewriting would orphan manifest snapshot(s) " +
+                s"${tags.mkString(", ")} — their manifested files " +
+                "are about to be rewritten, after which readSnapshot" +
+                "/restoreSnapshot refuse. Pass FoldGuard.Anchor to " +
+                "copy the pinned files aside first (the snapshot " +
+                "keeps serving), FoldGuard.Orphan to knowingly " +
+                "retire them (checkSnapshot will name them), or " +
+                "prune the snapshots")
+          case FoldGuard.Anchor =>
+            pinned.foreach { case (m, b, t) =>
+              anchorMemberFiles(s, m, b, t); ()
+            }
+          case FoldGuard.Orphan => ()
+        }
+    }
+
+  /** Delete every fold-anchor directory of `table`'s manifest-class
+    * members under `tag`. */
+  private def dropAnchors(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String): Unit =
+    (table +: SnapshotManifestSiblings.map(table + _)).foreach { m =>
+      val a = anchorDir(s, m, tag)
+      val fs = a.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(a)) { fs.delete(a, true); () }
+    }
+
+  /** Resolve each manifested file of member `m` under `tag` to the
+    * location currently serving it: the member's live directory
+    * first, the fold anchor second ((name, length) identity both
+    * ways). Left = the violations a restore/read would refuse on. */
+  private def resolveSnapshotFiles(
+      s: org.apache.spark.sql.SparkSession, m: String, tag: String,
+      files: Seq[(String, Long)])
+      : Either[Seq[String], Seq[org.apache.hadoop.fs.Path]] = {
+    val liveLoc =
+      if (s.catalog.tableExists(m)) Some(tableLocation(s, m)) else None
+    val live: Map[String, Long] =
+      liveLoc.map(l => listFilesUnder(s, l).toMap).getOrElse(Map.empty)
+    val aDir = anchorDir(s, m, tag)
+    val anchored: Map[String, Long] = listFilesUnder(s, aDir).toMap
+    val (bad, good) = files.partitionMap { case (p, l) =>
+      if (live.get(p).contains(l))
+        Right(new org.apache.hadoop.fs.Path(liveLoc.get, p))
+      else if (anchored.get(p).contains(l))
+        Right(new org.apache.hadoop.fs.Path(aDir, p))
+      else if (live.contains(p))
+        Left(s"$m/$p: length ${live(p)} != snapshot $l (rewritten)")
+      else
+        Left(s"$m/$p: missing (compacted/vacuumed/rebuilt, and not " +
+          "anchored)")
+    }
+    if (bad.nonEmpty) Left(bad) else Right(good)
+  }
+
+  /** Phase-1 validation for the FAMILY-level manifest verbs —
+    * [[manifestProblems]] made fold-anchor-aware: a manifested file
+    * counts as present when the live location OR the tag's anchor
+    * serves it at the recorded length, and a member TABLE dropped by
+    * an anchored fold is fine as long as its files all resolve (the
+    * restore recreates it from the anchor). */
+  private[graft] def familyManifestProblems(
+      s: org.apache.spark.sql.SparkSession, tag: String,
+      manifest: Map[String, Seq[(String, Long)]]): Seq[String] =
+    manifest.toSeq.sortBy(_._1).flatMap { case (m, files) =>
+      if (files.isEmpty) {
+        if (s.catalog.tableExists(m)) Nil
+        else Seq(s"$m: missing (dropped since snapshot)")
+      } else resolveSnapshotFiles(s, m, tag, files)
+        .left.toSeq.flatten
+    }
+
   /** MANIFEST SNAPSHOT — the O(metadata) sibling of [[backupIndex]]
     * for append-dominated windows. [[backupIndex]] is an O(index)
     * bucketed rewrite per member: correct always, affordable rarely
@@ -1723,6 +1928,10 @@ object TextOps {
     val mf = s"${table}_mf_$tag"
     s.sql(s"DROP TABLE IF EXISTS $mf")
     clearOrphanLocation(s, mf)
+    // a RE-TAKE also retires the previous take's fold anchors: the
+    // new manifest records the current live files, and stale anchor
+    // entries must not satisfy a later resolution by name collision
+    dropAnchors(s, table, tag)
     val rows = (table +: SnapshotManifestSiblings.map(table + _))
       .filter(s.catalog.tableExists)
       .flatMap { m =>
@@ -1766,8 +1975,10 @@ object TextOps {
         s"restoreSnapshot: no manifest $mf — refusing to touch the " +
           "live family without its snapshot")
       val manifest = readManifest(s, mf)
-      // phase 1 — validate everything BEFORE mutating anything
-      val problems = manifestProblems(s, manifest, locateTable(s))
+      // phase 1 — validate everything BEFORE mutating anything (a
+      // manifested file may live at the member's location OR in the
+      // tag's fold anchor — an anchored fold keeps the tag serving)
+      val problems = familyManifestProblems(s, tag, manifest)
       require(problems.isEmpty,
         "restoreSnapshot: history was rewritten since the snapshot — " +
           s"${problems.take(5).mkString("; ")}" +
@@ -1775,9 +1986,41 @@ object TextOps {
           else "") +
           " — file pruning cannot converge; use the copy-based " +
           "backupIndex/restoreIndex path")
-      // phase 2 — prune extras, drop post-snapshot members, refresh
-      val pruned = pruneToManifest(s, manifest, locateTable(s),
-        m => s.catalog.refreshTable(m))
+      // phase 2 — converge each manifest member to exactly its file
+      // set: prune post-snapshot extras, copy anchored files back
+      // under their manifested names, recreate a member a fold
+      // dropped (folds only drop the PLAIN manifest-class members —
+      // tombstone lists — so a schema-from-anchor parquet table is
+      // faithful), refresh
+      val pruned = manifest.toSeq.sortBy(_._1).map { case (m, files) =>
+        val aDir = anchorDir(s, m, tag)
+        if (!s.catalog.tableExists(m)) {
+          val schema = s.read.parquet(files.map(f =>
+            new org.apache.hadoop.fs.Path(aDir, f._1).toString): _*)
+            .schema
+          s.catalog.createTable(m, "parquet", schema,
+            Map.empty[String, String])
+          copyDataFiles(s, aDir, tableLocation(s, m), files.map(_._1))
+          s.catalog.refreshTable(m)
+          s"recreated $m from the fold anchor (${files.size} files)"
+        } else {
+          val loc = tableLocation(s, m)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val live = listFilesUnder(s, loc).toMap
+          val keep = files.map(_._1).toSet
+          val extras = live.keys.filterNot(keep).toSeq.sorted
+          extras.foreach(p =>
+            fs.delete(new org.apache.hadoop.fs.Path(loc, p), false))
+          val fromAnchor = files.filter { case (p, l) =>
+            !live.get(p).contains(l) }
+          copyDataFiles(s, aDir, loc, fromAnchor.map(_._1))
+          s.catalog.refreshTable(m)
+          s"pruned $m: ${extras.size} post-snapshot files" +
+            (if (fromAnchor.nonEmpty)
+              s"; restored ${fromAnchor.size} from the fold anchor"
+            else "")
+        }
+      }
       val dropped = (table +: SnapshotManifestSiblings.map(table + _))
         .filterNot(manifest.contains)
         .filter(s.catalog.tableExists)
@@ -1800,6 +2043,9 @@ object TextOps {
     s.sql(s"DROP TABLE IF EXISTS ${table}_mf_$tag")
     SnapshotCopySiblings.map(table + _).foreach(m =>
       s.sql(s"DROP TABLE IF EXISTS ${m}_bak_mf$tag"))
+    // the tag's fold anchors go with it — they exist only to keep
+    // THIS snapshot serving across folds
+    dropAnchors(s, table, tag)
   }
 
   /** READ-ONLY restorability audit of a `<tag>` manifest snapshot —
@@ -1820,7 +2066,7 @@ object TextOps {
     if (!s.catalog.tableExists(mf))
       return Seq(s"no manifest $mf")
     val fileProblems =
-      manifestProblems(s, readManifest(s, mf), locateTable(s))
+      familyManifestProblems(s, tag, readManifest(s, mf))
     val copyProblems = SnapshotCopySiblings.map(table + _)
       .filter(m => s.catalog.tableExists(m) &&
         !s.catalog.tableExists(s"${m}_bak_mf$tag"))
@@ -1860,21 +2106,27 @@ object TextOps {
     val manifest = readManifest(s, mf)
     require(manifest.contains(m),
       s"readSnapshot: member $m not in snapshot $tag")
-    val problems = manifestProblems(s, Map(m -> manifest(m)),
-      locateTable(s))
-    require(problems.isEmpty,
-      "readSnapshot: history was rewritten since the snapshot — " +
-        s"${problems.take(5).mkString("; ")} — these files are gone; " +
-        "only the copy-based backup can serve this state now")
     val files = manifest(m)
-    if (files.isEmpty) s.table(m).limit(0)
-    else {
-      val loc = tableLocation(s, m)
-      // pin the live schema: a subset-file read must not re-infer
-      // (e.g. drop a gen column absent from the sampled footer)
-      s.read.schema(s.table(m).schema)
-        .parquet(files.map { case (p, _) =>
-          new org.apache.hadoop.fs.Path(loc, p).toString }: _*)
+    if (files.isEmpty) {
+      require(s.catalog.tableExists(m),
+        s"readSnapshot: member $m was empty at snapshot and has " +
+          "been dropped since — nothing to serve")
+      s.table(m).limit(0)
+    } else resolveSnapshotFiles(s, m, tag, files) match {
+      case Left(problems) => throw new IllegalArgumentException(
+        "readSnapshot: history was rewritten since the snapshot — " +
+          s"${problems.take(5).mkString("; ")} — these files are " +
+          "gone; only the copy-based backup can serve this state now")
+      case Right(paths) =>
+        // pin the live schema when the member still exists: a
+        // subset-file read must not re-infer (e.g. drop a gen column
+        // absent from the sampled footer). A member a fold dropped
+        // serves straight from its (complete) anchored file set.
+        val reader =
+          if (s.catalog.tableExists(m))
+            s.read.schema(s.table(m).schema)
+          else s.read
+        reader.parquet(paths.map(_.toString): _*)
     }
   }
 
@@ -1942,8 +2194,9 @@ object TextOps {
   }
 
   /** RETENTION: keep the newest `keep` manifest snapshots, drop the
-    * rest (manifest + meta copies). A tight snapshot cadence without
-    * this grows one tiny manifest table per tag forever. */
+    * rest (manifest + meta copies + fold anchors). A tight snapshot
+    * cadence without this grows one tiny manifest table per tag
+    * forever. */
   def pruneSnapshots(s: org.apache.spark.sql.SparkSession,
       table: String, keep: Int): Seq[String] = withBuildLock(s) {
     require(keep >= 1, "pruneSnapshots: keep must be >= 1")
@@ -1952,6 +2205,86 @@ object TextOps {
       s"dropped snapshot $tag"
     }
   }
+
+  /** AGE-BASED retention twin (r17, VERDICT item 6): drop every
+    * manifest snapshot older than `olderThanMs` against the same
+    * mtime clock [[listSnapshots]] reports. `nowMs` is injectable
+    * for determinism; count-based and age-based compose (run both —
+    * keep at least N, and nothing older than T). */
+  def pruneSnapshotsOlderThan(s: org.apache.spark.sql.SparkSession,
+      table: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    withBuildLock(s) {
+      require(olderThanMs >= 0,
+        "pruneSnapshotsOlderThan: olderThanMs must be >= 0")
+      listSnapshots(s, table)
+        .filter { case (_, mtime) => mtime < nowMs - olderThanMs }
+        .map { case (tag, _) =>
+          dropSnapshot(s, table, tag)
+          s"dropped snapshot $tag"
+        }
+    }
+
+  /** The family's COMMITTED copy-backup tags with their marker
+    * mtimes, NEWEST FIRST — the age-aware sibling of [[listBackups]]
+    * (the marker is written last, so its mtime is the take's commit
+    * time). */
+  def listBackupsWithAge(s: org.apache.spark.sql.SparkSession,
+      table: String): Seq[(String, Long)] = {
+    val prefix = s"${table.toLowerCase}_bakok_"
+    s.sessionState.catalog
+      .listTables("default", s"$prefix*").map(_.table)
+      .map { n =>
+        val loc = tableLocation(s, n)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        (n.stripPrefix(prefix),
+          fs.getFileStatus(loc).getModificationTime)
+      }
+      .sortBy(-_._2)
+  }
+
+  /** Drop each tag in `tags` (ordered newest-first by the callers) —
+    * EXCEPT a tag that other live tags still borrow files from: a
+    * differential base outliving its retention window is kept with a
+    * note instead of stranding its dependents (drop or re-anchor the
+    * dependents, then the next prune pass takes the base). Dependents
+    * inside the same prune list drop first (newest-first order), so a
+    * whole retired chain clears in ONE pass. */
+  private def pruneBackupTags(s: org.apache.spark.sql.SparkSession,
+      table: String, tags: Seq[String]): Seq[String] =
+    tags.map { tag =>
+      val deps = dependentBackups(s, table, tag)
+      if (deps.nonEmpty)
+        s"kept backup $tag: differential base of live tag(s) " +
+          deps.mkString(",")
+      else {
+        dropBackup(s, table, tag)
+        s"dropped backup $tag"
+      }
+    }
+
+  /** RETENTION for copy-based backups: keep the newest `keep`
+    * committed tags, drop the rest — differential bases with live
+    * dependents are kept with a note (see [[pruneBackupTags]]). */
+  def pruneBackups(s: org.apache.spark.sql.SparkSession,
+      table: String, keep: Int): Seq[String] = withBuildLock(s) {
+    require(keep >= 1, "pruneBackups: keep must be >= 1")
+    pruneBackupTags(s, table,
+      listBackupsWithAge(s, table).drop(keep).map(_._1))
+  }
+
+  /** AGE-BASED retention twin for copy-based backups. */
+  def pruneBackupsOlderThan(s: org.apache.spark.sql.SparkSession,
+      table: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    withBuildLock(s) {
+      require(olderThanMs >= 0,
+        "pruneBackupsOlderThan: olderThanMs must be >= 0")
+      pruneBackupTags(s, table,
+        listBackupsWithAge(s, table)
+          .filter { case (_, mtime) => mtime < nowMs - olderThanMs }
+          .map(_._1))
+    }
 
   /** What travels on a MIGRATION, vs a backup: the legal-hold
     * registry. Backups deliberately leave `_hold` outside (holds
@@ -3346,8 +3679,8 @@ object TextOps {
     exceptTombstones(s.table(table), s, table + "_del", "old_id")
 
   def vacuumBandIndex(s: org.apache.spark.sql.SparkSession,
-      table: String): Unit =
-    vacuumIndex(s, table + "_del", Seq(table), "old_id")
+      table: String, guard: FoldGuard = FoldGuard.Refuse): Unit =
+    vacuumIndex(s, table + "_del", Seq(table), "old_id", guard)
 
   /** Near-dup pairs of `newDocs` against a stored (band_key, old_id,
     * old_toks) index frame (spark.table of a [[writeBandIndex]] table,

@@ -743,10 +743,13 @@ object StreamingOps {
   }
 
   /** Fold both document-index tombstone lists into the stored files. */
-  def vacuumDocuments(spark: SparkSession, base: String): Unit = {
-    graft.operators.TextOps.vacuumBandIndex(spark, s"${base}_band")
+  def vacuumDocuments(spark: SparkSession, base: String,
+      guard: graft.operators.TextOps.FoldGuard =
+        graft.operators.TextOps.FoldGuard.Refuse): Unit = {
+    graft.operators.TextOps.vacuumBandIndex(spark, s"${base}_band",
+      guard)
     graft.operators.TextOps.vacuumIndex(spark, s"${base}_bm25_del",
-      Seq(s"${base}_bm25"), "doc_id")
+      Seq(s"${base}_bm25"), "doc_id", guard)
   }
 
   /** ONE-CALL VECTOR DELETE — the removal twin of
@@ -775,12 +778,14 @@ object StreamingOps {
   }
 
   /** Fold every vector family's tombstones into the stored files. */
-  def vacuumVectors(spark: SparkSession, base: String): Unit = {
-    graft.operators.AnnIndex.vacuum(spark, s"${base}_ann")
-    graft.operators.BqIndex.vacuum(spark, s"${base}_bq")
-    graft.operators.SqIndex.vacuum(spark, s"${base}_sq")
-    graft.operators.PqIndex.vacuum(spark, s"${base}_pq")
-    graft.operators.IvfIndex.vacuum(spark, s"${base}_ivf")
+  def vacuumVectors(spark: SparkSession, base: String,
+      guard: graft.operators.TextOps.FoldGuard =
+        graft.operators.TextOps.FoldGuard.Refuse): Unit = {
+    graft.operators.AnnIndex.vacuum(spark, s"${base}_ann", guard)
+    graft.operators.BqIndex.vacuum(spark, s"${base}_bq", guard)
+    graft.operators.SqIndex.vacuum(spark, s"${base}_sq", guard)
+    graft.operators.PqIndex.vacuum(spark, s"${base}_pq", guard)
+    graft.operators.IvfIndex.vacuum(spark, s"${base}_ivf", guard)
   }
 
   // ---- point-in-time backup/restore for stream-fed families (r15) --
@@ -1043,6 +1048,119 @@ object StreamingOps {
         .drop(keep).map { case (tag, _) =>
           dropStreamSnapshot(spark, base, fams, tag)
           s"dropped snapshot $tag"
+        }
+    }
+
+  /** AGE-BASED retention twins (r17, VERDICT item 6) — the
+    * stream-level siblings of
+    * [[graft.operators.TextOps.pruneSnapshotsOlderThan]] /
+    * [[graft.operators.TextOps.pruneBackupsOlderThan]]. Ages come
+    * from the group manifest / group marker mtimes (the commit-time
+    * clock — both are written last); `nowMs` is injectable for
+    * determinism. Group backups are always FULL per-family sets, so
+    * no differential-dependent check applies at this level — but the
+    * per-family [[graft.operators.TextOps.dropBackup]] underneath
+    * still refuses if an out-of-band differential borrows from a
+    * group tag. */
+  def pruneDocumentsSnapshotsOlderThan(spark: SparkSession,
+      base: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    pruneStreamSnapshotsOlderThan(spark, base,
+      Seq(s"${base}_band", s"${base}_bm25"), olderThanMs, nowMs)
+
+  def pruneVectorsSnapshotsOlderThan(spark: SparkSession,
+      base: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    pruneStreamSnapshotsOlderThan(spark, base,
+      vecFamilies.map(base + _), olderThanMs, nowMs)
+
+  private def pruneStreamSnapshotsOlderThan(spark: SparkSession,
+      base: String, fams: Seq[String], olderThanMs: Long,
+      nowMs: Long): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      require(olderThanMs >= 0,
+        "pruneStreamSnapshotsOlderThan: olderThanMs must be >= 0")
+      graft.operators.TextOps.listSnapshots(spark, base)
+        .filter { case (_, mtime) => mtime < nowMs - olderThanMs }
+        .map { case (tag, _) =>
+          dropStreamSnapshot(spark, base, fams, tag)
+          s"dropped snapshot $tag"
+        }
+    }
+
+  /** COMMITTED stream-level backup tags with group-marker mtimes,
+    * newest first. */
+  private def streamBackupsWithAge(spark: SparkSession,
+      markerPrefix: String): Seq[(String, Long)] = {
+    val p = markerPrefix.toLowerCase
+    spark.sessionState.catalog
+      .listTables("default", s"$p*").map(_.table)
+      .map { n =>
+        val loc = graft.operators.TextOps.tableLocation(spark, n)
+        val fs = loc.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        (n.stripPrefix(p), fs.getFileStatus(loc).getModificationTime)
+      }
+      .sortBy(-_._2)
+  }
+
+  def listDocumentsBackupsWithAge(spark: SparkSession,
+      base: String): Seq[(String, Long)] =
+    streamBackupsWithAge(spark, s"${base}_dbakok_")
+
+  def listVectorsBackupsWithAge(spark: SparkSession,
+      base: String): Seq[(String, Long)] =
+    streamBackupsWithAge(spark, s"${base}_vbakok_")
+
+  /** RETENTION for stream-level copy backups: keep the newest
+    * `keep` committed group tags. */
+  def pruneDocumentsBackups(spark: SparkSession, base: String,
+      keep: Int): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      require(keep >= 1, "pruneDocumentsBackups: keep must be >= 1")
+      listDocumentsBackupsWithAge(spark, base).drop(keep)
+        .map { case (tag, _) =>
+          dropDocumentsBackup(spark, base, tag)
+          s"dropped backup $tag"
+        }
+    }
+
+  def pruneVectorsBackups(spark: SparkSession, base: String,
+      keep: Int): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      require(keep >= 1, "pruneVectorsBackups: keep must be >= 1")
+      listVectorsBackupsWithAge(spark, base).drop(keep)
+        .map { case (tag, _) =>
+          dropVectorsBackup(spark, base, tag)
+          s"dropped backup $tag"
+        }
+    }
+
+  def pruneDocumentsBackupsOlderThan(spark: SparkSession,
+      base: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      require(olderThanMs >= 0,
+        "pruneDocumentsBackupsOlderThan: olderThanMs must be >= 0")
+      listDocumentsBackupsWithAge(spark, base)
+        .filter { case (_, mtime) => mtime < nowMs - olderThanMs }
+        .map { case (tag, _) =>
+          dropDocumentsBackup(spark, base, tag)
+          s"dropped backup $tag"
+        }
+    }
+
+  def pruneVectorsBackupsOlderThan(spark: SparkSession,
+      base: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      require(olderThanMs >= 0,
+        "pruneVectorsBackupsOlderThan: olderThanMs must be >= 0")
+      listVectorsBackupsWithAge(spark, base)
+        .filter { case (_, mtime) => mtime < nowMs - olderThanMs }
+        .map { case (tag, _) =>
+          dropVectorsBackup(spark, base, tag)
+          s"dropped backup $tag"
         }
     }
 
@@ -1547,11 +1665,14 @@ object StreamingOps {
   /** One-call maintenance pass over a unified document family. */
   def maintainDocuments(spark: SparkSession, base: String,
       policy: graft.operators.TextOps.MaintenancePolicy =
-        graft.operators.TextOps.MaintenancePolicy()): Seq[String] =
-    graft.operators.TextOps.maintainBand(spark, s"${base}_band", policy)
+        graft.operators.TextOps.MaintenancePolicy(),
+      guard: graft.operators.TextOps.FoldGuard =
+        graft.operators.TextOps.FoldGuard.Refuse): Seq[String] =
+    graft.operators.TextOps.maintainBand(spark, s"${base}_band",
+        policy, guard)
       .map(v => s"${base}_band: $v") ++
       graft.operators.TextOps.maintainBm25(spark, s"${base}_bm25",
-        policy).map(v => s"${base}_bm25: $v")
+        policy, guard).map(v => s"${base}_bm25: $v")
 
   /** One-call `describe` over every EXISTING member family of a
     * unified vector base (a family absent from this deployment is
@@ -1616,19 +1737,21 @@ object StreamingOps {
   def maintainVectors(spark: SparkSession, base: String,
       policy: graft.operators.TextOps.MaintenancePolicy =
         graft.operators.TextOps.MaintenancePolicy(),
-      refreshWith: Option[org.apache.spark.sql.DataFrame] = None)
+      refreshWith: Option[org.apache.spark.sql.DataFrame] = None,
+      guard: graft.operators.TextOps.FoldGuard =
+        graft.operators.TextOps.FoldGuard.Refuse)
       : Seq[String] =
     Seq(
       s"${base}_ann" -> (() => graft.operators.AnnIndex.maintain(
-        spark, s"${base}_ann", policy)),
+        spark, s"${base}_ann", policy, guard)),
       s"${base}_bq" -> (() => graft.operators.BqIndex.maintain(
-        spark, s"${base}_bq", policy)),
+        spark, s"${base}_bq", policy, guard)),
       s"${base}_sq" -> (() => graft.operators.SqIndex.maintain(
-        spark, s"${base}_sq", policy)),
+        spark, s"${base}_sq", policy, guard)),
       s"${base}_pq" -> (() => graft.operators.PqIndex.maintain(
-        spark, s"${base}_pq", policy, refreshWith)),
+        spark, s"${base}_pq", policy, refreshWith, guard)),
       s"${base}_ivf" -> (() => graft.operators.IvfIndex.maintain(
-        spark, s"${base}_ivf", policy, refreshWith)))
+        spark, s"${base}_ivf", policy, refreshWith, guard)))
       .filter(f => spark.catalog.tableExists(f._1))
       .flatMap { case (t, f) => f().map(v => s"$t: $v") }
 

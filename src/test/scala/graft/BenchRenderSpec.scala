@@ -289,14 +289,15 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(Bench.idleWait(() => -1.0, ms => sleeps += ms) === 0L)
     assert(sleeps === 0L)
     // loaded then draining: waits exactly until the threshold clears
-    val loads = Iterator(4.5, 3.0, 1.2)
+    // (r17 bound: threshold 1.0 — 1.2 still counts as loaded)
+    val loads = Iterator(4.5, 1.2, 0.8)
     val waited = Bench.idleWait(() => loads.next(), ms => sleeps += ms)
     assert(waited === 4L) // two 2s polls
     assert(sleeps === 4000L)
-    // permanently loaded: proceeds regardless at the 60s cap
+    // permanently loaded: proceeds regardless at the r17 300s cap
     sleeps = 0L
-    assert(Bench.idleWait(() => 9.9, ms => sleeps += ms) === 60L)
-    assert(sleeps === 60000L)
+    assert(Bench.idleWait(() => 9.9, ms => sleeps += ms) === 300L)
+    assert(sleeps === 300000L)
   }
 
   test("compact line: iw renders only when an idle wait happened; " +

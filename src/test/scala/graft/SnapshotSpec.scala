@@ -193,7 +193,9 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
         t, s"${t}_stats")
       assert(TextOps.checkSnapshot(spark, t).isEmpty)
       // ...a fold does not — and the check says so WITHOUT mutating
-      TextOps.compactIndex(spark, t)
+      // (Orphan: the fold-time guard is FoldGuardSpec's subject; this
+      // test is about the read-only check AFTER an orphaning fold)
+      TextOps.compactIndex(spark, t, TextOps.FoldGuard.Orphan)
       val v = TextOps.checkSnapshot(spark, t)
       assert(v.exists(_.contains("missing")), v.toString)
       // the stale check is read-only: restore still refuses on its own
@@ -299,7 +301,7 @@ class SnapshotSpec extends AnyFunSuite with SparkSuite {
         Seq(9L -> "brand new doc").toDF("doc_id", "text"),
         t, s"${t}_stats")
       val rows = spark.table(t).collect().map(_.toString).sorted.toSeq
-      TextOps.compactIndex(spark, t)
+      TextOps.compactIndex(spark, t, TextOps.FoldGuard.Orphan)
       val e = intercept[IllegalArgumentException] {
         TextOps.restoreSnapshot(spark, t)
       }

@@ -154,7 +154,8 @@ class StreamSnapshotSpec extends AnyFunSuite with SparkSuite {
       docs.filter(col("doc_id") >= 15 && col("doc_id") < 25)
         .write.mode("append").parquet(s"$dir/documents.parquet")
       streaming.StreamingOps.streamingDocumentIngest(spark, dir, base)
-      TextOps.compactIndex(spark, s"${base}_bm25")
+      TextOps.compactIndex(spark, s"${base}_bm25",
+        TextOps.FoldGuard.Orphan)
       val before = state(docTables(base) :+ s"${base}_ledger")
       val ckFiles = TextOps.listFilesUnder(spark,
         new org.apache.hadoop.fs.Path(

@@ -73,8 +73,9 @@ class TimeTravelReadSpec extends AnyFunSuite with SparkSuite {
       assert(d.exists(_.contains(s"${t}_del: member added")),
         d.toString)
       assert(TextOps.snapshotDiff(spark, t, "s1", "s1") === Nil)
-      // a fold rewrites history: the as-of files are gone, refuse
-      TextOps.compactIndex(spark, t)
+      // a fold rewrites history (knowingly orphaned): the as-of
+      // files are gone, refuse
+      TextOps.compactIndex(spark, t, TextOps.FoldGuard.Orphan)
       val e = intercept[IllegalArgumentException] {
         TextOps.readSnapshot(spark, t, "s1")
       }
