@@ -1033,6 +1033,17 @@ object AnnIndex {
       table + "_del", "vec_id")
     val vecs = TO.exceptTombstones(s.table(table + "_vec"), s,
       table + "_del", "vec_id")
+    scoreExternalFrames(queries, bands, vecs, nb, bt, dm, pm)
+  }
+
+  /** The [[scoreExternal]] body over explicit index FRAMES — shared
+    * by the live path (catalog tables minus live tombstones) and the
+    * as-of path ([[scoreAsOf]]: readSnapshot's file-pinned frames),
+    * so the two cannot drift (the streamingBm25 one-definition
+    * discipline). */
+  private def scoreExternalFrames(queries: DataFrame,
+      bands: DataFrame, vecs: DataFrame,
+      nb: Int, bt: Int, dm: Int, pm: Int): DataFrame = {
     val qb = Ann.prepExternal(queries, dm)
       .withColumn("bands", Ann.bandKeys(col("qv"), nb, bt, dm, pm))
       .select(col("q_id"), col("qv"), col("qn"),
@@ -1048,6 +1059,49 @@ object AnnIndex {
       .select(col("q_id"), col("vec_id"),
         CosSim.sentinel(expr("graft_dot(v, qv)"),
           col("nrm"), col("qn")).as("sim"))
+  }
+
+  /** [[scoreExternal]] AS OF a `<tag>` manifest snapshot WITHOUT
+    * restoring anything (r17, VERDICT item 5): bands, payload and
+    * the tombstone list come from
+    * [[graft.operators.TextOps.readSnapshot]]'s file-pinned frames
+    * (fold-anchor-aware), the banding config from the snapshot's own
+    * `_cfg` meta copy — the pins the index was SERVING under at the
+    * tag, not today's. One scoring definition ([[
+    * scoreExternalFrames]]) for live and as-of, so parity holds by
+    * construction (AsOfProbeSpec gates it against a restored copy).
+    * Plain parquet scans + a one-off Exchange: the audit path, not
+    * the serving path. */
+  def scoreAsOf(queries: DataFrame, s: SparkSession, table: String,
+      tag: String, nBands: Int = NBands, bits: Int = Bits,
+      dim: Int = CosSim.EmbDim): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val mf = s"${table}_mf_$tag"
+    require(s.catalog.tableExists(mf), s"scoreAsOf: no manifest $mf")
+    val manifest = TO.readManifest(s, mf)
+    val cfg =
+      if (s.catalog.tableExists(s"${table}_cfg_bak_mf$tag")) {
+        val row = TO.readSnapshot(s, table, tag, "_cfg").collect()(0)
+        Some(row.schema.fieldNames.map(k =>
+          k -> row.getAs[Int](k)).toMap)
+      } else None
+    val (nb, bt, dm) = cfg match {
+      case Some(c) => (c("nbands"), c("bits"), c("dim"))
+      case None => (nBands, bits, dim)
+    }
+    val pm = cfg match {
+      case Some(c) => c.getOrElse("planemod", Ann.LegacyPlaneModulus)
+      case None => 0 // 0 = derive (Ann.bandKeys)
+    }
+    val del =
+      if (manifest.contains(table + "_del"))
+        Some(TO.readSnapshot(s, table, tag, "_del"))
+      else None
+    val bands = TO.exceptTombstonesFrame(
+      TO.readSnapshot(s, table, tag), del, "vec_id")
+    val vecs = TO.exceptTombstonesFrame(
+      TO.readSnapshot(s, table, tag, "_vec"), del, "vec_id")
+    scoreExternalFrames(queries, bands, vecs, nb, bt, dm, pm)
   }
 
   /** The stored ANN index for `sfDir`'s embeddings, built on first use

@@ -516,14 +516,27 @@ object TextOps {
       df: org.apache.spark.sql.DataFrame,
       s: org.apache.spark.sql.SparkSession, delTable: String,
       idCol: String): org.apache.spark.sql.DataFrame =
-    if (!s.catalog.tableExists(delTable)) df
-    else {
-      val del = withEntryGen(s.table(delTable))
-        .select(col(idCol).as("_del_id"), col("gen").as("_del_gen"))
-      val rowGen =
-        if (df.columns.contains("gen")) df("gen") else lit(0L)
-      df.join(del, df(idCol) === col("_del_id") &&
-        rowGen < col("_del_gen"), "left_anti")
+    exceptTombstonesFrame(df,
+      if (s.catalog.tableExists(delTable)) Some(s.table(delTable))
+      else None, idCol)
+
+  /** [[exceptTombstones]] over an explicit tombstone FRAME instead of
+    * a live catalog table — the as-of probes subtract a snapshot's
+    * tombstone list read from its manifested files (r17). None = no
+    * list (nothing subtracted), matching the absent-table case. */
+  private[graft] def exceptTombstonesFrame(
+      df: org.apache.spark.sql.DataFrame,
+      delFrame: Option[org.apache.spark.sql.DataFrame],
+      idCol: String): org.apache.spark.sql.DataFrame =
+    delFrame match {
+      case None => df
+      case Some(d) =>
+        val del = withEntryGen(d)
+          .select(col(idCol).as("_del_id"), col("gen").as("_del_gen"))
+        val rowGen =
+          if (df.columns.contains("gen")) df("gen") else lit(0L)
+        df.join(del, df(idCol) === col("_del_id") &&
+          rowGen < col("_del_gen"), "left_anti")
     }
 
   /** Fold a tombstone list into its index family's stored files and
@@ -2928,6 +2941,42 @@ object TextOps {
       s.table(statsTable))
   }
 
+  /** Score (q_id, token) query terms against a BM25 family AS OF a
+    * `<tag>` manifest snapshot WITHOUT restoring anything — the
+    * audit-path probe (r17, VERDICT item 5): postings and the
+    * tombstone list come from [[readSnapshot]]'s file-pinned frames
+    * (fold-anchor-aware, like every snapshot read), the stats row
+    * from its O(1) meta copy, and the arithmetic is the ONE shared
+    * scorer ([[bm25ScoreIncr]]) — so the as-of score equals what a
+    * restored copy of the tag would serve (AsOfProbeSpec gates
+    * value-parity). The plan is plain parquet scans with a one-off
+    * Exchange — this is the AUDIT path ("what did this query score
+    * last Tuesday"), not the serving path; restore for serving.
+    * Refuses a snapshot carrying a PENDING delete stage: the serving
+    * path folds the stage before scoring, so no served state ever
+    * matches the raw staged mix. */
+  def scoreBm25AsOf(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String,
+      queryTerms: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val mf = s"${table}_mf_$tag"
+    require(s.catalog.tableExists(mf),
+      s"scoreBm25AsOf: no manifest $mf")
+    val manifest = readManifest(s, mf)
+    require(manifest.getOrElse(table + "_del_stage", Nil).isEmpty,
+      s"scoreBm25AsOf: snapshot $tag carries a pending delete " +
+        "stage — the serving path folds it before scoring; restore " +
+        "the snapshot and probe the restored family instead")
+    val postings = readSnapshot(s, table, tag)
+    val del =
+      if (manifest.contains(table + "_del"))
+        Some(readSnapshot(s, table, tag, "_del"))
+      else None
+    val stats = readSnapshot(s, table, tag, "_stats")
+    bm25ScoreIncr(queryTerms,
+      exceptTombstonesFrame(postings, del, "doc_id"), stats)
+  }
+
   /** Score query terms against an INCREMENTAL index ([[
     * appendBm25Postings]]): identical output contract and arithmetic to
     * [[bm25Score]] — the idf/weight expressions are the same shared
@@ -3753,6 +3802,30 @@ object TextOps {
           .as("avg_bits"))
   }
 
+  /** [[connectedComponents]]'s regime bound: graphs at or below this
+    * edge count take the measured single-partition fast path; above
+    * it, parallelism derives from the data. The sf0.1 near-dup
+    * subgraph is ~100s of edges; 50k edges of (long, long) is still
+    * comfortably one task's work. */
+  private[graft] val CcSmallGraphMaxEdges: Long = 50000L
+
+  /** Target edges per shuffle partition in the large regime — two
+    * longs plus row overhead ≈ 24 B/edge, so 500k edges ≈ 12 MB per
+    * partition of loop state. */
+  private[graft] val CcEdgesPerPartition: Long = 500000L
+
+  /** The [[connectedComponents]] regime decision, pure for its spec:
+    * (small?, loop shuffle partitions). */
+  private[graft] def ccPlan(edgeCount: Long,
+      smallMax: Long = CcSmallGraphMaxEdges): (Boolean, Int) = {
+    val small = edgeCount <= smallMax
+    val parts =
+      if (small) 1
+      else math.max(2, math.min(4096,
+        math.ceil(edgeCount.toDouble / CcEdgesPerPartition).toInt))
+    (small, parts)
+  }
+
   /** Connected components by iterative min-label propagation over an
     * undirected `(a_id, b_id)` edge list (tiny — the near-dup subgraph
     * of a corpus; pinned + lineage-cut here via eager localCheckpoint,
@@ -3820,23 +3893,58 @@ object TextOps {
     *     label-SUM witness that needed a decimal(38,0) accumulator to
     *     rule out wraparound faking convergence; counting changes has no
     *     overflow mode at all.
-    *   - Loop-scoped conf (restored in finally): 1 shuffle partition to
-    *     match the caller's repartition(1) subgraph (the session's 32
-    *     would schedule 32 near-empty tasks per exchange), AQE off (each
-    *     exchange would become a separately materialized + re-optimized
-    *     query stage — pure latency on this fixed-shape tiny DAG), and
-    *     whole-stage codegen off (each round compiles fresh generated
-    *     classes for a job that touches a few hundred rows — measured
-    *     ~0.3s/round, the compile never amortizes). The first two knobs
-    *     were worth ~0.8s/query each. At real scale raise the partition
-    *     count with the caller's repartition(1), re-enable AQE, and
-    *     re-enable codegen once per-round data is large enough to
-    *     amortize the compile (~millions of rows).
+    *   - DATA-DERIVED REGIME SWITCH (r17, VERDICT item 3 — formerly a
+    *     hand-flipped knob documented as "raise at real scale"): the
+    *     eager localCheckpoint materializes the edge list anyway, so
+    *     its count is read before the loop and picks the regime.
+    *     TINY graph (≤ `smallGraphMaxEdges`, the measured sf0.1
+    *     near-dup case): collapse to ONE partition behind a shuffle
+    *     boundary and pin loop-scoped conf (restored in finally) — 1
+    *     shuffle partition (the session's 32 would schedule 32
+    *     near-empty tasks per exchange), AQE off (each exchange would
+    *     become a separately materialized + re-optimized query stage —
+    *     pure latency on this fixed-shape tiny DAG), whole-stage
+    *     codegen off (each round compiles fresh generated classes for
+    *     a job touching a few hundred rows, ~0.3s/round that never
+    *     amortizes; the first two knobs were worth ~0.8s/query each),
+    *     pointer-doubling off (cliquish graphs converge in ~2 rounds;
+    *     the extra self-join never pays). Every round ends in a
+    *     label-sized localCheckpoint lineage cut in BOTH regimes (see
+    *     the in-loop comment — plan growth under doubling is
+    *     exponential in rounds, and a merely persisted frame is
+    *     unsafe to carry across the previous round's block free); on
+    *     the tiny regime that is one extra ~10ms job per round.
+    *     LARGE graph: shuffle
+    *     partitions derived from the edge count ([[ccPlan]] — bounded
+    *     below by 2, above by 4096), AQE and codegen stay at session
+    *     settings (per-round data now amortizes both), and
+    *     pointer-doubling DEFAULTS ON (O(log d) rounds — a
+    *     billion-edge graph's diameter is not cliquish). An explicit
+    *     `pointerDoubling` overrides the default in either regime.
+    *     Both regimes produce identical labels
+    *     (ConnectedComponentsSpec's cross-regime leg).
     */
   def connectedComponents(s: org.apache.spark.sql.SparkSession,
       edges: org.apache.spark.sql.DataFrame,
-      pointerDoubling: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val e = edges.localCheckpoint()
+      pointerDoubling: Option[Boolean] = None,
+      smallGraphMaxEdges: Long = CcSmallGraphMaxEdges)
+      : org.apache.spark.sql.DataFrame = {
+    val e0 = edges.localCheckpoint()
+    // the checkpoint already ran the heavy candidate pipeline; this
+    // count scans the pinned blocks only
+    val edgeCount = e0.count()
+    val (small, parts) = ccPlan(edgeCount, smallGraphMaxEdges)
+    val doubling = pointerDoubling.getOrElse(!small)
+    val e =
+      if (small && e0.rdd.getNumPartitions > 1) {
+        // drop the tiny subgraph to one partition behind a shuffle
+        // boundary (NOT coalesce, which would collapse the upstream
+        // pipeline into one task — moot here since e0 is already
+        // materialized, but repartition keeps the shape explicit)
+        val one = e0.repartition(1).localCheckpoint()
+        unpersistCheckpoint(e0)
+        one
+      } else e0
     val sym = e
       .select(col("a_id").as("u"), col("b_id").as("v"))
       .union(e.select(col("b_id").as("u"), col("a_id").as("v")))
@@ -3857,7 +3965,7 @@ object TextOps {
         .select(col("v").as("id"), col("lbl"))
       val base = l.select(col("id"), col("lbl"), lit(true).as("own"))
         .union(via.select(col("id"), col("lbl"), lit(false).as("own")))
-      val contrib = if (!pointerDoubling) base else {
+      val contrib = if (!doubling) base else {
         // pointer-doubling hop: follow each id's label to THAT node's
         // label (lbl(lbl(id))) — one more min contribution per id, same
         // aggregate, halves the remaining diameter each round
@@ -3879,37 +3987,76 @@ object TextOps {
             .as("changed"))
         .select("id", "lbl")
     }
-    val loopConf = Seq("spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "1",
-      "spark.sql.codegen.wholeStage" -> "false")
+    val loopConf =
+      if (small) Seq("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "1",
+        "spark.sql.codegen.wholeStage" -> "false")
+      else Seq("spark.sql.shuffle.partitions" -> parts.toString)
     val prevConf = loopConf.map { case (k, _) => k -> s.conf.get(k) }
     try {
       loopConf.foreach { case (k, v) => s.conf.set(k, v) }
       var converged = false
+      // whether the CURRENT labels frame is a per-round checkpoint
+      // (large regime, round ≥ 1) or a plain persisted frame. The
+      // distinction matters for freeing: unpersistCheckpoint reaches
+      // for the plan's first LogicalRDD, which on a PERSISTED frame
+      // is the pinned EDGE list — freeing that mid-loop kills the
+      // loop's only data source.
+      var labelsIsCk = false
+      def free(df: org.apache.spark.sql.DataFrame,
+          isCk: Boolean): Unit =
+        if (isCk) unpersistCheckpoint(df) else { df.unpersist(); () }
       while (!converged) {
         val obs = new org.apache.spark.sql.Observation()
-        val next = step(labels, obs).persist()
+        val stepped = step(labels, obs).persist()
         // on a mid-loop failure, drop BOTH cached frames before
         // rethrowing — the finally below restores conf, not cache state
         val changed =
           try {
-            next.count()
+            stepped.count()
             obs.get("changed").asInstanceOf[Long]
           } catch { case t: Throwable =>
-            next.unpersist(); labels.unpersist(); throw t
+            stepped.unpersist(); free(labels, labelsIsCk); throw t
           }
+        // PLAN-LINEAGE CUT, every round (r17): the step references
+        // the labels frame up to 3 times (own row, neighbor hop,
+        // doubling jump), so an uncut logical plan grows
+        // EXPONENTIALLY with round count — invisible on the cliquish
+        // 2-round corpus graphs, an OOM in plan stringification alone
+        // by round ~9 of a high-diameter graph. The checkpoint also
+        // makes each round's labels SELF-CONTAINED before the
+        // previous round's blocks are freed below — carrying a merely
+        // persisted frame across the free is unsafe: the doubling
+        // self-join clones one plan branch (DeduplicateRelations),
+        // and the cloned branch can dodge cache substitution and read
+        // the freed checkpoint directly (observed as
+        // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Cost: one extra
+        // label-sized pass per round over the just-cached rows.
+        val next =
+          try stepped.localCheckpoint()
+          catch { case t: Throwable =>
+            stepped.unpersist(); free(labels, labelsIsCk); throw t
+          }
+        stepped.unpersist()
         converged = changed == 0L
-        labels.unpersist()
+        free(labels, labelsIsCk)
         labels = next
+        labelsIsCk = true
       }
       // detach the result from the edge list: one more (tiny, cached,
       // 1-partition) materialization into its own checkpoint blocks, so
       // the finally below can free the edge blocks without leaving the
       // returned frame un-recomputable; a failed detach must not orphan
-      // the converged cache (same discipline as the mid-loop handler)
-      val out = try labels.localCheckpoint()
-        catch { case t: Throwable => labels.unpersist(); throw t }
-      labels.unpersist()
+      // the converged cache (same discipline as the mid-loop handler).
+      // A cut round's labels frame IS already self-contained.
+      val out =
+        if (labelsIsCk) labels
+        else {
+          val o = try labels.localCheckpoint()
+            catch { case t: Throwable => labels.unpersist(); throw t }
+          labels.unpersist()
+          o
+        }
       out
     } finally {
       prevConf.foreach { case (k, v) => s.conf.set(k, v) }
@@ -4230,13 +4377,12 @@ object TextOps {
         val (docs, cand) = bandCandidates(s, d)
         val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
         val jac = jaccard(col("a_toks"), col("b_toks"))
-        // symmetric edge list, once: each propagation round is then ONE
-        // join + ONE min-aggregate. repartition(1) — NOT coalesce(1),
-        // which would collapse the whole upstream hash/verify pipeline
-        // into a single task — drops the tiny near-dup subgraph to one
-        // partition behind a shuffle boundary (raise at real scale;
-        // every step below is plain joins/aggregates and partitions
-        // freely).
+        // symmetric edge list, once: each propagation round is then
+        // ONE join + ONE min-aggregate. No partitioning hints here
+        // (r17): connectedComponents derives its own regime from the
+        // materialized edge count — this tiny subgraph drops to one
+        // partition inside the loop; a billion-edge graph partitions
+        // from the data.
         val edges = cand
           .join(toks.select(col("doc_id").as("a_id"),
             col("toks").as("a_toks")), "a_id")
@@ -4244,7 +4390,6 @@ object TextOps {
             col("toks").as("b_toks")), "b_id")
           .filter(jac >= 0.5)
           .select("a_id", "b_id")
-          .repartition(1)
         connectedComponents(s, edges)
           .select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
       },

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{AnnIndex, TextOps}
+import graft.operators.TextOps.FoldGuard
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AS-OF PROBES (r17, VERDICT item 5): serve a BM25 / banded-ANN
+  * score against a manifest snapshot tag WITHOUT restoring it —
+  * planned over readSnapshot's file-pinned frames (one-off Exchange
+  * accepted: audit path, not serving path). The gate: scoreAsOf(tag)
+  * equals the score a RESTORED copy of the same tag serves, for both
+  * families — one scoring definition shared by the live and as-of
+  * paths, so parity holds by construction and these tests keep it
+  * honest. Bonus leg: the as-of probe keeps working across an
+  * ANCHORED fold (the FoldGuardSpec contract carried to scoring).
+  */
+class AsOfProbeSpec extends AnyFunSuite with SparkSuite {
+
+  private val pid = ProcessHandle.current().pid()
+
+  private def drop(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def famAll(t: String): Seq[String] =
+    (t +: TextOps.BackupSiblings.map(t + _)) ++
+      Seq(s"${t}_mf_s1", s"${t}_compact", s"${t}_old",
+        s"${t}_stats") ++
+      TextOps.SnapshotCopySiblings.map(sf => s"$t${sf}_bak_mfs1")
+
+  test("scoreBm25AsOf(tag) equals the restored copy's score — " +
+      "before AND after an anchored fold; live moves on unaffected") {
+    val t = s"ao_bm25_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        (1L to 20L).map(i => i -> s"spark shuffle join token$i data")
+          .toDF("doc_id", "text"), t, s"${t}_stats")
+      // a tombstone so the as-of path exercises the `_del` subtract
+      TextOps.deleteBm25Docs(spark, t, s"${t}_stats",
+        Seq(5L).toDF("doc_id"))
+      TextOps.snapshotIndex(spark, t, "s1")
+      val qt = Seq((1, "spark"), (1, "shuffle"), (2, "token7"))
+        .toDF("q_id", "token")
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getInt(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      val asOf = scores(TextOps.scoreBm25AsOf(spark, t, "s1", qt))
+      assert(asOf.nonEmpty)
+      assert(!asOf.keySet.exists(_._2 == 5L), "tombstoned doc scored")
+      // live moves on: more docs, another delete
+      TextOps.appendBm25Postings(
+        Seq(21L -> "spark shuffle fresh").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      TextOps.deleteBm25Docs(spark, t, s"${t}_stats",
+        Seq(1L).toDF("doc_id"))
+      val (p2, s2) = TextOps.liveBm25(spark, t, s"${t}_stats")
+      val live = scores(TextOps.bm25ScoreIncr(qt, p2, s2))
+      assert(live !== asOf)
+      // the as-of score is unmoved...
+      assert(scores(TextOps.scoreBm25AsOf(spark, t, "s1", qt)) ===
+        asOf)
+      // ...including across an anchored fold
+      TextOps.compactIndex(spark, t, FoldGuard.Anchor)
+      assert(scores(TextOps.scoreBm25AsOf(spark, t, "s1", qt)) ===
+        asOf)
+      // and it equals exactly what a restored copy of the tag serves
+      TextOps.restoreSnapshot(spark, t, "s1")
+      val (rp, rs) = TextOps.liveBm25(spark, t, s"${t}_stats")
+      assert(scores(TextOps.bm25ScoreIncr(qt, rp, rs)) === asOf)
+    } finally drop(all: _*)
+  }
+
+  test("AnnIndex.scoreAsOf(tag) equals the restored copy's " +
+      "scoreExternal, banding under the snapshot's own cfg pins") {
+    val a = s"ao_ann_p$pid"
+    val all = famAll(a) ++ Seq(s"${a}_vec_mf_s1")
+    drop(all: _*)
+    try {
+      val emb = Tables(spark, sf, "embeddings")
+      AnnIndex.write(emb, a, nBands = 4, bits = 2)
+      val sp = spark
+      import sp.implicits._
+      AnnIndex.delete(spark, a, Seq(3L).toDF("vec_id"))
+      TextOps.snapshotIndex(spark, a, "s1")
+      val queries = emb.filter(col("vec_id").isin(1L, 2L))
+        .select((col("vec_id") + 1000L).as("q_id"), col("embedding"))
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      val asOf = scores(AnnIndex.scoreAsOf(queries, spark, a, "s1"))
+      assert(asOf.nonEmpty)
+      assert(!asOf.keySet.exists(_._2 == 3L), "tombstoned vec scored")
+      // live moves on: another delete shrinks the live candidates
+      AnnIndex.delete(spark, a, Seq(1L).toDF("vec_id"))
+      val live = scores(AnnIndex.scoreExternal(queries, spark, a))
+      assert(live !== asOf)
+      assert(scores(AnnIndex.scoreAsOf(queries, spark, a, "s1")) ===
+        asOf)
+      // parity with the restored copy
+      TextOps.restoreSnapshot(spark, a, "s1")
+      assert(scores(AnnIndex.scoreExternal(queries, spark, a)) ===
+        asOf)
+    } finally drop(all: _*)
+  }
+}

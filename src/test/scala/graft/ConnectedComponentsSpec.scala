@@ -17,7 +17,8 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     val edges = pairs.toDF("a_id", "b_id").repartition(1).persist()
     try {
-      val labels = TextOps.connectedComponents(spark, edges, doubling)
+      val labels = TextOps.connectedComponents(spark, edges,
+        Some(doubling))
       // returned frame is a self-contained localCheckpoint (contract):
       // its blocks are GC-released once this reference drops
       labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -117,6 +118,42 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
       }
       assert(cc(pairs) === expect, s"seed offset $i pairs=$pairs")
     }
+  }
+
+  test("data-derived regime (r17): above the edge threshold the loop " +
+      "parallelizes and labels match the small regime exactly") {
+    import spark.implicits._
+    // the regime decision is pure and spec-checkable
+    assert(TextOps.ccPlan(50L) === ((true, 1)))
+    assert(TextOps.ccPlan(TextOps.CcSmallGraphMaxEdges) === ((true, 1)))
+    assert(TextOps.ccPlan(900L, smallMax = 100L) === ((false, 2)))
+    assert(TextOps.ccPlan(10000000L) === ((false, 20)))
+    assert(TextOps.ccPlan(1000L * 1000L * 1000L * 10L)._2 === 4096)
+    // three 300-edge chains: diameter large enough that the large
+    // regime's pointer-doubling default matters, small enough to run
+    val pairs = (0 until 3).flatMap { c =>
+      val base = c * 10000L
+      (0L until 300L).map(i => (base + i, base + i + 1))
+    }
+    val edges = pairs.toDF("a_id", "b_id")
+    val large = TextOps.connectedComponents(spark, edges,
+      smallGraphMaxEdges = 100L)
+    assert(large.rdd.getNumPartitions > 1,
+      s"large regime ran on ${large.rdd.getNumPartitions} partition(s)")
+    val largeMap = large.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical labels from the single-partition regime (doubling
+    // pinned on both sides so the comparison is regime-only)
+    val smallMap = TextOps.connectedComponents(spark, edges,
+        pointerDoubling = Some(true),
+        smallGraphMaxEdges = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(largeMap === smallMap)
+    val expect = (0 until 3).flatMap { c =>
+      val base = c * 10000L
+      (0L to 300L).map(i => (base + i) -> base)
+    }.toMap
+    assert(largeMap === expect)
   }
 
   test("loop-scoped conf is restored on the session") {
