@@ -41,7 +41,9 @@ class BackupScaleSpec extends AnyFunSuite with SparkSuite {
         t +: TextOps.BackupSiblings.map(t + _)) ++
         Seq(bt, at).flatMap(t =>
           (t +: TextOps.BackupSiblings.map(t + _))
-            .map(_ + "_bak_bak")) ++
+            .flatMap(m => Seq(s"${m}_bak_bak", s"${m}_bak_diff"))) ++
+        Seq(bt, at).flatMap(t =>
+          Seq(s"${t}_bakok_bak", s"${t}_bakok_diff")) ++
         Seq(s"${bt}_mf_snap", s"${at}_mf_snap") ++
         Seq(bt, at).flatMap(t =>
           TextOps.SnapshotCopySiblings.map(t + _ + "_bak_mfsnap")))
@@ -77,9 +79,31 @@ class BackupScaleSpec extends AnyFunSuite with SparkSuite {
             TextOps.checkSnapshot(spark, at)
         }
         assert(chk.isEmpty, s"$label: fresh snapshot not clean: $chk")
+        // DIFFERENTIAL leg (r17): append a ~10% window to the BM25
+        // family, then back it up AGAINST the full tag — the bend in
+        // the byte curve: physical bytes ride the append window, not
+        // the corpus (references cover the rest)
+        val bmFam = bt +: TextOps.BackupSiblings.map(bt + _)
+        val fullBmBytes = bytesOf(bmFam.map(_ + "_bak_bak"))
+        val extra = docs
+          .limit(math.max(1, (docs.count() / 10).toInt))
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        TextOps.appendBm25Postings(extra, bt, s"${bt}_stats")
+        val (_, diffS) = timed {
+          TextOps.backupIndex(spark, bt, "diff",
+            baseTag = Some("bak"))
+        }
+        val diffBytes = bytesOf(bmFam.map(_ + "_bak_diff"))
+        assert(TextOps.checkBackup(spark, bt, "diff") === Nil)
+        assert(diffBytes > 0 && diffBytes * 2 < fullBmBytes,
+          s"$label: differential copied $diffBytes of $fullBmBytes " +
+            "full-copy bytes — not a delta")
         println(f"BACKUP_AUDIT $label backup=$backupS%.2fs/" +
           f"${backupBytes / 1024}%dKiB snapshot=$snapS%.2fs/" +
-          f"${snapBytes / 1024}%dKiB check=$checkS%.2fs")
+          f"${snapBytes / 1024}%dKiB check=$checkS%.2fs " +
+          f"diff10pct=$diffS%.2fs/${diffBytes / 1024}%dKiB " +
+          f"(${diffBytes * 100.0 / fullBmBytes}%.1f%% of the bm25 " +
+          f"full copy's ${fullBmBytes / 1024}%dKiB)")
         (backupS, snapS, checkS, backupBytes, snapBytes)
       } finally
         all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
