@@ -701,10 +701,16 @@ object StreamingOps {
         .reconcileBm25Tombstones(s, bm25T, statsT),
       // per-batch self-maintenance when a policy rides along (r14):
       // the ingest loop compacts/vacuums its own families as their
-      // gauges trip, no separate maintenance scheduler required
+      // gauges trip, no separate maintenance scheduler required.
+      // UNATTENDED folds run under FoldGuard.Anchor (r17): a refusal
+      // would crash the batch, and nobody is there to answer it —
+      // anchoring keeps both the stream AND any pinned manifest
+      // snapshots serving (the operator-facing verbs keep Refuse)
       afterBatch = s => maintain.foreach { p =>
-        graft.operators.TextOps.maintainBm25(s, bm25T, p)
-        graft.operators.TextOps.maintainBand(s, bandT, p)
+        graft.operators.TextOps.maintainBm25(s, bm25T, p,
+          graft.operators.TextOps.FoldGuard.Anchor)
+        graft.operators.TextOps.maintainBand(s, bandT, p,
+          graft.operators.TextOps.FoldGuard.Anchor)
         ()
       })
     // the hook may have compacted/vacuumed the tombstone lists in the
@@ -1828,9 +1834,12 @@ object StreamingOps {
       // an upsert cadence accrues the SAME debt as ingest+delete (a
       // barrier entry and one `_del` file per batch) — the long-running
       // CDC stream self-maintains exactly like the ingest loops
+      // (FoldGuard.Anchor: unattended, see the ingest hook)
       afterBatch = s => maintain.foreach { p =>
-        graft.operators.TextOps.maintainBm25(s, s"${base}_bm25", p)
-        graft.operators.TextOps.maintainBand(s, s"${base}_band", p)
+        graft.operators.TextOps.maintainBm25(s, s"${base}_bm25", p,
+          graft.operators.TextOps.FoldGuard.Anchor)
+        graft.operators.TextOps.maintainBand(s, s"${base}_band", p,
+          graft.operators.TextOps.FoldGuard.Anchor)
         ()
       })
     Seq(s"${base}_band", s"${base}_band_del", s"${base}_bm25",
@@ -1864,15 +1873,18 @@ object StreamingOps {
       },
       maxFilesPerTrigger = Some(1),
       // metadata-cheap self-maintenance per batch, the ingest-loop
-      // hook's vector side (drift gauges stay in operator passes)
+      // hook's vector side (drift gauges stay in operator passes;
+      // FoldGuard.Anchor: unattended, see the document ingest hook)
       afterBatch = s => maintain.foreach { p =>
-        graft.operators.AnnIndex.maintain(s, s"${base}_ann", p)
-        graft.operators.BqIndex.maintain(s, s"${base}_bq", p)
-        graft.operators.SqIndex.maintain(s, s"${base}_sq", p)
+        val anchor = graft.operators.TextOps.FoldGuard.Anchor
+        graft.operators.AnnIndex.maintain(s, s"${base}_ann", p,
+          anchor)
+        graft.operators.BqIndex.maintain(s, s"${base}_bq", p, anchor)
+        graft.operators.SqIndex.maintain(s, s"${base}_sq", p, anchor)
         graft.operators.TextOps.maintainIndex(s, Seq(s"${base}_pq"),
-          s"${base}_pq_del", "vec_id", p)
+          s"${base}_pq_del", "vec_id", p, guard = anchor)
         graft.operators.TextOps.maintainIndex(s, Seq(s"${base}_ivf"),
-          s"${base}_ivf_del", "vec_id", p)
+          s"${base}_ivf_del", "vec_id", p, guard = anchor)
         ()
       })
     Seq("_ann", "_ann_vec", "_ann_del", "_bq", "_bq_del", "_sq",
@@ -1983,15 +1995,17 @@ object StreamingOps {
       // O(index) reconstruction jobs, and drift-triggered refresh
       // belongs to an operator pass with the training corpus in hand
       // (IvfIndex/PqIndex.maintain with refreshWith), not to every
-      // arriving micro-batch.
+      // arriving micro-batch. FoldGuard.Anchor: unattended (see the
+      // document ingest hook).
       afterBatch = s => maintain.foreach { p =>
-        graft.operators.AnnIndex.maintain(s, annT, p)
-        graft.operators.BqIndex.maintain(s, bqT, p)
-        graft.operators.SqIndex.maintain(s, sqT, p)
+        val anchor = graft.operators.TextOps.FoldGuard.Anchor
+        graft.operators.AnnIndex.maintain(s, annT, p, anchor)
+        graft.operators.BqIndex.maintain(s, bqT, p, anchor)
+        graft.operators.SqIndex.maintain(s, sqT, p, anchor)
         graft.operators.TextOps.maintainIndex(s, Seq(pqT),
-          pqT + "_del", "vec_id", p)
+          pqT + "_del", "vec_id", p, guard = anchor)
         graft.operators.TextOps.maintainIndex(s, Seq(ivfT),
-          ivfT + "_del", "vec_id", p)
+          ivfT + "_del", "vec_id", p, guard = anchor)
         ()
       })
     // refresh the caller's view of lists the hook may have rewritten

@@ -216,6 +216,67 @@ class MaintainSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("upsert hook + pinned snapshot (r17): the unattended fold " +
+      "ANCHORS instead of refusing — the stream lives AND the " +
+      "snapshot keeps serving") {
+    val base = s"mnt_ghook_p$pid"
+    val bm25T = s"${base}_bm25"
+    val all = Seq(bm25T, s"${bm25T}_stats", s"${bm25T}_del",
+      s"${bm25T}_del_compact", s"${bm25T}_del_old", s"${base}_band",
+      s"${base}_band_del", s"${base}_ups_ledger",
+      s"${bm25T}_mf_snap") ++
+      TextOps.SnapshotCopySiblings.map(sf =>
+        s"$bm25T${sf}_bak_mfsnap")
+    drop(all: _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mnt_ghook").toString
+    try {
+      val sp = spark
+      import sp.implicits._
+      // seeded family (the upsert twin's precondition), plus
+      // delete-file pressure past the hook's threshold
+      TextOps.appendBm25Postings(
+        Seq((1L, "spark join window"), (2L, "hash scan merge"))
+          .toDF("doc_id", "text"), bm25T, s"${bm25T}_stats")
+      TextOps.writeBandIndex(
+        Seq((1L, "spark join window", "en", "s0", 17L),
+          (2L, "hash scan merge", "en", "s0", 15L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        s"${base}_band")
+      (5000L until 5005L).foreach { id =>
+        TextOps.tombstone(spark, s"${bm25T}_del",
+          Seq(id).toDF("doc_id"), "doc_id")
+      }
+      assert(filesIn(s"${bm25T}_del") >= 5L)
+      // a live manifest snapshot pins the postings AND the
+      // tombstone-list files the hook's compact-tombstones is about
+      // to rewrite
+      TextOps.snapshotIndex(spark, bm25T, "snap")
+      val delAsOf = TextOps.readSnapshot(spark, bm25T, "snap", "_del")
+        .count()
+      assert(delAsOf > 0)
+      Seq((1L, "spark window rewrite", "en", "s0", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      // a Refuse default would kill this batch; the hook anchors
+      streaming.StreamingOps.streamingDocumentUpserts(spark, dir, base,
+        maintain = Some(TextOps.MaintenancePolicy(delFilesMax = 2L)))
+      assert(filesIn(s"${bm25T}_del") <= 1L,
+        "hook did not fold under the pinned snapshot")
+      assert(TextOps.checkSnapshot(spark, bm25T, "snap") === Nil)
+      assert(TextOps.readSnapshot(spark, bm25T, "snap", "_del")
+        .count() === delAsOf)
+    } finally {
+      TextOps.dropSnapshot(spark, bm25T, "snap")
+      drop(all: _*)
+      val ck = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        base.toLowerCase + "_ups_ck")
+      val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(ck, true)
+    }
+  }
+
   test("upsert-twin hook: the CDC upsert stream self-maintains too") {
     val base = s"mnt_uhook_p$pid"
     val bm25T = s"${base}_bm25"
