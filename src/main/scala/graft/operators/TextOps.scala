@@ -1856,6 +1856,23 @@ object TextOps {
       if (fs.exists(a)) { fs.delete(a, true); () }
     }
 
+  /** The byte debt each snapshot tag's fold anchors hold for this
+    * family: (tag, member, bytes), nonempty entries only — the
+    * observability for the UNATTENDED Anchor folds (streaming
+    * self-maintenance): anchors accumulate silently until their
+    * snapshot drops, and an operator deciding retention wants the
+    * number. O(metadata). */
+  def listAnchors(s: org.apache.spark.sql.SparkSession,
+      table: String): Seq[(String, String, Long)] =
+    listSnapshots(s, table).flatMap { case (tag, _) =>
+      (table +: SnapshotManifestSiblings.map(table + _)).flatMap {
+        m =>
+          val bytes = listFilesUnder(s, anchorDir(s, m, tag))
+            .map(_._2).sum
+          if (bytes > 0) Some((tag, m, bytes)) else None
+      }
+    }
+
   /** Resolve each manifested file of member `m` under `tag` to the
     * location currently serving it: the member's live directory
     * first, the fold anchor second ((name, length) identity both

@@ -898,12 +898,25 @@ object StreamingOps {
     * The `_hold` registries stay OUTSIDE ([[graft.operators.TextOps.BackupSiblings]]).
     */
   def backupDocuments(spark: SparkSession, base: String,
-      tag: String = "bak"): Seq[String] =
+      tag: String = "bak", baseTag: Option[String] = None)
+      : Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
       graft.operators.TextOps.requireTag("backupDocuments", tag)
       require(spark.catalog.tableExists(s"${base}_bm25") ||
         spark.catalog.tableExists(s"${base}_band"),
         s"backupDocuments: no document family at base $base")
+      // DIFFERENTIAL group take (r17): each member family diffs
+      // against its own family marker under the base group tag; the
+      // tiny state tables and checkpoint trees always copy in full
+      // (they ARE the deltas). A family present now but absent from
+      // the base group takes a full copy.
+      baseTag.foreach { b =>
+        graft.operators.TextOps.requireTag("backupDocuments(baseTag)",
+          b)
+        require(spark.catalog.tableExists(s"${base}_dbakok_$b"),
+          s"backupDocuments: no committed base group $base/$b to " +
+            "diff against")
+      }
       // group commit marker (r16, the backupIndex discipline one
       // level up): retired FIRST, written LAST, required by
       // restoreDocuments — a crash anywhere in between leaves a
@@ -913,7 +926,9 @@ object StreamingOps {
       dropGroupMarker(spark, marker)
       val fams = Seq(s"${base}_band", s"${base}_bm25")
         .filter(spark.catalog.tableExists)
-        .flatMap(graft.operators.TextOps.backupIndex(spark, _, tag))
+        .flatMap(f => graft.operators.TextOps.backupIndex(spark, f,
+          tag, baseTag.filter(b =>
+            spark.catalog.tableExists(s"${f}_bakok_$b"))))
       val state = (s"${base}_hashes" +:
           docStreams(base).map(_ + "_ledger"))
         .flatMap(graft.operators.TextOps.backupTable(spark, _, tag))
@@ -944,6 +959,17 @@ object StreamingOps {
       streams: Seq[String], tag: String): Unit =
     graft.operators.TextOps.withBuildLock(spark) {
       graft.operators.TextOps.requireTag("dropStreamBackup", tag)
+      // differential dependents refuse BEFORE the marker drop (r17):
+      // the family-level dropBackup would refuse anyway, but after
+      // the group marker was gone — leaving a crashed-group state a
+      // re-take must clean up. Check first, mutate after.
+      val deps = fams.flatMap(f =>
+        graft.operators.TextOps.dependentBackups(spark, f, tag))
+        .distinct.sorted
+      require(deps.isEmpty,
+        s"dropStreamBackup: $base/$tag is the differential base of " +
+          s"live tag(s) ${deps.mkString(", ")} — drop the " +
+          "dependents first")
       dropGroupMarker(spark, marker)
       fams.foreach(graft.operators.TextOps.dropBackup(spark, _, tag))
       tables.foreach { t =>
@@ -1118,28 +1144,46 @@ object StreamingOps {
       base: String): Seq[(String, Long)] =
     streamBackupsWithAge(spark, s"${base}_vbakok_")
 
+  /** Drop each stream-level group tag — EXCEPT a tag whose family
+    * copies other live tags still borrow from (a differential base
+    * outliving its window is kept with a note; newest-first order
+    * clears a fully retired chain in one pass — the family-level
+    * pruneBackupTags contract one level up). */
+  private def pruneStreamBackupTags(spark: SparkSession,
+      fams: Seq[String], tags: Seq[String],
+      dropOne: String => Unit): Seq[String] =
+    tags.map { tag =>
+      val deps = fams.flatMap(f =>
+        graft.operators.TextOps.dependentBackups(spark, f, tag))
+        .distinct.sorted
+      if (deps.nonEmpty)
+        s"kept backup $tag: differential base of live tag(s) " +
+          deps.mkString(",")
+      else {
+        dropOne(tag)
+        s"dropped backup $tag"
+      }
+    }
+
   /** RETENTION for stream-level copy backups: keep the newest
     * `keep` committed group tags. */
   def pruneDocumentsBackups(spark: SparkSession, base: String,
       keep: Int): Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
       require(keep >= 1, "pruneDocumentsBackups: keep must be >= 1")
-      listDocumentsBackupsWithAge(spark, base).drop(keep)
-        .map { case (tag, _) =>
-          dropDocumentsBackup(spark, base, tag)
-          s"dropped backup $tag"
-        }
+      pruneStreamBackupTags(spark,
+        Seq(s"${base}_band", s"${base}_bm25"),
+        listDocumentsBackupsWithAge(spark, base).drop(keep).map(_._1),
+        dropDocumentsBackup(spark, base, _))
     }
 
   def pruneVectorsBackups(spark: SparkSession, base: String,
       keep: Int): Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
       require(keep >= 1, "pruneVectorsBackups: keep must be >= 1")
-      listVectorsBackupsWithAge(spark, base).drop(keep)
-        .map { case (tag, _) =>
-          dropVectorsBackup(spark, base, tag)
-          s"dropped backup $tag"
-        }
+      pruneStreamBackupTags(spark, vecFamilies.map(base + _),
+        listVectorsBackupsWithAge(spark, base).drop(keep).map(_._1),
+        dropVectorsBackup(spark, base, _))
     }
 
   def pruneDocumentsBackupsOlderThan(spark: SparkSession,
@@ -1148,12 +1192,12 @@ object StreamingOps {
     graft.operators.TextOps.withBuildLock(spark) {
       require(olderThanMs >= 0,
         "pruneDocumentsBackupsOlderThan: olderThanMs must be >= 0")
-      listDocumentsBackupsWithAge(spark, base)
-        .filter { case (_, mtime) => mtime < nowMs - olderThanMs }
-        .map { case (tag, _) =>
-          dropDocumentsBackup(spark, base, tag)
-          s"dropped backup $tag"
-        }
+      pruneStreamBackupTags(spark,
+        Seq(s"${base}_band", s"${base}_bm25"),
+        listDocumentsBackupsWithAge(spark, base)
+          .filter { case (_, mtime) => mtime < nowMs - olderThanMs }
+          .map(_._1),
+        dropDocumentsBackup(spark, base, _))
     }
 
   def pruneVectorsBackupsOlderThan(spark: SparkSession,
@@ -1162,12 +1206,11 @@ object StreamingOps {
     graft.operators.TextOps.withBuildLock(spark) {
       require(olderThanMs >= 0,
         "pruneVectorsBackupsOlderThan: olderThanMs must be >= 0")
-      listVectorsBackupsWithAge(spark, base)
-        .filter { case (_, mtime) => mtime < nowMs - olderThanMs }
-        .map { case (tag, _) =>
-          dropVectorsBackup(spark, base, tag)
-          s"dropped backup $tag"
-        }
+      pruneStreamBackupTags(spark, vecFamilies.map(base + _),
+        listVectorsBackupsWithAge(spark, base)
+          .filter { case (_, mtime) => mtime < nowMs - olderThanMs }
+          .map(_._1),
+        dropVectorsBackup(spark, base, _))
     }
 
   /** Commit a stream-level backup group, LAST: one row per DATA FILE
@@ -1297,7 +1340,14 @@ object StreamingOps {
     checkGroupBackup(spark, s"${base}_dbakok_$tag",
       anyCopy = Seq(s"${base}_bm25", s"${base}_band")
         .exists(f => spark.catalog.tableExists(s"${f}_bak_$tag")),
-      expectedTables = tbls, expectedCks = cks)
+      expectedTables = tbls, expectedCks = cks) ++
+      // per-family chain audit (r17): a differential family copy's
+      // BORROWED files live in base tags' copies the group marker
+      // never recorded — the family-level audit covers them
+      Seq(s"${base}_band", s"${base}_bm25")
+        .filter(f => spark.catalog.tableExists(s"${f}_bakok_$tag"))
+        .flatMap(f => graft.operators.TextOps.checkBackup(spark, f,
+          tag))
   }
 
   /** [[checkGroupBackup]] for a unified vector base. */
@@ -1311,7 +1361,12 @@ object StreamingOps {
     checkGroupBackup(spark, s"${base}_vbakok_$tag",
       anyCopy = vecFamilies.exists(f =>
         spark.catalog.tableExists(s"$base${f}_bak_$tag")),
-      expectedTables = tbls, expectedCks = cks)
+      expectedTables = tbls, expectedCks = cks) ++
+      // per-family chain audit (r17): see checkDocumentsBackup
+      vecFamilies.map(base + _)
+        .filter(f => spark.catalog.tableExists(s"${f}_bakok_$tag"))
+        .flatMap(f => graft.operators.TextOps.checkBackup(spark, f,
+          tag))
   }
 
   /** RESTORE a unified document family to its `<tag>` snapshot —
@@ -1343,9 +1398,19 @@ object StreamingOps {
           s"audit — ${audit.take(5).mkString("; ")}" +
           (if (audit.size > 5) s" (+${audit.size - 5} more)" else "") +
           " — re-take the backup")
-      val members = Seq(s"${base}_band", s"${base}_bm25").flatMap(f =>
-        (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
-          .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag)))
+      // family members restore through the marker-aware family verb
+      // (r17): a differential family copy resolves its borrowed
+      // files across the base tags' copies; a family with no marker
+      // under the tag did not exist at snapshot — its live members
+      // drop (the restoreTable absence contract, kept verbatim)
+      val members = Seq(s"${base}_band", s"${base}_bm25").flatMap { f =>
+        if (spark.catalog.tableExists(s"${f}_bakok_$tag"))
+          graft.operators.TextOps.restoreIndex(spark, f, tag)
+        else
+          (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
+            .flatMap(graft.operators.TextOps
+              .restoreTable(spark, _, tag))
+      }
       val state = (s"${base}_hashes" +:
           docStreams(base).map(_ + "_ledger"))
         .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag))
@@ -1364,19 +1429,29 @@ object StreamingOps {
     * would duplicate rows; the restored checkpoint replays only
     * post-snapshot files. */
   def backupVectors(spark: SparkSession, base: String,
-      tag: String = "bak"): Seq[String] =
+      tag: String = "bak", baseTag: Option[String] = None)
+      : Seq[String] =
     graft.operators.TextOps.withBuildLock(spark) {
       graft.operators.TextOps.requireTag("backupVectors", tag)
       val fams = vecFamilies.map(base + _)
         .filter(spark.catalog.tableExists)
       require(fams.nonEmpty,
         s"backupVectors: no vector family at base $base")
+      // differential group take (r17): see backupDocuments
+      baseTag.foreach { b =>
+        graft.operators.TextOps.requireTag("backupVectors(baseTag)", b)
+        require(spark.catalog.tableExists(s"${base}_vbakok_$b"),
+          s"backupVectors: no committed base group $base/$b to " +
+            "diff against")
+      }
       // group marker: retired first, written last (see
       // backupDocuments)
       val marker = s"${base}_vbakok_$tag"
       dropGroupMarker(spark, marker)
       val members =
-        fams.flatMap(graft.operators.TextOps.backupIndex(spark, _, tag))
+        fams.flatMap(f => graft.operators.TextOps.backupIndex(spark,
+          f, tag, baseTag.filter(b =>
+            spark.catalog.tableExists(s"${f}_bakok_$b"))))
       val state = vecStreams(base).map(_ + "_ledger")
         .flatMap(graft.operators.TextOps.backupTable(spark, _, tag))
       val cks = vecStreams(base).flatMap(backupCk(spark, _, tag))
@@ -1406,9 +1481,15 @@ object StreamingOps {
           s"audit — ${audit.take(5).mkString("; ")}" +
           (if (audit.size > 5) s" (+${audit.size - 5} more)" else "") +
           " — re-take the backup")
-      val members = vecFamilies.map(base + _).flatMap(f =>
-        (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
-          .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag)))
+      // marker-aware family restore (r17): see restoreDocuments
+      val members = vecFamilies.map(base + _).flatMap { f =>
+        if (spark.catalog.tableExists(s"${f}_bakok_$tag"))
+          graft.operators.TextOps.restoreIndex(spark, f, tag)
+        else
+          (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
+            .flatMap(graft.operators.TextOps
+              .restoreTable(spark, _, tag))
+      }
       val state = vecStreams(base).map(_ + "_ledger")
         .flatMap(graft.operators.TextOps.restoreTable(spark, _, tag))
       val cks = vecStreams(base).flatMap(restoreCk(spark, _, tag))

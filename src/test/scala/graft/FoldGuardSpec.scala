@@ -143,11 +143,17 @@ class FoldGuardSpec extends AnyFunSuite with SparkSuite {
       assert(postings(spark.table(t)) === want)
       assert(spark.catalog.tableExists(s"${t}_del"))
       assert(spark.table(s"${t}_del").count() === wantDel)
-      // dropping the snapshot sweeps its anchors
+      // the anchor byte debt is observable (the unattended-Anchor
+      // retention signal)...
+      val anchors = TextOps.listAnchors(spark, t)
+      assert(anchors.exists { case (tag, m, b) =>
+        tag == "s1" && m == t && b > 0 }, anchors.toString)
+      // ...and dropping the snapshot sweeps its anchors
       TextOps.dropSnapshot(spark, t, "s1")
       val a = TextOps.anchorDir(spark, t, "s1")
       val fs = a.getFileSystem(spark.sparkContext.hadoopConfiguration)
       assert(!fs.exists(a))
+      assert(TextOps.listAnchors(spark, t).isEmpty)
     } finally drop(all: _*)
   }
 
