@@ -565,16 +565,18 @@ object TextOps {
       delTable: String, members: Seq[String], idCol: String,
       guard: FoldGuard = FoldGuard.Refuse): Unit = withBuildLock(s) {
     if (s.catalog.tableExists(delTable)) {
-      // fold-aware snapshots (r17): ONE guard pass over everything
-      // this vacuum rewrites (members) or drops (the tombstone
-      // list) — the inner rewrites then run unguarded (Orphan), so
-      // an Anchor pass anchors once, up front
-      guardFold(s, s"vacuumIndex of $delTable",
-        delTable +: members, guard)
       // an EMPTY list must not trigger the full O(index) rewrite — at
       // scale that's the difference between dropping one tiny table
       // and re-shuffling the whole corpus for nothing
-      if (!s.table(delTable).isEmpty) {
+      val listEmpty = s.table(delTable).isEmpty
+      // fold-aware snapshots (r17): ONE guard pass over exactly what
+      // this vacuum will touch — the tombstone list always, the
+      // members only when a nonempty list makes them rewrite. The
+      // inner rewrites then run unguarded (Orphan), so an Anchor
+      // pass anchors once, up front.
+      guardFold(s, s"vacuumIndex of $delTable",
+        if (listEmpty) Seq(delTable) else delTable +: members, guard)
+      if (!listEmpty) {
         members.filter(s.catalog.tableExists).foreach { m =>
           rewriteBucketed(s, m, guard = FoldGuard.Orphan, transform = df => {
             // resolve the list through the REWRITE session (the clone
@@ -588,8 +590,42 @@ object TextOps {
           })
         }
       }
-      s.sql(s"DROP TABLE $delTable")
-      clearOrphanLocation(s, delTable)
+      // the list clears by DROP — unless a live manifest snapshot
+      // records it as a MEMBER, in which case it clears by TRUNCATE
+      // (r17): a drop would leave the tag's restore refusing on a
+      // missing member, and a presence-only pin (the list was EMPTY
+      // at snapshot) has no files for the Anchor pass above to copy
+      // aside. An empty kept table and an absent one are functionally
+      // identical to every probe (exceptTombstones no-ops on both),
+      // so truncation preserves the vacuum contract AND the restore
+      // point. Orphan drops as before — knowingly.
+      val presencePinned = guard != FoldGuard.Orphan &&
+        snapshotMemberPins(s, delTable).nonEmpty
+      if (presencePinned) {
+        s.sql(s"TRUNCATE TABLE $delTable")
+        s.catalog.refreshTable(delTable)
+      } else {
+        s.sql(s"DROP TABLE $delTable")
+        clearOrphanLocation(s, delTable)
+      }
+    }
+  }
+
+  /** Manifest tags recording `member` as a snapshot MEMBER at all —
+    * the presence-pin check for verbs that would DROP the table
+    * (file pins alone miss a present-but-EMPTY member, whose drop
+    * still breaks the tag's restore). */
+  private def snapshotMemberPins(s: org.apache.spark.sql.SparkSession,
+      member: String): Seq[(String, String)] = {
+    val bases = (member +: SnapshotManifestSiblings.collect {
+      case suf if member.endsWith(suf) => member.stripSuffix(suf)
+    }).distinct
+    bases.flatMap { b =>
+      listSnapshots(s, b).map(_._1).flatMap { tag =>
+        if (readManifest(s, s"${b}_mf_$tag").contains(member))
+          Some((b, tag))
+        else None
+      }
     }
   }
 

@@ -124,24 +124,26 @@ class FoldGuardSpec extends AnyFunSuite with SparkSuite {
       assert(wantDel > 0)
       append(t, Seq(21L, 22L))
       // compact rewrites the postings files; vacuum folds the
-      // tombstones into the members and DROPS the `_del` table
+      // tombstones into the members and clears the `_del` list — by
+      // TRUNCATE, not drop, while this snapshot records it as a
+      // member (a drop would break the tag on a missing member)
       TextOps.compactIndex(spark, t, FoldGuard.Anchor)
       TextOps.vacuumIndex(spark, s"${t}_del", Seq(t), "doc_id",
         FoldGuard.Anchor)
-      assert(!spark.catalog.tableExists(s"${t}_del"))
+      assert(spark.catalog.tableExists(s"${t}_del"),
+        "pinned tombstone list must truncate, not drop")
+      assert(spark.table(s"${t}_del").count() === 0L)
       // the snapshot still serves — postings from the anchor, the
       // dropped tombstone list from its anchored files
       assert(TextOps.checkSnapshot(spark, t, "s1") === Nil)
       assert(postings(TextOps.readSnapshot(spark, t, "s1")) === want)
       assert(TextOps.readSnapshot(spark, t, "s1", "_del").count() ===
         wantDel)
-      // and the restore converges bit-exact: anchored postings come
-      // back under their manifested names, the dropped `_del` member
-      // is recreated from the anchor
+      // and the restore converges bit-exact: anchored postings and
+      // tombstone entries come back under their manifested names
       val out = TextOps.restoreSnapshot(spark, t, "s1")
       assert(out.exists(_.contains("fold anchor")), out.toString)
       assert(postings(spark.table(t)) === want)
-      assert(spark.catalog.tableExists(s"${t}_del"))
       assert(spark.table(s"${t}_del").count() === wantDel)
       // the anchor byte debt is observable (the unattended-Anchor
       // retention signal)...
@@ -155,6 +157,57 @@ class FoldGuardSpec extends AnyFunSuite with SparkSuite {
       assert(!fs.exists(a))
       assert(TextOps.listAnchors(spark, t).isEmpty)
     } finally drop(all: _*)
+  }
+
+  test("a present-but-EMPTY tombstone list survives a vacuum by " +
+      "truncation (nothing to anchor, nothing lost) — and an Orphan " +
+      "vacuum of an anchored list still restores via recreate") {
+    val t = s"fg_empty_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      mkFam(t, 6L)
+      // an EMPTY list with ZERO data files (an empty DataFrame write
+      // still drops a physical part-file; DDL does not) — the true
+      // null-path-sentinel case
+      spark.sql(s"CREATE TABLE ${t}_del (doc_id BIGINT, gen BIGINT) " +
+        "USING PARQUET")
+      TextOps.snapshotIndex(spark, t, "s1")
+      // the sentinel row records the member present-but-empty
+      assert(TextOps.checkSnapshot(spark, t, "s1") === Nil)
+      // a default-guard vacuum may proceed (no FILES are pinned) but
+      // must not break the tag: the list truncates instead of drops
+      TextOps.vacuumIndex(spark, s"${t}_del", Seq(t), "doc_id")
+      assert(spark.catalog.tableExists(s"${t}_del"))
+      assert(TextOps.checkSnapshot(spark, t, "s1") === Nil)
+      assert(TextOps.restoreSnapshot(spark, t, "s1")
+        .nonEmpty)
+      assert(spark.table(s"${t}_del").count() === 0L)
+      // Orphan path: anchor the list's files first (a nonempty list
+      // this time, via an anchored compact-tombstones), then an
+      // Orphan vacuum DROPS the table — restore recreates the member
+      // from the anchor. Member list kept empty so the drop path is
+      // isolated (an Orphan member rewrite would knowingly orphan
+      // the postings pin, which is the OTHER test's subject).
+      TextOps.deleteBm25Docs(spark, t, s"${t}_stats",
+        Seq(2L).toDF("doc_id"))
+      TextOps.snapshotIndex(spark, t, "s2")
+      TextOps.compactTombstones(spark, s"${t}_del",
+        FoldGuard.Anchor)
+      TextOps.vacuumIndex(spark, s"${t}_del", Seq.empty, "doc_id",
+        FoldGuard.Orphan)
+      assert(!spark.catalog.tableExists(s"${t}_del"))
+      assert(TextOps.checkSnapshot(spark, t, "s2") === Nil)
+      val out = TextOps.restoreSnapshot(spark, t, "s2")
+      assert(out.exists(_.contains("recreated")), out.toString)
+      assert(spark.table(s"${t}_del").count() > 0)
+    } finally {
+      drop((all :+ s"${t}_mf_s2") ++
+        TextOps.SnapshotCopySiblings.map(sf =>
+          s"$t${sf}_bak_mfs2"): _*)
+    }
   }
 
   test("an anchored fold then a SECOND fold: the anchor keeps the " +
