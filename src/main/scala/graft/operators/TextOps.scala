@@ -1457,22 +1457,29 @@ object TextOps {
         else {
           // files this tag physically owns audit against the copy's
           // own location; borrowed files (differential references)
-          // audit against the base tag's copy that holds the bytes
+          // audit against the base tag's copy that holds the bytes —
+          // OR against this tag's own copy once [[promoteBackup]]
+          // materialized them (a crash mid-promote stays green by
+          // design: the bytes are restorable from either side)
           val own = rows.collect {
             case (_, Some(p), l, None) => (p, l) }.toSet
+          val borrowed = rows.collect {
+            case (_, Some(p), l, Some(b)) => (p, l, b) }
+          val borrowedSet =
+            borrowed.map { case (p, l, _) => (p, l) }.toSet
           val now = listDataFiles(s, m).toSet
           val lost = (own -- now).toSeq.sorted.map { case (p, l) =>
             s"$m: committed file $p ($l bytes) lost or changed " +
               "since the backup"
           }
-          val unrecorded = (now -- own).toSeq.sorted.map {
-            case (p, _) =>
+          val unrecorded = (now -- own -- borrowedSet).toSeq.sorted
+            .map { case (p, _) =>
               s"$m: file $p not in the commit marker (written into " +
                 "the copy after commit?)"
-          }
-          val borrowed = rows.collect {
-            case (_, Some(p), l, Some(b)) => (p, l, b) }
-          val borrowProblems = borrowed.groupBy(_._3).toSeq
+            }
+          val borrowProblems = borrowed
+            .filterNot { case (p, l, _) => now.contains((p, l)) }
+            .groupBy(_._3).toSeq
             .sortBy(_._1).flatMap { case (b, fs3) =>
               val baseCopy =
                 m.stripSuffix(s"_bak_$tag") + s"_bak_$b"
@@ -1599,20 +1606,24 @@ object TextOps {
   /** Converge ONE member to its marker-recorded file set: definition
     * LIKE the tag's own copy (bucket spec rides along), then copy
     * each recorded file from the copy that physically holds it (own
-    * copy for src-null rows, the base tag's copy for borrowed rows).
-    * Copies, not renames — a crash mid-restore converges by
-    * re-running. */
+    * copy for src-null rows, the base tag's copy for borrowed rows —
+    * unless a [[promoteBackup]] already materialized the bytes into
+    * the own copy, which then serves). Copies, not renames — a crash
+    * mid-restore converges by re-running. */
   private def restoreMemberFromMarker(
       s: org.apache.spark.sql.SparkSession, live: String, tag: String,
       rows: Seq[(String, Option[String], Long, Option[String])])
       : Unit = {
     val own = s"${live}_bak_$tag"
+    val ownNow = listDataFiles(s, own).toSet
     s.sql(s"DROP TABLE IF EXISTS $live")
     clearOrphanLocation(s, live)
     s.sql(s"CREATE TABLE $live LIKE $own")
     val dst = tableLocation(s, live)
-    rows.collect { case (_, Some(p), _, src) => (p, src) }
-      .groupBy(_._2).toSeq.sortBy(_._1)
+    rows.collect { case (_, Some(p), l, src) => (p, l, src) }
+      .groupBy { case (p, l, src) =>
+        if (src.isEmpty || ownNow.contains((p, l))) None else src }
+      .toSeq.sortBy(_._1)
       .foreach { case (src, ps) =>
         val holder = src match {
           case None => own
@@ -1650,6 +1661,101 @@ object TextOps {
     s.sql(s"DROP TABLE IF EXISTS ${table}_bakok_$tag")
     (table +: BackupSiblings.map(table + _))
       .foreach(m => s.sql(s"DROP TABLE IF EXISTS ${m}_bak_$tag"))
+  }
+
+  /** PROMOTE a differential backup to a self-contained full set: copy
+    * every borrowed file's bytes from the base copy holding them into
+    * this tag's own copy, then rewrite the commit marker with the
+    * borrows cleared — after which [[dependentBackups]] no longer
+    * lists this tag and its base becomes droppable ([[dropBackup]] /
+    * the prune verbs stop protecting it). This is how a base tag
+    * retires WITHOUT a fresh full backup of the live family: promote
+    * the newest differential (reading backup bytes, never touching
+    * the live members), drop the old base, anchor future
+    * differentials on the promoted tag.
+    *
+    * CONVERGES under any crash: byte copies land first and are
+    * idempotent (files already materialized are skipped; a half-
+    * promoted set stays green under [[checkBackup]] and restorable —
+    * borrowed bytes serve from either side), the marker rewrite
+    * commits last. A crash during the marker rewrite itself leaves
+    * marker-less copies that are ALREADY fully materialized, so
+    * [[markBackupComplete]] vouches correctly. Refuses when a not-
+    * yet-materialized borrowed file is gone from its base copy —
+    * promote cannot invent bytes; restore what the base still serves
+    * or re-take. No-op on a set with no borrows. Returns what it did
+    * per member. */
+  def promoteBackup(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String = "bak"): Seq[String] =
+      withBuildLock(s) {
+    requireTag("promoteBackup", tag)
+    val marker = s"${table}_bakok_$tag"
+    require(s.catalog.tableExists(marker),
+      s"promoteBackup: no committed backup $table/$tag" +
+        (if (s.catalog.tableExists(s"${table}_bak_$tag"))
+          " (copies exist but the marker is gone — re-take, or " +
+            "markBackupComplete if you can vouch for the set)"
+        else ""))
+    val entries = readBackupMarker(s, marker)
+    val borrowedByMember = entries.groupBy(_._1).view
+      .mapValues(_.collect { case (_, Some(p), l, Some(b)) =>
+        (p, l, b) })
+      .filter(_._2.nonEmpty).toMap
+    if (borrowedByMember.isEmpty)
+      Seq(s"backup $table/$tag is already self-contained")
+    else {
+      // pending = borrowed files NOT yet materialized into the own
+      // copy (a previous crashed promote may have copied some in)
+      val pendingByMember = borrowedByMember.toSeq.sortBy(_._1)
+        .map { case (m, bs) =>
+          val ownNow = listDataFiles(s, m).toSet
+          (m, bs, bs.filterNot { case (p, l, _) =>
+            ownNow.contains((p, l)) })
+        }
+      // phase 1, VALIDATE before any byte moves: every pending file
+      // must still sit in its base copy at the committed length
+      val problems = pendingByMember.flatMap { case (m, _, pending) =>
+        pending.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
+          case (b, fs3) =>
+            val baseCopy = m.stripSuffix(s"_bak_$tag") + s"_bak_$b"
+            if (!s.catalog.tableExists(baseCopy))
+              Seq(s"$m: borrows ${fs3.size} file(s) from base tag " +
+                s"$b, but $baseCopy is missing")
+            else {
+              val baseNow = listDataFiles(s, baseCopy).toSet
+              fs3.sortBy(_._1).collect {
+                case (p, l, _) if !baseNow.contains((p, l)) =>
+                  s"$m: borrowed file $p ($l bytes) gone from " +
+                    baseCopy
+              }
+            }
+        }
+      }
+      require(problems.isEmpty,
+        s"promoteBackup: cannot materialize $table/$tag — " +
+          s"${problems.take(5).mkString("; ")}" +
+          (if (problems.size > 5) s" (+${problems.size - 5} more)"
+          else ""))
+      // phase 2, MATERIALIZE: copy pending bytes base copy → own copy
+      val notes = pendingByMember.map { case (m, bs, pending) =>
+        val live = m.stripSuffix(s"_bak_$tag")
+        val dst = tableLocation(s, m)
+        pending.groupBy(_._3).toSeq.sortBy(_._1)
+          .foreach { case (b, fs3) =>
+            copyDataFiles(s, tableLocation(s, s"${live}_bak_$b"),
+              dst, fs3.map(_._1))
+          }
+        s.catalog.refreshTable(m)
+        s"$m: materialized ${pending.size} borrowed file(s)" +
+          (if (bs.size > pending.size)
+            s" (${bs.size - pending.size} already present)"
+          else "")
+      }
+      // phase 3, COMMIT: the marker rewrite clears the borrows
+      writeBackupMarker(s, marker, entries.map { case (m, p, l, _) =>
+        (m, p.orNull, l, null: String) })
+      notes
+    }
   }
 
   private[graft] def tableLocation(s: org.apache.spark.sql.SparkSession,

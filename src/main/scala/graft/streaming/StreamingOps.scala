@@ -924,8 +924,9 @@ object StreamingOps {
       // tag's fresh copies and a previous take's stale ones
       val marker = s"${base}_dbakok_$tag"
       dropGroupMarker(spark, marker)
-      val fams = Seq(s"${base}_band", s"${base}_bm25")
+      val famBases = Seq(s"${base}_band", s"${base}_bm25")
         .filter(spark.catalog.tableExists)
+      val fams = famBases
         .flatMap(f => graft.operators.TextOps.backupIndex(spark, f,
           tag, baseTag.filter(b =>
             spark.catalog.tableExists(s"${f}_bakok_$b"))))
@@ -933,7 +934,7 @@ object StreamingOps {
           docStreams(base).map(_ + "_ledger"))
         .flatMap(graft.operators.TextOps.backupTable(spark, _, tag))
       val cks = docStreams(base).flatMap(backupCk(spark, _, tag))
-      writeGroupMarker(spark, marker, fams ++ state, cks)
+      writeGroupMarker(spark, marker, famBases, tag, state, cks)
       fams ++ state ++ cks :+ marker
     }
 
@@ -1213,20 +1214,52 @@ object StreamingOps {
         dropVectorsBackup(spark, base, _))
     }
 
+  /** The src-INSENSITIVE content fingerprint of a family's backup
+    * commit marker: sha-256 over its sorted (member, path, len) rows.
+    * Invariant under [[graft.operators.TextOps.promoteBackup]] (which
+    * only clears the src column), changed by any out-of-band family
+    * re-take under the same tag — exactly the drift the GROUP marker
+    * must catch (a family restore point newer than the ledgers and
+    * checkpoints taken with it would replay the wrong window). */
+  private def famFingerprint(spark: SparkSession,
+      familyMarker: String): (String, Long) = {
+    val rows = graft.operators.TextOps
+      .readBackupMarker(spark, familyMarker)
+      .map { case (m, p, l, _) => s"$m|${p.getOrElse("")}|$l" }
+      .sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(rows.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (hex, rows.size.toLong)
+  }
+
   /** Commit a stream-level backup group, LAST: one row per DATA FILE
-    * of every table copy and checkpoint backup directory ((kind,
-    * name, path, len); null-path sentinel for an empty entry), so
-    * the marker doubles as the group's integrity manifest — the
-    * checkpoint trees especially are many small loss-prone files,
-    * and a restore from a damaged copy would silently replay the
-    * wrong window. */
+    * of every state-table copy and checkpoint backup directory
+    * ((kind, name, path, len); null-path sentinel for an empty
+    * entry), so the marker doubles as the group's integrity
+    * manifest — the checkpoint trees especially are many small
+    * loss-prone files, and a restore from a damaged copy would
+    * silently replay the wrong window. Member FAMILIES are recorded
+    * as one `fam` row each — (kind=fam, name=family base,
+    * path=[[famFingerprint]], len=marker rows) — because their file
+    * identity belongs to the family-level audit (which understands
+    * differential borrows and promote materialization); the
+    * fingerprint pins the family marker's restore-point CONTENT
+    * while staying invariant under
+    * [[graft.operators.TextOps.promoteBackup]]. */
   private def writeGroupMarker(spark: SparkSession, marker: String,
+      famBases: Seq[String], tag: String,
       tables: Seq[String], cks: Seq[String]): Unit = {
     def fileRows(kind: String, name: String,
         files: Seq[(String, Long)]) =
       if (files.isEmpty) Seq((kind, name, null: String, 0L))
       else files.map { case (p, l) => (kind, name, p, l) }
     val rows =
+      famBases.map { f =>
+        val (hex, n) = famFingerprint(spark, s"${f}_bakok_$tag")
+        ("fam", f, hex, n)
+      } ++
       tables.flatMap(t => fileRows("table", t,
         graft.operators.TextOps.listDataFiles(spark, t))) ++
       cks.flatMap { p =>
@@ -1240,17 +1273,22 @@ object StreamingOps {
   }
 
   /** READ-ONLY audit of a stream-level copy backup group: the group
-    * marker must exist, every table copy / checkpoint backup
+    * marker must exist, every state-table copy / checkpoint backup
     * directory it records must still hold EXACTLY the files it
-    * committed with ((name, len) identity), and no unrecorded copy
-    * may sit under the tag among `expectedTables`/`expectedCks` —
-    * the names the restore verbs would resurrect as live members
-    * (ADVICE r16 #1: family-level checkBackup had this extras pass,
-    * the group level did not, so an out-of-band `_bak_<tag>` copy
-    * restored silently). All O(metadata). Nil = the group restores
-    * as taken. */
+    * committed with ((name, len) identity), every member family it
+    * records must still carry a family marker whose
+    * [[famFingerprint]] matches the committed one (src-insensitive,
+    * so a promote keeps the group green while an out-of-band family
+    * re-take under the tag is named), and no unrecorded copy may sit
+    * under the tag among the expected names — the ones the restore
+    * verbs would resurrect as live members (ADVICE r16 #1). Legacy
+    * (pre-fingerprint) group markers that recorded family copies as
+    * raw `table` rows keep auditing on raw file identity. All
+    * O(metadata). Nil = the group restores as taken. */
   private def checkGroupBackup(spark: SparkSession, marker: String,
-      anyCopy: Boolean, expectedTables: Seq[String] = Nil,
+      anyCopy: Boolean, tag: String,
+      expectedFams: Seq[String] = Nil,
+      expectedTables: Seq[String] = Nil,
       expectedCks: Seq[String] = Nil): Seq[String] = {
     if (!spark.catalog.tableExists(marker))
       return Seq(
@@ -1258,15 +1296,47 @@ object StreamingOps {
           "the backup crashed mid-group (or predates the marker, " +
           "r16); re-take it"
         else s"no backup (no group marker $marker)")
-    val recorded = spark.table(marker).collect()
+    val raw = spark.table(marker).collect()
       .map(r => ((r.getString(0), r.getString(1)),
         Option(r.getString(2)), r.getLong(3)))
+    val fams = raw.collect { case (("fam", f), Some(hex), n) =>
+      (f, hex, n) }.toSeq
+    val recorded = raw.filterNot(_._1._1 == "fam")
       .groupBy(_._1)
       .map { case (k, rows) =>
         k -> rows.flatMap(r => r._2.map(p => (p, r._3))).toSet
       }
     val recordedNames = recorded.keySet
-      .map { case (kind, n) => (kind, n.toLowerCase) }
+      .map { case (kind, n) => (kind, n.toLowerCase) } ++
+      fams.map { case (f, _, _) => ("fam", f.toLowerCase) }
+    // a family is covered when recorded as a fingerprint row (new) or
+    // when its base copy appears as a raw table row (legacy marker)
+    def famCovered(f: String): Boolean =
+      recordedNames(("fam", f.toLowerCase)) ||
+        recordedNames(("table", s"${f}_bak_$tag".toLowerCase))
+    val famProblems = fams.sortBy(_._1).flatMap { case (f, hex, n) =>
+      val fm = s"${f}_bakok_$tag"
+      if (!spark.catalog.tableExists(fm))
+        Seq(s"$f: family recorded in the group marker but its " +
+          s"backup marker $fm is missing")
+      else {
+        val (nowHex, nowN) = famFingerprint(spark, fm)
+        if (nowHex == hex) Nil
+        else Seq(s"$f: family backup marker content changed since " +
+          s"the group take ($nowN rows now vs $n committed) — " +
+          "an out-of-band family re-take under the tag? The group's " +
+          "ledgers and checkpoints no longer pair with it; re-take " +
+          "the group")
+      }
+    }
+    val famExtras = expectedFams.filterNot(famCovered).flatMap { f =>
+      (f +: graft.operators.TextOps.BackupSiblings.map(f + _))
+        .map(m => s"${m}_bak_$tag")
+        .filter(spark.catalog.tableExists)
+        .map(c => s"$c: copy exists but its family is not in the " +
+          "group marker (restore would resurrect it as a member) — " +
+          "re-take the backup")
+    }
     val tableExtras = expectedTables
       .filter(t => spark.catalog.tableExists(t) &&
         !recordedNames(("table", t.toLowerCase)))
@@ -1280,6 +1350,7 @@ object StreamingOps {
     }.map(p => s"$p: checkpoint backup exists but is not in the " +
       "group marker (restore would resurrect it) — re-take the " +
       "backup")
+    famProblems ++
     recorded.toSeq.sortBy(_._1).flatMap { case ((kind, n), files) =>
       val now: Option[Set[(String, Long)]] = kind match {
         case "table" =>
@@ -1308,19 +1379,17 @@ object StreamingOps {
               "the copy after commit?)"
           }
       }
-    } ++ tableExtras ++ ckExtras
+    } ++ famExtras ++ tableExtras ++ ckExtras
   }
 
   /** The copy names a document-group restore would resurrect —
-    * [[checkGroupBackup]]'s extras universe: every member family's
-    * base + sibling copies, the state-table copies, and the
-    * checkpoint backup dirs. */
+    * [[checkGroupBackup]]'s extras universe: the state-table copies
+    * and the checkpoint backup dirs (member-family copies are
+    * checked via their `fam` rows + the family-level audit). */
   private def expectedGroupCopies(spark: SparkSession,
-      fams: Seq[String], tables: Seq[String], streams: Seq[String],
+      tables: Seq[String], streams: Seq[String],
       tag: String): (Seq[String], Seq[String]) = {
-    val tbls = (fams.flatMap(f =>
-        f +: graft.operators.TextOps.BackupSiblings.map(f + _)) ++
-      tables).map(t => s"${t}_bak_$tag")
+    val tbls = tables.map(t => s"${t}_bak_$tag")
     val cks = streams.map { n =>
       val d = ckDir(spark, n)
       new org.apache.hadoop.fs.Path(d.getParent,
@@ -1334,12 +1403,13 @@ object StreamingOps {
       tag: String = "bak"): Seq[String] = {
     graft.operators.TextOps.requireTag("checkDocumentsBackup", tag)
     val (tbls, cks) = expectedGroupCopies(spark,
-      Seq(s"${base}_band", s"${base}_bm25"),
       s"${base}_hashes" +: docStreams(base).map(_ + "_ledger"),
       docStreams(base), tag)
     checkGroupBackup(spark, s"${base}_dbakok_$tag",
       anyCopy = Seq(s"${base}_bm25", s"${base}_band")
         .exists(f => spark.catalog.tableExists(s"${f}_bak_$tag")),
+      tag = tag,
+      expectedFams = Seq(s"${base}_band", s"${base}_bm25"),
       expectedTables = tbls, expectedCks = cks) ++
       // per-family chain audit (r17): a differential family copy's
       // BORROWED files live in base tags' copies the group marker
@@ -1355,12 +1425,13 @@ object StreamingOps {
       tag: String = "bak"): Seq[String] = {
     graft.operators.TextOps.requireTag("checkVectorsBackup", tag)
     val (tbls, cks) = expectedGroupCopies(spark,
-      vecFamilies.map(base + _),
       vecStreams(base).map(_ + "_ledger"),
       vecStreams(base), tag)
     checkGroupBackup(spark, s"${base}_vbakok_$tag",
       anyCopy = vecFamilies.exists(f =>
         spark.catalog.tableExists(s"$base${f}_bak_$tag")),
+      tag = tag,
+      expectedFams = vecFamilies.map(base + _),
       expectedTables = tbls, expectedCks = cks) ++
       // per-family chain audit (r17): see checkDocumentsBackup
       vecFamilies.map(base + _)
@@ -1455,7 +1526,7 @@ object StreamingOps {
       val state = vecStreams(base).map(_ + "_ledger")
         .flatMap(graft.operators.TextOps.backupTable(spark, _, tag))
       val cks = vecStreams(base).flatMap(backupCk(spark, _, tag))
-      writeGroupMarker(spark, marker, members ++ state, cks)
+      writeGroupMarker(spark, marker, fams, tag, state, cks)
       members ++ state ++ cks :+ marker
     }
 
@@ -1495,6 +1566,44 @@ object StreamingOps {
       val cks = vecStreams(base).flatMap(restoreCk(spark, _, tag))
       members ++ state ++ cks
     }
+
+  /** PROMOTE a unified family's differential group to self-contained:
+    * [[graft.operators.TextOps.promoteBackup]] for every member
+    * family committed under the tag. State-table copies and
+    * checkpoint trees were already taken in full (they ARE the
+    * deltas), so nothing else moves; the group marker's family rows
+    * are src-insensitive fingerprints ([[famFingerprint]]), so it
+    * stays valid as-is — no group rewrite, no crash window at this
+    * level, and the group audit is green at EVERY point of a promote
+    * (finished or crashed mid-way). Afterwards the
+    * group's base tag drops clean ([[dropDocumentsBackup]] /
+    * [[dropVectorsBackup]] stop refusing) and the stream-level
+    * pruners stop holding it back. */
+  private def promoteStreamBackup(spark: SparkSession, verb: String,
+      marker: String, fams: Seq[String], tag: String): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      graft.operators.TextOps.requireTag(verb, tag)
+      require(spark.catalog.tableExists(marker),
+        s"$verb: no committed backup group marker $marker — " +
+          "a crashed group re-takes, it does not promote")
+      fams.filter(f =>
+          spark.catalog.tableExists(s"${f}_bakok_$tag"))
+        .flatMap(f =>
+          graft.operators.TextOps.promoteBackup(spark, f, tag))
+    }
+
+  /** [[promoteStreamBackup]] for a document base. */
+  def promoteDocuments(spark: SparkSession, base: String,
+      tag: String = "bak"): Seq[String] =
+    promoteStreamBackup(spark, "promoteDocuments",
+      s"${base}_dbakok_$tag", Seq(s"${base}_band", s"${base}_bm25"),
+      tag)
+
+  /** [[promoteStreamBackup]] for a vector base. */
+  def promoteVectors(spark: SparkSession, base: String,
+      tag: String = "bak"): Seq[String] =
+    promoteStreamBackup(spark, "promoteVectors",
+      s"${base}_vbakok_$tag", vecFamilies.map(base + _), tag)
 
   // ---- O(metadata) stream-level snapshots (r15): manifest twins --
   // ---- of backupDocuments/backupVectors for append windows      --
