@@ -1634,6 +1634,28 @@ object TextOps {
     s.catalog.refreshTable(live)
   }
 
+  /** Restore-byte PROVENANCE of a committed backup set: one row per
+    * tag whose copies physically hold bytes this tag's restore would
+    * read — (holding tag, file count, bytes), `tag` itself for the
+    * set's own copies, sorted by bytes descending. O(metadata) — one
+    * marker read, no file listings. The gauge for the promote-vs-
+    * retake decision: [[promoteBackup]] copies exactly the bytes
+    * listed under OTHER tags (backup-to-backup, the live family
+    * untouched); re-taking a full backup copies the whole live
+    * family and abandons this restore point. */
+  def backupProvenance(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String = "bak"): Seq[(String, Long, Long)] = {
+    requireTag("backupProvenance", tag)
+    val marker = s"${table}_bakok_$tag"
+    require(s.catalog.tableExists(marker),
+      s"backupProvenance: no committed backup $table/$tag")
+    readBackupMarker(s, marker)
+      .collect { case (_, Some(_), l, src) => (src.getOrElse(tag), l) }
+      .groupBy(_._1).toSeq
+      .map { case (t2, fs2) => (t2, fs2.size.toLong, fs2.map(_._2).sum) }
+      .sortBy(-_._3)
+  }
+
   /** Committed tags whose markers borrow at least one file
     * physically held by `tag` — the tags [[dropBackup]] protects
     * `tag` for. O(#tags) tiny marker reads. */

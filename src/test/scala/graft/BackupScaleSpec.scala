@@ -98,12 +98,29 @@ class BackupScaleSpec extends AnyFunSuite with SparkSuite {
         assert(diffBytes > 0 && diffBytes * 2 < fullBmBytes,
           s"$label: differential copied $diffBytes of $fullBmBytes " +
             "full-copy bytes — not a delta")
+        // PROMOTE leg (r17): materializing the differential copies
+        // exactly the borrowed bytes (provenance is the pre-gauge),
+        // after which the base retires clean
+        val borrowedBytes = TextOps
+          .backupProvenance(spark, bt, "diff")
+          .filter(_._1 != "diff").map(_._3).sum
+        val (_, promoteS) = timed {
+          TextOps.promoteBackup(spark, bt, "diff")
+        }
+        val promotedBytes = bytesOf(bmFam.map(_ + "_bak_diff"))
+        assert(promotedBytes === diffBytes + borrowedBytes,
+          s"$label: promote copied ${promotedBytes - diffBytes} of " +
+            s"the $borrowedBytes borrowed bytes")
+        assert(TextOps.dependentBackups(spark, bt, "bak") === Nil)
+        TextOps.dropBackup(spark, bt, "bak")
+        assert(TextOps.checkBackup(spark, bt, "diff") === Nil)
         println(f"BACKUP_AUDIT $label backup=$backupS%.2fs/" +
           f"${backupBytes / 1024}%dKiB snapshot=$snapS%.2fs/" +
           f"${snapBytes / 1024}%dKiB check=$checkS%.2fs " +
           f"diff10pct=$diffS%.2fs/${diffBytes / 1024}%dKiB " +
           f"(${diffBytes * 100.0 / fullBmBytes}%.1f%% of the bm25 " +
-          f"full copy's ${fullBmBytes / 1024}%dKiB)")
+          f"full copy's ${fullBmBytes / 1024}%dKiB) " +
+          f"promote=$promoteS%.2fs/${borrowedBytes / 1024}%dKiB")
         (backupS, snapS, checkS, backupBytes, snapBytes)
       } finally
         all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

@@ -62,10 +62,21 @@ class PromoteBackupSpec extends AnyFunSuite with SparkSuite {
       TextOps.backupIndex(spark, t, "d2", baseTag = Some("d1"))
       val asOfD2 = postings(t)
       assert(srcs(s"${t}_bakok_d2") === Seq("base", "d1"))
+      // provenance names the holding tags and their byte shares —
+      // the promote-vs-retake gauge
+      val prov = TextOps.backupProvenance(spark, t, "d2")
+      assert(prov.map(_._1).sorted === Seq("base", "d1", "d2"),
+        prov.toString)
+      val totalBytes = prov.map(_._3).sum
+      val borrowedBytes = prov.filter(_._1 != "d2").map(_._3).sum
+      assert(borrowedBytes > 0)
       // promote d2: every borrowed file materializes into its own copy
       val notes = TextOps.promoteBackup(spark, t, "d2")
       assert(notes.exists(_.contains("materialized")), notes.toString)
       assert(srcs(s"${t}_bakok_d2") === Nil)
+      // provenance collapses to one self row, same total bytes
+      assert(TextOps.backupProvenance(spark, t, "d2") ===
+        Seq(("d2", prov.map(_._2).sum, totalBytes)))
       assert(TextOps.checkBackup(spark, t, "d2") === Nil)
       // d2 no longer depends on anyone; d1 still borrows from base
       assert(TextOps.dependentBackups(spark, t, "d1") === Nil)
