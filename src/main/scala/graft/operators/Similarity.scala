@@ -1480,7 +1480,8 @@ object IvfIndex {
     val q = cells.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    multiProbeCore(s, table, cells, q, k, nprobe, selfExclude = true)
+    multiProbeCore(s.table(table + "_cent"), cells, q, k, nprobe,
+      selfExclude = true)
   }
 
   /** EXTERNAL-QUERY multi-probe serving — the [[AnnIndex
@@ -1497,10 +1498,38 @@ object IvfIndex {
     graft.functions.VectorFunctions.register(s)
     val cells = TO.exceptTombstones(s.table(table), s,
       table + "_del", "vec_id")
-    val dim = s.table(table + "_cent")
-      .select(size(col("c"))).head().getInt(0)
+    val cents = s.table(table + "_cent")
+    val dim = cents.select(size(col("c"))).head().getInt(0)
     val q = Ann.prepExternal(queries, dim)
-    multiProbeCore(s, table, cells, q, k, nprobe, selfExclude = false)
+    multiProbeCore(cents, cells, q, k, nprobe, selfExclude = false)
+  }
+
+  /** [[scoreExternal]] AS OF a `<tag>` manifest snapshot WITHOUT
+    * restoring anything — the [[AnnIndex.scoreAsOf]] shape for the
+    * IVF index: cells and the tombstone list come from
+    * [[graft.operators.TextOps.readSnapshot]]'s file-pinned frames,
+    * the CENTROIDS from the snapshot's own `_cent` meta copy — the
+    * quantizer the index was serving under at the tag, not today's
+    * (an [[refresh]]ed quantizer must not re-route an as-of probe).
+    * One probe pipeline ([[multiProbeCore]]) with the live paths, so
+    * parity holds by construction (AsOfProbeSpec gates it against a
+    * restored copy). Audit path, not the serving path. */
+  def scoreAsOf(queries: DataFrame, s: SparkSession, table: String,
+      tag: String, k: Int, nprobe: Int = 1): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val mf = s"${table}_mf_$tag"
+    require(s.catalog.tableExists(mf), s"scoreAsOf: no manifest $mf")
+    val manifest = TO.readManifest(s, mf)
+    val del =
+      if (manifest.contains(table + "_del"))
+        Some(TO.readSnapshot(s, table, tag, "_del"))
+      else None
+    val cells = TO.exceptTombstonesFrame(
+      TO.readSnapshot(s, table, tag), del, "vec_id")
+    val cents = TO.readSnapshot(s, table, tag, "_cent")
+    val dim = cents.select(size(col("c"))).head().getInt(0)
+    val q = Ann.prepExternal(queries, dim)
+    multiProbeCore(cents, cells, q, k, nprobe, selfExclude = false)
   }
 
   /** STREAM-SAFE external candidate generation: like [[scoreExternal]]
@@ -1544,15 +1573,16 @@ object IvfIndex {
       .select(col("q_id"), col("vec_id"), col("cell"), sim.as("sim"))
   }
 
-  /** The ONE multi-probe pipeline behind the member and external
-    * probes: centroid ranking per query (broadcast k centroids),
-    * nprobe-exploded query side broadcast into one cell equi-join
-    * against the bucketed cells scan, exact sentinel-cosine rescoring,
-    * rank cut. */
-  private def multiProbeCore(s: SparkSession, table: String,
+  /** The ONE multi-probe pipeline behind the member, external AND
+    * as-of probes (`centsRaw` = a (cell, c) centroids frame — the
+    * live `_cent` table or a snapshot's meta copy): centroid ranking
+    * per query (broadcast k centroids), nprobe-exploded query side
+    * broadcast into one cell equi-join against the bucketed cells
+    * scan, exact sentinel-cosine rescoring, rank cut. */
+  private def multiProbeCore(centsRaw: DataFrame,
       cells: DataFrame, q: DataFrame, k: Int, nprobe: Int,
       selfExclude: Boolean): DataFrame = {
-    val cents = s.table(table + "_cent")
+    val cents = centsRaw
       .select(col("cell"), col("c").as("cv"))
       .withColumn("cnrm", expr("sqrt(graft_dot(cv, cv))"))
     val csim = CosSim.sentinel(expr("graft_dot(qv, cv)"),
@@ -1910,20 +1940,54 @@ object PqIndex {
           "vec_id"))))
 
   def topK(s: SparkSession, table: String, queries: DataFrame,
-      k: Int): DataFrame = adcTopK(s, table, queries, k, cand = None)
+      k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    adcTopK(s.table(table + "_cb"),
+      TO.exceptTombstones(s.table(table), s, table + "_del",
+        "vec_id"),
+      queries, k, cand = None)
+  }
 
-  /** ONE ADC scoring pipeline for the corpus-wide and pair-restricted
-    * probes (review r12: topKPairs was a wholesale copy that could
-    * drift from topK's ADC arithmetic): per-query LUT (queries ×
-    * codebook, broadcast), stored-codes explode — restricted to the
+  /** [[topK]] AS OF a `<tag>` manifest snapshot WITHOUT restoring
+    * anything — codes and tombstones from
+    * [[graft.operators.TextOps.readSnapshot]]'s file-pinned frames,
+    * the CODEBOOK from the snapshot's own `_cb` meta copy (the
+    * training grid the codes were encoded under at the tag). Takes
+    * the external (q_id, embedding) query shape every scoreExternal
+    * takes, adapted through the same checked prep. One ADC pipeline
+    * ([[adcTopK]]) with the live paths. Audit path, not serving. */
+  def scoreAsOf(queries: DataFrame, s: SparkSession, table: String,
+      tag: String, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val mf = s"${table}_mf_$tag"
+    require(s.catalog.tableExists(mf), s"scoreAsOf: no manifest $mf")
+    val manifest = TO.readManifest(s, mf)
+    val del =
+      if (manifest.contains(table + "_del"))
+        Some(TO.readSnapshot(s, table, tag, "_del"))
+      else None
+    val codes = TO.exceptTombstonesFrame(
+      TO.readSnapshot(s, table, tag), del, "vec_id")
+    val cb = TO.readSnapshot(s, table, tag, "_cb")
+    val dim = cb.agg(max(size(col("c")) * col("sub")))
+      .head().getInt(0)
+    val q = Ann.prepExternal(queries, dim)
+      .select(col("q_id").as("vec_id"), col("qv").as("v"))
+    adcTopK(cb, codes, q, k, cand = None)
+  }
+
+  /** ONE ADC scoring pipeline for the corpus-wide, pair-restricted
+    * AND as-of probes (review r12: topKPairs was a wholesale copy
+    * that could drift from topK's ADC arithmetic; `cb`/`codesIn` =
+    * the live tables or a snapshot's frames): per-query LUT (queries
+    * × codebook, broadcast), stored-codes explode — restricted to the
     * candidate residents BEFORE the LUT lookup when `cand` is given —
     * decimal-grid-exact subspace sums, stored-norm sentinel guard,
     * rank cut.
     */
-  private def adcTopK(s: SparkSession, table: String, queries: DataFrame,
+  private def adcTopK(cb: DataFrame, codesIn: DataFrame,
+      queries: DataFrame,
       k: Int, cand: Option[DataFrame]): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val cb = s.table(table + "_cb")
     // the stored codebook determines the subspace width — probes of a
     // wide-dim index (subDim = 96 at dim 768) slice with ITS grid.
     // ONE ROW suffices (every codeword has the same length — the
@@ -1937,8 +2001,7 @@ object PqIndex {
         expr(s"graft_dot(slice(v, (sub-1)*$subDim+1, $subDim), c)")
           .as("dp"),
         col("nc2"))
-    val codesAll = TO.exceptTombstones(s.table(table), s,
-        table + "_del", "vec_id")
+    val codesAll = codesIn
       .select(col("vec_id"), col("nrm"),
         posexplode(col("codes")).as(Seq("pos", "cid")))
       .select(col("vec_id"), col("nrm"), (col("pos") + 1).as("sub"),
@@ -1978,8 +2041,13 @@ object PqIndex {
     * down to the candidate residents BEFORE the LUT lookup, so probe
     * cost is O(Σ|cell| · M), never corpus-wide. */
   def topKPairs(s: SparkSession, table: String, queries: DataFrame,
-      cand: DataFrame, k: Int): DataFrame =
-    adcTopK(s, table, queries, k, cand = Some(cand))
+      cand: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    adcTopK(s.table(table + "_cb"),
+      TO.exceptTombstones(s.table(table), s, table + "_del",
+        "vec_id"),
+      queries, k, cand = Some(cand))
+  }
 
   /** Memoized stored PQ index for `sfDir`'s embeddings — the
     * [[IvfIndex.ivfIndex]] contract (catalog memo, `_ok` marker, sweep,
@@ -2429,6 +2497,47 @@ object BqIndex {
     val dm = TO.readIndexConfig(s, table).map(_("dim")).getOrElse(dim)
     val sigs = TO.exceptTombstones(s.table(table), s,
       table + "_del", "vec_id")
+    scoreExternalFrames(queries, sigs, s.table(vecTable), dm, k, c)
+  }
+
+  /** [[scoreExternal]] AS OF a `<tag>` manifest snapshot WITHOUT
+    * restoring anything: signatures and tombstones from
+    * [[graft.operators.TextOps.readSnapshot]]'s file-pinned frames,
+    * the packing width from the snapshot's own `_cfg` meta copy. The
+    * exact-rerank PAYLOAD lives in another family (the live probes
+    * pass a `vecTable` — conventionally the banded-ANN family's
+    * `_vec`), so the as-of caller supplies it as a frame pinned to
+    * the SAME cadence tag, e.g.
+    * `TextOps.readSnapshot(s, annTable, tag, "_vec")` — the audit
+    * composes the two families' snapshots explicitly rather than
+    * this verb guessing whose past to read. One scoring definition
+    * ([[scoreExternalFrames]]) with the live path. */
+  def scoreAsOf(queries: DataFrame, s: SparkSession, table: String,
+      tag: String, vecs: DataFrame, k: Int, c: Int = C,
+      dim: Int = CosSim.EmbDim): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val mf = s"${table}_mf_$tag"
+    require(s.catalog.tableExists(mf), s"scoreAsOf: no manifest $mf")
+    val manifest = TO.readManifest(s, mf)
+    val dm =
+      if (s.catalog.tableExists(s"${table}_cfg_bak_mf$tag")) {
+        val row = TO.readSnapshot(s, table, tag, "_cfg").collect()(0)
+        row.getAs[Int]("dim")
+      } else dim
+    val del =
+      if (manifest.contains(table + "_del"))
+        Some(TO.readSnapshot(s, table, tag, "_del"))
+      else None
+    val sigs = TO.exceptTombstonesFrame(
+      TO.readSnapshot(s, table, tag), del, "vec_id")
+    scoreExternalFrames(queries, sigs, vecs, dm, k, c)
+  }
+
+  /** The ONE external-query Hamming pipeline behind the live and
+    * as-of probes (`sigs`/`vecs` = live tables minus tombstones, or a
+    * snapshot's file-pinned frames). */
+  private def scoreExternalFrames(queries: DataFrame, sigs: DataFrame,
+      vecs: DataFrame, dm: Int, k: Int, c: Int): DataFrame = {
     val q = Ann.prepExternal(queries, dm)
       .withColumn("q_sig", expr("graft_sign_pack_words(qv)"))
     // phase 1 keeps the member-topK contract: only (q_id, vec_id, ham)
@@ -2445,9 +2554,8 @@ object BqIndex {
       .filter(col("hrn") <= c)
       .select("q_id", "vec_id", "ham")
     // candidates derive from the filtered sigs, so the payload join
-    // cannot resurrect a deleted id — read it unfiltered (the member
-    // topK rationale)
-    val vecs = s.table(vecTable)
+    // cannot resurrect a deleted id — the payload frame rides in
+    // unfiltered (the member topK rationale)
     val sim = CosSim.sentinel(expr("graft_dot(v, qv)"),
       col("nrm"), col("qn"))
     val w = Window.partitionBy("q_id")
@@ -2707,8 +2815,42 @@ object SqIndex {
       k: Int, dim: Int = CosSim.EmbDim): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val dm = TO.readIndexConfig(s, table).map(_("dim")).getOrElse(dim)
-    val e = TO.exceptTombstones(s.table(table), s,
-        table + "_del", "vec_id")
+    val codes = TO.exceptTombstones(s.table(table), s,
+      table + "_del", "vec_id")
+    scoreExternalFrames(queries, codes, dm, k)
+  }
+
+  /** [[scoreExternal]] AS OF a `<tag>` manifest snapshot WITHOUT
+    * restoring anything: codes and tombstones from
+    * [[graft.operators.TextOps.readSnapshot]]'s file-pinned frames,
+    * the width from the snapshot's own `_cfg` meta copy. One scoring
+    * definition ([[scoreExternalFrames]]) with the live path. Audit
+    * path, not the serving path. */
+  def scoreAsOf(queries: DataFrame, s: SparkSession, table: String,
+      tag: String, k: Int, dim: Int = CosSim.EmbDim): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val mf = s"${table}_mf_$tag"
+    require(s.catalog.tableExists(mf), s"scoreAsOf: no manifest $mf")
+    val manifest = TO.readManifest(s, mf)
+    val dm =
+      if (s.catalog.tableExists(s"${table}_cfg_bak_mf$tag")) {
+        val row = TO.readSnapshot(s, table, tag, "_cfg").collect()(0)
+        row.getAs[Int]("dim")
+      } else dim
+    val del =
+      if (manifest.contains(table + "_del"))
+        Some(TO.readSnapshot(s, table, tag, "_del"))
+      else None
+    val codes = TO.exceptTombstonesFrame(
+      TO.readSnapshot(s, table, tag), del, "vec_id")
+    scoreExternalFrames(queries, codes, dm, k)
+  }
+
+  /** The ONE external-query dequantized scan behind the live and
+    * as-of probes. */
+  private def scoreExternalFrames(queries: DataFrame, codes: DataFrame,
+      dm: Int, k: Int): DataFrame = {
+    val e = codes
       .withColumn("vq", expr(vqExpr))
       .withColumn("nrm", expr("sqrt(graft_dot(vq, vq))"))
     val q = Ann.prepExternal(queries, dm)

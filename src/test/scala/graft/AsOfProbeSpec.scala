@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnnIndex, TextOps}
+import graft.operators.{AnnIndex, BqIndex, IvfIndex, PqIndex, SqIndex, TextOps}
 import graft.operators.TextOps.FoldGuard
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -104,6 +104,154 @@ class AsOfProbeSpec extends AnyFunSuite with SparkSuite {
       TextOps.restoreSnapshot(spark, a, "s1")
       assert(scores(AnnIndex.scoreExternal(queries, spark, a)) ===
         asOf)
+    } finally drop(all: _*)
+  }
+
+  // ---- the compression ladder (r17 follow-through): every stored
+  // ANN family answers "score this query AS OF tag" without a
+  // restore, against ITS OWN snapshot meta (quantizer / codebook /
+  // packing width), with the same restored-copy parity gate.
+
+  /** External (q_id, embedding) copies of members 1 and 2. */
+  private def extQueries: org.apache.spark.sql.DataFrame =
+    Tables(spark, sf, "embeddings")
+      .filter(col("vec_id").isin(1L, 2L))
+      .select((col("vec_id") + 1000L).as("q_id"), col("embedding"))
+
+  test("IvfIndex.scoreAsOf(tag) equals the restored copy's " +
+      "scoreExternal, routed by the snapshot's own centroids") {
+    val t = s"ao_ivf_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      IvfIndex.write(Tables(spark, sf, "embeddings"), t)
+      IvfIndex.delete(spark, t, Seq(3L).toDF("vec_id"))
+      TextOps.snapshotIndex(spark, t, "s1")
+      val queries = extQueries
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(3))).toMap
+      val asOf = scores(
+        IvfIndex.scoreAsOf(queries, spark, t, "s1", k = 5, nprobe = 2))
+      assert(asOf.nonEmpty)
+      assert(!asOf.keySet.exists(_._2 == 3L), "tombstoned vec scored")
+      // live moves on: member 1 dies, so query 1001 (its exact copy)
+      // loses its sim~1 top hit in the LIVE probe only
+      IvfIndex.delete(spark, t, Seq(1L).toDF("vec_id"))
+      val live = scores(
+        IvfIndex.scoreExternal(queries, spark, t, k = 5, nprobe = 2))
+      assert(live !== asOf)
+      assert(scores(IvfIndex.scoreAsOf(queries, spark, t, "s1",
+        k = 5, nprobe = 2)) === asOf)
+      TextOps.restoreSnapshot(spark, t, "s1")
+      assert(scores(IvfIndex.scoreExternal(queries, spark, t,
+        k = 5, nprobe = 2)) === asOf)
+    } finally drop(all: _*)
+  }
+
+  test("PqIndex.scoreAsOf(tag) equals the restored copy's topK " +
+      "under the snapshot's own codebook") {
+    val t = s"ao_pq_p$pid"
+    val all = famAll(t) ++ Seq(s"${t}_cb")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      PqIndex.write(Tables(spark, sf, "embeddings"), t)
+      PqIndex.delete(spark, t, Seq(3L).toDF("vec_id"))
+      TextOps.snapshotIndex(spark, t, "s1")
+      val queries = extQueries
+      // the live topK takes the (vec_id, v) member shape — adapt the
+      // SAME external frame through the SAME checked prep scoreAsOf
+      // uses, so both paths score identical query vectors
+      val liveQ = graft.operators.Ann.prepExternal(queries, 64)
+        .select(col("q_id").as("vec_id"), col("qv").as("v"))
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      val asOf = scores(PqIndex.scoreAsOf(queries, spark, t, "s1",
+        k = 5))
+      assert(asOf.nonEmpty)
+      assert(!asOf.keySet.exists(_._2 == 3L), "tombstoned vec scored")
+      PqIndex.delete(spark, t, Seq(1L).toDF("vec_id"))
+      val live = scores(PqIndex.topK(spark, t, liveQ, k = 5))
+      assert(live !== asOf)
+      assert(scores(PqIndex.scoreAsOf(queries, spark, t, "s1",
+        k = 5)) === asOf)
+      TextOps.restoreSnapshot(spark, t, "s1")
+      assert(scores(PqIndex.topK(spark, t, liveQ, k = 5)) === asOf)
+    } finally drop(all: _*)
+  }
+
+  test("BqIndex.scoreAsOf(tag) equals the restored copies' " +
+      "scoreExternal — the payload snapshot composes explicitly") {
+    val t = s"ao_bq_p$pid"
+    val av = s"ao_bqav_p$pid"
+    val all = famAll(t) ++ famAll(av) ++ Seq(s"${av}_vec_mf_s1")
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val emb = Tables(spark, sf, "embeddings")
+      AnnIndex.write(emb, av, nBands = 4, bits = 2)
+      BqIndex.write(emb, t)
+      BqIndex.delete(spark, t, Seq(3L).toDF("vec_id"))
+      TextOps.snapshotIndex(spark, t, "s1")
+      TextOps.snapshotIndex(spark, av, "s1")
+      val queries = extQueries
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(3))).toMap
+      // the exact-rerank payload is ANOTHER family's past, pinned to
+      // the same cadence tag by the caller — the composed-audit shape
+      val vecsAsOf = TextOps.readSnapshot(spark, av, "s1", "_vec")
+      val asOf = scores(BqIndex.scoreAsOf(queries, spark, t, "s1",
+        vecsAsOf, k = 5))
+      assert(asOf.nonEmpty)
+      assert(!asOf.keySet.exists(_._2 == 3L), "tombstoned vec scored")
+      BqIndex.delete(spark, t, Seq(1L).toDF("vec_id"))
+      val live = scores(BqIndex.scoreExternal(queries, spark, t,
+        s"${av}_vec", k = 5))
+      assert(live !== asOf)
+      assert(scores(BqIndex.scoreAsOf(queries, spark, t, "s1",
+        vecsAsOf, k = 5)) === asOf)
+      TextOps.restoreSnapshot(spark, t, "s1")
+      TextOps.restoreSnapshot(spark, av, "s1")
+      assert(scores(BqIndex.scoreExternal(queries, spark, t,
+        s"${av}_vec", k = 5)) === asOf)
+    } finally drop(all: _*)
+  }
+
+  test("SqIndex.scoreAsOf(tag) equals the restored copy's " +
+      "scoreExternal at the snapshot's packing width") {
+    val t = s"ao_sq_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      SqIndex.write(Tables(spark, sf, "embeddings"), t)
+      SqIndex.delete(spark, t, Seq(3L).toDF("vec_id"))
+      TextOps.snapshotIndex(spark, t, "s1")
+      val queries = extQueries
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      val asOf = scores(SqIndex.scoreAsOf(queries, spark, t, "s1",
+        k = 5))
+      assert(asOf.nonEmpty)
+      assert(!asOf.keySet.exists(_._2 == 3L), "tombstoned vec scored")
+      SqIndex.delete(spark, t, Seq(1L).toDF("vec_id"))
+      val live = scores(SqIndex.scoreExternal(queries, spark, t,
+        k = 5))
+      assert(live !== asOf)
+      assert(scores(SqIndex.scoreAsOf(queries, spark, t, "s1",
+        k = 5)) === asOf)
+      TextOps.restoreSnapshot(spark, t, "s1")
+      assert(scores(SqIndex.scoreExternal(queries, spark, t,
+        k = 5)) === asOf)
     } finally drop(all: _*)
   }
 }
