@@ -1957,7 +1957,25 @@ object PqIndex {
     * takes, adapted through the same checked prep. One ADC pipeline
     * ([[adcTopK]]) with the live paths. Audit path, not serving. */
   def scoreAsOf(queries: DataFrame, s: SparkSession, table: String,
-      tag: String, k: Int): DataFrame = {
+      tag: String, k: Int): DataFrame =
+    asOfAdc(queries, s, table, tag, k, cand = None)
+
+  /** [[topKPairs]] AS OF a `<tag>` manifest snapshot — the composed
+    * IVF→PQ probe's (q_ivfpq) as-of rung: `cand` is the (q_id,
+    * vec_id) candidate pairs a coarse as-of routing produced
+    * (conventionally [[IvfIndex.scoreAsOf]] at a wide k against the
+    * SAME cadence tag — the two families' pasts compose explicitly,
+    * the BqIndex.scoreAsOf payload convention). Same snapshot frames
+    * and ADC pipeline as [[scoreAsOf]]; codes join down to the
+    * candidates BEFORE the LUT lookup, so even the audit path stays
+    * O(candidates · M), never corpus-wide. */
+  def scoreAsOfPairs(queries: DataFrame, s: SparkSession,
+      table: String, tag: String, cand: DataFrame, k: Int): DataFrame =
+    asOfAdc(queries, s, table, tag, k, cand = Some(cand))
+
+  private def asOfAdc(queries: DataFrame, s: SparkSession,
+      table: String, tag: String, k: Int,
+      cand: Option[DataFrame]): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val mf = s"${table}_mf_$tag"
     require(s.catalog.tableExists(mf), s"scoreAsOf: no manifest $mf")
@@ -1973,7 +1991,7 @@ object PqIndex {
       .head().getInt(0)
     val q = Ann.prepExternal(queries, dim)
       .select(col("q_id").as("vec_id"), col("qv").as("v"))
-    adcTopK(cb, codes, q, k, cand = None)
+    adcTopK(cb, codes, q, k, cand)
   }
 
   /** ONE ADC scoring pipeline for the corpus-wide, pair-restricted

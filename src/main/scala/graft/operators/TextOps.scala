@@ -3935,6 +3935,34 @@ object TextOps {
       .dropDuplicates("new_id", "old_id")
   }
 
+  /** [[nearDupsAgainstIndex]] AS OF a `<tag>` manifest snapshot
+    * WITHOUT restoring anything — the seventh stored family's as-of
+    * probe (r17): "was this batch a near-dup of the corpus at cut
+    * time" is the training-data provenance question a contamination
+    * audit asks, and it must be answered against the index AS IT
+    * STOOD, not today's (documents upserted since the tag must
+    * neither collide nor mask). Band rows and the tombstone list come
+    * from [[readSnapshot]]'s file-pinned frames; the probe pipeline
+    * is the ONE live definition, so parity with a restored copy holds
+    * by construction (AsOfProbeSpec gates it). No `_del_stage` guard:
+    * band deletes tombstone directly (no stats WAL). Audit path, not
+    * the serving path.
+    */
+  def nearDupsAsOf(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String,
+      newDocs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val mf = s"${table}_mf_$tag"
+    require(s.catalog.tableExists(mf), s"nearDupsAsOf: no manifest $mf")
+    val manifest = readManifest(s, mf)
+    val del =
+      if (manifest.contains(table + "_del"))
+        Some(readSnapshot(s, table, tag, "_del"))
+      else None
+    nearDupsAgainstIndex(newDocs, exceptTombstonesFrame(
+      readSnapshot(s, table, tag), del, "old_id"))
+  }
+
   /** Exact set-overlap verification used by every near-dup candidate
     * check — ONE definition (shared with the QDefs below) so the
     * formula cannot drift between the batch, incremental, streaming,

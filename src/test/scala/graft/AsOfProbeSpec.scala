@@ -145,6 +145,13 @@ class AsOfProbeSpec extends AnyFunSuite with SparkSuite {
       assert(live !== asOf)
       assert(scores(IvfIndex.scoreAsOf(queries, spark, t, "s1",
         k = 5, nprobe = 2)) === asOf)
+      // ...including across an anchored fold: vacuum folds the
+      // tombstones into a full cells rewrite, and the as-of probe
+      // keeps serving the tag from the anchor (the bm25 contract,
+      // carried to the ladder)
+      IvfIndex.vacuum(spark, t, FoldGuard.Anchor)
+      assert(scores(IvfIndex.scoreAsOf(queries, spark, t, "s1",
+        k = 5, nprobe = 2)) === asOf)
       TextOps.restoreSnapshot(spark, t, "s1")
       assert(scores(IvfIndex.scoreExternal(queries, spark, t,
         k = 5, nprobe = 2)) === asOf)
@@ -221,6 +228,88 @@ class AsOfProbeSpec extends AnyFunSuite with SparkSuite {
       TextOps.restoreSnapshot(spark, av, "s1")
       assert(scores(BqIndex.scoreExternal(queries, spark, t,
         s"${av}_vec", k = 5)) === asOf)
+    } finally drop(all: _*)
+  }
+
+  test("PqIndex.scoreAsOfPairs composes the IVF and PQ pasts at one " +
+      "tag and equals the restored copy's topKPairs") {
+    val ivf = s"ao_ivfc_p$pid"
+    val t = s"ao_pqp_p$pid"
+    val all = famAll(ivf) ++ famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val emb = Tables(spark, sf, "embeddings")
+      IvfIndex.write(emb, ivf)
+      PqIndex.write(emb, t)
+      PqIndex.delete(spark, t, Seq(3L).toDF("vec_id"))
+      TextOps.snapshotIndex(spark, ivf, "s1")
+      TextOps.snapshotIndex(spark, t, "s1")
+      val queries = extQueries
+      // coarse as-of routing at a wide k = the candidate pairs, both
+      // families pinned to the SAME cadence tag
+      val candAsOf = IvfIndex.scoreAsOf(queries, spark, ivf, "s1",
+        k = 50, nprobe = 2).select("q_id", "vec_id")
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      val asOf = scores(PqIndex.scoreAsOfPairs(queries, spark, t,
+        "s1", candAsOf, k = 5))
+      assert(asOf.nonEmpty)
+      assert(!asOf.keySet.exists(_._2 == 3L), "tombstoned vec scored")
+      // live moves on on the PQ side only — the composed as-of probe
+      // must not see it
+      PqIndex.delete(spark, t, Seq(1L).toDF("vec_id"))
+      val liveQ = graft.operators.Ann.prepExternal(queries, 64)
+        .select(col("q_id").as("vec_id"), col("qv").as("v"))
+      val live = scores(PqIndex.topKPairs(spark, t, liveQ,
+        candAsOf, k = 5))
+      assert(live !== asOf)
+      assert(scores(PqIndex.scoreAsOfPairs(queries, spark, t, "s1",
+        candAsOf, k = 5)) === asOf)
+      // restored-copy parity: identical candidates, restored codes
+      TextOps.restoreSnapshot(spark, t, "s1")
+      assert(scores(PqIndex.topKPairs(spark, t, liveQ, candAsOf,
+        k = 5)) === asOf)
+    } finally drop(all: _*)
+  }
+
+  test("TextOps.nearDupsAsOf(tag) equals the restored band index's " +
+      "probe — the contamination audit against the corpus at cut time") {
+    val t = s"ao_band_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val docs = Tables(spark, sf, "documents")
+        .filter(col("doc_id") <= 40)
+        .select(col("doc_id"), col("text"))
+      TextOps.writeBandIndex(docs, t)
+      TextOps.deleteBandDocs(spark, t, Seq(3L).toDF("doc_id"))
+      TextOps.snapshotIndex(spark, t, "s1")
+      // probe batch: exact copies of corpus docs 1-3 in a new id space
+      val newDocs = docs.filter(col("doc_id").isin(1L, 2L, 3L))
+        .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      val asOf = pairs(TextOps.nearDupsAsOf(spark, t, "s1", newDocs))
+      assert(asOf.contains((1001L, 1L)), "exact copy must collide")
+      assert(!asOf.keySet.exists(_._2 == 3L),
+        "tombstoned doc collided")
+      // live moves on: doc 1 leaves the index — the as-of audit must
+      // still see it as it stood at the tag
+      TextOps.deleteBandDocs(spark, t, Seq(1L).toDF("doc_id"))
+      val live = pairs(TextOps.nearDupsAgainstIndex(newDocs,
+        TextOps.liveBandIndex(spark, t)))
+      assert(!live.contains((1001L, 1L)))
+      assert(pairs(TextOps.nearDupsAsOf(spark, t, "s1", newDocs)) ===
+        asOf)
+      TextOps.restoreSnapshot(spark, t, "s1")
+      assert(pairs(TextOps.nearDupsAgainstIndex(newDocs,
+        TextOps.liveBandIndex(spark, t))) === asOf)
     } finally drop(all: _*)
   }
 

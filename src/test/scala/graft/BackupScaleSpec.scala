@@ -79,7 +79,30 @@ class BackupScaleSpec extends AnyFunSuite with SparkSuite {
             TextOps.checkSnapshot(spark, at)
         }
         assert(chk.isEmpty, s"$label: fresh snapshot not clean: $chk")
-        // DIFFERENTIAL leg (r17): append a ~10% window to the BM25
+        // AS-OF PROBE cost (r17): the audit path scores the tag off
+        // plain manifested-file scans (+ one Exchange); the live path
+        // serves from the bucketed index. Nothing has mutated since
+        // the snapshot, so the two answers must be value-identical —
+        // the load-immune sanity gate — and the printed pair is the
+        // "what does scoring the past cost" curve for SCALE_SF1.md.
+        val sp0 = spark
+        import sp0.implicits._
+        val qt = spark.table(bt).select("token").distinct()
+          .orderBy("token").limit(3).collect().map(_.getString(0))
+          .zipWithIndex.map { case (t, i) => (i, t) }
+          .toSeq.toDF("q_id", "token")
+        def bmMap(rows: Array[org.apache.spark.sql.Row]) =
+          rows.map(r => ((r.getInt(0), r.getLong(1)),
+            r.getDouble(2))).toMap
+        val (liveRows, liveS) = timed {
+          val (p, st) = TextOps.liveBm25(spark, bt, s"${bt}_stats")
+          TextOps.bm25ScoreIncr(qt, p, st).collect()
+        }
+        val (asOfRows, asOfS) = timed {
+          TextOps.scoreBm25AsOf(spark, bt, "snap", qt).collect()
+        }
+        assert(bmMap(asOfRows) === bmMap(liveRows),
+          s"$label: as-of diverged from live with no mutation between")
         // family, then back it up AGAINST the full tag — the bend in
         // the byte curve: physical bytes ride the append window, not
         // the corpus (references cover the rest)
@@ -120,15 +143,18 @@ class BackupScaleSpec extends AnyFunSuite with SparkSuite {
           f"diff10pct=$diffS%.2fs/${diffBytes / 1024}%dKiB " +
           f"(${diffBytes * 100.0 / fullBmBytes}%.1f%% of the bm25 " +
           f"full copy's ${fullBmBytes / 1024}%dKiB) " +
-          f"promote=$promoteS%.2fs/${borrowedBytes / 1024}%dKiB")
-        (backupS, snapS, checkS, backupBytes, snapBytes)
+          f"promote=$promoteS%.2fs/${borrowedBytes / 1024}%dKiB " +
+          f"asof=$asOfS%.2fs(live=$liveS%.2fs)")
+        (backupS, snapS, checkS, backupBytes, snapBytes, asOfS)
       } finally
         all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
-    val Seq((b0, s0, c0, bb0, sb0), (b1, s1, c1, bb1, sb1)) = results
+    val Seq((b0, s0, c0, bb0, sb0, a0),
+      (b1, s1, c1, bb1, sb1, a1)) = results
     println(f"BACKUP_AUDIT ratios (10x corpus): backup ${b1 / b0}%.2fx/" +
       f"${bb1.toDouble / bb0}%.2fx-bytes snapshot ${s1 / s0}%.2fx/" +
-      f"${sb1.toDouble / sb0}%.2fx-bytes check ${c1 / c0}%.2fx")
+      f"${sb1.toDouble / sb0}%.2fx-bytes check ${c1 / c0}%.2fx " +
+      f"asof ${a1 / a0}%.2fx")
     // the asymptote, gated: on 10x data the copy path writes ~10x the
     // bytes while the manifest path stays within small-change of flat
     assert(bb1 > bb0 * 4, s"backup bytes should scale with data: $bb0 -> $bb1")

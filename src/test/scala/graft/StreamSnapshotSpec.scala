@@ -111,11 +111,42 @@ class StreamSnapshotSpec extends AnyFunSuite with SparkSuite {
       val full = state(members)
       assert(full !== snap)
 
+      // group-tag AS-OF (r17): the family-level as-of probes serve
+      // against the GROUP snapshot's per-family manifests — the whole
+      // document retrieval surface answers at the tag with no restore
+      val qt = Seq((1, "merge"), (1, "spark")).toDF("q_id", "token")
+      def bmScores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getInt(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      val bmAsOf = bmScores(TextOps.scoreBm25AsOf(spark,
+        s"${base}_bm25", "snap", qt))
+      assert(bmAsOf.nonEmpty)
+      // probe a corpus doc that is NOT the upsert-rewritten anchor,
+      // copied into a new id space — the exact-copy collision gate
+      val probeId = anchor + 3
+      val probeDocs = docs.filter(col("doc_id") === probeId)
+        .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+      def ndPairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      val ndAsOf = ndPairs(TextOps.nearDupsAsOf(spark,
+        s"${base}_band", "snap", probeDocs))
+      assert(ndAsOf.contains((probeId + 9000L, probeId)),
+        ndAsOf.toString)
+
       val did = streaming.StreamingOps.restoreDocumentsSnapshot(spark,
         base)
       assert(did.exists(_.startsWith("pruned ")), did.toString)
       assert(state(members) === snap,
         "manifest restore did not return the member snapshot")
+      // ...and the as-of answers equal what the restored group serves
+      val (rp, rs) = TextOps.liveBm25(spark, s"${base}_bm25",
+        s"${base}_bm25_stats")
+      assert(bmScores(TextOps.bm25ScoreIncr(qt, rp, rs)) === bmAsOf,
+        "group-tag bm25 as-of diverged from the restored group")
+      assert(ndPairs(TextOps.nearDupsAgainstIndex(probeDocs,
+        TextOps.liveBandIndex(spark, s"${base}_band"))) === ndAsOf,
+        "group-tag near-dup as-of diverged from the restored group")
 
       streaming.StreamingOps.streamingDocumentIngest(spark, dir, base)
       streaming.StreamingOps.streamingDocumentUpserts(spark, upsDir,
@@ -229,9 +260,34 @@ class StreamSnapshotSpec extends AnyFunSuite with SparkSuite {
       streaming.StreamingOps.streamingAllIndexIngest(spark, dir, base)
       val full = state(members)
       assert(full !== snap)
+      // group-tag AS-OF (r17): every stream-fed vector family serves
+      // scoreAsOf against the GROUP snapshot's per-family manifests
+      val queries = emb.filter(col("vec_id").isin(1L, 2L))
+        .select((col("vec_id") + 9000L).as("q_id"), col("embedding"))
+      def annScores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      def sqScores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+          r.getDouble(2))).toMap
+      val annAsOf = annScores(graft.operators.AnnIndex.scoreAsOf(
+        queries, spark, s"${base}_ann", "snap"))
+      val sqAsOf = sqScores(graft.operators.SqIndex.scoreAsOf(
+        queries, spark, s"${base}_sq", "snap", k = 5))
+      assert(annAsOf.nonEmpty && sqAsOf.nonEmpty)
+      // post-snapshot members (vec_id >= 30) are invisible at the tag
+      assert(!annAsOf.keySet.exists(_._2 >= 30L) &&
+        !sqAsOf.keySet.exists(_._2 >= 30L))
       streaming.StreamingOps.restoreVectorsSnapshot(spark, base)
       assert(state(members) === snap,
         "manifest restore did not return the vector snapshot")
+      // ...and the as-of answers equal what the restored group serves
+      assert(annScores(graft.operators.AnnIndex.scoreExternal(
+        queries, spark, s"${base}_ann")) === annAsOf,
+        "group-tag ANN as-of diverged from the restored group")
+      assert(sqScores(graft.operators.SqIndex.scoreExternal(
+        queries, spark, s"${base}_sq", k = 5)) === sqAsOf,
+        "group-tag SQ8 as-of diverged from the restored group")
       // replay: the restored checkpoint replays exactly the second
       // file — no duplicate appends (the manifest claim for vectors,
       // whose appends have no content-hash dedup)
