@@ -1603,18 +1603,70 @@ object TextOps {
     }
   }
 
+  /** RESTORE-AS — the drill / branch verb (r17): converge a FRESH
+    * family `asTable` to the `<tag>` backup of `table`, with the
+    * live family and the backup both untouched. Two operator asks in
+    * one verb: the DISASTER DRILL ("prove this backup actually
+    * restores, without a maintenance window" — checkBackup audits
+    * metadata; this proves the bytes by building the family and
+    * letting you probe it), and the BRANCH ("run the experiment
+    * against last Tuesday's corpus" at full bucketed-serving speed,
+    * where the as-of probes' plain-scan audit path isn't enough).
+    * Same gates as [[restoreIndex]] (commit marker required, chain
+    * integrity audited before any copy) and the same marker-routed
+    * member convergence — borrowed differential bytes resolve from
+    * their base-tag copies. The target family must not exist (a
+    * drill must never clobber; drop it or pick a fresh name).
+    * `<table>_hold` is NOT copied: the branch is an experiment
+    * family, never the compliance copy. */
+  def restoreIndexAs(s: org.apache.spark.sql.SparkSession,
+      table: String, tag: String, asTable: String): Seq[String] =
+    withBuildLock(s) {
+      requireTag("restoreIndexAs", tag)
+      require(asTable != table,
+        "restoreIndexAs: asTable must differ from the live family " +
+          "(use restoreIndex to converge in place)")
+      require(s.catalog.tableExists(s"${table}_bakok_$tag"),
+        s"restoreIndexAs: no committed backup $table/$tag (marker " +
+          s"${table}_bakok_$tag absent) — nothing to drill")
+      val audit = checkBackup(s, table, tag)
+      require(audit.isEmpty,
+        s"restoreIndexAs: backup $table/$tag failed its integrity " +
+          s"audit — ${audit.take(5).mkString("; ")}" +
+          (if (audit.size > 5) s" (+${audit.size - 5} more)" else "") +
+          " — re-take the backup")
+      val clash = (asTable +: BackupSiblings.map(asTable + _))
+        .filter(s.catalog.tableExists)
+      require(clash.isEmpty,
+        s"restoreIndexAs: target family exists (${clash.mkString(", ")
+          }) — a drill never clobbers; drop it or pick a fresh name")
+      val entries = readBackupMarker(s, s"${table}_bakok_$tag")
+        .groupBy(_._1)
+      ("" +: BackupSiblings).flatMap { suf =>
+        entries.get(s"$table${suf}_bak_$tag").map { rows =>
+          restoreMemberFromMarker(s, asTable + suf, tag, rows,
+            from = table + suf)
+          s"restored ${asTable + suf}"
+        }
+      }
+    }
+
   /** Converge ONE member to its marker-recorded file set: definition
     * LIKE the tag's own copy (bucket spec rides along), then copy
     * each recorded file from the copy that physically holds it (own
     * copy for src-null rows, the base tag's copy for borrowed rows —
     * unless a [[promoteBackup]] already materialized the bytes into
     * the own copy, which then serves). Copies, not renames — a crash
-    * mid-restore converges by re-running. */
+    * mid-restore converges by re-running. `from` = the BACKED-UP
+    * member whose tag copies serve the bytes; it defaults to `live`
+    * (the in-place restore) and diverges only for [[restoreIndexAs]]
+    * (restore into a scratch family). */
   private def restoreMemberFromMarker(
       s: org.apache.spark.sql.SparkSession, live: String, tag: String,
-      rows: Seq[(String, Option[String], Long, Option[String])])
-      : Unit = {
-    val own = s"${live}_bak_$tag"
+      rows: Seq[(String, Option[String], Long, Option[String])],
+      from: String = ""): Unit = {
+    val srcMember = if (from.isEmpty) live else from
+    val own = s"${srcMember}_bak_$tag"
     val ownNow = listDataFiles(s, own).toSet
     s.sql(s"DROP TABLE IF EXISTS $live")
     clearOrphanLocation(s, live)
@@ -1627,7 +1679,7 @@ object TextOps {
       .foreach { case (src, ps) =>
         val holder = src match {
           case None => own
-          case Some(b) => s"${live}_bak_$b"
+          case Some(b) => s"${srcMember}_bak_$b"
         }
         copyDataFiles(s, tableLocation(s, holder), dst, ps.map(_._1))
       }
