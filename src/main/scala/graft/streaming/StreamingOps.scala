@@ -1605,6 +1605,53 @@ object StreamingOps {
     promoteStreamBackup(spark, "promoteVectors",
       s"${base}_vbakok_$tag", vecFamilies.map(base + _), tag)
 
+  /** [[graft.operators.TextOps.restoreIndexAs]] lifted to a unified
+    * group — the drill / branch twin of the in-place group restore:
+    * build SCRATCH member families at `asBase` from the committed
+    * `<tag>` group backup, live group and backup untouched. SERVING
+    * side only, by design: the member families restore (differential
+    * chains resolved, per-family integrity audited, clobber refused
+    * per member by the family verb); the hash store, replay ledgers,
+    * and checkpoint trees do NOT ride along — a branch serves
+    * probes, it does not ingest, and resuming streams under a
+    * different base is not a meaningful operation
+    * ([[restoreDocuments]] is the recovery verb). Group-committed
+    * sets only: the group marker is required, so a crashed group
+    * take cannot be drilled into a frankenstein branch. */
+  private def restoreStreamFamilyAs(spark: SparkSession, base: String,
+      tag: String, asBase: String, sufs: Seq[String], marker: String,
+      what: String): Seq[String] =
+    graft.operators.TextOps.withBuildLock(spark) {
+      graft.operators.TextOps.requireTag(what, tag)
+      require(asBase != base,
+        s"$what: asBase must differ from the live base (use the " +
+          "in-place group restore to converge)")
+      require(spark.catalog.tableExists(marker),
+        s"$what: no committed group backup $base/$tag (marker " +
+          s"$marker absent) — nothing to drill")
+      val present = sufs.map(base + _).filter(f =>
+        spark.catalog.tableExists(s"${f}_bakok_$tag"))
+      require(present.nonEmpty,
+        s"$what: group $base/$tag records no member-family backups")
+      present.flatMap { f =>
+        graft.operators.TextOps.restoreIndexAs(spark, f, tag,
+          asBase + f.stripPrefix(base))
+      }
+    }
+
+  /** [[restoreStreamFamilyAs]] for a document base. */
+  def restoreDocumentsAs(spark: SparkSession, base: String,
+      tag: String, asBase: String): Seq[String] =
+    restoreStreamFamilyAs(spark, base, tag, asBase,
+      Seq("_band", "_bm25"), s"${base}_dbakok_$tag",
+      "restoreDocumentsAs")
+
+  /** [[restoreStreamFamilyAs]] for a vector base. */
+  def restoreVectorsAs(spark: SparkSession, base: String,
+      tag: String, asBase: String): Seq[String] =
+    restoreStreamFamilyAs(spark, base, tag, asBase, vecFamilies,
+      s"${base}_vbakok_$tag", "restoreVectorsAs")
+
   // ---- O(metadata) stream-level snapshots (r15): manifest twins --
   // ---- of backupDocuments/backupVectors for append windows      --
 

@@ -90,4 +90,60 @@ class RestoreAsSpec extends AnyFunSuite with SparkSuite {
       }
     } finally drop(all: _*)
   }
+
+  test("group drill: restoreDocumentsAs builds scratch member " +
+      "families from the committed group backup; ingest state never " +
+      "rides along; uncommitted groups refuse") {
+    val base = s"ras_doc_p$pid"
+    val dr = s"ras_docdr_p$pid"
+    val fams = Seq("_band", "_bm25")
+    val all = (fams.map(base + _) ++ fams.map(dr + _)).flatMap(f =>
+      (f +: TextOps.BackupSiblings.map(f + _)).flatMap(m =>
+        Seq(m, s"${m}_bak_b0")) ++ Seq(s"${f}_bakok_b0")) ++
+      Seq(s"${base}_dbakok_b0", s"${base}_bm25_stats",
+        s"${dr}_bm25_stats", s"${base}_hashes", s"${dr}_hashes")
+    drop(all.distinct: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        (1L to 30L).map(i => i -> s"spark shuffle join token$i data")
+          .toDF("doc_id", "text"), s"${base}_bm25",
+        s"${base}_bm25_stats")
+      TextOps.writeBandIndex(
+        (1L to 30L).map(i => (i, s"spark shuffle join token$i data"))
+          .toDF("doc_id", "text"), s"${base}_band")
+      streaming.StreamingOps.backupDocuments(spark, base, "b0")
+      val bmAt = postings(s"${base}_bm25")
+      val bandAt = spark.table(s"${base}_band")
+        .selectExpr("band_key", "old_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      // live moves past the group backup
+      TextOps.appendBm25Postings(
+        Seq(31L -> "spark fresh post-backup doc")
+          .toDF("doc_id", "text"), s"${base}_bm25",
+        s"${base}_bm25_stats")
+
+      val out = streaming.StreamingOps.restoreDocumentsAs(spark,
+        base, "b0", dr)
+      assert(out.contains(s"restored ${dr}_bm25") &&
+        out.contains(s"restored ${dr}_band"), out.toString)
+      assert(postings(s"${dr}_bm25") === bmAt)
+      assert(spark.table(s"${dr}_band")
+        .selectExpr("band_key", "old_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted ===
+        bandAt)
+      // serving side only: no ingest state at the branch base
+      assert(!spark.catalog.tableExists(s"${dr}_hashes"))
+      // the live group is past the backup, untouched by the drill
+      assert(postings(s"${base}_bm25").size > bmAt.size)
+      // uncommitted groups refuse
+      val e = intercept[IllegalArgumentException] {
+        streaming.StreamingOps.restoreDocumentsAs(spark, base,
+          "nosuch", dr + "x")
+      }
+      assert(e.getMessage.contains("no committed group backup"),
+        e.getMessage)
+    } finally drop(all.distinct: _*)
+  }
 }
