@@ -1242,24 +1242,57 @@ object TextOps {
   }
 
   /** Copy `relPaths` data files from under `srcLoc` to the same
-    * relative names under `dstLoc` (parents created as needed). */
+    * relative names under `dstLoc` (parents created as needed).
+    * Returns each file's md5 (hex), digested WHILE copying — the
+    * backup take records content identity for free (one read, which
+    * the copy pays anyway); callers that only move bytes ignore the
+    * result. */
   private[graft] def copyDataFiles(s: org.apache.spark.sql.SparkSession,
       srcLoc: org.apache.hadoop.fs.Path,
       dstLoc: org.apache.hadoop.fs.Path,
-      relPaths: Seq[String]): Unit = {
+      relPaths: Seq[String]): Map[String, String] = {
     val conf = s.sparkContext.hadoopConfiguration
     val sfs = srcLoc.getFileSystem(conf)
     val dfs = dstLoc.getFileSystem(conf)
     dfs.mkdirs(dstLoc)
-    relPaths.foreach { p =>
+    relPaths.map { p =>
       val dst = new org.apache.hadoop.fs.Path(dstLoc, p)
       val parent = dst.getParent
       if (parent != null) { dfs.mkdirs(parent); () }
-      org.apache.hadoop.fs.FileUtil.copy(sfs,
-        new org.apache.hadoop.fs.Path(srcLoc, p), dfs, dst,
-        false, conf)
-      ()
-    }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val in = sfs.open(new org.apache.hadoop.fs.Path(srcLoc, p))
+      try {
+        val out = dfs.create(dst, true)
+        try {
+          val buf = new Array[Byte](131072)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n) }
+            n = in.read(buf)
+          }
+        } finally out.close()
+      } finally in.close()
+      p -> md.digest().map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  /** md5 (hex) of one data file under a table location — the deep
+    * audit's re-hash and [[markBackupComplete]]'s vouch-with-teeth.
+    * O(file bytes): opt-in paths only, never the O(metadata) verbs. */
+  private def hashDataFile(s: org.apache.spark.sql.SparkSession,
+      loc: org.apache.hadoop.fs.Path, relPath: String): String = {
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(new org.apache.hadoop.fs.Path(loc, relPath))
+    try {
+      val buf = new Array[Byte](131072)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Tag hygiene shared by EVERY backup/snapshot verb (ADVICE r16
@@ -1305,7 +1338,8 @@ object TextOps {
     // resolve the base manifest BEFORE retiring this tag's marker: a
     // differential against a damaged or uncommitted base would
     // record references that can never restore
-    val baseHeld: Map[String, Map[(String, Long), String]] =
+    val baseHeld
+        : Map[String, Map[(String, Long), (String, Option[String])]] =
       baseTag match {
         case None => Map.empty
         case Some(b) =>
@@ -1323,8 +1357,10 @@ object TextOps {
           readBackupMarker(s, s"${table}_bakok_$b")
             .groupBy(_._1)
             .map { case (m, rows) =>
-              m -> rows.collect { case (_, Some(p), l, src) =>
-                (p, l) -> src.getOrElse(b) }.toMap
+              // a borrowed file inherits the base row's content hash
+              // too — the deep audit follows the bytes, not the tag
+              m -> rows.collect { case (_, Some(p), l, src, sha) =>
+                (p, l) -> (src.getOrElse(b), sha) }.toMap
             }
       }
     // retire the commit marker FIRST: from here until the last copy
@@ -1340,8 +1376,10 @@ object TextOps {
     val results = (table +: BackupSiblings.map(table + _))
       .flatMap { m =>
         val held = baseTag.map(b => baseHeld.getOrElse(
-            s"${m}_bak_$b", Map.empty[(String, Long), String]))
-          .getOrElse(Map.empty[(String, Long), String])
+            s"${m}_bak_$b",
+            Map.empty[(String, Long), (String, Option[String])]))
+          .getOrElse(
+            Map.empty[(String, Long), (String, Option[String])])
         backupMember(s, m, tag, held)
       }
     writeBackupMarker(s, marker, results.flatMap(_._2))
@@ -1356,8 +1394,9 @@ object TextOps {
     * file's row records its physical tag. An absent member clears
     * any stale copy under the tag and records nothing. */
   private def backupMember(s: org.apache.spark.sql.SparkSession,
-      m: String, tag: String, baseHeld: Map[(String, Long), String])
-      : Option[(String, Seq[(String, String, Long, String)])] = {
+      m: String, tag: String,
+      baseHeld: Map[(String, Long), (String, Option[String])])
+      : Option[(String, Seq[(String, String, Long, String, String)])] = {
     val c = s"${m}_bak_$tag"
     if (!s.catalog.tableExists(m)) {
       s.sql(s"DROP TABLE IF EXISTS $c")
@@ -1368,13 +1407,19 @@ object TextOps {
       s.sql(s"DROP TABLE IF EXISTS $c")
       clearOrphanLocation(s, c)
       s.sql(s"CREATE TABLE $c LIKE $m")
-      copyDataFiles(s, tableLocation(s, m), tableLocation(s, c),
+      val hashes = copyDataFiles(s, tableLocation(s, m),
+        tableLocation(s, c),
         live.collect { case (p, l) if !baseHeld.contains((p, l)) => p })
       s.catalog.refreshTable(c)
       val rows =
-        if (live.isEmpty) Seq((c, null: String, 0L, null: String))
+        if (live.isEmpty)
+          Seq((c, null: String, 0L, null: String, null: String))
         else live.map { case (p, l) =>
-          (c, p, l, baseHeld.get((p, l)).orNull) }
+          baseHeld.get((p, l)) match {
+            case Some((b, sha)) => (c, p, l, b, sha.orNull)
+            case None => (c, p, l, null: String, hashes(p))
+          }
+        }
       Some((c, rows))
     }
   }
@@ -1389,24 +1434,29 @@ object TextOps {
     * silently restoring less than was backed up. */
   private def writeBackupMarker(s: org.apache.spark.sql.SparkSession,
       marker: String,
-      rows: Seq[(String, String, Long, String)]): Unit = {
+      rows: Seq[(String, String, Long, String, String)]): Unit = {
     val sp = s
     import sp.implicits._
-    rows.toDF("member", "path", "len", "src").coalesce(1)
+    rows.toDF("member", "path", "len", "src", "sha").coalesce(1)
       .write.mode("overwrite").saveAsTable(marker)
   }
 
   /** Marker rows back: (copy name, file path, len, physical tag for
-    * a borrowed file — differential references, r17). Pre-r17
-    * 3-column markers read with src = None throughout (full sets). */
+    * a borrowed file — differential references r17, content md5 —
+    * deep audit r17). Pre-r17 3-column markers read with src = None
+    * throughout (full sets); pre-hash markers with sha = None (the
+    * deep audit NAMES those as unverifiable rather than skipping). */
   private[graft] def readBackupMarker(
       s: org.apache.spark.sql.SparkSession, marker: String)
-      : Seq[(String, Option[String], Long, Option[String])] = {
+      : Seq[(String, Option[String], Long, Option[String],
+        Option[String])] = {
     val df = s.table(marker)
     val hasSrc = df.columns.contains("src")
+    val hasSha = df.columns.contains("sha")
     df.collect().toSeq.map { r =>
       (r.getString(0), Option(r.getString(1)), r.getLong(2),
-        if (hasSrc) Option(r.getString(3)) else None)
+        if (hasSrc) Option(r.getString(3)) else None,
+        if (hasSha) Option(r.getString(4)) else None)
     }
   }
 
@@ -1426,8 +1476,14 @@ object TextOps {
       .map(m => s"${m}_bak_$tag").filter(s.catalog.tableExists)
     writeBackupMarker(s, s"${table}_bakok_$tag", members.flatMap { m =>
       val files = listDataFiles(s, m)
-      if (files.isEmpty) Seq((m, null: String, 0L, null: String))
-      else files.map { case (p, l) => (m, p, l, null: String) }
+      val loc = tableLocation(s, m)
+      if (files.isEmpty)
+        Seq((m, null: String, 0L, null: String, null: String))
+      // the vouch has teeth: hash what is actually there NOW (an
+      // O(bytes) read — this is the operator declaring the set whole,
+      // not the O(metadata) cadence check)
+      else files.map { case (p, l) =>
+        (m, p, l, null: String, hashDataFile(s, loc, p)) }
     })
     members
   }
@@ -1439,7 +1495,7 @@ object TextOps {
     * under the tag (restore would resurrect it as a member). All
     * O(metadata). Nil = the set restores as taken. */
   def checkBackup(s: org.apache.spark.sql.SparkSession, table: String,
-      tag: String = "bak"): Seq[String] = {
+      tag: String = "bak", deep: Boolean = false): Seq[String] = {
     requireTag("checkBackup", tag)
     val marker = s"${table}_bakok_$tag"
     if (!s.catalog.tableExists(marker))
@@ -1462,9 +1518,9 @@ object TextOps {
           // materialized them (a crash mid-promote stays green by
           // design: the bytes are restorable from either side)
           val own = rows.collect {
-            case (_, Some(p), l, None) => (p, l) }.toSet
+            case (_, Some(p), l, None, _) => (p, l) }.toSet
           val borrowed = rows.collect {
-            case (_, Some(p), l, Some(b)) => (p, l, b) }
+            case (_, Some(p), l, Some(b), _) => (p, l, b) }
           val borrowedSet =
             borrowed.map { case (p, l, _) => (p, l) }.toSet
           val now = listDataFiles(s, m).toSet
@@ -1505,7 +1561,51 @@ object TextOps {
       .map(m => s"$m: copy exists but is not in the commit marker " +
         "(restore would resurrect it as a member) — re-take the " +
         "backup")
-    fileProblems ++ extras
+    // DEEP pass (opt-in, O(backup bytes) — the cadence check stays
+    // O(metadata)): re-hash every recorded file at the copy that
+    // physically holds it and compare to the take-time md5. This is
+    // what (name, len) identity cannot see: same-length bit rot or
+    // tamper inside a committed copy. A pre-hash row is NAMED as
+    // unverifiable — a silent skip would read as "verified".
+    val deepProblems =
+      if (!deep) Nil
+      else recorded.toSeq.sortBy(_._1).flatMap { case (m, rows) =>
+        if (!s.catalog.tableExists(m)) Nil // shallow already reported
+        else {
+          val ownNow = listDataFiles(s, m).toSet
+          val live = m.stripSuffix(s"_bak_$tag")
+          rows.collect { case (_, Some(p), l, src, sha) =>
+            (p, l, src, sha) }.sortBy(_._1).flatMap {
+            case (p, _, _, None) =>
+              Seq(s"$m: $p has no recorded content hash (pre-hash " +
+                "marker) — deep audit cannot verify it; re-take the " +
+                "backup")
+            case (p, l, src, Some(sha)) =>
+              // resolve exactly like restore: the own copy when it
+              // physically holds the file (full rows, or borrowed
+              // rows a promote materialized), else the base copy
+              val holder =
+                if (src.isEmpty || ownNow.contains((p, l))) Some(m)
+                else Some(s"${live}_bak_${src.get}")
+                  .filter(s.catalog.tableExists)
+              holder.toSeq.flatMap { h =>
+                val loc = tableLocation(s, h)
+                val fs = loc.getFileSystem(
+                  s.sparkContext.hadoopConfiguration)
+                if (!fs.exists(new org.apache.hadoop.fs.Path(loc, p)))
+                  Nil // missing files are the shallow pass's finding
+                else {
+                  val got = hashDataFile(s, loc, p)
+                  if (got == sha) Nil
+                  else Seq(s"$m: $p content mismatch in $h " +
+                    s"(recorded md5 $sha, found $got — bit rot or " +
+                    "tamper at unchanged length); re-take the backup")
+                }
+              }
+          }
+        }
+      }
+    fileProblems ++ extras ++ deepProblems
   }
 
   /** Snapshot ONE standalone table (a replay ledger, the ingest hash
@@ -1663,7 +1763,8 @@ object TextOps {
     * (restore into a scratch family). */
   private def restoreMemberFromMarker(
       s: org.apache.spark.sql.SparkSession, live: String, tag: String,
-      rows: Seq[(String, Option[String], Long, Option[String])],
+      rows: Seq[(String, Option[String], Long, Option[String],
+        Option[String])],
       from: String = ""): Unit = {
     val srcMember = if (from.isEmpty) live else from
     val own = s"${srcMember}_bak_$tag"
@@ -1672,7 +1773,7 @@ object TextOps {
     clearOrphanLocation(s, live)
     s.sql(s"CREATE TABLE $live LIKE $own")
     val dst = tableLocation(s, live)
-    rows.collect { case (_, Some(p), l, src) => (p, l, src) }
+    rows.collect { case (_, Some(p), l, src, _) => (p, l, src) }
       .groupBy { case (p, l, src) =>
         if (src.isEmpty || ownNow.contains((p, l))) None else src }
       .toSeq.sortBy(_._1)
@@ -1702,7 +1803,8 @@ object TextOps {
     require(s.catalog.tableExists(marker),
       s"backupProvenance: no committed backup $table/$tag")
     readBackupMarker(s, marker)
-      .collect { case (_, Some(_), l, src) => (src.getOrElse(tag), l) }
+      .collect { case (_, Some(_), l, src, _) =>
+        (src.getOrElse(tag), l) }
       .groupBy(_._1).toSeq
       .map { case (t2, fs2) => (t2, fs2.size.toLong, fs2.map(_._2).sum) }
       .sortBy(-_._3)
@@ -1772,7 +1874,7 @@ object TextOps {
         else ""))
     val entries = readBackupMarker(s, marker)
     val borrowedByMember = entries.groupBy(_._1).view
-      .mapValues(_.collect { case (_, Some(p), l, Some(b)) =>
+      .mapValues(_.collect { case (_, Some(p), l, Some(b), _) =>
         (p, l, b) })
       .filter(_._2.nonEmpty).toMap
     if (borrowedByMember.isEmpty)
@@ -1825,9 +1927,12 @@ object TextOps {
             s" (${bs.size - pending.size} already present)"
           else "")
       }
-      // phase 3, COMMIT: the marker rewrite clears the borrows
-      writeBackupMarker(s, marker, entries.map { case (m, p, l, _) =>
-        (m, p.orNull, l, null: String) })
+      // phase 3, COMMIT: the marker rewrite clears the borrows —
+      // and ONLY the borrows: the content hashes ride along (the
+      // bytes did not change, so neither may their recorded identity)
+      writeBackupMarker(s, marker,
+        entries.map { case (m, p, l, _, sha) =>
+          (m, p.orNull, l, null: String, sha.orNull) })
       notes
     }
   }

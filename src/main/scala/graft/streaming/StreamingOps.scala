@@ -1225,7 +1225,7 @@ object StreamingOps {
       familyMarker: String): (String, Long) = {
     val rows = graft.operators.TextOps
       .readBackupMarker(spark, familyMarker)
-      .map { case (m, p, l, _) => s"$m|${p.getOrElse("")}|$l" }
+      .map { case (m, p, l, _, _) => s"$m|${p.getOrElse("")}|$l" }
       .sorted
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val hex = md.digest(rows.mkString("\n")

@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.TextOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DEEP BACKUP AUDIT (r17): the commit marker's (name, len) identity
+  * is O(metadata) and catches lost/changed/extra files — but not
+  * same-length BIT ROT inside a committed copy. Backups now record
+  * each file's md5 at take time (digested while copying, so the take
+  * pays no extra read), and `checkBackup(deep = true)` re-hashes
+  * every recorded file at the copy that physically holds it —
+  * opt-in O(bytes), the restore-day confidence check, while the
+  * cadence check stays O(metadata). Borrowed differential rows
+  * inherit the base row's hash and verify at the HOLDER, so one deep
+  * audit covers the whole chain; a pre-hash (legacy) row is NAMED as
+  * unverifiable, never silently skipped.
+  */
+class DeepAuditSpec extends AnyFunSuite with SparkSuite {
+
+  private val pid = ProcessHandle.current().pid()
+
+  private def drop(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def famAll(t: String): Seq[String] =
+    (t +: TextOps.BackupSiblings.map(t + _)).flatMap(m =>
+      Seq(m, s"${m}_bak_base", s"${m}_bak_d1")) ++
+      Seq(s"${t}_bakok_base", s"${t}_bakok_d1")
+
+  /** Flip one bit of the file's first byte in place — length (and
+    * the O(metadata) audit's view) unchanged. */
+  private def flipByte(t: String, rel: String): Unit = {
+    val loc = TextOps.tableLocation(spark, t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(loc, rel)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    bytes(0) = (bytes(0) ^ 0x01).toByte
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  test("same-length bit rot passes the O(metadata) check, is named " +
+      "by the deep audit at the holding copy (across the " +
+      "differential chain), and a re-take heals it; pre-hash " +
+      "markers are named unverifiable") {
+    val t = s"da_bm25_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        (1L to 30L).map(i => i -> s"spark shuffle join token$i data")
+          .toDF("doc_id", "text"), t, s"${t}_stats")
+      TextOps.backupIndex(spark, t, "base")
+      TextOps.appendBm25Postings(
+        (31L to 33L).map(i => i -> s"spark shuffle join token$i data")
+          .toDF("doc_id", "text"), t, s"${t}_stats")
+      TextOps.backupIndex(spark, t, "d1", baseTag = Some("base"))
+      // fresh chain: shallow AND deep green (deep walks borrowed
+      // rows to the base copy holding the bytes)
+      assert(TextOps.checkBackup(spark, t, "d1") === Nil)
+      assert(TextOps.checkBackup(spark, t, "d1", deep = true) === Nil)
+
+      // corrupt ONE borrowed byte at its holder: a postings file in
+      // the BASE copy that d1 records by reference
+      val victim = TextOps.readBackupMarker(spark, s"${t}_bakok_d1")
+        .collectFirst { case (m, Some(p), _, Some("base"), _)
+          if m == s"${t}_bak_d1" => p }
+        .getOrElse(fail("no borrowed postings row to corrupt"))
+      flipByte(s"${t}_bak_base", victim)
+
+      // the O(metadata) check cannot see it — same names, same
+      // lengths — on either tag
+      assert(TextOps.checkBackup(spark, t, "d1") === Nil)
+      assert(TextOps.checkBackup(spark, t, "base") === Nil)
+      // the deep audit names file, holder, and both hashes, on the
+      // dependent (via the borrow) AND on the base itself
+      val deepD1 = TextOps.checkBackup(spark, t, "d1", deep = true)
+      assert(deepD1.exists(v => v.contains(victim) &&
+        v.contains(s"${t}_bak_base") && v.contains("content mismatch")),
+        deepD1.toString)
+      assert(TextOps.checkBackup(spark, t, "base", deep = true)
+        .exists(_.contains(victim)))
+
+      // the heal: re-take the base from the (untouched) live family —
+      // d1's borrowed (name, len) set still resolves, hashes match
+      // again, the whole chain deep-audits green
+      TextOps.backupIndex(spark, t, "base")
+      assert(TextOps.checkBackup(spark, t, "base", deep = true) === Nil)
+      assert(TextOps.checkBackup(spark, t, "d1", deep = true) === Nil)
+
+      // legacy leg: a pre-hash marker deep-audits as UNVERIFIABLE
+      // (named per file), while the shallow check stays green
+      val legacyRows = TextOps
+        .readBackupMarker(spark, s"${t}_bakok_d1")
+        .map { case (m, p, l, src, _) => (m, p.orNull, l, src.orNull) }
+      drop(s"${t}_bakok_d1")
+      legacyRows.toDF("member", "path", "len", "src").coalesce(1)
+        .write.saveAsTable(s"${t}_bakok_d1")
+      assert(TextOps.checkBackup(spark, t, "d1") === Nil)
+      val deepLegacy = TextOps.checkBackup(spark, t, "d1", deep = true)
+      assert(deepLegacy.nonEmpty &&
+        deepLegacy.forall(_.contains("no recorded content hash")),
+        deepLegacy.toString)
+    } finally drop(all: _*)
+  }
+
+  test("markBackupComplete vouches with teeth: the declared set " +
+      "carries real content hashes, so the deep audit has them") {
+    val t = s"da_vouch_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        (1L to 10L).map(i => i -> s"spark shuffle token$i")
+          .toDF("doc_id", "text"), t, s"${t}_stats")
+      TextOps.backupIndex(spark, t, "base")
+      // simulate the pre-marker world: the copies exist, the marker
+      // is gone; the operator vouches
+      drop(s"${t}_bakok_base")
+      TextOps.markBackupComplete(spark, t, "base")
+      assert(TextOps.checkBackup(spark, t, "base", deep = true) === Nil)
+      // and the vouch is not a rubber stamp — corrupt, re-audit
+      val rel = TextOps.listDataFiles(spark, s"${t}_bak_base")
+        .head._1
+      flipByte(s"${t}_bak_base", rel)
+      assert(TextOps.checkBackup(spark, t, "base") === Nil)
+      assert(TextOps.checkBackup(spark, t, "base", deep = true)
+        .exists(_.contains("content mismatch")))
+    } finally drop(all: _*)
+  }
+}

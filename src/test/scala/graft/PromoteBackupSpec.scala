@@ -118,7 +118,7 @@ class PromoteBackupSpec extends AnyFunSuite with SparkSuite {
       // simulate the crash: phase-2 copied ONE borrowed file into the
       // own copy, then died before the marker rewrite
       val borrowed = TextOps.readBackupMarker(spark, s"${t}_bakok_d1")
-        .collect { case (m, Some(p), l, Some(b)) => (m, p, l, b) }
+        .collect { case (m, Some(p), l, Some(b), _) => (m, p, l, b) }
       assert(borrowed.nonEmpty)
       val (m0, p0, l0, b0) = borrowed
         .filter(_._1 == s"${t}_bak_d1").minBy(_._2)
