@@ -1279,7 +1279,7 @@ object TextOps {
   /** md5 (hex) of one data file under a table location — the deep
     * audit's re-hash and [[markBackupComplete]]'s vouch-with-teeth.
     * O(file bytes): opt-in paths only, never the O(metadata) verbs. */
-  private def hashDataFile(s: org.apache.spark.sql.SparkSession,
+  private[graft] def hashDataFile(s: org.apache.spark.sql.SparkSession,
       loc: org.apache.hadoop.fs.Path, relPath: String): String = {
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     val md = java.security.MessageDigest.getInstance("MD5")

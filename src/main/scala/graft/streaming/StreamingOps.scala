@@ -1251,24 +1251,34 @@ object StreamingOps {
   private def writeGroupMarker(spark: SparkSession, marker: String,
       famBases: Seq[String], tag: String,
       tables: Seq[String], cks: Seq[String]): Unit = {
+    // state-table and checkpoint rows carry each file's md5 (r17):
+    // unlike the family members (hashed while copying), these hash
+    // here with one extra read — of copies that are small BY DESIGN
+    // (ledgers, hash store, checkpoint logs), so the take stays
+    // cheap and the deep audit covers the whole group, not just the
+    // families
     def fileRows(kind: String, name: String,
-        files: Seq[(String, Long)]) =
-      if (files.isEmpty) Seq((kind, name, null: String, 0L))
-      else files.map { case (p, l) => (kind, name, p, l) }
+        loc: org.apache.hadoop.fs.Path, files: Seq[(String, Long)]) =
+      if (files.isEmpty)
+        Seq((kind, name, null: String, 0L, null: String))
+      else files.map { case (p, l) => (kind, name, p, l,
+        graft.operators.TextOps.hashDataFile(spark, loc, p)) }
     val rows =
       famBases.map { f =>
         val (hex, n) = famFingerprint(spark, s"${f}_bakok_$tag")
-        ("fam", f, hex, n)
+        ("fam", f, hex, n, null: String)
       } ++
       tables.flatMap(t => fileRows("table", t,
+        graft.operators.TextOps.tableLocation(spark, t),
         graft.operators.TextOps.listDataFiles(spark, t))) ++
       cks.flatMap { p =>
-        fileRows("ck", p, graft.operators.TextOps.listFilesUnder(
-          spark, new org.apache.hadoop.fs.Path(p)))
+        val root = new org.apache.hadoop.fs.Path(p)
+        fileRows("ck", p, root,
+          graft.operators.TextOps.listFilesUnder(spark, root))
       }
     val sp = spark
     import sp.implicits._
-    rows.toDF("kind", "name", "path", "len").coalesce(1)
+    rows.toDF("kind", "name", "path", "len", "sha").coalesce(1)
       .write.mode("overwrite").saveAsTable(marker)
   }
 
@@ -1289,16 +1299,21 @@ object StreamingOps {
       anyCopy: Boolean, tag: String,
       expectedFams: Seq[String] = Nil,
       expectedTables: Seq[String] = Nil,
-      expectedCks: Seq[String] = Nil): Seq[String] = {
+      expectedCks: Seq[String] = Nil,
+      deep: Boolean = false): Seq[String] = {
     if (!spark.catalog.tableExists(marker))
       return Seq(
         if (anyCopy) s"copies exist but no group marker $marker — " +
           "the backup crashed mid-group (or predates the marker, " +
           "r16); re-take it"
         else s"no backup (no group marker $marker)")
-    val raw = spark.table(marker).collect()
+    val mdf = spark.table(marker)
+    val hasSha = mdf.columns.contains("sha")
+    val rawSha = mdf.collect()
       .map(r => ((r.getString(0), r.getString(1)),
-        Option(r.getString(2)), r.getLong(3)))
+        Option(r.getString(2)), r.getLong(3),
+        if (hasSha) Option(r.getString(4)) else None))
+    val raw = rawSha.map { case (k, p, l, _) => (k, p, l) }
     val fams = raw.collect { case (("fam", f), Some(hex), n) =>
       (f, hex, n) }.toSeq
     val recorded = raw.filterNot(_._1._1 == "fam")
@@ -1350,7 +1365,52 @@ object StreamingOps {
     }.map(p => s"$p: checkpoint backup exists but is not in the " +
       "group marker (restore would resurrect it) — re-take the " +
       "backup")
-    famProblems ++
+    // DEEP pass (opt-in, r17): re-hash every recorded state-table /
+    // checkpoint file against its take-time md5 — same-length bit
+    // rot inside a committed copy is invisible to the (name, len)
+    // identity above. Family members deep-audit via the per-family
+    // chain audit the public twins append; a pre-hash (legacy) row
+    // is NAMED unverifiable, never silently skipped.
+    val deepProblems =
+      if (!deep) Nil
+      else rawSha.toSeq.filterNot(_._1._1 == "fam")
+        .collect { case ((kind, n), Some(p), _, sha) =>
+          (kind, n, p, sha) }
+        .sortBy(r => (r._2, r._3)).flatMap { case (kind, n, p, sha) =>
+          val root: Option[org.apache.hadoop.fs.Path] = kind match {
+            case "table" =>
+              if (spark.catalog.tableExists(n))
+                Some(graft.operators.TextOps.tableLocation(spark, n))
+              else None
+            case _ =>
+              val path = new org.apache.hadoop.fs.Path(n)
+              if (path.getFileSystem(
+                  spark.sparkContext.hadoopConfiguration).exists(path))
+                Some(path)
+              else None
+          }
+          root.toSeq.flatMap { loc =>
+            sha match {
+              case None => Seq(s"$n: $p has no recorded content " +
+                "hash (pre-hash group marker) — deep audit cannot " +
+                "verify it; re-take the backup")
+              case Some(h) =>
+                val fs = loc.getFileSystem(
+                  spark.sparkContext.hadoopConfiguration)
+                if (!fs.exists(new org.apache.hadoop.fs.Path(loc, p)))
+                  Nil // missing files are the shallow pass's finding
+                else {
+                  val got = graft.operators.TextOps
+                    .hashDataFile(spark, loc, p)
+                  if (got == h) Nil
+                  else Seq(s"$n: $p content mismatch (recorded md5 " +
+                    s"$h, found $got — bit rot or tamper at " +
+                    "unchanged length); re-take the backup")
+                }
+            }
+          }
+        }
+    deepProblems ++ famProblems ++
     recorded.toSeq.sortBy(_._1).flatMap { case ((kind, n), files) =>
       val now: Option[Set[(String, Long)]] = kind match {
         case "table" =>
@@ -1398,9 +1458,11 @@ object StreamingOps {
     (tbls, cks)
   }
 
-  /** [[checkGroupBackup]] for a unified document base. */
+  /** [[checkGroupBackup]] for a unified document base. `deep` adds
+    * the opt-in O(bytes) content re-hash, group rows AND member
+    * families (the family-level `checkBackup(deep)` contract). */
   def checkDocumentsBackup(spark: SparkSession, base: String,
-      tag: String = "bak"): Seq[String] = {
+      tag: String = "bak", deep: Boolean = false): Seq[String] = {
     graft.operators.TextOps.requireTag("checkDocumentsBackup", tag)
     val (tbls, cks) = expectedGroupCopies(spark,
       s"${base}_hashes" +: docStreams(base).map(_ + "_ledger"),
@@ -1410,19 +1472,20 @@ object StreamingOps {
         .exists(f => spark.catalog.tableExists(s"${f}_bak_$tag")),
       tag = tag,
       expectedFams = Seq(s"${base}_band", s"${base}_bm25"),
-      expectedTables = tbls, expectedCks = cks) ++
+      expectedTables = tbls, expectedCks = cks, deep = deep) ++
       // per-family chain audit (r17): a differential family copy's
       // BORROWED files live in base tags' copies the group marker
       // never recorded — the family-level audit covers them
       Seq(s"${base}_band", s"${base}_bm25")
         .filter(f => spark.catalog.tableExists(s"${f}_bakok_$tag"))
         .flatMap(f => graft.operators.TextOps.checkBackup(spark, f,
-          tag))
+          tag, deep))
   }
 
-  /** [[checkGroupBackup]] for a unified vector base. */
+  /** [[checkGroupBackup]] for a unified vector base (`deep` as in
+    * [[checkDocumentsBackup]]). */
   def checkVectorsBackup(spark: SparkSession, base: String,
-      tag: String = "bak"): Seq[String] = {
+      tag: String = "bak", deep: Boolean = false): Seq[String] = {
     graft.operators.TextOps.requireTag("checkVectorsBackup", tag)
     val (tbls, cks) = expectedGroupCopies(spark,
       vecStreams(base).map(_ + "_ledger"),
@@ -1432,12 +1495,12 @@ object StreamingOps {
         spark.catalog.tableExists(s"$base${f}_bak_$tag")),
       tag = tag,
       expectedFams = vecFamilies.map(base + _),
-      expectedTables = tbls, expectedCks = cks) ++
+      expectedTables = tbls, expectedCks = cks, deep = deep) ++
       // per-family chain audit (r17): see checkDocumentsBackup
       vecFamilies.map(base + _)
         .filter(f => spark.catalog.tableExists(s"${f}_bakok_$tag"))
         .flatMap(f => graft.operators.TextOps.checkBackup(spark, f,
-          tag))
+          tag, deep))
   }
 
   /** RESTORE a unified document family to its `<tag>` snapshot —

@@ -109,6 +109,51 @@ class DeepAuditSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("group deep audit: bit rot in a state-table copy and in a " +
+      "member-family copy both pass the shallow group check and are " +
+      "named by checkDocumentsBackup(deep = true)") {
+    val base = s"da_doc_p$pid"
+    val fams = Seq(s"${base}_band", s"${base}_bm25")
+    val all = (fams.flatMap(f =>
+      (f +: TextOps.BackupSiblings.map(f + _)).flatMap(m =>
+        Seq(m, s"${m}_bak_b0")) ++ Seq(s"${f}_bakok_b0")) ++
+      Seq(s"${base}_dbakok_b0", s"${base}_bm25_stats",
+        s"${base}_hashes", s"${base}_hashes_bak_b0")).distinct
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        (1L to 20L).map(i => i -> s"spark shuffle token$i")
+          .toDF("doc_id", "text"), s"${base}_bm25",
+        s"${base}_bm25_stats")
+      TextOps.writeBandIndex(
+        (1L to 20L).map(i => (i, s"spark shuffle token$i"))
+          .toDF("doc_id", "text"), s"${base}_band")
+      Seq((1L, "h1"), (2L, "h2")).toDF("doc_id", "h")
+        .write.saveAsTable(s"${base}_hashes")
+      streaming.StreamingOps.backupDocuments(spark, base, "b0")
+      assert(streaming.StreamingOps.checkDocumentsBackup(spark, base,
+        "b0") === Nil)
+      assert(streaming.StreamingOps.checkDocumentsBackup(spark, base,
+        "b0", deep = true) === Nil)
+      // bit rot in the STATE copy (group-marker rows) and in a
+      // FAMILY copy (family-marker rows) — both same-length
+      val stCopy = s"${base}_hashes_bak_b0"
+      flipByte(stCopy, TextOps.listDataFiles(spark, stCopy).head._1)
+      val famCopy = s"${base}_bm25_bak_b0"
+      flipByte(famCopy, TextOps.listDataFiles(spark, famCopy).head._1)
+      assert(streaming.StreamingOps.checkDocumentsBackup(spark, base,
+        "b0") === Nil, "shallow group check saw a same-length flip")
+      val deepV = streaming.StreamingOps.checkDocumentsBackup(spark,
+        base, "b0", deep = true)
+      assert(deepV.exists(v => v.contains(stCopy) &&
+        v.contains("content mismatch")), deepV.toString)
+      assert(deepV.exists(v => v.contains(famCopy) &&
+        v.contains("content mismatch")), deepV.toString)
+    } finally drop(all: _*)
+  }
+
   test("markBackupComplete vouches with teeth: the declared set " +
       "carries real content hashes, so the deep audit has them") {
     val t = s"da_vouch_p$pid"
