@@ -2113,10 +2113,49 @@ object TextOps {
     }
   }
 
+  /** The anchor's content-hash sidecar (r17): `_sha` inside the
+    * anchor dir, one `md5<space>relpath` line per anchored file —
+    * underscore-prefixed, so every data-file listing skips it. An
+    * anchor is often the ONLY copy of a pinned byte-set (the live
+    * file was folded away), so it records the md5 the copy digested
+    * for free, and checkSnapshot's deep pass verifies it. */
+  private def anchorShaFile(aDir: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(aDir, "_sha")
+
+  private def readAnchorShas(s: org.apache.spark.sql.SparkSession,
+      aDir: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val p = anchorShaFile(aDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map { line =>
+        val (sha, path) = line.splitAt(32)
+        path.drop(1) -> sha
+      }.toMap
+    }
+  }
+
+  private def writeAnchorShas(s: org.apache.spark.sql.SparkSession,
+      aDir: org.apache.hadoop.fs.Path,
+      shas: Map[String, String]): Unit = {
+    val p = anchorShaFile(aDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(shas.toSeq.sorted
+      .map { case (path, sha) => s"$sha $path" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Copy `member`'s still-live manifested files for `(base, tag)`
     * into the member's fold anchor (files already anchored are
     * skipped — anchoring is idempotent and incremental across
-    * repeated folds). */
+    * repeated folds). Each copied file's md5 joins the anchor's
+    * `_sha` sidecar. */
   private def anchorMemberFiles(s: org.apache.spark.sql.SparkSession,
       member: String, base: String, tag: String): Int = {
     val mf = s"${base}_mf_$tag"
@@ -2129,7 +2168,9 @@ object TextOps {
       val anchored = listFilesUnder(s, aDir).toSet
       val need = files.filter(f =>
         live.contains(f) && !anchored.contains(f))
-      copyDataFiles(s, liveLoc, aDir, need.map(_._1))
+      val hashes = copyDataFiles(s, liveLoc, aDir, need.map(_._1))
+      if (hashes.nonEmpty)
+        writeAnchorShas(s, aDir, readAnchorShas(s, aDir) ++ hashes)
       need.size
     }
   }
@@ -2412,18 +2453,54 @@ object TextOps {
     * flips this — re-check after compact/vacuum/refresh, and take a
     * fresh copy-based anchor. */
   def checkSnapshot(s: org.apache.spark.sql.SparkSession,
-      table: String, tag: String = "snap"): Seq[String] = {
+      table: String, tag: String = "snap",
+      deep: Boolean = false): Seq[String] = {
     val mf = s"${table}_mf_$tag"
     if (!s.catalog.tableExists(mf))
       return Seq(s"no manifest $mf")
-    val fileProblems =
-      familyManifestProblems(s, tag, readManifest(s, mf))
+    val manifest = readManifest(s, mf)
+    val fileProblems = familyManifestProblems(s, tag, manifest)
     val copyProblems = SnapshotCopySiblings.map(table + _)
       .filter(m => s.catalog.tableExists(m) &&
         !s.catalog.tableExists(s"${m}_bak_mf$tag"))
       .map(m => s"$m: live member has no meta copy under tag $tag " +
         "(snapshot taken before it existed? restore would drop it)")
-    fileProblems ++ copyProblems
+    // DEEP pass (opt-in, r17): the snapshot holds no bytes of its
+    // own EXCEPT fold anchors — often the only remaining copy of a
+    // pin (the live file was folded away) — so re-hash every
+    // anchored manifested file against the anchor's `_sha` sidecar.
+    // Live-served files have no take-time hash BY DESIGN (the
+    // snapshot is O(metadata); their integrity belongs to the live
+    // family and the copy backups' deep audit). Same-length bit rot
+    // in an anchor would otherwise serve corrupt as-of reads with
+    // every (name, len) check green.
+    val deepProblems =
+      if (!deep) Nil
+      else manifest.toSeq.sortBy(_._1).flatMap { case (m, files) =>
+        val aDir = anchorDir(s, m, tag)
+        val anchored = listFilesUnder(s, aDir).toMap
+        if (anchored.isEmpty) Nil
+        else {
+          val shas = readAnchorShas(s, aDir)
+          files.sortBy(_._1)
+            .filter { case (p, l) => anchored.get(p).contains(l) }
+            .flatMap { case (p, _) =>
+              shas.get(p) match {
+                case None => Seq(s"$m/$p: anchored without a " +
+                  "recorded content hash (pre-hash anchor) — deep " +
+                  "audit cannot verify it")
+                case Some(sha) =>
+                  val got = hashDataFile(s, aDir, p)
+                  if (got == sha) Nil
+                  else Seq(s"$m/$p: anchor content mismatch " +
+                    s"(recorded md5 $sha, found $got — bit rot in " +
+                    "the anchor, possibly the pin's only copy); " +
+                    "restore this tag from a copy backup")
+              }
+            }
+        }
+      }
+    fileProblems ++ copyProblems ++ deepProblems
   }
 
   /** TIME-TRAVEL READ — query a member AS OF a `<tag>` manifest

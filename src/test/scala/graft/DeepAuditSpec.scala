@@ -29,8 +29,11 @@ class DeepAuditSpec extends AnyFunSuite with SparkSuite {
 
   /** Flip one bit of the file's first byte in place — length (and
     * the O(metadata) audit's view) unchanged. */
-  private def flipByte(t: String, rel: String): Unit = {
-    val loc = TextOps.tableLocation(spark, t)
+  private def flipByte(t: String, rel: String): Unit =
+    flipByteAt(TextOps.tableLocation(spark, t), rel)
+
+  private def flipByteAt(loc: org.apache.hadoop.fs.Path,
+      rel: String): Unit = {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(loc, rel)
     val len = fs.getFileStatus(p).getLen.toInt
@@ -107,6 +110,40 @@ class DeepAuditSpec extends AnyFunSuite with SparkSuite {
         deepLegacy.forall(_.contains("no recorded content hash")),
         deepLegacy.toString)
     } finally drop(all: _*)
+  }
+
+  test("anchor deep audit: bit rot in a fold anchor — possibly the " +
+      "pin's only copy — passes every (name, len) check and is " +
+      "named by checkSnapshot(deep = true)") {
+    val t = s"da_anchor_p$pid"
+    val all = famAll(t) ++ Seq(s"${t}_mf_s1") ++
+      TextOps.SnapshotCopySiblings.map(sf => s"$t${sf}_bak_mfs1")
+    drop(all.distinct: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        (1L to 20L).map(i => i -> s"spark shuffle token$i")
+          .toDF("doc_id", "text"), t, s"${t}_stats")
+      TextOps.snapshotIndex(spark, t, "s1")
+      // an anchored fold copies the pinned postings aside (with
+      // their md5 sidecar) and rewrites the live files
+      TextOps.compactIndex(spark, t,
+        TextOps.FoldGuard.Anchor)
+      assert(TextOps.checkSnapshot(spark, t, "s1") === Nil)
+      assert(TextOps.checkSnapshot(spark, t, "s1", deep = true) ===
+        Nil)
+      val aDir = TextOps.anchorDir(spark, t, "s1")
+      val rel = TextOps.listFilesUnder(spark, aDir).head._1
+      flipByteAt(aDir, rel)
+      // (name, len) identity — readSnapshot's and the shallow
+      // check's whole world — stays green...
+      assert(TextOps.checkSnapshot(spark, t, "s1") === Nil)
+      // ...and the deep audit names the anchor rot
+      val deepV = TextOps.checkSnapshot(spark, t, "s1", deep = true)
+      assert(deepV.exists(v => v.contains(rel) &&
+        v.contains("anchor content mismatch")), deepV.toString)
+    } finally drop(all.distinct: _*)
   }
 
   test("group deep audit: bit rot in a state-table copy and in a " +
