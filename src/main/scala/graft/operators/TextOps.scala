@@ -1295,6 +1295,55 @@ object TextOps {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** DISTRIBUTED re-hash of (location, relPath) files — ONE Spark
+    * job, each task streaming its files through MD5 at constant
+    * memory (never loading a file whole). The deep audits route all
+    * their verification reads through here: at 100 TB a deep check
+    * re-reads every committed backup byte, and a driver-side
+    * file-at-a-time loop would make the restore-day confidence check
+    * itself take a day. The session's Hadoop conf rides to the tasks
+    * as a plain key-value array (rebuilt per partition — the
+    * object-store credentials and endpoints a real deployment's
+    * filesystems need; `SerializableConfiguration` is spark-private).
+    * Files are pre-checked for existence by the callers (missing
+    * files are the SHALLOW pass's finding); a file that disappears
+    * mid-audit surfaces as the task's IO error. */
+  private[graft] def hashFilesDistributed(
+      s: org.apache.spark.sql.SparkSession,
+      files: Seq[(String, String)]): Map[(String, String), String] =
+    if (files.isEmpty) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val confKv = s.sparkContext.hadoopConfiguration.iterator()
+        .asScala.map(e => (e.getKey, e.getValue)).toArray
+      val n = math.max(1, math.min(files.size,
+        s.sparkContext.defaultParallelism * 2))
+      s.sparkContext.parallelize(files.distinct, n)
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confKv.foreach { case (k, v) => conf.set(k, v) }
+          it.map { case (loc, rel) => hashOne(conf, loc, rel) }
+        }
+        .collect().toMap
+    }
+
+  private def hashOne(conf: org.apache.hadoop.conf.Configuration,
+      loc: String, rel: String): ((String, String), String) = {
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(conf)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, rel))
+    try {
+      val buf = new Array[Byte](131072)
+      var k = in.read(buf)
+      while (k >= 0) {
+        if (k > 0) md.update(buf, 0, k)
+        k = in.read(buf)
+      }
+    } finally in.close()
+    ((loc, rel), md.digest().map("%02x".format(_)).mkString)
+  }
+
   /** Tag hygiene shared by EVERY backup/snapshot verb (ADVICE r16
     * #3): tags are interpolated into table names and raw SQL, so a
     * tag with underscores or quote characters would address
@@ -1474,16 +1523,19 @@ object TextOps {
         "to vouch for")
     val members = (table +: BackupSiblings.map(table + _))
       .map(m => s"${m}_bak_$tag").filter(s.catalog.tableExists)
-    writeBackupMarker(s, s"${table}_bakok_$tag", members.flatMap { m =>
-      val files = listDataFiles(s, m)
-      val loc = tableLocation(s, m)
-      if (files.isEmpty)
-        Seq((m, null: String, 0L, null: String, null: String))
-      // the vouch has teeth: hash what is actually there NOW (an
-      // O(bytes) read — this is the operator declaring the set whole,
-      // not the O(metadata) cadence check)
-      else files.map { case (p, l) =>
-        (m, p, l, null: String, hashDataFile(s, loc, p)) }
+    // the vouch has teeth: hash what is actually there NOW (an
+    // O(bytes) read, distributed — this is the operator declaring
+    // the set whole, not the O(metadata) cadence check)
+    val byMember = members.map { m =>
+      (m, tableLocation(s, m).toString, listDataFiles(s, m)) }
+    val hashes = hashFilesDistributed(s, byMember.flatMap {
+      case (_, loc, files) => files.map { case (p, _) => (loc, p) } })
+    writeBackupMarker(s, s"${table}_bakok_$tag", byMember.flatMap {
+      case (m, loc, files) =>
+        if (files.isEmpty)
+          Seq((m, null: String, 0L, null: String, null: String))
+        else files.map { case (p, l) =>
+          (m, p, l, null: String, hashes((loc, p))) }
     })
     members
   }
@@ -1569,40 +1621,55 @@ object TextOps {
     // unverifiable — a silent skip would read as "verified".
     val deepProblems =
       if (!deep) Nil
-      else recorded.toSeq.sortBy(_._1).flatMap { case (m, rows) =>
-        if (!s.catalog.tableExists(m)) Nil // shallow already reported
-        else {
-          val ownNow = listDataFiles(s, m).toSet
-          val live = m.stripSuffix(s"_bak_$tag")
-          rows.collect { case (_, Some(p), l, src, sha) =>
-            (p, l, src, sha) }.sortBy(_._1).flatMap {
-            case (p, _, _, None) =>
-              Seq(s"$m: $p has no recorded content hash (pre-hash " +
-                "marker) — deep audit cannot verify it; re-take the " +
-                "backup")
-            case (p, l, src, Some(sha)) =>
-              // resolve exactly like restore: the own copy when it
-              // physically holds the file (full rows, or borrowed
-              // rows a promote materialized), else the base copy
-              val holder =
-                if (src.isEmpty || ownNow.contains((p, l))) Some(m)
-                else Some(s"${live}_bak_${src.get}")
-                  .filter(s.catalog.tableExists)
-              holder.toSeq.flatMap { h =>
-                val loc = tableLocation(s, h)
-                val fs = loc.getFileSystem(
-                  s.sparkContext.hadoopConfiguration)
-                if (!fs.exists(new org.apache.hadoop.fs.Path(loc, p)))
-                  Nil // missing files are the shallow pass's finding
-                else {
-                  val got = hashDataFile(s, loc, p)
-                  if (got == sha) Nil
-                  else Seq(s"$m: $p content mismatch in $h " +
-                    s"(recorded md5 $sha, found $got — bit rot or " +
-                    "tamper at unchanged length); re-take the backup")
-                }
+      else {
+        // gather every verifiable (file, holder, expected md5) — the
+        // unverifiable pre-hash rows are named — then ONE distributed
+        // re-hash job over all of them ([[hashFilesDistributed]]):
+        // the deep check re-reads every committed byte, which must
+        // parallelize at scale
+        val gathered = recorded.toSeq.sortBy(_._1).flatMap {
+          case (m, rows) =>
+            if (!s.catalog.tableExists(m)) Nil // shallow reported it
+            else {
+              val ownNow = listDataFiles(s, m).toSet
+              val live = m.stripSuffix(s"_bak_$tag")
+              rows.collect { case (_, Some(p), l, src, sha) =>
+                (p, l, src, sha) }.sortBy(_._1).flatMap {
+                case (p, _, _, None) =>
+                  Seq(Left(s"$m: $p has no recorded content hash " +
+                    "(pre-hash marker) — deep audit cannot verify " +
+                    "it; re-take the backup"))
+                case (p, l, src, Some(sha)) =>
+                  // resolve exactly like restore: the own copy when
+                  // it physically holds the file (full rows, or
+                  // borrowed rows a promote materialized), else the
+                  // base copy
+                  val holder =
+                    if (src.isEmpty || ownNow.contains((p, l))) Some(m)
+                    else Some(s"${live}_bak_${src.get}")
+                      .filter(s.catalog.tableExists)
+                  holder.toSeq.flatMap { h =>
+                    val loc = tableLocation(s, h)
+                    val fs = loc.getFileSystem(
+                      s.sparkContext.hadoopConfiguration)
+                    if (!fs.exists(
+                        new org.apache.hadoop.fs.Path(loc, p)))
+                      Nil // missing = the shallow pass's finding
+                    else Seq(Right((m, p, h, loc.toString, sha)))
+                  }
               }
-          }
+            }
+        }
+        val got = hashFilesDistributed(s,
+          gathered.collect { case Right((_, p, _, loc, _)) =>
+            (loc, p) })
+        gathered.flatMap {
+          case Left(msg) => Seq(msg)
+          case Right((m, p, h, loc, sha)) =>
+            if (got((loc, p)) == sha) Nil
+            else Seq(s"$m: $p content mismatch in $h (recorded md5 " +
+              s"$sha, found ${got((loc, p))} — bit rot or tamper at " +
+              "unchanged length); re-take the backup")
         }
       }
     fileProblems ++ extras ++ deepProblems
@@ -2476,28 +2543,38 @@ object TextOps {
     // every (name, len) check green.
     val deepProblems =
       if (!deep) Nil
-      else manifest.toSeq.sortBy(_._1).flatMap { case (m, files) =>
-        val aDir = anchorDir(s, m, tag)
-        val anchored = listFilesUnder(s, aDir).toMap
-        if (anchored.isEmpty) Nil
-        else {
-          val shas = readAnchorShas(s, aDir)
-          files.sortBy(_._1)
-            .filter { case (p, l) => anchored.get(p).contains(l) }
-            .flatMap { case (p, _) =>
-              shas.get(p) match {
-                case None => Seq(s"$m/$p: anchored without a " +
-                  "recorded content hash (pre-hash anchor) — deep " +
-                  "audit cannot verify it")
-                case Some(sha) =>
-                  val got = hashDataFile(s, aDir, p)
-                  if (got == sha) Nil
-                  else Seq(s"$m/$p: anchor content mismatch " +
-                    s"(recorded md5 $sha, found $got — bit rot in " +
-                    "the anchor, possibly the pin's only copy); " +
-                    "restore this tag from a copy backup")
-              }
+      else {
+        val gathered = manifest.toSeq.sortBy(_._1).flatMap {
+          case (m, files) =>
+            val aDir = anchorDir(s, m, tag)
+            val anchored = listFilesUnder(s, aDir).toMap
+            if (anchored.isEmpty) Nil
+            else {
+              val shas = readAnchorShas(s, aDir)
+              files.sortBy(_._1)
+                .filter { case (p, l) => anchored.get(p).contains(l) }
+                .map { case (p, _) =>
+                  shas.get(p) match {
+                    case None => Left(s"$m/$p: anchored without a " +
+                      "recorded content hash (pre-hash anchor) — " +
+                      "deep audit cannot verify it")
+                    case Some(sha) =>
+                      Right((m, p, aDir.toString, sha))
+                  }
+                }
             }
+        }
+        // one distributed re-hash job over every anchored pin
+        val got = hashFilesDistributed(s,
+          gathered.collect { case Right((_, p, loc, _)) => (loc, p) })
+        gathered.flatMap {
+          case Left(msg) => Seq(msg)
+          case Right((m, p, loc, sha)) =>
+            if (got((loc, p)) == sha) Nil
+            else Seq(s"$m/$p: anchor content mismatch (recorded " +
+              s"md5 $sha, found ${got((loc, p))} — bit rot in the " +
+              "anchor, possibly the pin's only copy); restore this " +
+              "tag from a copy backup")
         }
       }
     fileProblems ++ copyProblems ++ deepProblems

@@ -1373,43 +1373,54 @@ object StreamingOps {
     // is NAMED unverifiable, never silently skipped.
     val deepProblems =
       if (!deep) Nil
-      else rawSha.toSeq.filterNot(_._1._1 == "fam")
-        .collect { case ((kind, n), Some(p), _, sha) =>
-          (kind, n, p, sha) }
-        .sortBy(r => (r._2, r._3)).flatMap { case (kind, n, p, sha) =>
-          val root: Option[org.apache.hadoop.fs.Path] = kind match {
-            case "table" =>
-              if (spark.catalog.tableExists(n))
-                Some(graft.operators.TextOps.tableLocation(spark, n))
-              else None
-            case _ =>
-              val path = new org.apache.hadoop.fs.Path(n)
-              if (path.getFileSystem(
-                  spark.sparkContext.hadoopConfiguration).exists(path))
-                Some(path)
-              else None
-          }
-          root.toSeq.flatMap { loc =>
-            sha match {
-              case None => Seq(s"$n: $p has no recorded content " +
-                "hash (pre-hash group marker) — deep audit cannot " +
-                "verify it; re-take the backup")
-              case Some(h) =>
-                val fs = loc.getFileSystem(
-                  spark.sparkContext.hadoopConfiguration)
-                if (!fs.exists(new org.apache.hadoop.fs.Path(loc, p)))
-                  Nil // missing files are the shallow pass's finding
-                else {
-                  val got = graft.operators.TextOps
-                    .hashDataFile(spark, loc, p)
-                  if (got == h) Nil
-                  else Seq(s"$n: $p content mismatch (recorded md5 " +
-                    s"$h, found $got — bit rot or tamper at " +
-                    "unchanged length); re-take the backup")
-                }
+      else {
+        val gathered = rawSha.toSeq.filterNot(_._1._1 == "fam")
+          .collect { case ((kind, n), Some(p), _, sha) =>
+            (kind, n, p, sha) }
+          .sortBy(r => (r._2, r._3))
+          .flatMap { case (kind, n, p, sha) =>
+            val root: Option[org.apache.hadoop.fs.Path] = kind match {
+              case "table" =>
+                if (spark.catalog.tableExists(n))
+                  Some(graft.operators.TextOps
+                    .tableLocation(spark, n))
+                else None
+              case _ =>
+                val path = new org.apache.hadoop.fs.Path(n)
+                if (path.getFileSystem(
+                    spark.sparkContext.hadoopConfiguration)
+                    .exists(path))
+                  Some(path)
+                else None
+            }
+            root.toSeq.flatMap { loc =>
+              sha match {
+                case None => Seq(Left(s"$n: $p has no recorded " +
+                  "content hash (pre-hash group marker) — deep " +
+                  "audit cannot verify it; re-take the backup"))
+                case Some(h) =>
+                  val fs = loc.getFileSystem(
+                    spark.sparkContext.hadoopConfiguration)
+                  if (!fs.exists(
+                      new org.apache.hadoop.fs.Path(loc, p)))
+                    Nil // missing = the shallow pass's finding
+                  else Seq(Right((n, p, loc.toString, h)))
+              }
             }
           }
+        // one distributed re-hash job ([[graft.operators.TextOps
+        // .hashFilesDistributed]] — the at-scale deep-read path)
+        val got = graft.operators.TextOps.hashFilesDistributed(spark,
+          gathered.collect { case Right((_, p, loc, _)) => (loc, p) })
+        gathered.flatMap {
+          case Left(msg) => Seq(msg)
+          case Right((n, p, loc, h)) =>
+            if (got((loc, p)) == h) Nil
+            else Seq(s"$n: $p content mismatch (recorded md5 $h, " +
+              s"found ${got((loc, p))} — bit rot or tamper at " +
+              "unchanged length); re-take the backup")
         }
+      }
     deepProblems ++ famProblems ++
     recorded.toSeq.sortBy(_._1).flatMap { case ((kind, n), files) =>
       val now: Option[Set[(String, Long)]] = kind match {
