@@ -1246,34 +1246,71 @@ object TextOps {
     * Returns each file's md5 (hex), digested WHILE copying — the
     * backup take records content identity for free (one read, which
     * the copy pays anyway); callers that only move bytes ignore the
-    * result. */
+    * result.
+    *
+    * Scale dispatch: a handful of files copies driver-side (no job
+    * overhead for the per-batch/meta copies); past
+    * [[DistributedCopyThreshold]] files the copy fans out as ONE
+    * Spark job, each task streaming its files src→dst — at 100 TB a
+    * backup take is a bulk byte move and must parallelize like one
+    * (the distcp shape). Semantics identical either way: file-level
+    * copies, idempotent re-run, marker commits after. */
+  private[graft] val DistributedCopyThreshold = 16
+
   private[graft] def copyDataFiles(s: org.apache.spark.sql.SparkSession,
       srcLoc: org.apache.hadoop.fs.Path,
       dstLoc: org.apache.hadoop.fs.Path,
       relPaths: Seq[String]): Map[String, String] = {
     val conf = s.sparkContext.hadoopConfiguration
-    val sfs = srcLoc.getFileSystem(conf)
     val dfs = dstLoc.getFileSystem(conf)
     dfs.mkdirs(dstLoc)
-    relPaths.map { p =>
-      val dst = new org.apache.hadoop.fs.Path(dstLoc, p)
-      val parent = dst.getParent
-      if (parent != null) { dfs.mkdirs(parent); () }
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val in = sfs.open(new org.apache.hadoop.fs.Path(srcLoc, p))
+    if (relPaths.size <= DistributedCopyThreshold) {
+      val sfs = srcLoc.getFileSystem(conf)
+      relPaths.map(p =>
+        p -> copyOne(sfs, dfs, srcLoc, dstLoc, p)).toMap
+    } else {
+      import scala.jdk.CollectionConverters._
+      val confKv = conf.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+      val (src, dst) = (srcLoc.toString, dstLoc.toString)
+      val n = math.max(1, math.min(relPaths.size,
+        s.sparkContext.defaultParallelism * 2))
+      s.sparkContext.parallelize(relPaths.distinct, n)
+        .mapPartitions { it =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confKv.foreach { case (k, v) => c.set(k, v) }
+          val sp = new org.apache.hadoop.fs.Path(src)
+          val dp = new org.apache.hadoop.fs.Path(dst)
+          val sf = sp.getFileSystem(c)
+          val df = dp.getFileSystem(c)
+          it.map(p => p -> copyOne(sf, df, sp, dp, p))
+        }.collect().toMap
+    }
+  }
+
+  /** Stream one file src→dst through MD5; returns the hex digest.
+    * Runs on the driver or inside a copy task — no session state. */
+  private def copyOne(sfs: org.apache.hadoop.fs.FileSystem,
+      dfs: org.apache.hadoop.fs.FileSystem,
+      srcLoc: org.apache.hadoop.fs.Path,
+      dstLoc: org.apache.hadoop.fs.Path, p: String): String = {
+    val dst = new org.apache.hadoop.fs.Path(dstLoc, p)
+    val parent = dst.getParent
+    if (parent != null) { dfs.mkdirs(parent); () }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = sfs.open(new org.apache.hadoop.fs.Path(srcLoc, p))
+    try {
+      val out = dfs.create(dst, true)
       try {
-        val out = dfs.create(dst, true)
-        try {
-          val buf = new Array[Byte](131072)
-          var n = in.read(buf)
-          while (n >= 0) {
-            if (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n) }
-            n = in.read(buf)
-          }
-        } finally out.close()
-      } finally in.close()
-      p -> md.digest().map("%02x".format(_)).mkString
-    }.toMap
+        val buf = new Array[Byte](131072)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) { md.update(buf, 0, n); out.write(buf, 0, n) }
+          n = in.read(buf)
+        }
+      } finally out.close()
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** md5 (hex) of one data file under a table location — the deep

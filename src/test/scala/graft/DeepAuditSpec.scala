@@ -112,6 +112,35 @@ class DeepAuditSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("copyDataFiles' distributed path (above the file-count " +
+      "threshold) copies bit-exact and returns the same md5s the " +
+      "driver path computes") {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_dcp_src")
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft_dcp_dst")
+    val n = TextOps.DistributedCopyThreshold + 4
+    val rels = (1 to n).map(i => s"sub/part-$i.bin")
+    val md5s = rels.map { r =>
+      val p = srcDir.resolve(r)
+      java.nio.file.Files.createDirectories(p.getParent)
+      val bytes = (s"payload $r " * (r.length % 7 + 1)).getBytes
+      java.nio.file.Files.write(p, bytes)
+      r -> java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+    }.toMap
+    val got = TextOps.copyDataFiles(spark,
+      new org.apache.hadoop.fs.Path(srcDir.toString),
+      new org.apache.hadoop.fs.Path(dstDir.toString), rels)
+    assert(got === md5s, "distributed-copy hashes diverged")
+    rels.foreach { r =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(srcDir.resolve(r)),
+        java.nio.file.Files.readAllBytes(dstDir.resolve(r))),
+        s"$r not bit-exact after distributed copy")
+    }
+  }
+
   test("anchor deep audit: bit rot in a fold anchor — possibly the " +
       "pin's only copy — passes every (name, len) check and is " +
       "named by checkSnapshot(deep = true)") {
