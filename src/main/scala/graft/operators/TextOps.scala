@@ -1763,7 +1763,8 @@ object TextOps {
     * after the backup stay in force across the restore (the
     * append-only-forever registry contract). Returns what it did. */
   def restoreIndex(s: org.apache.spark.sql.SparkSession, table: String,
-      tag: String = "bak"): Seq[String] = withBuildLock(s) {
+      tag: String = "bak", deep: Boolean = false): Seq[String] =
+      withBuildLock(s) {
     requireTag("restoreIndex", tag)
     // the marker is the ONLY proof the set is whole (written last by
     // backupIndex): copies without it are a crashed backup — restoring
@@ -1780,8 +1781,10 @@ object TextOps {
         "touch the live family without its snapshot")
     // pre-mutation integrity audit (r16): the copies must still hold
     // exactly the files the marker committed — restoring a copy that
-    // lost files would silently converge to LESS than the snapshot
-    val audit = checkBackup(s, table, tag)
+    // lost files would silently converge to LESS than the snapshot.
+    // `deep` upgrades it to the content re-hash (r17): restore day
+    // is exactly when same-length bit rot must not slip through
+    val audit = checkBackup(s, table, tag, deep)
     require(audit.isEmpty,
       s"restoreIndex: backup $table/$tag failed its integrity " +
         s"audit — ${audit.take(5).mkString("; ")}" +
@@ -1824,7 +1827,8 @@ object TextOps {
     * `<table>_hold` is NOT copied: the branch is an experiment
     * family, never the compliance copy. */
   def restoreIndexAs(s: org.apache.spark.sql.SparkSession,
-      table: String, tag: String, asTable: String): Seq[String] =
+      table: String, tag: String, asTable: String,
+      deep: Boolean = false): Seq[String] =
     withBuildLock(s) {
       requireTag("restoreIndexAs", tag)
       require(asTable != table,
@@ -1833,7 +1837,9 @@ object TextOps {
       require(s.catalog.tableExists(s"${table}_bakok_$tag"),
         s"restoreIndexAs: no committed backup $table/$tag (marker " +
           s"${table}_bakok_$tag absent) — nothing to drill")
-      val audit = checkBackup(s, table, tag)
+      // a DRILL is restore-day practice — `deep` runs it with the
+      // content re-hash the real restore day would want
+      val audit = checkBackup(s, table, tag, deep)
       require(audit.isEmpty,
         s"restoreIndexAs: backup $table/$tag failed its integrity " +
           s"audit — ${audit.take(5).mkString("; ")}" +

@@ -88,6 +88,15 @@ class DeepAuditSpec extends AnyFunSuite with SparkSuite {
         deepD1.toString)
       assert(TextOps.checkBackup(spark, t, "base", deep = true)
         .exists(_.contains(victim)))
+      // a deep DRILL refuses on the rot a shallow one would copy —
+      // nothing is created before the audit passes
+      val eD = intercept[IllegalArgumentException] {
+        TextOps.restoreIndexAs(spark, t, "d1", s"${t}_dr",
+          deep = true)
+      }
+      assert(eD.getMessage.contains("content mismatch"),
+        eD.getMessage)
+      assert(!spark.catalog.tableExists(s"${t}_dr"))
 
       // the heal: re-take the base from the (untouched) live family —
       // d1's borrowed (name, len) set still resolves, hashes match
