@@ -14,7 +14,7 @@ object SparkEntry {
   private def all: Seq[QDef] =
     Relational.defs ++ Aggregates.defs ++ Joins.defs ++ Reshape.defs ++
       TextOps.defs ++ Similarity.defs ++ Multimodal.defs ++
-      TrainingData.defs ++ Layout.defs
+      TrainingData.defs ++ Layout.defs ++ Quality.defs
 
   /** Flagship query (SURVEY.md §7.1): daily deltas from cumulative-style
     * per-entity series — the reference pipeline's core derivation

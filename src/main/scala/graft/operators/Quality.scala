@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations: declarative constraints checked in bulk,
+  * with per-rule metrics and row-level quarantine routing — the admission
+  * gate a training-data pipeline puts in front of every ingest (the same
+  * surface Deequ/Great Expectations expose, re-expressed as pure Column
+  * algebra so Catalyst folds the whole rule set into the scan).
+  *
+  * The reference validates implicitly — `errors="coerce"` null-on-failure
+  * parses (ETL_OMS.py:62-66), not-null drops (ETL_OMS_OPERATIONNEL.py:
+  * 96-99), keyword gates (ETL_OMS_OPERATIONNEL.py:44-55) — and silently
+  * loses the rejected rows. This surface makes the gate explicit: every
+  * row that fails is NAMED with the rules it failed, counted per rule,
+  * and routed to a quarantine output instead of vanishing.
+  *
+  * Scale design (100 TB ingest batch):
+  *   - Row-local rules (not-null / range / set / regex / date-floor /
+  *     custom) compile to ONE projection over the scan — zero shuffles,
+  *     zero extra passes, fully inside whole-stage codegen no matter how
+  *     many rules are declared.
+  *   - [[Rule.UniqueKey]] is ONE hash shuffle on the candidate key (high
+  *     cardinality by definition — no task-concentration hazard).
+  *   - [[Rule.RefIntegrity]] is a broadcast left join against the dim's
+  *     distinct keys (dims are small by star-schema construction; the
+  *     plan gate in QualitySpec asserts the broadcast).
+  *   - [[metrics]] is one map-side-combined aggregate over the annotated
+  *     frame → exactly one row, melted to per-rule rows driver-free.
+  *   - [[writeSplit]] writes valid + quarantine from ONE scan via a
+  *     partition column — the two-output split never reads the batch
+  *     twice.
+  */
+object Quality {
+
+  /** One declarative constraint. `name` is the stable identifier that
+    * appears in violation arrays and metric rows.
+    */
+  sealed trait Rule { def name: String }
+
+  object Rule {
+    /** Column must be non-null. */
+    final case class NotNull(col: String) extends Rule {
+      val name = s"not_null:$col"
+    }
+    /** Non-null values must fall in [lo, hi] (nulls are NotNull's job —
+      * rules stay orthogonal so one bad cell fires one rule).
+      */
+    final case class InRange(col: String, lo: Double, hi: Double)
+        extends Rule { val name = s"in_range:$col" }
+    /** Non-null values must be members of `values`. */
+    final case class OneOf(col: String, values: Seq[String]) extends Rule {
+      val name = s"one_of:$col"
+    }
+    /** Non-null values must match `regex` (Java-regex subset shared with
+      * RE2 — anchors, classes, alternation — so oracles agree).
+      */
+    final case class Matches(col: String, regex: String) extends Rule {
+      val name = s"matches:$col"
+    }
+    /** Non-null timestamps must be >= `isoDate` (ingest freshness floor). */
+    final case class NotBefore(col: String, isoDate: String) extends Rule {
+      val name = s"not_before:$col"
+    }
+    /** `cols` must identify rows uniquely; EVERY row of a duplicated key
+      * group is flagged (quarantine must carry all claimants — picking a
+      * survivor is dedup's job, not admission's).
+      */
+    final case class UniqueKey(cols: Seq[String]) extends Rule {
+      val name = s"unique:${cols.mkString("+")}"
+    }
+    /** Non-null `col` values must exist in `dimCol` of `dim` (foreign-key
+      * admission against a dimension). `dim` is broadcast — star-schema
+      * dims are small by construction.
+      */
+    final case class RefIntegrity(col: String, dim: DataFrame,
+        dimCol: String) extends Rule { val name = s"ref:$col" }
+    /** Escape hatch: `violated` is a Boolean Column over the input row. */
+    final case class Custom(name: String, violated: Column) extends Rule
+  }
+
+  import Rule._
+
+  /** The violation predicate of a row-local rule (None for set rules,
+    * which need their marker columns pre-joined by [[annotate]]).
+    */
+  private def rowLocal(r: Rule): Option[Column] = r match {
+    case NotNull(c)      => Some(col(c).isNull)
+    case InRange(c, lo, hi) =>
+      Some(col(c).isNotNull && !(col(c) >= lit(lo) && col(c) <= lit(hi)))
+    case OneOf(c, vs)    => Some(col(c).isNotNull && !col(c).isin(vs: _*))
+    case Matches(c, re)  => Some(col(c).isNotNull && !col(c).rlike(re))
+    case NotBefore(c, d) =>
+      Some(col(c).isNotNull && col(c) < lit(d).cast("timestamp"))
+    case Custom(_, p)    => Some(p)
+    case _               => None
+  }
+
+  /** `df` + `violations: array<string>` — the sorted names of every rule
+    * the row fails (empty array = admitted). Row-local rules evaluate in
+    * the projection; UniqueKey adds one key-partitioned window count;
+    * RefIntegrity adds one broadcast left join per dim.
+    */
+  def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Quality.annotate: empty rule set")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "Quality.annotate: duplicate rule names")
+    // set rules first: fold marker columns onto the frame
+    val withMarkers = rules.zipWithIndex.foldLeft(df) {
+      case (acc, (UniqueKey(cols), i)) =>
+        val w = Window.partitionBy(cols.map(col): _*)
+        acc.withColumn(s"_q$i", count(lit(1)).over(w) > 1)
+      case (acc, (RefIntegrity(c, dim, dimCol), i)) =>
+        val keyAlias = s"_qk$i"
+        val keys = dim.select(col(dimCol).as(keyAlias)).distinct()
+        acc.join(broadcast(keys), acc(c) === col(keyAlias), "left")
+          .withColumn(s"_q$i", col(c).isNotNull && col(keyAlias).isNull)
+          .drop(keyAlias)
+      case (acc, _) => acc
+    }
+    val marks: Seq[Column] = rules.zipWithIndex.map { case (r, i) =>
+      val violated = rowLocal(r).getOrElse(col(s"_q$i"))
+      when(violated, lit(r.name))
+    }
+    val dropped = rules.indices.map(i => s"_q$i")
+      .filter(withMarkers.columns.contains)
+    withMarkers
+      .withColumn("violations",
+        array_sort(filter(array(marks: _*), x => x.isNotNull)))
+      .drop(dropped: _*)
+  }
+
+  /** Per-rule admission metrics: one row per rule with the batch total
+    * and the violation count — ONE aggregate job over the annotated
+    * frame (each rule is a conditional sum; the single result row is
+    * melted to per-rule rows with `stack`, no driver loop).
+    */
+  def metrics(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val ann = annotate(df, rules)
+    val aggs = count(lit(1)).as("_total") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(array_contains(col("violations"), r.name), 1L)
+          .otherwise(0L)).as(s"_v$i")
+      }
+    val one = ann.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex
+      .map { case (r, i) => s"'${r.name}', _v$i" }.mkString(", ")
+    one.selectExpr(
+        s"stack(${rules.size}, $stackArgs) AS (rule, violations)",
+        "_total AS total")
+      .select(col("rule"), col("total"), col("violations"))
+      .orderBy("rule")
+  }
+
+  /** (admitted, quarantined): admitted drops the bookkeeping column;
+    * quarantined keeps the row plus `violations` as a comma-joined
+    * string (stable across engines and sinks). Two filters over one
+    * shared plan — for the single-scan write path use [[writeSplit]].
+    */
+  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val ann = annotate(df, rules)
+    val ok = ann.where(size(col("violations")) === 0).drop("violations")
+    val bad = ann.where(size(col("violations")) > 0)
+      .withColumn("violations", concat_ws(",", col("violations")))
+    (ok, bad)
+  }
+
+  /** Route one batch to `<path>/_admitted=true|false` in a SINGLE scan +
+    * write job — at 100 TB the batch must not be read once per output.
+    * Quarantined rows carry their reasons; admitted rows carry an empty
+    * string (same schema both sides — one writer).
+    */
+  def writeSplit(df: DataFrame, rules: Seq[Rule], path: String): Unit =
+    annotate(df, rules)
+      .withColumn("_admitted", size(col("violations")) === 0)
+      .withColumn("violations", concat_ws(",", col("violations")))
+      .write.mode("overwrite").partitionBy("_admitted").parquet(path)
+
+  /** The q_expect rule set over `orders` — exercises every rule class;
+    * thresholds chosen so range/set/regex/date rules FIRE on the real
+    * data while not-null/unique/ref pass (both outcomes are signal).
+    */
+  private def orderRules(customer: DataFrame): Seq[Rule] = Seq(
+    NotNull("o_custkey"),
+    InRange("o_totalprice", 0.0, 300000.0),
+    OneOf("o_orderstatus", Seq("O", "F")),
+    Matches("o_orderpriority", "^[1-3]-"),
+    NotBefore("o_orderdate", "1995-06-01"),
+    UniqueKey(Seq("o_orderkey")),
+    RefIntegrity("o_custkey", customer.where(col("c_acctbal") > 0),
+      "c_custkey"))
+
+  val defs: Seq[QDef] = Seq(
+
+    // Admission metrics: the full rule-class spread in one aggregate
+    // pass. Row-local rules fold into the scan projection; unique is one
+    // key shuffle; ref is a broadcast join (plan-gated in QualitySpec).
+    QDef("q_expect",
+      (s, d) => metrics(Tables(s, d, "orders"),
+        orderRules(Tables(s, d, "customer"))),
+      Some("""
+        WITH o AS (SELECT * FROM orders),
+        dim AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0),
+        dup AS (SELECT coalesce(sum(c), 0) AS v FROM
+          (SELECT count(*) AS c FROM o GROUP BY o_orderkey
+           HAVING count(*) > 1)),
+        refv AS (SELECT count(*) AS v FROM o
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM dim)),
+        base AS (SELECT count(*) AS total,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+          sum(CASE WHEN o_totalprice IS NOT NULL
+                    AND NOT (o_totalprice BETWEEN 0 AND 300000)
+              THEN 1 ELSE 0 END) AS rng,
+          sum(CASE WHEN o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('O','F')
+              THEN 1 ELSE 0 END) AS oneof,
+          sum(CASE WHEN o_orderpriority IS NOT NULL
+                    AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+              THEN 1 ELSE 0 END) AS mtch,
+          sum(CASE WHEN o_orderdate IS NOT NULL
+                    AND o_orderdate < TIMESTAMP '1995-06-01'
+              THEN 1 ELSE 0 END) AS nb
+          FROM o)
+        SELECT rule, total, CAST(violations AS BIGINT) AS violations FROM (
+          SELECT 'not_null:o_custkey' AS rule, total, nn AS violations
+            FROM base
+          UNION ALL SELECT 'in_range:o_totalprice', total, rng FROM base
+          UNION ALL SELECT 'one_of:o_orderstatus', total, oneof FROM base
+          UNION ALL SELECT 'matches:o_orderpriority', total, mtch FROM base
+          UNION ALL SELECT 'not_before:o_orderdate', total, nb FROM base
+          UNION ALL SELECT 'unique:o_orderkey', (SELECT total FROM base),
+            (SELECT v FROM dup)
+          UNION ALL SELECT 'ref:o_custkey', (SELECT total FROM base),
+            (SELECT v FROM refv)
+        ) ORDER BY rule
+      """)),
+
+    // Quarantine routing over documents with an injected duplicate
+    // subset (doc_id % 97) so UniqueKey fires alongside the value rules
+    // — every quarantined row carries the sorted names of the rules it
+    // failed. Both copies of a duplicated key appear: admission flags
+    // ALL claimants, survivor-picking is dedup's job.
+    QDef("q_quarantine",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val batch = docs.unionAll(docs.where(col("doc_id") % 97 === 0))
+        val rules = Seq[Rule](
+          NotNull("text"),
+          OneOf("lang", Seq("en", "fr", "de")),
+          InRange("n_chars", 60.0, 500.0),
+          UniqueKey(Seq("doc_id")))
+        annotate(batch, rules)
+          .where(size(col("violations")) > 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            concat_ws(",", col("violations")).as("violations"))
+          .orderBy("doc_id", "violations")
+      },
+      Some("""
+        WITH d AS (
+          SELECT * FROM documents
+          UNION ALL SELECT * FROM documents WHERE doc_id % 97 = 0),
+        k AS (SELECT doc_id, count(*) AS c FROM d GROUP BY doc_id),
+        a AS (SELECT d.doc_id, d.lang, d.n_chars,
+          CASE WHEN d.text IS NULL THEN 'not_null:text' END AS r1,
+          CASE WHEN d.lang IS NOT NULL
+                AND d.lang NOT IN ('en','fr','de')
+               THEN 'one_of:lang' END AS r2,
+          CASE WHEN d.n_chars IS NOT NULL
+                AND NOT (d.n_chars BETWEEN 60 AND 500)
+               THEN 'in_range:n_chars' END AS r3,
+          CASE WHEN k.c > 1 THEN 'unique:doc_id' END AS r4
+          FROM d JOIN k USING (doc_id))
+        SELECT doc_id, lang, n_chars,
+          array_to_string(list_sort(
+            list_filter([r1, r2, r3, r4], x -> x IS NOT NULL)), ',')
+            AS violations
+        FROM a
+        WHERE r1 IS NOT NULL OR r2 IS NOT NULL OR r3 IS NOT NULL
+           OR r4 IS NOT NULL
+        ORDER BY doc_id, violations
+      """)),
+  )
+}

@@ -2550,6 +2550,35 @@ object TextOps {
     dropAnchors(s, table, tag)
   }
 
+  /** Repeatable-read serving epoch over one stored family: pin the
+    * family's CURRENT state under a fresh manifest snapshot (O(metadata)
+    * — the r16 time-travel layout holds no bytes), hand the tag to `f`
+    * for any number of as-of probes ([[scoreBm25AsOf]],
+    * `AnnIndex.scoreAsOf`, [[readSnapshot]], [[nearDupsAsOf]]), and
+    * retire it on the way out. Within the epoch every probe answers
+    * from the SAME file set no matter what lands concurrently —
+    * upserts/deletes don't rewrite manifested files (append +
+    * tombstone), and a maintenance fold either refuses or anchors the
+    * pinned files (FoldGuard), so the epoch's reads stay consistent
+    * across ALL concurrent writers, not just absent ones. This is the
+    * multi-probe consistency the live path cannot give: two live
+    * probes bracketing an atomic swap see two different indexes.
+    */
+  def withIndexEpoch[T](s: org.apache.spark.sql.SparkSession,
+      table: String)(f: String => T): T = {
+    val tag = epochTag()
+    snapshotIndex(s, table, tag)
+    try f(tag) finally dropSnapshot(s, table, tag)
+  }
+
+  /** A fresh collision-free alphanumeric tag for ephemeral epoch
+    * snapshots: base-36 nanotime + pid (two sessions on one warehouse
+    * must not race to the same tag).
+    */
+  private[graft] def epochTag(): String =
+    "ep" + java.lang.Long.toString(System.nanoTime(), 36) +
+      "p" + java.lang.ProcessHandle.current().pid()
+
   /** READ-ONLY restorability audit of a `<tag>` manifest snapshot —
     * [[restoreSnapshot]]'s phase-1 validation exposed as its own
     * verb, so "would this snapshot still restore?" is a cadence
@@ -2789,6 +2818,99 @@ object TextOps {
           fs.getFileStatus(loc).getModificationTime)
       }
       .sortBy(-_._2)
+  }
+
+  /** The family's COMPLETE storage footprint as one queryable frame —
+    * the gauge every retention decision reads. One row per
+    * (component, tag, member) with file count and bytes, all
+    * O(metadata) listings (no data read):
+    *
+    *   - `live`: every live member table (base + siblings).
+    *   - `backup`: per committed tag, the files a copy PHYSICALLY
+    *     holds. `backup-borrowed` counts a differential tag's
+    *     by-reference bytes separately — they are the BASE tag's
+    *     physical bytes, so summing `bytes` over `backup` alone is
+    *     the true disk footprint, and `backup-borrowed` is the
+    *     promote-cost gauge ([[backupProvenance]] prices it per
+    *     base).
+    *   - `snapshot`: per tag, the manifest table + O(1) meta copies
+    *     (flat KiBs — the time-travel layout holds no data bytes).
+    *   - `anchor`: per (tag, member), fold-anchor bytes — the debt an
+    *     Anchor fold leaves behind ([[listAnchors]]), reclaimed by
+    *     dropping the tag.
+    *   - `debris`: crashed-writer leftovers — `_compact`/`_old`
+    *     swap stages, `_restoretmp`, and marker-less `_bak_*` copies
+    *     (a crashed or pre-r16 take) — bytes fsck/checkBackup name
+    *     and repair/re-take reclaim.
+    *
+    * Reclaim verbs per component: dropBackup / promoteBackup (backup),
+    * dropSnapshot / pruneSnapshots* (snapshot + anchor), repair +
+    * re-take (debris). Live bytes fold via compact/vacuum — priced
+    * against the snapshots they would orphan by [[snapshotDiff]] and
+    * the FoldGuard.
+    */
+  def storageBreakdown(s: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Long, Long)]
+    def add(component: String, tag: String, member: String,
+        files: Seq[(String, Long)]): Unit =
+      if (files.nonEmpty)
+        rows += ((component, tag, member, files.size.toLong,
+          files.map(_._2).sum))
+    val members = table +: BackupSiblings.map(table + _)
+    members.filter(s.catalog.tableExists)
+      .foreach(m => add("live", "", m, listDataFiles(s, m)))
+    // swap/restore stages left by a crashed writer
+    Seq("_compact", "_old", "_restoretmp").map(table + _)
+      .filter(s.catalog.tableExists)
+      .foreach(m => add("debris", "", m, listDataFiles(s, m)))
+    // committed backups: physical vs borrowed, per copy
+    val committed = listBackups(s, table)
+    committed.foreach { tag =>
+      readBackupMarker(s, s"${table}_bakok_$tag").groupBy(_._1)
+        .toSeq.sortBy(_._1).foreach { case (copy, rs) =>
+          add("backup", tag, copy,
+            rs.collect { case (_, Some(p), l, src, _)
+              if src.forall(_ == tag) => (p, l) })
+          add("backup-borrowed", tag, copy,
+            rs.collect { case (_, Some(p), l, Some(b), _)
+              if b != tag => (p, l) })
+        }
+    }
+    // manifest snapshots: manifest table + meta copies per tag
+    val snapTags = listSnapshots(s, table).map(_._1)
+    snapTags.foreach { tag =>
+      val mfFiles = listDataFiles(s, s"${table}_mf_$tag")
+      val copyFiles = SnapshotCopySiblings.map(table + _)
+        .map(m => s"${m}_bak_mf$tag").filter(s.catalog.tableExists)
+        .flatMap(listDataFiles(s, _))
+      add("snapshot", tag, s"${table}_mf_$tag", mfFiles ++ copyFiles)
+    }
+    // fold-anchor byte debt per (tag, member)
+    snapTags.foreach { tag =>
+      (table +: SnapshotManifestSiblings.map(table + _)).foreach { m =>
+        add("anchor", tag, m, listFilesUnder(s, anchorDir(s, m, tag)))
+      }
+    }
+    // marker-less copies: a crashed/pre-marker take, or out-of-band
+    // writes — classify every catalog _bak_ table we did not account
+    val accounted = committed.flatMap(t =>
+      members.map(m => s"${m}_bak_$t")).toSet ++
+      snapTags.flatMap(t => SnapshotCopySiblings.map(table + _)
+        .map(m => s"${m}_bak_mf$t")).toSet
+    members.foreach { m =>
+      val prefix = s"${m.toLowerCase}_bak_"
+      s.sessionState.catalog.listTables("default", s"$prefix*")
+        .map(_.table).filterNot(accounted.map(_.toLowerCase))
+        .sorted
+        .foreach(c => add("debris", c.stripPrefix(prefix), c,
+          listDataFiles(s, c)))
+    }
+    val sp = s
+    import sp.implicits._
+    rows.toSeq.toDF("component", "tag", "member", "files", "bytes")
+      .orderBy("component", "tag", "member")
   }
 
   /** Drop each tag in `tags` (ordered newest-first by the callers) —
@@ -3778,16 +3900,19 @@ object TextOps {
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  /** True iff `e` (or anything in its cause chain) is one of the TWO
+  /** True iff `e` (or anything in its cause chain) is one of the THREE
     * failures a maintenance swap can inject into a concurrent probe:
-    * the table name unbound in the rename-out window, or the probe's
+    * the table name unbound in the rename-out window, the probe's
     * snapshotted file listing pointing into the dropped `_old`
-    * location. Anything else — analysis errors, OOM, a genuinely
-    * missing index — is NOT transient and must propagate. */
+    * location, or a [[SwapRaceException]] from [[consistentProbe]]'s
+    * fingerprint validation (the SILENT variant — see there). Anything
+    * else — analysis errors, OOM, a genuinely missing index — is NOT
+    * transient and must propagate. */
   private def maintenanceTransient(e: Throwable): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
       .exists {
         case _: java.io.FileNotFoundException => true
+        case _: SwapRaceException => true
         case t => Option(t.getMessage).exists(m =>
           m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
             m.contains("FileNotFoundException") ||
@@ -3832,6 +3957,73 @@ object TextOps {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** A maintenance swap raced a probe between its fingerprint reads —
+    * classified [[maintenanceTransient]], so [[retryingProbe]] and
+    * [[consistentProbe]] re-plan instead of propagating. */
+  private[graft] final class SwapRaceException(msg: String)
+    extends RuntimeException(msg)
+
+  /** (table → current (path, len) data-file set) for the probe's
+    * fingerprint reads — absent tables map to the empty set (the
+    * rename-out window reads as "everything vanished", which is
+    * exactly the signal). */
+  private def probeFingerprint(s: org.apache.spark.sql.SparkSession,
+      tables: Seq[String]): Map[String, Set[(String, Long)]] =
+    tables.map { t =>
+      t -> (try {
+        if (s.catalog.tableExists(t)) listDataFiles(s, t).toSet
+        else Set.empty[(String, Long)]
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Set.empty[(String, Long)] // racing the swap: read as vanished
+      })
+    }.toMap
+
+  /** [[retryingProbe]] hardened against the swap's THIRD — and only
+    * SILENT — failure mode: a probe that resolves the table before a
+    * swap's rename-out but lists files inside the rename window scans
+    * an absent directory, which some listings report as EMPTY rather
+    * than missing — the probe then "succeeds" with rows silently
+    * dropped (zero, for a single-table scan) and no exception for the
+    * retry loop to classify (found live: a serving stream returned
+    * empty top-k while three compactions raced it).
+    *
+    * The fix is an optimistic-concurrency read: list each family
+    * table's (path, len) data files BEFORE the probe, materialize the
+    * probe's frame (localCheckpoint — the probe executes HERE, inside
+    * the retry scope), list again, and require every pre-read file to
+    * still exist. Data files are immutable once written, so
+    * before ⊆ after proves no file the scan could have planned over
+    * vanished mid-read — the materialized rows are complete and
+    * consistent. Pure appends (before ⊂ after) pass — an ingesting
+    * family must not livelock its own serving path; only a REWRITE
+    * (compact/vacuum/swap/restore) retries. Cost: two O(metadata)
+    * listings per probe — the price of an exactly-once read over a
+    * mutable file layout without a transaction log.
+    *
+    * Returns the MATERIALIZED frame: callers write/collect it without
+    * rescanning the index, so the validation covers everything
+    * downstream sees.
+    */
+  def consistentProbe(s: org.apache.spark.sql.SparkSession,
+      tables: Seq[String], attempts: Int = 4, backoffMs: Long = 100L)
+      (body: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    retryingProbe(s, tables, attempts, backoffMs) {
+      val before = probeFingerprint(s, tables)
+      val staged = body.localCheckpoint(true)
+      val after = probeFingerprint(s, tables)
+      val vanished = before.collect {
+        case (t, fs0) if !fs0.subsetOf(after.getOrElse(t, Set.empty)) =>
+          t
+      }
+      if (vanished.nonEmpty)
+        throw new SwapRaceException(
+          s"probe raced a maintenance rewrite of ${vanished.mkString(", ")}" +
+            " (files vanished mid-read) — re-planning")
+      staged
+    }
 
   /** One-shot-per-JVM sweep of DEAD processes' leftover index
     * locations: the per-process table token (see [[bm25Index]]) makes

@@ -442,10 +442,15 @@ object StreamingOps {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.TextOps.retryingProbe(batch.sparkSession,
-          retryTables) {
-          probe(batch.toDF()).write.mode("append").saveAsTable(outTable)
-        }
+        // consistentProbe (not plain retryingProbe): the swap's silent
+        // failure mode — an empty listing inside the rename window —
+        // throws nothing, so only the fingerprint validation catches
+        // it. The frame comes back MATERIALIZED; the append below
+        // runs OUTSIDE the retry scope, so a validation retry can
+        // never double-write a batch's results.
+        graft.operators.TextOps.consistentProbe(batch.sparkSession,
+            retryTables) { probe(batch.toDF()) }
+          .write.mode("append").saveAsTable(outTable)
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
@@ -1049,6 +1054,130 @@ object StreamingOps {
   def dropVectorsSnapshot(spark: SparkSession, base: String,
       tag: String = "snap"): Unit =
     dropStreamSnapshot(spark, base, vecFamilies.map(base + _), tag)
+
+  /** Repeatable-read serving epoch over a unified DOCUMENT group —
+    * [[graft.operators.TextOps.withIndexEpoch]] lifted to the group:
+    * one O(metadata) group snapshot pins EVERY member family (band +
+    * bm25) at the same instant, `f` serves any number of as-of probes
+    * against the tag, the tag retires on the way out. This is the
+    * cross-FAMILY consistency a retrieval stack needs: a RAG request
+    * that scores bm25 AND near-dups AND rerank must see one corpus
+    * state, not whatever each family's last micro-batch left — and
+    * the per-batch self-maintenance hooks fold under Anchor, so an
+    * epoch taken mid-stream keeps serving across them.
+    */
+  def withDocumentsEpoch[T](spark: SparkSession, base: String)
+      (f: String => T): T = {
+    val tag = graft.operators.TextOps.epochTag()
+    snapshotDocuments(spark, base, tag)
+    try f(tag) finally dropDocumentsSnapshot(spark, base, tag)
+  }
+
+  /** [[withDocumentsEpoch]] for a unified vector base: pins every
+    * existing compression rung (ann/ivf/pq/bq/sq) under one tag, so a
+    * multi-rung probe (IVF route → PQ rerank → exact payload) reads
+    * one corpus state end-to-end.
+    */
+  def withVectorsEpoch[T](spark: SparkSession, base: String)
+      (f: String => T): T = {
+    val tag = graft.operators.TextOps.epochTag()
+    snapshotVectors(spark, base, tag)
+    try f(tag) finally dropVectorsSnapshot(spark, base, tag)
+  }
+
+  /** [[graft.operators.TextOps.storageBreakdown]] lifted to a unified
+    * DOCUMENT group: every member family's full breakdown, plus the
+    * group-only storage the family gauge cannot see — live state
+    * tables (hash store, ledgers), live checkpoint trees, their
+    * per-committed-tag backup copies, the tiny group markers/stream
+    * manifests (`group-meta`), and `debris` for marker-less or
+    * crashed-staging copies. One frame answers "what is this group
+    * costing, and which verb reclaims what".
+    */
+  def storageBreakdownDocuments(spark: SparkSession,
+      base: String): org.apache.spark.sql.DataFrame =
+    groupStorageBreakdown(spark, base,
+      fams = Seq(s"${base}_band", s"${base}_bm25"),
+      tables = s"${base}_hashes" +: docStreams(base).map(_ + "_ledger"),
+      streams = docStreams(base),
+      committed = listDocumentsBackups(spark, base),
+      markerPrefix = s"${base}_dbakok_")
+
+  /** [[storageBreakdownDocuments]] for a unified vector base. */
+  def storageBreakdownVectors(spark: SparkSession,
+      base: String): org.apache.spark.sql.DataFrame =
+    groupStorageBreakdown(spark, base,
+      fams = vecFamilies.map(base + _),
+      tables = vecStreams(base).map(_ + "_ledger"),
+      streams = vecStreams(base),
+      committed = listVectorsBackups(spark, base),
+      markerPrefix = s"${base}_vbakok_")
+
+  private def groupStorageBreakdown(spark: SparkSession, base: String,
+      fams: Seq[String], tables: Seq[String], streams: Seq[String],
+      committed: Seq[String], markerPrefix: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.TextOps
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Long, Long)]
+    def add(component: String, tag: String, member: String,
+        files: Seq[(String, Long)]): Unit =
+      if (files.nonEmpty)
+        rows += ((component, tag, member, files.size.toLong,
+          files.map(_._2).sum))
+    // live state tables + their committed copies + marker-less debris
+    val committedSet = committed.toSet
+    tables.filter(spark.catalog.tableExists).foreach { t =>
+      add("state", "", t, TextOps.listDataFiles(spark, t))
+    }
+    tables.foreach { t =>
+      val prefix = s"${t.toLowerCase}_bak_"
+      spark.sessionState.catalog.listTables("default", s"$prefix*")
+        .map(_.table).sorted.foreach { c =>
+          val tag = c.stripPrefix(prefix)
+          add(if (committedSet.contains(tag)) "state-backup"
+              else "debris",
+            tag, c, TextOps.listDataFiles(spark, c))
+        }
+    }
+    // live checkpoint trees + their backup/staging dirs
+    streams.foreach { n =>
+      val ck = ckDir(spark, n)
+      add("checkpoint", "", ck.getName,
+        TextOps.listFilesUnder(spark, ck))
+      val fs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(ck.getParent)) {
+        fs.listStatus(ck.getParent).toSeq
+          .filter(_.getPath.getName.startsWith(s"${ck.getName}_bak_"))
+          .sortBy(_.getPath.getName).foreach { st =>
+            val nm = st.getPath.getName
+            val tag = nm.stripPrefix(s"${ck.getName}_bak_")
+            val comp =
+              if (tag.endsWith("_staging")) "debris"
+              else if (committedSet.contains(tag)) "ck-backup"
+              else "debris"
+            add(comp, tag, nm,
+              TextOps.listFilesUnder(spark, st.getPath))
+          }
+      }
+    }
+    // the tiny group-level meta: commit markers + stream manifests
+    val metaTables =
+      committed.map(t => s"$markerPrefix$t".toLowerCase) ++
+        spark.sessionState.catalog
+          .listTables("default", s"${base.toLowerCase}_mf_*")
+          .map(_.table)
+    metaTables.filter(spark.catalog.tableExists).foreach(t =>
+      add("group-meta", "", t, TextOps.listDataFiles(spark, t)))
+    val sp = spark
+    import sp.implicits._
+    val groupRows = rows.toSeq
+      .toDF("component", "tag", "member", "files", "bytes")
+    fams.filter(spark.catalog.tableExists)
+      .map(TextOps.storageBreakdown(spark, _))
+      .foldLeft(groupRows)(_ unionAll _)
+      .orderBy("component", "tag", "member")
+  }
 
   /** A unified family's manifest snapshots, NEWEST FIRST — the
     * stream manifest IS the group's tag record, so this is

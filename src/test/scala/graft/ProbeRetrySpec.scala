@@ -8,9 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * contract — compaction/vacuum swaps serialize WRITERS under the
   * build lock, but a concurrent direct probe can transiently fail in
   * the rename-out window or read the dropped `_old` location's files.
-  * The helper classifies exactly those two failures, refreshes the
+  * The helper classifies exactly those failures, refreshes the
   * family's relations, and re-plans; everything else propagates
-  * unchanged on the first throw.
+  * unchanged on the first throw. consistentProbe (r17) adds the
+  * fingerprint validation that catches the swap's THIRD, silent
+  * failure mode: an empty listing inside the rename window that
+  * returns zero rows with nothing thrown.
   */
 class ProbeRetrySpec extends AnyFunSuite with SparkSuite {
 
@@ -152,6 +155,52 @@ class ProbeRetrySpec extends AnyFunSuite with SparkSuite {
       assert(maintFail.get() === null,
         s"maintenance thread failed: ${maintFail.get()}")
       assert(probes > 0)
+    } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("consistentProbe detects a rewrite racing the probe (the " +
+      "SILENT empty-window variant) and re-plans — deterministically") {
+    val t = s"pr_cons_p$pid"
+    val all = Seq(t, s"${t}_cfg", s"${t}_compact", s"${t}_old")
+    all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      BqIndex.write(emb, t)
+      val truth = spark.table(t).count()
+      var calls = 0
+      val out = TextOps.consistentProbe(spark, Seq(t),
+          backoffMs = 1L) {
+        calls += 1
+        val frame = spark.table(t)
+        // first attempt: a compaction commits BETWEEN the fingerprint
+        // reads — every pre-read file vanishes (rewritten), exactly
+        // what the live race produces without throwing anything
+        if (calls == 1) TextOps.compactIndex(spark, t)
+        frame
+      }
+      assert(calls === 2) // the validation fired and re-planned
+      assert(out.count() === truth) // materialized, complete rows
+    } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("consistentProbe tolerates pure APPENDS mid-probe — an " +
+      "ingesting family must not livelock its own serving path") {
+    val t = s"pr_consap_p$pid"
+    val all = Seq(t, s"${t}_cfg")
+    all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      BqIndex.write(emb.filter(col("vec_id") % 2 === 0), t)
+      var calls = 0
+      val out = TextOps.consistentProbe(spark, Seq(t),
+          backoffMs = 1L) {
+        calls += 1
+        val frame = spark.table(t)
+        // an append lands mid-probe: before ⊂ after, nothing vanished
+        if (calls == 1)
+          BqIndex.append(emb.filter(col("vec_id") % 2 === 1), t)
+        frame
+      }
+      assert(calls === 1) // accepted on the first attempt
+      assert(out.count() > 0)
     } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 }

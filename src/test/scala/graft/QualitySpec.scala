@@ -1,0 +1,131 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Quality
+import graft.operators.Quality.Rule._
+
+/** Data-quality expectations: rule evaluation, quarantine routing, the
+  * one-aggregate metrics pass, the broadcast plan gate on referential
+  * rules, and the single-scan split write.
+  */
+class QualitySpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  /** Crafted batch covering every rule class: id 4 duplicates id 1's key;
+    * id 2 has a null name (NotNull) whose range/regex rules must NOT also
+    * fire (orthogonality); id 3 is out of range + bad ref; id 5 fails the
+    * regex + set rules.
+    */
+  private def batch = Seq(
+    (1L, "alpha", 10.0, "A", 100L),
+    (2L, null, 20.0, "A", 101L),
+    (3L, "gamma", -5.0, "B", 999L),
+    (1L, "alpha2", 30.0, "A", 100L),
+    (5L, "Delta!", 40.0, "C", 101L))
+    .toDF("id", "name", "score", "grade", "fk")
+
+  private def dim = Seq(100L, 101L).toDF("k")
+
+  private def rules = Seq(
+    NotNull("name"),
+    InRange("score", 0.0, 50.0),
+    Matches("name", "^[a-z]+[0-9]?$"),
+    OneOf("grade", Seq("A", "B")),
+    UniqueKey(Seq("id")),
+    RefIntegrity("fk", dim, "k"))
+
+  test("annotate names exactly the failed rules per row, orthogonally") {
+    val got = Quality.annotate(batch, rules)
+      .select($"id", $"name", concat_ws(",", $"violations").as("v"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""),
+        r.getString(2))).toSet
+    assert(got === Set(
+      (1L, "alpha", "unique:id"),
+      // null name fires not_null ONLY — the range/regex rules skip nulls
+      (2L, "", "not_null:name"),
+      (3L, "gamma", "in_range:score,ref:fk"),
+      (1L, "alpha2", "unique:id"),
+      (5L, "Delta!", "matches:name,one_of:grade")))
+  }
+
+  test("split partitions the batch; quarantine carries reasons") {
+    val (ok, bad) = Quality.split(batch, rules)
+    assert(ok.count() === 0) // every crafted row fails something
+    assert(bad.count() === 5)
+    val clean = Seq((9L, "clean", 1.0, "A", 100L))
+      .toDF("id", "name", "score", "grade", "fk")
+    val (ok2, bad2) = Quality.split(batch.unionAll(clean), rules)
+    assert(ok2.count() === 1 && !ok2.columns.contains("violations"))
+    assert(bad2.count() === 5)
+  }
+
+  test("metrics: per-rule counts in one aggregate over the annotated frame") {
+    val m = Quality.metrics(batch, rules)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(m.keySet === rules.map(_.name).toSet)
+    assert(m.values.forall(_._1 == 5L)) // one shared batch total
+    assert(m("not_null:name")._2 === 1L)
+    assert(m("in_range:score")._2 === 1L)
+    assert(m("matches:name")._2 === 1L) // null name must not double-count
+    assert(m("one_of:grade")._2 === 1L)
+    assert(m("unique:id")._2 === 2L) // BOTH claimants of a dup key
+    assert(m("ref:fk")._2 === 1L)
+  }
+
+  test("referential rule joins by broadcast (plan gate)") {
+    val plan = Quality.annotate(batch, Seq(RefIntegrity("fk", dim, "k")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ref-integrity must broadcast the dim keys, got:\n$plan")
+  }
+
+  test("writeSplit routes both outputs from one scan via a partition column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsplit").toString
+    try {
+      val full = batch.unionAll(
+        Seq((9L, "clean", 1.0, "A", 100L))
+          .toDF("id", "name", "score", "grade", "fk"))
+      Quality.writeSplit(full, rules, dir)
+      val admitted = spark.read.parquet(dir)
+        .where($"_admitted" === true)
+      val quarantined = spark.read.parquet(dir)
+        .where($"_admitted" === false)
+      assert(admitted.count() === 1L)
+      assert(quarantined.count() === 5L)
+      assert(quarantined.where($"violations" === "").count() === 0L)
+      // physical layout: one write, two partition directories
+      val parts = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.startsWith("_admitted=")).sorted
+      assert(parts.toSeq === Seq("_admitted=false", "_admitted=true"))
+    } finally { // deepest-first walk, stream closed before deleting
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val paths =
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.toList
+        finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("q_expect / q_quarantine registry entries run with teeth on testdata") {
+    val m = SparkEntry.queries("q_expect")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m.size === 7)
+    assert(m("not_null:o_custkey") === 0L) // the generator keeps keys clean
+    assert(m("unique:o_orderkey") === 0L)
+    assert(m("one_of:o_orderstatus") > 0L) // and the value rules FIRE
+    assert(m("not_before:o_orderdate") > 0L)
+
+    val q = SparkEntry.queries("q_quarantine")(spark, sf)
+    val reasons = q.select("violations").as[String].collect()
+    assert(reasons.nonEmpty)
+    assert(reasons.exists(_.contains("one_of:lang")))
+    assert(reasons.exists(_.contains("unique:doc_id"))) // injected dups
+    assert(reasons.forall(_.nonEmpty))
+  }
+}
