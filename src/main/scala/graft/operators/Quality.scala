@@ -138,8 +138,14 @@ object Quality {
     * frame (each rule is a conditional sum; the single result row is
     * melted to per-rule rows with `stack`, no driver loop).
     */
-  def metrics(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val ann = annotate(df, rules)
+  def metrics(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    metricsOfAnnotated(annotate(df, rules), rules)
+
+  /** [[metrics]] over an ALREADY-annotated frame — for callers that
+    * annotate once and fan out (quarantine + metrics + admitted from
+    * one persisted frame, the streaming ingest's shape).
+    */
+  def metricsOfAnnotated(ann: DataFrame, rules: Seq[Rule]): DataFrame = {
     val aggs = count(lit(1)).as("_total") +:
       rules.zipWithIndex.map { case (r, i) =>
         sum(when(array_contains(col("violations"), r.name), 1L)

@@ -657,21 +657,51 @@ object StreamingOps {
   def streamingDocumentIngest(spark: SparkSession, sfDir: String,
       base: String,
       maintain: Option[graft.operators.TextOps.MaintenancePolicy] =
-        None): Unit = {
+        None,
+      admission: Seq[graft.operators.Quality.Rule] = Nil): Unit = {
     import org.apache.spark.sql.expressions.Window
     val bandT = s"${base}_band"
     val bm25T = s"${base}_bm25"
     val statsT = s"${base}_bm25_stats"
     val hashT = s"${base}_hashes"
+    // NOTE: quarantine/admission are deliberately NOT in `refresh` —
+    // that list doubles as the reset-membership gate, and pruning an
+    // AUDIT sink must never reset the family (they are re-derivable;
+    // their caller-session caches refresh explicitly below)
     ledgeredIngest(spark, s"$sfDir/documents.parquet", base,
       refresh = Seq(bandT, bm25T, statsT, hashT),
-      append = (batch, _) => {
+      append = (batch, _, bid) => {
         val s = batch.sparkSession
         val unheld = graft.operators.TextOps.exceptHeld(
           graft.operators.TextOps.exceptHeld(batch.toDF(), s,
             bm25T + "_hold", "doc_id"),
           s, bandT + "_hold", "doc_id")
-        val gated = graft.operators.TrainingData.curateGate(unheld)
+        // EXPLICIT admission gate (r17): the declared Quality rules run
+        // before the built-in curate gate — every rejected row lands in
+        // `<base>_quarantine` NAMED with the rules it failed, and the
+        // per-rule counts land in `<base>_admission`, both partitioned
+        // by batch id and overwritten per partition, so a ledger replay
+        // re-derives its own slice instead of duplicating it (rules are
+        // deterministic; the audit trail is idempotent like the index).
+        // Audit sinks, not index state: the group backup/snapshot verbs
+        // deliberately exclude them (a replay regenerates them).
+        val annOpt =
+          if (admission.isEmpty) None
+          else Some(graft.operators.Quality
+            .annotate(unheld, admission).persist())
+        val admitted = annOpt.fold(unheld) { ann =>
+          val bad = ann.where(size(col("violations")) > 0)
+            .withColumn("violations",
+              concat_ws(",", col("violations")))
+            .withColumn("_batch", lit(bid))
+          writeBatchSlice(s, s"${base}_quarantine", bad)
+          writeBatchSlice(s, s"${base}_admission",
+            graft.operators.Quality
+              .metricsOfAnnotated(ann, admission)
+              .withColumn("_batch", lit(bid)))
+          ann.where(size(col("violations")) === 0).drop("violations")
+        }
+        val gated = graft.operators.TrainingData.curateGate(admitted)
           .withColumn("content_hash", md5(col("text")))
         val w = Window.partitionBy("content_hash").orderBy(col("doc_id"))
         val inBatch = gated.withColumn("_rn", row_number().over(w))
@@ -688,7 +718,11 @@ object StreamingOps {
             .write.mode("append")
             .bucketBy(8, "content_hash").sortBy("content_hash")
             .saveAsTable(hashT)
-        } finally { novel.unpersist(); () }
+        } finally {
+          novel.unpersist()
+          annOpt.foreach(_.unpersist())
+          ()
+        }
       },
       // the BM25 member carries the family's only corpus stats — the
       // band/hash members are doc-local and self-healing under a
@@ -701,6 +735,14 @@ object StreamingOps {
       onReset = s => {
         graft.operators.TextOps.markBm25ResetReconcile(s, bm25T)
         resetSiblingCdcStream(s, s"${base}_ups")
+        // the audit sinks drop with the members: a reset replay may
+        // re-batch the files differently (all-in-one batch 0), and a
+        // lingering higher-numbered partition from the previous life
+        // would read as duplicated audit rows. Re-derivable by design.
+        Seq(s"${base}_quarantine", s"${base}_admission").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          graft.operators.TextOps.clearOrphanLocation(s, t)
+        }
       },
       afterReplay = s => graft.operators.TextOps
         .reconcileBm25Tombstones(s, bm25T, statsT),
@@ -719,8 +761,13 @@ object StreamingOps {
         ()
       })
     // the hook may have compacted/vacuumed the tombstone lists in the
-    // batch session — refresh the caller's view of them too
-    Seq(s"${bm25T}_del", s"${bandT}_del")
+    // batch session — refresh the caller's view of them too, and of
+    // the admission audit sinks (a replay dynamically OVERWRITES their
+    // batch partitions; a stale caller listing would read dropped
+    // part files)
+    (Seq(s"${bm25T}_del", s"${bandT}_del") ++
+        (if (admission.nonEmpty)
+          Seq(s"${base}_quarantine", s"${base}_admission") else Nil))
       .foreach(t => if (spark.catalog.tableExists(t))
         spark.catalog.refreshTable(t))
   }
@@ -2215,7 +2262,7 @@ object StreamingOps {
       base: String): Unit = {
     resetDeleteLedgerIfCheckpointLost(spark, s"${base}_dels")
     ledgeredIngest(spark, path, s"${base}_dels", refresh = Seq(),
-      (batch, _) => deleteDocuments(batch.sparkSession, base,
+      (batch, _, _) => deleteDocuments(batch.sparkSession, base,
         batch.toDF()))
     Seq(s"${base}_band_del", s"${base}_bm25_del", s"${base}_bm25_stats")
       .foreach(t => if (spark.catalog.tableExists(t))
@@ -2228,7 +2275,7 @@ object StreamingOps {
       base: String): Unit = {
     resetDeleteLedgerIfCheckpointLost(spark, s"${base}_vdels")
     ledgeredIngest(spark, path, s"${base}_vdels", refresh = Seq(),
-      (batch, _) => deleteVectors(batch.sparkSession, base,
+      (batch, _, _) => deleteVectors(batch.sparkSession, base,
         batch.toDF()))
     Seq("_ann_del", "_bq_del", "_sq_del", "_pq_del", "_ivf_del")
       .map(base + _)
@@ -2261,7 +2308,7 @@ object StreamingOps {
         None): Unit = {
     resetDeleteLedgerIfCheckpointLost(spark, s"${base}_ups")
     ledgeredIngest(spark, path, s"${base}_ups", refresh = Seq(),
-      (batch, _) => {
+      (batch, _, _) => {
         val s = batch.sparkSession
         val b = batch.toDF().persist()
         try {
@@ -2300,7 +2347,7 @@ object StreamingOps {
         None): Unit = {
     resetDeleteLedgerIfCheckpointLost(spark, s"${base}_vups")
     ledgeredIngest(spark, path, s"${base}_vups", refresh = Seq(),
-      (batch, _) => {
+      (batch, _, _) => {
         val b = batch.toDF().persist()
         try {
           graft.operators.AnnIndex.upsert(b, s"${base}_ann", nBands,
@@ -2416,7 +2463,7 @@ object StreamingOps {
     ledgeredIngest(spark, s"$sfDir/embeddings.parquet", base,
       refresh = Seq(annT, annT + "_vec", annT + "_cfg",
         bqT, bqT + "_cfg", sqT, sqT + "_cfg", pqT, ivfT),
-      append = (batch, _) => {
+      append = (batch, _, _) => {
         val b = batch.persist()
         try {
           graft.operators.AnnIndex.append(b, annT, nBands, bits, dim)
@@ -2463,7 +2510,28 @@ object StreamingOps {
       table: String, refresh: Seq[String],
       append: (org.apache.spark.sql.DataFrame, String) => Unit): Unit =
     ledgeredIngest(spark, s"$sfDir/embeddings.parquet", table, refresh,
-      append)
+      (b, t, _) => append(b, t))
+
+  /** Idempotent per-batch audit-sink append: the frame (carrying a
+    * `_batch` column) lands as ONE partition of `table`, and a REPLAY
+    * of the same batch id dynamically overwrites exactly its own
+    * partition — the audit trail converges under ledger replay the
+    * same way the index does, instead of duplicating rows. Used by the
+    * admission gate's quarantine and metrics sinks.
+    */
+  private def writeBatchSlice(s: SparkSession, table: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    // partition column must be LAST for position-based insertInto
+    val ordered = df.columns.filterNot(_ == "_batch") :+ "_batch"
+    val out = df.select(ordered.map(col): _*)
+    if (!s.catalog.tableExists(table)) {
+      graft.operators.TextOps.clearOrphanLocation(s, table)
+      out.write.partitionBy("_batch").saveAsTable(table)
+    } else
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .insertInto(table)
+  }
 
   /** THE ledgered ingest loop — shared by the vector-index ingests and
     * [[streamingBm25Ingest]] (review r12: two hand-rolled copies of
@@ -2478,7 +2546,7 @@ object StreamingOps {
     * (or fail on an overwritten stats table's vanished part file). */
   private def ledgeredIngest(spark: SparkSession, path: String,
       table: String, refresh: Seq[String],
-      append: (org.apache.spark.sql.DataFrame, String) => Unit,
+      append: (org.apache.spark.sql.DataFrame, String, Long) => Unit,
       onReset: SparkSession => Unit = _ => (),
       afterReplay: SparkSession => Unit = _ => (),
       maxFilesPerTrigger: Option[Int] = None,
@@ -2531,7 +2599,7 @@ object StreamingOps {
         val applied = s.catalog.tableExists(ledger) &&
           !s.table(ledger).filter(col("batch_id") === batchId).isEmpty
         if (!applied) {
-          append(batch.toDF(), table)
+          append(batch.toDF(), table, batchId)
           val sp = s
           import sp.implicits._
           Seq(batchId).toDF("batch_id")
@@ -2597,7 +2665,7 @@ object StreamingOps {
     // leaf-name glob filter would see no files in the directory layout
     ledgeredIngest(spark, s"$sfDir/documents.parquet", table,
       refresh = Seq(table, statsTable),
-      append = (batch, t) => graft.operators.TextOps
+      append = (batch, t, _) => graft.operators.TextOps
         .appendBm25Postings(batch, t, statsTable),
       // tombstones survive a member-loss reset; the replay re-ingests
       // tombstoned docs, so the rebuilt stats are recomputed over the

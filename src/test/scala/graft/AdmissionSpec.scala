@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.Quality.Rule._
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** THE ADMISSION GATE ON THE INGEST PATH — declared Quality rules run
+  * inside the unified document ingest: rejected rows land in
+  * `<base>_quarantine` NAMED with the rules they failed, per-rule
+  * counts land in `<base>_admission`, admitted rows flow to the
+  * index — and the audit trail is IDEMPOTENT under ledger replay
+  * (per-batch dynamic partition overwrite), converging exactly like
+  * the index members do.
+  */
+class AdmissionSpec extends AnyFunSuite with SparkSuite {
+
+  private val pid = ProcessHandle.current().pid()
+
+  private def drop(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def rules = Seq(
+    OneOf("lang", Seq("en", "fr", "de")),
+    InRange("n_chars", 60.0, 500.0))
+
+  private def famTables(base: String): Seq[String] = Seq(
+    s"${base}_band", s"${base}_band_del", s"${base}_bm25",
+    s"${base}_bm25_del", s"${base}_bm25_del_stage",
+    s"${base}_bm25_stats", s"${base}_hashes", s"${base}_ledger",
+    s"${base}_quarantine", s"${base}_admission")
+
+  private def rmCk(base: String): Unit = {
+    val ck = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      base.toLowerCase + "_ck")
+    ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ck, true)
+    ()
+  }
+
+  test("ingest admission: rejects are quarantined with reasons, " +
+      "counted per rule, and NEVER reach the index; replay after a " +
+      "member loss re-derives the audit trail without duplicating it") {
+    val base = s"adm_doc_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_adm").toString
+    drop(famTables(base): _*)
+    rmCk(base)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val docs = Tables(spark, sf, "documents")
+        .filter(col("doc_id") < 40)
+      docs.write.mode("append").parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules)
+
+      // ground truth straight from the source frame
+      val badLang = docs.where(col("lang").isNotNull &&
+        !col("lang").isin("en", "fr", "de"))
+        .select("doc_id").as[Long].collect().toSet
+      val badLen = docs.where(col("n_chars").isNotNull &&
+        !(col("n_chars") >= 60 && col("n_chars") <= 500))
+        .select("doc_id").as[Long].collect().toSet
+      assert(badLang.nonEmpty, "fixture must exercise the lang rule")
+
+      val quarantine = spark.table(s"${base}_quarantine")
+      val qRows = quarantine
+        .select("doc_id", "violations").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(qRows.keySet === (badLang ++ badLen))
+      badLang.foreach(id =>
+        assert(qRows(id).contains("one_of:lang"), s"doc $id"))
+      badLen.foreach(id =>
+        assert(qRows(id).contains("in_range:n_chars"), s"doc $id"))
+
+      // per-rule metrics reconcile with the quarantined rows
+      val m = spark.table(s"${base}_admission")
+        .groupBy("rule").agg(sum("violations").as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m("one_of:lang") === badLang.size.toLong)
+      assert(m("in_range:n_chars") === badLen.size.toLong)
+
+      // quarantined ids never reached either index member
+      val indexed = spark.table(s"${base}_bm25")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(indexed.intersect(qRows.keySet) === Set.empty)
+      assert(indexed.nonEmpty)
+
+      // REPLAY: lose a member -> the next ingest resets and replays
+      // every batch; the audit slices overwrite their own partitions
+      // instead of duplicating (same ledger ids, deterministic rules)
+      val beforeQ = quarantine.collect().map(_.toString).sorted
+      val beforeA = spark.table(s"${base}_admission")
+        .collect().map(_.toString).sorted
+      spark.sql(s"DROP TABLE ${base}_band")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules)
+      val afterQ = spark.table(s"${base}_quarantine")
+        .collect().map(_.toString).sorted
+      val afterA = spark.table(s"${base}_admission")
+        .collect().map(_.toString).sorted
+      assert(afterQ.toSeq === beforeQ.toSeq)
+      assert(afterA.toSeq === beforeA.toSeq)
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val paths =
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList
+        } finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
