@@ -658,7 +658,10 @@ object StreamingOps {
       base: String,
       maintain: Option[graft.operators.TextOps.MaintenancePolicy] =
         None,
-      admission: Seq[graft.operators.Quality.Rule] = Nil): Unit = {
+      admission: Seq[graft.operators.Quality.Rule] = Nil,
+      maxQuarantineRate: Double = 1.0): Unit = {
+    require(maxQuarantineRate >= 0.0 && maxQuarantineRate <= 1.0,
+      "streamingDocumentIngest: maxQuarantineRate must be in [0, 1]")
     import org.apache.spark.sql.expressions.Window
     val bandT = s"${base}_band"
     val bm25T = s"${base}_bm25"
@@ -699,6 +702,28 @@ object StreamingOps {
             graft.operators.Quality
               .metricsOfAnnotated(ann, admission)
               .withColumn("_batch", lit(bid)))
+          // POISONED-FEED VALVE: past the declared quarantine-rate
+          // threshold the batch REFUSES wholesale — a broken upstream
+          // (schema drift, encoding corruption, a wrong file dropped
+          // in the bucket) must stop the ingest for an operator, not
+          // trickle 90% of itself into quarantine while the remainder
+          // pollutes the index. Refusal comes AFTER the audit sinks
+          // land (the evidence survives; the ledger has not committed,
+          // so fixing the feed and re-invoking replays cleanly) and
+          // the partition-overwrite slices keep the retried batch
+          // idempotent.
+          val counts = ann.agg(count(lit(1)).as("n"),
+            sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
+              .as("b")).head
+          val (n, badN) = (counts.getLong(0), counts.getLong(1))
+          if (n > 0 && badN > maxQuarantineRate * n)
+            throw new IllegalStateException(
+              s"streamingDocumentIngest: batch $bid quarantined " +
+                s"$badN/$n rows (> ${maxQuarantineRate * 100}% " +
+                s"threshold) — feed looks poisoned; evidence in " +
+                s"${base}_quarantine/_batch=$bid and " +
+                s"${base}_admission; fix upstream and re-invoke " +
+                "(the ledger did not commit this batch)")
           ann.where(size(col("violations")) === 0).drop("violations")
         }
         val gated = graft.operators.TrainingData.curateGate(admitted)

@@ -116,4 +116,48 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
       paths.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("poisoned-feed valve: past the quarantine-rate threshold the " +
+      "batch refuses wholesale with the evidence written; fixing the " +
+      "threshold and re-invoking replays cleanly") {
+    val base = s"admv_doc_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_admv").toString
+    drop(famTables(base): _*)
+    rmCk(base)
+    try {
+      Tables(spark, sf, "documents").filter(col("doc_id") < 40)
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+      val e = intercept[Exception] {
+        StreamingOps.streamingDocumentIngest(spark, dir, base,
+          admission = rules, maxQuarantineRate = 0.0)
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("feed looks poisoned"), msgs)
+      // the refusal left the evidence...
+      assert(spark.catalog.tableExists(s"${base}_quarantine"))
+      assert(spark.table(s"${base}_quarantine").count() > 0)
+      // ...but nothing reached the index and the ledger did not commit
+      assert(!spark.catalog.tableExists(s"${base}_bm25"))
+      assert(!spark.catalog.tableExists(s"${base}_ledger") ||
+        spark.table(s"${base}_ledger").isEmpty)
+      // operator raises the threshold (or fixes the feed) and replays
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules, maxQuarantineRate = 1.0)
+      assert(spark.table(s"${base}_bm25").count() > 0)
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val paths =
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList
+        } finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -77,6 +77,22 @@ class QualitySpec extends AnyFunSuite with SparkSuite {
     assert(m("ref:fk")._2 === 1L)
   }
 
+  test("row-local rules compile into the scan projection: ZERO " +
+      "exchanges no matter how many rules are declared (plan gate)") {
+    val orders = Tables(spark, sf, "orders")
+    val rowLocal = Seq[Quality.Rule](
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 0.0, 300000.0),
+      OneOf("o_orderstatus", Seq("O", "F")),
+      Matches("o_orderpriority", "^[1-3]-"),
+      NotBefore("o_orderdate", "1995-06-01"),
+      Custom("price_cap", col("o_totalprice") > lit(1e9)))
+    val plan = Quality.annotate(orders, rowLocal)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"row-local rules must not shuffle:\n$plan")
+  }
+
   test("referential rule joins by broadcast (plan gate)") {
     val plan = Quality.annotate(batch, Seq(RefIntegrity("fk", dim, "k")))
       .queryExecution.executedPlan.toString
