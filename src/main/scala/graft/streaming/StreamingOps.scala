@@ -1233,6 +1233,13 @@ object StreamingOps {
           }
       }
     }
+    // admission audit sinks (documents groups): re-derivable trails,
+    // outside backups by design — but they are bytes the group owns,
+    // so the gauge names them with their own reclaim verb
+    Seq(s"${base}_quarantine", s"${base}_admission")
+      .filter(spark.catalog.tableExists)
+      .foreach(t => add("audit", "", t,
+        TextOps.listDataFiles(spark, t)))
     // the tiny group-level meta: commit markers + stream manifests
     val metaTables =
       committed.map(t => s"$markerPrefix$t".toLowerCase) ++
@@ -2537,6 +2544,35 @@ object StreamingOps {
     ledgeredIngest(spark, s"$sfDir/embeddings.parquet", table, refresh,
       (b, t, _) => append(b, t))
 
+  /** RETENTION for the admission audit sinks: keep the NEWEST
+    * `keepBatches` batch partitions of `<base>_quarantine` and
+    * `<base>_admission`, delete the older partition directories
+    * (batch ids are monotone within a ledger life, so newest = highest
+    * id). The sinks are re-derivable audit trails, not index state —
+    * pruning them never touches the family and never triggers a reset
+    * (they are deliberately outside the reset-membership list).
+    */
+  def pruneAdmissionAudit(spark: SparkSession, base: String,
+      keepBatches: Int): Seq[String] = {
+    require(keepBatches >= 1,
+      "pruneAdmissionAudit: keepBatches must be >= 1")
+    Seq(s"${base}_quarantine", s"${base}_admission")
+      .filter(spark.catalog.tableExists).flatMap { t =>
+        val loc = graft.operators.TextOps.tableLocation(spark, t)
+        val fs = loc.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val parts = fs.listStatus(loc).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("_batch="))
+          .sortBy(st => -st.getPath.getName
+            .stripPrefix("_batch=").toLong)
+        val victims = parts.drop(keepBatches)
+        victims.foreach(st => fs.delete(st.getPath, true))
+        if (victims.nonEmpty) spark.catalog.refreshTable(t)
+        victims.map(st => s"dropped $t/${st.getPath.getName}")
+      }
+  }
+
   /** Idempotent per-batch audit-sink append: the frame (carrying a
     * `_batch` column) lands as ONE partition of `table`, and a REPLAY
     * of the same batch id dynamically overwrites exactly its own
@@ -2552,10 +2588,21 @@ object StreamingOps {
     if (!s.catalog.tableExists(table)) {
       graft.operators.TextOps.clearOrphanLocation(s, table)
       out.write.partitionBy("_batch").saveAsTable(table)
-    } else
-      out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .insertInto(table)
+    } else {
+      // session-conf scoped, NOT a writer option: insertInto resolves
+      // the overwrite mode from spark.sql.sources.partitionOverwriteMode
+      // (a writer-level option is silently ignored here, which would
+      // turn this into a STATIC overwrite wiping every other batch's
+      // partition — caught by AdmissionSpec's retention leg)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try out.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
   }
 
   /** THE ledgered ingest loop — shared by the vector-index ingests and

@@ -117,6 +117,55 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("audit retention: pruneAdmissionAudit keeps the newest batch " +
+      "partitions, never touches the family, never triggers a reset") {
+    val base = s"admp_doc_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_admp").toString
+    drop(famTables(base): _*)
+    rmCk(base)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val docs = Tables(spark, sf, "documents")
+      docs.filter(col("doc_id") < 20)
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules)
+      // a second batch arrives later
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules)
+      val batches = spark.table(s"${base}_quarantine")
+        .select("_batch").distinct().as[Long].collect().sorted
+      assert(batches.length === 2, batches.toSeq)
+      val indexedBefore = spark.table(s"${base}_bm25").count()
+      val dropped = StreamingOps.pruneAdmissionAudit(spark, base, 1)
+      assert(dropped.nonEmpty)
+      assert(dropped.forall(_.contains("_batch=")))
+      val after = spark.table(s"${base}_quarantine")
+        .select("_batch").distinct().as[Long].collect()
+      assert(after.toSeq === Seq(batches.max)) // newest kept
+      // the family is untouched, and the NEXT ingest does not reset
+      assert(spark.table(s"${base}_bm25").count() === indexedBefore)
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules) // no new files -> no new batches, no reset
+      assert(spark.table(s"${base}_bm25").count() === indexedBefore)
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val paths =
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList
+        } finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("poisoned-feed valve: past the quarantine-rate threshold the " +
       "batch refuses wholesale with the evidence written; fixing the " +
       "threshold and re-invoking replays cleanly") {
