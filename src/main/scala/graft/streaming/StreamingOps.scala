@@ -2573,6 +2573,50 @@ object StreamingOps {
       }
   }
 
+  /** DRIFT GAUGE over the admission history — the poisoned-feed valve
+    * is binary and per-batch; this sees trouble COMING: per-rule
+    * violation rates across the batch history, with each batch's rate
+    * compared to the rule's OWN trailing baseline (mean + k·std over
+    * the `window` prior batches). A rule whose latest rate breaks out
+    * flags `drifted` — upstream schema drift, an encoding change, a
+    * new source mixing in — batches before the wholesale refusal
+    * would fire. Pure DataFrame ops over `<base>_admission` (window
+    * per rule over batch order — rules are few, batches bounded by
+    * retention; nothing concentrates). Returns (rule, batch, rate,
+    * base_mean, base_std, drifted), newest first; rows with no prior
+    * baseline (first `minPrior` batches per rule) never flag.
+    */
+  def admissionDrift(spark: SparkSession, base: String,
+      window: Int = 8, k: Double = 3.0, minPrior: Int = 3,
+      minStd: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = s"${base}_admission"
+    require(spark.catalog.tableExists(t),
+      s"admissionDrift: no admission history $t — ingest with " +
+        "admission rules first")
+    val w = Window.partitionBy("rule").orderBy(col("_batch"))
+      .rowsBetween(-window, -1)
+    spark.table(t)
+      .withColumn("rate",
+        col("violations").cast("double") /
+          greatest(col("total").cast("double"), lit(1.0)))
+      .withColumn("base_mean", avg("rate").over(w))
+      // std floored at minStd: a dead-flat baseline (all-identical
+      // rates, std 0) must not flag on an epsilon uptick — the
+      // breakout has to clear a minimum absolute band. A rule that
+      // NEVER fired before still flags once its rate exceeds k*minStd.
+      .withColumn("base_std",
+        greatest(coalesce(stddev_samp(col("rate")).over(w), lit(0.0)),
+          lit(minStd)))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("drifted",
+        col("n_prior") >= minPrior &&
+          col("rate") > col("base_mean") + lit(k) * col("base_std"))
+      .select(col("rule"), col("_batch").as("batch"), col("rate"),
+        col("base_mean"), col("base_std"), col("drifted"))
+      .orderBy(col("batch").desc, col("rule"))
+  }
+
   /** Idempotent per-batch audit-sink append: the frame (carrying a
     * `_batch` column) lands as ONE partition of `table`, and a REPLAY
     * of the same batch id dynamically overwrites exactly its own

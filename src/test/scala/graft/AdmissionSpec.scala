@@ -166,6 +166,39 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("admissionDrift flags a rule whose rate breaks out of its own " +
+      "trailing baseline — and only that rule, only past minPrior") {
+    val base = s"admd_doc_p$pid"
+    val t = s"${base}_admission"
+    drop(t)
+    try {
+      val sp = spark
+      import sp.implicits._
+      // crafted history: r_flat holds 10% forever; r_drift holds ~2%
+      // then jumps to 40% in the newest batch; r_new never fired, then
+      // fires at 5% (breaks the k*minStd floor). First batches have no
+      // baseline and must never flag.
+      val rows =
+        (0L to 5L).map(b => ("r_flat", 100L, 10L, b)) ++
+        Seq(("r_drift", 100L, 2L, 0L), ("r_drift", 100L, 3L, 1L),
+          ("r_drift", 100L, 2L, 2L), ("r_drift", 100L, 3L, 3L),
+          ("r_drift", 100L, 2L, 4L), ("r_drift", 100L, 40L, 5L)) ++
+        (0L to 4L).map(b => ("r_new", 100L, 0L, b)) ++
+        Seq(("r_new", 100L, 5L, 5L))
+      rows.toDF("rule", "total", "violations", "_batch")
+        .write.partitionBy("_batch").saveAsTable(t)
+      val d = StreamingOps.admissionDrift(spark, base)
+      val flagged = d.where(col("drifted"))
+        .select("rule", "batch").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(flagged === Set(("r_drift", 5L), ("r_new", 5L)))
+      // newest-first ordering and the full history rides for plotting
+      val first = d.select("batch").head.getLong(0)
+      assert(first === 5L)
+      assert(d.count() === rows.size.toLong)
+    } finally drop(t)
+  }
+
   test("poisoned-feed valve: past the quarantine-rate threshold the " +
       "batch refuses wholesale with the evidence written; fixing the " +
       "threshold and re-invoking replays cleanly") {
