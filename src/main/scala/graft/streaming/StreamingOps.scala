@@ -2169,6 +2169,45 @@ object StreamingOps {
       s"${base}_bm25" ->
         graft.operators.TextOps.describeBm25(spark, s"${base}_bm25"))
 
+  /** One-call cadence advisory over a unified document family: each
+    * member's `due()` prefixed with its family, PLUS the
+    * admission-drift advisory — a rule whose latest-batch violation
+    * rate broke out of its own trailing baseline ([[admissionDrift]])
+    * is upstream trouble the maintenance cadence should surface
+    * without a separate dashboard, and it belongs HERE because the
+    * response is operational (inspect the quarantine, fix the feed)
+    * before the poisoned-feed valve ever trips. Nil = nothing due.
+    */
+  def dueDocuments(spark: SparkSession, base: String,
+      policy: graft.operators.TextOps.MaintenancePolicy =
+        graft.operators.TextOps.MaintenancePolicy()): Seq[String] = {
+    val members = describeDocuments(spark, base).toSeq.sortBy(_._1)
+      .flatMap { case (m, st) => st.due(policy).map(v => s"$m: $v") }
+    val drift =
+      if (!spark.catalog.tableExists(s"${base}_admission")) Nil
+      else {
+        val d = admissionDrift(spark, base)
+        val latest = d.agg(max("batch")).head
+        if (latest.isNullAt(0)) Nil
+        else d.where(col("batch") === latest.getLong(0) &&
+            col("drifted"))
+          .select("rule", "rate").collect().toSeq
+          .map(r => f"admission-drift:${r.getString(0)} " +
+            f"rate=${r.getDouble(1)}%.3f — latest batch broke its " +
+            s"trailing baseline; inspect ${base}_quarantine before " +
+            "the valve trips")
+      }
+    members ++ drift
+  }
+
+  /** [[dueDocuments]] for a unified vector base (no admission sinks —
+    * vector batches gate on the config pin at append). */
+  def dueVectors(spark: SparkSession, base: String,
+      policy: graft.operators.TextOps.MaintenancePolicy =
+        graft.operators.TextOps.MaintenancePolicy()): Seq[String] =
+    describeVectors(spark, base).toSeq.sortBy(_._1)
+      .flatMap { case (m, st) => st.due(policy).map(v => s"$m: $v") }
+
   /** One-call structural audit over a unified document family —
     * violations prefixed with the member family, Nil = healthy. */
   def fsckDocuments(spark: SparkSession, base: String): Seq[String] =

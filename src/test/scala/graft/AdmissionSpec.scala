@@ -199,6 +199,39 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
     } finally drop(t)
   }
 
+  test("dueDocuments surfaces the drift advisory on the group cadence " +
+      "check — and stays silent on a flat history") {
+    val base = s"admq_doc_p$pid"
+    val t = s"${base}_admission"
+    val fam = Seq(s"${base}_band", s"${base}_band_del",
+      s"${base}_bm25", s"${base}_bm25_del", s"${base}_bm25_stats", t)
+    drop(fam: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      // a real (tiny, healthy) member pair so describe() works
+      val docs = Seq(1L -> "alpha beta gamma delta common words here")
+        .toDF("doc_id", "text")
+      graft.operators.TextOps.appendBandIndex(docs, s"${base}_band")
+      graft.operators.TextOps.appendBm25Postings(docs,
+        s"${base}_bm25", s"${base}_bm25_stats")
+      // flat history: no advisory
+      ((0L to 4L).map(b => ("r_flat", 100L, 10L, b)))
+        .toDF("rule", "total", "violations", "_batch")
+        .write.partitionBy("_batch").saveAsTable(t)
+      assert(!StreamingOps.dueDocuments(spark, base)
+        .exists(_.startsWith("admission-drift")))
+      // breakout in the newest batch: advisory names the rule
+      Seq(("r_flat", 100L, 60L, 5L))
+        .toDF("rule", "total", "violations", "_batch")
+        .write.mode("append").insertInto(t)
+      spark.catalog.refreshTable(t)
+      val due = StreamingOps.dueDocuments(spark, base)
+      assert(due.exists(v => v.startsWith("admission-drift:r_flat")),
+        due.mkString("; "))
+    } finally drop(fam: _*)
+  }
+
   test("poisoned-feed valve: past the quarantine-rate threshold the " +
       "batch refuses wholesale with the evidence written; fixing the " +
       "threshold and re-invoking replays cleanly") {
