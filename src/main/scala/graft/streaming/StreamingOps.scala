@@ -688,44 +688,8 @@ object StreamingOps {
         // deterministic; the audit trail is idempotent like the index).
         // Audit sinks, not index state: the group backup/snapshot verbs
         // deliberately exclude them (a replay regenerates them).
-        val annOpt =
-          if (admission.isEmpty) None
-          else Some(graft.operators.Quality
-            .annotate(unheld, admission).persist())
-        val admitted = annOpt.fold(unheld) { ann =>
-          val bad = ann.where(size(col("violations")) > 0)
-            .withColumn("violations",
-              concat_ws(",", col("violations")))
-            .withColumn("_batch", lit(bid))
-          writeBatchSlice(s, s"${base}_quarantine", bad)
-          writeBatchSlice(s, s"${base}_admission",
-            graft.operators.Quality
-              .metricsOfAnnotated(ann, admission)
-              .withColumn("_batch", lit(bid)))
-          // POISONED-FEED VALVE: past the declared quarantine-rate
-          // threshold the batch REFUSES wholesale — a broken upstream
-          // (schema drift, encoding corruption, a wrong file dropped
-          // in the bucket) must stop the ingest for an operator, not
-          // trickle 90% of itself into quarantine while the remainder
-          // pollutes the index. Refusal comes AFTER the audit sinks
-          // land (the evidence survives; the ledger has not committed,
-          // so fixing the feed and re-invoking replays cleanly) and
-          // the partition-overwrite slices keep the retried batch
-          // idempotent.
-          val counts = ann.agg(count(lit(1)).as("n"),
-            sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
-              .as("b")).head
-          val (n, badN) = (counts.getLong(0), counts.getLong(1))
-          if (n > 0 && badN > maxQuarantineRate * n)
-            throw new IllegalStateException(
-              s"streamingDocumentIngest: batch $bid quarantined " +
-                s"$badN/$n rows (> ${maxQuarantineRate * 100}% " +
-                s"threshold) — feed looks poisoned; evidence in " +
-                s"${base}_quarantine/_batch=$bid and " +
-                s"${base}_admission; fix upstream and re-invoke " +
-                "(the ledger did not commit this batch)")
-          ann.where(size(col("violations")) === 0).drop("violations")
-        }
+        val (admitted, annOpt) = admitBatch(s, unheld, admission,
+          maxQuarantineRate, base, bid, "streamingDocumentIngest")
         val gated = graft.operators.TrainingData.curateGate(admitted)
           .withColumn("content_hash", md5(col("text")))
         val w = Window.partitionBy("content_hash").orderBy(col("doc_id"))
@@ -764,10 +728,7 @@ object StreamingOps {
         // re-batch the files differently (all-in-one batch 0), and a
         // lingering higher-numbered partition from the previous life
         // would read as duplicated audit rows. Re-derivable by design.
-        Seq(s"${base}_quarantine", s"${base}_admission").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          graft.operators.TextOps.clearOrphanLocation(s, t)
-        }
+        dropAdmissionSinks(s, base)
       },
       afterReplay = s => graft.operators.TextOps
         .reconcileBm25Tombstones(s, bm25T, statsT),
@@ -1236,7 +1197,8 @@ object StreamingOps {
     // admission audit sinks (documents groups): re-derivable trails,
     // outside backups by design — but they are bytes the group owns,
     // so the gauge names them with their own reclaim verb
-    Seq(s"${base}_quarantine", s"${base}_admission")
+    Seq(s"${base}_quarantine", s"${base}_admission",
+      s"${base}_ups_quarantine", s"${base}_ups_admission")
       .filter(spark.catalog.tableExists)
       .foreach(t => add("audit", "", t,
         TextOps.listDataFiles(spark, t)))
@@ -2183,10 +2145,15 @@ object StreamingOps {
         graft.operators.TextOps.MaintenancePolicy()): Seq[String] = {
     val members = describeDocuments(spark, base).toSeq.sortBy(_._1)
       .flatMap { case (m, st) => st.due(policy).map(v => s"$m: $v") }
-    val drift =
-      if (!spark.catalog.tableExists(s"${base}_admission")) Nil
-      else {
-        val d = admissionDrift(spark, base)
+    // both admission histories: the ingest gate's and the CDC upsert
+    // stream's (their batch ids live in separate ledgers, hence
+    // separate sinks — and separate baselines)
+    val drift = Seq(
+      s"${base}_admission" -> s"${base}_quarantine",
+      s"${base}_ups_admission" -> s"${base}_ups_quarantine")
+      .filter { case (a, _) => spark.catalog.tableExists(a) }
+      .flatMap { case (a, q) =>
+        val d = admissionDrift(spark, base, sink = Some(a))
         val latest = d.agg(max("batch")).head
         if (latest.isNullAt(0)) Nil
         else d.where(col("batch") === latest.getLong(0) &&
@@ -2194,8 +2161,7 @@ object StreamingOps {
           .select("rule", "rate").collect().toSeq
           .map(r => f"admission-drift:${r.getString(0)} " +
             f"rate=${r.getDouble(1)}%.3f — latest batch broke its " +
-            s"trailing baseline; inspect ${base}_quarantine before " +
-            "the valve trips")
+            s"trailing baseline; inspect $q before the valve trips")
       }
     members ++ drift
   }
@@ -2376,17 +2342,33 @@ object StreamingOps {
   def streamingDocumentUpserts(spark: SparkSession, path: String,
       base: String,
       maintain: Option[graft.operators.TextOps.MaintenancePolicy] =
-        None): Unit = {
+        None,
+      admission: Seq[graft.operators.Quality.Rule] = Nil,
+      maxQuarantineRate: Double = 1.0): Unit = {
+    require(maxQuarantineRate >= 0.0 && maxQuarantineRate <= 1.0,
+      "streamingDocumentUpserts: maxQuarantineRate must be in [0, 1]")
     resetDeleteLedgerIfCheckpointLost(spark, s"${base}_ups")
     ledgeredIngest(spark, path, s"${base}_ups", refresh = Seq(),
-      (batch, _, _) => {
+      (batch, _, bid) => {
         val s = batch.sparkSession
-        val b = batch.toDF().persist()
+        // the CDC stream takes the SAME admission gate as ingest — an
+        // upsert rewrites content, so gating ingest alone leaves a
+        // side door for unvetted text; sinks are stream-scoped
+        // (`<base>_ups_quarantine`) because upsert batch ids live in
+        // their own ledger and must not collide with ingest slices
+        val (vetted, annOpt) = admitBatch(s, batch.toDF(), admission,
+          maxQuarantineRate, s"${base}_ups", bid,
+          "streamingDocumentUpserts")
+        val b = vetted.persist()
         try {
           graft.operators.TextOps.upsertBm25Docs(s, s"${base}_bm25",
             s"${base}_bm25_stats", b)
           graft.operators.TextOps.upsertBandDocs(s, s"${base}_band", b)
-        } finally { b.unpersist(); () }
+        } finally {
+          b.unpersist()
+          annOpt.foreach(_.unpersist())
+          ()
+        }
       },
       maxFilesPerTrigger = Some(1),
       // an upsert cadence accrues the SAME debt as ingest+delete (a
@@ -2400,8 +2382,11 @@ object StreamingOps {
           graft.operators.TextOps.FoldGuard.Anchor)
         ()
       })
-    Seq(s"${base}_band", s"${base}_band_del", s"${base}_bm25",
-      s"${base}_bm25_del", s"${base}_bm25_stats")
+    (Seq(s"${base}_band", s"${base}_band_del", s"${base}_bm25",
+      s"${base}_bm25_del", s"${base}_bm25_stats") ++
+        (if (admission.nonEmpty)
+          Seq(s"${base}_ups_quarantine", s"${base}_ups_admission")
+        else Nil))
       .foreach(t => if (spark.catalog.tableExists(t))
         spark.catalog.refreshTable(t))
   }
@@ -2473,8 +2458,20 @@ object StreamingOps {
     if (!fs.exists(ck) && spark.catalog.tableExists(ledger)) {
       spark.sql(s"DROP TABLE $ledger")
       graft.operators.TextOps.clearOrphanLocation(spark, ledger)
+      dropAdmissionSinks(spark, table)
     }
   }
+
+  /** Drop a stream's admission audit sinks — a ledger reset restarts
+    * batch ids at 0 and a replay may re-batch the files, so slices
+    * from the previous life would read as duplicated audit rows.
+    * Re-derivable by design. */
+  private def dropAdmissionSinks(spark: SparkSession,
+      prefix: String): Unit =
+    Seq(s"${prefix}_quarantine", s"${prefix}_admission").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.operators.TextOps.clearOrphanLocation(spark, t)
+    }
 
   /** Drop a SIBLING CDC stream's ledger + checkpoint so its files
     * replay on the next invocation (ADVICE r14): when an ingest
@@ -2500,6 +2497,7 @@ object StreamingOps {
     val ledger = table + "_ledger"
     spark.sql(s"DROP TABLE IF EXISTS $ledger")
     graft.operators.TextOps.clearOrphanLocation(spark, ledger)
+    dropAdmissionSinks(spark, table)
   }
 
   /** ONE-CALL VECTOR INGEST (VERDICT r12 #7, the vector twin): a
@@ -2595,7 +2593,8 @@ object StreamingOps {
       keepBatches: Int): Seq[String] = {
     require(keepBatches >= 1,
       "pruneAdmissionAudit: keepBatches must be >= 1")
-    Seq(s"${base}_quarantine", s"${base}_admission")
+    Seq(s"${base}_quarantine", s"${base}_admission",
+      s"${base}_ups_quarantine", s"${base}_ups_admission")
       .filter(spark.catalog.tableExists).flatMap { t =>
         val loc = graft.operators.TextOps.tableLocation(spark, t)
         val fs = loc.getFileSystem(
@@ -2627,9 +2626,10 @@ object StreamingOps {
     */
   def admissionDrift(spark: SparkSession, base: String,
       window: Int = 8, k: Double = 3.0, minPrior: Int = 3,
-      minStd: Double = 0.01): org.apache.spark.sql.DataFrame = {
+      minStd: Double = 0.01, sink: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = s"${base}_admission"
+    val t = sink.getOrElse(s"${base}_admission")
     require(spark.catalog.tableExists(t),
       s"admissionDrift: no admission history $t — ingest with " +
         "admission rules first")
@@ -2654,6 +2654,46 @@ object StreamingOps {
       .select(col("rule"), col("_batch").as("batch"), col("rate"),
         col("base_mean"), col("base_std"), col("drifted"))
       .orderBy(col("batch").desc, col("rule"))
+  }
+
+  /** THE admission gate applied to one micro-batch — shared by the
+    * ingest loop and the CDC upsert stream (an upsert rewrites
+    * content, so quality gates on ingest alone leave a side door):
+    * write the quarantine and per-rule metrics slices under
+    * `<sinkPrefix>_quarantine` / `<sinkPrefix>_admission` (idempotent
+    * per batch id), enforce the wholesale-refusal valve, return the
+    * admitted rows plus the persisted annotated frame for the caller
+    * to unpersist after its appends land.
+    */
+  private def admitBatch(s: SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      admission: Seq[graft.operators.Quality.Rule],
+      maxQuarantineRate: Double, sinkPrefix: String, bid: Long,
+      what: String): (org.apache.spark.sql.DataFrame,
+        Option[org.apache.spark.sql.DataFrame]) = {
+    if (admission.isEmpty) return (batch, None)
+    val ann = graft.operators.Quality.annotate(batch, admission)
+      .persist()
+    val bad = ann.where(size(col("violations")) > 0)
+      .withColumn("violations", concat_ws(",", col("violations")))
+      .withColumn("_batch", lit(bid))
+    writeBatchSlice(s, s"${sinkPrefix}_quarantine", bad)
+    writeBatchSlice(s, s"${sinkPrefix}_admission",
+      graft.operators.Quality.metricsOfAnnotated(ann, admission)
+        .withColumn("_batch", lit(bid)))
+    val counts = ann.agg(count(lit(1)).as("n"),
+      sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
+        .as("b")).head
+    val (n, badN) = (counts.getLong(0), counts.getLong(1))
+    if (n > 0 && badN > maxQuarantineRate * n)
+      throw new IllegalStateException(
+        s"$what: batch $bid quarantined $badN/$n rows (> " +
+          s"${maxQuarantineRate * 100}% threshold) — feed looks " +
+          s"poisoned; evidence in ${sinkPrefix}_quarantine/" +
+          s"_batch=$bid and ${sinkPrefix}_admission; fix upstream " +
+          "and re-invoke (the ledger did not commit this batch)")
+    (ann.where(size(col("violations")) === 0).drop("violations"),
+      Some(ann))
   }
 
   /** Idempotent per-batch audit-sink append: the frame (carrying a

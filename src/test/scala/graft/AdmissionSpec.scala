@@ -232,6 +232,74 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
     } finally drop(fam: _*)
   }
 
+  test("the CDC upsert stream takes the same gate: a bad rewrite is " +
+      "quarantined under the stream-scoped sink and never lands; the " +
+      "good rewrite in the same batch applies") {
+    val base = s"admu_doc_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_admu").toString
+    val upsDir = java.nio.file.Files
+      .createTempDirectory("graft_admu_ups").toString
+    val extra = Seq(s"${base}_ups_ledger", s"${base}_ups_quarantine",
+      s"${base}_ups_admission")
+    drop((famTables(base) ++ extra): _*)
+    rmCk(base); rmCk(s"${base}_ups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      // seed the group via plain ingest (no gate needed here)
+      Tables(spark, sf, "documents")
+        .filter(col("doc_id").isin(0L, 1L, 2L))
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base)
+      val ids = spark.table(s"${base}_bm25")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(ids.nonEmpty)
+      val target = ids.min
+      // one batch, two rewrites: a good one and a too-short one
+      Seq(
+        (target, "freshly rewritten body with plentiful english " +
+          "words and the required length to pass the gate easily " +
+          "one two three four five six seven eight nine ten", "en",
+          "cdc", 130L),
+        (target + 1000L, "tiny", "en", "cdc", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(upsDir)
+      StreamingOps.streamingDocumentUpserts(spark, upsDir, base,
+        admission = Seq(InRange("n_chars", 60.0, 500.0)))
+      // the bad rewrite is in the STREAM-SCOPED quarantine...
+      val q = spark.table(s"${base}_ups_quarantine")
+        .select("doc_id", "violations").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(q.keySet === Set(target + 1000L))
+      assert(q(target + 1000L).contains("in_range:n_chars"))
+      // ...and never reached the index
+      val after = spark.table(s"${base}_bm25")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(!after.contains(target + 1000L))
+      // while the good rewrite APPLIED (its fresh token serves)
+      val (p, st) = graft.operators.TextOps.liveBm25(spark,
+        s"${base}_bm25", s"${base}_bm25_stats")
+      val hits = graft.operators.TextOps.bm25ScoreIncr(
+        Seq((1, "plentiful")).toDF("q_id", "token"), p, st)
+        .select("doc_id").as[Long].collect().toSet
+      assert(hits === Set(target))
+    } finally {
+      drop((famTables(base) ++ extra): _*)
+      rmCk(base); rmCk(s"${base}_ups")
+      Seq(dir, upsDir).foreach { d =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        val paths =
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.toList
+          } finally walk.close()
+        paths.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("poisoned-feed valve: past the quarantine-rate threshold the " +
       "batch refuses wholesale with the evidence written; fixing the " +
       "threshold and re-invoking replays cleanly") {
