@@ -33,7 +33,7 @@ class LifecycleModelSpec extends AnyFunSuite with SparkSuite {
   private def text(id: Long, v: Int): String =
     s"alpha beta token$id word${id % 7} rev$v common spark"
 
-  test("a seeded 24-step random verb walk never diverges from the " +
+  test("a seeded 30-step random verb walk never diverges from the " +
       "shadow model (ids every step; scores + audits after restores " +
       "and at the end)") {
     val t = s"lm_bm25_p$pid"
@@ -104,8 +104,8 @@ class LifecycleModelSpec extends AnyFunSuite with SparkSuite {
     model ++= seed
 
     try {
-      (0 until 24).foreach { step =>
-        rng.nextInt(8) match {
+      (0 until 30).foreach { step =>
+        rng.nextInt(10) match {
           case 0 => // append fresh docs
             val n = 1 + rng.nextInt(4)
             val batch = (0 until n).map { _ =>
@@ -165,6 +165,24 @@ class LifecycleModelSpec extends AnyFunSuite with SparkSuite {
             model.clear()
             model ++= modelAt(tg)
             checkScores()
+          case 8 if bakTags.nonEmpty => // chain lifecycle: promote,
+            // then retire a base nobody borrows from (keep >=1 tag)
+            val tg = bakTags.last
+            trace += s"promote($tg)"
+            TextOps.promoteBackup(spark, t, tg)
+            val free = bakTags.filter(x =>
+              TextOps.dependentBackups(spark, t, x).isEmpty)
+            if (free.size > 1) {
+              val victim = free.head
+              trace += s"dropBackup($victim)"
+              TextOps.dropBackup(spark, t, victim)
+              bakTags -= victim
+            }
+          case 9 if snapTags.size > 2 =>
+            trace += "pruneSnapshots(2)"
+            TextOps.pruneSnapshots(spark, t, 2)
+            val live = TextOps.listSnapshots(spark, t).map(_._1).toSet
+            snapTags.filterInPlace(live.contains)
           case _ =>
             trace += "noop"
         }
