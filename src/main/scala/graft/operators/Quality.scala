@@ -80,6 +80,22 @@ object Quality {
         dimCol: String) extends Rule { val name = s"ref:$col" }
     /** Escape hatch: `violated` is a Boolean Column over the input row. */
     final case class Custom(name: String, violated: Column) extends Rule
+
+    /** Non-null numeric arrays must contain only FINITE elements — a
+      * single NaN/Inf embedding poisons every cosine/L2 score it
+      * touches (NaN propagates through dot products and wrecks top-k
+      * ordering silently). Row-local: one `exists` over the array.
+      */
+    final case class FiniteArray(col: String) extends Rule {
+      val name = s"finite:$col"
+    }
+    /** Non-null vectors' L2 norm must fall in [lo, hi] — zero vectors
+      * have undefined cosine direction (and typically mean an upstream
+      * embedder returned a placeholder); runaway norms distort
+      * dot-product scores. Row-local: one aggregate over the array.
+      */
+    final case class NormInRange(col: String, lo: Double, hi: Double)
+        extends Rule { val name = s"norm:$col" }
   }
 
   import Rule._
@@ -96,6 +112,21 @@ object Quality {
     case NotBefore(c, d) =>
       Some(col(c).isNotNull && col(c) < lit(d).cast("timestamp"))
     case Custom(_, p)    => Some(p)
+    case FiniteArray(c)  =>
+      Some(col(c).isNotNull && exists(col(c), x =>
+        isnan(x.cast("double")) ||
+          abs(x.cast("double")) > lit(Double.MaxValue) ||
+          x.cast("double") === lit(Double.PositiveInfinity) ||
+          x.cast("double") === lit(Double.NegativeInfinity)))
+    case NormInRange(c, lo, hi) =>
+      val norm = sqrt(aggregate(col(c), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      // a NaN norm (NaN elements) is FiniteArray's job — rules stay
+      // orthogonal. The isnan guard is LOAD-BEARING: Spark's ordering
+      // ranks NaN above every numeric, so `NaN > hi` is TRUE here
+      // (unlike Java doubles) and would double-fire this rule
+      Some(col(c).isNotNull && !isnan(norm) &&
+        (norm < lit(lo) || norm > lit(hi)))
     case _               => None
   }
 

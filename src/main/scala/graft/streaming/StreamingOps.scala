@@ -1198,7 +1198,8 @@ object StreamingOps {
     // outside backups by design — but they are bytes the group owns,
     // so the gauge names them with their own reclaim verb
     Seq(s"${base}_quarantine", s"${base}_admission",
-      s"${base}_ups_quarantine", s"${base}_ups_admission")
+      s"${base}_ups_quarantine", s"${base}_ups_admission",
+      s"${base}_vups_quarantine", s"${base}_vups_admission")
       .filter(spark.catalog.tableExists)
       .foreach(t => add("audit", "", t,
         TextOps.listDataFiles(spark, t)))
@@ -2145,13 +2146,28 @@ object StreamingOps {
         graft.operators.TextOps.MaintenancePolicy()): Seq[String] = {
     val members = describeDocuments(spark, base).toSeq.sortBy(_._1)
       .flatMap { case (m, st) => st.due(policy).map(v => s"$m: $v") }
-    // both admission histories: the ingest gate's and the CDC upsert
-    // stream's (their batch ids live in separate ledgers, hence
-    // separate sinks — and separate baselines)
-    val drift = Seq(
-      s"${base}_admission" -> s"${base}_quarantine",
-      s"${base}_ups_admission" -> s"${base}_ups_quarantine")
-      .filter { case (a, _) => spark.catalog.tableExists(a) }
+    members ++ driftAdvisories(spark, base,
+      Seq(s"${base}_admission" -> s"${base}_quarantine",
+        s"${base}_ups_admission" -> s"${base}_ups_quarantine"))
+  }
+
+  /** [[dueDocuments]] for a unified vector base — the vector gate's
+    * histories (unified ingest + the `_vups` CDC stream). */
+  def dueVectors(spark: SparkSession, base: String,
+      policy: graft.operators.TextOps.MaintenancePolicy =
+        graft.operators.TextOps.MaintenancePolicy()): Seq[String] =
+    describeVectors(spark, base).toSeq.sortBy(_._1)
+      .flatMap { case (m, st) => st.due(policy).map(v => s"$m: $v") } ++
+      driftAdvisories(spark, base,
+        Seq(s"${base}_admission" -> s"${base}_quarantine",
+          s"${base}_vups_admission" -> s"${base}_vups_quarantine"))
+
+  /** The admission-drift advisories for a set of (admission sink,
+    * quarantine sink) histories — separate ledgers keep separate
+    * batch-id spaces and therefore separate baselines. */
+  private def driftAdvisories(spark: SparkSession, base: String,
+      sinks: Seq[(String, String)]): Seq[String] =
+    sinks.filter { case (a, _) => spark.catalog.tableExists(a) }
       .flatMap { case (a, q) =>
         val d = admissionDrift(spark, base, sink = Some(a))
         val latest = d.agg(max("batch")).head
@@ -2163,16 +2179,6 @@ object StreamingOps {
             f"rate=${r.getDouble(1)}%.3f — latest batch broke its " +
             s"trailing baseline; inspect $q before the valve trips")
       }
-    members ++ drift
-  }
-
-  /** [[dueDocuments]] for a unified vector base (no admission sinks —
-    * vector batches gate on the config pin at append). */
-  def dueVectors(spark: SparkSession, base: String,
-      policy: graft.operators.TextOps.MaintenancePolicy =
-        graft.operators.TextOps.MaintenancePolicy()): Seq[String] =
-    describeVectors(spark, base).toSeq.sortBy(_._1)
-      .flatMap { case (m, st) => st.due(policy).map(v => s"$m: $v") }
 
   /** One-call structural audit over a unified document family —
     * violations prefixed with the member family, Nil = healthy. */
@@ -2400,11 +2406,21 @@ object StreamingOps {
       bits: Int = graft.operators.AnnIndex.Bits,
       dim: Int = graft.operators.AnnIndex.Dim,
       maintain: Option[graft.operators.TextOps.MaintenancePolicy] =
-        None): Unit = {
+        None,
+      admission: Seq[graft.operators.Quality.Rule] = Nil,
+      maxQuarantineRate: Double = 1.0): Unit = {
+    require(maxQuarantineRate >= 0.0 && maxQuarantineRate <= 1.0,
+      "streamingVectorUpserts: maxQuarantineRate must be in [0, 1]")
     resetDeleteLedgerIfCheckpointLost(spark, s"${base}_vups")
     ledgeredIngest(spark, path, s"${base}_vups", refresh = Seq(),
-      (batch, _, _) => {
-        val b = batch.toDF().persist()
+      (batch, _, bid) => {
+        val s = batch.sparkSession
+        // the vector CDC side of the gate (stream-scoped sinks — see
+        // streamingDocumentUpserts)
+        val (vetted, annOpt) = admitBatch(s, batch.toDF(), admission,
+          maxQuarantineRate, s"${base}_vups", bid,
+          "streamingVectorUpserts")
+        val b = vetted.persist()
         try {
           graft.operators.AnnIndex.upsert(b, s"${base}_ann", nBands,
             bits, dim)
@@ -2412,7 +2428,11 @@ object StreamingOps {
           graft.operators.SqIndex.upsert(b, s"${base}_sq", dim)
           graft.operators.PqIndex.upsert(b, s"${base}_pq")
           graft.operators.IvfIndex.upsert(b, s"${base}_ivf")
-        } finally { b.unpersist(); () }
+        } finally {
+          b.unpersist()
+          annOpt.foreach(_.unpersist())
+          ()
+        }
       },
       maxFilesPerTrigger = Some(1),
       // metadata-cheap self-maintenance per batch, the ingest-loop
@@ -2517,7 +2537,11 @@ object StreamingOps {
       bits: Int = graft.operators.AnnIndex.Bits,
       dim: Int = graft.operators.AnnIndex.Dim,
       maintain: Option[graft.operators.TextOps.MaintenancePolicy] =
-        None): Unit = {
+        None,
+      admission: Seq[graft.operators.Quality.Rule] = Nil,
+      maxQuarantineRate: Double = 1.0): Unit = {
+    require(maxQuarantineRate >= 0.0 && maxQuarantineRate <= 1.0,
+      "streamingAllIndexIngest: maxQuarantineRate must be in [0, 1]")
     val annT = s"${base}_ann"
     val bqT = s"${base}_bq"
     val sqT = s"${base}_sq"
@@ -2532,19 +2556,34 @@ object StreamingOps {
     ledgeredIngest(spark, s"$sfDir/embeddings.parquet", base,
       refresh = Seq(annT, annT + "_vec", annT + "_cfg",
         bqT, bqT + "_cfg", sqT, sqT + "_cfg", pqT, ivfT),
-      append = (batch, _, _) => {
-        val b = batch.persist()
+      append = (batch, _, bid) => {
+        val s = batch.sparkSession
+        // the vector gate: a single NaN/Inf or zero-norm embedding
+        // poisons every cosine/ADC score it touches — admission rules
+        // (FiniteArray / NormInRange / custom) quarantine it with the
+        // same sinks+valve contract as the document gate
+        val (vetted, annOpt) = admitBatch(s, batch.toDF(), admission,
+          maxQuarantineRate, base, bid, "streamingAllIndexIngest")
+        val b = vetted.persist()
         try {
           graft.operators.AnnIndex.append(b, annT, nBands, bits, dim)
           graft.operators.BqIndex.append(b, bqT, dim)
           graft.operators.SqIndex.append(b, sqT, dim)
           graft.operators.PqIndex.append(b, pqT)
           graft.operators.IvfIndex.append(b, ivfT)
-        } finally { b.unpersist(); () }
+        } finally {
+          b.unpersist()
+          annOpt.foreach(_.unpersist())
+          ()
+        }
       },
       // member-loss reset also replays the sibling CDC upsert stream
-      // (ADVICE r14 — the streamingDocumentIngest rationale)
-      onReset = s => resetSiblingCdcStream(s, s"${base}_vups"),
+      // (ADVICE r14 — the streamingDocumentIngest rationale); the
+      // audit sinks drop with it (batch ids restart on replay)
+      onReset = s => {
+        resetSiblingCdcStream(s, s"${base}_vups")
+        dropAdmissionSinks(s, base)
+      },
       // per-batch self-maintenance across all five families (the
       // streamingDocumentIngest hook, vector side). Only the
       // METADATA-CHEAP legs run per batch — the drift gauges are
@@ -2594,7 +2633,8 @@ object StreamingOps {
     require(keepBatches >= 1,
       "pruneAdmissionAudit: keepBatches must be >= 1")
     Seq(s"${base}_quarantine", s"${base}_admission",
-      s"${base}_ups_quarantine", s"${base}_ups_admission")
+      s"${base}_ups_quarantine", s"${base}_ups_admission",
+      s"${base}_vups_quarantine", s"${base}_vups_admission")
       .filter(spark.catalog.tableExists).flatMap { t =>
         val loc = graft.operators.TextOps.tableLocation(spark, t)
         val fs = loc.getFileSystem(

@@ -300,6 +300,76 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("the vector gate: NaN and zero-norm embeddings quarantine " +
+      "instead of poisoning every rung of the unified vector ingest") {
+    val base = s"admvec_p$pid"
+    val fams = Seq(s"${base}_ann", s"${base}_ann_vec",
+      s"${base}_ann_cfg", s"${base}_bq", s"${base}_bq_cfg",
+      s"${base}_sq", s"${base}_sq_cfg", s"${base}_pq", s"${base}_pq_cb",
+      s"${base}_ivf", s"${base}_ivf_cent", s"${base}_ledger",
+      s"${base}_quarantine", s"${base}_admission")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_admvec").toString
+    drop(fams: _*)
+    rmCk(base)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val emb = Tables(spark, sf, "embeddings")
+      graft.operators.PqIndex.trainCodebook(emb, s"${base}_pq")
+      graft.operators.IvfIndex.write(
+        emb.filter(col("vec_id") < 30), s"${base}_ivf")
+      spark.sql(s"DROP TABLE ${base}_ivf") // keep only the quantizer
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      // poisoned rows: one NaN lane, one zero vector
+      val nanVec = Array.fill(dim)(0.1f).updated(3, Float.NaN)
+      val zeroVec = Array.fill(dim)(0.0f)
+      val good = emb.filter(col("vec_id") < 20)
+        .select("vec_id", "embedding")
+      val bad = Seq(9001L -> nanVec, 9002L -> zeroVec)
+        .toDF("vec_id", "embedding")
+      good.unionByName(bad).coalesce(1)
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      val rules = Seq[graft.operators.Quality.Rule](
+        FiniteArray("embedding"),
+        NormInRange("embedding", 1e-6, 1e6))
+      StreamingOps.streamingAllIndexIngest(spark, dir, base,
+        admission = rules)
+      val q = spark.table(s"${base}_quarantine")
+        .select("vec_id", "violations").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(q.keySet === Set(9001L, 9002L))
+      assert(q(9001L) === "finite:embedding") // orthogonal: NaN norm
+      assert(q(9002L) === "norm:embedding")   // never fires norm rule
+      // no rung indexed the poison; every rung indexed the good rows
+      Seq(s"${base}_ann_vec", s"${base}_bq", s"${base}_sq",
+        s"${base}_pq", s"${base}_ivf").foreach { m =>
+        val ids = spark.table(m).select("vec_id").distinct()
+          .as[Long].collect().toSet
+        assert(!ids.contains(9001L) && !ids.contains(9002L), m)
+        assert(ids.nonEmpty, m)
+      }
+      // and the served top-k is NaN-free
+      val probe = emb.filter(col("vec_id") === 1L)
+        .select((col("vec_id") + 500L).as("q_id"), col("embedding"))
+      val scores = graft.operators.SqIndex.scoreExternal(probe, spark,
+        s"${base}_sq", 5).select("sim").collect()
+        .map(_.getDouble(0))
+      assert(scores.nonEmpty && scores.forall(v => !v.isNaN))
+    } finally {
+      drop(fams: _*)
+      rmCk(base)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val paths =
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList
+        } finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("poisoned-feed valve: past the quarantine-rate threshold the " +
       "batch refuses wholesale with the evidence written; fixing the " +
       "threshold and re-invoking replays cleanly") {
