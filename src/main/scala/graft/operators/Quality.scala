@@ -320,5 +320,53 @@ object Quality {
            OR r4 IS NOT NULL
         ORDER BY doc_id, violations
       """)),
+
+    // The VECTOR gate's metrics, oracle-gated: embeddings with an
+    // injected zero-vector subset (x*0 is engine-deterministic; the
+    // NaN/Inf leg is deliberately spec-gated in AdmissionSpec —
+    // cross-engine NaN arithmetic is not). Norm fires exactly on the
+    // injected vectors; the finite rule is exercised at zero.
+    QDef("q_vector_gate",
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+          .select("vec_id", "embedding")
+        val zeroed = emb.where(col("vec_id") % 500 === 1)
+          .select((col("vec_id") + 200000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.0f))
+              .as("embedding"))
+        metrics(emb.unionByName(zeroed), Seq(
+          FiniteArray("embedding"),
+          NormInRange("embedding", 1e-6, 1e6)))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        z AS (SELECT vec_id + 200000 AS vec_id,
+                list_transform(embedding, x -> x * 0) AS embedding
+              FROM e WHERE vec_id % 500 = 1),
+        b AS (SELECT * FROM e UNION ALL SELECT * FROM z),
+        m AS (SELECT
+          count(*) AS total,
+          sum(CASE WHEN embedding IS NOT NULL AND
+                len(list_filter(embedding,
+                  x -> isnan(x) OR isinf(x))) > 0
+              THEN 1 ELSE 0 END) AS fin,
+          sum(CASE WHEN embedding IS NOT NULL AND
+                NOT isnan(sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                AND (sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    < 1e-6
+                  OR sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    > 1e6)
+              THEN 1 ELSE 0 END) AS nrm
+          FROM b)
+        SELECT rule, total, CAST(violations AS BIGINT) AS violations
+        FROM (
+          SELECT 'finite:embedding' AS rule, total, fin AS violations
+            FROM m
+          UNION ALL SELECT 'norm:embedding', total, nrm FROM m
+        ) ORDER BY rule
+      """)),
   )
 }
