@@ -3965,18 +3965,38 @@ object TextOps {
     extends RuntimeException(msg)
 
   /** (table → current (path, len) data-file set) for the probe's
-    * fingerprint reads — absent tables map to the empty set (the
-    * rename-out window reads as "everything vanished", which is
-    * exactly the signal). */
+    * fingerprint reads. The read itself can land inside the swap's
+    * rename window, and an empty fingerprint taken THERE would make
+    * the before ⊆ after check pass vacuously around an empty probe —
+    * the very hole consistentProbe closes. The mid-swap state is
+    * DISTINGUISHABLE: the catalog entry exists but its location
+    * directory does not (ALTER TABLE RENAME moves dir with metadata,
+    * so a registered table with a missing dir is rename-in-flight) —
+    * that, or a metadata read blowing up under a concurrent
+    * drop/rename, throws [[SwapRaceException]] so the retry loop
+    * settles. A table MISSING from the catalog maps to the empty set:
+    * a genuinely absent family must surface as the probe body's own
+    * clear table-not-found, not as a misleading race message. */
   private def probeFingerprint(s: org.apache.spark.sql.SparkSession,
       tables: Seq[String]): Map[String, Set[(String, Long)]] =
     tables.map { t =>
       t -> (try {
-        if (s.catalog.tableExists(t)) listDataFiles(s, t).toSet
-        else Set.empty[(String, Long)]
+        if (!s.catalog.tableExists(t)) Set.empty[(String, Long)]
+        else {
+          val loc = tableLocation(s, t)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(loc))
+            throw new SwapRaceException(
+              s"$t: registered but its location is absent — the " +
+                "swap's rename window; re-planning")
+          listFilesUnder(s, loc).toSet
+        }
       } catch {
-        case scala.util.control.NonFatal(_) =>
-          Set.empty[(String, Long)] // racing the swap: read as vanished
+        case e: SwapRaceException => throw e
+        case scala.util.control.NonFatal(e) =>
+          throw new SwapRaceException(
+            s"$t: fingerprint read failed mid-swap (${e.getClass
+              .getSimpleName}) — re-planning")
       })
     }.toMap
 
