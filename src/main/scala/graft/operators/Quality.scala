@@ -84,7 +84,12 @@ object Quality {
     /** Non-null numeric arrays must contain only FINITE elements — a
       * single NaN/Inf embedding poisons every cosine/L2 score it
       * touches (NaN propagates through dot products and wrecks top-k
-      * ordering silently). Row-local: one `exists` over the array.
+      * ordering silently). A NULL element counts as non-finite too
+      * (r18, ADVICE): `exists` over a null element yields a NULL
+      * predicate, which `when` treats as not-violated — so
+      * `[null, 0.1, …]` would slip through the gate and still null
+      * out every downstream cosine/L2 score. Row-local: one `exists`
+      * over the array.
       */
     final case class FiniteArray(col: String) extends Rule {
       val name = s"finite:$col"
@@ -114,7 +119,8 @@ object Quality {
     case Custom(_, p)    => Some(p)
     case FiniteArray(c)  =>
       Some(col(c).isNotNull && exists(col(c), x =>
-        isnan(x.cast("double")) ||
+        x.isNull ||
+          isnan(x.cast("double")) ||
           abs(x.cast("double")) > lit(Double.MaxValue) ||
           x.cast("double") === lit(Double.PositiveInfinity) ||
           x.cast("double") === lit(Double.NegativeInfinity)))
@@ -122,9 +128,12 @@ object Quality {
       val norm = sqrt(aggregate(col(c), lit(0.0d),
         (acc, x) => acc + x.cast("double") * x.cast("double")))
       // a NaN norm (NaN elements) is FiniteArray's job — rules stay
-      // orthogonal. The isnan guard is LOAD-BEARING: Spark's ordering
-      // ranks NaN above every numeric, so `NaN > hi` is TRUE here
-      // (unlike Java doubles) and would double-fire this rule
+      // orthogonal; likewise a NULL element yields a NULL norm, which
+      // keeps this rule silent (null predicate → not violated) and is
+      // FiniteArray's to flag. The isnan guard is LOAD-BEARING:
+      // Spark's ordering ranks NaN above every numeric, so `NaN > hi`
+      // is TRUE here (unlike Java doubles) and would double-fire this
+      // rule
       Some(col(c).isNotNull && !isnan(norm) &&
         (norm < lit(lo) || norm > lit(hi)))
     case _               => None
@@ -183,12 +192,21 @@ object Quality {
           .otherwise(0L)).as(s"_v$i")
       }
     val one = ann.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = rules.zipWithIndex
-      .map { case (r, i) => s"'${r.name}', _v$i" }.mkString(", ")
-    one.selectExpr(
-        s"stack(${rules.size}, $stackArgs) AS (rule, violations)",
-        "_total AS total")
-      .select(col("rule"), col("total"), col("violations"))
+    // Column-API melt (r18, ADVICE): the former selectExpr-`stack`
+    // interpolated rule names into SQL text unescaped, so a Custom
+    // rule named with a quote parsed wrong at runtime despite
+    // annotate accepting it. An explode over named structs carries
+    // the names as LITERALS — no SQL round-trip, any name annotate
+    // accepts melts correctly. The sums are coalesced to 0 so an
+    // EMPTY batch (total 0) reports zero violations instead of null
+    // rows that would poison the admission history's rate math.
+    val pairs = array(rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"),
+        coalesce(col(s"_v$i"), lit(0L)).as("violations"))
+    }: _*)
+    one.select(explode(pairs).as("kv"), col("_total").as("total"))
+      .select(col("kv.rule").as("rule"), col("total"),
+        col("kv.violations").as("violations"))
       .orderBy("rule")
   }
 
@@ -348,7 +366,7 @@ object Quality {
           count(*) AS total,
           sum(CASE WHEN embedding IS NOT NULL AND
                 len(list_filter(embedding,
-                  x -> isnan(x) OR isinf(x))) > 0
+                  x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
               THEN 1 ELSE 0 END) AS fin,
           sum(CASE WHEN embedding IS NOT NULL AND
                 NOT isnan(sqrt(list_aggregate(list_transform(embedding,

@@ -4038,10 +4038,17 @@ object TextOps {
         case (t, fs0) if !fs0.subsetOf(after.getOrElse(t, Set.empty)) =>
           t
       }
-      if (vanished.nonEmpty)
+      if (vanished.nonEmpty) {
+        // release the checkpoint's materialized blocks before the
+        // retry — abandoned staged frames otherwise linger until the
+        // ContextCleaner gets to them, unbounded transient storage
+        // pressure for probes retried under heavy rewrite churn
+        // (r18, ADVICE)
+        staged.unpersist()
         throw new SwapRaceException(
           s"probe raced a maintenance rewrite of ${vanished.mkString(", ")}" +
             " (files vanished mid-read) — re-planning")
+      }
       staged
     }
 

@@ -2705,7 +2705,7 @@ object StreamingOps {
     * admitted rows plus the persisted annotated frame for the caller
     * to unpersist after its appends land.
     */
-  private def admitBatch(s: SparkSession,
+  private[graft] def admitBatch(s: SparkSession,
       batch: org.apache.spark.sql.DataFrame,
       admission: Seq[graft.operators.Quality.Rule],
       maxQuarantineRate: Double, sinkPrefix: String, bid: Long,
@@ -2721,17 +2721,27 @@ object StreamingOps {
     writeBatchSlice(s, s"${sinkPrefix}_admission",
       graft.operators.Quality.metricsOfAnnotated(ann, admission)
         .withColumn("_batch", lit(bid)))
+    // SUM over zero rows is NULL — an EMPTY gated batch (reachable
+    // when exceptHeld excludes every row of a micro-batch) must not
+    // NPE here, and a replay of the same batch would hit it again
+    // deterministically (r18, ADVICE)
     val counts = ann.agg(count(lit(1)).as("n"),
-      sum(when(size(col("violations")) > 0, 1L).otherwise(0L))
-        .as("b")).head
+      coalesce(sum(when(size(col("violations")) > 0, 1L)
+        .otherwise(0L)), lit(0L)).as("b")).head
     val (n, badN) = (counts.getLong(0), counts.getLong(1))
-    if (n > 0 && badN > maxQuarantineRate * n)
+    if (n > 0 && badN > maxQuarantineRate * n) {
+      // the refusal path never reaches the caller's finally — drop
+      // the cached batch HERE or every refused invocation/replay pins
+      // another copy in the block manager for the session's lifetime
+      // (r18, ADVICE)
+      ann.unpersist()
       throw new IllegalStateException(
         s"$what: batch $bid quarantined $badN/$n rows (> " +
           s"${maxQuarantineRate * 100}% threshold) — feed looks " +
           s"poisoned; evidence in ${sinkPrefix}_quarantine/" +
           s"_batch=$bid and ${sinkPrefix}_admission; fix upstream " +
           "and re-invoke (the ledger did not commit this batch)")
+    }
     (ann.where(size(col("violations")) === 0).drop("violations"),
       Some(ann))
   }

@@ -370,6 +370,56 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("an EMPTY gated micro-batch admits cleanly (r18, ADVICE: SUM " +
+      "over zero rows is NULL — a fully-held batch used to NPE the " +
+      "stream and its replay deterministically)") {
+    val base = s"admempty_p$pid"
+    drop(s"${base}_quarantine", s"${base}_admission")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+      val (admitted, annOpt) = StreamingOps.admitBatch(spark, empty,
+        Seq(OneOf("lang", Seq("en"))), 0.2, base, 7L, "spec")
+      assert(admitted.count() === 0L)
+      annOpt.foreach(_.unpersist())
+      // the audit trail still records the batch: total 0, violations 0
+      val m = spark.table(s"${base}_admission")
+        .select("rule", "total", "violations", "_batch").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(m.toSeq === Seq(("one_of:lang", 0L, 0L, 7L)))
+    } finally drop(s"${base}_quarantine", s"${base}_admission")
+  }
+
+  test("the valve's refusal unpersists the annotated batch (r18, " +
+      "ADVICE: every refused invocation/replay used to pin another " +
+      "cached copy in the block manager for the session's lifetime)") {
+    val base = s"admunp_p$pid"
+    drop(s"${base}_quarantine", s"${base}_admission")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+      val batch = Seq((1L, "xx"), (2L, "yy")).toDF("doc_id", "lang")
+      // 6 refusals: a leak pins 6 new copies; parallel suites in this
+      // JVM may legitimately add a cache or two in the window, so the
+      // gate is growth < 6, not == 0
+      (1 to 6).foreach { i =>
+        val e = intercept[IllegalStateException] {
+          StreamingOps.admitBatch(spark, batch,
+            Seq(OneOf("lang", Seq("en"))), 0.2, base, i.toLong, "spec")
+        }
+        assert(e.getMessage.contains("feed looks poisoned"))
+      }
+      val growth =
+        spark.sparkContext.getPersistentRDDs.size - cachedBefore
+      assert(growth < 6,
+        s"6 refusals grew the persisted-RDD set by $growth — the " +
+          "valve is pinning the annotated batch")
+    } finally drop(s"${base}_quarantine", s"${base}_admission")
+  }
+
   test("poisoned-feed valve: past the quarantine-rate threshold the " +
       "batch refuses wholesale with the evidence written; fixing the " +
       "threshold and re-invoking replays cleanly") {

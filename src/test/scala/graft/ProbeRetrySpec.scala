@@ -182,6 +182,45 @@ class ProbeRetrySpec extends AnyFunSuite with SparkSuite {
     } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("a raced probe attempt releases its abandoned checkpoint " +
+      "blocks (r18, ADVICE — retries under rewrite churn used to pin " +
+      "every abandoned attempt until the ContextCleaner got to it)") {
+    val t = s"pr_consunp_p$pid"
+    val all = Seq(t, s"${t}_cfg", s"${t}_compact", s"${t}_old")
+    all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      BqIndex.write(emb, t)
+      val before = spark.sparkContext.getPersistentRDDs.size
+      // 5 raced probes, each retried once: a leak pins 5 abandoned
+      // checkpoints. The RETURNED frames stay cached by contract, so
+      // the test releases each one through its LogicalRDD before
+      // measuring; parallel suites may add a transient cache or two
+      // in the window — the gate is growth < 5, not == 0.
+      (1 to 5).foreach { _ =>
+        var calls = 0
+        val out = TextOps.consistentProbe(spark, Seq(t),
+            backoffMs = 1L) {
+          calls += 1
+          val frame = spark.table(t)
+          if (calls == 1) TextOps.compactIndex(spark, t)
+          frame
+        }
+        assert(calls === 2)
+        assert(out.count() > 0)
+        out.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(true)
+          case other => fail(
+            s"expected the materialized LogicalRDD, got $other")
+        }
+      }
+      val growth = spark.sparkContext.getPersistentRDDs.size - before
+      assert(growth < 5,
+        s"5 raced probes grew the persisted-RDD set by $growth — " +
+          "abandoned attempts are being pinned")
+    } finally all.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("consistentProbe tolerates pure APPENDS mid-probe — an " +
       "ingesting family must not livelock its own serving path") {
     val t = s"pr_consap_p$pid"

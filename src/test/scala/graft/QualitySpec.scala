@@ -128,6 +128,47 @@ class QualitySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("metrics melts through the Column API: a Custom rule named " +
+      "with a quote/backslash survives (r18, ADVICE — the former " +
+      "selectExpr stack parsed it as SQL text)") {
+    val hostile = Seq[Quality.Rule](
+      Custom("it's a 'quoted' name", col("score") < lit(0.0)),
+      Custom("back\\slash", col("score") > lit(35.0)))
+    val m = Quality.metrics(batch, hostile)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m === Map(
+      "it's a 'quoted' name" -> 1L, // id 3's -5.0
+      "back\\slash" -> 1L))         // id 5's 40.0
+  }
+
+  test("metrics over an EMPTY batch reports zero violations, not " +
+      "null rows (r18, ADVICE — SUM over zero rows is NULL)") {
+    val m = Quality.metrics(batch.limit(0), rules)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(m.length === rules.size)
+    assert(m.forall { case (_, total, v) => total == 0L && v == 0L })
+  }
+
+  test("FiniteArray flags NULL elements (they null out downstream " +
+      "cosine/L2 exactly like NaN); NormInRange stays orthogonally " +
+      "silent on them (r18, ADVICE)") {
+    val vecs = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 0.5f)),
+      (2L, Seq[java.lang.Float](null, 0.1f)),
+      (3L, Seq[java.lang.Float](Float.NaN, 0.1f)),
+      (4L, Seq[java.lang.Float](0.0f, 0.0f)))
+      .toDF("id", "v")
+    val got = Quality.annotate(vecs, Seq[Quality.Rule](
+      FiniteArray("v"), NormInRange("v", 1e-6, 1e6)))
+      .select($"id", concat_ws(",", $"violations").as("viol"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "",
+      2L -> "finite:v", // null element: finite fires, norm stays silent
+      3L -> "finite:v",
+      4L -> "norm:v"))
+  }
+
   test("q_expect / q_quarantine registry entries run with teeth on testdata") {
     val m = SparkEntry.queries("q_expect")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
