@@ -712,7 +712,13 @@ object TextOps {
         * of this family's members — the tags a fold would orphan
         * (r17). Surfaced so the operator sees the conflict in
         * `describe`/`due` BEFORE the fold refuses (or anchors). */
-      pinnedSnapshots: Seq[String] = Nil) {
+      pinnedSnapshots: Seq[String] = Nil,
+      /** `base/tag` ephemeral epoch pins whose owning pid is dead or
+        * whose TTL expired (r18) — debris a crash left that
+        * [[sweepLeakedEpochs]] reclaims (folds also self-heal them
+        * in guardFold). Named here so the cadence check sees the
+        * leak before the next fold does. */
+      leakedEpochs: Seq[String] = Nil) {
     /** The ops ONE [[maintainIndex]] pass would run right now under
       * `policy` — advisory, not a contract: maintain re-gauges
       * between its steps (a vacuum resets the member file pressure
@@ -736,6 +742,11 @@ object TextOps {
       // from the fold's refusal
       if (b.nonEmpty && pinnedSnapshots.nonEmpty)
         b += s"fold-orphans-snapshots:${pinnedSnapshots.mkString(",")}"
+      // leaked ephemeral epochs (r18): ALWAYS named, fold due or not —
+      // a dead process's pin accrues anchor bytes on every unattended
+      // Anchor fold and would wedge the next Refuse fold
+      if (leakedEpochs.nonEmpty)
+        b += s"sweep-leaked-epochs:${leakedEpochs.mkString(",")}"
       b.toList
     }
     def healthy(policy: MaintenancePolicy = MaintenancePolicy())
@@ -786,10 +797,23 @@ object TextOps {
       .filter(s.catalog.tableExists)
       .flatMap(snapshotOrphans(s, _))
       .map { case (b, t) => s"$b/$t" }.distinct.sorted
+    // leaked ephemeral epoch pins of this family's bases (r18): ALL
+    // of them, pinning or not — a fully-anchored leaked epoch holds
+    // anchor bytes even though no fold would newly orphan it
+    val bases = (members :+ delTable).flatMap { m =>
+      m +: SnapshotManifestSiblings.collect {
+        case suf if m.endsWith(suf) => m.stripSuffix(suf)
+      }
+    }.distinct
+    val leaked = bases.flatMap { b =>
+      listSnapshots(s, b).collect {
+        case (tag, mtime) if isLeakedEpoch(s, tag, mtime) => s"$b/$tag"
+      }
+    }.distinct.sorted
     IndexStatus(mh, rows, tableFileCount(s, delTable), term, top,
       cfgOf.flatMap(readIndexConfig(s, _))
         .getOrElse(Map.empty[String, Int]),
-      st, drift.map(_()), holds, pinned)
+      st, drift.map(_()), holds, pinned, leaked)
   }
 
   /** [[describeIndex]] for the incremental BM25 family (stats row
@@ -2295,8 +2319,22 @@ object TextOps {
     guard match {
       case FoldGuard.Orphan => ()
       case _ =>
-        val pinned = members.distinct.flatMap(m =>
+        var pinned = members.distinct.flatMap(m =>
           snapshotOrphans(s, m).map { case (b, t) => (m, b, t) })
+        // r18 (VERDICT #1): a kill -9 inside withIndexEpoch leaks an
+        // ephemeral ep…p<pid> pin whose finally never ran — under the
+        // default Refuse that dead pin would wedge every batch fold
+        // (and bill anchor bytes to every unattended Anchor fold)
+        // until an operator pruned by hand. When any pinning tag is a
+        // LEAKED epoch, sweep the warehouse's leaked epochs and
+        // re-classify; a LIVE process's epoch still refuses/anchors.
+        if (pinned.exists { case (_, b, t) =>
+            epochTagOwner(t).isDefined &&
+              isLeakedEpoch(s, t, snapshotMtime(s, b, t)) }) {
+          sweepLeakedEpochs(s)
+          pinned = members.distinct.flatMap(m =>
+            snapshotOrphans(s, m).map { case (b, t) => (m, b, t) })
+        }
         if (pinned.nonEmpty) guard match {
           case FoldGuard.Refuse =>
             val tags = pinned.map { case (_, b, t) => s"$b/$t" }
@@ -2317,6 +2355,17 @@ object TextOps {
           case FoldGuard.Orphan => ()
         }
     }
+
+  /** The `<base>_mf_<tag>` manifest table's location mtime — the
+    * age clock the leaked-epoch tests read (0 when the manifest or
+    * its location is already gone: ancient by convention). */
+  private[graft] def snapshotMtime(s: org.apache.spark.sql.SparkSession,
+      base: String, tag: String): Long =
+    try {
+      val loc = tableLocation(s, s"${base}_mf_$tag")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(loc).getModificationTime
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** Delete every fold-anchor directory of `table`'s manifest-class
     * members under `tag`. */
@@ -2573,11 +2622,85 @@ object TextOps {
 
   /** A fresh collision-free alphanumeric tag for ephemeral epoch
     * snapshots: base-36 nanotime + pid (two sessions on one warehouse
-    * must not race to the same tag).
+    * must not race to the same tag). The `ep…p<pid>` shape is a
+    * RESERVED namespace: the pid inside is what lets the crash sweep
+    * ([[sweepLeakedEpochs]]) tell a leaked pin from a live one —
+    * don't hand-pick snapshot tags of this shape.
     */
   private[graft] def epochTag(): String =
     "ep" + java.lang.Long.toString(System.nanoTime(), 36) +
       "p" + java.lang.ProcessHandle.current().pid()
+
+  /** The owning pid encoded in an ephemeral epoch tag; None for every
+    * ordinary (operator-chosen) snapshot tag. */
+  private[graft] def epochTagOwner(tag: String): Option[Long] =
+    "^ep[0-9a-z]+p([0-9]+)$".r.findFirstMatchIn(tag)
+      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+
+  /** Is this epoch tag LEAKED — an ephemeral pin whose owning process
+    * can no longer retire it? `withIndexEpoch`'s finally never runs on
+    * SIGKILL/OOM, and a leaked pin is worse than debris: it wedges
+    * every default-Refuse batch fold and silently accrues anchor
+    * bytes on every unattended Anchor fold. Two tests, either
+    * suffices:
+    *   - the tag's own pid is DEAD on this host (the dead-pid-sweep
+    *     semantics the build lock and index directories already use;
+    *     a foreign HOST's epoch whose pid happens to be live here
+    *     reads as live — safe, it just waits for the TTL);
+    *   - the manifest is older than `graft.epoch.ttlMs` (default
+    *     24 h — epochs are request-scoped reads, not retention
+    *     points; a legitimately longer analysis should take a NAMED
+    *     snapshot instead, or raise the TTL).
+    * Ordinary tags never qualify, whatever their age.
+    */
+  private[graft] def isLeakedEpoch(s: org.apache.spark.sql.SparkSession,
+      tag: String, mtimeMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Boolean =
+    epochTagOwner(tag).exists { pid =>
+      val dead = !java.lang.ProcessHandle.of(pid).isPresent
+      val ttl = s.conf.getOption("graft.epoch.ttlMs").map(_.toLong)
+        .getOrElse(86400000L)
+      dead || nowMs - mtimeMs > ttl
+    }
+
+  /** Sweep every LEAKED ephemeral epoch pin in the warehouse — the
+    * crash path [[withIndexEpoch]]'s `finally` cannot cover (r18,
+    * VERDICT #1): a kill -9 / OOM inside an epoch leaves its
+    * `ep…p<pid>` manifest snapshot pinned forever, which turns the
+    * default-Refuse FoldGuard from protection into denial of
+    * maintenance. Scans the catalog for `<base>_mf_<eptag>` manifest
+    * tables (family snapshots AND unified-group stream markers share
+    * the naming, so one sweep retires both layers), applies
+    * [[isLeakedEpoch]], and drops each leaked tag with the same
+    * [[dropSnapshot]] the owner's finally would have run (manifest +
+    * meta copies + fold anchors). Runs from [[guardFold]] before any
+    * fold classifies its pinned tags, so maintenance self-heals; also
+    * callable directly as the operator verb. A LIVE process's epoch is
+    * never touched — folds still refuse/anchor across it.
+    */
+  def sweepLeakedEpochs(s: org.apache.spark.sql.SparkSession,
+      table: Option[String] = None,
+      nowMs: Long = System.currentTimeMillis())
+      : Seq[String] = withBuildLock(s) {
+    val pattern = table.map(_.toLowerCase + "_mf_ep*")
+      .getOrElse("*_mf_ep*")
+    s.sessionState.catalog.listTables("default", pattern)
+      .map(_.table).sorted.flatMap { n =>
+        val i = n.lastIndexOf("_mf_")
+        if (i <= 0) None
+        else {
+          val base = n.substring(0, i)
+          val tag = n.substring(i + 4)
+          if (isLeakedEpoch(s, tag, snapshotMtime(s, base, tag),
+              nowMs)) {
+            dropSnapshot(s, base, tag)
+            Some(s"swept leaked epoch $base/$tag (owner pid " +
+              s"${epochTagOwner(tag).getOrElse(-1L)} dead or TTL " +
+              "expired)")
+          } else None
+        }
+      }
+  }
 
   /** READ-ONLY restorability audit of a `<tag>` manifest snapshot —
     * [[restoreSnapshot]]'s phase-1 validation exposed as its own
@@ -2878,19 +3001,31 @@ object TextOps {
               if b != tag => (p, l) })
         }
     }
-    // manifest snapshots: manifest table + meta copies per tag
-    val snapTags = listSnapshots(s, table).map(_._1)
+    // manifest snapshots: manifest table + meta copies per tag. A
+    // LEAKED ephemeral epoch's rows (dead owning pid / expired TTL,
+    // r18) classify as debris — sweepLeakedEpochs reclaims them, and
+    // the retention operator must not read them as intentional
+    // restore points
+    val snaps = listSnapshots(s, table)
+    val snapTags = snaps.map(_._1)
+    val leakedTags = snaps.collect {
+      case (tag, mtime) if isLeakedEpoch(s, tag, mtime) => tag
+    }.toSet
+    def snapComponent(tag: String, kind: String): String =
+      if (leakedTags.contains(tag)) "debris" else kind
     snapTags.foreach { tag =>
       val mfFiles = listDataFiles(s, s"${table}_mf_$tag")
       val copyFiles = SnapshotCopySiblings.map(table + _)
         .map(m => s"${m}_bak_mf$tag").filter(s.catalog.tableExists)
         .flatMap(listDataFiles(s, _))
-      add("snapshot", tag, s"${table}_mf_$tag", mfFiles ++ copyFiles)
+      add(snapComponent(tag, "snapshot"), tag, s"${table}_mf_$tag",
+        mfFiles ++ copyFiles)
     }
     // fold-anchor byte debt per (tag, member)
     snapTags.foreach { tag =>
       (table +: SnapshotManifestSiblings.map(table + _)).foreach { m =>
-        add("anchor", tag, m, listFilesUnder(s, anchorDir(s, m, tag)))
+        add(snapComponent(tag, "anchor"), tag, m,
+          listFilesUnder(s, anchorDir(s, m, tag)))
       }
     }
     // marker-less copies: a crashed/pre-marker take, or out-of-band

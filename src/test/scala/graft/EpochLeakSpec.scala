@@ -1,0 +1,211 @@
+package graft
+
+import graft.operators.TextOps
+import graft.operators.TextOps.FoldGuard
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EPOCH-TAG CRASH SWEEP (r18, VERDICT #1): `withIndexEpoch` retires
+  * its ephemeral `ep…p<pid>` pin in a `finally` — which never runs on
+  * SIGKILL/OOM. A leaked pin used to wedge every default-Refuse batch
+  * fold (compact/vacuum refused forever until an operator pruned by
+  * hand) and silently accrue anchor bytes on every unattended Anchor
+  * fold. The tag encodes its owning pid, so the sweep can tell a
+  * crash's leftover from a live reader's pin:
+  *   - a REAL process is forked and KILLED -9; an epoch snapshot
+  *     owned by its (now genuinely dead) pid must sweep on the next
+  *     fold, which proceeds instead of refusing;
+  *   - while that process is ALIVE, the same fold still refuses —
+  *     liveness, not tag shape, is what clears a pin;
+  *   - the TTL backstop catches same-pid-recycled / foreign-host
+  *     epochs; ordinary operator-chosen tags never qualify at any
+  *     age.
+  * The owning-process snapshot is taken by THIS JVM on the forked
+  * pid's behalf: test catalogs are per-JVM (in-memory), while a real
+  * deployment's shared metastore shows every process the same
+  * manifest tables — one catalog holding a dead pid's pin is exactly
+  * that state.
+  */
+class EpochLeakSpec extends AnyFunSuite with SparkSuite {
+
+  private val pid = ProcessHandle.current().pid()
+
+  private def drop(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def famAll(t: String): Seq[String] =
+    (t +: TextOps.BackupSiblings.map(t + _)) ++
+      Seq(s"${t}_compact", s"${t}_old")
+
+  private def mkFam(t: String, n: Long = 12L): Unit = {
+    val sp = spark
+    import sp.implicits._
+    TextOps.appendBm25Postings(
+      (1L to n).map(i => i -> s"spark shuffle join token$i data")
+        .toDF("doc_id", "text"), t, s"${t}_stats")
+  }
+
+  private def append(t: String, ids: Seq[Long]): Unit = {
+    val sp = spark
+    import sp.implicits._
+    TextOps.appendBm25Postings(
+      ids.map(i => i -> s"spark shuffle join token$i data")
+        .toDF("doc_id", "text"), t, s"${t}_stats")
+  }
+
+  private def epochTagFor(owner: Long): String =
+    "ep" + java.lang.Long.toString(System.nanoTime(), 36) + "p" + owner
+
+  test("kill -9 mid-epoch: the dead pid's pin refuses folds while " +
+      "the process lives, then sweeps on the next fold — which " +
+      "proceeds instead of wedging") {
+    val t = s"epl_kill_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    // a REAL process whose death the sweep must observe — a plain
+    // sleep holds no Spark state; the epoch semantics under test are
+    // about pid liveness, not what the owner was computing
+    val child = new ProcessBuilder("sleep", "300").start()
+    val childPid = child.pid()
+    var tag: String = null
+    try {
+      mkFam(t)
+      tag = epochTagFor(childPid)
+      TextOps.snapshotIndex(spark, t, tag)
+      append(t, Seq(13L, 14L))
+
+      // LIVE owner: the fold refuses, naming the tag — an epoch held
+      // by a running reader is protection, not debris
+      val e = intercept[IllegalStateException] {
+        TextOps.compactIndex(spark, t)
+      }
+      assert(e.getMessage.contains(s"$t/$tag"), e.getMessage)
+      assert(TextOps.listSnapshots(spark, t).map(_._1) === Seq(tag))
+      // the cadence check shows the pin conflict but NO leak yet
+      val stLive = TextOps.describeBm25(spark, t)
+      assert(stLive.leakedEpochs === Nil, stLive.leakedEpochs)
+      assert(!stLive.due().exists(_.startsWith("sweep-leaked-epochs")))
+      // and the gauge prices it as an intentional snapshot
+      val compLive = TextOps.storageBreakdown(spark, t)
+        .where(org.apache.spark.sql.functions.col("tag") === tag)
+        .select("component").collect().map(_.getString(0)).toSet
+      assert(compLive === Set("snapshot"), compLive)
+
+      // the owner dies hard — finally never ran, the pin is leaked
+      child.destroyForcibly()
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(!ProcessHandle.of(childPid).isPresent ||
+        !ProcessHandle.of(childPid).get.isAlive)
+
+      // due() names the leak BEFORE any fold trips over it...
+      val stDead = TextOps.describeBm25(spark, t)
+      assert(stDead.leakedEpochs === Seq(s"$t/$tag"),
+        stDead.leakedEpochs)
+      assert(stDead.due().exists(v =>
+        v.startsWith("sweep-leaked-epochs:") && v.contains(tag)),
+        stDead.due().toString)
+      // ...and the gauge reclassifies the pin as debris
+      val compDead = TextOps.storageBreakdown(spark, t)
+        .where(org.apache.spark.sql.functions.col("tag") === tag)
+        .select("component").collect().map(_.getString(0)).toSet
+      assert(compDead === Set("debris"), compDead)
+
+      // the next fold under the DEFAULT guard sweeps the pin and
+      // proceeds — the crash cannot wedge batch maintenance
+      TextOps.compactIndex(spark, t)
+      assert(TextOps.listSnapshots(spark, t) === Nil)
+      assert(TextOps.fsckBm25(spark, t, s"${t}_stats") === Nil)
+      assert(TextOps.describeBm25(spark, t).leakedEpochs === Nil)
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+      if (tag != null) TextOps.dropSnapshot(spark, t, tag)
+      drop(all: _*)
+    }
+  }
+
+  test("an UNATTENDED Anchor fold sweeps a leaked epoch instead of " +
+      "billing anchor bytes to a dead reader") {
+    val t = s"epl_anchor_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    val child = new ProcessBuilder("sleep", "300").start()
+    val childPid = child.pid()
+    var tag: String = null
+    try {
+      mkFam(t)
+      tag = epochTagFor(childPid)
+      TextOps.snapshotIndex(spark, t, tag)
+      append(t, Seq(13L, 14L))
+      child.destroyForcibly()
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      // streaming self-maintenance folds run Anchor unattended: the
+      // leaked pin must be swept, not silently copied into an anchor
+      // nobody will ever drop
+      TextOps.compactIndex(spark, t, FoldGuard.Anchor)
+      assert(TextOps.listSnapshots(spark, t) === Nil)
+      assert(TextOps.listAnchors(spark, t) === Nil)
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+      if (tag != null) TextOps.dropSnapshot(spark, t, tag)
+      drop(all: _*)
+    }
+  }
+
+  test("TTL backstop: an over-age epoch sweeps even with a live pid " +
+      "(pid recycling / foreign host); a fresh live epoch and an " +
+      "ordinary named tag never sweep") {
+    val t = s"epl_ttl_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    var ownTag: String = null
+    try {
+      mkFam(t)
+      // an ordinary operator tag — old or not, never epoch debris
+      TextOps.snapshotIndex(spark, t, "keepme")
+      // our OWN live epoch pin
+      ownTag = epochTagFor(pid)
+      TextOps.snapshotIndex(spark, t, ownTag)
+      // real clock, default TTL: nothing of OURS sweeps (pid alive,
+      // fresh) — the sweep is scoped to this family so a parallel
+      // suite's genuine debris can't bleed into the assertion
+      assert(TextOps.sweepLeakedEpochs(spark, Some(t)) === Nil)
+      assert(TextOps.listSnapshots(spark, t).map(_._1).toSet ===
+        Set("keepme", ownTag))
+      // an injected future clock ages the epoch past the default
+      // 24 h TTL even though its pid lives; the named tag still
+      // survives — TTL is an EPOCH rule, not a snapshot rule
+      val future = System.currentTimeMillis() + 100L * 3600 * 1000
+      val swept = TextOps.sweepLeakedEpochs(spark, Some(t), future)
+      assert(swept.exists(_.contains(s"$t/$ownTag")), swept)
+      assert(TextOps.listSnapshots(spark, t).map(_._1) ===
+        Seq("keepme"))
+      // isLeakedEpoch unit row: ordinary tags never parse as epochs
+      assert(TextOps.epochTagOwner("keepme") === None)
+      assert(TextOps.epochTagOwner("snap2024") === None)
+      assert(TextOps.epochTagOwner(ownTag) === Some(pid))
+    } finally {
+      TextOps.dropSnapshot(spark, t, "keepme")
+      if (ownTag != null) TextOps.dropSnapshot(spark, t, ownTag)
+      drop(all: _*)
+    }
+  }
+
+  test("a live withIndexEpoch still retires cleanly and its probes " +
+      "refuse to be swept mid-flight (the normal path is unchanged)") {
+    val t = s"epl_live_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      mkFam(t)
+      TextOps.withIndexEpoch(spark, t) { tag =>
+        assert(TextOps.epochTagOwner(tag) === Some(pid))
+        // a sweep INSIDE the epoch must not touch the live pin
+        assert(TextOps.sweepLeakedEpochs(spark)
+          .forall(!_.contains(s"$t/$tag")))
+        assert(TextOps.listSnapshots(spark, t).map(_._1)
+          .contains(tag))
+      }
+      // retired on the way out, as before
+      assert(TextOps.listSnapshots(spark, t) === Nil)
+    } finally drop(all: _*)
+  }
+}
