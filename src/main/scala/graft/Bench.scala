@@ -207,6 +207,43 @@ object Bench {
     waitedMs / 1000L
   }
 
+  /** Deterministic CPU-bound calibration kernel (r18, VERDICT #3):
+    * r17 was graded on a machine running ~30% slower than the same
+    * HEAD's idle records, and exonerating the code cost a round of
+    * forensics. loadavg says whether OTHER work is running; it cannot
+    * say how fast THIS box turns a fixed amount of work. This kernel
+    * is that fixed work — a pinned-size xorshift-fill + sort + hash
+    * loop, single-threaded, allocation-stable, zero I/O — run before
+    * and after the bench and emitted in both records ("calib" full /
+    * "cal" compact, integer centiseconds). A reader normalizes
+    * per-query references by the calibration ratio instead of
+    * guessing from load: the same HEAD at calib [60,61] vs [82,85]
+    * IS the 30%-slower machine, said by the record itself.
+    */
+  def calibrate(): Double = {
+    val n = 1 << 20
+    val arr = new Array[Long](n)
+    var seed = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var round = 0
+    while (round < 6) {
+      var i = 0
+      while (i < n) {
+        seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+        arr(i) = seed
+        i += 1
+      }
+      java.util.Arrays.sort(arr)
+      var j = 0
+      while (j < n) { acc ^= arr(j) * 0x2545F4914F6CDD1DL; j += 1 }
+      round += 1
+    }
+    // fold acc into a side effect the JIT cannot prove dead
+    if (acc == 0x5DEECE66DL) System.err.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -249,6 +286,9 @@ object Bench {
       if (only.isEmpty) idleWait(() => load1(loadavg()), Thread.sleep)
       else 0L
     val loadBefore = loadavg()
+    // machine-speed self-declaration, bracketing the run (see
+    // [[calibrate]]) — full runs only, like the idle wait
+    val calibBefore = if (only.isEmpty) calibrate() else 0.0
     // a box already under load at start inflates EVERY rep of the main
     // sweep; the cure is a second sweep later in time (below), not more
     // back-to-back reps now
@@ -286,9 +326,10 @@ object Bench {
     val (results, retried, retryFailed) =
       applyRetries(passed, retryEligible(sfDir), rerun)
     val loadAfter = loadavg()
+    val calibAfter = if (only.isEmpty) calibrate() else 0.0
     // full record first (raw runs, loadavg, 4-decimals) for human readers...
     val full = render(results, reps, loadBefore, loadAfter, sfDir, retried,
-      retryFailed, idleWaited)
+      retryFailed, idleWaited, (calibBefore, calibAfter))
     println(full)
     // ...and PERSISTED: past ~123 queries the per-entry math can exceed
     // the driver's 2000-char stdout tail even at idle 2-digit values, so
@@ -309,7 +350,8 @@ object Bench {
     // all show parsed:null). This line must stay under that window — gated
     // by BenchRenderSpec against the real query list.
     val compact = renderCompact(results, reps, sfDir, loadBefore,
-      loadAfter, retried, retryFailed, idleWaited)
+      loadAfter, retried, retryFailed, idleWaited,
+      (calibBefore, calibAfter))
     // proximity guard (ADVICE r12): the capture ceiling is hard 1999 —
     // surface how close this record rode it. The warning MUST print
     // strictly BEFORE the final println: the captured stream merges
@@ -403,7 +445,8 @@ object Bench {
   def render(results: Seq[(String, Double, Seq[Double])], reps: Int,
       loadBefore: String, loadAfter: String, sfDir: String,
       retried: Int = 0, retryFailed: Int = 0,
-      idleWaitSec: Long = 0L): String = {
+      idleWaitSec: Long = 0L,
+      calib: (Double, Double) = (0.0, 0.0)): String = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val raw = results
@@ -415,10 +458,15 @@ object Bench {
     // subtracting a second each; they stay visible per-query
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
+    val calibField =
+      if (calib._1 > 0 || calib._2 > 0)
+        s""""calib":[${fmt(calib._1)},${fmt(calib._2)}],"""
+      else ""
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"runs":$raw,"reps":$reps,"retried":$retried,""" +
       s""""retry_failed":$retryFailed,""" +
       s""""idle_wait_sec":$idleWaitSec,""" +
+      calibField +
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       s""""failed":$nFail,"sf":"$sfDir"}"""
   }
@@ -475,7 +523,8 @@ object Bench {
   def renderCompact(results: Seq[(String, Double, Seq[Double])],
       reps: Int, sfDir: String, loadBefore: String = "",
       loadAfter: String = "", retried: Int = 0,
-      retryFailed: Int = 0, idleWaitSec: Long = 0L): String = {
+      retryFailed: Int = 0, idleWaitSec: Long = 0L,
+      calib: (Double, Double) = (0.0, 0.0)): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFail = results.count(_._2 < 0)
     // whitelist-sanitized (same treatment as load1): a quote/backslash
@@ -530,9 +579,18 @@ object Bench {
         (if (nFail > 0) s""""failed":$nFail,""" else "")
       val load =
         s""""ld":[${load1Str(loadBefore)},${load1Str(loadAfter)}],"""
+      // machine-speed self-declaration, integer CENTISECONDS like the
+      // query values ("cal":[61,63] ≈ 15 chars). NEVER sacrificed,
+      // like "ld": it is the signal that tells a reader whether the
+      // box — not the code — changed speed between rounds (r18,
+      // VERDICT #3); renders only when measured (full runs).
+      val cal =
+        if (calib._1 > 0 || calib._2 > 0)
+          s""""cal":[${fmtCs(calib._1)},${fmtCs(calib._2)}],"""
+        else ""
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec",""" +
         s""""queries":$qs,""" +
-        s"""$counters$omitted$load""" +
+        s"""$counters$omitted$load$cal""" +
         s""""sf":$sfJson}"""
     }
     // Overflow degradation (the 129-query corpus sits a few chars under

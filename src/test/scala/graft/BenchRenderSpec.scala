@@ -322,6 +322,41 @@ class BenchRenderSpec extends AnyFunSuite with org.scalactic.Tolerance {
       .contains("\"idle_wait_sec\":0,"))
   }
 
+  test("calibration probe (r18, VERDICT #3): cal rides both records " +
+      "in centiseconds, absent when unmeasured, never sacrificed " +
+      "under overflow") {
+    val r = Seq(("q_a", 0.42, Seq(0.42)))
+    // unmeasured (subset runs): absent from both records
+    assert(!Bench.renderCompact(r, 3, "/tmp/sf0.1", "0.5", "0.5")
+      .contains("\"cal\""))
+    assert(!Bench.render(r, 3, "0.5", "0.5", "/tmp/sf0.1")
+      .contains("\"calib\""))
+    // measured: compact carries integer centiseconds, full 4-decimals
+    val some = Bench.renderCompact(r, 3, "/tmp/sf0.1", "0.5", "0.5",
+      calib = (0.614, 0.667))
+    assert(some.contains("\"cal\":[61,67],"), some)
+    val full = Bench.render(r, 3, "0.5", "0.5", "/tmp/sf0.1",
+      calib = (0.614, 0.667))
+    assert(full.contains("\"calib\":[0.6140,0.6670],"), full)
+    // overflow regime: like "ld", cal survives the omission ladder —
+    // it is the signal that says whether the BOX changed speed
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val slow = names.map(n => (n, 9.99, Seq(9.99)))
+    val line = Bench.renderCompact(slow, 3, "/root/testdata/sf0.1",
+      "31.99 30.00 29.00 5/900 12345", "31.88 30.00 29.00 5/900 12345",
+      retried = 108, calib = (0.62, 0.81))
+    assert(line.length <= Bench.BudgetChars, s"len=${line.length}")
+    assert(line.contains("\"cal\":[62,81],"), line.takeRight(200))
+    assert(line.contains("\"ld\":[32,31.9]"), line.takeRight(200))
+    // the kernel itself: deterministic work, plausible duration, and
+    // two bracketing runs on one box agree within a loose factor —
+    // the property the cross-round ratio reading depends on
+    val a = Bench.calibrate()
+    val b = Bench.calibrate()
+    assert(a > 0.01 && a < 30.0, s"calibrate()=$a sec")
+    assert(b / a < 4.0 && a / b < 4.0, s"calibrate pair $a / $b")
+  }
+
   test("sf field: driver basenames splice numeric, others stay quoted") {
     def sfOf(dir: String) = {
       val line = Bench.renderCompact(
