@@ -94,6 +94,33 @@ object Quality {
     final case class FiniteArray(col: String) extends Rule {
       val name = s"finite:$col"
     }
+    /** The batch's SCHEMA must match `expected` (r18, VERDICT #4) —
+      * the admission rule class for the drift the VALUE rules cannot
+      * see: a feed that gained, lost, or retyped a column. The
+      * reference's signature behavior is tolerating wild headers
+      * (unrecognized columns reported and passed through,
+      * ETL_OMS.py:54-55); this makes that report an AUDITABLE
+      * admission decision flowing through the same quarantine /
+      * metrics / drift sinks as every value rule.
+      *
+      * Matching is BY NAME (order-insensitive) with exact dataType
+      * equality; nullability is ignored (Spark's nullability flags
+      * are advisory). Violations expand to per-column sub-rules —
+      * `schema:missing:c` / `schema:extra:c` / `schema:retyped:c` —
+      * plus the stable summary name `schema`, so the drift gauge
+      * baselines on a name that exists every batch while the
+      * quarantine names the exact columns. A drifted batch flags
+      * EVERY row (the whole batch is suspect — one scan cannot say
+      * which rows caused a feed-level break), so the wholesale
+      * valve fires at any maxQuarantineRate < 1. Evaluation is
+      * driver-side over the schema — zero per-row cost.
+      */
+    final case class SchemaMatches(
+        expected: org.apache.spark.sql.types.StructType,
+        allowExtra: Boolean = false) extends Rule {
+      val name = "schema"
+    }
+
     /** Non-null vectors' L2 norm must fall in [lo, hi] — zero vectors
       * have undefined cosine direction (and typically mean an upstream
       * embedder returned a placeholder); runaway norms distort
@@ -139,10 +166,32 @@ object Quality {
     case _               => None
   }
 
+  /** The per-column violation names a [[Rule.SchemaMatches]] sees in
+    * `actual` — empty means the schema conforms. Driver-side, pure.
+    */
+  private[graft] def schemaProblems(
+      actual: org.apache.spark.sql.types.StructType,
+      r: SchemaMatches): Seq[String] = {
+    val got = actual.fields.map(f => f.name -> f.dataType).toMap
+    val want = r.expected.fields.map(f => f.name -> f.dataType).toMap
+    val missing = r.expected.fieldNames.filterNot(got.contains)
+      .map(c => s"schema:missing:$c")
+    val retyped = r.expected.fields
+      .filter(f => got.get(f.name).exists(_ != f.dataType))
+      .map(f => s"schema:retyped:${f.name}")
+    val extra =
+      if (r.allowExtra) Array.empty[String]
+      else actual.fieldNames.filterNot(want.contains)
+        .map(c => s"schema:extra:$c")
+    (missing ++ retyped ++ extra).toSeq.sorted
+  }
+
   /** `df` + `violations: array<string>` — the sorted names of every rule
     * the row fails (empty array = admitted). Row-local rules evaluate in
     * the projection; UniqueKey adds one key-partitioned window count;
-    * RefIntegrity adds one broadcast left join per dim.
+    * RefIntegrity adds one broadcast left join per dim; SchemaMatches
+    * evaluates once on the driver and, when drifted, stamps every row
+    * with `schema` plus its per-column sub-names.
     */
   def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Quality.annotate: empty rule set")
@@ -161,15 +210,26 @@ object Quality {
           .drop(keyAlias)
       case (acc, _) => acc
     }
-    val marks: Seq[Column] = rules.zipWithIndex.map { case (r, i) =>
-      val violated = rowLocal(r).getOrElse(col(s"_q$i"))
-      when(violated, lit(r.name))
+    val marks: Seq[Column] = rules.zipWithIndex.flatMap { case (r, i) =>
+      r match {
+        case sm: SchemaMatches =>
+          val probs = schemaProblems(df.schema, sm)
+          if (probs.isEmpty) Nil // conforming: no mark at all
+          else (sm.name +: probs).map(p => lit(p))
+        case _ =>
+          val violated = rowLocal(r).getOrElse(col(s"_q$i"))
+          Seq(when(violated, lit(r.name)))
+      }
     }
     val dropped = rules.indices.map(i => s"_q$i")
       .filter(withMarkers.columns.contains)
+    // a rule set that produced no marks (only a CONFORMING
+    // SchemaMatches) still needs a typed empty array
+    val arr =
+      if (marks.isEmpty) typedLit(Seq.empty[String])
+      else array_sort(filter(array(marks: _*), x => x.isNotNull))
     withMarkers
-      .withColumn("violations",
-        array_sort(filter(array(marks: _*), x => x.isNotNull)))
+      .withColumn("violations", arr)
       .drop(dropped: _*)
   }
 
@@ -186,9 +246,20 @@ object Quality {
     * one persisted frame, the streaming ingest's shape).
     */
   def metricsOfAnnotated(ann: DataFrame, rules: Seq[Rule]): DataFrame = {
+    // SchemaMatches expands to its per-column sub-rules for THIS
+    // batch's schema (recovered from the annotated frame), plus its
+    // stable summary name — the summary row exists every batch (0 on
+    // a conforming one), so the drift gauge has a baseline, while the
+    // sub-rows name the exact drifted columns
+    val actual = org.apache.spark.sql.types.StructType(
+      ann.schema.fields.filterNot(_.name == "violations"))
+    val names: Seq[String] = rules.flatMap {
+      case sm: SchemaMatches => sm.name +: schemaProblems(actual, sm)
+      case r => Seq(r.name)
+    }
     val aggs = count(lit(1)).as("_total") +:
-      rules.zipWithIndex.map { case (r, i) =>
-        sum(when(array_contains(col("violations"), r.name), 1L)
+      names.zipWithIndex.map { case (n, i) =>
+        sum(when(array_contains(col("violations"), n), 1L)
           .otherwise(0L)).as(s"_v$i")
       }
     val one = ann.agg(aggs.head, aggs.tail: _*)
@@ -200,8 +271,8 @@ object Quality {
     // accepts melts correctly. The sums are coalesced to 0 so an
     // EMPTY batch (total 0) reports zero violations instead of null
     // rows that would poison the admission history's rate math.
-    val pairs = array(rules.zipWithIndex.map { case (r, i) =>
-      struct(lit(r.name).as("rule"),
+    val pairs = array(names.zipWithIndex.map { case (n, i) =>
+      struct(lit(n).as("rule"),
         coalesce(col(s"_v$i"), lit(0L)).as("violations"))
     }: _*)
     one.select(explode(pairs).as("kv"), col("_total").as("total"))
@@ -385,6 +456,34 @@ object Quality {
             FROM m
           UNION ALL SELECT 'norm:embedding', total, nrm FROM m
         ) ORDER BY rule
+      """)),
+
+    // SCHEMA-DRIFT admission (r18, VERDICT #4): a batch whose feed
+    // gained (`origin`), lost (`lang`), and retyped (`n_chars` →
+    // string) columns against the declared contract — the metrics
+    // pass names each drifted column as its own sub-rule alongside
+    // the stable `schema` summary, every row of the batch counting
+    // as suspect (feed-level breaks have no per-row blame).
+    QDef("q_schema_drift",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val docs = Tables(s, d, "documents")
+        val drifted = docs.select(col("doc_id"), col("text"),
+          col("n_chars").cast("string").as("n_chars"),
+          col("source").as("origin"))
+        val expected = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("n_chars", LongType),
+          StructField("lang", StringType)))
+        metrics(drifted, Seq(SchemaMatches(expected)))
+      },
+      Some("""
+        WITH c AS (SELECT count(*) AS n FROM documents)
+        SELECT v.rule, c.n AS total, c.n AS violations
+        FROM c, (VALUES ('schema'), ('schema:extra:origin'),
+          ('schema:missing:lang'), ('schema:retyped:n_chars')) v(rule)
+        ORDER BY rule
       """)),
   )
 }

@@ -2757,11 +2757,26 @@ object StreamingOps {
       df: org.apache.spark.sql.DataFrame): Unit = {
     // partition column must be LAST for position-based insertInto
     val ordered = df.columns.filterNot(_ == "_batch") :+ "_batch"
-    val out = df.select(ordered.map(col): _*)
+    val out0 = df.select(ordered.map(col): _*)
     if (!s.catalog.tableExists(table)) {
       graft.operators.TextOps.clearOrphanLocation(s, table)
-      out.write.partitionBy("_batch").saveAsTable(table)
+      out0.write.partitionBy("_batch").saveAsTable(table)
     } else {
+      // the audit table's shape is pinned by its FIRST batch; a
+      // later slice whose feed drifted (r18 — exactly what
+      // Rule.SchemaMatches quarantines) aligns BY NAME into that
+      // shape: columns the slice lost write null, columns it gained
+      // are named in `violations` (schema:extra:c) but not stored —
+      // a drifted batch is refused wholesale by the valve anyway,
+      // with the source files intact upstream. Without this, the
+      // first drifted slice would fail the position-based insert and
+      // take the stream down with it.
+      val target = s.table(table).schema
+      val out = out0.select(target.fields.map { f =>
+        if (out0.columns.contains(f.name))
+          col(f.name).cast(f.dataType).alias(f.name)
+        else lit(null).cast(f.dataType).alias(f.name)
+      }.toIndexedSeq: _*)
       // session-conf scoped, NOT a writer option: insertInto resolves
       // the overwrite mode from spark.sql.sources.partitionOverwriteMode
       // (a writer-level option is silently ignored here, which would

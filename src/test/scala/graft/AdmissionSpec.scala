@@ -420,6 +420,53 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
     } finally drop(s"${base}_quarantine", s"${base}_admission")
   }
 
+  test("schema drift through the gate (r18): a batch whose feed " +
+      "changed shape is refused WHOLESALE with every drifted column " +
+      "named in the audit; the conforming replay admits") {
+    val base = s"admsch_p$pid"
+    drop(s"${base}_quarantine", s"${base}_admission")
+    try {
+      val sp = spark
+      import sp.implicits._
+      import org.apache.spark.sql.types._
+      val expected = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType)))
+      val rules = Seq[graft.operators.Quality.Rule](
+        graft.operators.Quality.Rule.SchemaMatches(expected))
+      // the feed drifts: lang vanished, a rogue column appeared
+      val drifted = Seq((1L, 0.5), (2L, 0.7)).toDF("doc_id", "rogue")
+      val e = intercept[IllegalStateException] {
+        StreamingOps.admitBatch(spark, drifted, rules, 0.5, base, 1L,
+          "spec")
+      }
+      assert(e.getMessage.contains("feed looks poisoned"))
+      // the quarantine names the drifted columns on every row...
+      val q = spark.table(s"${base}_quarantine")
+        .select("violations").collect().map(_.getString(0)).toSet
+      assert(q === Set(
+        "schema,schema:extra:rogue,schema:missing:lang"))
+      // ...and the metrics slice carries the per-column sub-rules
+      // alongside the stable summary
+      val m = spark.table(s"${base}_admission")
+        .select("rule", "violations").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m === Map("schema" -> 2L, "schema:extra:rogue" -> 2L,
+        "schema:missing:lang" -> 2L))
+      // a conforming batch admits and baselines the summary at 0
+      val clean = Seq((3L, "en")).toDF("doc_id", "lang")
+      val (admitted, annOpt) = StreamingOps.admitBatch(spark, clean,
+        rules, 0.5, base, 2L, "spec")
+      assert(admitted.count() === 1L)
+      annOpt.foreach(_.unpersist())
+      val m2 = spark.table(s"${base}_admission")
+        .where(org.apache.spark.sql.functions.col("_batch") === 2L)
+        .select("rule", "violations").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m2 === Map("schema" -> 0L))
+    } finally drop(s"${base}_quarantine", s"${base}_admission")
+  }
+
   test("poisoned-feed valve: past the quarantine-rate threshold the " +
       "batch refuses wholesale with the evidence written; fixing the " +
       "threshold and re-invoking replays cleanly") {

@@ -169,6 +169,59 @@ class QualitySpec extends AnyFunSuite with SparkSuite {
       4L -> "norm:v"))
   }
 
+  test("SchemaMatches (r18): a drifted batch is named per-column " +
+      "with the stable summary; a conforming one stays silent; " +
+      "allowExtra tolerates passthrough columns") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val conforming = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val drifted = Seq(("1", "a", 9L)) // id retyped, score lost, xtra new
+      .toDF("id", "name", "xtra")
+
+    // conforming: no flags, and the metrics summary row exists at 0 —
+    // the drift gauge's baseline
+    val okAnn = Quality.annotate(conforming,
+      Seq(SchemaMatches(expected)))
+    assert(okAnn.where(size($"violations") > 0).count() === 0)
+    val okM = Quality.metrics(conforming, Seq(SchemaMatches(expected)))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(okM === Map("schema" -> 0L))
+
+    // drifted: EVERY row flagged with the summary + per-column names
+    val v = Quality.annotate(drifted, Seq(SchemaMatches(expected)))
+      .select(concat_ws(",", $"violations").as("v"))
+      .collect().map(_.getString(0)).toSet
+    assert(v === Set(
+      "schema,schema:extra:xtra,schema:missing:score,schema:retyped:id"))
+    val m = Quality.metrics(drifted, Seq(SchemaMatches(expected)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSet === Set(
+      ("schema", 1L, 1L),
+      ("schema:extra:xtra", 1L, 1L),
+      ("schema:missing:score", 1L, 1L),
+      ("schema:retyped:id", 1L, 1L)))
+
+    // allowExtra: the passthrough column stops firing; the real
+    // breaks still do
+    val v2 = Quality.annotate(drifted,
+      Seq(SchemaMatches(expected, allowExtra = true)))
+      .select(concat_ws(",", $"violations").as("v"))
+      .collect().map(_.getString(0)).toSet
+    assert(v2 === Set(
+      "schema,schema:missing:score,schema:retyped:id"))
+
+    // composes with value rules: the schema names AND the row-local
+    // names ride the same array
+    val mixed = Quality.annotate(drifted, Seq[Quality.Rule](
+      SchemaMatches(expected, allowExtra = true), NotNull("name")))
+      .select(concat_ws(",", $"violations").as("v"))
+      .collect().map(_.getString(0)).toSet
+    assert(mixed === Set(
+      "schema,schema:missing:score,schema:retyped:id"))
+  }
+
   test("q_expect / q_quarantine registry entries run with teeth on testdata") {
     val m = SparkEntry.queries("q_expect")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
