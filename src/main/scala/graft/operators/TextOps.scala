@@ -1551,24 +1551,41 @@ object TextOps {
       .write.mode("overwrite").saveAsTable(marker)
   }
 
+  /** The marker as a normalized 5-column DataFrame (member, path,
+    * len, src, sha) — pre-r17 3-column markers read with null src
+    * (full sets), pre-hash markers with null sha. The at-scale view
+    * (r18, VERDICT #5): aggregate verbs (provenance, dependents, the
+    * storage gauge) and the distributed audit diff consume THIS and
+    * collect only bounded summaries/violations, instead of pulling
+    * one driver tuple per committed file. */
+  private[graft] def markerFrame(s: org.apache.spark.sql.SparkSession,
+      marker: String): org.apache.spark.sql.DataFrame = {
+    val df = s.table(marker)
+    val src =
+      if (df.columns.contains("src")) col("src")
+      else lit(null).cast("string").as("src")
+    val sha =
+      if (df.columns.contains("sha")) col("sha")
+      else lit(null).cast("string").as("sha")
+    df.select(col("member"), col("path"), col("len"),
+      src.as("src"), sha.as("sha"))
+  }
+
   /** Marker rows back: (copy name, file path, len, physical tag for
     * a borrowed file — differential references r17, content md5 —
     * deep audit r17). Pre-r17 3-column markers read with src = None
     * throughout (full sets); pre-hash markers with sha = None (the
-    * deep audit NAMES those as unverifiable rather than skipping). */
+    * deep audit NAMES those as unverifiable rather than skipping).
+    * This is the ROW-LEVEL read — callers that only aggregate go
+    * through [[markerFrame]] instead (r18). */
   private[graft] def readBackupMarker(
       s: org.apache.spark.sql.SparkSession, marker: String)
       : Seq[(String, Option[String], Long, Option[String],
-        Option[String])] = {
-    val df = s.table(marker)
-    val hasSrc = df.columns.contains("src")
-    val hasSha = df.columns.contains("sha")
-    df.collect().toSeq.map { r =>
+        Option[String])] =
+    markerFrame(s, marker).collect().toSeq.map { r =>
       (r.getString(0), Option(r.getString(1)), r.getLong(2),
-        if (hasSrc) Option(r.getString(3)) else None,
-        if (hasSha) Option(r.getString(4)) else None)
+        Option(r.getString(3)), Option(r.getString(4)))
     }
-  }
 
   /** Declare a marker-less backup set complete — the operator escape
     * hatch for a pre-r16 backup (taken before the commit marker
@@ -1618,8 +1635,43 @@ object TextOps {
             "(crashed mid-set, or pre-r16) — re-take it, or " +
             "markBackupComplete if you can vouch for it"
         else s"no backup $table/$tag")
+    // r18 (VERDICT #5): past `graft.marker.fanoutThreshold` committed
+    // files the marker-vs-listing diff runs as DataFrame anti joins —
+    // the marker rows never materialize on the driver, only the
+    // (bounded) violations and the per-member listings (the Hadoop
+    // listStatus API is driver-side by nature; what used to be
+    // unbounded was the row-tuple set algebra on top of it). Below
+    // the threshold the original in-memory path runs; the two are
+    // bit-exact (MarkerScaleSpec runs both on the same damage).
+    val fanoutThreshold = s.conf
+      .getOption("graft.marker.fanoutThreshold").map(_.toLong)
+      .getOrElse(100000L)
+    val markerRows = s.table(marker).count()
+    val recordedMembers = markerFrame(s, marker)
+      .select("member").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val fileProblems =
+      if (markerRows > fanoutThreshold)
+        checkBackupFilesDistributed(s, marker, tag, recordedMembers)
+      else checkBackupFilesLocal(s, marker, tag)
+    val extras = (table +: BackupSiblings.map(table + _))
+      .map(m => s"${m}_bak_$tag")
+      .filter(m => s.catalog.tableExists(m) &&
+        !recordedMembers.contains(m))
+      .map(m => s"$m: copy exists but is not in the commit marker " +
+        "(restore would resurrect it as a member) — re-take the " +
+        "backup")
+    val deepProblems =
+      if (!deep) Nil else checkBackupDeep(s, marker, tag)
+    fileProblems ++ extras ++ deepProblems
+  }
+
+  /** The original in-memory shallow diff (small markers). */
+  private def checkBackupFilesLocal(
+      s: org.apache.spark.sql.SparkSession, marker: String,
+      tag: String): Seq[String] = {
     val recorded = readBackupMarker(s, marker).groupBy(_._1)
-    val fileProblems = recorded.toSeq.sortBy(_._1).flatMap {
+    recorded.toSeq.sortBy(_._1).flatMap {
       case (m, rows) =>
         if (!s.catalog.tableExists(m))
           Seq(s"$m: recorded in the commit marker but missing")
@@ -1668,27 +1720,87 @@ object TextOps {
           lost ++ unrecorded ++ borrowProblems
         }
     }
-    val extras = (table +: BackupSiblings.map(table + _))
-      .map(m => s"${m}_bak_$tag")
-      .filter(m => s.catalog.tableExists(m) && !recorded.contains(m))
-      .map(m => s"$m: copy exists but is not in the commit marker " +
-        "(restore would resurrect it as a member) — re-take the " +
-        "backup")
-    // DEEP pass (opt-in, O(backup bytes) — the cadence check stays
-    // O(metadata)): re-hash every recorded file at the copy that
-    // physically holds it and compare to the take-time md5. This is
-    // what (name, len) identity cannot see: same-length bit rot or
-    // tamper inside a committed copy. A pre-hash row is NAMED as
-    // unverifiable — a silent skip would read as "verified".
-    val deepProblems =
-      if (!deep) Nil
+  }
+
+  /** The shallow diff as DataFrame anti joins (large markers) — the
+    * marker stays a frame end-to-end; only the per-member listings
+    * (Hadoop listStatus, driver-side by API nature) and the bounded
+    * violation sets ever materialize. Output strings and their order
+    * are BIT-EXACT with [[checkBackupFilesLocal]] (spec-gated). */
+  private def checkBackupFilesDistributed(
+      s: org.apache.spark.sql.SparkSession, marker: String,
+      tag: String, recordedMembers: Seq[String]): Seq[String] = {
+    val sp = s
+    import sp.implicits._
+    val mf = markerFrame(s, marker).where(col("path").isNotNull)
+    def listingDF(m: String): org.apache.spark.sql.DataFrame = {
+      val files = listDataFiles(s, m)
+      s.sparkContext.parallelize(files,
+        (files.size / 100000 + 1).min(64)).toDF("apath", "alen")
+    }
+    recordedMembers.flatMap { m =>
+      if (!s.catalog.tableExists(m))
+        Seq(s"$m: recorded in the commit marker but missing")
       else {
-        // gather every verifiable (file, holder, expected md5) — the
-        // unverifiable pre-hash rows are named — then ONE distributed
-        // re-hash job over all of them ([[hashFilesDistributed]]):
-        // the deep check re-reads every committed byte, which must
-        // parallelize at scale
-        val gathered = recorded.toSeq.sortBy(_._1).flatMap {
+        val rowsM = mf.where(col("member") === m)
+        val own = rowsM.where(col("src").isNull)
+          .select(col("path"), col("len"))
+        val borrowed = rowsM.where(col("src").isNotNull)
+          .select(col("path"), col("len"), col("src"))
+        val actual = listingDF(m)
+        val onFile = col("path") === col("apath") &&
+          col("len") === col("alen")
+        val lost = own.join(actual, onFile, "left_anti")
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sorted.map { case (p, l) =>
+            s"$m: committed file $p ($l bytes) lost or changed " +
+              "since the backup"
+          }
+        val unrecorded = actual.join(
+            rowsM.select(col("path"), col("len")),
+            onFile, "left_anti")
+          .collect().map(_.getString(0)).sorted
+          .map(p => s"$m: file $p not in the commit marker (written " +
+            "into the copy after commit?)")
+        val missingBorrow = borrowed.join(actual, onFile, "left_anti")
+          .collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getString(2)))
+        val borrowProblems = missingBorrow.groupBy(_._3).toSeq
+          .sortBy(_._1).flatMap { case (b, fs3) =>
+            val baseCopy = m.stripSuffix(s"_bak_$tag") + s"_bak_$b"
+            if (!s.catalog.tableExists(baseCopy))
+              Seq(s"$m: borrows ${fs3.size} file(s) from base " +
+                s"backup tag $b, but $baseCopy is missing (base " +
+                "dropped out-of-band?)")
+            else {
+              val baseNow = listDataFiles(s, baseCopy).toSet
+              fs3.sortBy(_._1).collect {
+                case (p, l, _) if !baseNow.contains((p, l)) =>
+                  s"$m: borrowed file $p ($l bytes) lost or " +
+                    s"changed in base copy $baseCopy"
+              }
+            }
+          }
+        lost ++ unrecorded ++ borrowProblems
+      }
+    }
+  }
+
+  /** DEEP pass (opt-in, O(backup bytes) — the cadence check stays
+    * O(metadata)): re-hash every recorded file at the copy that
+    * physically holds it and compare to the take-time md5. This is
+    * what (name, len) identity cannot see: same-length bit rot or
+    * tamper inside a committed copy. A pre-hash row is NAMED as
+    * unverifiable — a silent skip would read as "verified". */
+  private def checkBackupDeep(s: org.apache.spark.sql.SparkSession,
+      marker: String, tag: String): Seq[String] = {
+    val recorded = readBackupMarker(s, marker).groupBy(_._1)
+    // gather every verifiable (file, holder, expected md5) — the
+    // unverifiable pre-hash rows are named — then ONE distributed
+    // re-hash job over all of them ([[hashFilesDistributed]]):
+    // the deep check re-reads every committed byte, which must
+    // parallelize at scale
+    val gathered = recorded.toSeq.sortBy(_._1).flatMap {
           case (m, rows) =>
             if (!s.catalog.tableExists(m)) Nil // shallow reported it
             else {
@@ -1721,19 +1833,17 @@ object TextOps {
               }
             }
         }
-        val got = hashFilesDistributed(s,
-          gathered.collect { case Right((_, p, _, loc, _)) =>
-            (loc, p) })
-        gathered.flatMap {
-          case Left(msg) => Seq(msg)
-          case Right((m, p, h, loc, sha)) =>
-            if (got((loc, p)) == sha) Nil
-            else Seq(s"$m: $p content mismatch in $h (recorded md5 " +
-              s"$sha, found ${got((loc, p))} — bit rot or tamper at " +
-              "unchanged length); re-take the backup")
-        }
-      }
-    fileProblems ++ extras ++ deepProblems
+    val got = hashFilesDistributed(s,
+      gathered.collect { case Right((_, p, _, loc, _)) =>
+        (loc, p) })
+    gathered.flatMap {
+      case Left(msg) => Seq(msg)
+      case Right((m, p, h, loc, sha)) =>
+        if (got((loc, p)) == sha) Nil
+        else Seq(s"$m: $p content mismatch in $h (recorded md5 " +
+          s"$sha, found ${got((loc, p))} — bit rot or tamper at " +
+          "unchanged length); re-take the backup")
+    }
   }
 
   /** Snapshot ONE standalone table (a replay ledger, the ingest hash
@@ -1936,22 +2046,27 @@ object TextOps {
     val marker = s"${table}_bakok_$tag"
     require(s.catalog.tableExists(marker),
       s"backupProvenance: no committed backup $table/$tag")
-    readBackupMarker(s, marker)
-      .collect { case (_, Some(_), l, src, _) =>
-        (src.getOrElse(tag), l) }
-      .groupBy(_._1).toSeq
-      .map { case (t2, fs2) => (t2, fs2.size.toLong, fs2.map(_._2).sum) }
-      .sortBy(-_._3)
+    // one aggregation over the marker frame (r18, VERDICT #5): only
+    // the per-tag summary rows — bounded by chain length — ever
+    // reach the driver, whatever the file count
+    markerFrame(s, marker).where(col("path").isNotNull)
+      .groupBy(coalesce(col("src"), lit(tag)).as("holder"))
+      .agg(count(lit(1)).as("files"), sum(col("len")).as("bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(-_._3)
   }
 
   /** Committed tags whose markers borrow at least one file
     * physically held by `tag` — the tags [[dropBackup]] protects
-    * `tag` for. O(#tags) tiny marker reads. */
+    * `tag` for. O(#tags) existence probes over the marker frames
+    * (r18: a LIMIT-1 filter per marker, never a full row collect). */
   def dependentBackups(s: org.apache.spark.sql.SparkSession,
       table: String, tag: String): Seq[String] =
     listBackups(s, table).filterNot(_ == tag).filter { other =>
-      readBackupMarker(s, s"${table}_bakok_$other")
-        .exists(_._4.contains(tag))
+      markerFrame(s, s"${table}_bakok_$other")
+        .where(col("src") === tag)
+        .limit(1).count() > 0
     }
 
   /** Drop a family's `<tag>` backup set — marker FIRST, so a crash
@@ -2988,17 +3103,28 @@ object TextOps {
     Seq("_compact", "_old", "_restoretmp").map(table + _)
       .filter(s.catalog.tableExists)
       .foreach(m => add("debris", "", m, listDataFiles(s, m)))
-    // committed backups: physical vs borrowed, per copy
+    // committed backups: physical vs borrowed, per copy — ONE
+    // aggregation per marker frame (r18, VERDICT #5): only the
+    // per-(copy, class) summary rows reach the driver, never one
+    // tuple per committed file
+    def addAgg(component: String, tag: String, member: String,
+        files: Long, bytes: Long): Unit =
+      if (files > 0) rows += ((component, tag, member, files, bytes))
     val committed = listBackups(s, table)
     committed.foreach { tag =>
-      readBackupMarker(s, s"${table}_bakok_$tag").groupBy(_._1)
-        .toSeq.sortBy(_._1).foreach { case (copy, rs) =>
-          add("backup", tag, copy,
-            rs.collect { case (_, Some(p), l, src, _)
-              if src.forall(_ == tag) => (p, l) })
-          add("backup-borrowed", tag, copy,
-            rs.collect { case (_, Some(p), l, Some(b), _)
-              if b != tag => (p, l) })
+      markerFrame(s, s"${table}_bakok_$tag")
+        .where(col("path").isNotNull)
+        .withColumn("_borrowed",
+          col("src").isNotNull && col("src") =!= lit(tag))
+        .groupBy(col("member"), col("_borrowed"))
+        .agg(count(lit(1)).as("files"), sum(col("len")).as("bytes"))
+        .collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+          r.getLong(3)))
+        .sortBy(x => (x._1, x._2))
+        .foreach { case (copy, borrowed, nf, nb) =>
+          addAgg(if (borrowed) "backup-borrowed" else "backup",
+            tag, copy, nf, nb)
         }
     }
     // manifest snapshots: manifest table + meta copies per tag. A
