@@ -510,16 +510,58 @@ object OmsPipeline {
         : org.apache.spark.storage.StorageLevel = cached.storageLevel
   }
 
-  def runOperational(spark: SparkSession, dir: String): OperationalResult = {
+  /** Repeatable-read run (r18, VERDICT #7): the pipeline's storage
+    * layer is RAW FILES, so its epoch discipline is the directory
+    * twin of [[graft.operators.TextOps.consistentProbe]] — fingerprint
+    * the listed files (len + mtime) at entry, EAGERLY materialize the
+    * cached union (closing the read window), re-fingerprint, and
+    * REPLAN from scratch when any input changed mid-read. A feed that
+    * rewrites a landing file between the schema-inferring extract and
+    * the first action used to be able to serve a silently mixed run
+    * (half old file, half new); now the run either reads one
+    * consistent directory state or retries onto the next one — the
+    * repeatable-read verb on the reference's own workload. Bounded
+    * retries; a feed churning faster than the pipeline can read it
+    * fails loudly. `onUnionBuilt` is the race-injection test hook
+    * (fires inside the read window, before materialization).
+    */
+  def runOperational(spark: SparkSession, dir: String,
+      attempts: Int = 3,
+      onUnionBuilt: () => Unit = () => ()): OperationalResult = {
+    val r = runOperationalOnce(spark, dir, onUnionBuilt)
+    r match {
+      case Right(res) => res
+      case Left(changed) =>
+        require(attempts > 1,
+          s"runOperational: input files kept changing mid-read " +
+            s"(${changed.take(3).mkString(", ")}) — the feed is " +
+            "churning faster than the pipeline can read it; quiesce " +
+            "it or raise attempts")
+        runOperational(spark, dir, attempts - 1, onUnionBuilt)
+    }
+  }
+
+  /** One attempt: Right(result) on a consistent read, Left(changed
+    * paths) when the directory moved underneath it. */
+  private def runOperationalOnce(spark: SparkSession, dir: String,
+      onUnionBuilt: () => Unit)
+      : Either[Seq[String], OperationalResult] = {
     // Hadoop FS, not java.io.File — the ingest dir may be hdfs://,
     // s3a:// etc. (same rule saveTableJsonArray follows for its out dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val hfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!hfs.exists(dirPath) || !hfs.getFileStatus(dirPath).isDirectory)
       throw new IllegalArgumentException(s"not a directory: $dir")
-    val files = hfs.listStatus(dirPath).map(_.getPath)
-      .filter(p => p.getName.endsWith(".csv") || p.getName.endsWith(".json"))
-      .map(_.toString).sorted.toSeq
+    def fingerprint(): Map[String, (Long, Long)] =
+      hfs.listStatus(dirPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".csv") ||
+          p.getName.endsWith(".json"))
+        .map(p => p.toString ->
+          (hfs.getFileStatus(p).getLen,
+            hfs.getFileStatus(p).getModificationTime))
+        .toMap
+    val before = fingerprint()
+    val files = before.keys.toSeq.sorted
     val results = files.map { path =>
       val raw = extract(spark, path)
       val mapped = SchemaMapper.applyMapping(raw, v5ColumnSynonyms)
@@ -535,6 +577,16 @@ object OmsPipeline {
     val all = frames.reduceOption(_.unionByName(_))
       .getOrElse(throw new IllegalStateException("no mappable files"))
       .cache()
+    onUnionBuilt()
+    // materialize NOW — every downstream pass serves from the cache,
+    // so the consistency the re-fingerprint proves covers them all
+    all.count()
+    val after = fingerprint()
+    val changed = files.filter(p => !after.get(p).contains(before(p)))
+    if (changed.nonEmpty) {
+      all.unpersist()
+      return Left(changed)
+    }
     // disease dimension spans all diseases seen this run, facts keyed to
     // their own disease (reference dim-cache lookups,
     // ETL_OMS_OPERATIONNEL.py:229-234)
@@ -552,6 +604,6 @@ object OmsPipeline {
       .join(broadcast(firstObs), Seq("nom_region"), "left")
       .select(col("id_region"), col("nom_region"), col("id_pays"),
         col("obs_lat").as("latitude"), col("obs_long").as("longitude"))
-    OperationalResult(processed, skipped, star, regionGeo, all)
+    Right(OperationalResult(processed, skipped, star, regionGeo, all))
   }
 }

@@ -266,6 +266,63 @@ class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("repeatable-read run (r18): a landing file rewritten mid-read " +
+      "replans onto the consistent state — the output equals a clean " +
+      "run over the updated directory; a churning feed fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_omsrr")
+    def write(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        ("country,date,new_cases,new_deaths,deaths" +: rows)
+          .mkString("\n").getBytes("UTF-8"))
+    try {
+      write("covid_feed.csv", Seq(
+        "France,2020-03-01,10,1,1",
+        "France,2020-03-02,20,2,3",
+        "Peru,2020-03-01,5,0,0"))
+      // the "concurrent upsert" of a file-based feed: the file is
+      // REWRITTEN (longer) inside the read window, exactly once
+      var fired = false
+      val res = OmsPipeline.runOperational(spark, dir.toString,
+        onUnionBuilt = () => if (!fired) {
+          fired = true
+          write("covid_feed.csv", Seq(
+            "France,2020-03-01,10,1,1",
+            "France,2020-03-02,25,2,3",
+            "Peru,2020-03-01,5,0,0",
+            "Peru,2020-03-02,7,1,1"))
+        })
+      assert(fired)
+      // the run replanned: its star equals a CLEAN run over the
+      // post-rewrite directory, row for row
+      val clean = OmsPipeline.runOperational(spark, dir.toString)
+      def factRows(r: OmsPipeline.OperationalResult) =
+        r.star.statistique.collect().map(_.toString).sorted.toSeq
+      assert(factRows(res) === factRows(clean))
+      assert(factRows(res).size === 4) // the rewritten file's rows
+      res.release(); clean.release()
+      // a feed churning faster than the pipeline reads it must fail
+      // loudly once the retry budget runs out, never serve a mix
+      var n = 0
+      val e = intercept[IllegalArgumentException] {
+        OmsPipeline.runOperational(spark, dir.toString, attempts = 2,
+          onUnionBuilt = () => {
+            n += 1
+            write("covid_feed.csv", Seq.fill(4 + n)(
+              s"France,2020-03-0$n,1,1,1"))
+          })
+      }
+      assert(e.getMessage.contains("churning"), e.getMessage)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths =
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.toList
+        finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("v4 typed defaults: Unknown country, now() date, zero measures") {
     val sp = spark
     import sp.implicits._
