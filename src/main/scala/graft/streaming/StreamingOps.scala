@@ -2712,15 +2712,55 @@ object StreamingOps {
       what: String): (org.apache.spark.sql.DataFrame,
         Option[org.apache.spark.sql.DataFrame]) = {
     if (admission.isEmpty) return (batch, None)
-    val ann = graft.operators.Quality.annotate(batch, admission)
+    // FOOTER drift (r18): the file-stream reader PINS a schema and
+    // silently coerces drifted files before any rule can see the
+    // break (missing columns read null, rogue columns vanish, some
+    // retypes read null) — so on the streaming path a SchemaMatches
+    // rule also inspects the batch's source parquet FOOTERS against
+    // its expectation. Footer-only reads, a handful of files per
+    // micro-batch. Any drift marks the WHOLE batch (feed-level
+    // breaks have no per-row blame — the batch-surface semantics),
+    // with the per-column names riding the quarantine and metrics
+    // sinks like every other rule.
+    val footerProblems: Seq[String] = admission.collectFirst {
+      case sm: graft.operators.Quality.Rule.SchemaMatches => sm
+    }.toSeq.flatMap { sm =>
+      val files = batch.select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).filter(_.nonEmpty).sorted
+      files.flatMap(f => graft.operators.Quality
+        .schemaProblems(s.read.parquet(f).schema, sm))
+        .distinct.sorted
+    }
+    val ann0 = graft.operators.Quality.annotate(batch, admission)
+    val ann = (if (footerProblems.isEmpty) ann0
+      else ann0.withColumn("violations",
+        array_sort(array_union(col("violations"),
+          typedLit("schema" +: footerProblems)))))
       .persist()
     val bad = ann.where(size(col("violations")) > 0)
       .withColumn("violations", concat_ws(",", col("violations")))
       .withColumn("_batch", lit(bid))
     writeBatchSlice(s, s"${sinkPrefix}_quarantine", bad)
+    val metrics0 = graft.operators.Quality
+      .metricsOfAnnotated(ann, admission)
+    val metrics =
+      if (footerProblems.isEmpty) metrics0
+      else {
+        // the footer SUB-rules are invisible to metricsOfAnnotated
+        // (the BATCH schema is the pinned one, conforming by
+        // construction — its summary row already counts every row,
+        // since the union above stamped them all with "schema") —
+        // add one row per drifted column, counting every batch row
+        val sp2 = s
+        import sp2.implicits._
+        val total = ann.count()
+        metrics0.unionByName(footerProblems
+            .map(p => (p, total, total))
+            .toDF("rule", "total", "violations"))
+          .orderBy("rule")
+      }
     writeBatchSlice(s, s"${sinkPrefix}_admission",
-      graft.operators.Quality.metricsOfAnnotated(ann, admission)
-        .withColumn("_batch", lit(bid)))
+      metrics.withColumn("_batch", lit(bid)))
     // SUM over zero rows is NULL — an EMPTY gated batch (reachable
     // when exceptHeld excludes every row of a micro-batch) must not
     // NPE here, and a replay of the same batch would hit it again

@@ -467,6 +467,72 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
     } finally drop(s"${base}_quarantine", s"${base}_admission")
   }
 
+  test("footer drift on the STREAMING path (r18): the pinned reader " +
+      "silently coerces a drifted parquet file, so SchemaMatches " +
+      "inspects the batch's footers — wholesale refusal, per-column " +
+      "names in the audit, nothing indexed") {
+    val base = s"admftr_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_admftr").toString
+    drop(famTables(base): _*)
+    rmCk(base)
+    try {
+      val sp = spark
+      import sp.implicits._
+      val docs = Tables(spark, sf, "documents")
+      val rules = Seq[graft.operators.Quality.Rule](
+        graft.operators.Quality.Rule.SchemaMatches(docs.schema))
+      // batch 0: a conforming file admits
+      docs.filter(col("doc_id") < 15)
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules, maxQuarantineRate = 0.5)
+      val indexed0 = spark.table(s"${base}_bm25")
+        .select("doc_id").distinct().count()
+      assert(indexed0 > 0)
+      assert(spark.table(s"${base}_admission")
+        .where(col("rule") === "schema")
+        .agg(sum("violations")).head.getLong(0) === 0L)
+      // batch 1: the feed drifts — lang vanished, a rogue column
+      // appeared. The PINNED stream schema would read lang as null
+      // and drop rogue silently; only the footer knows.
+      docs.filter(col("doc_id") >= 15 && col("doc_id") < 25)
+        .drop("lang").withColumn("rogue", lit(1.0))
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      val e = intercept[Exception] {
+        StreamingOps.streamingDocumentIngest(spark, dir, base,
+          admission = rules, maxQuarantineRate = 0.5)
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("feed looks poisoned"), msgs)
+      // the audit names the drifted columns...
+      val m = spark.table(s"${base}_admission")
+        .groupBy("rule").agg(sum("violations").as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m.contains("schema:missing:lang"), m)
+      assert(m.contains("schema:extra:rogue"), m)
+      assert(m("schema:missing:lang") > 0L)
+      // ...and nothing from the drifted batch reached the index
+      assert(spark.table(s"${base}_bm25")
+        .select("doc_id").distinct().count() === indexed0)
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val paths =
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList
+        } finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("poisoned-feed valve: past the quarantine-rate threshold the " +
       "batch refuses wholesale with the evidence written; fixing the " +
       "threshold and re-invoking replays cleanly") {
