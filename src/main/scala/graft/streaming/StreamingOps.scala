@@ -689,7 +689,8 @@ object StreamingOps {
         // Audit sinks, not index state: the group backup/snapshot verbs
         // deliberately exclude them (a replay regenerates them).
         val (admitted, annOpt) = admitBatch(s, unheld, admission,
-          maxQuarantineRate, base, bid, "streamingDocumentIngest")
+          maxQuarantineRate, base, bid, "streamingDocumentIngest",
+          source = Some(batch.toDF()))
         val gated = graft.operators.TrainingData.curateGate(admitted)
           .withColumn("content_hash", md5(col("text")))
         val w = Window.partitionBy("content_hash").orderBy(col("doc_id"))
@@ -2709,7 +2710,9 @@ object StreamingOps {
       batch: org.apache.spark.sql.DataFrame,
       admission: Seq[graft.operators.Quality.Rule],
       maxQuarantineRate: Double, sinkPrefix: String, bid: Long,
-      what: String): (org.apache.spark.sql.DataFrame,
+      what: String,
+      source: Option[org.apache.spark.sql.DataFrame] = None)
+      : (org.apache.spark.sql.DataFrame,
         Option[org.apache.spark.sql.DataFrame]) = {
     if (admission.isEmpty) return (batch, None)
     // FOOTER drift (r18): the file-stream reader PINS a schema and
@@ -2722,10 +2725,14 @@ object StreamingOps {
     // breaks have no per-row blame — the batch-surface semantics),
     // with the per-column names riding the quarantine and metrics
     // sinks like every other rule.
+    // files come from `source` when the caller pre-filtered the batch
+    // (exceptHeld's anti join can leave input_file_name() blank past
+    // its exchange — the footer check must not silently skip there)
     val footerProblems: Seq[String] = admission.collectFirst {
       case sm: graft.operators.Quality.Rule.SchemaMatches => sm
     }.toSeq.flatMap { sm =>
-      val files = batch.select(input_file_name().as("f")).distinct()
+      val files = source.getOrElse(batch)
+        .select(input_file_name().as("f")).distinct()
         .collect().map(_.getString(0)).filter(_.nonEmpty).sorted
       files.flatMap(f => graft.operators.Quality
         .schemaProblems(s.read.parquet(f).schema, sm))
