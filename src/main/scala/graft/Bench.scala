@@ -138,7 +138,14 @@ object Bench {
     "q_bq" -> 0.30,
     // curate: the five-stage pipeline capstone — roughly lang+quality
     // scan + dedup exchange + contamination join + pack exchange
-    "q_curate" -> 0.65)
+    "q_curate" -> 0.65,
+    // admission gate (r17-r18), measured from the r18 idle full run
+    // (start load 0.9, min-of-3): expect = 7-rule metrics incl. one
+    // key shuffle + broadcast ref join; quarantine = doc rules + dup
+    // injection; vector_gate = two array rules over embeddings;
+    // schema_drift = driver-side schema diff + one count
+    "q_expect" -> 0.51, "q_quarantine" -> 0.27,
+    "q_vector_gate" -> 0.24, "q_schema_drift" -> 0.14)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms
