@@ -145,7 +145,12 @@ object Bench {
     // injection; vector_gate = two array rules over embeddings;
     // schema_drift = driver-side schema diff + one count
     "q_expect" -> 0.51, "q_quarantine" -> 0.27,
-    "q_vector_gate" -> 0.24, "q_schema_drift" -> 0.14)
+    "q_vector_gate" -> 0.24, "q_schema_drift" -> 0.14,
+    // remediate (r18): the gate→heal lifecycle runs ONCE per process
+    // (memoized with the stored-index discipline — the build is rep 1's
+    // honest ~15-25s in the raw runs, like every stored-index build);
+    // the reference prices the memo-hit summary read that reps measure
+    "q_remediate" -> 0.35)
 
   /** A query is an outlier (worth a retry rep) when its min exceeds 3x its
     * idle reference. The reference is floored at 0.10s so sub-100ms

@@ -4333,9 +4333,10 @@ object TextOps {
     */
   private[graft] val ownedIndexRe =
     ("^graft_(?:bm25_(?:idx|incr)|ann_idx|ivf_idx|pq_idx|band_incr" +
-      "|sdd_idx|bq_idx|sq_idx)" +
+      "|sdd_idx|bq_idx|sq_idx|remq)" +
       "_[0-9a-f]{10}_p([0-9]+)" +
-      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg|_swap|_del|_stage|_reconcile)*$").r
+      "(?:_stats|_ok|_ledger|_vec|_cent|_cb|_ck|_compact|_old|_cfg|_swap|_del|_stage|_reconcile" +
+      "|_f|_band|_bm25|_hashes|_quarantine|_admission|_hold)*$").r
 
   private var sweptDeadIndexes = false
   private[graft] def sweepDeadIndexes(

@@ -785,6 +785,18 @@ object StreamingOps {
       ids: org.apache.spark.sql.DataFrame): Unit = {
     graft.operators.TextOps.holdBandDocs(spark, s"${base}_band", ids)
     graft.operators.TextOps.holdBm25Docs(spark, s"${base}_bm25", ids)
+    // the hold contract is NO TRACE — and the quarantine audit sinks
+    // hold rejected rows' FULL CONTENT. A document quarantined on
+    // arrival and legally held afterwards would otherwise keep its
+    // text in `<base>_quarantine` for the sink's whole retention
+    // (r18). Scrub the held ids from both document-side sinks; the
+    // `_admission` METRICS keep their counts (numbers, not content —
+    // history stays truthful). Replays stay scrubbed: every gated
+    // write path hold-filters BEFORE the gate, so a re-derived slice
+    // can never re-admit held content into the audit trail.
+    Seq(s"${base}_quarantine", s"${base}_ups_quarantine").foreach { t =>
+      scrubQuarantine(spark, t, ids, "doc_id"); ()
+    }
   }
 
   /** Fold both document-index tombstone lists into the stored files. */
@@ -820,6 +832,11 @@ object StreamingOps {
     graft.operators.SqIndex.hold(spark, s"${base}_sq", ids)
     graft.operators.PqIndex.hold(spark, s"${base}_pq", ids)
     graft.operators.IvfIndex.hold(spark, s"${base}_ivf", ids)
+    // no-trace scrub of the vector-side quarantine sinks — the
+    // holdDocuments rationale: a quarantined embedding is content too
+    Seq(s"${base}_quarantine", s"${base}_vups_quarantine").foreach { t =>
+      scrubQuarantine(spark, t, ids, "vec_id"); ()
+    }
   }
 
   /** Fold every vector family's tombstones into the stored files. */
@@ -2358,14 +2375,22 @@ object StreamingOps {
     ledgeredIngest(spark, path, s"${base}_ups", refresh = Seq(),
       (batch, _, bid) => {
         val s = batch.sparkSession
+        // holds gate BEFORE the admission gate (r18): the member
+        // upserts re-filter held ids as a backstop, but a held doc
+        // that VIOLATES a rule would land its full text in the
+        // quarantine sink — a trace the hold contract forbids
+        val unheld = graft.operators.TextOps.exceptHeld(
+          graft.operators.TextOps.exceptHeld(batch.toDF(), s,
+            s"${base}_bm25_hold", "doc_id"),
+          s, s"${base}_band_hold", "doc_id")
         // the CDC stream takes the SAME admission gate as ingest — an
         // upsert rewrites content, so gating ingest alone leaves a
         // side door for unvetted text; sinks are stream-scoped
         // (`<base>_ups_quarantine`) because upsert batch ids live in
         // their own ledger and must not collide with ingest slices
-        val (vetted, annOpt) = admitBatch(s, batch.toDF(), admission,
+        val (vetted, annOpt) = admitBatch(s, unheld, admission,
           maxQuarantineRate, s"${base}_ups", bid,
-          "streamingDocumentUpserts")
+          "streamingDocumentUpserts", source = Some(batch.toDF()))
         val b = vetted.persist()
         try {
           graft.operators.TextOps.upsertBm25Docs(s, s"${base}_bm25",
@@ -2416,11 +2441,17 @@ object StreamingOps {
     ledgeredIngest(spark, path, s"${base}_vups", refresh = Seq(),
       (batch, _, bid) => {
         val s = batch.sparkSession
+        // holds gate BEFORE the admission gate (r18, the
+        // streamingDocumentUpserts rationale) — any family registry
+        // vetoes (holdVectors stamps all five together)
+        val unheld = vecFamilies.foldLeft(batch.toDF())((d, fam) =>
+          graft.operators.TextOps.exceptHeld(d, s,
+            s"$base${fam}_hold", "vec_id"))
         // the vector CDC side of the gate (stream-scoped sinks — see
         // streamingDocumentUpserts)
-        val (vetted, annOpt) = admitBatch(s, batch.toDF(), admission,
+        val (vetted, annOpt) = admitBatch(s, unheld, admission,
           maxQuarantineRate, s"${base}_vups", bid,
-          "streamingVectorUpserts")
+          "streamingVectorUpserts", source = Some(batch.toDF()))
         val b = vetted.persist()
         try {
           graft.operators.AnnIndex.upsert(b, s"${base}_ann", nBands,
@@ -2559,12 +2590,19 @@ object StreamingOps {
         bqT, bqT + "_cfg", sqT, sqT + "_cfg", pqT, ivfT),
       append = (batch, _, bid) => {
         val s = batch.sparkSession
+        // holds gate BEFORE the admission gate (r18) — the member
+        // appends re-filter as a backstop, but a held vec_id failing
+        // a rule must not leave its embedding in the quarantine sink
+        val unheld = vecFamilies.foldLeft(batch.toDF())((d, fam) =>
+          graft.operators.TextOps.exceptHeld(d, s,
+            s"$base${fam}_hold", "vec_id"))
         // the vector gate: a single NaN/Inf or zero-norm embedding
         // poisons every cosine/ADC score it touches — admission rules
         // (FiniteArray / NormInRange / custom) quarantine it with the
         // same sinks+valve contract as the document gate
-        val (vetted, annOpt) = admitBatch(s, batch.toDF(), admission,
-          maxQuarantineRate, base, bid, "streamingAllIndexIngest")
+        val (vetted, annOpt) = admitBatch(s, unheld, admission,
+          maxQuarantineRate, base, bid, "streamingAllIndexIngest",
+          source = Some(batch.toDF()))
         val b = vetted.persist()
         try {
           graft.operators.AnnIndex.append(b, annT, nBands, bits, dim)
@@ -2650,6 +2688,287 @@ object StreamingOps {
         if (victims.nonEmpty) spark.catalog.refreshTable(t)
         victims.map(st => s"dropped $t/${st.getPath.getName}")
       }
+  }
+
+  /** Remove every row matching `ids` (on `idCol`) from a
+    * batch-partitioned quarantine sink, rewriting ONLY the touched
+    * `_batch` partitions (dynamic partition overwrite — the
+    * writeBatchSlice discipline) and deleting partitions the scrub
+    * left empty as directories (a dynamic overwrite cannot see them —
+    * the pruneAdmissionAudit mechanism). Absent table, absent id
+    * column (a doc-side scrub against a vector-side sink), or no
+    * matches are all no-ops. Returns the touched batch ids.
+    *
+    * The remnant frame reads the table it rewrites — it materializes
+    * through an eager localCheckpoint BEFORE the overwrite (the
+    * consistentProbe discipline), so the insert plans from cached
+    * rows, not from the files it is replacing.
+    */
+  private[graft] def scrubQuarantine(s: SparkSession, table: String,
+      ids: org.apache.spark.sql.DataFrame, idCol: String): Seq[Long] = {
+    if (!s.catalog.tableExists(table)) return Nil
+    val q = s.table(table)
+    if (!q.columns.contains(idCol)) return Nil
+    val key = ids.select(col(idCol)).distinct()
+    val touched = q.join(key, Seq(idCol), "left_semi")
+      .select(col("_batch")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) return Nil
+    val remaining = q.where(col("_batch").isin(touched: _*))
+      .join(key, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    try {
+      val still = remaining.select(col("_batch")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (still.nonEmpty) {
+        // partition column LAST for the position-based insertInto
+        val ordered = q.columns.filterNot(_ == "_batch") :+ "_batch"
+        val out = remaining.select(ordered.map(col): _*)
+        val mode = "spark.sql.sources.partitionOverwriteMode"
+        val prev = s.conf.getOption(mode)
+        s.conf.set(mode, "dynamic")
+        try out.write.mode("overwrite").insertInto(table)
+        finally prev match {
+          case Some(v) => s.conf.set(mode, v)
+          case None => s.conf.unset(mode)
+        }
+      }
+      val emptied = touched.filterNot(still)
+      if (emptied.nonEmpty) {
+        val loc = graft.operators.TextOps.tableLocation(s, table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        emptied.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(loc, s"_batch=$b"),
+            true)
+          ()
+        }
+      }
+      s.catalog.refreshTable(table)
+    } finally {
+      remaining.unpersist()
+      ()
+    }
+    touched
+  }
+
+  /** QUARANTINE REMEDIATION — the verb that closes the admission
+    * lifecycle (r18): rejected rows sit in `<sink>_quarantine` with
+    * their reasons; re-delivering the source batch is the STREAM's
+    * recovery, but a fixable defect (a mislabeled language, a
+    * truncatable overflow, a re-embeddable vector) deserves an
+    * operator verb that heals IN PLACE. This core:
+    *
+    *   1. scopes the sink's rows (optionally to `batches`) and picks
+    *      ONE representative per id — highest `_batch` wins, the CDC
+    *      last-writer discipline (an id rejected twice heals from its
+    *      latest delivered version; the superseded copies leave with
+    *      it). The representative set satisfies the at-most-one-
+    *      version-per-id contract every upsert verb requires;
+    *   2. drops held ids (defense in depth — the hold verbs scrub
+    *      them from quarantine, but a hold stamped between read and
+    *      fix must still win);
+    *   3. applies the caller's `fix` and re-runs the SAME admission
+    *      rules. No valve here: remediation is operator-attended, and
+    *      "most rows still fail" is an ANSWER (the summary), not a
+    *      poisoned feed;
+    *   4. hands rows that now PASS to `ingest` (the caller wires the
+    *      family's own upsert verbs — supersede-by-id, so a heal can
+    *      never double-index an id that entered by another door, and
+    *      a TERMINALLY deleted id stays deleted: the member upserts
+    *      drop it, the delete contract outranks the heal);
+    *   5. scrubs healed ids from the sink TABLE-WIDE (their older
+    *      quarantined copies are superseded evidence) and returns a
+    *      per-batch summary (batch, quarantined, healed, remaining).
+    *
+    * Re-running with the same fix CONVERGES: healed rows are gone
+    * from the sink, the upserts re-supersede by content, the summary
+    * reports zeros. A ledger REPLAY of the original stream re-derives
+    * its quarantine slices from the feed — the original rejects
+    * reappear (the audit reflects what the feed delivered), and
+    * re-running the remediation converges again (the ingest side's
+    * hash gate and the upsert barriers make the re-heal a no-op).
+    */
+  private def remediateCore(s: SparkSession, sinkPrefix: String,
+      idCol: String, holds: Seq[String],
+      fix: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      admission: Seq[graft.operators.Quality.Rule],
+      batches: Option[Seq[Long]],
+      ingest: org.apache.spark.sql.DataFrame => Unit)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = s
+    import sp.implicits._
+    val qT = s"${sinkPrefix}_quarantine"
+    def summary(rows: Seq[(Long, Long, Long, Long)])
+        : org.apache.spark.sql.DataFrame =
+      rows.toDF("batch", "quarantined", "healed", "remaining")
+        .orderBy("batch")
+    if (!s.catalog.tableExists(qT)) return summary(Nil)
+    val q0 = s.table(qT)
+    val scoped = batches
+      .map(bs => q0.where(col("_batch").isin(bs: _*))).getOrElse(q0)
+    // per-batch counts over the WHOLE sink (bounded by audit
+    // retention): healed ids scrub table-wide, so out-of-scope
+    // batches can shrink too and the summary must price them
+    val before = q0.groupBy("_batch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (before.isEmpty) return summary(Nil)
+    val dataCols = q0.columns
+      .filterNot(c => c == "violations" || c == "_batch")
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("_batch").desc, col("violations"))
+    val reps0 = scoped
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(dataCols.map(col).toIndexedSeq: _*)
+    val reps = holds.foldLeft(reps0)((d, h) =>
+      graft.operators.TextOps.exceptHeld(d, s, h, idCol))
+    val fixed = fix(reps)
+    require(fixed.columns.contains(idCol),
+      s"remediate($sinkPrefix): fix must preserve the '$idCol' column")
+    val ann = graft.operators.Quality.annotate(fixed, admission)
+      .persist()
+    try {
+      val healed = ann.where(size(col("violations")) === 0)
+        .drop("violations")
+      ingest(healed)
+      scrubQuarantine(s, qT,
+        healed.select(col(idCol)).distinct(), idCol)
+    } finally {
+      ann.unpersist()
+      ()
+    }
+    s.catalog.refreshTable(qT)
+    val after =
+      if (s.catalog.tableExists(qT))
+        s.table(qT).groupBy("_batch").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else Map.empty[Long, Long]
+    val scopedBatches = batches.map(_.toSet).getOrElse(before.keySet)
+    val rows = before.keysIterator
+      .filter(b => scopedBatches(b) ||
+        after.getOrElse(b, 0L) != before(b))
+      .map { b =>
+        val a = after.getOrElse(b, 0L)
+        (b, before(b), before(b) - a, a)
+      }
+      .toSeq.sortBy(_._1)
+    summary(rows)
+  }
+
+  /** [[remediateCore]] for a unified DOCUMENT family: heal the ingest
+    * sink (`cdc = false`, `<base>_quarantine`) or the CDC upsert sink
+    * (`cdc = true`, `<base>_ups_quarantine`). Healed rows enter
+    * through [[graft.operators.TextOps.upsertBm25Docs]] /
+    * [[graft.operators.TextOps.upsertBandDocs]] — supersede-by-id, so
+    * the heal is safe even when the id later entered by another door
+    * (plain append would double-index it), and a terminal tombstone
+    * still outranks it. INGEST-side heals additionally take the
+    * ingest door's own trimmings, for parity with what a clean
+    * delivery would have faced: the curation gate, the in-batch
+    * keep-lowest exact dedup, the `<base>_hashes` anti-join (content
+    * already indexed under another id stays deduped), and the healed
+    * novelty's hash rows land so a future redelivery of the SAME
+    * fixed content is recognized, not re-indexed. A curation- or
+    * dedup-dropped heal still LEAVES quarantine — exactly as a clean
+    * delivery of it would never have entered. CDC-side heals take the
+    * row as-is (that stream never curates: an upsert is an
+    * operator-directed rewrite) and leave `_hashes` alone (ids, not
+    * hashes, drive an upsert).
+    */
+  def remediateDocumentQuarantine(spark: SparkSession, base: String,
+      fix: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      admission: Seq[graft.operators.Quality.Rule],
+      cdc: Boolean = false,
+      batches: Option[Seq[Long]] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val bandT = s"${base}_band"
+    val bm25T = s"${base}_bm25"
+    val statsT = s"${base}_bm25_stats"
+    val hashT = s"${base}_hashes"
+    val sink = if (cdc) s"${base}_ups" else base
+    val out = remediateCore(spark, sink, "doc_id",
+      Seq(s"${bm25T}_hold", s"${bandT}_hold"), fix, admission, batches,
+      healed => {
+        val s = healed.sparkSession
+        val entry =
+          if (cdc) healed.persist()
+          else {
+            import org.apache.spark.sql.expressions.Window
+            val gated = graft.operators.TrainingData.curateGate(healed)
+              .withColumn("content_hash", md5(col("text")))
+            val w = Window.partitionBy("content_hash")
+              .orderBy(col("doc_id"))
+            val inBatch = gated
+              .withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+            (if (s.catalog.tableExists(hashT))
+              inBatch.join(s.table(hashT), Seq("content_hash"),
+                "left_anti")
+            else inBatch).persist()
+          }
+        try {
+          graft.operators.TextOps.upsertBm25Docs(s, bm25T, statsT,
+            entry.drop("content_hash"))
+          graft.operators.TextOps.upsertBandDocs(s, bandT,
+            entry.drop("content_hash"))
+          if (!cdc) {
+            graft.operators.TextOps.clearOrphanLocation(s, hashT)
+            entry.select(col("content_hash"), col("doc_id"))
+              .write.mode("append")
+              .bucketBy(8, "content_hash").sortBy("content_hash")
+              .saveAsTable(hashT)
+          }
+        } finally {
+          entry.unpersist()
+          ()
+        }
+      })
+    Seq(bandT, s"${bandT}_del", bm25T, s"${bm25T}_del", statsT, hashT)
+      .foreach(t => if (spark.catalog.tableExists(t))
+        spark.catalog.refreshTable(t))
+    out
+  }
+
+  /** [[remediateCore]] for a unified VECTOR group: heal the unified
+    * ingest sink (`cdc = false`, `<base>_quarantine`) or the vector
+    * CDC sink (`cdc = true`, `<base>_vups_quarantine`). Healed
+    * embeddings re-enter through every family's own upsert — the
+    * [[streamingVectorUpserts]] fan-out — so all five indexes agree
+    * on the healed content at their own barriers.
+    */
+  def remediateVectorQuarantine(spark: SparkSession, base: String,
+      fix: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      admission: Seq[graft.operators.Quality.Rule],
+      cdc: Boolean = false,
+      nBands: Int = graft.operators.AnnIndex.NBands,
+      bits: Int = graft.operators.AnnIndex.Bits,
+      dim: Int = graft.operators.AnnIndex.Dim,
+      batches: Option[Seq[Long]] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val sink = if (cdc) s"${base}_vups" else base
+    val out = remediateCore(spark, sink, "vec_id",
+      vecFamilies.map(f => s"$base${f}_hold"), fix, admission, batches,
+      healed => {
+        val s = healed.sparkSession
+        val b = healed.persist()
+        try {
+          graft.operators.AnnIndex.upsert(b, s"${base}_ann", nBands,
+            bits, dim)
+          graft.operators.BqIndex.upsert(b, s"${base}_bq", dim)
+          graft.operators.SqIndex.upsert(b, s"${base}_sq", dim)
+          graft.operators.PqIndex.upsert(b, s"${base}_pq")
+          graft.operators.IvfIndex.upsert(b, s"${base}_ivf")
+        } finally {
+          b.unpersist()
+          ()
+        }
+      })
+    (Seq("_ann", "_ann_vec", "_ann_del", "_bq", "_bq_del", "_sq",
+      "_sq_del", "_pq", "_pq_del", "_ivf", "_ivf_del").map(base + _))
+      .foreach(t => if (spark.catalog.tableExists(t))
+        spark.catalog.refreshTable(t))
+    out
   }
 
   /** DRIFT GAUGE over the admission history — the poisoned-feed valve

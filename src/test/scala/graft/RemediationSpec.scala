@@ -1,0 +1,397 @@
+package graft
+
+import graft.operators.Quality.Rule._
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** QUARANTINE REMEDIATION — the verb that closes the admission
+  * lifecycle (r18): rejected rows sit in the quarantine sinks with
+  * their reasons; `remediateDocumentQuarantine` /
+  * `remediateVectorQuarantine` heal the fixable ones IN PLACE
+  * (fix → same rules → upsert verbs → scrub), the unfixable stay with
+  * their original evidence, and re-running converges. Plus the hold
+  * contract's no-trace closure: `holdDocuments`/`holdVectors` scrub
+  * held ids from the quarantine sinks, and every gated write path
+  * hold-filters BEFORE the gate so a replay (or a held CDC rewrite)
+  * can never land held content in the audit trail again.
+  */
+class RemediationSpec extends AnyFunSuite with SparkSuite {
+
+  private val pid = ProcessHandle.current().pid()
+
+  private def drop(tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def famTables(base: String): Seq[String] = Seq(
+    s"${base}_band", s"${base}_band_del", s"${base}_band_hold",
+    s"${base}_bm25", s"${base}_bm25_del", s"${base}_bm25_del_stage",
+    s"${base}_bm25_hold", s"${base}_bm25_stats", s"${base}_hashes",
+    s"${base}_ledger", s"${base}_quarantine", s"${base}_admission",
+    s"${base}_ups_ledger", s"${base}_ups_quarantine",
+    s"${base}_ups_admission")
+
+  private def rmCk(base: String): Unit = {
+    val ck = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      base.toLowerCase + "_ck")
+    ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ck, true)
+    ()
+  }
+
+  private def rmDir(d: String): Unit = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+    val paths =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.toList
+      } finally walk.close()
+    paths.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  // English-looking bodies that pass the curation gate (≥30 tokens,
+  // >25% distinct, en stopword hits) — remediated docs re-enter
+  // through the ingest door's own trimmings, so the spec needs text
+  // the door would actually keep
+  private def enText(tag: String): String =
+    s"this is the $tag body of a document holding plenty of english " +
+      "filler words so that the curation gate keeps it namely " +
+      "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey xray yankee zulu"
+
+  private def rules = Seq(
+    OneOf("lang", Seq("en", "fr", "de")),
+    InRange("n_chars", 60.0, 500.0))
+
+  private def langFix(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("lang",
+      when(col("lang").isin("en", "fr", "de"), col("lang"))
+        .otherwise(lit("en")))
+
+  test("ingest-side remediation: fixable rows heal into the index " +
+      "through the ingest door's own trimmings (curation + hash " +
+      "dedup + hash rows), unfixable rows stay with their original " +
+      "evidence, and a re-run converges") {
+    val base = s"remdoc_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rem").toString
+    drop(famTables(base): _*)
+    rmCk(base); rmCk(s"${base}_ups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val feed = Seq(
+        (1L, enText("first clean"), "en", "crawl", 130L),
+        (2L, enText("second clean"), "en", "crawl", 140L),
+        // healable: bad lang label, English text, length fine
+        (11L, enText("mislabeled eleven"), "xx", "crawl", 150L),
+        (12L, enText("mislabeled twelve"), "xx", "crawl", 160L),
+        // healable lang, but its text EXACTLY duplicates doc 1 — the
+        // heal must leave quarantine yet stay deduped by the hash gate
+        (31L, enText("first clean"), "xx", "crawl", 130L),
+        // unfixable: length violation the fix does not touch
+        (21L, enText("too long twenty-one"), "en", "crawl", 999L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      feed.coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules)
+
+      val qBefore = spark.table(s"${base}_quarantine")
+        .select("doc_id").as[Long].collect().toSet
+      assert(qBefore === Set(11L, 12L, 31L, 21L))
+
+      val summary = StreamingOps.remediateDocumentQuarantine(spark,
+        base, langFix, rules)
+      val rows = summary
+        .select("quarantined", "healed", "remaining").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((4L, 3L, 1L)))
+
+      // the unfixable row remains, original violation intact
+      val qAfter = spark.table(s"${base}_quarantine")
+        .select("doc_id", "violations").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(qAfter.keySet === Set(21L))
+      assert(qAfter(21L).contains("in_range:n_chars"))
+
+      // healed 11/12 serve from the index; 31 healed but DEDUPED
+      // (content already indexed as doc 1); 21 never entered
+      val indexed = spark.table(s"${base}_bm25")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(indexed.contains(11L) && indexed.contains(12L))
+      assert(!indexed.contains(31L) && !indexed.contains(21L))
+      val (p, st) = graft.operators.TextOps.liveBm25(spark,
+        s"${base}_bm25", s"${base}_bm25_stats")
+      val hits = graft.operators.TextOps.bm25ScoreIncr(
+        Seq((1, "eleven")).toDF("q_id", "token"), p, st)
+        .select("doc_id").as[Long].collect().toSet
+      assert(hits === Set(11L))
+
+      // the heal's hash rows landed — a redelivery of the SAME fixed
+      // content is recognized, not re-indexed
+      val hashed = spark.table(s"${base}_hashes")
+        .select("doc_id").as[Long].collect().toSet
+      assert(hashed.contains(11L) && hashed.contains(12L))
+
+      // convergence: the same remediation again heals nothing, the
+      // index doesn't grow, the leftover stays
+      val postings = spark.table(s"${base}_bm25").count()
+      val again = StreamingOps.remediateDocumentQuarantine(spark,
+        base, langFix, rules)
+        .select("quarantined", "healed", "remaining").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(again.toSeq === Seq((1L, 0L, 1L)))
+      assert(spark.table(s"${base}_bm25").count() === postings)
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base); rmCk(s"${base}_ups")
+      rmDir(dir)
+    }
+  }
+
+  test("CDC-side remediation: the LATEST quarantined version of an id " +
+      "wins (the upsert discipline), superseded copies leave with it, " +
+      "and partitions scrubbed empty disappear as directories") {
+    val base = s"remcdc_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_remc").toString
+    val upsDir = java.nio.file.Files
+      .createTempDirectory("graft_remc_ups").toString
+    drop(famTables(base): _*)
+    rmCk(base); rmCk(s"${base}_ups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      // seed the family through plain ingest
+      Seq((1L, enText("seed one"), "en", "crawl", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base)
+
+      // two CDC rewrites of doc 1, both lang-violating, in two files
+      // → two batches (maxFilesPerTrigger=1, listing order)
+      Seq((1L, enText("rewrite marigold"), "xx", "cdc", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(upsDir)
+      Thread.sleep(1100)
+      Seq((1L, enText("rewrite zinnia"), "yy", "cdc", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(upsDir)
+      StreamingOps.streamingDocumentUpserts(spark, upsDir, base,
+        admission = rules)
+      val qBatches = spark.table(s"${base}_ups_quarantine")
+        .select("_batch").as[Long].collect().sorted.toSeq
+      assert(qBatches.size === 2 && qBatches.distinct.size === 2,
+        s"fixture must quarantine two batches, got $qBatches")
+
+      val summary = StreamingOps.remediateDocumentQuarantine(spark,
+        base, langFix, rules, cdc = true)
+      val rows = summary
+        .select("batch", "quarantined", "healed", "remaining")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(rows.toSeq ===
+        qBatches.map(b => (b, 1L, 1L, 0L)),
+        s"summary was ${rows.toSeq}")
+
+      // the LATEST rewrite serves; the superseded one never indexed
+      val (p, st) = graft.operators.TextOps.liveBm25(spark,
+        s"${base}_bm25", s"${base}_bm25_stats")
+      def hits(tok: String): Set[Long] =
+        graft.operators.TextOps.bm25ScoreIncr(
+          Seq((1, tok)).toDF("q_id", "token"), p, st)
+          .select("doc_id").as[Long].collect().toSet
+      assert(hits("zinnia") === Set(1L))
+      assert(hits("marigold") === Set.empty[Long])
+
+      // both partitions scrubbed empty — and GONE as directories
+      assert(spark.table(s"${base}_ups_quarantine").count() === 0L)
+      val loc = graft.operators.TextOps.tableLocation(spark,
+        s"${base}_ups_quarantine")
+      val fs = loc.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val partDirs = fs.listStatus(loc).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("_batch="))
+      assert(partDirs.isEmpty,
+        s"emptied partitions left behind: ${partDirs.map(_.getPath)}")
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base); rmCk(s"${base}_ups")
+      rmDir(dir); rmDir(upsDir)
+    }
+  }
+
+  test("the hold contract leaves NO trace in the audit sinks: " +
+      "holdDocuments scrubs the held id's content from quarantine " +
+      "(metrics keep their counts), and a later remediation cannot " +
+      "resurrect it") {
+    val base = s"remhold_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_remh").toString
+    drop(famTables(base): _*)
+    rmCk(base); rmCk(s"${base}_ups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      Seq(
+        (1L, enText("clean one"), "en", "crawl", 120L),
+        (11L, enText("held eleven"), "xx", "crawl", 150L),
+        (12L, enText("loose twelve"), "xx", "crawl", 160L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules)
+      assert(spark.table(s"${base}_quarantine")
+        .select("doc_id").as[Long].collect().toSet === Set(11L, 12L))
+      val metricsBefore = spark.table(s"${base}_admission")
+        .collect().map(_.toString).sorted.toSeq
+
+      StreamingOps.holdDocuments(spark, base, Seq(11L).toDF("doc_id"))
+
+      // the held id's CONTENT left the sink; the loose one stays; the
+      // per-rule metrics history is untouched (counts, not content)
+      assert(spark.table(s"${base}_quarantine")
+        .select("doc_id").as[Long].collect().toSet === Set(12L))
+      assert(spark.table(s"${base}_admission")
+        .collect().map(_.toString).sorted.toSeq === metricsBefore)
+
+      // remediation heals the loose doc but can never re-enter the
+      // held one (it is gone from the sink AND hold-filtered)
+      StreamingOps.remediateDocumentQuarantine(spark, base, langFix,
+        rules)
+      val indexed = spark.table(s"${base}_bm25")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(indexed.contains(12L) && !indexed.contains(11L))
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base); rmCk(s"${base}_ups")
+      rmDir(dir)
+    }
+  }
+
+  test("the CDC gate hold-filters BEFORE quarantining: a held doc's " +
+      "violating rewrite leaves no trace in the stream-scoped sink") {
+    val base = s"remhcdc_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_remhc").toString
+    val upsDir = java.nio.file.Files
+      .createTempDirectory("graft_remhc_ups").toString
+    drop(famTables(base): _*)
+    rmCk(base); rmCk(s"${base}_ups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      Seq((1L, enText("seed one"), "en", "crawl", 120L),
+        (2L, enText("seed two"), "en", "crawl", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base)
+      StreamingOps.holdDocuments(spark, base, Seq(1L).toDF("doc_id"))
+
+      // one CDC batch: a violating rewrite of the HELD doc and a
+      // violating rewrite of a loose one
+      Seq(
+        (1L, enText("held rewrite"), "xx", "cdc", 120L),
+        (2L, enText("loose rewrite"), "xx", "cdc", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(upsDir)
+      StreamingOps.streamingDocumentUpserts(spark, upsDir, base,
+        admission = rules)
+
+      // the held doc's rewrite is NOWHERE: not quarantined (no trace),
+      // not indexed (the hold); the loose rewrite quarantined normally
+      val q = spark.table(s"${base}_ups_quarantine")
+        .select("doc_id").as[Long].collect().toSet
+      assert(q === Set(2L))
+      val (p, st) = graft.operators.TextOps.liveBm25(spark,
+        s"${base}_bm25", s"${base}_bm25_stats")
+      val hits = graft.operators.TextOps.bm25ScoreIncr(
+        Seq((1, "rewrite")).toDF("q_id", "token"), p, st)
+        .select("doc_id").as[Long].collect().toSet
+      assert(hits === Set.empty[Long])
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base); rmCk(s"${base}_ups")
+      rmDir(dir); rmDir(upsDir)
+    }
+  }
+
+  test("vector remediation: a quarantined zero-norm embedding heals " +
+      "through every rung's own upsert once re-normalized, and leaves " +
+      "the vups sink") {
+    val base = s"remvec_p$pid"
+    val fams = Seq(s"${base}_ann", s"${base}_ann_vec",
+      s"${base}_ann_cfg", s"${base}_ann_del", s"${base}_bq",
+      s"${base}_bq_cfg", s"${base}_bq_del", s"${base}_sq",
+      s"${base}_sq_cfg", s"${base}_sq_del", s"${base}_pq",
+      s"${base}_pq_cb", s"${base}_pq_del", s"${base}_ivf",
+      s"${base}_ivf_cent", s"${base}_ivf_del", s"${base}_ledger",
+      s"${base}_quarantine", s"${base}_admission",
+      s"${base}_vups_ledger", s"${base}_vups_quarantine",
+      s"${base}_vups_admission")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_remv").toString
+    val vupsDir = java.nio.file.Files
+      .createTempDirectory("graft_remv_ups").toString
+    drop(fams: _*)
+    rmCk(base); rmCk(s"${base}_vups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val emb = Tables(spark, sf, "embeddings")
+      graft.operators.PqIndex.trainCodebook(emb, s"${base}_pq")
+      graft.operators.IvfIndex.write(
+        emb.filter(col("vec_id") < 30), s"${base}_ivf")
+      spark.sql(s"DROP TABLE ${base}_ivf") // keep only the quantizer
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      emb.filter(col("vec_id") < 20).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/embeddings.parquet")
+      StreamingOps.streamingAllIndexIngest(spark, dir, base)
+
+      val vecRules = Seq[graft.operators.Quality.Rule](
+        FiniteArray("embedding"),
+        NormInRange("embedding", 1e-6, 1e6))
+      Seq(9002L -> Array.fill(dim)(0.0f))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(vupsDir)
+      StreamingOps.streamingVectorUpserts(spark, vupsDir, base,
+        admission = vecRules)
+      assert(spark.table(s"${base}_vups_quarantine")
+        .select("vec_id").as[Long].collect().toSet === Set(9002L))
+
+      val summary = StreamingOps.remediateVectorQuarantine(spark,
+        base,
+        fix = df => df.withColumn("embedding",
+          transform(col("embedding"), x => lit(0.05f))),
+        admission = vecRules, cdc = true)
+      val rows = summary
+        .select("quarantined", "healed", "remaining").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((1L, 1L, 0L)))
+
+      // every rung serves the healed id; the sink is clean
+      Seq(s"${base}_ann_vec", s"${base}_bq", s"${base}_sq",
+        s"${base}_pq", s"${base}_ivf").foreach { m =>
+        val ids = spark.table(m).select("vec_id").distinct()
+          .as[Long].collect().toSet
+        assert(ids.contains(9002L), m)
+      }
+      assert(spark.table(s"${base}_vups_quarantine").count() === 0L)
+    } finally {
+      drop(fams: _*)
+      rmCk(base); rmCk(s"${base}_vups")
+      rmDir(dir); rmDir(vupsDir)
+    }
+  }
+}
