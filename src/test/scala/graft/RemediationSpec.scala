@@ -326,6 +326,65 @@ class RemediationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("a crash between the heal's upsert and the scrub CONVERGES on " +
+      "re-run: the upsert re-supersedes the same content at a higher " +
+      "barrier, the index serves ONE copy, quarantine empties") {
+    val base = s"remcrash_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_remx").toString
+    drop(famTables(base): _*)
+    rmCk(base); rmCk(s"${base}_ups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      Seq(
+        (1L, enText("clean one"), "en", "crawl", 120L),
+        (11L, enText("fixable eleven"), "xx", "crawl", 150L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules)
+
+      // simulate the torn state a kill between step 4 (ingest) and
+      // step 5 (scrub) leaves: the healed row is ALREADY upserted,
+      // but its quarantine row survived
+      val healedByCrashedRun = Seq(
+        (11L, enText("fixable eleven"), "en", "crawl", 150L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      graft.operators.TextOps.upsertBm25Docs(spark, s"${base}_bm25",
+        s"${base}_bm25_stats", healedByCrashedRun)
+      graft.operators.TextOps.upsertBandDocs(spark, s"${base}_band",
+        healedByCrashedRun)
+      assert(spark.table(s"${base}_quarantine")
+        .select("doc_id").as[Long].collect().toSet === Set(11L))
+
+      // the re-run heals the same row again — upsert semantics make
+      // that a re-supersede, not a second copy
+      val rows = StreamingOps.remediateDocumentQuarantine(spark, base,
+        langFix, rules)
+        .select("quarantined", "healed", "remaining").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((1L, 1L, 0L)))
+      assert(spark.table(s"${base}_quarantine").count() === 0L)
+
+      // ONE served copy: no token of doc 11 carries duplicate postings
+      val (p, st) = graft.operators.TextOps.liveBm25(spark,
+        s"${base}_bm25", s"${base}_bm25_stats")
+      val dup = p.where(col("doc_id") === 11L)
+        .groupBy("token").count().where(col("count") > 1).count()
+      assert(dup === 0L, "a healed doc is serving duplicate postings")
+      val hits = graft.operators.TextOps.bm25ScoreIncr(
+        Seq((1, "fixable")).toDF("q_id", "token"), p, st)
+        .select("doc_id").as[Long].collect().toSet
+      assert(hits === Set(11L))
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base); rmCk(s"${base}_ups")
+      rmDir(dir)
+    }
+  }
+
   test("vector remediation: a quarantined zero-norm embedding heals " +
       "through every rung's own upsert once re-normalized, and leaves " +
       "the vups sink") {
