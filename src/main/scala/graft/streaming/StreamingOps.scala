@@ -2166,7 +2166,9 @@ object StreamingOps {
       .flatMap { case (m, st) => st.due(policy).map(v => s"$m: $v") }
     members ++ driftAdvisories(spark, base,
       Seq(s"${base}_admission" -> s"${base}_quarantine",
-        s"${base}_ups_admission" -> s"${base}_ups_quarantine"))
+        s"${base}_ups_admission" -> s"${base}_ups_quarantine")) ++
+      backlogAdvisories(spark,
+        Seq(s"${base}_quarantine", s"${base}_ups_quarantine"))
   }
 
   /** [[dueDocuments]] for a unified vector base — the vector gate's
@@ -2178,7 +2180,24 @@ object StreamingOps {
       .flatMap { case (m, st) => st.due(policy).map(v => s"$m: $v") } ++
       driftAdvisories(spark, base,
         Seq(s"${base}_admission" -> s"${base}_quarantine",
-          s"${base}_vups_admission" -> s"${base}_vups_quarantine"))
+          s"${base}_vups_admission" -> s"${base}_vups_quarantine")) ++
+      backlogAdvisories(spark,
+        Seq(s"${base}_quarantine", s"${base}_vups_quarantine"))
+
+  /** Quarantine-backlog advisories for the due() cadence (r18):
+    * quarantined rows are evidence, but rows that SIT there are also
+    * unworked remediation — the cadence check names the backlog and
+    * the verb that clears it, the same way fold/compaction debt is
+    * named with its verb. Empty or absent sinks are silent. */
+  private def backlogAdvisories(spark: SparkSession,
+      sinks: Seq[String]): Seq[String] =
+    sinks.filter(spark.catalog.tableExists).flatMap { q =>
+      val agg = spark.table(q)
+        .agg(count(lit(1)), countDistinct(col("_batch"))).head
+      if (agg.getLong(0) == 0L) Nil
+      else Seq(s"remediate-quarantine:$q rows=${agg.getLong(0)} " +
+        s"batches=${agg.getLong(1)}")
+    }
 
   /** The admission-drift advisories for a set of (admission sink,
     * quarantine sink) histories — separate ledgers keep separate

@@ -105,6 +105,11 @@ class RemediationSpec extends AnyFunSuite with SparkSuite {
         .select("doc_id").as[Long].collect().toSet
       assert(qBefore === Set(11L, 12L, 31L, 21L))
 
+      // the cadence check names the backlog with its clearing verb
+      assert(StreamingOps.dueDocuments(spark, base).exists(_ ==
+        s"remediate-quarantine:${base}_quarantine rows=4 batches=1"),
+        StreamingOps.dueDocuments(spark, base).mkString("; "))
+
       val summary = StreamingOps.remediateDocumentQuarantine(spark,
         base, langFix, rules)
       val rows = summary
@@ -211,8 +216,12 @@ class RemediationSpec extends AnyFunSuite with SparkSuite {
       assert(hits("zinnia") === Set(1L))
       assert(hits("marigold") === Set.empty[Long])
 
-      // both partitions scrubbed empty — and GONE as directories
+      // both partitions scrubbed empty — and GONE as directories;
+      // the cadence advisory clears with them
       assert(spark.table(s"${base}_ups_quarantine").count() === 0L)
+      assert(!StreamingOps.dueDocuments(spark, base)
+        .exists(_.startsWith("remediate-quarantine")),
+        StreamingOps.dueDocuments(spark, base).mkString("; "))
       val loc = graft.operators.TextOps.tableLocation(spark,
         s"${base}_ups_quarantine")
       val fs = loc.getFileSystem(
