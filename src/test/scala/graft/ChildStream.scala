@@ -38,6 +38,12 @@ object ChildStream {
     val feed = args(1)
     val rounds = args(2).toInt
     val spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    // under a full parallel `sbt test` the parent JVM's other suites
+    // hold the shared build lock in long stretches; the child is the
+    // patient party here (the spec's deadline bounds the whole round
+    // at 240 s), so it waits well past the 30 s default instead of
+    // refusing mid-batch
+    spark.conf.set("graft.buildLock.timeoutMs", "180000")
     val rules = Seq[graft.operators.Quality.Rule](
       graft.operators.Quality.Rule.OneOf("lang", Seq("en", "fr", "de")),
       graft.operators.Quality.Rule.InRange("n_chars", 60.0, 500.0))

@@ -112,7 +112,10 @@ class StreamRaceSpec extends AnyFunSuite with SparkSuite {
         java.nio.file.Files.createFile(
           java.nio.file.Paths.get(feed, s"go_$r"))
         val done = java.nio.file.Paths.get(feed, s"done_$r")
-        val deadline = System.currentTimeMillis() + 240000L
+        // generous: under a full parallel test run the child may wait
+        // out long parent lock holds (it raises its own lock timeout
+        // to 180 s), and round 1 also absorbs its session spin-up
+        val deadline = System.currentTimeMillis() + 360000L
         parentRound() // at least one contended verb per child batch
         while (!java.nio.file.Files.exists(done)) {
           assert(child.isAlive, s"child died: ${log().takeRight(3000)}")
