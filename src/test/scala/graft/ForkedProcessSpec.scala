@@ -38,6 +38,7 @@ class ForkedProcessSpec extends AnyFunSuite with SparkSuite {
 
   test("a forked child JVM's maintenance storm serializes with this " +
       "process: no lost rows, clean fsck, probes survive") {
+   ForkedSuites.gate.synchronized {
     val rounds = 6
     val childT = s"xfp_child_p$pid"   // owned by the CHILD process
     val parentT = s"xfp_parent_p$pid" // owned by THIS process
@@ -133,5 +134,6 @@ class ForkedProcessSpec extends AnyFunSuite with SparkSuite {
       }
       java.nio.file.Files.deleteIfExists(out)
     }
+   }
   }
 }

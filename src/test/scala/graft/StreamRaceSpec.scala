@@ -34,6 +34,7 @@ class StreamRaceSpec extends AnyFunSuite with SparkSuite {
   test("a forked streaming ingest (ledger + gate + sinks) survives " +
       "parent maintenance contention, remediates its quarantine, and " +
       "both sides audit clean with proven overlap") {
+   ForkedSuites.gate.synchronized {
     val rounds = 4
     val childBase = s"sr_child_p$pid"
     val parentT = s"sr_parent_p$pid"
@@ -169,5 +170,6 @@ class StreamRaceSpec extends AnyFunSuite with SparkSuite {
         } finally walk.close()
       paths.foreach(java.nio.file.Files.deleteIfExists(_))
     }
+   }
   }
 }

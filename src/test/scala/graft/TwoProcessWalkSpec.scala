@@ -42,6 +42,7 @@ class TwoProcessWalkSpec extends AnyFunSuite with SparkSuite {
   test("interleaved seeded walks in two real JVMs both hold their " +
       "models under the shared build lock, and the interleaving is " +
       "proven, not accidental") {
+   ForkedSuites.gate.synchronized {
     val steps = 18
     val childT = s"xw_child_p$pid"
     val parentT = s"xw_parent_p$pid"
@@ -126,5 +127,6 @@ class TwoProcessWalkSpec extends AnyFunSuite with SparkSuite {
       }
       java.nio.file.Files.deleteIfExists(out)
     }
+   }
   }
 }
