@@ -2709,6 +2709,46 @@ object StreamingOps {
       }
   }
 
+  /** AGE twin of [[pruneAdmissionAudit]] (r18 — retention is bounded
+    * by count AND age everywhere else in the engine: backups and
+    * snapshots prune by both, the audit sinks only pruned by count):
+    * drop every `_batch` partition of the six admission sinks whose
+    * newest file is older than `maxAgeMs`, never touching the family
+    * and never triggering a reset (the sinks are re-derivable audit
+    * trails, outside the reset-membership list by design). Age is the
+    * partition's max file mtime — batch ids order WITHIN a ledger
+    * life but carry no clock, and a replay re-stamps its slice's
+    * files, which is correct: re-derived evidence is NEW evidence.
+    */
+  def pruneAdmissionAuditOlderThan(spark: SparkSession, base: String,
+      maxAgeMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    require(maxAgeMs >= 0L,
+      "pruneAdmissionAuditOlderThan: maxAgeMs must be >= 0")
+    Seq(s"${base}_quarantine", s"${base}_admission",
+      s"${base}_ups_quarantine", s"${base}_ups_admission",
+      s"${base}_vups_quarantine", s"${base}_vups_admission")
+      .filter(spark.catalog.tableExists).flatMap { t =>
+        val loc = graft.operators.TextOps.tableLocation(spark, t)
+        val fs = loc.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+          val kids = fs.listStatus(p)
+          val own = kids.filter(_.isFile).map(_.getModificationTime)
+          val sub = kids.filter(_.isDirectory).map(s =>
+            newestMtime(s.getPath))
+          (own ++ sub :+ 0L).max
+        }
+        val victims = fs.listStatus(loc).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("_batch="))
+          .filter(st => nowMs - newestMtime(st.getPath) > maxAgeMs)
+        victims.foreach(st => fs.delete(st.getPath, true))
+        if (victims.nonEmpty) spark.catalog.refreshTable(t)
+        victims.map(st => s"dropped $t/${st.getPath.getName} (age)")
+      }
+  }
+
   /** Remove every row matching `ids` (on `idCol`) from a
     * batch-partitioned quarantine sink, rewriting ONLY the touched
     * `_batch` partitions (dynamic partition overwrite — the

@@ -335,6 +335,167 @@ class RemediationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("batch scoping: remediation of ONE batch heals only its rows; " +
+      "the other batch's backlog stays for its own pass") {
+    val base = s"remscope_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rems").toString
+    val upsDir = java.nio.file.Files
+      .createTempDirectory("graft_rems_ups").toString
+    drop(famTables(base): _*)
+    rmCk(base); rmCk(s"${base}_ups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      Seq((1L, enText("seed one"), "en", "crawl", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base)
+      // two DIFFERENT docs' violating rewrites in two batches
+      Seq((11L, enText("batchone violet"), "xx", "cdc", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(upsDir)
+      Thread.sleep(1100)
+      Seq((12L, enText("batchtwo sorrel"), "yy", "cdc", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(upsDir)
+      StreamingOps.streamingDocumentUpserts(spark, upsDir, base,
+        admission = rules)
+      val batches = spark.table(s"${base}_ups_quarantine")
+        .select("_batch").as[Long].collect().sorted.toSeq
+      assert(batches.size === 2)
+
+      val rows = StreamingOps.remediateDocumentQuarantine(spark, base,
+        langFix, rules, cdc = true,
+        batches = Some(Seq(batches.head)))
+        .select("batch", "quarantined", "healed", "remaining")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // only the scoped batch appears and heals; the other batch is
+      // untouched backlog
+      assert(rows.toSeq === Seq((batches.head, 1L, 1L, 0L)),
+        rows.toSeq.toString)
+      assert(spark.table(s"${base}_ups_quarantine")
+        .select("doc_id").as[Long].collect().toSet === Set(12L))
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base); rmCk(s"${base}_ups")
+      rmDir(dir); rmDir(upsDir)
+    }
+  }
+
+  test("a fix that drops the id column is refused before anything " +
+      "is written") {
+    val base = s"remiae_p$pid"
+    drop(s"${base}_quarantine", s"${base}_admission")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val batch = Seq((1L, "xx")).toDF("doc_id", "lang")
+      val (_, annOpt) = StreamingOps.admitBatch(spark, batch,
+        Seq(OneOf("lang", Seq("en"))), 1.0, base, 0L, "spec")
+      annOpt.foreach(_.unpersist())
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.remediateDocumentQuarantine(spark, base,
+          fix = df => df.drop("doc_id"),
+          admission = Seq(OneOf("lang", Seq("en"))))
+      }
+      assert(e.getMessage.contains("must preserve"), e.getMessage)
+      // nothing was scrubbed
+      assert(spark.table(s"${base}_quarantine").count() === 1L)
+    } finally drop(s"${base}_quarantine", s"${base}_admission")
+  }
+
+  test("a ledger replay re-derives the ORIGINAL rejects (the audit " +
+      "reflects what the feed delivered) and re-remediation converges " +
+      "without double-indexing") {
+    val base = s"remrply_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_remr").toString
+    drop(famTables(base): _*)
+    rmCk(base); rmCk(s"${base}_ups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      Seq(
+        (1L, enText("clean one"), "en", "crawl", 120L),
+        (11L, enText("fixable eleven"), "xx", "crawl", 150L),
+        (21L, enText("overlong"), "en", "crawl", 999L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules)
+      StreamingOps.remediateDocumentQuarantine(spark, base, langFix,
+        rules)
+      assert(spark.table(s"${base}_quarantine")
+        .select("doc_id").as[Long].collect().toSet === Set(21L))
+      def postingsOf(id: Long): Long =
+        graft.operators.TextOps.liveBm25(spark, s"${base}_bm25",
+          s"${base}_bm25_stats")._1
+          .where(col("doc_id") === id).count()
+      val healedPostings = postingsOf(11L)
+      assert(healedPostings > 0L)
+
+      // member loss → the next ingest resets and REPLAYS the feed:
+      // the quarantine slice re-derives the original rejects, healed
+      // row included (evidence of what the feed delivered)
+      spark.sql(s"DROP TABLE ${base}_band")
+      StreamingOps.streamingDocumentIngest(spark, dir, base,
+        admission = rules)
+      assert(spark.table(s"${base}_quarantine")
+        .select("doc_id").as[Long].collect().toSet === Set(11L, 21L))
+
+      // re-remediation converges: 11 heals again as a re-supersede
+      // (same content), not a second copy
+      val again = StreamingOps.remediateDocumentQuarantine(spark,
+        base, langFix, rules)
+        .select("quarantined", "healed", "remaining").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(again.toSeq === Seq((2L, 1L, 1L)))
+      assert(spark.table(s"${base}_quarantine")
+        .select("doc_id").as[Long].collect().toSet === Set(21L))
+      assert(postingsOf(11L) === healedPostings,
+        "replay + re-heal changed doc 11's served postings")
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base); rmCk(s"${base}_ups")
+      rmDir(dir)
+    }
+  }
+
+  test("audit-sink retention by AGE: partitions older than the bound " +
+      "drop (newest file mtime), younger ones stay, the family is " +
+      "never touched") {
+    val base = s"remage_p$pid"
+    drop(s"${base}_quarantine", s"${base}_admission")
+    try {
+      val sp = spark
+      import sp.implicits._
+      Seq(0L, 1L).foreach { bid =>
+        val batch = Seq((bid * 10 + 1, "xx")).toDF("doc_id", "lang")
+        val (_, ann) = StreamingOps.admitBatch(spark, batch,
+          Seq(OneOf("lang", Seq("en"))), 1.0, base, bid, "spec")
+        ann.foreach(_.unpersist())
+      }
+      // a generous bound keeps everything
+      assert(StreamingOps.pruneAdmissionAuditOlderThan(spark, base,
+        maxAgeMs = 3600000L).isEmpty)
+      assert(spark.table(s"${base}_quarantine").count() === 2L)
+      // from one hour in the future, every partition is over-age
+      val dropped = StreamingOps.pruneAdmissionAuditOlderThan(spark,
+        base, maxAgeMs = 60000L,
+        nowMs = System.currentTimeMillis() + 3600000L)
+      assert(dropped.exists(_.contains(s"${base}_quarantine/_batch=0")),
+        dropped.mkString("; "))
+      assert(dropped.exists(_.contains(s"${base}_quarantine/_batch=1")),
+        dropped.mkString("; "))
+      assert(spark.table(s"${base}_quarantine").count() === 0L)
+    } finally drop(s"${base}_quarantine", s"${base}_admission")
+  }
+
   test("a crash between the heal's upsert and the scrub CONVERGES on " +
       "re-run: the upsert re-supersedes the same content at a higher " +
       "barrier, the index serves ONE copy, quarantine empties") {
