@@ -617,6 +617,38 @@ class RemediationSpec extends AnyFunSuite with SparkSuite {
         assert(ids.contains(9002L), m)
       }
       assert(spark.table(s"${base}_vups_quarantine").count() === 0L)
+
+      // the INGEST-side vector sink heals through the same core: a
+      // NaN-lane embedding rejected by the unified ingest re-enters
+      // once the fix zeroes the poisoned lane
+      val nanVec = Array.fill(dim)(0.1f).updated(3, Float.NaN)
+      Seq(9003L -> nanVec).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/embeddings.parquet")
+      StreamingOps.streamingAllIndexIngest(spark, dir, base,
+        admission = vecRules)
+      assert(spark.table(s"${base}_quarantine")
+        .select("vec_id").as[Long].collect().toSet === Set(9003L))
+      val ingSummary = StreamingOps.remediateVectorQuarantine(spark,
+        base,
+        fix = df => df.withColumn("embedding",
+          transform(col("embedding"),
+            x => when(isnan(x), lit(0.0f)).otherwise(x))),
+        admission = vecRules)
+        .select("quarantined", "healed", "remaining").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(ingSummary.toSeq === Seq((1L, 1L, 0L)))
+      assert(spark.table(s"${base}_quarantine").count() === 0L)
+      val annIds = spark.table(s"${base}_ann_vec")
+        .select("vec_id").distinct().as[Long].collect().toSet
+      assert(annIds.contains(9003L))
+      // and the served top-k stays NaN-free after the heal
+      val probe = emb.filter(col("vec_id") === 1L)
+        .select((col("vec_id") + 600L).as("q_id"), col("embedding"))
+      val scores = graft.operators.SqIndex.scoreExternal(probe, spark,
+        s"${base}_sq", 5).select("sim").collect()
+        .map(_.getDouble(0))
+      assert(scores.nonEmpty && scores.forall(v => !v.isNaN))
     } finally {
       drop(fams: _*)
       rmCk(base); rmCk(s"${base}_vups")
