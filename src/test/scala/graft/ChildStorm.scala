@@ -21,6 +21,9 @@ object ChildStorm {
     val table = args(0)
     val rounds = args(1).toInt
     val spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    // the SparkSuite rationale: under full-suite load a lock waiter
+    // can starve past the 30 s production default
+    spark.conf.set("graft.buildLock.timeoutMs", "180000")
     val statsT = table + "_stats"
     try {
       val sp = spark

@@ -19,6 +19,9 @@ object ChildWalk {
     val seed = args(1).toLong
     val steps = args(2).toInt
     val spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    // the SparkSuite rationale: under full-suite load a lock waiter
+    // can starve past the 30 s production default
+    spark.conf.set("graft.buildLock.timeoutMs", "180000")
     try {
       val trace = LifecycleWalk.run(spark, table, seed, steps,
         onVerb = v => {
