@@ -4304,8 +4304,11 @@ object TextOps {
         // retry — abandoned staged frames otherwise linger until the
         // ContextCleaner gets to them, unbounded transient storage
         // pressure for probes retried under heavy rewrite churn
-        // (r18, ADVICE)
-        staged.unpersist()
+        // (r18, ADVICE). Through the LogicalRDD: Dataset.unpersist is
+        // a CacheManager call and silently no-ops on checkpoint
+        // blocks (late r18 — the full suite caught the first fix
+        // doing exactly that)
+        unpersistCheckpoint(staged)
         throw new SwapRaceException(
           s"probe raced a maintenance rewrite of ${vanished.mkString(", ")}" +
             " (files vanished mid-read) — re-planning")
@@ -5113,10 +5116,13 @@ object TextOps {
 
   /** Unpersist the checkpoint blocks behind an (eagerly) locally
     * checkpointed frame — `Dataset.localCheckpoint` offers no release
-    * hook, so reach through the LogicalRDD it plans to. The frame must
+    * hook (`Dataset.unpersist` goes through the CacheManager, which
+    * does not track checkpoint RDDs, so it is a silent NO-OP here),
+    * so reach through the LogicalRDD it plans to. The frame must
     * not be referenced afterwards (its only data source is gone).
     */
-  private def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(
+      df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)

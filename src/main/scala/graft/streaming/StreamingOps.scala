@@ -2685,11 +2685,15 @@ object StreamingOps {
     * id). The sinks are re-derivable audit trails, not index state —
     * pruning them never touches the family and never triggers a reset
     * (they are deliberately outside the reset-membership list).
+    * Runs under the cross-process build lock (r18): a prune racing a
+    * [[scrubQuarantine]] overwrite of the same partition could
+    * resurrect the pruned rows from the scrub's checkpointed remnant.
     */
   def pruneAdmissionAudit(spark: SparkSession, base: String,
       keepBatches: Int): Seq[String] = {
     require(keepBatches >= 1,
       "pruneAdmissionAudit: keepBatches must be >= 1")
+    graft.operators.TextOps.withBuildLock(spark) {
     Seq(s"${base}_quarantine", s"${base}_admission",
       s"${base}_ups_quarantine", s"${base}_ups_admission",
       s"${base}_vups_quarantine", s"${base}_vups_admission")
@@ -2707,6 +2711,7 @@ object StreamingOps {
         if (victims.nonEmpty) spark.catalog.refreshTable(t)
         victims.map(st => s"dropped $t/${st.getPath.getName}")
       }
+    }
   }
 
   /** AGE twin of [[pruneAdmissionAudit]] (r18 — retention is bounded
@@ -2719,12 +2724,14 @@ object StreamingOps {
     * partition's max file mtime — batch ids order WITHIN a ledger
     * life but carry no clock, and a replay re-stamps its slice's
     * files, which is correct: re-derived evidence is NEW evidence.
+    * Locked like its count twin.
     */
   def pruneAdmissionAuditOlderThan(spark: SparkSession, base: String,
       maxAgeMs: Long,
       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     require(maxAgeMs >= 0L,
       "pruneAdmissionAuditOlderThan: maxAgeMs must be >= 0")
+    graft.operators.TextOps.withBuildLock(spark) {
     Seq(s"${base}_quarantine", s"${base}_admission",
       s"${base}_ups_quarantine", s"${base}_ups_admission",
       s"${base}_vups_quarantine", s"${base}_vups_admission")
@@ -2747,6 +2754,7 @@ object StreamingOps {
         if (victims.nonEmpty) spark.catalog.refreshTable(t)
         victims.map(st => s"dropped $t/${st.getPath.getName} (age)")
       }
+    }
   }
 
   /** Remove every row matching `ids` (on `idCol`) from a
@@ -2762,53 +2770,71 @@ object StreamingOps {
     * through an eager localCheckpoint BEFORE the overwrite (the
     * consistentProbe discipline), so the insert plans from cached
     * rows, not from the files it is replacing.
+    *
+    * Runs under the cross-process build lock (r18): a scrub is a
+    * read-modify-write of whole partitions, so two concurrent scrubs
+    * of one sink (a hold stamped from two sessions, or a hold racing
+    * a remediation) would last-writer-win and RESURRECT the other's
+    * scrubbed rows — for a hold that is a no-trace contract breach,
+    * not mere staleness. The lock is reentrant, so locked callers
+    * (the hold verbs' members, remediation's upserts) compose.
     */
   private[graft] def scrubQuarantine(s: SparkSession, table: String,
-      ids: org.apache.spark.sql.DataFrame, idCol: String): Seq[Long] = {
-    if (!s.catalog.tableExists(table)) return Nil
-    val q = s.table(table)
-    if (!q.columns.contains(idCol)) return Nil
-    val key = ids.select(col(idCol)).distinct()
-    val touched = q.join(key, Seq(idCol), "left_semi")
-      .select(col("_batch")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
-    if (touched.isEmpty) return Nil
-    val remaining = q.where(col("_batch").isin(touched: _*))
-      .join(key, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    try {
-      val still = remaining.select(col("_batch")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      if (still.nonEmpty) {
-        // partition column LAST for the position-based insertInto
-        val ordered = q.columns.filterNot(_ == "_batch") :+ "_batch"
-        val out = remaining.select(ordered.map(col): _*)
-        val mode = "spark.sql.sources.partitionOverwriteMode"
-        val prev = s.conf.getOption(mode)
-        s.conf.set(mode, "dynamic")
-        try out.write.mode("overwrite").insertInto(table)
-        finally prev match {
-          case Some(v) => s.conf.set(mode, v)
-          case None => s.conf.unset(mode)
+      ids: org.apache.spark.sql.DataFrame, idCol: String): Seq[Long] =
+    if (!s.catalog.tableExists(table)) Nil
+    else graft.operators.TextOps.withBuildLock(s) {
+      val q = s.table(table)
+      if (!q.columns.contains(idCol)) Nil
+      else {
+        val key = ids.select(col(idCol)).distinct()
+        val touched = q.join(key, Seq(idCol), "left_semi")
+          .select(col("_batch")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        if (touched.isEmpty) Nil
+        else {
+          val remaining = q.where(col("_batch").isin(touched: _*))
+            .join(key, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          try {
+            val still = remaining.select(col("_batch")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            if (still.nonEmpty) {
+              // partition column LAST for the position-based insertInto
+              val ordered =
+                q.columns.filterNot(_ == "_batch") :+ "_batch"
+              val out = remaining.select(ordered.map(col): _*)
+              val mode = "spark.sql.sources.partitionOverwriteMode"
+              val prev = s.conf.getOption(mode)
+              s.conf.set(mode, "dynamic")
+              try out.write.mode("overwrite").insertInto(table)
+              finally prev match {
+                case Some(v) => s.conf.set(mode, v)
+                case None => s.conf.unset(mode)
+              }
+            }
+            val emptied = touched.filterNot(still)
+            if (emptied.nonEmpty) {
+              val loc = graft.operators.TextOps.tableLocation(s, table)
+              val fs = loc.getFileSystem(
+                s.sparkContext.hadoopConfiguration)
+              emptied.foreach { b =>
+                fs.delete(
+                  new org.apache.hadoop.fs.Path(loc, s"_batch=$b"),
+                  true)
+                ()
+              }
+            }
+            s.catalog.refreshTable(table)
+          } finally {
+            // through the LogicalRDD — Dataset.unpersist silently
+            // no-ops on localCheckpoint blocks (late r18)
+            graft.operators.TextOps.unpersistCheckpoint(remaining)
+            ()
+          }
+          touched
         }
       }
-      val emptied = touched.filterNot(still)
-      if (emptied.nonEmpty) {
-        val loc = graft.operators.TextOps.tableLocation(s, table)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        emptied.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(loc, s"_batch=$b"),
-            true)
-          ()
-        }
-      }
-      s.catalog.refreshTable(table)
-    } finally {
-      remaining.unpersist()
-      ()
     }
-    touched
-  }
 
   /** QUARANTINE REMEDIATION — the verb that closes the admission
     * lifecycle (r18): rejected rows sit in `<sink>_quarantine` with
@@ -2829,7 +2855,9 @@ object StreamingOps {
     *   3. applies the caller's `fix` and re-runs the SAME admission
     *      rules. No valve here: remediation is operator-attended, and
     *      "most rows still fail" is an ANSWER (the summary), not a
-    *      poisoned feed;
+    *      poisoned feed. A fix that drops the id column — or MERGES
+    *      ids into duplicates (the upsert verbs take at most one
+    *      version per id) — is refused before anything mutates;
     *   4. hands rows that now PASS to `ingest` (the caller wires the
     *      family's own upsert verbs — supersede-by-id, so a heal can
     *      never double-index an id that entered by another door, and
@@ -2890,6 +2918,27 @@ object StreamingOps {
     try {
       val healed = ann.where(size(col("violations")) === 0)
         .drop("violations")
+      // the representative pick guarantees at-most-one-version-per-id
+      // GOING IN, but the fix runs after it — a fix that MERGES ids
+      // (canonicalization remapping two quarantined ids to one)
+      // re-creates duplicates, and the family upsert verbs would
+      // silently index BOTH versions live under one id (tombstone and
+      // append share the batch's generation, so neither copy
+      // supersedes the other — scores double-count). Refuse loudly
+      // BEFORE anything mutates, the fix-must-preserve-idCol posture:
+      // which merged version wins is fix semantics, so the fix must
+      // collapse to one row itself. One aggregation over the
+      // persisted quarantine-sized frame.
+      val dups = healed.groupBy(col(idCol))
+        .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+        .select(col(idCol)).orderBy(col(idCol))
+        .limit(5).collect().map(_.get(0))
+      require(dups.isEmpty,
+        s"remediate($sinkPrefix): fix produced duplicate '$idCol' " +
+          s"values (e.g. ${dups.mkString(", ")}) — the upsert verbs " +
+          "take at most one version per id; a fix that merges ids " +
+          "must collapse them to one row itself (nothing was " +
+          "indexed or scrubbed)")
       ingest(healed)
       scrubQuarantine(s, qT,
         healed.select(col(idCol)).distinct(), idCol)
@@ -3177,9 +3226,16 @@ object StreamingOps {
     * partition — the audit trail converges under ledger replay the
     * same way the index does, instead of duplicating rows. Used by the
     * admission gate's quarantine and metrics sinks.
+    *
+    * Locked (r18, the [[scrubQuarantine]] rationale): a slice write
+    * racing a scrub of the same partition is two read-modify-writes
+    * of one directory — serialize them or the loser's evidence is
+    * silently clobbered. Reentrant, so the surrounding batch's member
+    * verbs (which take the same lock) compose.
     */
   private def writeBatchSlice(s: SparkSession, table: String,
-      df: org.apache.spark.sql.DataFrame): Unit = {
+      df: org.apache.spark.sql.DataFrame): Unit =
+      graft.operators.TextOps.withBuildLock(s) {
     // partition column must be LAST for position-based insertInto
     val ordered = df.columns.filterNot(_ == "_batch") :+ "_batch"
     val out0 = df.select(ordered.map(col): _*)

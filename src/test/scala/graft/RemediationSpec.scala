@@ -408,6 +408,35 @@ class RemediationSpec extends AnyFunSuite with SparkSuite {
     } finally drop(s"${base}_quarantine", s"${base}_admission")
   }
 
+  test("a fix that MERGES ids into duplicates is refused before " +
+      "anything is indexed or scrubbed") {
+    val base = s"remdup_p$pid"
+    drop(s"${base}_quarantine", s"${base}_admission")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val batch = Seq((1L, "xx"), (2L, "zz")).toDF("doc_id", "lang")
+      val (_, annOpt) = StreamingOps.admitBatch(spark, batch,
+        Seq(OneOf("lang", Seq("en"))), 1.0, base, 0L, "spec")
+      annOpt.foreach(_.unpersist())
+      // the fix canonicalizes BOTH quarantined ids to one and heals
+      // the value — the upsert verbs would index two live versions
+      // of id 99 (tombstone and append share the batch generation,
+      // so neither supersedes the other; scores double-count)
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.remediateDocumentQuarantine(spark, base,
+          fix = df => df.withColumn("doc_id", lit(99L))
+            .withColumn("lang", lit("en")),
+          admission = Seq(OneOf("lang", Seq("en"))))
+      }
+      assert(e.getMessage.contains("duplicate"), e.getMessage)
+      assert(e.getMessage.contains("99"), e.getMessage)
+      // nothing was scrubbed and no family table was minted
+      assert(spark.table(s"${base}_quarantine").count() === 2L)
+      assert(!spark.catalog.tableExists(s"${base}_bm25"))
+    } finally drop(s"${base}_quarantine", s"${base}_admission")
+  }
+
   test("a ledger replay re-derives the ORIGINAL rejects (the audit " +
       "reflects what the feed delivered) and re-remediation converges " +
       "without double-indexing") {
