@@ -186,6 +186,86 @@ object Quality {
     (missing ++ retyped ++ extra).toSeq.sorted
   }
 
+  /** Per-file parquet footer schemas for the streaming gate's
+    * [[Rule.SchemaMatches]] drift discovery (late r18). Per-file, not
+    * merged: a merge UNIONS columns, which would hide the one file
+    * that LOST a column. Under `graft.footer.fanoutThreshold`
+    * (default 1024) each footer is read on the driver — a micro-batch
+    * is a handful of files and a Spark job costs more than it saves.
+    * Above it the footers read as ONE Spark job (the
+    * hashFilesDistributed / distcp shape: at 100 TB a backfill batch
+    * can carry tens of thousands of files, and a per-file driver loop
+    * would serialize exactly the path that must keep up with the
+    * feed). Tasks return raw footer MessageType text; the
+    * parquet→Spark conversion runs driver-side with the session's OWN
+    * SQLConf converter, so both rungs yield bit-identical schemas —
+    * spec-gated in QualitySpec.
+    */
+  /** Recursively force-nullable (late r18): the file-source read path
+    * marks every column nullable, but a raw footer conversion keeps
+    * parquet `required` fields non-nullable — without this the two
+    * [[footerSchemas]] rungs would disagree on exactly the flag
+    * [[Rule.SchemaMatches]] documents as ignored. (DataType has an
+    * `asNullable`, but it is private[spark].)
+    */
+  private def forceNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, forceNullable(f.dataType),
+          nullable = true, f.metadata)))
+      case a: ArrayType =>
+        ArrayType(forceNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(forceNullable(m.keyType),
+        forceNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private[graft] def footerSchemas(
+      s: org.apache.spark.sql.SparkSession, files: Seq[String])
+      : Seq[org.apache.spark.sql.types.StructType] = {
+    val threshold = s.conf.getOption("graft.footer.fanoutThreshold")
+      .map(_.toInt).getOrElse(1024)
+    if (files.size <= threshold)
+      files.map(f => forceNullable(s.read.parquet(f).schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else {
+      import scala.jdk.CollectionConverters._
+      // the EXPENSIVE part — opening tens of thousands of files and
+      // reading their footers — distributes; the parquet→Spark type
+      // conversion is pure CPU per schema and runs on the driver with
+      // the session's OWN SQLConf converter, so the two rungs cannot
+      // drift on conversion rules (and the converter never has to
+      // serialize). Footers travel as parquet MessageType text — the
+      // parseable canonical form.
+      val confKv = s.sessionState.newHadoopConf().iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+      val n = math.max(1, math.min(files.size,
+        s.sparkContext.defaultParallelism * 2))
+      val raw = s.sparkContext.parallelize(files, n)
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confKv.foreach { case (k, v) => conf.set(k, v) }
+          it.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getFileMetaData.getSchema.toString
+            finally r.close()
+          }
+        }
+        .collect().toSeq
+      val conv = new org.apache.spark.sql.execution.datasources
+        .parquet.ParquetToSparkSchemaConverter(s.sessionState.conf)
+      raw.map(txt => forceNullable(conv.convert(
+          org.apache.parquet.schema.MessageTypeParser
+            .parseMessageType(txt)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
   /** `df` + `violations: array<string>` — the sorted names of every rule
     * the row fails (empty array = admitted). Row-local rules evaluate in
     * the projection; UniqueKey adds one key-partitioned window count;

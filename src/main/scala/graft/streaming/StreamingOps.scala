@@ -3161,8 +3161,11 @@ object StreamingOps {
       val files = source.getOrElse(batch)
         .select(input_file_name().as("f")).distinct()
         .collect().map(_.getString(0)).filter(_.nonEmpty).sorted
-      files.flatMap(f => graft.operators.Quality
-        .schemaProblems(s.read.parquet(f).schema, sm))
+      // threshold-dispatched (late r18): a handful of files reads
+      // driver-side, a backfill batch's tens of thousands fan out as
+      // one Spark job — Quality.footerSchemas
+      graft.operators.Quality.footerSchemas(s, files.toSeq)
+        .flatMap(a => graft.operators.Quality.schemaProblems(a, sm))
         .distinct.sorted
     }
     val ann0 = graft.operators.Quality.annotate(batch, admission)

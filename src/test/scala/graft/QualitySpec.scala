@@ -222,6 +222,57 @@ class QualitySpec extends AnyFunSuite with SparkSuite {
       "schema,schema:missing:score,schema:retyped:id"))
   }
 
+  test("footerSchemas: the distributed rung (fan-out past the " +
+      "threshold) reads per-file schemas bit-identically to the " +
+      "driver rung, and the problem union names every drifted file") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_footer").toString
+    try {
+      // four files against one expectation: conforming / lost a
+      // column / gained a column / retyped a column — per-file
+      // schemas are the point (a merged read UNIONS columns and
+      // would hide the file that lost one)
+      Seq((1L, "a", 2L)).toDF("id", "name", "n")
+        .coalesce(1).write.parquet(s"$dir/ok")
+      Seq((2L, "b")).toDF("id", "name")
+        .coalesce(1).write.parquet(s"$dir/lost")
+      Seq((3L, "c", 4L, "x")).toDF("id", "name", "n", "xtra")
+        .coalesce(1).write.parquet(s"$dir/gained")
+      Seq((4L, "d", "9")).toDF("id", "name", "n")
+        .coalesce(1).write.parquet(s"$dir/retyped")
+      val files = Seq("ok", "lost", "gained", "retyped").flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$d")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isFile)
+          .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      }.sorted
+      assert(files.size === 4)
+      val driverRung = Quality.footerSchemas(spark, files)
+      val key = "graft.footer.fanoutThreshold"
+      spark.conf.set(key, "0") // force the Spark-job rung
+      val jobRung =
+        try Quality.footerSchemas(spark, files)
+        finally spark.conf.unset(key)
+      assert(jobRung.map(_.json) === driverRung.map(_.json),
+        "the two rungs must be bit-exact")
+      val expected = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("n", LongType)))
+      val problems = jobRung
+        .flatMap(a => Quality.schemaProblems(a,
+          SchemaMatches(expected)))
+        .distinct.sorted
+      assert(problems === Seq("schema:extra:xtra", "schema:missing:n",
+        "schema:retyped:n"))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
+    }
+  }
+
   test("q_expect / q_quarantine registry entries run with teeth on testdata") {
     val m = SparkEntry.queries("q_expect")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
