@@ -1662,7 +1662,9 @@ object TextOps {
         "(restore would resurrect it as a member) — re-take the " +
         "backup")
     val deepProblems =
-      if (!deep) Nil else checkBackupDeep(s, marker, tag)
+      if (!deep) Nil
+      else checkBackupDeep(s, marker, tag,
+        distributed = markerRows > fanoutThreshold)
     fileProblems ++ extras ++ deepProblems
   }
 
@@ -1793,6 +1795,15 @@ object TextOps {
     * tamper inside a committed copy. A pre-hash row is NAMED as
     * unverifiable — a silent skip would read as "verified". */
   private def checkBackupDeep(s: org.apache.spark.sql.SparkSession,
+      marker: String, tag: String, distributed: Boolean)
+      : Seq[String] =
+    if (distributed) checkBackupDeepDistributed(s, marker, tag)
+    else checkBackupDeepLocal(s, marker, tag)
+
+  /** The original in-memory deep gather (small markers): per-file
+    * tuples resolve on the driver, one distributed re-hash job over
+    * the verifiable set. */
+  private def checkBackupDeepLocal(s: org.apache.spark.sql.SparkSession,
       marker: String, tag: String): Seq[String] = {
     val recorded = readBackupMarker(s, marker).groupBy(_._1)
     // gather every verifiable (file, holder, expected md5) — the
@@ -1843,6 +1854,104 @@ object TextOps {
         else Seq(s"$m: $p content mismatch in $h (recorded md5 " +
           s"$sha, found ${got((loc, p))} — bit rot or tamper at " +
           "unchanged length); re-take the backup")
+    }
+  }
+
+  /** The deep pass past `graft.marker.fanoutThreshold` (late r18,
+    * review: the shallow diff fanned out but the deep gather still
+    * collected one driver tuple per committed file — the exact
+    * materialization the threshold exists to avoid). Holder
+    * resolution (own copy when it physically holds the file, else
+    * the base copy) moves into a join against the own-copy listing;
+    * existence probing, hashing, and the hash COMPARISON all run in
+    * the tasks, so the driver collects only violations (bounded by
+    * damage) plus the bounded per-member metadata (listings — the
+    * Hadoop API is driver-side by nature — distinct borrow tags,
+    * holder locations). Message text and (member, path) order are
+    * BIT-EXACT with [[checkBackupDeepLocal]] (spec-gated in
+    * MarkerScaleSpec).
+    */
+  private def checkBackupDeepDistributed(
+      s: org.apache.spark.sql.SparkSession, marker: String,
+      tag: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val sp = s
+    import sp.implicits._
+    val confKv = s.sparkContext.hadoopConfiguration.iterator()
+      .asScala.map(e => (e.getKey, e.getValue)).toArray
+    val recordedMembers = markerFrame(s, marker)
+      .select("member").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    recordedMembers.flatMap { m =>
+      if (!s.catalog.tableExists(m)) Nil // shallow reported it
+      else {
+        val live = m.stripSuffix(s"_bak_$tag")
+        val rowsM = markerFrame(s, marker)
+          .where(col("member") === m && col("path").isNotNull)
+        // pre-hash rows are NAMED per file, as in the local rung — a
+        // silent skip would read as "verified"; pre-hash markers are
+        // legacy-small by construction
+        val unver = rowsM.where(col("sha").isNull)
+          .select(col("path")).collect().map(_.getString(0))
+          .map(p => p -> (s"$m: $p has no recorded content hash " +
+            "(pre-hash marker) — deep audit cannot verify it; " +
+            "re-take the backup"))
+        // bounded: distinct borrow tags → existing holders' locations
+        val srcTags = rowsM
+          .where(col("sha").isNotNull && col("src").isNotNull)
+          .select(col("src")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val holderLoc: Map[String, String] =
+          ((m, true) +: srcTags.map { b =>
+            val h = s"${live}_bak_$b"
+            (h, s.catalog.tableExists(h))
+          }).collect { case (h, true) =>
+            h -> tableLocation(s, h).toString
+          }.toMap
+        val locMapB = s.sparkContext.broadcast(holderLoc)
+        val files = listDataFiles(s, m)
+        val ownDF = s.sparkContext.parallelize(files,
+          (files.size / 100000 + 1).min(64)).toDF("apath", "alen")
+        val joined = rowsM.where(col("sha").isNotNull)
+          .join(ownDF, col("path") === col("apath") &&
+            col("len") === col("alen"), "left_outer")
+          .select(col("path"), col("src"), col("sha"),
+            col("apath").isNotNull.as("inOwn"))
+        val mm = m
+        val liveB = live
+        val bad = joined.rdd.mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confKv.foreach { case (k, v) => conf.set(k, v) }
+          it.flatMap { r =>
+            val p = r.getString(0)
+            val src = Option(r.getString(1))
+            val sha = r.getString(2)
+            val inOwn = r.getBoolean(3)
+            val holder =
+              if (src.isEmpty || inOwn) mm
+              else s"${liveB}_bak_${src.get}"
+            locMapB.value.get(holder).flatMap { loc =>
+              val root = new org.apache.hadoop.fs.Path(loc)
+              val fs = root.getFileSystem(conf)
+              if (!fs.exists(new org.apache.hadoop.fs.Path(root, p)))
+                None // missing = the shallow pass's finding
+              else {
+                val got = hashOne(conf, loc, p)._2
+                if (got == sha) None
+                else Some(p -> (s"$mm: $p content mismatch in " +
+                  s"$holder (recorded md5 $sha, found $got — bit " +
+                  "rot or tamper at unchanged length); re-take the " +
+                  "backup"))
+              }
+            }
+          }
+        }.collect()
+        locMapB.unpersist()
+        // the local rung walks this member's rows in path order,
+        // interleaving unverifiable and mismatch lines — merge-sort
+        // by path to match
+        (unver ++ bad).sortBy(_._1).map(_._2).toSeq
+      }
     }
   }
 
@@ -2735,22 +2844,49 @@ object TextOps {
     try f(tag) finally dropSnapshot(s, table, tag)
   }
 
+  /** Six hex chars of this host's name — rides inside every epoch
+    * tag so the dead-pid sweep can tell ITS host's pids from a
+    * foreign host's on a shared (hdfs/s3) warehouse: pid liveness is
+    * only answerable for local pids, and a foreign host's DEAD-here
+    * pid may be a LIVE reader there (late r18, review). */
+  private[graft] lazy val hostHash: String = {
+    val name =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case scala.util.control.NonFatal(_) =>
+        sys.env.getOrElse("HOSTNAME", "unknownhost") }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(6)
+  }
+
   /** A fresh collision-free alphanumeric tag for ephemeral epoch
-    * snapshots: base-36 nanotime + pid (two sessions on one warehouse
-    * must not race to the same tag). The `ep…p<pid>` shape is a
+    * snapshots: base-36 nanotime + pid + host hash (two sessions on
+    * one warehouse must not race to the same tag, and the sweep must
+    * know WHOSE pid it is). The `ep…p<pid>h<host>` shape is a
     * RESERVED namespace: the pid inside is what lets the crash sweep
     * ([[sweepLeakedEpochs]]) tell a leaked pin from a live one —
     * don't hand-pick snapshot tags of this shape.
     */
   private[graft] def epochTag(): String =
     "ep" + java.lang.Long.toString(System.nanoTime(), 36) +
-      "p" + java.lang.ProcessHandle.current().pid()
+      "p" + java.lang.ProcessHandle.current().pid() +
+      "h" + hostHash
+
+  /** (owning pid, owning host hash) encoded in an ephemeral epoch
+    * tag; None for every ordinary (operator-chosen) snapshot tag.
+    * The host group is optional — pre-r18.3 tags carried only the
+    * pid (minted same-host by construction then). */
+  private[graft] def epochTagParts(tag: String)
+      : Option[(Long, Option[String])] =
+    "^ep[0-9a-z]+p([0-9]+)(?:h([0-9a-f]{6}))?$".r
+      .findFirstMatchIn(tag)
+      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption
+        .map(pid => (pid, Option(m.group(2)))))
 
   /** The owning pid encoded in an ephemeral epoch tag; None for every
     * ordinary (operator-chosen) snapshot tag. */
   private[graft] def epochTagOwner(tag: String): Option[Long] =
-    "^ep[0-9a-z]+p([0-9]+)$".r.findFirstMatchIn(tag)
-      .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+    epochTagParts(tag).map(_._1)
 
   /** Is this epoch tag LEAKED — an ephemeral pin whose owning process
     * can no longer retire it? `withIndexEpoch`'s finally never runs on
@@ -2758,10 +2894,14 @@ object TextOps {
     * every default-Refuse batch fold and silently accrues anchor
     * bytes on every unattended Anchor fold. Two tests, either
     * suffices:
-    *   - the tag's own pid is DEAD on this host (the dead-pid-sweep
-    *     semantics the build lock and index directories already use;
-    *     a foreign HOST's epoch whose pid happens to be live here
-    *     reads as live — safe, it just waits for the TTL);
+    *   - the tag's own pid is DEAD and the tag was minted on THIS
+    *     host (the host hash inside the tag, late r18 — pid liveness
+    *     is only answerable locally: on a shared warehouse a foreign
+    *     host's pin whose pid is dead HERE may be a live reader
+    *     THERE, and a falsely-swept epoch corrupts that reader
+    *     silently where a falsely-held one merely waits for the TTL.
+    *     A foreign host's pins age out by TTL only; pre-host-hash
+    *     tags read as same-host, which is what minting them implied);
     *   - the manifest is older than `graft.epoch.ttlMs` (default
     *     24 h — epochs are request-scoped reads, not retention
     *     points; a legitimately longer analysis should take a NAMED
@@ -2771,8 +2911,10 @@ object TextOps {
   private[graft] def isLeakedEpoch(s: org.apache.spark.sql.SparkSession,
       tag: String, mtimeMs: Long,
       nowMs: Long = System.currentTimeMillis()): Boolean =
-    epochTagOwner(tag).exists { pid =>
-      val dead = !java.lang.ProcessHandle.of(pid).isPresent
+    epochTagParts(tag).exists { case (pid, host) =>
+      val sameHost = host.forall(_ == hostHash)
+      val dead = sameHost &&
+        !java.lang.ProcessHandle.of(pid).isPresent
       val ttl = s.conf.getOption("graft.epoch.ttlMs").map(_.toLong)
         .getOrElse(86400000L)
       dead || nowMs - mtimeMs > ttl

@@ -552,13 +552,17 @@ object OmsPipeline {
     val hfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!hfs.exists(dirPath) || !hfs.getFileStatus(dirPath).isDirectory)
       throw new IllegalArgumentException(s"not a directory: $dir")
+    // (len, mtime) straight from the listing — re-statting each path
+    // would both double the RPCs and CRASH (FileNotFoundException)
+    // on a file deleted between the list and the stat, exactly the
+    // churn this read exists to survive; a vanished file must surface
+    // as a fingerprint CHANGE, not an error (late r18, review)
     def fingerprint(): Map[String, (Long, Long)] =
-      hfs.listStatus(dirPath).map(_.getPath)
-        .filter(p => p.getName.endsWith(".csv") ||
-          p.getName.endsWith(".json"))
-        .map(p => p.toString ->
-          (hfs.getFileStatus(p).getLen,
-            hfs.getFileStatus(p).getModificationTime))
+      hfs.listStatus(dirPath)
+        .filter(st => st.getPath.getName.endsWith(".csv") ||
+          st.getPath.getName.endsWith(".json"))
+        .map(st => st.getPath.toString ->
+          (st.getLen, st.getModificationTime))
         .toMap
     val before = fingerprint()
     val files = before.keys.toSeq.sorted
@@ -579,8 +583,23 @@ object OmsPipeline {
       .cache()
     onUnionBuilt()
     // materialize NOW — every downstream pass serves from the cache,
-    // so the consistency the re-fingerprint proves covers them all
-    all.count()
+    // so the consistency the re-fingerprint proves covers them all.
+    // A file DELETED between the extract and this action surfaces as
+    // a task FileNotFoundException — that is the race, not an error:
+    // unwrap it to a replan like any fingerprint change (late r18)
+    try all.count()
+    catch {
+      case t: Throwable =>
+        var cause: Throwable = t
+        var fnfe = false
+        while (cause != null && !fnfe) {
+          fnfe = cause.isInstanceOf[java.io.FileNotFoundException]
+          cause = cause.getCause
+        }
+        if (!fnfe) throw t
+        all.unpersist()
+        return Left(Seq(s"file vanished mid-read: ${t.getMessage}"))
+    }
     val after = fingerprint()
     val changed = files.filter(p => !after.get(p).contains(before(p)))
     if (changed.nonEmpty) {

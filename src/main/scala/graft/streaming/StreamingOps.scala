@@ -691,23 +691,11 @@ object StreamingOps {
         val (admitted, annOpt) = admitBatch(s, unheld, admission,
           maxQuarantineRate, base, bid, "streamingDocumentIngest",
           source = Some(batch.toDF()))
-        val gated = graft.operators.TrainingData.curateGate(admitted)
-          .withColumn("content_hash", md5(col("text")))
-        val w = Window.partitionBy("content_hash").orderBy(col("doc_id"))
-        val inBatch = gated.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
-        val novel =
-          (if (s.catalog.tableExists(hashT))
-            inBatch.join(s.table(hashT), Seq("content_hash"), "left_anti")
-          else inBatch).persist()
+        val novel = ingestDoorTrim(s, admitted, hashT)
         try {
           graft.operators.TextOps.appendBandIndex(novel, bandT)
           graft.operators.TextOps.appendBm25Postings(novel, bm25T, statsT)
-          graft.operators.TextOps.clearOrphanLocation(s, hashT)
-          novel.select(col("content_hash"), col("doc_id"))
-            .write.mode("append")
-            .bucketBy(8, "content_hash").sortBy("content_hash")
-            .saveAsTable(hashT)
+          appendHashRows(s, novel, hashT)
         } finally {
           novel.unpersist()
           annOpt.foreach(_.unpersist())
@@ -2836,6 +2824,42 @@ object StreamingOps {
       }
     }
 
+  /** The document ingest door's own TRIMMINGS — ONE definition shared
+    * by [[streamingDocumentIngest]]'s batch body and the ingest-side
+    * heal in [[remediateDocumentQuarantine]] (late r18, review: two
+    * near-verbatim copies would silently desync exactly the parity
+    * the remediation contract promises). Curation gate, in-batch
+    * keep-lowest exact dedup on content hash, and the `hashT`
+    * anti-join (content already indexed under another id stays
+    * deduped). Returns the PERSISTED novel frame carrying
+    * `content_hash` — the caller unpersists, and pairs it with
+    * [[appendHashRows]] so a future redelivery of the same content
+    * is recognized, not re-indexed.
+    */
+  private def ingestDoorTrim(s: SparkSession,
+      batch: org.apache.spark.sql.DataFrame, hashT: String)
+      : org.apache.spark.sql.DataFrame = {
+    val gated = graft.operators.TrainingData.curateGate(batch)
+      .withColumn("content_hash", md5(col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col("doc_id"))
+    val inBatch = gated.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    (if (s.catalog.tableExists(hashT))
+      inBatch.join(s.table(hashT), Seq("content_hash"), "left_anti")
+    else inBatch).persist()
+  }
+
+  /** The hash-store append paired with [[ingestDoorTrim]]. */
+  private def appendHashRows(s: SparkSession,
+      novel: org.apache.spark.sql.DataFrame, hashT: String): Unit = {
+    graft.operators.TextOps.clearOrphanLocation(s, hashT)
+    novel.select(col("content_hash"), col("doc_id"))
+      .write.mode("append")
+      .bucketBy(8, "content_hash").sortBy("content_hash")
+      .saveAsTable(hashT)
+  }
+
   /** QUARANTINE REMEDIATION — the verb that closes the admission
     * lifecycle (r18): rejected rows sit in `<sink>_quarantine` with
     * their reasons; re-delivering the source batch is the STREAM's
@@ -2843,12 +2867,15 @@ object StreamingOps {
     * truncatable overflow, a re-embeddable vector) deserves an
     * operator verb that heals IN PLACE. This core:
     *
-    *   1. scopes the sink's rows (optionally to `batches`) and picks
-    *      ONE representative per id — highest `_batch` wins, the CDC
-    *      last-writer discipline (an id rejected twice heals from its
-    *      latest delivered version; the superseded copies leave with
-    *      it). The representative set satisfies the at-most-one-
-    *      version-per-id contract every upsert verb requires;
+    *   1. scopes the HEALED ID SET (optionally to ids appearing in
+    *      `batches`) and picks ONE representative per id over the
+    *      WHOLE sink — highest `_batch` wins, the CDC last-writer
+    *      discipline, even when the latest rejected delivery sits in
+    *      an out-of-scope batch (the scrub in step 5 is table-wide,
+    *      so a scope-local pick would heal a stale version AND
+    *      destroy the newer version's evidence). The representative
+    *      set satisfies the at-most-one-version-per-id contract every
+    *      upsert verb requires;
     *   2. drops held ids (defense in depth — the hold verbs scrub
     *      them from quarantine, but a hold stamped between read and
     *      fix must still win);
@@ -2892,8 +2919,20 @@ object StreamingOps {
         .orderBy("batch")
     if (!s.catalog.tableExists(qT)) return summary(Nil)
     val q0 = s.table(qT)
-    val scoped = batches
-      .map(bs => q0.where(col("_batch").isin(bs: _*))).getOrElse(q0)
+    // `batches` scopes WHICH ids to heal; the representative VERSION
+    // per id is picked over the WHOLE sink (late r18, review): the
+    // scrub is table-wide, so picking the rep from the scoped slice
+    // alone would heal a STALE version whenever the id's latest
+    // rejected delivery sits in an out-of-scope batch — and then
+    // destroy that newer version's evidence. LWW must hold across
+    // the scope boundary.
+    val pool = batches
+      .map { bs =>
+        val ids = q0.where(col("_batch").isin(bs: _*))
+          .select(col(idCol)).distinct()
+        q0.join(ids, Seq(idCol), "left_semi")
+      }
+      .getOrElse(q0)
     // per-batch counts over the WHOLE sink (bounded by audit
     // retention): healed ids scrub table-wide, so out-of-scope
     // batches can shrink too and the summary must price them
@@ -2904,7 +2943,7 @@ object StreamingOps {
       .filterNot(c => c == "violations" || c == "_batch")
     val w = Window.partitionBy(idCol)
       .orderBy(col("_batch").desc, col("violations"))
-    val reps0 = scoped
+    val reps0 = pool
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .select(dataCols.map(col).toIndexedSeq: _*)
@@ -2999,34 +3038,18 @@ object StreamingOps {
       Seq(s"${bm25T}_hold", s"${bandT}_hold"), fix, admission, batches,
       healed => {
         val s = healed.sparkSession
+        // ONE definition of the ingest door's trimmings (shared with
+        // streamingDocumentIngest, late r18 review) — what a healed
+        // row faces can never drift from what a clean delivery faces
         val entry =
           if (cdc) healed.persist()
-          else {
-            import org.apache.spark.sql.expressions.Window
-            val gated = graft.operators.TrainingData.curateGate(healed)
-              .withColumn("content_hash", md5(col("text")))
-            val w = Window.partitionBy("content_hash")
-              .orderBy(col("doc_id"))
-            val inBatch = gated
-              .withColumn("_rn", row_number().over(w))
-              .filter(col("_rn") === 1).drop("_rn")
-            (if (s.catalog.tableExists(hashT))
-              inBatch.join(s.table(hashT), Seq("content_hash"),
-                "left_anti")
-            else inBatch).persist()
-          }
+          else ingestDoorTrim(s, healed, hashT)
         try {
           graft.operators.TextOps.upsertBm25Docs(s, bm25T, statsT,
             entry.drop("content_hash"))
           graft.operators.TextOps.upsertBandDocs(s, bandT,
             entry.drop("content_hash"))
-          if (!cdc) {
-            graft.operators.TextOps.clearOrphanLocation(s, hashT)
-            entry.select(col("content_hash"), col("doc_id"))
-              .write.mode("append")
-              .bucketBy(8, "content_hash").sortBy("content_hash")
-              .saveAsTable(hashT)
-          }
+          if (!cdc) appendHashRows(s, entry, hashT)
         } finally {
           entry.unpersist()
           ()
@@ -3183,15 +3206,27 @@ object StreamingOps {
     val metrics =
       if (footerProblems.isEmpty) metrics0
       else {
-        // the footer SUB-rules are invisible to metricsOfAnnotated
-        // (the BATCH schema is the pinned one, conforming by
-        // construction — its summary row already counts every row,
-        // since the union above stamped them all with "schema") —
-        // add one row per drifted column, counting every batch row
+        // add one row per FOOTER-ONLY drifted column, counting every
+        // batch row. Footer-only: when the PINNED batch schema is
+        // itself drifted (a stream started — or re-invoked, the
+        // ledgeredIngest re-infers — over an already-broken feed),
+        // metricsOfAnnotated already emits that column's row from the
+        // batch schema; unioning the footer copy unconditionally
+        // would double the rule's row in the _admission slice and
+        // double-count it in every gauge aggregating by rule (late
+        // r18, review).
+        val batchNames = admission.collectFirst {
+          case sm: graft.operators.Quality.Rule.SchemaMatches =>
+            val actual = org.apache.spark.sql.types.StructType(
+              ann.schema.fields.filterNot(_.name == "violations"))
+            graft.operators.Quality.schemaProblems(actual, sm).toSet
+        }.getOrElse(Set.empty[String])
+        val footerOnly = footerProblems.filterNot(batchNames)
         val sp2 = s
         import sp2.implicits._
         val total = ann.count()
-        metrics0.unionByName(footerProblems
+        if (footerOnly.isEmpty) metrics0
+        else metrics0.unionByName(footerOnly
             .map(p => (p, total, total))
             .toDF("rule", "total", "violations"))
           .orderBy("rule")

@@ -533,6 +533,61 @@ class AdmissionSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("a feed ALREADY drifted at stream start writes each schema " +
+      "rule ONCE in the admission slice (late r18, review: the " +
+      "pinned batch schema and the footers agree on the problem, and " +
+      "the union used to double the rule's row — double-counting " +
+      "every gauge that aggregates by rule)") {
+    val base = s"admdup_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_admdup").toString
+    drop(s"${base}_quarantine", s"${base}_admission")
+    try {
+      val sp = spark
+      import sp.implicits._
+      // the drifted file IS the stream's first file, so the pinned
+      // (inferred) batch schema is itself drifted — batch-schema and
+      // footer discovery both name the same columns
+      Seq((1L, "alpha body", 9.0))
+        .toDF("doc_id", "text", "rogue")
+        .coalesce(1).write.parquet(s"$dir/f")
+      val f = new org.apache.hadoop.fs.Path(s"$dir/f")
+      val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(f).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      val batch = spark.read.parquet(part.toString)
+      val expected = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType)))
+      val rules = Seq[graft.operators.Quality.Rule](
+        graft.operators.Quality.Rule.SchemaMatches(expected))
+      val (_, annOpt) = StreamingOps.admitBatch(spark, batch, rules,
+        1.0, base, 0L, "spec", source = Some(batch))
+      annOpt.foreach(_.unpersist())
+      val byRule = spark.table(s"${base}_admission")
+        .groupBy("rule").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every rule exactly once — no doubled rows
+      assert(byRule.values.forall(_ == 1L), byRule.toString)
+      assert(byRule.keySet === Set("schema", "schema:extra:rogue",
+        "schema:missing:lang"), byRule.toString)
+    } finally {
+      drop(s"${base}_quarantine", s"${base}_admission")
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val paths =
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.toList
+        } finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("poisoned-feed valve: past the quarantine-rate threshold the " +
       "batch refuses wholesale with the evidence written; fixing the " +
       "threshold and re-invoking replays cleanly") {

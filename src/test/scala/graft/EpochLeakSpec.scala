@@ -189,6 +189,50 @@ class EpochLeakSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("a FOREIGN host's epoch pin never dead-pid-sweeps (late r18, " +
+      "review): on a shared warehouse its pid is only answerable on " +
+      "its own host — it ages out by TTL alone; this host's dead pid " +
+      "and a legacy host-less tag still sweep") {
+    val t = s"epl_host_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      mkFam(t)
+      val deadPid = 999999999L // outside this host's pid space
+      val otherHost =
+        if (TextOps.hostHash == "abc123") "def456" else "abc123"
+      val foreign = "ep" +
+        java.lang.Long.toString(System.nanoTime(), 36) +
+        s"p${deadPid}h$otherHost"
+      val ours = "ep" +
+        java.lang.Long.toString(System.nanoTime(), 36) +
+        s"p${deadPid}h${TextOps.hostHash}"
+      val legacy = epochTagFor(deadPid) // pre-host-hash shape
+      Seq(foreign, ours, legacy)
+        .foreach(TextOps.snapshotIndex(spark, t, _))
+      // parsing: all three are epoch tags with the same owner pid
+      assert(TextOps.epochTagOwner(foreign) === Some(deadPid))
+      assert(TextOps.epochTagOwner(ours) === Some(deadPid))
+      assert(TextOps.epochTagOwner(legacy) === Some(deadPid))
+      // real clock: OUR dead pid and the legacy tag sweep; the
+      // foreign host's pin survives (its pid may be live THERE)
+      val swept = TextOps.sweepLeakedEpochs(spark, Some(t))
+      assert(swept.exists(_.contains(s"$t/$ours")), swept)
+      assert(swept.exists(_.contains(s"$t/$legacy")), swept)
+      assert(!swept.exists(_.contains(s"$t/$foreign")), swept)
+      assert(TextOps.listSnapshots(spark, t).map(_._1) ===
+        Seq(foreign))
+      // the TTL backstop still reclaims the foreign pin eventually
+      val future = System.currentTimeMillis() + 100L * 3600 * 1000
+      val swept2 = TextOps.sweepLeakedEpochs(spark, Some(t), future)
+      assert(swept2.exists(_.contains(s"$t/$foreign")), swept2)
+      assert(TextOps.listSnapshots(spark, t) === Nil)
+      // freshly-minted tags carry this host's hash
+      assert(TextOps.epochTagParts(TextOps.epochTag())
+        .exists(_._2.contains(TextOps.hostHash)))
+    } finally drop(all: _*)
+  }
+
   test("a live withIndexEpoch still retires cleanly and its probes " +
       "refuse to be swept mid-flight (the normal path is unchanged)") {
     val t = s"epl_live_p$pid"

@@ -106,6 +106,79 @@ class MarkerScaleSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("DEEP audit: distributed and in-memory rungs are bit-exact on " +
+      "a same-length byte tamper, in the own copy and in a borrowed " +
+      "base copy (late r18 — the deep gather used to stay " +
+      "driver-bound past the threshold the shallow diff honored)") {
+    val t = s"ms_deep_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    try {
+      val sp = spark
+      import sp.implicits._
+      mkFam(t)
+      TextOps.backupIndex(spark, t, "b1")
+      TextOps.appendBm25Postings(
+        Seq(902L -> "deep delta content words").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      TextOps.backupIndex(spark, t, "b2", Some("b1"))
+      def deepAt(threshold: Long): Seq[String] = {
+        spark.conf.set("graft.marker.fanoutThreshold",
+          threshold.toString)
+        try TextOps.checkBackup(spark, t, "b2", deep = true)
+        finally spark.conf.unset("graft.marker.fanoutThreshold")
+      }
+      assert(deepAt(1000000L) === Nil)
+      assert(deepAt(0L) === Nil)
+      def flipOneByte(copy: String): (org.apache.hadoop.fs.Path,
+          Array[Byte]) = {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), copy.toLowerCase)
+        val fs = loc.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val victim = fs.listStatus(loc)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .map(_.getPath).minBy(_.getName)
+        val bytes = org.apache.hadoop.io.IOUtils
+          .readFullyToByteArray(fs.open(victim))
+        val tampered = bytes.clone()
+        // flip a byte INSIDE the payload (not the trailing magic) —
+        // same length, different content: invisible to the shallow
+        // (name, len) identity, exactly what deep exists to catch
+        tampered(bytes.length / 2) =
+          (tampered(bytes.length / 2) ^ 0xff).toByte
+        val out = fs.create(victim, true)
+        out.write(tampered); out.close()
+        (victim, bytes)
+      }
+      def heal(victim: org.apache.hadoop.fs.Path,
+          bytes: Array[Byte]): Unit = {
+        val fs = victim.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(victim, true)
+        out.write(bytes); out.close()
+      }
+      // tamper in b2's OWN copy
+      val (v1, b1bytes) = flipOneByte(s"${t}_bak_b2")
+      val local = deepAt(1000000L)
+      val dist = deepAt(0L)
+      assert(local.exists(_.contains("content mismatch")), local)
+      assert(dist === local, s"\ndist:  $dist\nlocal: $local")
+      heal(v1, b1bytes)
+      assert(deepAt(0L) === Nil)
+      // tamper in the BASE copy b2 borrows from — the mismatch must
+      // name the base copy as the holder, identically in both rungs
+      val (v2, b2bytes) = flipOneByte(s"${t}_bak_b1")
+      val local2 = deepAt(1000000L)
+      val dist2 = deepAt(0L)
+      assert(local2.exists(m => m.contains("content mismatch") &&
+        m.contains(s"${t}_bak_b1")), local2)
+      assert(dist2 === local2, s"\ndist:  $dist2\nlocal: $local2")
+      heal(v2, b2bytes)
+      assert(deepAt(0L) === Nil)
+    } finally drop(all: _*)
+  }
+
   test("aggregate verbs collect summaries, not rows: provenance and " +
       "dependents agree with the row-level read on a differential " +
       "chain") {

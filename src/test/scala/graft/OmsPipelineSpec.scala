@@ -323,6 +323,45 @@ class OmsPipelineSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("repeatable-read run survives a file DELETED mid-read (late " +
+      "r18, review): the vanished file is a fingerprint change — a " +
+      "replan onto the remaining files, never a FileNotFound crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_omsdel")
+    def write(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        ("country,date,new_cases,new_deaths,deaths" +: rows)
+          .mkString("\n").getBytes("UTF-8"))
+    try {
+      write("covid_a.csv", Seq(
+        "France,2020-03-01,10,1,1",
+        "France,2020-03-02,20,2,3"))
+      write("grippe_b.csv", Seq(
+        "Peru,2020-03-01,5,0,0"))
+      var fired = false
+      val res = OmsPipeline.runOperational(spark, dir.toString,
+        onUnionBuilt = () => if (!fired) {
+          fired = true
+          java.nio.file.Files.delete(dir.resolve("grippe_b.csv"))
+        })
+      assert(fired)
+      val clean = OmsPipeline.runOperational(spark, dir.toString)
+      def factRows(r: OmsPipeline.OperationalResult) =
+        r.star.statistique.collect().map(_.toString).sorted.toSeq
+      assert(factRows(res) === factRows(clean))
+      assert(factRows(res).size === 2) // the surviving file's rows
+      assert(res.processed.forall(_.contains("covid_a")))
+      res.release(); clean.release()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths =
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.toList
+        finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("v4 typed defaults: Unknown country, now() date, zero measures") {
     val sp = spark
     import sp.implicits._

@@ -386,6 +386,70 @@ class RemediationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("batch scoping picks the LATEST version table-wide (late r18, " +
+      "review): an id scoped by its FIRST rejected batch heals from " +
+      "its NEWER out-of-scope rejection — the scrub is table-wide, " +
+      "so a scope-local pick would index stale content AND destroy " +
+      "the newer evidence") {
+    val base = s"remlww_p$pid"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_remlww").toString
+    val upsDir = java.nio.file.Files
+      .createTempDirectory("graft_remlww_ups").toString
+    drop(famTables(base): _*)
+    rmCk(base); rmCk(s"${base}_ups")
+    try {
+      val sp = spark
+      import sp.implicits._
+      Seq((1L, enText("seed one"), "en", "crawl", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      StreamingOps.streamingDocumentIngest(spark, dir, base)
+      // the SAME doc's violating rewrite lands twice: v1 in the
+      // first CDC batch, v2 (newer content) in the second
+      Seq((21L, enText("tokenoldword"), "xx", "cdc", 150L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(upsDir)
+      Thread.sleep(1100)
+      Seq((21L, enText("tokennewword"), "yy", "cdc", 150L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(upsDir)
+      StreamingOps.streamingDocumentUpserts(spark, upsDir, base,
+        admission = rules)
+      val batches = spark.table(s"${base}_ups_quarantine")
+        .select("_batch").as[Long].collect().sorted.toSeq
+      assert(batches.size === 2)
+
+      val rows = StreamingOps.remediateDocumentQuarantine(spark, base,
+        langFix, rules, cdc = true,
+        batches = Some(Seq(batches.head)))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      // both batches empty: the heal supersedes every quarantined
+      // version of the id, and the summary prices the out-of-scope
+      // batch's shrink too
+      assert(rows === Seq((batches(0), 1L, 1L, 0L),
+        (batches(1), 1L, 1L, 0L)), rows.toString)
+      assert(spark.table(s"${base}_ups_quarantine").count() === 0L)
+      // the INDEX serves v2's content — the latest delivered version
+      // healed, not the scoped batch's stale v1
+      val (p, st) = graft.operators.TextOps.liveBm25(spark,
+        s"${base}_bm25", s"${base}_bm25_stats")
+      val qt = Seq((1, "tokennewword"), (2, "tokenoldword"))
+        .toDF("q_id", "token")
+      val hits = graft.operators.TextOps.bm25ScoreIncr(qt, p, st)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(hits.contains((1, 21L)), hits.toString)
+      assert(!hits.exists(_._1 == 2), hits.toString)
+    } finally {
+      drop(famTables(base): _*)
+      rmCk(base); rmCk(s"${base}_ups")
+      rmDir(dir); rmDir(upsDir)
+    }
+  }
+
   test("a fix that drops the id column is refused before anything " +
       "is written") {
     val base = s"remiae_p$pid"
