@@ -223,47 +223,56 @@ object Quality {
     }
   }
 
+  /** One footer, read LITERALLY — both rungs share this, so neither
+    * ever globs: `spark.read.parquet(f)` treats `{}[]*` in a file
+    * name as a glob pattern, and a data file legally named like
+    * `day[1].parquet` would fail (or silently multi-match) on the
+    * driver rung while reading fine on the distributed one (late
+    * r18, review #2). */
+  private def footerText(f: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.toString
+    finally r.close()
+  }
+
   private[graft] def footerSchemas(
       s: org.apache.spark.sql.SparkSession, files: Seq[String])
       : Seq[org.apache.spark.sql.types.StructType] = {
     val threshold = s.conf.getOption("graft.footer.fanoutThreshold")
       .map(_.toInt).getOrElse(1024)
-    if (files.size <= threshold)
-      files.map(f => forceNullable(s.read.parquet(f).schema)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    else {
-      import scala.jdk.CollectionConverters._
-      // the EXPENSIVE part — opening tens of thousands of files and
-      // reading their footers — distributes; the parquet→Spark type
-      // conversion is pure CPU per schema and runs on the driver with
-      // the session's OWN SQLConf converter, so the two rungs cannot
-      // drift on conversion rules (and the converter never has to
-      // serialize). Footers travel as parquet MessageType text — the
-      // parseable canonical form.
-      val confKv = s.sessionState.newHadoopConf().iterator().asScala
-        .map(e => (e.getKey, e.getValue)).toArray
-      val n = math.max(1, math.min(files.size,
-        s.sparkContext.defaultParallelism * 2))
-      val raw = s.sparkContext.parallelize(files, n)
-        .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          confKv.foreach { case (k, v) => conf.set(k, v) }
-          it.map { f =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getFooter.getFileMetaData.getSchema.toString
-            finally r.close()
+    // the EXPENSIVE part — opening tens of thousands of files and
+    // reading their footers — distributes past the threshold; the
+    // parquet→Spark type conversion is pure CPU per schema and runs
+    // on the driver with the session's OWN SQLConf converter, so the
+    // two rungs cannot drift on conversion rules (and the converter
+    // never has to serialize). Footers travel as parquet MessageType
+    // text — the parseable canonical form.
+    val raw: Seq[String] =
+      if (files.size <= threshold) {
+        val conf = s.sessionState.newHadoopConf()
+        files.map(footerText(_, conf))
+      } else {
+        val confKv = graft.operators.TextOps
+          .hadoopConfKv(s.sessionState.newHadoopConf())
+        val n = math.max(1, math.min(files.size,
+          s.sparkContext.defaultParallelism * 2))
+        s.sparkContext.parallelize(files, n)
+          .mapPartitions { it =>
+            val conf = graft.operators.TextOps
+              .rebuildHadoopConf(confKv)
+            it.map(footerText(_, conf))
           }
-        }
-        .collect().toSeq
-      val conv = new org.apache.spark.sql.execution.datasources
-        .parquet.ParquetToSparkSchemaConverter(s.sessionState.conf)
-      raw.map(txt => forceNullable(conv.convert(
-          org.apache.parquet.schema.MessageTypeParser
-            .parseMessageType(txt)))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    }
+          .collect().toSeq
+      }
+    val conv = new org.apache.spark.sql.execution.datasources
+      .parquet.ParquetToSparkSchemaConverter(s.sessionState.conf)
+    raw.map(txt => forceNullable(conv.convert(
+        org.apache.parquet.schema.MessageTypeParser
+          .parseMessageType(txt)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** `df` + `violations: array<string>` — the sorted names of every rule

@@ -1293,16 +1293,13 @@ object TextOps {
       relPaths.map(p =>
         p -> copyOne(sfs, dfs, srcLoc, dstLoc, p)).toMap
     } else {
-      import scala.jdk.CollectionConverters._
-      val confKv = conf.iterator().asScala
-        .map(e => (e.getKey, e.getValue)).toArray
+      val confKv = hadoopConfKv(conf)
       val (src, dst) = (srcLoc.toString, dstLoc.toString)
       val n = math.max(1, math.min(relPaths.size,
         s.sparkContext.defaultParallelism * 2))
       s.sparkContext.parallelize(relPaths.distinct, n)
         .mapPartitions { it =>
-          val c = new org.apache.hadoop.conf.Configuration(false)
-          confKv.foreach { case (k, v) => c.set(k, v) }
+          val c = rebuildHadoopConf(confKv)
           val sp = new org.apache.hadoop.fs.Path(src)
           val dp = new org.apache.hadoop.fs.Path(dst)
           val sf = sp.getFileSystem(c)
@@ -1369,20 +1366,37 @@ object TextOps {
     * Files are pre-checked for existence by the callers (missing
     * files are the SHALLOW pass's finding); a file that disappears
     * mid-audit surfaces as the task's IO error. */
+  /** The ship-a-Hadoop-conf-to-tasks idiom, ONE definition (late r18,
+    * review #2: five hand-rolled copies had already drifted on the
+    * source conf): serialize to a plain key-value array on the
+    * driver, rebuild per partition. `SerializableConfiguration` is
+    * spark-private, hence the array. */
+  private[graft] def hadoopConfKv(
+      conf: org.apache.hadoop.conf.Configuration)
+      : Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+  }
+
+  /** Task-side twin of [[hadoopConfKv]]. */
+  private[graft] def rebuildHadoopConf(kv: Array[(String, String)])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    kv.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   private[graft] def hashFilesDistributed(
       s: org.apache.spark.sql.SparkSession,
       files: Seq[(String, String)]): Map[(String, String), String] =
     if (files.isEmpty) Map.empty
     else {
-      import scala.jdk.CollectionConverters._
-      val confKv = s.sparkContext.hadoopConfiguration.iterator()
-        .asScala.map(e => (e.getKey, e.getValue)).toArray
+      val confKv = hadoopConfKv(s.sparkContext.hadoopConfiguration)
       val n = math.max(1, math.min(files.size,
         s.sparkContext.defaultParallelism * 2))
       s.sparkContext.parallelize(files.distinct, n)
         .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          confKv.foreach { case (k, v) => conf.set(k, v) }
+          val conf = rebuildHadoopConf(confKv)
           it.map { case (loc, rel) => hashOne(conf, loc, rel) }
         }
         .collect().toMap
@@ -1874,20 +1888,25 @@ object TextOps {
   private def checkBackupDeepDistributed(
       s: org.apache.spark.sql.SparkSession, marker: String,
       tag: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
     val sp = s
     import sp.implicits._
-    val confKv = s.sparkContext.hadoopConfiguration.iterator()
-      .asScala.map(e => (e.getKey, e.getValue)).toArray
-    val recordedMembers = markerFrame(s, marker)
+    val confKv = hadoopConfKv(s.sparkContext.hadoopConfiguration)
+    // ONE cached pass over the marker — this branch only runs past
+    // the fan-out threshold, where re-scanning the marker table for
+    // every per-member derivation (members, pre-hash rows, borrow
+    // tags, the join input) would multiply exactly the cost the
+    // threshold bounds (late r18, review #2)
+    val mf = markerFrame(s, marker).where(col("path").isNotNull)
+      .persist()
+    try {
+    val recordedMembers = mf
       .select("member").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     recordedMembers.flatMap { m =>
       if (!s.catalog.tableExists(m)) Nil // shallow reported it
       else {
         val live = m.stripSuffix(s"_bak_$tag")
-        val rowsM = markerFrame(s, marker)
-          .where(col("member") === m && col("path").isNotNull)
+        val rowsM = mf.where(col("member") === m)
         // pre-hash rows are NAMED per file, as in the local rung — a
         // silent skip would read as "verified"; pre-hash markers are
         // legacy-small by construction
@@ -1919,9 +1938,9 @@ object TextOps {
             col("apath").isNotNull.as("inOwn"))
         val mm = m
         val liveB = live
-        val bad = joined.rdd.mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          confKv.foreach { case (k, v) => conf.set(k, v) }
+        val bad =
+          try joined.rdd.mapPartitions { it =>
+          val conf = rebuildHadoopConf(confKv)
           it.flatMap { r =>
             val p = r.getString(0)
             val src = Option(r.getString(1))
@@ -1946,12 +1965,21 @@ object TextOps {
             }
           }
         }.collect()
-        locMapB.unpersist()
+        finally {
+          // in a finally: a failed hash job must not leak the
+          // broadcast for the session's lifetime (late r18, review #2)
+          locMapB.unpersist()
+          ()
+        }
         // the local rung walks this member's rows in path order,
         // interleaving unverifiable and mismatch lines — merge-sort
         // by path to match
         (unver ++ bad).sortBy(_._1).map(_._2).toSeq
       }
+    }
+    } finally {
+      mf.unpersist()
+      ()
     }
   }
 
@@ -2851,12 +2879,23 @@ object TextOps {
     * pid may be a LIVE reader there (late r18, review). */
   private[graft] lazy val hostHash: String = {
     val name =
-      try java.net.InetAddress.getLocalHost.getHostName
+      try Some(java.net.InetAddress.getLocalHost.getHostName)
       catch { case scala.util.control.NonFatal(_) =>
-        sys.env.getOrElse("HOSTNAME", "unknownhost") }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(name.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(6)
+        sys.env.get("HOSTNAME") }
+    name match {
+      case Some(n) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(n.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(6)
+      case None =>
+        // identity unknown: a shared constant would let two nameless
+        // hosts read as the SAME host and re-enable the foreign-pin
+        // false sweep (late r18, review #2). A per-boot random hash
+        // degrades safely instead — this boot's crashed pins age out
+        // by TTL like a foreign host's, never falsely dead-pid-swept
+        java.util.UUID.randomUUID().toString
+          .replace("-", "").take(6)
+    }
   }
 
   /** A fresh collision-free alphanumeric tag for ephemeral epoch

@@ -566,40 +566,54 @@ object OmsPipeline {
         .toMap
     val before = fingerprint()
     val files = before.keys.toSeq.sorted
-    val results = files.map { path =>
-      val raw = extract(spark, path)
-      val mapped = SchemaMapper.applyMapping(raw, v5ColumnSynonyms)
-      val ok = mapped.columns.contains("country") &&
-        mapped.columns.contains("date")
-      (path, ok,
-        if (ok) Some(standardizeOperational(raw, detectMaladie(path)))
-        else None)
+    // a vanished file must surface as a REPLAN anywhere in the read
+    // window — the schema-inferring extracts do eager driver-side
+    // I/O too, so the guard covers them, not just the cache
+    // materialization (late r18, review #2: the first fix only
+    // wrapped all.count(), and a file deleted during the per-file
+    // extract loop still crashed)
+    def vanished(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+        .exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+            Option(c.getMessage).exists(m =>
+              m.contains("PATH_NOT_FOUND") ||
+                m.contains("does not exist"))))
+    var cached: org.apache.spark.sql.DataFrame = null
+    val loaded =
+      try {
+        val results = files.map { path =>
+          val raw = extract(spark, path)
+          val mapped = SchemaMapper.applyMapping(raw, v5ColumnSynonyms)
+          val ok = mapped.columns.contains("country") &&
+            mapped.columns.contains("date")
+          (path, ok,
+            if (ok) Some(standardizeOperational(raw, detectMaladie(path)))
+            else None)
+        }
+        val frames = results.flatMap(_._3)
+        cached = frames.reduceOption(_.unionByName(_))
+          .getOrElse(
+            throw new IllegalStateException("no mappable files"))
+          .cache()
+        onUnionBuilt()
+        // materialize NOW — every downstream pass serves from the
+        // cache, so the consistency the re-fingerprint proves covers
+        // them all
+        cached.count()
+        Right(results)
+      } catch {
+        case t: Throwable if vanished(t) =>
+          if (cached != null) cached.unpersist()
+          Left(Seq(s"file vanished mid-read: ${t.getMessage}"))
+      }
+    val results = loaded match {
+      case Left(changed) => return Left(changed)
+      case Right(r) => r
     }
     val processed = results.collect { case (p, true, _) => p }
     val skipped = results.collect { case (p, false, _) => p }
-    val frames = results.flatMap(_._3)
-    val all = frames.reduceOption(_.unionByName(_))
-      .getOrElse(throw new IllegalStateException("no mappable files"))
-      .cache()
-    onUnionBuilt()
-    // materialize NOW — every downstream pass serves from the cache,
-    // so the consistency the re-fingerprint proves covers them all.
-    // A file DELETED between the extract and this action surfaces as
-    // a task FileNotFoundException — that is the race, not an error:
-    // unwrap it to a replan like any fingerprint change (late r18)
-    try all.count()
-    catch {
-      case t: Throwable =>
-        var cause: Throwable = t
-        var fnfe = false
-        while (cause != null && !fnfe) {
-          fnfe = cause.isInstanceOf[java.io.FileNotFoundException]
-          cause = cause.getCause
-        }
-        if (!fnfe) throw t
-        all.unpersist()
-        return Left(Seq(s"file vanished mid-read: ${t.getMessage}"))
-    }
+    val all = cached
     val after = fingerprint()
     val changed = files.filter(p => !after.get(p).contains(before(p)))
     if (changed.nonEmpty) {

@@ -2929,8 +2929,12 @@ object StreamingOps {
     val pool = batches
       .map { bs =>
         val ids = q0.where(col("_batch").isin(bs: _*))
-          .select(col(idCol)).distinct()
-        q0.join(ids, Seq(idCol), "left_semi")
+          .select(col(idCol).as("_scoped_id")).distinct()
+        // null-safe (<=>): a NULL-id row (a NotNull violation whose
+        // fix backfills the id) is one entity to the rep window, and
+        // the unscoped path heals it — a plain equi-semi-join would
+        // silently drop it from a SCOPED heal (late r18, review #2)
+        q0.join(ids, col(idCol) <=> col("_scoped_id"), "left_semi")
       }
       .getOrElse(q0)
     // per-batch counts over the WHOLE sink (bounded by audit
