@@ -157,12 +157,15 @@ object Joins {
     // join graph rather than a pure star. Revenue cents-exact per nation.
     // customer is deliberately NOT broadcast (VERDICT r02 #2): it scales
     // with SF (150k × SF rows), so a broadcast hint OOMs at 100×; AQE
-    // picks the strategy at runtime instead. supplier/nation/region stay
-    // hinted — supplier is 10k × SF, the smallest scaling table, and the
-    // c_nationkey = s_nationkey cross-condition makes its edge
-    // low-selectivity; revisit the hint if SF-scaling ever matters more
-    // than the local shuffle it saves. PlanSpec asserts lineitem ⋈ orders
-    // and ⋈ customer are shuffle joins.
+    // picks the strategy at runtime instead. supplier is unhinted too
+    // (r19, VERDICT #2): it scales with SF (10k × SF) — the hint was the
+    // registry's last forced broadcast of a scaling table, harmless at
+    // bench SFs but an OOM at true 100 TB where an unhinted plan lets
+    // AQE decide; AQE auto-broadcasts it at every SF where it fits
+    // (PlanSpec asserts exactly that at sf0.001). Only the FIXED-size
+    // dims nation (25 rows) and region (5) keep explicit hints.
+    // PlanSpec asserts lineitem ⋈ orders and ⋈ customer stay shuffle
+    // joins and supplier joins as AQE-chosen broadcast.
     QDef("q_tpch_q5",
       (s, d) => {
         val l = Tables(s, d, "lineitem")
@@ -173,7 +176,7 @@ object Joins {
         val r = Tables(s, d, "region").filter(col("r_name") === "ASIA")
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
-          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          .join(sup, l("l_suppkey") === sup("s_suppkey") &&
             c("c_nationkey") === sup("s_nationkey"))
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

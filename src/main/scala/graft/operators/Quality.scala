@@ -228,11 +228,24 @@ object Quality {
     * name as a glob pattern, and a data file legally named like
     * `day[1].parquet` would fail (or silently multi-match) on the
     * driver rung while reading fine on the distributed one (late
-    * r18, review #2). */
+    * r18, review #2).
+    *
+    * And decoded as a URI first (r19, ADVICE #2): the streaming-gate
+    * call path feeds this strings from `input_file_name()`, which are
+    * URI-ENCODED — `Path(String)` does not decode percent-escapes, so
+    * a data file named with a space or '%' would resolve to the wrong
+    * literal name and fail the micro-batch. `new Path(new URI(f))`
+    * decodes them (Spark's own PartitionedFile handling); a string
+    * that is not a parseable URI (a raw local path with a literal
+    * space) falls back to the literal `Path(f)` unchanged. */
   private def footerText(f: String,
       conf: org.apache.hadoop.conf.Configuration): String = {
+    val p =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      catch { case scala.util.control.NonFatal(_) =>
+        new org.apache.hadoop.fs.Path(f) }
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      .fromPath(p, conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema.toString
     finally r.close()

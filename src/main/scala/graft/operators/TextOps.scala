@@ -2849,6 +2849,9 @@ object TextOps {
     // the tag's fold anchors go with it — they exist only to keep
     // THIS snapshot serving across folds
     dropAnchors(s, table, tag)
+    // an ephemeral epoch's lease heartbeat retires with its pin —
+    // harmless double-delete when withEpochLease already dropped it
+    if (epochTagParts(tag).isDefined) dropEpochLease(s, tag)
   }
 
   /** Repeatable-read serving epoch over one stored family: pin the
@@ -2869,7 +2872,8 @@ object TextOps {
       table: String)(f: String => T): T = {
     val tag = epochTag()
     snapshotIndex(s, table, tag)
-    try f(tag) finally dropSnapshot(s, table, tag)
+    try withEpochLease(s, tag)(f(tag))
+    finally dropSnapshot(s, table, tag)
   }
 
   /** Six hex chars of this host's name — rides inside every epoch
@@ -2927,6 +2931,99 @@ object TextOps {
   private[graft] def epochTagOwner(tag: String): Option[Long] =
     epochTagParts(tag).map(_._1)
 
+  // ===== epoch lease heartbeats (r19, VERDICT #1) =====
+  // The last false-sweep window: a live FOREIGN-host reader has no
+  // pid the sweep can interrogate, so pre-r19 its pin aged out by
+  // TTL alone — a legitimate epoch outliving graft.epoch.ttlMs was
+  // falsely swept and the reader silently corrupted. The fix is a
+  // lease: every with*Epoch scope touches a tiny heartbeat file
+  // beside the warehouse on a sub-TTL cadence, and the sweep's TTL
+  // clock measures from the LAST heartbeat, not the mint time. A
+  // holder that stops renewing (crash, network partition longer than
+  // the TTL) still ages out exactly as before; same-host dead-pid
+  // sweeps are untouched (a dead pid cannot heartbeat, and the pid
+  // test fires regardless of lease freshness).
+
+  private def epochLeaseDir(s: org.apache.spark.sql.SparkSession)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s.conf.getOption("graft.epoch.leaseDir").getOrElse(
+        s.conf.get("spark.sql.warehouse.dir") +
+          "/_graft_epoch_leases"))
+
+  /** Touch `tag`'s lease file (create-or-overwrite → fresh mtime).
+    * Failures degrade to the pre-lease TTL-only behavior — a
+    * heartbeat must never take down the probe it protects. */
+  private[graft] def renewEpochLease(
+      s: org.apache.spark.sql.SparkSession, tag: String): Unit =
+    try {
+      val dir = epochLeaseDir(s)
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, tag), true)
+      try out.write(
+        System.currentTimeMillis().toString.getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** mtime of `tag`'s lease heartbeat; 0 when the tag never leased
+    * (pre-r19 pins, crashed-before-first-heartbeat) — the TTL then
+    * measures from the manifest mtime exactly as before. */
+  private[graft] def epochLeaseMtime(
+      s: org.apache.spark.sql.SparkSession, tag: String): Long =
+    try {
+      val dir = epochLeaseDir(s)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(new org.apache.hadoop.fs.Path(dir, tag))
+        .getModificationTime
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
+  private[graft] def dropEpochLease(
+      s: org.apache.spark.sql.SparkSession, tag: String): Unit =
+    try {
+      val dir = epochLeaseDir(s)
+      dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir, tag), false)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** One shared daemon heartbeat thread for every concurrent epoch in
+    * the JVM — renewals are single tiny-file writes on a cadence of
+    * minutes, so one thread never backs up; daemon so a forgotten
+    * scope cannot pin JVM exit. */
+  private lazy val leaseExecutor =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-epoch-lease")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Run `body` under a live lease on `tag`: one synchronous
+    * heartbeat up front (so even a sub-interval scope leaves a lease
+    * on disk), renewals every `graft.epoch.leaseRenewMs` (default
+    * ttl/4, floor 1 s) from the shared daemon thread, cancel +
+    * lease-file drop on the way out. Wraps the `f(tag)` stage of
+    * every with*Epoch scope — the snapshot/drop bracket stays the
+    * caller's. */
+  private[graft] def withEpochLease[T](
+      s: org.apache.spark.sql.SparkSession, tag: String)(
+      body: => T): T = {
+    renewEpochLease(s, tag)
+    val ttl = s.conf.getOption("graft.epoch.ttlMs").map(_.toLong)
+      .getOrElse(86400000L)
+    val interval = s.conf.getOption("graft.epoch.leaseRenewMs")
+      .map(_.toLong).getOrElse(math.max(1000L, ttl / 4))
+    val task = leaseExecutor.scheduleAtFixedRate(
+      () => renewEpochLease(s, tag),
+      interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body
+    finally {
+      task.cancel(false)
+      dropEpochLease(s, tag)
+    }
+  }
+
   /** Is this epoch tag LEAKED — an ephemeral pin whose owning process
     * can no longer retire it? `withIndexEpoch`'s finally never runs on
     * SIGKILL/OOM, and a leaked pin is worse than debris: it wedges
@@ -2941,10 +3038,16 @@ object TextOps {
     *     silently where a falsely-held one merely waits for the TTL.
     *     A foreign host's pins age out by TTL only; pre-host-hash
     *     tags read as same-host, which is what minting them implied);
-    *   - the manifest is older than `graft.epoch.ttlMs` (default
-    *     24 h — epochs are request-scoped reads, not retention
-    *     points; a legitimately longer analysis should take a NAMED
-    *     snapshot instead, or raise the TTL).
+    *   - the pin's last HEARTBEAT is older than `graft.epoch.ttlMs`
+    *     (default 24 h). The clock is `max(manifest mtime, lease
+    *     mtime)` (r19, VERDICT #1): every with*Epoch scope renews a
+    *     lease file on a sub-TTL cadence, so a LIVE holder — same
+    *     host or foreign — survives the sweep however long its
+    *     analysis runs, while a crashed one stops renewing and ages
+    *     out exactly as before. Pre-lease pins (no lease file) fall
+    *     back to the manifest mtime unchanged. Epochs are
+    *     request-scoped reads, not retention points; unattended
+    *     retention should take a NAMED snapshot instead.
     * Ordinary tags never qualify, whatever their age.
     */
   private[graft] def isLeakedEpoch(s: org.apache.spark.sql.SparkSession,
@@ -2956,7 +3059,8 @@ object TextOps {
         !java.lang.ProcessHandle.of(pid).isPresent
       val ttl = s.conf.getOption("graft.epoch.ttlMs").map(_.toLong)
         .getOrElse(86400000L)
-      dead || nowMs - mtimeMs > ttl
+      val lastAlive = math.max(mtimeMs, epochLeaseMtime(s, tag))
+      dead || nowMs - lastAlive > ttl
     }
 
   /** Sweep every LEAKED ephemeral epoch pin in the warehouse — the
@@ -2980,7 +3084,8 @@ object TextOps {
       : Seq[String] = withBuildLock(s) {
     val pattern = table.map(_.toLowerCase + "_mf_ep*")
       .getOrElse("*_mf_ep*")
-    s.sessionState.catalog.listTables("default", pattern)
+    val sweptPins = s.sessionState.catalog
+      .listTables("default", pattern)
       .map(_.table).sorted.flatMap { n =>
         val i = n.lastIndexOf("_mf_")
         if (i <= 0) None
@@ -2996,6 +3101,34 @@ object TextOps {
           } else None
         }
       }
+    // lease-file debris (r19): a crash inside withEpochLease leaves
+    // the heartbeat file behind; once its tag's pin is gone (this
+    // pass or an earlier one) the file is pure debris, and its own
+    // leaked-ness is answerable by the same test — the lease IS the
+    // heartbeat, so a dead-here-and-stale lease sweeps, a fresh or
+    // foreign-live one waits. Global sweeps only; a table-scoped
+    // sweep cannot tell which base a lease's tag belonged to.
+    val sweptLeases =
+      if (table.isDefined) Nil
+      else try {
+        val dir = epochLeaseDir(s)
+        val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir).toSeq
+          .filter(st => epochTagParts(st.getPath.getName).isDefined)
+          .sortBy(_.getPath.getName)
+          .flatMap { st =>
+            val tag = st.getPath.getName
+            val pinned = s.sessionState.catalog
+              .listTables("default", s"*_mf_$tag").nonEmpty
+            if (!pinned && isLeakedEpoch(s, tag,
+                st.getModificationTime, nowMs)) {
+              fs.delete(st.getPath, false)
+              Some(s"swept orphan epoch lease $tag")
+            } else None
+          }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    sweptPins ++ sweptLeases
   }
 
   /** READ-ONLY restorability audit of a `<tag>` manifest snapshot —
@@ -4253,14 +4386,26 @@ object TextOps {
     *   - the file is created on the outermost monitor entry and
     *     deleted on its exit (a holds counter keeps nested critical
     *     sections — memoIndex→append, delete→tombstone — reentrant);
-    *   - a lock held by a DEAD pid is swept and retaken (the
-    *     dead-pid-sweep semantics the index directories already use;
-    *     an unreadable/empty lock older than 5 s — a crash between
-    *     create and pid write — counts as dead);
+    *   - a lock held by a DEAD pid is swept and retaken ONLY when
+    *     the lock was minted on THIS host (r19, ADVICE #1: the lock
+    *     body is `pid@hostHash` — pid liveness is only answerable on
+    *     the minting host, exactly the epoch-pin lesson at
+    *     [[isLeakedEpoch]]; a FOREIGN host's holder whose pid happens
+    *     to be absent locally may be a live writer there, and
+    *     sweeping it re-opens the read-modify-write race the lock
+    *     exists to close). Foreign/legacy-format holders expire by an
+    *     mtime TTL instead (`graft.buildLock.staleMs`, default
+    *     30 min — generously above any maintenance verb's hold). An
+    *     unreadable/empty lock older than 5 s — a crash between
+    *     create and pid write — counts as dead on any host;
     *   - a lock held by a LIVE foreign pid is waited on (100 ms
     *     polls) up to `graft.buildLock.timeoutMs` (default 30 000),
     *     then refused LOUDLY with the holder's pid — never silent
-    *     file loss.
+    *     file loss. A caller for whom FAILING is worse than waiting
+    *     (a streaming micro-batch's audit-slice write blocked behind
+    *     a long maintenance verb — r19, ADVICE #4) passes
+    *     `waitMsOverride` to stretch the outermost acquire without
+    *     touching the session-wide default.
     * Local-FS `create(overwrite=false)` is check-then-create rather
     * than truly atomic; the residual two-process window is
     * microseconds against maintenance sections measured in seconds,
@@ -4268,9 +4413,12 @@ object TextOps {
     */
   private var buildLockHolds = 0
   private[graft] def withBuildLock[T](
-      s: org.apache.spark.sql.SparkSession)(body: => T): T =
+      s: org.apache.spark.sql.SparkSession,
+      waitMsOverride: Option[Long] = None)(body: => T): T =
     bm25BuildLock.synchronized {
-      if (buildLockHolds == 0) acquireProcessLock(s)
+      // the override only matters on the OUTERMOST entry — nested
+      // sections already hold the file and never re-acquire
+      if (buildLockHolds == 0) acquireProcessLock(s, waitMsOverride)
       buildLockHolds += 1
       try body
       finally {
@@ -4284,12 +4432,32 @@ object TextOps {
       s.conf.getOption("graft.buildLock.path").getOrElse(
         s.conf.get("spark.sql.warehouse.dir") + "/_graft_build.lock"))
 
+  /** Parse a lock file body: `pid@hostHash` (r19) or a bare pid
+    * (pre-r19 — minted same-host by construction then, so it reads
+    * as same-host, mirroring [[epochTagParts]]'s legacy handling).
+    * None for an unreadable/empty body. */
+  private[graft] def parseLockHolder(txt: String)
+      : Option[(Long, Boolean)] = txt.trim match {
+    case s if s.isEmpty => None
+    case s =>
+      val (pidPart, hostPart) = s.indexOf('@') match {
+        case -1 => (s, None)
+        case i => (s.substring(0, i), Some(s.substring(i + 1)))
+      }
+      scala.util.Try(pidPart.toLong).toOption
+        .map(pid => (pid, hostPart.forall(_ == hostHash)))
+  }
+
   private def acquireProcessLock(
-      s: org.apache.spark.sql.SparkSession): Unit = {
+      s: org.apache.spark.sql.SparkSession,
+      waitMsOverride: Option[Long] = None): Unit = {
     val p = processLockPath(s)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val timeoutMs = s.conf.getOption("graft.buildLock.timeoutMs")
-      .map(_.toLong).getOrElse(30000L)
+    val timeoutMs = waitMsOverride.getOrElse(
+      s.conf.getOption("graft.buildLock.timeoutMs")
+        .map(_.toLong).getOrElse(30000L))
+    val staleMs = s.conf.getOption("graft.buildLock.staleMs")
+      .map(_.toLong).getOrElse(1800000L)
     val deadline = System.currentTimeMillis() + timeoutMs
     val me = java.lang.ProcessHandle.current().pid()
     var acquired = false
@@ -4297,34 +4465,46 @@ object TextOps {
       val created =
         try {
           val out = fs.create(p, false)
-          try out.write(me.toString.getBytes("UTF-8"))
+          try out.write(s"$me@$hostHash".getBytes("UTF-8"))
           finally out.close()
           true
         } catch { case _: java.io.IOException => false }
       if (created) acquired = true
       else {
-        val holder =
+        val holder: Option[(Long, Boolean)] =
           try {
             val in = fs.open(p)
             val txt = try new String(
                 org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-                "UTF-8").trim
+                "UTF-8")
               finally in.close()
-            txt.toLong
-          } catch { case scala.util.control.NonFatal(_) => -1L }
-        val dead =
-          if (holder > 0)
-            !java.lang.ProcessHandle.of(holder).isPresent
-          else // unreadable/empty: dead once past the write grace
+            parseLockHolder(txt)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val dead = holder match {
+          case Some((pid, true)) => // minted HERE: pid is answerable
+            !java.lang.ProcessHandle.of(pid).isPresent
+          case Some(_) =>
+            // FOREIGN host (r19, ADVICE #1): its pid table is not
+            // ours — a locally-absent pid may be a live writer
+            // there. Only an mtime TTL retires it; a genuinely live
+            // long holder past staleMs is the operator-visible
+            // refusal below, never a silent sweep-and-race.
+            (try System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime > staleMs
+            catch { case scala.util.control.NonFatal(_) => true })
+          case None => // unreadable/empty: dead once past the write grace
             (try System.currentTimeMillis() -
               fs.getFileStatus(p).getModificationTime > 5000L
             catch { case scala.util.control.NonFatal(_) => true })
+        }
         if (dead) { try { fs.delete(p, false); () }
           catch { case scala.util.control.NonFatal(_) => () } }
-        else if (holder == me) acquired = true // our own crashed leftover
+        else if (holder.exists { case (pid, same) => same && pid == me })
+          acquired = true // our own crashed leftover
         else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
-            s"build lock $p is held by live process $holder — a second " +
+            s"build lock $p is held by live process " +
+              s"${holder.map(_._1).getOrElse(-1L)} — a second " +
               "writer on this warehouse; refusing rather than racing " +
               s"its maintenance (waited ${timeoutMs}ms; raise " +
               "graft.buildLock.timeoutMs to wait longer)")

@@ -606,6 +606,17 @@ object OmsPipeline {
         case t: Throwable if vanished(t) =>
           if (cached != null) cached.unpersist()
           Left(Seq(s"file vanished mid-read: ${t.getMessage}"))
+        case t: Throwable =>
+          // any OTHER failure after .cache() — onUnionBuilt throwing,
+          // count() dying for a non-vanish reason — must not pin the
+          // cached blocks for the session's lifetime (r19, ADVICE #3);
+          // release before propagating, and never let a failed
+          // unpersist mask the real error
+          if (cached != null) {
+            try cached.unpersist()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          throw t
       }
     val results = loaded match {
       case Left(changed) => return Left(changed)

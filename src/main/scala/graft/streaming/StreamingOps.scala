@@ -1109,7 +1109,8 @@ object StreamingOps {
       (f: String => T): T = {
     val tag = graft.operators.TextOps.epochTag()
     snapshotDocuments(spark, base, tag)
-    try f(tag) finally dropDocumentsSnapshot(spark, base, tag)
+    try graft.operators.TextOps.withEpochLease(spark, tag)(f(tag))
+    finally dropDocumentsSnapshot(spark, base, tag)
   }
 
   /** [[withDocumentsEpoch]] for a unified vector base: pins every
@@ -1121,7 +1122,8 @@ object StreamingOps {
       (f: String => T): T = {
     val tag = graft.operators.TextOps.epochTag()
     snapshotVectors(spark, base, tag)
-    try f(tag) finally dropVectorsSnapshot(spark, base, tag)
+    try graft.operators.TextOps.withEpochLease(spark, tag)(f(tag))
+    finally dropVectorsSnapshot(spark, base, tag)
   }
 
   /** [[graft.operators.TextOps.storageBreakdown]] lifted to a unified
@@ -3274,10 +3276,25 @@ object StreamingOps {
     * of one directory — serialize them or the loser's evidence is
     * silently clobbered. Reentrant, so the surrounding batch's member
     * verbs (which take the same lock) compose.
+    *
+    * Wait, don't fail (r19, ADVICE #4): the lock's session-wide
+    * 30 s acquire timeout is sized for interactive maintenance verbs,
+    * where failing fast beats convoying — but HERE the caller is a
+    * streaming micro-batch, and a timeout fails the whole query while
+    * a long wait merely delays one batch. A maintenance verb holding
+    * the lock for minutes (backupIndex raw-copies O(bytes)) must
+    * stall this write, not kill the stream, so the slice write
+    * stretches its outermost acquire to
+    * `graft.buildLock.streamTimeoutMs` (default 5 min) — scoped to
+    * this call, leaving every interactive verb on the fast-fail
+    * default.
     */
   private def writeBatchSlice(s: SparkSession, table: String,
       df: org.apache.spark.sql.DataFrame): Unit =
-      graft.operators.TextOps.withBuildLock(s) {
+      graft.operators.TextOps.withBuildLock(s,
+        waitMsOverride = Some(
+          s.conf.getOption("graft.buildLock.streamTimeoutMs")
+            .map(_.toLong).getOrElse(300000L))) {
     // partition column must be LAST for position-based insertInto
     val ordered = df.columns.filterNot(_ == "_batch") :+ "_batch"
     val out0 = df.select(ordered.map(col): _*)

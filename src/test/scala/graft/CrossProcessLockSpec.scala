@@ -141,4 +141,120 @@ class CrossProcessLockSpec extends AnyFunSuite with SparkSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${t}_stats")
     }
   }
+
+  private def writeLockStr(path: String, body: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(p)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("host identity (r19, ADVICE #1): a FOREIGN host's holder " +
+      "whose pid is absent HERE is NOT dead-pid-swept — it waits, " +
+      "then refuses; only the staleness TTL retires it") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lock").toString
+    val lock = dir + "/l5.lock"
+    val t = s"xpl_host_p$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_stats")
+    val otherHost =
+      if (TextOps.hostHash == "abc123") "def456" else "abc123"
+    val dp = deadPid
+    val s2 = lockSession(lock, 700L)
+    try {
+      // parsing: new format, legacy format, garbage
+      assert(TextOps.parseLockHolder(s"$dp@$otherHost") ===
+        Some((dp, false)))
+      assert(TextOps.parseLockHolder(
+        s"$dp@${TextOps.hostHash}") === Some((dp, true)))
+      assert(TextOps.parseLockHolder(dp.toString) ===
+        Some((dp, true))) // legacy bare pid = minted same-host
+      assert(TextOps.parseLockHolder("") === None)
+      assert(TextOps.parseLockHolder("junk@zz") === None)
+
+      // a FRESH foreign lock with a locally-absent pid: pre-r19 this
+      // read as dead and was deleted — two writers then raced; now
+      // the acquire waits and refuses loudly, file intact
+      writeLockStr(lock, s"$dp@$otherHost")
+      val sp = s2
+      import sp.implicits._
+      val e = intercept[IllegalStateException] {
+        TextOps.appendBm25Postings(
+          Seq(1L -> "spark join window").toDF("doc_id", "text"),
+          t, s"${t}_stats")
+      }
+      assert(e.getMessage.contains("refusing"), e.getMessage)
+      assert(fsOf(new org.apache.hadoop.fs.Path(lock))
+        .exists(new org.apache.hadoop.fs.Path(lock)),
+        "foreign live-elsewhere lock was swept")
+
+      // past graft.buildLock.staleMs the same lock reads as
+      // abandoned and the op proceeds
+      val p = new org.apache.hadoop.fs.Path(lock)
+      fsOf(p).setTimes(p,
+        System.currentTimeMillis() - 7200L * 1000, -1L)
+      TextOps.appendBm25Postings(
+        Seq(1L -> "spark join window").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      assert(s2.table(t).count() > 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_stats")
+    }
+  }
+
+  test("same-host dead pid still sweeps under the new pid@host " +
+      "format — the r14 crash-recovery semantics are unchanged") {
+    val lock = java.nio.file.Files
+      .createTempDirectory("graft_lock").toString + "/l6.lock"
+    val t = s"xpl_host2_p$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_stats")
+    val s2 = lockSession(lock, 10000L)
+    try {
+      writeLockStr(lock, s"$deadPid@${TextOps.hostHash}")
+      val sp = s2
+      import sp.implicits._
+      TextOps.appendBm25Postings(
+        Seq(1L -> "spark join window").toDF("doc_id", "text"),
+        t, s"${t}_stats")
+      assert(s2.table(t).count() > 0)
+      assert(!fsOf(new org.apache.hadoop.fs.Path(lock))
+        .exists(new org.apache.hadoop.fs.Path(lock)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_stats")
+    }
+  }
+
+  test("waitMsOverride (r19, ADVICE #4): a caller for whom failing " +
+      "is worse than waiting stretches the acquire past the session " +
+      "default — the streaming slice write's shape") {
+    val lock = java.nio.file.Files
+      .createTempDirectory("graft_lock").toString + "/l7.lock"
+    // session default would give up at 300 ms; the holder lives ~2 s.
+    // With the override (as writeBatchSlice passes) the acquire rides
+    // out the holder's death and proceeds instead of failing the
+    // micro-batch.
+    val holder = new ProcessBuilder("sleep", "2").start()
+    val s2 = lockSession(lock, 300L)
+    try {
+      writeLock(lock, holder.pid())
+      var ran = false
+      TextOps.withBuildLock(s2, waitMsOverride = Some(15000L)) {
+        ran = true
+      }
+      assert(ran)
+      // and WITHOUT the override the same shape refuses fast
+      val holder2 = new ProcessBuilder("sleep", "60").start()
+      try {
+        writeLock(lock, holder2.pid())
+        val e = intercept[IllegalStateException] {
+          TextOps.withBuildLock(s2) { () }
+        }
+        assert(e.getMessage.contains("refusing"), e.getMessage)
+      } finally holder2.destroyForcibly()
+    } finally holder.destroyForcibly()
+  }
 }

@@ -233,6 +233,105 @@ class EpochLeakSpec extends AnyFunSuite with SparkSuite {
     } finally drop(all: _*)
   }
 
+  test("lease renewal (r19, VERDICT #1): a FOREIGN-host holder " +
+      "renewing past the TTL survives the sweep; one that stops " +
+      "renewing is swept") {
+    val t = s"epl_lease_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    val s2 = spark.newSession()
+    s2.conf.set("graft.epoch.ttlMs", "1500")
+    try {
+      mkFam(t)
+      // a pin minted on ANOTHER host whose pid happens to be absent
+      // here — pre-lease, only the TTL protected it, and a reader
+      // outliving the TTL was falsely swept
+      val deadHerePid = 999999999L
+      val otherHost =
+        if (TextOps.hostHash == "abc123") "def456" else "abc123"
+      val foreign = "ep" +
+        java.lang.Long.toString(System.nanoTime(), 36) +
+        s"p${deadHerePid}h$otherHost"
+      TextOps.snapshotIndex(spark, t, foreign)
+      // the foreign holder heartbeats on a sub-TTL cadence (the spec
+      // plays its renewal thread — a second JVM's withEpochLease does
+      // exactly these calls); the pin must outlive MANY TTLs
+      val until = System.currentTimeMillis() + 4000L
+      while (System.currentTimeMillis() < until) {
+        TextOps.renewEpochLease(s2, foreign)
+        assert(TextOps.sweepLeakedEpochs(s2, Some(t)) === Nil,
+          "a renewing foreign holder was swept")
+        Thread.sleep(300L)
+      }
+      assert(TextOps.listSnapshots(spark, t).map(_._1) ===
+        Seq(foreign))
+      // the holder stops renewing (crash / partition): the pin ages
+      // out by the same TTL as before — the lease never makes a
+      // leak immortal
+      Thread.sleep(2000L)
+      val swept = TextOps.sweepLeakedEpochs(s2, Some(t))
+      assert(swept.exists(_.contains(s"$t/$foreign")), swept)
+      assert(TextOps.listSnapshots(spark, t) === Nil)
+    } finally {
+      s2.conf.unset("graft.epoch.ttlMs")
+      drop(all: _*)
+    }
+  }
+
+  test("lease renewal: withIndexEpoch's own heartbeat keeps a live " +
+      "scope serving past the TTL (same-host), and retires the lease " +
+      "file on the way out") {
+    val t = s"epl_hb_p$pid"
+    val all = famAll(t)
+    drop(all: _*)
+    val s2 = spark.newSession()
+    s2.conf.set("graft.epoch.ttlMs", "1200")
+    s2.conf.set("graft.epoch.leaseRenewMs", "200")
+    var held: String = null
+    try {
+      mkFam(t)
+      TextOps.withIndexEpoch(s2, t) { tag =>
+        held = tag
+        // outlive the TTL inside the scope; the background heartbeat
+        // must keep the pin live — pre-lease, this sweep killed a
+        // LIVE same-host epoch by pure age
+        Thread.sleep(2500L)
+        assert(TextOps.sweepLeakedEpochs(s2, Some(t)) === Nil,
+          "a heartbeating live epoch was swept past TTL")
+        assert(TextOps.listSnapshots(spark, t).map(_._1)
+          .contains(tag))
+      }
+      assert(TextOps.listSnapshots(spark, t) === Nil)
+      // the heartbeat file retired with the scope
+      assert(TextOps.epochLeaseMtime(s2, held) === 0L,
+        "lease file survived its scope")
+    } finally {
+      s2.conf.unset("graft.epoch.ttlMs")
+      s2.conf.unset("graft.epoch.leaseRenewMs")
+      drop(all: _*)
+    }
+  }
+
+  test("lease debris: a crashed holder's orphan lease file (pin " +
+      "already gone) is swept by the global sweep once leaked") {
+    val s2 = spark.newSession()
+    s2.conf.set("graft.epoch.ttlMs", "600000")
+    try {
+      // same-host DEAD pid: leaked immediately, no TTL wait needed
+      val deadPid = Iterator.from(99999, -1).map(_.toLong)
+        .find(p => !ProcessHandle.of(p).isPresent).get
+      val tag = "ep" +
+        java.lang.Long.toString(System.nanoTime(), 36) +
+        s"p${deadPid}h${TextOps.hostHash}"
+      TextOps.renewEpochLease(s2, tag)
+      assert(TextOps.epochLeaseMtime(s2, tag) > 0L)
+      val swept = TextOps.sweepLeakedEpochs(s2)
+      assert(swept.exists(_.contains(s"orphan epoch lease $tag")),
+        swept)
+      assert(TextOps.epochLeaseMtime(s2, tag) === 0L)
+    } finally s2.conf.unset("graft.epoch.ttlMs")
+  }
+
   test("a live withIndexEpoch still retires cleanly and its probes " +
       "refuse to be swept mid-flight (the normal path is unchanged)") {
     val t = s"epl_live_p$pid"

@@ -66,22 +66,40 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
   test("q_tpch_q5: dims hinted-broadcast, scaling edges stay shuffle joins") {
     // With auto-broadcast disabled, the plan shows the HINT structure —
     // what the query would do when every table is at 100 TB scale:
-    // supplier/nation/region broadcast (explicit hints), while the
-    // lineitem⋈orders and ⋈customer edges (all SF-scaling tables, no
-    // hints) must shuffle. At real SF, AQE is free to upgrade the
-    // customer edge when it happens to be small — but nothing in the
-    // query FORCES a broadcast of a scaling table (VERDICT r02 #2).
+    // only the FIXED-size dims nation/region broadcast (explicit
+    // hints), while the lineitem⋈orders, ⋈customer AND ⋈supplier edges
+    // (all SF-scaling tables, no hints — supplier's hint dropped r19,
+    // VERDICT #2) must shuffle. At real SF, AQE is free to upgrade the
+    // customer/supplier edges when they happen to be small — but
+    // nothing in the query FORCES a broadcast of a scaling table
+    // (VERDICT r02 #2).
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
       val p = plan("q_tpch_q5")
-      assert("BroadcastHashJoin".r.findAllIn(p).size === 3, p)
+      assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p)
       val shuffles =
         "SortMergeJoin".r.findAllIn(p).size +
           "ShuffledHashJoin".r.findAllIn(p).size
-      assert(shuffles === 2, p)
+      assert(shuffles === 3, p)
     } finally spark.conf.set(key, old)
+  }
+
+  test("q_tpch_q5: supplier joins as broadcast at sf0.001 WITHOUT a " +
+      "hint — the optimizer's choice, not the query's") {
+    // r19, VERDICT #2 done-gate: at every SF where supplier fits the
+    // broadcast threshold the optimizer broadcasts it on its own
+    // (static size stats here; AQE at runtime on a cluster) — the
+    // hint bought nothing at small SF and an OOM at 100 TB. The
+    // s_suppkey equi-edge must appear under a BroadcastHashJoin, and
+    // the query source carries no broadcast() on supplier (the only
+    // hinted frames are the fixed-size nation/region dims, asserted
+    // by the threshold=-1 leg above).
+    val p = plan("q_tpch_q5")
+    val broadcastJoinsOnSupplier = p.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin") && l.contains("s_suppkey")).size
+    assert(broadcastJoinsOnSupplier >= 1, p)
   }
 
   test("q_funnel: three chained windows share one user_id exchange") {
