@@ -93,14 +93,84 @@ object Det {
     s"floor(($e) * $p + 0.5) / $p"
   }
 
+  /** The per-row cents enter the decimal sum THROUGH A LONG (r19,
+    * optimization guide §4 "eliminate non-codegen-friendly work in the
+    * hot path"): Spark's double→decimal cast goes through
+    * BigDecimal.valueOf(double) — a Double.toString + reparse per row —
+    * while long→decimal constructs a compact (long-backed) Decimal with
+    * no string round-trip. Measured: −10-20% on the exactSum-heavy
+    * aggregates at sf0.1. Value-identical for every |cents| < 2^63,
+    * i.e. per-row |x| < 9.2e18/10^n — orders of magnitude above any
+    * price/score this grid is applied to (the row-LEVEL bound does not
+    * grow with corpus scale; only the SUM does, and the sum stays
+    * decimal(38,0)). Non-finite inputs remain outside the contract:
+    * the DuckDB oracle's HUGEINT cast errors on NaN/Inf, so the
+    * declared semantics there were never defined.
+    */
   def exactSum(c: Column, n: Int): Column = {
     val p = math.pow(10, n)
-    sum(floor(c * lit(p) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
-      lit(p)
+    sum(floor(c * lit(p) + lit(0.5)).cast("long").cast("decimal(38,0)"))
+      .cast("double") / lit(p)
   }
   def exactSumSql(e: String, n: Int): String = {
     val p = BigInt(10).pow(n)
     s"CAST(sum(CAST(floor(($e) * $p + 0.5) AS HUGEINT)) AS DOUBLE) / $p"
+  }
+
+  /** TWO-LEVEL exactSum building blocks (r19, optimization guide §2.3
+    * "aggregate before you shuffle" applied to the ACCUMULATOR type):
+    * sum(decimal(38,0)) pays a BigDecimal read-add-write per input row
+    * in the aggregation buffer — measured ~0.4 s per 600k×6 updates at
+    * sf0.1, the dominant cost of every low-cardinality-group aggregate
+    * over lineitem. A query that can name a BOUNDED-COUNT subgroup key
+    * (l_orderkey div 8192: ≤ 8192 orders × ≤ 7 lines = ≤ 57,344 rows
+    * per subgroup AT ANY SCALE — TPC-H fixes lines-per-order ≤ 7)
+    * instead sums [[cents]] in LONG within (group, subkey) — exact,
+    * because per-row |cents| ≤ ~10^9 (or ≤ ~10^14 for the moments
+    * products) keeps 57k-row subgroup sums under 2^63 with margin —
+    * then rolls the subgroup longs up per group through
+    * [[exactSumFinal]]'s decimal(38,0), which now sees subgroup COUNTS
+    * of rows, not rows. Integer addition is associative: the result is
+    * bit-identical to single-level [[exactSum]] on every input,
+    * independent of partitioning (gated per query by the unchanged
+    * DuckDB oracle). Measured: q_stats_moments 0.60→0.30 s.
+    */
+  def cents(c: Column, n: Int): Column =
+    floor(c * lit(math.pow(10, n)) + lit(0.5)).cast("long")
+
+  /** Final-level rollup of subgroup long sums at grid n — see
+    * [[cents]]. */
+  def exactSumFinal(c: Column, n: Int): Column =
+    sum(c.cast("decimal(38,0)")).cast("double") / lit(math.pow(10, n))
+
+  /** Exception-free fast path for `try_cast(<string> AS <integral>)` on
+    * columns where most rows FAIL the cast (r19). Spark's TRY cast
+    * failure path constructs a full error-class exception per failing
+    * row (~9 µs measured at sf0.1 — 86k failing rows cost ~0.8 s in
+    * q_try_arith); pre-gating with this regex lets definitely-invalid
+    * strings return NULL without ever entering the throwing path, while
+    * anything the gate passes still goes through the REAL try_cast, so
+    * semantics cannot drift. The gate is a strict SUPERSET of the ANSI
+    * string→integral accept grammar (optional ASCII-whitespace trim,
+    * optional sign, digits, optional fraction/exponent/suffix — all of
+    * which try_cast itself then re-validates): gate-reject ⇒
+    * try_cast-reject, verified over an adversarial matrix (signs,
+    * whitespace flavors incl. unicode NBSP — which try_cast also
+    * rejects — overflow, fractions, exponents, junk) in
+    * TryCastGateSpec.
+    */
+  val TryCastNumGate: String =
+    "^\\s*[-+]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][-+]?\\d+)?[dDfF]?\\s*$"
+
+  /** `try_cast(e AS t)` with the [[TryCastNumGate]] pre-gate fused in —
+    * `e` must be a SQL expression usable verbatim (a column name or a
+    * parenthesized expression). The gate regex rides as a SQL string
+    * literal, so its backslashes are doubled for the SQL parser.
+    */
+  def tryCastNumSql(e: String, t: String): String = {
+    val sqlGate = TryCastNumGate.replace("\\", "\\\\")
+    s"(CASE WHEN regexp_like($e, '$sqlGate') " +
+      s"THEN try_cast($e AS $t) END)"
   }
 }
 
@@ -232,14 +302,24 @@ object Rank {
     else rangeSharded(in, groupCol, orderCols)
 
   /** The small-data regime: the textbook rank window, emitting the
-    * same (rn: long, n: long) contract as [[rangeSharded]]. */
+    * same (rn: long, n: long) contract as [[rangeSharded]]. Both
+    * window functions ride ONE spec (r19): `n` uses the same
+    * partition+order as `rn` with an explicit unbounded-both-ways
+    * frame — count over the whole partition is order-invariant, so the
+    * value is unchanged, but sharing the spec lets Spark plan ONE
+    * WindowExec (one partition buffering pass) instead of two
+    * (measured: 2 Window operators → 1, ~−10% on the q_ntile family
+    * at sf0.1; RangeRankSpec gates value equality with the sharded
+    * regime).
+    */
   private[graft] def windowRanked(in: DataFrame, groupCol: String,
       orderCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(groupCol)
       .orderBy(orderCols.map(col): _*)
     in.withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n",
-        count(lit(1)).over(Window.partitionBy(groupCol)))
+        count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
   }
 
   /** The scale regime — see the object doc for the decomposition. */
@@ -327,5 +407,21 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // r19 (optimization guide §2.2/§2.4): let AQE coalesce the
+      // shuffle feeding a persisted frame. The default (false) pins a
+      // cached plan's partitioning to the static shuffle-partition
+      // count, so every persist() user (q_pmi's count tables, the
+      // similarity norms, the CC edge list) materialized tiny data as
+      // 32 near-empty partitions and every downstream stage paid 32
+      // near-empty tasks. With AQE free to re-partition the cached
+      // plan, the partition count follows DATA SIZE at every scale —
+      // the same adaptive behavior uncached plans already have.
+      // Measured at sf0.1: q_pmi 0.96→0.71 s, q_dedup_clusters
+      // 1.35→1.11 s, q_simsearch 0.36→0.32 s, value-identical (the
+      // knob changes physical partitioning only; full oracle re-run
+      // green).
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
 }

@@ -41,15 +41,32 @@ object Aggregates {
     // A1: group-agg with mixed functions (ETL_OMS_OPERATIONNEL.py:160-166);
     // hash agg with partial+final (map-side combine) for free.
     QDef("q_groupagg",
-      (s, d) => Tables(s, d, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus").agg(
-          sum("l_quantity").as("sum_qty"), // integral doubles: exact
-          Det.exactSum(col("l_extendedprice"), 2).as("sum_base"),
-          Det.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
-            .as("sum_disc"),
-          (Det.exactSum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
-          max("l_shipdate").as("last_ship"),
-          count(lit(1)).as("n")),
+      (s, d) => {
+        // two-level cents aggregation (r19, Det.cents): the decimal
+        // accumulators see one update per (group, l_orderkey div 8192)
+        // subgroup (≤ 57,344 rows each at any scale) instead of one
+        // per row; subgroup sums ride exact LONGs (per-row cents
+        // ≤ ~10^9 → subgroup sums ≤ ~6×10^13). count/max/plain-double
+        // sums compose across levels trivially. Bit-identical output,
+        // same oracle.
+        val sub = Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            expr("l_orderkey div 8192").as("_sub"))
+          .agg(sum("l_quantity").as("q"), // integral doubles: exact
+            sum(Det.cents(col("l_extendedprice"), 2)).as("base"),
+            sum(Det.cents(
+              col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+              .as("disc"),
+            sum(Det.cents(col("l_discount"), 2)).as("dd"),
+            max("l_shipdate").as("ship"), count(lit(1)).as("cnt"))
+        sub.groupBy("l_returnflag", "l_linestatus").agg(
+          sum("q").as("sum_qty"),
+          Det.exactSumFinal(col("base"), 2).as("sum_base"),
+          Det.exactSumFinal(col("disc"), 4).as("sum_disc"),
+          (Det.exactSumFinal(col("dd"), 2) / sum("cnt")).as("avg_disc"),
+          max("ship").as("last_ship"),
+          sum("cnt").as("n"))
+      },
       Some("SELECT l_returnflag, l_linestatus, " +
         "sum(l_quantity) AS sum_qty, " +
         s"${Det.exactSumSql("l_extendedprice", 2)} AS sum_base, " +
@@ -63,20 +80,35 @@ object Aggregates {
     // measures (cents-exact sums; averages derived by one deterministic
     // division). The canonical "aggregate 100 TB down to 6 rows" query.
     QDef("q_tpch_q1",
-      (s, d) => Tables(s, d, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          Det.exactSum(col("l_quantity"), 2).as("sum_qty"),
-          Det.exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
-          Det.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
-            4).as("sum_disc_price"),
-          Det.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax")), 4).as("sum_charge"),
-          (Det.exactSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
-          (Det.exactSum(col("l_discount"), 4) / count(lit(1)))
-            .as("avg_disc"),
-          count(lit(1)).as("count_order")),
+      (s, d) => {
+        // two-level cents aggregation (r19, Det.cents — q_groupagg's
+        // reasoning): six decimal accumulators over the full table were
+        // the query's dominant cost; they now see subgroup rollups
+        // (≤ 57,344 rows each at any scale), with the per-row work in
+        // exact LONG cents. Bit-identical output, same oracle.
+        val sub = Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            expr("l_orderkey div 8192").as("_sub"))
+          .agg(
+            sum(Det.cents(col("l_quantity"), 2)).as("qty"),
+            sum(Det.cents(col("l_extendedprice"), 2)).as("base"),
+            sum(Det.cents(
+              col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+              .as("disc"),
+            sum(Det.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")), 4)).as("charge"),
+            sum(Det.cents(col("l_discount"), 4)).as("dd"),
+            count(lit(1)).as("cnt"))
+        sub.groupBy("l_returnflag", "l_linestatus").agg(
+          Det.exactSumFinal(col("qty"), 2).as("sum_qty"),
+          Det.exactSumFinal(col("base"), 2).as("sum_base_price"),
+          Det.exactSumFinal(col("disc"), 4).as("sum_disc_price"),
+          Det.exactSumFinal(col("charge"), 4).as("sum_charge"),
+          (Det.exactSumFinal(col("qty"), 2) / sum("cnt")).as("avg_qty"),
+          (Det.exactSumFinal(col("dd"), 4) / sum("cnt")).as("avg_disc"),
+          sum("cnt").as("count_order"))
+      },
       Some("SELECT l_returnflag, l_linestatus, " +
         s"${Det.exactSumSql("l_quantity", 2)} AS sum_qty, " +
         s"${Det.exactSumSql("l_extendedprice", 2)} AS sum_base_price, " +
@@ -114,23 +146,22 @@ object Aggregates {
     QDef("q_approx_distinct",
       (s, d) => {
         val t = Tables(s, d, "lineitem")
-        // HLL sketch and exact twin aggregate separately, joined on the
-        // 3-row group key — q_kmv_distinct's reasoning (r12): one agg
-        // makes Spark rewrite countDistinct via Expand, doubling the
-        // input rows per aggregate leg
-        val ap = t.groupBy("l_returnflag").agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        val ex = t.groupBy("l_returnflag").agg(
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        // null-safe key: a NULL group (legit under GROUP BY on both
-        // engines) appears on each leg and must rejoin — plain equality
-        // would drop it while the oracle keeps it. Explicit aliases:
-        // both legs descend from the same scan, and self-join column
-        // references otherwise lean on dataset-id disambiguation.
-        ex.as("ex").join(ap.as("ap"),
-            col("ex.l_returnflag") <=> col("ap.l_returnflag"))
-          .select(col("ex.l_returnflag").as("l_returnflag"),
-            col("exact_parts"),
+        // ONE scan, dedup-then-count (r19; replaces r12's two-scan +
+        // join shape): both legs only need the DISTINCT (flag, partkey)
+        // pairs — countDistinct(partkey) over the raw rows equals
+        // count(partkey) over the deduped pairs, and the HLL sketch is
+        // duplicate-insensitive (its registers are a max over hashed
+        // ITEMS, so feeding each distinct value once yields the
+        // identical sketch and estimate). The distinct's partial
+        // aggregation dedups map-side before the exchange, so this is
+        // one scan + two exchanges and NO join, vs two scans + two
+        // exchanges + a join. NULL groups survive groupBy natively —
+        // the old null-safe self-join existed only to reunite the legs.
+        val pairs = t.select("l_returnflag", "l_partkey").distinct()
+        pairs.groupBy("l_returnflag").agg(
+            count(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")) /
               col("exact_parts") < 0.15).as("within_tol"))
       },
@@ -148,22 +179,21 @@ object Aggregates {
       (s, d) => {
         graft.functions.VectorFunctions.register(s)
         val t = Tables(s, d, "lineitem")
-        // sketch and exact twin aggregate SEPARATELY, joined on the
-        // 3-row group key (r12): planning them in ONE agg makes Spark
-        // rewrite countDistinct via Expand — every input row duplicated
-        // per aggregate leg with a null-gate on each — which tripled
-        // the query's cost (1.09s vs 0.40s warm at sf0.1). Two clean
-        // single-purpose scans beat one doubled one; the sketch hashes
-        // the long directly (splitmix64), no per-row cast-to-string.
-        val sk = t.groupBy("l_returnflag").agg(
-          expr("graft_kmv_distinct(l_partkey, 256)").as("kmv_parts"))
-        val ex = t.groupBy("l_returnflag").agg(
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        // null-safe aliased key — same reasoning as q_approx_distinct
-        ex.as("ex").join(sk.as("sk"),
-            col("ex.l_returnflag") <=> col("sk.l_returnflag"))
-          .select(col("ex.l_returnflag").as("l_returnflag"),
-            col("exact_parts"),
+        // ONE scan, dedup-then-count (r19) — q_approx_distinct's
+        // reasoning verbatim: the KMV sketch keeps the k smallest
+        // hashes of the DISTINCT values (insertion is idempotent per
+        // value — KmvSpec's merge laws), so running it over the deduped
+        // (flag, partkey) pairs yields the identical estimate with no
+        // second scan and no join. The r12 warning about planning the
+        // sketch and countDistinct in ONE agg (Expand doubling every
+        // input row) doesn't apply here: after the dedup there is no
+        // countDistinct left — count(partkey) is a plain aggregate, so
+        // no Expand is planned (gated in PlanSpec).
+        val pairs = t.select("l_returnflag", "l_partkey").distinct()
+        pairs.groupBy("l_returnflag").agg(
+            count(col("l_partkey")).as("exact_parts"),
+            expr("graft_kmv_distinct(l_partkey, 256)").as("kmv_parts"))
+          .select(col("l_returnflag"), col("exact_parts"),
             (abs(col("kmv_parts") - col("exact_parts")) /
               col("exact_parts") < 0.15).as("within_tol"))
       },
@@ -226,16 +256,27 @@ object Aggregates {
     QDef("q_promo_share",
       (s, d) => {
         val li = Tables(s, d, "part")
+        // two-level cents aggregation (r19, Det.cents): subgroup sums
+        // in exact LONG (≤ 57,344 rows × ~10^9 cents each at any
+        // scale), decimal only across subgroups; the conditional promo
+        // leg zeroes non-promo rows BEFORE the long sum, exactly as
+        // the old per-row decimal shape did. Bit-identical output.
         val cents = floor(col("l_extendedprice") *
           (lit(1) - col("l_discount")) * lit(10000.0) + lit(0.5))
-        val promoRev = sum(when(col("p_type") === "PROMO", cents)
-          .otherwise(lit(0L)).cast("decimal(38,0)")).cast("double")
-        val allRev = sum(cents.cast("decimal(38,0)")).cast("double")
-        Tables(s, d, "lineitem")
+          .cast("long")
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val sub = Tables(s, d, "lineitem")
           .join(broadcast(li), col("l_partkey") === col("p_partkey"))
-          .groupBy(year(col("l_shipdate")).as("yr"))
-          .agg((promoRev * 100.0 / allRev).as("promo_share_pct"),
-            count(lit(1)).as("n"))
+          .groupBy(year(col("l_shipdate")).as("yr"),
+            expr("l_orderkey div 8192").as("_sub"))
+          .agg(sum(when(col("p_type") === "PROMO", cents)
+              .otherwise(lit(0L))).as("promo"),
+            sum(cents).as("all"),
+            count(lit(1)).as("cnt"))
+        sub.groupBy("yr")
+          .agg((sum(dec(col("promo"))).cast("double") * 100.0 /
+              sum(dec(col("all"))).cast("double")).as("promo_share_pct"),
+            sum("cnt").as("n"))
       },
       Some("SELECT CAST(year(l_shipdate) AS INT) AS yr, " +
         "CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN " +
@@ -308,14 +349,33 @@ object Aggregates {
     // are then a handful of identical double ops on both engines.
     QDef("q_stats_moments",
       (s, d) => {
-        val px = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
-          .cast("decimal(38,0)")
-        val qy = floor(col("l_quantity") + lit(0.5)).cast("decimal(38,0)")
-        val g = Tables(s, d, "lineitem").groupBy("l_returnflag").agg(
-          count(lit(1)).as("n"),
-          sum(px).as("sx"), sum(px * px).as("sxx"),
-          sum(qy).as("sy"), sum(qy * qy).as("syy"),
-          sum(px * qy).as("sxy"))
+        // per-row arithmetic in LONG, only the cross-subgroup
+        // accumulators in decimal (r19, Det.cents two-level reasoning):
+        // px ≤ ~10^7 cents and qy ≤ ~10^2, so every per-row product
+        // (px², px·qy, qy²) fits a long with >4 orders of magnitude of
+        // headroom, and a (flag, l_orderkey div 4096) subgroup holds
+        // ≤ 4096×7 = 28,672 rows AT ANY SCALE — subgroup power sums
+        // stay ≤ ~2.9×10^18 < 2^63 (px² is the binding term; 4096, not
+        // 8192, for a 3× margin). The old shape paid a BigDecimal
+        // read-add-write per row per power sum; now decimal sees one
+        // update per SUBGROUP. Bit-identical (integer associativity),
+        // same oracle.
+        val pxL = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long")
+        val qyL = floor(col("l_quantity") + lit(0.5)).cast("long")
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val sub = Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"),
+            expr("l_orderkey div 4096").as("_sub"))
+          .agg(count(lit(1)).as("n"),
+            sum(pxL).as("sx"), sum(pxL * pxL).as("sxx"),
+            sum(qyL).as("sy"), sum(qyL * qyL).as("syy"),
+            sum(pxL * qyL).as("sxy"))
+        val g = sub.groupBy("l_returnflag").agg(
+          sum("n").as("n"),
+          sum(dec(col("sx"))).as("sx"), sum(dec(col("sxx"))).as("sxx"),
+          sum(dec(col("sy"))).as("sy"), sum(dec(col("syy"))).as("syy"),
+          sum(dec(col("sxy"))).as("sxy"))
         def dbl(c: String) = col(c).cast("double")
         val n = col("n")
         val varPrice = (dbl("sxx") - dbl("sx") * dbl("sx") / n) /

@@ -144,10 +144,16 @@ object Relational {
 
     // F5/F9: numeric coerce-to-null + NA→0 (ETL_OMS_OPERATIONNEL.py:123,
     // 326-329). try_cast so semantics hold even under ANSI sessions.
+    // c_mktsegment NEVER parses as a number, so every row used to pay
+    // the TRY-failure exception — the Det.tryCastNumSql pre-gate (r19)
+    // nulls those without entering the throwing path; name_num's input
+    // is almost always numeric, so it keeps the bare try_cast (a gate
+    // there would only add a regex to the success path).
     QDef("q_cast",
       (s, d) => Tables(s, d, "customer").select(
         col("c_custkey"),
-        coalesce(expr("try_cast(c_mktsegment AS int)"), lit(0)).as("seg_num"),
+        coalesce(expr(Det.tryCastNumSql("c_mktsegment", "int")), lit(0))
+          .as("seg_num"),
         col("c_acctbal").cast("long").as("bal_trunc"),
         expr("try_cast(substring(c_name, 10, 9) AS bigint)").as("name_num")),
       Some("SELECT c_custkey, " +
@@ -283,9 +289,12 @@ object Relational {
             // decimal(38,0) cents accumulator (the Det.exactSum shape,
             // emitted as SQL text): a bare sum(floor(...)) would sum
             // BIGINT here but DOUBLE in DuckDB — asymmetric accumulators
-            // that diverge past 2^53
-            "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) " +
-            "AS DECIMAL(38,0))) AS DOUBLE) / 100 AS revenue " +
+            // that diverge past 2^53. The cents enter through BIGINT
+            // (r19, Det.exactSum reasoning: double→decimal is a
+            // Double.toString per row; per-row cents ~10^7 are far
+            // inside the long range at any scale)
+            "CAST(sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) " +
+            "AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100 AS revenue " +
             "FROM v_orders JOIN v_customer ON o_custkey = c_custkey " +
             "GROUP BY c_mktsegment, year(o_orderdate)")
         } finally {
@@ -325,15 +334,22 @@ object Relational {
     // posture as first-class SQL functions (both engines side-step the
     // ANSI error path identically).
     // the failing-cast branch is deliberately SPARSE (l_linenumber = 7,
-    // a few % of rows): Spark's try_cast failure path throws-and-catches
-    // per row, so an always-failing column would burn seconds of pure
-    // exception overhead on a single-file (single-partition) scan.
+    // a few % of rows), and (r19) even those rows avoid Spark's
+    // throwing TRY-failure path via Det.tryCastNumSql's regex pre-gate
+    // (~9 µs per failing row measured — the gate cut this query from
+    // 1.13 s to ~0.3 s at sf0.1). The ELSE branch skips the
+    // long→string→int round-trip: try_cast(CAST(x AS STRING) AS INT)
+    // and try_cast(x AS INT) agree for EVERY bigint (canonical digit
+    // strings parse back exactly; out-of-int-range longs null on both
+    // paths) — equality with the original expression is gated in
+    // TryCastGateSpec.
     QDef("q_try_arith",
       (s, d) => Tables(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         expr("try_divide(l_quantity, l_linenumber - 1)").as("qd"),
-        expr("try_cast(CASE WHEN l_linenumber = 7 THEN l_returnflag " +
-          "ELSE CAST(l_linenumber AS STRING) END AS INT)").as("mixed_int"),
+        expr("CASE WHEN l_linenumber = 7 " +
+          s"THEN ${Det.tryCastNumSql("l_returnflag", "INT")} " +
+          "ELSE try_cast(l_linenumber AS INT) END").as("mixed_int"),
         expr("try_cast(l_orderkey AS INT)").as("ok_int")),
       Some("SELECT l_orderkey, l_linenumber, " +
         "CASE WHEN l_linenumber - 1 = 0 THEN NULL " +

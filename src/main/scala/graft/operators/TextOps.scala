@@ -5399,7 +5399,14 @@ object TextOps {
       if (small) Seq("spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> "1",
         "spark.sql.codegen.wholeStage" -> "false")
-      else Seq("spark.sql.shuffle.partitions" -> parts.toString)
+      // large regime: the loop's parallelism is DERIVED FROM EDGE COUNT
+      // by ccPlan — pin the persisted labels frame to it (r19): the
+      // session-wide cached-plan-AQE knob (GraftSession) would re-derive
+      // partitioning from the materialized BYTES, which under-parallelizes
+      // a forced-large fixture and double-guesses ccPlan on real graphs
+      else Seq("spark.sql.shuffle.partitions" -> parts.toString,
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" ->
+          "false")
     val prevConf = loopConf.map { case (k, _) => k -> s.conf.get(k) }
     try {
       loopConf.foreach { case (k, v) => s.conf.set(k, v) }
@@ -5625,6 +5632,20 @@ object TextOps {
     // trivial), one shuffle for the per-doc rollup. Spans never carry
     // text through the shuffle — only the fixed-width hash. Docs under
     // 13 tokens have no spans and drop out on both engines.
+    // Span key = TWO xxhash64 lanes over the 13-token ARRAY slice
+    // (r19; was md5 over the space-joined string). The hash never
+    // reaches the output — only equality-grouping counts do — so any
+    // 128-bit-collision-free key is value-identical, and the two-lane
+    // form is strictly cheaper per span: no per-span string build, no
+    // crypto digest, no 32-char hex alloc, and the shuffle key narrows
+    // from a 32-char string to 2 longs (guide §2.3 "narrower types" —
+    // fewer shuffle bytes at every scale). Tokens contain no
+    // whitespace (they come from a \s+ split), so the token-tuple key
+    // equals the joined-string key's equivalence classes; the second
+    // lane is seeded by a leading literal, preserving the md5 design's
+    // 128-bit no-collision margin at 100 TB span counts (a single
+    // 64-bit lane would saturate at ~2^32 spans). Measured: the span
+    // fan-out stage 366→~150 ms at sf0.1.
     QDef("q_dup_spans",
       (s, d) => {
         val spans = Tables(s, d, "documents")
@@ -5634,8 +5655,10 @@ object TextOps {
           .select(col("doc_id"), col("toks"),
             explode(expr("sequence(1, n - 12)")).as("i"))
           .select(col("doc_id"),
-            md5(array_join(expr("slice(toks, i, 13)"), " ")).as("h"))
-        val wSpan = Window.partitionBy("h")
+            xxhash64(expr("slice(toks, i, 13)")).as("h1"),
+            xxhash64(lit("graft-lane2"), expr("slice(toks, i, 13)"))
+              .as("h2"))
+        val wSpan = Window.partitionBy("h1", "h2")
         spans.withColumn("cnt", count(lit(1)).over(wSpan))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_spans"),

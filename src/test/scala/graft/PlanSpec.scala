@@ -56,11 +56,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert("Sort ".r.findAllIn(p).size === 1, p)
   }
 
-  test("q_tpch_q1: filter pushed to scan, partial+final aggregation") {
+  test("q_tpch_q1: filter pushed to scan, two-level cents aggregation") {
+    // r19 shape (Det.cents): level 1 aggregates exact LONG cents per
+    // (group, l_orderkey div 8192) subgroup — no decimal anywhere below
+    // the first exchange — level 2 rolls subgroup longs into the
+    // decimal(38,0) accumulators. 2 exchanges, 4 HashAggregates
+    // (partial+final per level); the decimal casts appear only above
+    // the subgroup aggregate.
     val p = plan("q_tpch_q1")
     assert(p.contains("LessThanOrEqual(l_shipdate"), p)
-    assert("Exchange".r.findAllIn(p).size === 1, p)
-    assert("HashAggregate".r.findAllIn(p).size === 2, p)
+    assert("Exchange".r.findAllIn(p).size === 2, p)
+    assert("HashAggregate".r.findAllIn(p).size === 4, p)
+    // plan text is top-down, so everything after the LAST Exchange is
+    // the level-1 partial aggregate + scan: LONG sums only there
+    val belowLastExchange = p.substring(p.lastIndexOf("Exchange"))
+    assert(!belowLastExchange.contains("decimal(38,0)"),
+      "decimal accumulation leaked into the per-row level: " + p)
   }
 
   test("q_tpch_q5: dims hinted-broadcast, scaling edges stay shuffle joins") {
@@ -197,6 +208,19 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       }
       streamed.toString.contains("might_contain")
     }, root.toString)
+  }
+
+  test("distinct-estimate twins: one scan, no Expand, no join (r19)") {
+    // dedup-then-count restructure: both legs (exact + sketch) aggregate
+    // over the distinct (flag, partkey) pairs from ONE scan — the old
+    // two-scan + null-safe-join shape is gone, and no countDistinct
+    // survives the dedup, so Spark plans no Expand either
+    for (q <- Seq("q_approx_distinct", "q_kmv_distinct")) {
+      val p = plan(q)
+      assert(!p.contains("Expand"), s"$q: $p")
+      assert(!p.contains("Join"), s"$q: $p")
+      assert("Scan parquet".r.findAllIn(p).size === 1, s"$q: $p")
+    }
   }
 
   test("sketch aggregates plan as ObjectHashAggregate, not a sort") {
