@@ -51,12 +51,20 @@ object Bench {
     * costs at most two wasted ~0.x s reps or one missed retry, not a
     * wrong record.
     */
+  // r19 re-base: entries for the queries the optimization round changed
+  // (q_try_arith/q_cast TRY-gate, q_groupagg/q_tpch_q1/q_stats_moments
+  // two-level cents, q_pmi cached-plan coalescing, q_kmv_distinct
+  // dedup-then-count) refreshed from the final-HEAD idle pair
+  // (37.7 s / 37.7 s totals, cal [64,58]/[67,54] — min-merged per
+  // query); q_annf and q_curate RAISED to their honest idle mins (the
+  // old entries predated the stored-index/lifecycle costs and caused
+  // chronic false-retry eligibility).
   val reference: Map[String, Double] = Map(
     // rank family re-based r12 (two-regime dispatch: window form at
     // sf0.1, range-sharded above 16 MB — idle full-run min-of-3)
-    "q_anti_join" -> 0.20, "q_approx_distinct" -> 0.51,
+    "q_anti_join" -> 0.20, "q_approx_distinct" -> 0.47,
     "q_approx_percentile" -> 0.78, "q_array_ops" -> 0.28,
-    "q_asof" -> 0.32, "q_asof_native" -> 0.31, "q_cast" -> 0.24,
+    "q_asof" -> 0.32, "q_asof_native" -> 0.31, "q_cast" -> 0.10,
     "q_chunk" -> 0.20, "q_classify" -> 0.10, "q_cohort" -> 0.31,
     "q_contamination" -> 0.41, "q_count" -> 0.12,
     "q_count_distinct" -> 0.46, "q_cube" -> 0.29, "q_dates" -> 0.24,
@@ -71,12 +79,12 @@ object Bench {
     "q_except" -> 0.23, "q_explode" -> 0.07,
     "q_filter_null" -> 0.16, "q_filter_range" -> 0.09,
     "q_fingerprint" -> 0.14, "q_funnel" -> 0.38, "q_gapfill" -> 0.42,
-    "q_groupagg" -> 0.58, "q_grouping_sets" -> 0.17, "q_having" -> 0.15,
+    "q_groupagg" -> 0.27, "q_grouping_sets" -> 0.17, "q_having" -> 0.15,
     "q_heavy_hitters" -> 0.17, "q_histogram" -> 0.17,
     "q_intersect" -> 0.23, "q_interval_bucket" -> 0.27,
     "q_join_inner" -> 0.24, "q_join_multikey" -> 0.58,
     "q_join_outer" -> 0.33, "q_join_range" -> 0.20,
-    "q_json_extract" -> 0.30, "q_kmv_distinct" -> 0.40,  // r12: split sketch/exact aggs (Expand removed)
+    "q_json_extract" -> 0.30, "q_kmv_distinct" -> 0.31,  // r12: split sketch/exact aggs (Expand removed)
     "q_lang_id" -> 0.14, "q_lead_lag" -> 0.19, "q_llm_summary" -> 0.12,
     "q_maplookup" -> 0.09, "q_math" -> 0.14, "q_melt" -> 0.31,
     "q_minhash" -> 0.23, "q_mixture" -> 0.13, "q_multifile" -> 0.26,
@@ -95,15 +103,15 @@ object Bench {
     "q_simsearch" -> 0.21, "q_simsearch_banded" -> 0.26,
     "q_simsearch_ivf" -> 0.11, "q_simsearch_lsh" -> 0.21,
     "q_sort" -> 0.16, "q_sql_report" -> 0.27, "q_star_join" -> 0.37,
-    "q_stats_moments" -> 0.70, "q_stratified" -> 0.12,
+    "q_stats_moments" -> 0.25, "q_stratified" -> 0.12,
     "q_string_agg" -> 0.09, "q_strings" -> 0.11,
     "q_subquery_corr" -> 0.15, "q_surprisal" -> 0.24,
     "q_surrogate_ids" -> 0.11,
     // q_tfidf re-based r11: reads the stored bm25 postings index
     // (probe cost; was 0.59 re-deriving tf/df/n_docs per run)
     "q_synth_source" -> 0.05, "q_text_stats" -> 0.14, "q_tfidf" -> 0.25,
-    "q_token_count" -> 0.19, "q_topk" -> 0.10, "q_tpch_q1" -> 0.41,
-    "q_tpch_q3" -> 0.44, "q_tpch_q5" -> 0.64, "q_try_arith" -> 0.85,
+    "q_token_count" -> 0.19, "q_topk" -> 0.10, "q_tpch_q1" -> 0.26,
+    "q_tpch_q3" -> 0.44, "q_tpch_q5" -> 0.64, "q_try_arith" -> 0.16,
     "q_tumbling" -> 0.16, "q_union" -> 0.11, "q_upsert" -> 0.27,
     "q_weighted_sample" -> 0.10, "q_window_range" -> 0.21,
     "q_winsorize" -> 0.33, "q_zorder" -> 0.11,
@@ -116,7 +124,7 @@ object Bench {
     // + broadcast offsets) bought sublinear scaling — 5.5s -> 3.2s at
     // sf1 and a plan with no single-task-per-group window (mild-load
     // min-of-3 upper bounds; refine from the next idle full record)
-    "q_pmi" -> 1.03, "q_skyline" -> 0.42,
+    "q_pmi" -> 0.60, "q_skyline" -> 0.42,
     "q_bm25" -> 0.35, "q_bm25_ln" -> 0.29,
     // append-maintained index probe: df derived at probe time adds one
     // tiny aggregation over the fetched postings (mild-load min-of-3)
@@ -125,7 +133,7 @@ object Bench {
     // RRF retrieval = two stored-index probes + a 20-row fuse (heavy-
     // load min-of-3 upper bound, refine from the next idle record)
     "q_dedup_idx" -> 0.26, "q_rrf" -> 0.60,
-    "q_ivfmp" -> 0.25, "q_annf" -> 0.30,
+    "q_ivfmp" -> 0.25, "q_annf" -> 0.61,
     // sq8: q_simsearch + the per-row quantize transform
     "q_sq8" -> 0.25,
     // pq: stored-codes ADC probe (codes explode + broadcast LUT join +
@@ -138,7 +146,7 @@ object Bench {
     "q_bq" -> 0.30,
     // curate: the five-stage pipeline capstone — roughly lang+quality
     // scan + dedup exchange + contamination join + pack exchange
-    "q_curate" -> 0.65,
+    "q_curate" -> 0.85,
     // admission gate (r17-r18), measured from the r18 idle full run
     // (start load 0.9, min-of-3): expect = 7-rule metrics incl. one
     // key shuffle + broadcast ref join; quarantine = doc rules + dup

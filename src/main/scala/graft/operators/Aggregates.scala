@@ -472,8 +472,22 @@ object Aggregates {
               col("l_orderkey"), col("l_linenumber")),
           "l_returnflag",
           Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+        // Examined r19, deliberately kept as the FULL aggregation: a
+        // boundary-rank variant (filter to each decile's ≤2 boundary
+        // rows — the Pctl.boundary trick — with the decile count from
+        // the closed form q + (d ≤ r)) was built, property-gated and
+        // MEASURED WORSE: interleaved min-of-6 at sf0.1 read 0.80 s
+        // (this form) vs 0.89 s (boundary form) — the per-row boundary
+        // predicate costs what the per-row agg update costs, and the
+        // aggregate was never a scale problem anyway (map-side partial
+        // aggregation collapses every task's window output to ≤ 30
+        // rows before the exchange at any corpus size). First attempt
+        // also showed a Catalyst hazard worth recording: a filter
+        // phrased against the `decile` alias gets the whole
+        // ntileFromRank CASE tree inlined FIVE times by CollapseProject
+        // (0.9 → 3.0 s, expression size not data).
+        // Spark ntile is INT, DuckDB's BIGINT — long either way here
         ranked
-          // Spark ntile is INT, DuckDB's BIGINT — long either way here
           .withColumn("decile",
             graft.Rank.ntileFromRank(10, col("rn"), col("n")))
           .groupBy("l_returnflag", "decile")

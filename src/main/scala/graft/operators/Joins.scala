@@ -35,6 +35,17 @@ object Joins {
     // (left_on=[id_pays, country], ETL_OMS_FINAL.py:89).
     QDef("q_join_multikey",
       (s, d) => {
+        // Examined r19, deliberately kept: the aggregate side shuffles
+        // PARTIAL-AGGREGATED rows and broadcasts (AQE/stats pick BHJ),
+        // so the base side never shuffles at all. An exchange-sharing
+        // rewrite (repartition the base on the composite key, derive
+        // both join inputs from it) was tried and MEASURED WORSE:
+        // column pruning makes the two subtrees differ (base keeps
+        // o_orderkey, agg keeps o_totalprice), so nothing is reused,
+        // and the explicit repartition adds an exchange the broadcast
+        // join never needed. Two scans is the no-materialization floor
+        // for agg-then-join-back; at scale the join degrades to the
+        // standard SMJ with both sides shuffled once.
         val base = Tables(s, d, "orders").select(
           col("o_orderkey"), col("o_custkey"),
           year(col("o_orderdate")).as("yr"), col("o_totalprice"))

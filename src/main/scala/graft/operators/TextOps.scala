@@ -4248,6 +4248,25 @@ object TextOps {
     s.createDataFrame(Bm25Queries).toDF("q_id", "qtext")
       .select(col("q_id"), explode(split(col("qtext"), " ")).as("token"))
 
+  /** Literal-token pre-filter for the postings scan (r19, optimization
+    * guide §6 "PushedFilters should contain your predicates"): the
+    * q_bm25* query set is a compile-time constant, so its distinct
+    * tokens can ride the postings scan as an `In` predicate — pushed
+    * into the parquet reader (dictionary/stats skipping) and eligible
+    * for bucket pruning on the token-bucketed index table, instead of
+    * reading every posting row and discarding non-matches at the join.
+    * Semantically a no-op: the inner join on `token` kept exactly these
+    * rows anyway (the window df derivation in the incr probe is
+    * per-token over fetched postings, so it is unchanged by fetching
+    * fewer tokens). The data-derived query sides (q_rrf's doc-as-query
+    * leg, q_tfidf's all-docs read) can NOT use this — their token sets
+    * are data, and collecting them to the driver to build a literal
+    * predicate is the driver-round-trip the no-collect rule bans.
+    */
+  private def queryTokenFilter: org.apache.spark.sql.Column =
+    col("token").isin(
+      Bm25Queries.flatMap(_._2.split(" ")).distinct.sorted: _*)
+
   /** ONE presentation for every q_bm25* variant: the literal query set
     * exploded to broadcast (q_id, token) terms, handed to the variant's
     * scorer, then the deterministic top-10 cut (rank-capped window,
@@ -4412,18 +4431,49 @@ object TextOps {
     * and a real deployment's object-store/HDFS create IS atomic.
     */
   private var buildLockHolds = 0
+
+  /** Session knob pinned FALSE for the duration of every maintenance
+    * critical section (r19): the session-wide
+    * canChangeCachedPlanOutputPartitioning=true lets AQE re-partition
+    * cached plans — right for probe queries (tiny persisted frames stop
+    * pinning 32 near-empty partitions), WRONG for maintenance writes,
+    * where the part-file layout of a bucketed append must be a
+    * deterministic function of the batch, not of AQE's view of a cached
+    * prep frame: an append window that plans one extra write task
+    * doubles the part-files, and with it the bytes every differential
+    * backup of that window copies forever after (DiffBackupSpec /
+    * StreamDiffBackupSpec / StorageBreakdownSpec gate the byte
+    * accounting). Pinned on the OUTERMOST lock entry, restored on exit
+    * — the same brief session-global-conf discipline as the
+    * connectedComponents loop.
+    */
+  private val CachedPlanKnob =
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+  private var cachedPlanKnobPrior: Option[String] = None
+
   private[graft] def withBuildLock[T](
       s: org.apache.spark.sql.SparkSession,
       waitMsOverride: Option[Long] = None)(body: => T): T =
     bm25BuildLock.synchronized {
       // the override only matters on the OUTERMOST entry — nested
       // sections already hold the file and never re-acquire
-      if (buildLockHolds == 0) acquireProcessLock(s, waitMsOverride)
+      if (buildLockHolds == 0) {
+        acquireProcessLock(s, waitMsOverride)
+        cachedPlanKnobPrior = s.conf.getOption(CachedPlanKnob)
+        s.conf.set(CachedPlanKnob, "false")
+      }
       buildLockHolds += 1
       try body
       finally {
         buildLockHolds -= 1
-        if (buildLockHolds == 0) releaseProcessLock(s)
+        if (buildLockHolds == 0) {
+          cachedPlanKnobPrior match {
+            case Some(v) => s.conf.set(CachedPlanKnob, v)
+            case None => s.conf.unset(CachedPlanKnob)
+          }
+          cachedPlanKnobPrior = None
+          releaseProcessLock(s)
+        }
       }
     }
 
@@ -4977,6 +5027,27 @@ object TextOps {
       col("a_id") < col("b_id")).select("a_id", "b_id")
     (docs, c1.union(c2).distinct())
   }
+
+  /** r19 verify-stage note (optimization round, experiment recorded):
+    * the exact-Jaccard verification tokenizes the WHOLE corpus on both
+    * join sides even though only candidate-pair docs are read. A
+    * candidate-pruned variant (semi-join the corpus against the
+    * exploded candidate ids, tokenize survivors once, persist the tiny
+    * feature frame, join it on both sides) was built, oracle-verified,
+    * and MEASURED WORSE at sf0.1 — interleaved min-of-5: q_dedup_near
+    * 0.63 s (this fused shape) vs 0.98 s (pruned): the extra
+    * evaluation of the candidate pipeline for the id set, the
+    * explode+distinct exchange, and the persist barrier cost more than
+    * two corpus tokenization passes until the corpus dwarfs the
+    * candidate machinery. Tokenizing ABOVE the joins (probe first,
+    * tokenize survivors in the projection) is blocked by
+    * CollapseProject: the token expressions would be inlined into
+    * every consumer (the q_ntile 3× lesson). The at-scale answer is
+    * not this recompute shape at all but the STORED band index
+    * ([[writeBandIndex]] / nearDupsAgainstIndex, q_dedup_idx), whose
+    * rows carry the token arrays — a 100 TB ingest never re-tokenizes
+    * the corpus at probe time.
+    */
 
   /** Slot-prefixed exploded band-index rows for any documents-shaped
     * frame: one row per (band_key, id, toks), band_key = "1"+band1 /
@@ -6053,7 +6124,8 @@ object TextOps {
     // index. Top-10 per query via the rank-cap window
     // (WindowGroupLimit).
     QDef("q_bm25",
-      (s, d) => bm25TopK(s, qt => bm25Score(qt, bm25Index(s, d))),
+      (s, d) => bm25TopK(s, qt => bm25Score(qt,
+        bm25Index(s, d).filter(queryTokenFilter))),
       Some(Bm25OracleSql)),
 
     // X5 + RAG: TEXTBOOK ln-idf Okapi BM25 (VERDICT r09 #4) over the
@@ -6087,7 +6159,7 @@ object TextOps {
         val e = (length(bin(m.cast("bigint"))) - lit(1) - lit(20))
           .cast("double")
         val terms = broadcast(bm25QueryTerms(s))
-          .join(bm25Index(s, d), "token")
+          .join(bm25Index(s, d).filter(queryTokenFilter), "token")
           .select(col("q_id"), col("doc_id"),
             ((e * ln2) * okapiTfWeight).as("lo_t"),
             (((e + lit(1)) * ln2) * okapiTfWeight).as("hi_t"),
@@ -6159,7 +6231,9 @@ object TextOps {
     QDef("q_bm25_incr",
       (s, d) => bm25TopK(s, qt => {
         val (postings, stats) = bm25IndexIncr(s, d)
-        bm25ScoreIncr(qt, postings, stats)
+        // literal-token scan filter (r19): the per-token df window sees
+        // every fetched token's FULL posting set, so df is unchanged
+        bm25ScoreIncr(qt, postings.filter(queryTokenFilter), stats)
       }),
       Some(Bm25OracleSql)),
 
