@@ -11,6 +11,37 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r20: run test suites in N concurrently-forked JVM "lanes". The full
+// suite had grown to ~27 min of per-test time run sequentially in one
+// forked JVM, and the driver's test budget killed it mid-suite
+// (VERIFY_r19 tests_ok=false, VERDICT r19 #2). Suites are round-robined
+// (name-sorted, deterministic) into lane groups; WITHIN a lane suites
+// still run sequentially in one JVM, so the suites that toggle
+// shared-session confs (autoBroadcastJoinThreshold, exchange.reuse, ...)
+// cannot race; ACROSS lanes the sessions live in separate JVMs — the
+// cross-process discipline the index/maintenance code already enforces
+// and tests (file build lock, per-pid table names, host-aware leases:
+// CrossProcessLockSpec, TwoProcessWalkSpec). Lane count: env override
+// GRAFT_TEST_LANES, else cores/4 clamped to [2, 8].
+val graftTestLanes: Int = sys.env.get("GRAFT_TEST_LANES").map(_.toInt)
+  .getOrElse(math.max(2, math.min(8,
+    java.lang.Runtime.getRuntime.availableProcessors / 4)))
+Test / testGrouping := {
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars((Test / envVars).value)
+    .withWorkingDirectory(Some((ThisBuild / baseDirectory).value))
+  val sorted = (Test / definedTests).value.sortBy(_.name)
+  sorted.zipWithIndex.groupBy(_._2 % graftTestLanes).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"lane$i", ts.map(_._1), Tests.SubProcess(opts))
+    }
+}
+// sbt's default concurrentRestrictions cap forked test groups at 1;
+// allow the lanes (plus headroom for ordinary tasks)
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(graftTestLanes + 2, 4)),
+  Tags.limit(Tags.ForkedTestGroup, graftTestLanes))
 // keep sbt's "[success] Total time ..." trailer off stdout: the bench
 // driver captures only the final ~2000 chars, and the trailer would eat
 // ~80 chars of the budget for Bench's compact JSON line

@@ -3434,13 +3434,28 @@ object Similarity {
             k = 10)
           .withColumn("drn", row_number().over(wd))
           .select(col("q_id"), col("vec_id").as("doc_id"), col("drn"))
-        val rrf = Det.rnd(
-          coalesce(lit(1.0) / (lit(60) + col("lrn")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("drn")), lit(0.0)), 6)
+        // Fuse by UNION + per-(q_id, doc_id) sum instead of a FULL OUTER
+        // join (r20, guide §2.4 "remove shuffles outright"): the outer
+        // join planned as SortMergeJoin FullOuter — two exchanges + two
+        // sorts over the ≤30-row legs, plus a third exchange for the
+        // final window. Value-identical: each (q_id, doc_id) appears in
+        // ≤1 row per leg, so sum(c) sees one or two terms — IEEE
+        // addition of two doubles is commutative, and the one-leg case
+        // equals the old coalesce form's c + 0.0. The explicit
+        // repartition on q_id alone (not the agg's (q_id, doc_id))
+        // satisfies both the aggregate's clustering (subset key) and
+        // the fuse window's, so ONE exchange serves both; per-q_id
+        // volume is ≤ 20 rows at ANY scale, so the coarser key cannot
+        // skew.
+        val contrib = lexR.select(col("q_id"), col("doc_id"),
+            (lit(1.0) / (lit(60) + col("lrn"))).as("c"))
+          .unionAll(denseR.select(col("q_id"), col("doc_id"),
+            (lit(1.0) / (lit(60) + col("drn"))).as("c")))
         val wf = Window.partitionBy("q_id")
           .orderBy(col("rrf").desc, col("doc_id").asc)
-        lexR.join(denseR, Seq("q_id", "doc_id"), "full_outer")
-          .withColumn("rrf", rrf)
+        contrib.repartition(col("q_id"))
+          .groupBy("q_id", "doc_id")
+          .agg(Det.rnd(sum(col("c")), 6).as("rrf"))
           .withColumn("rn", row_number().over(wf))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("doc_id"), col("rrf"),

@@ -106,12 +106,26 @@ object TrainingData {
       TextOps.langScore(col("text"), TextOps.LangWords.toMap.apply(lang))
     val (en, fr, es, de) =
       (score("en"), score("fr"), score("es"), score("de"))
+    // r20 (guide §4 expression cost in the hot path): the old shape —
+    // withColumn(n_tok)/withColumn(n_uniq) then filter(qualityGate) —
+    // let predicate pushdown inline the aliases, and FilterExec's
+    // short-circuit codegen cannot subexpression-eliminate across
+    // conditionally-evaluated predicates: the generated code ran
+    // split(trim(text)) THREE times per row inside the Filter (verified
+    // in the committed codegen dump, plans/r20/q_curate_codegen_*.txt)
+    // plus once in the Project. Phrasing the whole gate as ONE boolean
+    // alias whose token array is a higher-order-function lambda BINDING
+    // (lambda variables are bound references — evaluated once) leaves
+    // exactly one split per filtered row. Arithmetic inside the lambda
+    // is qualityGate's verbatim (same casts, same short-circuit order);
+    // value-identical, oracle unchanged.
+    val keep = "transform(array(split(trim(text), '\\\\s+')), " +
+      "a -> size(a) >= 30 AND " +
+      "CAST(size(array_distinct(a)) AS DOUBLE) / size(a) > 0.25)[0]"
     docs
       .filter(en >= fr && en >= es && en >= de && en > 0)
+      .filter(expr(keep))
       .withColumn("n_tok", size(split(trim(col("text")), "\\s+")))
-      .withColumn("n_uniq", size(expr(TextOps.toksExpr)))
-      .filter(TextOps.qualityGate(col("n_tok"), col("n_uniq")))
-      .drop("n_uniq")
   }
 
   /** The five-stage curation pipeline as a library entry point —

@@ -10,22 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BucketingSpec extends AnyFunSuite with SparkSuite {
 
+  // per-pid names: concurrently-forked suite lanes (build.sbt r20)
+  // share /tmp/graft_warehouse, so fixed names would collide across JVMs
+  private val pid = ProcessHandle.current().pid()
+  private val bOrders = s"b_orders_p$pid"
+  private val bCustomer = s"b_customer_p$pid"
+
   test("bucketed tables join without a shuffle") {
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.sql(s"DROP TABLE IF EXISTS $bOrders")
+    spark.sql(s"DROP TABLE IF EXISTS $bCustomer")
     Tables(spark, sf, "orders")
       .write.mode("overwrite").bucketBy(8, "o_custkey")
-      .sortBy("o_custkey").saveAsTable("b_orders")
+      .sortBy("o_custkey").saveAsTable(bOrders)
     Tables(spark, sf, "customer")
       .write.mode("overwrite").bucketBy(8, "c_custkey")
-      .sortBy("c_custkey").saveAsTable("b_customer")
+      .sortBy("c_custkey").saveAsTable(bCustomer)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // disable broadcast so the join must pick sort-merge — the case
       // bucketing is for (two fact-sized sides)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("b_orders")
-        .join(spark.table("b_customer"),
+      val joined = spark.table(bOrders)
+        .join(spark.table(bCustomer),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
       val plan = joined.queryExecution.executedPlan.toString
@@ -39,8 +45,8 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
       assert(n === Tables(spark, sf, "orders").count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_customer")
+      spark.sql(s"DROP TABLE IF EXISTS $bOrders")
+      spark.sql(s"DROP TABLE IF EXISTS $bCustomer")
     }
   }
 }
